@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Design for 100 TB: every path is a pure shuffle-on-key dataflow — no
+  * driver-side state, no collects. The LSH paths exist precisely so the
+  * quadratic all-pairs comparison never materializes at scale: candidate
+  * generation is an equi-join on (band, signature) / bucket keys, which
+  * Catalyst executes as a shuffled hash join over keys whose cardinality
+  * grows with corpus size (no skew pileup: band signatures are ~uniform).
+  */
+object Dedup {
+
+  /** Deterministic exact dedup: keep the row with the minimum id per key.
+    * (`dropDuplicates` keeps an *arbitrary* row, which is fine operationally
+    * but untestable; min-id is the canonical-representative policy.)
+    */
+  def exactByKey(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn("__min_id", min(id).over(w))
+      .where(id === col("__min_id"))
+      .drop("__min_id")
+  }
+
+  /** Per-key group stats for exact dedup audit: md5 key, representative id,
+    * duplicate count.
+    */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text.cast("string")).as("text_hash"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** (id, shingle) exploded distinct word n-gram shingles. */
+  def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(Text.shingles(text, n)).as("sh"))
+
+  /** All-pairs n-gram Jaccard via shingle-inverted-index join.
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) for pairs sharing at
+    * least one shingle with jaccard >= threshold; id_a < id_b.
+    *
+    * Scale note: the inverted-index join's fan-out is bounded by shingle
+    * document frequency; at 100 TB you'd first drop ultra-common shingles
+    * (df > cap) — exposed via `maxShingleDf`.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingleRows(df, id, text, n)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("sh"))
+        sh0.join(dfreq, "sh")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: (doc_id, seed, mh) with mh = min over shingles of
+    * hash60(shingle ++ "#" ++ seed). numHashes seeds, 0-based.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      numHashes: Int): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+    val seeds = (0 until numHashes).map(i => lit(i)).toArray
+    sh.withColumn("seed", explode(array(seeds: _*)))
+      .select(col("doc_id"), col("seed"),
+        Hashing.hash60(concat(col("sh"), lit("#"), col("seed").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** LSH banding over minhash signatures: (doc_id, band, band_sig), with an
+    * order-independent band signature (sum of seed-tagged rehashes — avoids
+    * a collect_list sort; 60-bit hashes × rowsPerBand <= 16 stays in int64).
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .select(col("doc_id"), col("band"),
+        Hashing.hash60(concat(col("mh").cast("string"), lit("@"), col("seed").cast("string"))).as("hs"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("hs")).as("band_sig"))
+
+  /** Candidate near-dup pairs: distinct (id_a < id_b) colliding in >=1 band. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash over token occurrences: majority vote per bit position of
+    * each token's hash60 (+1 if bit set, -1 if not; bit set in the output iff
+    * the vote sum is > 0).
+    */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("tok"))
+      .withColumn("th", Hashing.hash60(col("tok")))
+    val bits = (0 until 60).map(i => lit(i)).toArray
+    toks
+      .withColumn("k", explode(array(bits: _*)))
+      .withColumn("sign", when(expr("(th div shiftleft(CAST(1 AS BIGINT), k)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("sign")).as("s"))
+      .withColumn("bit", when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash"))
+  }
+
+  /** Pairs within a Hamming-distance budget over simhashes (all-pairs; at
+    * scale you'd pre-bucket by simhash prefix — provided for the oracle and
+    * small corpora).
+    */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val a = hashes.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Scalable simhash near-dup: bucket by 4 x 15-bit prefix blocks (any pair
+    * within Hamming distance 3 of each other collides on at least one intact
+    * block — pigeonhole), then verify exact Hamming inside buckets.
+    */
+  def simhashNearDupBlocked(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole covers Hamming <= 3")
+    val blocks = (0 until 4).map { blk =>
+      hashes.select(
+        col("doc_id"), col("simhash"),
+        lit(blk).as("blk"),
+        expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * 15})) % 32768").as("blk_val"))
+    }.reduce(_ unionByName _)
+    val a = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "blk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: tokenization, shingling, language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All column functions here are pure `Column => Column` built-in compositions
+  * (codegen-friendly, no UDFs) and have exact DuckDB twins for the oracle.
+  * Tokenization generalizes the reference's enrichment step
+  * (`/root/reference/app/process_articles.py:74-75`: `split(content, "\s+")`
+  * then `size`).
+  */
+object Text {
+
+  /** Whitespace-run tokenizer — the reference's exact semantics
+    * (`process_articles.py:74`).
+    */
+  val WhitespaceRegex = "\\s+"
+
+  def tokens(text: Column): Column = split(text, WhitespaceRegex)
+
+  /** Word count = token count (`process_articles.py:75`). */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles joined by single spaces. Empty array when
+    * the document has fewer than n tokens (guards `sequence`'s descending-step
+    * inference on negative ranges).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[shingles]] over a VARCHAR expression `e`. */
+  def duckShingles(e: String, n: Int): String =
+    s"""(SELECT CASE WHEN len(toks) >= $n THEN list_distinct(list_transform(range(1, len(toks) - ${n - 1} + 1), i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))) ELSE [] END FROM (SELECT string_split_regex($e, '\\s+') AS toks))"""
+
+  // -------------------------------------------------------------------------
+  // Language identification (n-gram/marker heuristic).
+  //
+  // A deterministic, oracle-checkable heuristic: score each candidate language
+  // by how many of its marker tokens appear in the document (token-set
+  // intersection), predict the argmax with a fixed tie-break order. Marker
+  // lists are tiny and embedded so the DuckDB twin can inline them.
+  // -------------------------------------------------------------------------
+
+  /** language -> marker tokens (lowercase). Order = tie-break priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "du", "ich"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1")
+  )
+
+  /** Count of tokens (occurrences, not distinct) that are in `markers`. */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val t = tokens(lower(text))
+    size(filter(t, tok => tok.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** Predicted language: argmax of marker hits, ties broken by LangMarkers
+    * order; "und" (undetermined) when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => (lang, markerHits(text, m)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight builds when(en)...otherwise(when(es)...): first match in
+    // LangMarkers order wins — same CASE shape as the DuckDB twin.
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[langId]] over VARCHAR expr `e`. */
+  def duckLangId(e: String): String = {
+    def hits(markers: Seq[String]): String = {
+      val inList = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower($e), '\\s+'), t -> t IN ($inList)))"
+    }
+    val scoreExprs = LangMarkers.map { case (lang, m) => lang -> hits(m) }
+    val best = scoreExprs.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val cases = scoreExprs
+      .map { case (lang, s) => s"WHEN $s = ($best) AND ($best) > 0 THEN '$lang'" }
+      .mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
+
+  // -------------------------------------------------------------------------
+  // Quality scoring
+  // -------------------------------------------------------------------------
+
+  /** Common-word list used for the stopword-ratio quality feature. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "on", "for", "with", "as", "at", "by", "be", "this")
+
+  /** Heuristic quality score in [0,1]:
+    * 0.25*lengthOk + 0.25*meanWordLenOk + 0.25*stopwordOk + 0.25*alphaRatio.
+    * All features are integer-derived ratios, so the arithmetic is exact and
+    * reproducible in DuckDB.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nTok = size(t).cast("long")
+    val nChars = length(text).cast("long")
+    val alphaChars = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val stopHits =
+      size(filter(tokens(lower(text)), tok => tok.isin(Stopwords.map(lit(_)): _*))).cast("long")
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars" -> nChars,
+      "alpha_ratio" -> (alphaChars.cast("double") / nChars.cast("double")),
+      "mean_word_len" -> (nChars.cast("double") / nTok.cast("double")),
+      "stopword_ratio" -> (stopHits.cast("double") / nTok.cast("double"))
+    )
+  }
+
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthOk = when(f("n_tokens") >= 20 && f("n_tokens") <= 10000, 1.0).otherwise(0.0)
+    val wordLenOk = when(f("mean_word_len") >= 3.0 && f("mean_word_len") <= 12.0, 1.0).otherwise(0.0)
+    val stopOk = when(f("stopword_ratio") >= 0.05, 1.0).otherwise(0.0)
+    lengthOk * 0.25 + wordLenOk * 0.25 + stopOk * 0.25 + f("alpha_ratio") * 0.25
+  }
+
+  // -------------------------------------------------------------------------
+  // Token counting (whitespace + BPE-ish regex)
+  // -------------------------------------------------------------------------
+
+  /** Regex classes shared by Spark (Java regex) and DuckDB (RE2): alpha runs,
+    * digit runs, single non-alnum-non-space chars — a crude BPE-ish
+    * pre-tokenization.
+    */
+  val BpeishRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishRegex), lit(0)))
+
+  def duckBpeishTokenCount(e: String): String =
+    s"len(regexp_extract_all($e, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'))"
+
+  // -------------------------------------------------------------------------
+  // Document fingerprint (rolling polynomial hash over tokens)
+  // -------------------------------------------------------------------------
+
+  /** Order-sensitive polynomial rolling fingerprint over token hash60s:
+    * acc = (acc * 31 + h(tok)) mod 2^61-1 — would overflow int64, so instead
+    * fold with acc = (acc * 131071 + (h mod 131072)) mod 2^60 using only
+    * values < 2^60 (131071 * 2^43 fits; we keep acc < 2^43 by folding mod
+    * 2^43). Concretely: acc' = (acc * 131071 + (h % 131072)) % 8796093022208
+    * (2^43), all intermediates < 2^61.
+    */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), tok => Hashing.hash60(tok) % lit(131072L))
+    aggregate(hs, lit(0L),
+      (acc, h) => (acc * lit(131071L) + h) % lit(8796093022208L))
+  }
+
+  /** DuckDB twin of [[fingerprint]]. */
+  def duckFingerprint(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, '\\s+'), tok -> ${Hashing.duckHash60("tok")} % 131072)), (acc, h) -> (acc * 131071 + h) % 8796093022208)"""
+}

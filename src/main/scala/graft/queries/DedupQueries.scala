@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, Hashing}
+import org.apache.spark.sql.functions._
+
+/** Deduplication extension queries over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash — each oracle-checked against DuckDB via the shared
+  * cross-engine hash (Hashing.hash60).
+  */
+object DedupQueries {
+
+  /** DuckDB CTE: (id, sh) distinct word-3-gram shingle rows of documents. */
+  private val duckShingleCte: String =
+    """sh AS (
+      |  SELECT doc_id AS id, unnest(shingles) AS sh FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(toks) >= 3
+      |           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |           ELSE [] END AS shingles
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup audit: hash groups with representative + multiplicity.
+    QueryDef(
+      "q50_dedup_exact_groups",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.exactGroups(docs, col("text"), col("doc_id"))
+      },
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, COUNT(*) AS n_dups
+           |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Exact dedup surviving rows (deterministic min-id representative).
+    QueryDef(
+      "q51_dedup_exact_rows",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.exactByKey(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+           |  SELECT doc_id, lang, source, min(doc_id) OVER (PARTITION BY text) AS m
+           |  FROM documents) WHERE doc_id = m""".stripMargin)),
+
+    // N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.4).
+    QueryDef(
+      "q52_ngram_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin),
+      bench = false),
+
+    // MinHash LSH band signatures (16 hashes, 4 bands x 4 rows).
+    QueryDef(
+      "q53_minhash_bands",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+        Dedup.lshBands(sigs, 4)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |mh AS (
+           |  SELECT id AS doc_id, seed, min(${Hashing.duckFoldHexCol("m")}) AS mh
+           |  FROM (SELECT id, seed, md5(sh || '#' || CAST(seed AS VARCHAR)) AS m
+           |        FROM sh CROSS JOIN generate_series(0, 15) AS s(seed))
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, seed // 4 AS band,
+           |  CAST(SUM(${Hashing.duckFoldHexCol("m2")}) AS BIGINT) AS band_sig
+           |FROM (SELECT doc_id, seed, md5(CAST(mh AS VARCHAR) || '@' || CAST(seed AS VARCHAR)) AS m2 FROM mh)
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // MinHash LSH candidate pairs (band-signature collisions).
+    QueryDef(
+      "q54_minhash_candidates",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+        Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
+      },
+      Some(s"""WITH $duckShingleCte,
+           |mh AS (
+           |  SELECT id AS doc_id, seed, min(${Hashing.duckFoldHexCol("m")}) AS mh
+           |  FROM (SELECT id, seed, md5(sh || '#' || CAST(seed AS VARCHAR)) AS m
+           |        FROM sh CROSS JOIN generate_series(0, 15) AS s(seed))
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM(${Hashing.duckFoldHexCol("m2")}) AS BIGINT) AS band_sig
+           |  FROM (SELECT doc_id, seed, md5(CAST(mh AS VARCHAR) || '@' || CAST(seed AS VARCHAR)) AS m2 FROM mh)
+           |  GROUP BY 1, 2)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // SimHash (60-bit majority-vote fingerprints).
+    QueryDef(
+      "q55_simhash",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.simhash(docs, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, ${Hashing.duckFoldHexCol("m")} AS th
+           |  FROM (SELECT doc_id, md5(tok) AS m FROM
+           |        (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents))),
+           |votes AS (
+           |  SELECT doc_id, k,
+           |    SUM(CASE WHEN (th // (CAST(1 AS BIGINT) << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM toks CROSS JOIN generate_series(0, 59) AS g(k)
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY 1""".stripMargin)),
+
+    // SimHash near-dup pairs within Hamming distance 3 (blocked variant —
+    // the scalable path; oracle does the plain quadratic check).
+    QueryDef(
+      "q56_simhash_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val hashes = Dedup.simhash(docs, col("doc_id"), col("text"))
+        Dedup.simhashNearDupBlocked(hashes, 3)
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, ${Hashing.duckFoldHexCol("m")} AS th
+           |  FROM (SELECT doc_id, md5(tok) AS m FROM
+           |        (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents))),
+           |votes AS (
+           |  SELECT doc_id, k,
+           |    SUM(CASE WHEN (th // (CAST(1 AS BIGINT) << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM toks CROSS JOIN generate_series(0, 59) AS g(k)
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM votes GROUP BY 1)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+      bench = false)
+  )
+}

@@ -1,0 +1,368 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.7 generalizations): the
+  * reference composes only projections and one aggregation, but capability
+  * parity for an analytics engine requires the full relational surface —
+  * filters, every join flavor, analytic windows, sorts/limits, set ops,
+  * rollup/cube, subqueries — all Catalyst built-ins, exercised over the
+  * TPC-H-ish testdata and hash-checked against DuckDB.
+  *
+  * Scale notes (100 TB): every join below either broadcasts a dimension table
+  * (region/nation/part/customer at dimension scale) or shuffles on the join
+  * key with AQE enabled; aggregates are partial-final (map-side combine) by
+  * construction. No collects, no driver loops.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: wide aggregate with derived measures (decimal-exact).
+    QueryDef(
+      "q10_pricing_summary",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            Num.dsum(col("l_quantity")).as("sum_qty"),
+            Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+            Num.davg(col("l_quantity")).as("avg_qty"),
+            Num.davg(col("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+           |  ${Num.duckDsum("l_quantity")} AS sum_qty,
+           |  ${Num.duckDsum("l_extendedprice")} AS sum_base_price,
+           |  ${Num.duckDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+           |  ${Num.duckDavg("l_quantity")} AS avg_qty,
+           |  ${Num.duckDavg("l_discount", 4)} AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Filter + narrow projection (predicate pushdown / column pruning path).
+    QueryDef(
+      "q11_filter_project",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.where(col("l_quantity") > 45 && col("l_discount") < 0.02)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02""".stripMargin)),
+
+    // Multi-way dimension join (customer → nation → region) + fact (orders).
+    QueryDef(
+      "q12_join_revenue_by_nation",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        orders
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            Num.dsum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some(s"""SELECT r_name, n_name,
+           |  ${Num.duckDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name""".stripMargin)),
+
+    // Fact × small-dimension broadcast join.
+    QueryDef(
+      "q13_broadcast_join_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val part = Tables.load(s, dir, "part")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            Num.dsum(col("l_extendedprice")).as("sum_price"),
+            Num.davg(col("p_retailprice")).as("avg_retail"))
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+           |  ${Num.duckDsum("l_extendedprice")} AS sum_price,
+           |  ${Num.duckDavg("p_retailprice")} AS avg_retail
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin)),
+
+    // Left-semi join (EXISTS).
+    QueryDef(
+      "q14_semi_join",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS).
+    QueryDef(
+      "q15_anti_join",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // Left-outer join + aggregation (customers keep zero-order rows).
+    QueryDef(
+      "q16_outer_join_counts",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(Num.dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      },
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           |  COALESCE(${Num.duckDsum("o_totalprice")}, 0.0) AS total_spend
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey""".stripMargin)),
+
+    // Analytic window function: top-3 orders per customer (rank + tie-break).
+    QueryDef(
+      "q17_window_topk_per_group",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // Running (cumulative) aggregate over an ordered frame.
+    QueryDef(
+      "q18_running_sum",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+           |FROM orders""".stripMargin)),
+
+    // Global sort + limit (top-k).
+    QueryDef(
+      "q19_orderby_limit",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        orders
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
+    // INTERSECT (set semantics).
+    QueryDef(
+      "q20_intersect",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val a = orders.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val b = orders.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.intersect(b)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    // EXCEPT (set semantics).
+    QueryDef(
+      "q21_except",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val a = orders.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val b = orders.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.except(b)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    // UNION ALL with a provenance tag.
+    QueryDef(
+      "q22_union_all",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val supp = Tables.load(s, dir, "supplier")
+        cust.select(lit("customer").as("kind"), col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+          .unionByName(
+            supp.select(lit("supplier").as("kind"), col("s_name").as("name"), col("s_acctbal").as("acctbal")))
+      },
+      Some("""SELECT 'customer' AS kind, c_name AS name, c_acctbal AS acctbal FROM customer
+           |UNION ALL
+           |SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS acctbal FROM supplier""".stripMargin)),
+
+    // ROLLUP (hierarchical grouping sets).
+    QueryDef(
+      "q23_rollup",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        cust
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), Num.dsum(col("c_acctbal")).as("sum_bal"))
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+           |  ${Num.duckDsum("c_acctbal")} AS sum_bal
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // CUBE (all grouping-set combinations).
+    QueryDef(
+      "q24_cube",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  ${Num.duckDsum("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Exact distinct count per group.
+    QueryDef(
+      "q25_count_distinct",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        events.groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+           |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Approximate distinct (HLL++) — engine-specific sketch, no SQL oracle;
+    // accuracy is asserted against the exact count in ScalaTest instead.
+    QueryDef(
+      "q26_approx_count_distinct",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        events.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      },
+      None),
+
+    // Scalar string functions (F1/F8 generalization).
+    QueryDef(
+      "q27_string_funcs",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        part.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+           |  substring(p_type, 1, 6) AS type_prefix, length(p_name) AS name_len,
+           |  concat_ws('/', p_brand, p_type) AS brand_type
+           |FROM part""".stripMargin)),
+
+    // Scalar date/time functions (F3 generalization).
+    QueryDef(
+      "q28_date_funcs",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        orders
+          .groupBy(
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           |  COUNT(*) AS n, ${Num.duckDsum("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // CASE WHEN bucketing + conditional aggregation.
+    QueryDef(
+      "q29_case_when",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        orders
+          .withColumn("bucket",
+            when(col("o_totalprice") < 1000, "low")
+              .when(col("o_totalprice") < 5000, "mid")
+              .otherwise("high"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            Num.dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("sum_f_price"))
+      },
+      Some(s"""SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+           |            WHEN o_totalprice < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+           |  COUNT(*) AS n,
+           |  ${Num.duckDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sum_f_price
+           |FROM orders GROUP BY 1""".stripMargin)),
+
+    // HAVING (post-aggregation filter).
+    QueryDef(
+      "q30_having",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+          .where(col("n") >= 5)
+      },
+      Some(s"""SELECT l_partkey, COUNT(*) AS n, ${Num.duckDsum("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5""".stripMargin)),
+
+    // Scalar subquery (orders above the global average price).
+    QueryDef(
+      "q31_scalar_subquery",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val avgPrice = orders.agg(Num.davg(col("o_totalprice")).as("ap"))
+        orders.crossJoin(broadcast(avgPrice))
+          .where(col("o_totalprice") > col("ap"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+           |WHERE o_totalprice > (SELECT ${Num.duckDavg("o_totalprice")} FROM orders)""".stripMargin))
+  )
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Num, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search extension queries over `embeddings` (ArrayType(Float)).
+  *
+  * Oracle note: DuckDB's native `list_dot_product` over DOUBLE[] is
+  * bit-identical to the engine's sequential double fold (verified exhaustively
+  * on testdata), so oracles use the fast native form.
+  */
+object SimilarityQueries {
+
+  /** DuckDB CTE: embeddings with double-cast vector and norm. */
+  private val duckEmb: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |      FROM embeddings)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
+    QueryDef(
+      "q60_embedding_norms",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        emb.groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            Num.dsum(Num.norm(col("embedding")), 9).as("sum_norm"))
+      },
+      Some(s"""WITH $duckEmb
+           |SELECT label, COUNT(*) AS n,
+           |  CAST(SUM(CAST(e.nrm AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
+           |FROM e JOIN embeddings USING (vec_id)
+           |GROUP BY label""".stripMargin)),
+
+    // Exact brute-force cosine top-5 neighbors per vector (the ANN baseline).
+    QueryDef(
+      "q61_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 5)
+      },
+      Some(s"""WITH $duckEmb
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+           |WHERE rank <= 5""".stripMargin),
+      bench = false),
+
+    // Embedding-cosine near-dup pairs (threshold tuned to testdata's cosine
+    // distribution: max ~0.51, p99 ~0.29).
+    QueryDef(
+      "q62_cosine_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.cosineNearDupPairs(emb, col("vec_id"), col("embedding"), 0.4)
+      },
+      Some(s"""WITH $duckEmb
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin),
+      bench = false),
+
+    // LSH-bucketed approximate top-5 (single table, 8 signed-random planes) —
+    // the scale path: candidate generation is an equi-join on bucket ids.
+    QueryDef(
+      "q63_ann_lsh_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5, numPlanes = 8)
+      },
+      Some {
+        // Bucket bit j: sign of <v, plane_j> with plane_j[d] = ±1 from
+        // hash60("pl-0-j-" || d) parity — reproduced inline.
+        val planeDot = (j: Int) =>
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1), i -> v[i] * (CASE WHEN ${graft.ops.Hashing.duckHash60(s"('pl-0-$j-' || CAST(i - 1 AS VARCHAR))")} % 2 = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"""
+        val bucketExpr = (0 until 8)
+          .map(j => s"(CASE WHEN ${planeDot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $duckEmb,
+           |buckets AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM e)
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 5""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Hashing, Text}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension queries over `documents` (language-ID heuristic,
+  * quality scoring, token counting, fingerprinting) — SURVEY.md §7.2 step 8.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Marker-token language-ID heuristic (deterministic argmax).
+    QueryDef(
+      "q40_lang_id",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      },
+      Some(s"""SELECT doc_id, ${Text.duckLangId("text")} AS lang_pred FROM documents""")),
+
+    // Quality features + composite score (integer-derived ratios: exact).
+    QueryDef(
+      "q41_quality_score",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val feats = Text.qualityFeatures(col("text"))
+        docs.select(
+          col("doc_id") +:
+            feats.map { case (n, c) => c.as(n) } :+
+            Text.qualityScore(col("text")).as("quality"): _*)
+      },
+      Some {
+        val t = "string_split_regex(text, '\\s+')"
+        val tl = "string_split_regex(lower(text), '\\s+')"
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"CAST(len($t) AS BIGINT)"
+        val nChars = "CAST(length(text) AS BIGINT)"
+        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+        val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
+        val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
+        s"""SELECT doc_id,
+           |  $nTok AS n_tokens,
+           |  $nChars AS n_chars,
+           |  $alphaRatio AS alpha_ratio,
+           |  $meanWl AS mean_word_len,
+           |  $stopRatio AS stopword_ratio,
+           |  (CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
+           |    + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+           |    + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
+           |    + $alphaRatio * 0.25 AS quality
+           |FROM documents""".stripMargin
+      }),
+
+    // Token counting: whitespace tokens + BPE-ish regex pre-tokenization.
+    QueryDef(
+      "q42_token_count",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(
+          col("doc_id"),
+          Text.wordCount(col("text")).as("ws_tokens"),
+          Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      },
+      Some(s"""SELECT doc_id,
+           |  len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           |  ${Text.duckBpeishTokenCount("text")} AS bpeish_tokens
+           |FROM documents""".stripMargin)),
+
+    // Rolling polynomial fingerprint over token hashes.
+    QueryDef(
+      "q43_fingerprint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      },
+      Some(s"""SELECT doc_id, ${Text.duckFingerprint("text")} AS fp FROM documents""")),
+
+    // Marker-hit aggregation: docs per predicted language (argmax rollup).
+    QueryDef(
+      "q44_lang_distribution",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(Text.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""SELECT ${Text.duckLangId("text")} AS lang_pred, COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1""".stripMargin))
+  )
+}
