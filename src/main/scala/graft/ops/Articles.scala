@@ -108,8 +108,20 @@ object DataGen {
       seed: Long = 42L,
       numAuthors: Int = 20,
       startEpochSeconds: Long = 1704067200L, // 2024-01-01T00:00:00Z
+      spreadSeconds: Long = 3600L): DataFrame =
+    envelopeFor(spark.range(n).toDF("id"), seed, numAuthors, startEpochSeconds, spreadSeconds)
+
+  /** Envelope synthesis over an arbitrary `id`-column frame (batch OR
+    * streaming — the rate-source adapter feeds its monotonically increasing
+    * `value` through here, so the same deterministic derivation serves
+    * fixtures and unbounded soak runs).
+    */
+  def envelopeFor(
+      ids: DataFrame,
+      seed: Long = 42L,
+      numAuthors: Int = 20,
+      startEpochSeconds: Long = 1704067200L,
       spreadSeconds: Long = 3600L): DataFrame = {
-    val ids = spark.range(n)
     val h = Hashing.hash60(concat(lit(seed.toString), lit("-"), col("id")))
     val author = concat(lit("author_"), pmod(h, lit(numAuthors.toLong)))
     val ts = to_timestamp(from_unixtime(

@@ -275,7 +275,8 @@ object RelationalQueries {
            |FROM events GROUP BY event_type""".stripMargin)),
 
     // Approximate distinct (HLL++) — engine-specific sketch, no SQL oracle;
-    // accuracy is asserted against the exact count in ScalaTest instead.
+    // accuracy vs q25's exact counts is asserted in CatalogSpec
+    // ("q26: approx_count_distinct(rsd=0.01) within 5*rsd").
     QueryDef(
       "q26_approx_count_distinct",
       (s, dir) => {
