@@ -33,16 +33,19 @@ object Tables {
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * TimestampType (µs) cannot represent — the vectorized reader rejects it
     * outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs explicitly
-    * (integer division — floor), which the DuckDB oracle mirrors with
-    * `make_timestamp(epoch_ns(ts) // 1000)`.
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs with FLOOR
+    * division (`(ts - pmod(ts,1000)) div 1000` — plain `div` truncates toward
+    * zero and would diverge by 1µs from DuckDB's `//` on pre-1970
+    * timestamps). Engine mains set the reader conf at session build; this
+    * fallback only fires for externally-built sessions.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 

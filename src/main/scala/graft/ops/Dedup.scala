@@ -18,9 +18,15 @@ object Dedup {
   /** Deterministic exact dedup: keep the row with the minimum id per key.
     * (`dropDuplicates` keeps an *arbitrary* row, which is fine operationally
     * but untestable; min-id is the canonical-representative policy.)
+    *
+    * The analytic window partitions on md5(key), not the raw key: when the
+    * key is a full document body, the shuffle key is 32 bytes instead of the
+    * document — at 100 TB that is the difference between shuffling hashes and
+    * shuffling the corpus. (md5 collisions would merge two distinct keys;
+    * probability ~2^-64 per pair — accepted, same stance as exactGroups.)
     */
   def exactByKey(df: DataFrame, key: Column, id: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(key.cast("string")))
     df.withColumn("__min_id", min(id).over(w))
       .where(id === col("__min_id"))
       .drop("__min_id")
@@ -33,9 +39,28 @@ object Dedup {
     df.groupBy(md5(text.cast("string")).as("text_hash"))
       .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** Spread rows across the session's shuffle parallelism, hash-keyed.
+    *
+    * Why: the shingle/token explode multiplies per-row work ~50-100×, but
+    * Spark sizes scan partitions by INPUT bytes — a compact source (one small
+    * parquet file, or a few large ones at 100 TB) leaves the expensive
+    * explode+hash running on far too few cores. Repartitioning the compact
+    * pre-explode rows is a cheap shuffle (one row per doc), and because it is
+    * keyed on the id, the post-explode groupBy(doc_id) reuses the
+    * partitioning — the exploded rows (orders of magnitude larger) never
+    * cross an exchange. A fixed partition count pins the exchange against
+    * AQE coalescing (which sees "small input" and would undo the spread).
+    */
+  private def spreadBy(df: DataFrame, key: Column): DataFrame = {
+    val n =
+      try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => df.sparkSession.sparkContext.defaultParallelism }
+    df.repartition(n, key)
+  }
+
   /** (id, shingle) exploded distinct word n-gram shingles. */
   def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("doc_id"), explode(Text.shingles(text, n)).as("sh"))
+    spreadBy(df, id).select(id.as("doc_id"), explode(Text.shingles(text, n)).as("sh"))
 
   /** All-pairs n-gram Jaccard via shingle-inverted-index join.
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) for pairs sharing at
@@ -77,7 +102,14 @@ object Dedup {
   }
 
   /** MinHash signatures: (doc_id, seed, mh) with mh = min over shingles of
-    * hash60(shingle ++ "#" ++ seed). numHashes seeds, 0-based.
+    * the arithmetic family h_seed(shingle) = (A(seed)*hash60(shingle mod 2^30)
+    * + B(seed)) mod P (Hashing.familyHash). numHashes seeds, 0-based.
+    *
+    * Cost shape: ONE md5 per shingle (the base hash), then numHashes cheap
+    * arithmetic min-aggregates — not numHashes md5s. The shuffle carries one
+    * row per (doc, shingle) with a single long; the k mins ride partial
+    * aggregation as k agg buffers, and the k-row-per-doc output is produced
+    * by a posexplode over the already-aggregated (tiny) result.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -86,23 +118,29 @@ object Dedup {
       n: Int,
       numHashes: Int): DataFrame = {
     val sh = shingleRows(df, id, text, n)
-    val seeds = (0 until numHashes).map(i => lit(i)).toArray
-    sh.withColumn("seed", explode(array(seeds: _*)))
-      .select(col("doc_id"), col("seed"),
-        Hashing.hash60(concat(col("sh"), lit("#"), col("seed").cast("string"))).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
+      .select(col("doc_id"), Hashing.familyBaseHash(col("sh")).as("hb"))
+    val mins = (0 until numHashes)
+      .map(i => min(Hashing.familyHash(col("hb"), i)).as(s"mh_$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(i => col(s"mh_$i")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "mh")
   }
 
   /** LSH banding over minhash signatures: (doc_id, band, band_sig), with an
-    * order-independent band signature (sum of seed-tagged rehashes — avoids
-    * a collect_list sort; 60-bit hashes × rowsPerBand <= 16 stays in int64).
+    * order-independent band signature (sum of seed-tagged family rehashes —
+    * avoids a collect_list sort; values < P ≈ 2^30, rowsPerBand <= 16 sums
+    * stay far inside int64).
     */
   def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
     signatures
       .withColumn("band", expr(s"seed div $rowsPerBand"))
       .select(col("doc_id"), col("band"),
-        Hashing.hash60(concat(col("mh").cast("string"), lit("@"), col("seed").cast("string"))).as("hs"))
+        // mh < P < 2^30 by construction, so mh*C1 < 2^60 (ANSI-safe).
+        ((col("mh") * lit(Hashing.BandC1)
+          + (col("seed") + lit(1)) * lit(Hashing.BandC2)) % lit(Hashing.FamilyP)).as("hs"))
       .groupBy(col("doc_id"), col("band"))
       .agg(sum(col("hs")).as("band_sig"))
 
@@ -119,19 +157,26 @@ object Dedup {
   /** 60-bit SimHash over token occurrences: majority vote per bit position of
     * each token's hash60 (+1 if bit set, -1 if not; bit set in the output iff
     * the vote sum is > 0).
+    *
+    * Single-pass formulation: instead of exploding every token ×60 bit
+    * positions (60× row amplification through the shuffle), aggregate 60
+    * set-bit counters + a token count per doc in ONE groupBy — the vote for
+    * bit k is 2*ones_k - n, so `ones_k` (sum of extracted bits) carries the
+    * whole computation. One row per doc crosses the shuffle; the 61 agg
+    * buffers ride partial aggregation and whole-stage codegen.
     */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("tok"))
-      .withColumn("th", Hashing.hash60(col("tok")))
-    val bits = (0 until 60).map(i => lit(i)).toArray
-    toks
-      .withColumn("k", explode(array(bits: _*)))
-      .withColumn("sign", when(expr("(th div shiftleft(CAST(1 AS BIGINT), k)) % 2") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(sum(col("sign")).as("s"))
-      .withColumn("bit", when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("simhash"))
+    val toks = spreadBy(df, id)
+      .select(id.as("doc_id"), explode(Text.tokens(text)).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("th"))
+    val ones = (0 until 60).map(k =>
+      sum(expr(s"(th div ${1L << k}) % 2")).as(s"ones_$k"))
+    val aggs = count(lit(1)).as("n_tok") +: ones
+    val bits = (0 until 60).map(k =>
+      when(col(s"ones_$k") * 2 > col("n_tok"), lit(1L << k)).otherwise(lit(0L)))
+    toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
   /** Pairs within a Hamming-distance budget over simhashes (all-pairs; at

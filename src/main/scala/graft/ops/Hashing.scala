@@ -22,6 +22,16 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] for values known at plan time (e.g. the
+    * LSH hyperplane components, which depend only on (table, plane, dim) and
+    * would otherwise cost one md5 per ROW per component inside codegen).
+    */
+  def hash60JVM(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Seeded variant: rehash with a seed suffix (classic minhash family
     * h_j(s) = H(s ++ "#" ++ j) — avoids 64-bit modular multiplication, which
     * neither engine can express without overflow).
@@ -46,4 +56,46 @@ object Hashing {
     */
   def duckFoldHexCol(m: String): String =
     s"""list_reduce(list_transform(range(1,16), hxi -> CAST(CASE WHEN substring($m, hxi, 1) BETWEEN '0' AND '9' THEN ascii(substring($m, hxi, 1)) - 48 ELSE ascii(substring($m, hxi, 1)) - 87 END AS BIGINT)), (hxa, hxb) -> hxa * 16 + hxb)"""
+
+  // ---------------------------------------------------------------------
+  // Arithmetic universal-hash family over a single base hash.
+  //
+  // MinHash needs k hash functions per shingle; evaluating k md5s per
+  // shingle multiplies the dominant cost k-fold. Instead both engines hash
+  // each input ONCE (hash60 → base, reduced mod 2^30) and derive family
+  // member i as h_i = (A(i) * base + B(i)) mod P — the classic (a*x+b) mod p
+  // universal family. Bounds: base < 2^30 and A(i) < P < 2^30, so every
+  // intermediate stays under 2^60 + 2^30 (safe in int64 with ANSI overflow
+  // checks on). Constants are Murmur/Knuth multipliers reduced mod P so the
+  // DuckDB oracle can inline them as plain literals.
+  // ---------------------------------------------------------------------
+
+  /** Largest prime below 2^30. */
+  val FamilyP: Long = 1073741789L
+
+  /** Modulus for the base-hash reduction (2^30). */
+  val FamilyBase: Long = 1073741824L
+
+  /** Multiplier for family member i: odd Knuth multiplier, nonzero mod P. */
+  def familyA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % FamilyP
+
+  /** Offset for family member i. */
+  def familyB(i: Int): Long = (i.toLong * 2246822519L + 3266489917L) % FamilyP
+
+  /** hash60 reduced into the family's base domain [0, 2^30). */
+  def familyBaseHash(c: Column): Column = hash60(c) % lit(FamilyBase)
+
+  /** Family member i applied to a base-hash column. */
+  def familyHash(base: Column, i: Int): Column =
+    (lit(familyA(i)) * base + lit(familyB(i))) % lit(FamilyP)
+
+  /** DuckDB twin of [[familyHash]] over an already-computed base expr. */
+  def duckFamilyHash(base: String, i: Int): String =
+    s"((${familyA(i)} * $base + ${familyB(i)}) % $FamilyP)"
+
+  /** Seed-tagging constants for order-independent band signatures
+    * (sum over band rows of (mh*C1 + (seed+1)*C2) mod P).
+    */
+  val BandC1: Long = 2654435761L % FamilyP // Knuth multiplier mod P
+  val BandC2: Long = 2246822519L % FamilyP // Murmur3 c2 mod P
 }

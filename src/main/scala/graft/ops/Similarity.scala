@@ -58,31 +58,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Deterministic ±1 hyperplane component for (table, plane, dim) — derived
-    * from the cross-engine hash so the DuckDB oracle can reproduce buckets.
+  /** Deterministic ±1 hyperplane component for (table, plane, dim) — parity
+    * of the cross-engine hash of "pl-table-plane-dim", so the DuckDB oracle
+    * can reproduce buckets (SimilarityQueries.duckBucketExpr computes the
+    * same md5 parity in SQL).
     */
-  def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    when(Hashing.hash60(concat(lit(s"pl-$table-$plane-"), dim.cast("string"))) % 2 === 1, lit(1.0))
-      .otherwise(lit(-1.0))
+  def planeSign(table: Int, plane: Int, dim: Int): Double =
+    if (Hashing.hash60JVM(s"pl-$table-$plane-$dim") % 2 == 1) 1.0 else -1.0
 
   /** Signed-random-projection bucket id for one table: bit j of the bucket is
     * sign(<vec, plane_j>) where plane components are deterministic ±1.
+    *
+    * The plane vectors depend only on (table, plane, dim) — they are
+    * evaluated ONCE on the driver ([[planeSign]]) and embedded as array
+    * literals; evaluating the hash inside the expression would cost
+    * numPlanes × numDims md5 calls per row. The fold stays a sequential
+    * double left-fold (same order as the oracle — bit-identical).
     */
-  def lshBucket(vec: Column, table: Int, numPlanes: Int): Column = {
+  def lshBucket(vec: Column, table: Int, numPlanes: Int, numDims: Int): Column = {
     val bits = (0 until numPlanes).map { j =>
-      // <vec, plane_j> = sum_d vec[d] * pm1(j, d): sequential double fold.
+      val plane = Array.tabulate(numDims)(d => planeSign(table, j, d))
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(table, j, d)),
+        zip_with(vec, lit(plane), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $j)")).otherwise(lit(0L))
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
+  /** (vid, tbl, bucket) id-only bucket assignments for `numTables` tables —
+    * the candidate-generation backbone shared by [[lshTopK]] and
+    * [[cosineNearDupBucketed]]. Ids only: vectors never ride the candidate
+    * shuffle.
+    */
+  private def bucketIds(base: DataFrame, numPlanes: Int, numTables: Int, numDims: Int): DataFrame =
+    (0 until numTables).map { t =>
+      base.select(col("vid"), lit(t).as("tbl"),
+        lshBucket(col("vec"), t, numPlanes, numDims).as("bucket"))
+    }.reduce(_ unionByName _)
+
   /** LSH-bucketed approximate top-k: exact cosine ranking within each
     * single-table bucket. `numTables` > 1 unions tables and dedups candidates
     * before ranking (higher recall, same join shape).
+    *
+    * Shuffle discipline: with one table the bucket join carries the vectors
+    * directly (each pair appears once — no dedup needed). With multiple
+    * tables, candidates are deduped as bare (query_id, neighbor_id) pairs —
+    * a few bytes per row — and the vectors are joined back afterwards;
+    * a distinct keyed on full embedding arrays would shuffle the corpus.
     */
   def lshTopK(
       df: DataFrame,
@@ -90,25 +113,68 @@ object Similarity {
       vec: Column,
       k: Int,
       numPlanes: Int,
+      numDims: Int,
       numTables: Int = 1): DataFrame = {
     val base = withNorm(df, id, vec)
-    val buckets = (0 until numTables).map { t =>
-      base.select(col("vid"), col("vec"), col("nrm"),
-        lit(t).as("tbl"), lshBucket(col("vec"), t, numPlanes).as("bucket"))
-    }.reduce(_ unionByName _)
-    val a = buckets.select(col("tbl"), col("bucket"),
-      col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na"))
-    val b = buckets.select(col("tbl"), col("bucket"),
-      col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb"))
-    val cands = a.join(b, Seq("tbl", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("va"), col("na"), col("vb"), col("nb"))
-      .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+    val scored =
+      if (numTables == 1) {
+        val buckets = base.select(col("vid"), col("vec"), col("nrm"),
+          lshBucket(col("vec"), 0, numPlanes, numDims).as("bucket"))
+        val a = buckets.select(col("bucket"),
+          col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na"))
+        val b = buckets.select(col("bucket"),
+          col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("bucket"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      } else {
+        val buckets = bucketIds(base, numPlanes, numTables, numDims)
+        val cands = buckets.select(col("tbl"), col("bucket"), col("vid").as("query_id"))
+          .join(buckets.select(col("tbl"), col("bucket"), col("vid").as("neighbor_id")),
+            Seq("tbl", "bucket"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct()
+        cands
+          .join(base.select(col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na")), "query_id")
+          .join(base.select(col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Scalable embedding near-dup: LSH-bucketed candidate generation + exact
+    * cosine verification — the scale-safe twin of [[cosineNearDupPairs]]
+    * (which stays as the quadratic oracle baseline, same relationship as
+    * simhashPairs / simhashNearDupBlocked). Multiple tables raise recall;
+    * candidate dedup happens on bare id pairs before vectors are re-joined.
+    */
+  def cosineNearDupBucketed(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      numPlanes: Int,
+      numDims: Int,
+      numTables: Int): DataFrame = {
+    val base = withNorm(df, id, vec)
+    val buckets = bucketIds(base, numPlanes, numTables, numDims)
+    val cands = buckets.select(col("tbl"), col("bucket"), col("vid").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("vid").as("id_b")),
+        Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("vid").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("vid").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

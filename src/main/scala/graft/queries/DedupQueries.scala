@@ -21,6 +21,23 @@ object DedupQueries {
       |           ELSE [] END AS shingles
       |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)))""".stripMargin
 
+  /** DuckDB CTEs shared by the minhash oracles: base hash (one md5 fold per
+    * shingle, reduced mod 2^30) and the 16-member arithmetic family minima —
+    * the exact twin of `Dedup.minhashSignatures`.
+    */
+  private val duckMinhashCtes: String = {
+    val as = (0 until 16).map(Hashing.familyA).mkString(", ")
+    val bs = (0 until 16).map(Hashing.familyB).mkString(", ")
+    s"""hb AS (
+       |  SELECT id AS doc_id, ${Hashing.duckFoldHexCol("m")} % ${Hashing.FamilyBase} AS hb
+       |  FROM (SELECT id, md5(sh) AS m FROM sh)),
+       |mh AS (
+       |  SELECT doc_id, seed,
+       |    min((list_value($as)[seed + 1] * hb + list_value($bs)[seed + 1]) % ${Hashing.FamilyP}) AS mh
+       |  FROM hb CROSS JOIN generate_series(0, 15) AS s(seed)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup audit: hash groups with representative + multiplicity.
@@ -45,18 +62,25 @@ object DedupQueries {
            |  SELECT doc_id, lang, source, min(doc_id) OVER (PARTITION BY text) AS m
            |  FROM documents) WHERE doc_id = m""".stripMargin)),
 
-    // N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.4).
+    // N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.4),
+    // with the document-frequency cap engaged: shingles shared by more than
+    // 100 docs are dropped before the join — the guard that stops common
+    // shingles from piling O(df^2) pairs onto single keys at scale.
     QueryDef(
       "q52_ngram_jaccard_pairs",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4)
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100))
       },
       Some(s"""WITH $duckShingleCte,
-           |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+           |shc AS (
+           |  SELECT id, sh FROM sh
+           |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
            |inter AS (
            |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
            |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -66,7 +90,9 @@ object DedupQueries {
            |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin),
       bench = false),
 
-    // MinHash LSH band signatures (16 hashes, 4 bands x 4 rows).
+    // MinHash LSH band signatures (16 hashes, 4 bands x 4 rows). One md5 per
+    // shingle; the 16-member family is arithmetic (Hashing.familyHash), which
+    // both engines reproduce from inlined constants.
     QueryDef(
       "q53_minhash_bands",
       (s, dir) => {
@@ -75,15 +101,10 @@ object DedupQueries {
         Dedup.lshBands(sigs, 4)
       },
       Some(s"""WITH $duckShingleCte,
-           |mh AS (
-           |  SELECT id AS doc_id, seed, min(${Hashing.duckFoldHexCol("m")}) AS mh
-           |  FROM (SELECT id, seed, md5(sh || '#' || CAST(seed AS VARCHAR)) AS m
-           |        FROM sh CROSS JOIN generate_series(0, 15) AS s(seed))
-           |  GROUP BY 1, 2)
+           |$duckMinhashCtes
            |SELECT doc_id, seed // 4 AS band,
-           |  CAST(SUM(${Hashing.duckFoldHexCol("m2")}) AS BIGINT) AS band_sig
-           |FROM (SELECT doc_id, seed, md5(CAST(mh AS VARCHAR) || '@' || CAST(seed AS VARCHAR)) AS m2 FROM mh)
-           |GROUP BY 1, 2""".stripMargin)),
+           |  CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |FROM mh GROUP BY 1, 2""".stripMargin)),
 
     // MinHash LSH candidate pairs (band-signature collisions).
     QueryDef(
@@ -94,16 +115,11 @@ object DedupQueries {
         Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
       },
       Some(s"""WITH $duckShingleCte,
-           |mh AS (
-           |  SELECT id AS doc_id, seed, min(${Hashing.duckFoldHexCol("m")}) AS mh
-           |  FROM (SELECT id, seed, md5(sh || '#' || CAST(seed AS VARCHAR)) AS m
-           |        FROM sh CROSS JOIN generate_series(0, 15) AS s(seed))
-           |  GROUP BY 1, 2),
+           |$duckMinhashCtes,
            |bands AS (
            |  SELECT doc_id, seed // 4 AS band,
-           |    CAST(SUM(${Hashing.duckFoldHexCol("m2")}) AS BIGINT) AS band_sig
-           |  FROM (SELECT doc_id, seed, md5(CAST(mh AS VARCHAR) || '@' || CAST(seed AS VARCHAR)) AS m2 FROM mh)
-           |  GROUP BY 1, 2)
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin)),

@@ -18,6 +18,18 @@ object SimilarityQueries {
       |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |      FROM embeddings)""".stripMargin
 
+  /** DuckDB twin of `Similarity.lshBucket(v, table, numPlanes)`: bucket bit j
+    * is sign(<v, plane_j>) with plane_j[d] = ±1 from hash60("pl-t-j-d")
+    * parity — reproduced inline per plane.
+    */
+  private def duckBucketExpr(table: Int, numPlanes: Int): String = {
+    val planeDot = (j: Int) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1), i -> v[i] * (CASE WHEN ${graft.ops.Hashing.duckHash60(s"('pl-$table-$j-' || CAST(i - 1 AS VARCHAR))")} % 2 = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"""
+    "CAST(" + (0 until numPlanes)
+      .map(j => s"(CASE WHEN ${planeDot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
@@ -74,25 +86,44 @@ object SimilarityQueries {
       "q63_ann_lsh_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5, numPlanes = 8)
+        Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5, numPlanes = 8,
+          numDims = 64)
       },
-      Some {
-        // Bucket bit j: sign of <v, plane_j> with plane_j[d] = ±1 from
-        // hash60("pl-0-j-" || d) parity — reproduced inline.
-        val planeDot = (j: Int) =>
-          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1), i -> v[i] * (CASE WHEN ${graft.ops.Hashing.duckHash60(s"('pl-0-$j-' || CAST(i - 1 AS VARCHAR))")} % 2 = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"""
-        val bucketExpr = (0 until 8)
-          .map(j => s"(CASE WHEN ${planeDot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
+      Some(
         s"""WITH $duckEmb,
-           |buckets AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM e)
+           |buckets AS (SELECT vec_id, v, nrm, ${duckBucketExpr(0, 8)} AS bucket FROM e)
            |SELECT query_id, neighbor_id, cosine, rank FROM (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
            |    row_number() OVER (PARTITION BY a.vec_id
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-           |WHERE rank <= 5""".stripMargin
-      })
+           |WHERE rank <= 5""".stripMargin)),
+
+    // Scalable cosine near-dup: LSH candidate generation (2 tables x 6
+    // planes) + exact cosine verify — the scale-safe counterpart of q62's
+    // all-pairs baseline. Candidate dedup on bare id pairs.
+    QueryDef(
+      "q64_cosine_neardup_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.cosineNearDupBucketed(emb, col("vec_id"), col("embedding"), 0.4,
+          numPlanes = 6, numDims = 64, numTables = 2)
+      },
+      Some(
+        s"""WITH $duckEmb,
+           |buckets AS (
+           |  SELECT vec_id, v, nrm, 0 AS tbl, ${duckBucketExpr(0, 6)} AS bucket FROM e
+           |  UNION ALL
+           |  SELECT vec_id, v, nrm, 1 AS tbl, ${duckBucketExpr(1, 6)} AS bucket FROM e),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM buckets a JOIN buckets b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+           |FROM cands
+           |JOIN e ea ON ea.vec_id = id_a
+           |JOIN e eb ON eb.vec_id = id_b
+           |WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.4""".stripMargin))
   )
 }
