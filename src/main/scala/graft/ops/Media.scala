@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media asset: opaque binary payload + typed metadata — the multimodal
+  * column convention for large-scale training-data pipelines. The payload is
+  * a parquet `binary` column (its own column chunk: metadata-only queries
+  * never read the bytes thanks to parquet column pruning — verify with
+  * `.explain` ReadSchema), the metadata a plain struct.
+  */
+final case class MediaRecord(media_id: Long, declared_mime: String, payload: Array[Byte])
+
+/** Output of the (stubbed) decoder — the schema a real image/audio decode
+  * would produce.
+  */
+final case class DecodedMedia(
+    media_id: Long,
+    declared_mime: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    megapixels: Double)
+
+/** Multimodal-column operators: payload construction, magic-byte mime
+  * sniffing, metadata extraction, content-hash dedup, and a mapPartitions
+  * decode pipeline whose decoder body is a clearly-marked deterministic STUB
+  * (no image/audio codec libraries exist in this environment — a real
+  * deployment swaps `decodeOne` for an actual codec; everything around it,
+  * the typed Dataset plumbing, batch shape, schema, and partitioning, is
+  * real and oracle-tested).
+  */
+object Media {
+
+  /** Magic-byte prefixes for the three synthetic media kinds. */
+  val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+  val WavMagic: Array[Byte] = "RIFF".getBytes("UTF-8")
+
+  private val kinds: Seq[(String, Array[Byte])] = Seq(
+    "image/png" -> PngMagic,
+    "image/jpeg" -> JpegMagic,
+    "audio/wav" -> WavMagic)
+
+  /** Synthesize a media table from `documents`: payload = magic prefix ++
+    * UTF-8 text bytes, kind chosen by the cross-engine hash of the doc id, and
+    * a typed metadata struct (declared_mime, source). Deterministic in both
+    * engines, so the binary pipeline is hash-verifiable end to end.
+    */
+  def syntheticFromDocs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val kind = pmod(Hashing.hash60(concat(lit("media-"), id.cast("string"))), lit(3L))
+    val mime = kinds.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case (((m, _), i), acc) => when(kind === i, lit(m)).otherwise(acc)
+    }
+    val magic = kinds.zipWithIndex.foldRight(lit(Array.empty[Byte])) {
+      case (((_, b), i), acc) => when(kind === i, lit(b)).otherwise(acc)
+    }
+    docs.select(
+      id.as("media_id"),
+      concat(magic, text.cast("binary")).as("payload"),
+      struct(mime.as("declared_mime"), lit("documents").as("source")).as("meta"))
+  }
+
+  /** Mime type sniffed from the payload's leading magic bytes (the real-world
+    * check that declared metadata matches the actual bytes). Pure column
+    * expression over the hex prefix — codegen-friendly, no UDF.
+    */
+  def sniffMime(payload: Column): Column = {
+    def hexPrefix(bytes: Array[Byte]): String =
+      bytes.map("%02X".format(_)).mkString
+    kinds.foldRight(lit("application/octet-stream")) { case ((m, magic), acc) =>
+      when(substring(hex(payload), 1, magic.length * 2) === hexPrefix(magic), lit(m))
+        .otherwise(acc)
+    }
+  }
+
+  /** Cross-engine content hash of a binary payload: DuckDB's md5 only accepts
+    * VARCHAR, so both engines hash the uppercase hex encoding (Spark
+    * `md5(hex(payload))` == DuckDB `md5(hex(payload))`).
+    */
+  def contentHash(payload: Column): Column = md5(hex(payload))
+
+  /** Metadata extraction: byte length, sniffed mime, content hash. */
+  def extractMeta(media: DataFrame, id: Column, payload: Column): DataFrame =
+    media.select(
+      id.as("media_id"),
+      col("meta.declared_mime").as("declared_mime"),
+      sniffMime(payload).as("sniffed_mime"),
+      length(payload).as("byte_len"),
+      contentHash(payload).as("content_hash"))
+
+  /** Exact media dedup groups by payload content hash (the binary twin of
+    * Dedup.exactGroups): shuffle key is the 32-char hash, never the bytes.
+    */
+  def dedupByContent(media: DataFrame, id: Column, payload: Column): DataFrame =
+    media.groupBy(contentHash(payload).as("content_hash"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  // -------------------------------------------------------------------------
+  // Decode pipeline (mapPartitions with a STUB decoder)
+  // -------------------------------------------------------------------------
+
+  /** STUB: deterministic fake decode. A real deployment replaces this body
+    * with an actual codec call (e.g. javax.imageio / ffmpeg bindings) — the
+    * signature bytes→dimensions is exactly what a real decoder provides. The
+    * fake derives dimensions from the byte length so the DuckDB oracle can
+    * verify the surrounding pipeline.
+    */
+  private def decodeOne(m: MediaRecord): DecodedMedia = {
+    val len = m.payload.length
+    val width = 16 + (len % 1024)
+    val height = 16 + ((len * 31) % 1024)
+    val frames = if (m.declared_mime == "audio/wav") 1 + (len % 24) else 1
+    DecodedMedia(m.media_id, m.declared_mime, width, height, frames,
+      width.toDouble * height.toDouble / 1e6)
+  }
+
+  /** Decode every asset via mapPartitions — the iterator-per-partition shape
+    * a batched native decoder needs (amortized codec init per partition, no
+    * per-row driver involvement, scales with executor count).
+    */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // Real decoders initialize their codec context here, once per partition.
+      it.map(decodeOne)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Media, MediaRecord}
+
+/** Binary-column semantics pins for the multimodal operators. */
+class MediaSpec extends AnyFunSuite with SparkSpec {
+
+  test("payload construction: magic prefix ++ utf8 text; hex is uppercase (DuckDB parity)") {
+    import spark.implicits._
+    val docs = Seq((0L, "hi")).toDF("doc_id", "text")
+    val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+    val row = media.select(hex(col("payload")), col("meta.declared_mime")).head()
+    val hx = row.getString(0)
+    assert(hx == hx.toUpperCase, "Spark hex(binary) must be uppercase like DuckDB's")
+    assert(hx.endsWith("6869"), "payload ends with utf8 'hi'")
+    val magicHex = Map(
+      "image/png" -> Media.PngMagic, "image/jpeg" -> Media.JpegMagic,
+      "audio/wav" -> Media.WavMagic
+    )(row.getString(1)).map("%02X".format(_)).mkString
+    assert(hx.startsWith(magicHex), "payload starts with the declared kind's magic bytes")
+  }
+
+  test("sniffMime recovers the declared mime from bytes; unknown prefix -> octet-stream") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+    val mismatch = Media.extractMeta(media, col("media_id"), col("payload"))
+      .where(col("declared_mime") =!= col("sniffed_mime")).count()
+    assert(mismatch == 0L)
+    val unknown = Seq(Tuple1("no magic here".getBytes("UTF-8"))).toDF("payload")
+      .select(Media.sniffMime(col("payload")).as("m")).head().getString(0)
+    assert(unknown == "application/octet-stream")
+  }
+
+  test("decodeAll: mapPartitions stub is deterministic and distributed (no driver loop)") {
+    import spark.implicits._
+    val recs = (0L until 100L)
+      .map(i => MediaRecord(i, "image/png", Array.fill((i % 7).toInt + 1)(i.toByte)))
+    val ds = spark.createDataset(recs).repartition(4)
+    val out = Media.decodeAll(ds)
+    assert(out.rdd.getNumPartitions == 4, "decode runs partition-wise")
+    val decoded = out.collect().map(d => d.media_id -> d).toMap
+    assert(decoded.size == 100)
+    val d3 = decoded(3L) // len 4 -> width 20, height 16+124=140
+    assert(d3.width == 20 && d3.height == 140 && d3.n_frames == 1)
+    assert(math.abs(d3.megapixels - 20.0 * 140.0 / 1e6) < 1e-12)
+  }
+
+  test("content dedup groups duplicates by payload hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"), (4L, "same"))
+      .toDF("doc_id", "text")
+    // identical text does NOT imply identical payload unless the kind matches;
+    // force one kind by filtering on it after synthesis
+    val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+    val groups = Media.dedupByContent(media, col("media_id"), col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.map(_._3).sum == 4L, "every row lands in exactly one group")
+    assert(groups.forall { case (_, rep, _) => Seq(1L, 2L, 3L, 4L).contains(rep) })
+  }
+}
