@@ -1,11 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs the headline query subset on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...,"queries":{...}}. Results are fully
-  * materialized through the noop sink (count() alone would let Catalyst prune
-  * most of the work).
+  * prints one JSON line. Results are fully materialized through the noop sink
+  * (count() alone would let Catalyst prune most of the work).
+  *
+  * Methodology: each query is executed twice. The FIRST (cold) run includes
+  * Catalyst planning, AQE stage re-optimization and whole-stage-codegen
+  * compilation — one-off driver costs that dominate at test scale but
+  * amortize to noise on a long-running cluster. The SECOND (warm) run
+  * measures steady-state data throughput — the number the 100 TB design
+  * targets. The headline `value` stays the COLD total (comparable with
+  * earlier rounds); warm numbers are reported alongside.
+  *
+  * A query that throws is reported with "ok": false and excluded from both
+  * totals — a failed run is never silently folded into the headline.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,19 +33,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    final case class Res(name: String, cold: Double, warm: Double, ok: Boolean)
+
     val results = SparkEntry.benchQueries.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val cold = once()
+        val warm = once()
+        Res(q.name, cold, warm, ok = true)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          Res(q.name, -1.0, -1.0, ok = false)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val okRes = results.filter(_.ok)
+    val qsCold = results.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.cold) else "-1"))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsWarm = results.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.warm) else "-1"))
+      .mkString("{", ",", "}")
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$qsCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"queries_warm":$qsWarm,"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"sf":"$sfDir"}"""
+    // Stdout for the driver, plus a file copy in case log decoration mangles
+    // the stream (round 1's BENCH parse failed on sbt's [info] prefix).
+    println(json)
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     spark.stop()
   }
 }

@@ -28,6 +28,50 @@ object CoreQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // The flagship pipeline itself (envelope -> cast -> from_json -> flatten
+    // -> to_timestamp -> enrich -> watermarked sliding agg -> projection),
+    // hash-verified end to end: the envelope is synthesized deterministically
+    // from `documents` (publish_date from the cross-engine hash, author =
+    // lang, content = text), so unlike `entry()` (uuid/current_timestamp
+    // smoke path) every output cell is oracle-checkable.
+    QueryDef(
+      "q00_flagship_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pd = timestamp_seconds(lit(1704067200L) +
+          pmod(graft.ops.Hashing.hash60(concat(lit("pd-"), col("doc_id"))), lit(7200L)))
+        val payload = to_json(struct(
+          concat(lit("doc-"), col("doc_id")).as("article_id"),
+          col("source").as("title"),
+          col("lang").as("author"),
+          date_format(pd, "yyyy-MM-dd'T'HH:mm:ss").as("publish_date"),
+          col("text").as("content")))
+        val envelope = docs.select(
+          payload.cast("binary").as("data"),
+          lit(null).cast("timestamp").as("approximateArrivalTimestamp"),
+          concat(lit("doc-"), col("doc_id")).as("partitionKey"),
+          col("doc_id").cast("string").as("sequenceNumber"),
+          lit("shardId-000000000000").as("kinesisShardId"))
+        graft.ops.Articles.pipeline(envelope)
+      },
+      Some {
+        val h = graft.ops.Hashing.duckHash60("('pd-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH arts AS (
+           |  SELECT lang AS author,
+           |    TIMESTAMP '2024-01-01 00:00:00' + to_seconds($h % 7200) AS pd,
+           |    len(string_split_regex(text, '\\s+')) AS wc
+           |  FROM documents)
+           |SELECT window_start AS start,
+           |       window_start + INTERVAL 5 MINUTE AS "end",
+           |       author, AVG(wc) AS average_word_count
+           |FROM (SELECT date_trunc('minute', pd) - to_minutes(CAST(k AS INT)) AS window_start,
+           |             author, wc
+           |      FROM arts CROSS JOIN generate_series(0, 4) AS t(k))
+           |GROUP BY 1, 2, 3
+           |HAVING window_start + INTERVAL 5 MINUTE <=
+           |       (SELECT max(pd) - INTERVAL 10 SECOND FROM arts)""".stripMargin
+      }),
+
     // W2/A1/A2: sliding event-time window aggregation (5m window, 1m slide),
     // the flagship twin of process_articles.py:78-82.
     QueryDef(
