@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+import graft.ops.Articles
+import graft.streaming.{KinesisEnvelope, StreamOps}
+
+/** Stateful streaming dedup (W5) and observe-based parse metrics (W4). */
+class StreamOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def art(id: String, author: String, ts: String): String =
+    s"""{"article_id":"$id","title":"t","author":"$author","publish_date":"$ts","content":"a b c"}"""
+
+  private var seq = 0L
+  private def env(json: String): KinesisEnvelope = {
+    seq += 1
+    KinesisEnvelope.ofJson(json, seq, Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
+
+  test("W5: dropDuplicatesWithinWatermark drops re-delivered records, keeps distinct ones, evicts state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ms = MemoryStream[KinesisEnvelope]
+    val deduped = StreamOps.dedupWithinWatermark(
+      Articles.parse(ms.toDF()), "publish_date", "10 minutes", Seq("article_id"))
+    val q = deduped
+      .select("article_id", "author")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    try {
+      // batch 1: a1 delivered twice in-batch, a2 once.
+      ms.addData(Seq(
+        env(art("a1", "alice", "2024-01-01T10:00:00")),
+        env(art("a1", "alice", "2024-01-01T10:00:01")),
+        env(art("a2", "bob", "2024-01-01T10:00:02"))))
+      q.processAllAvailable()
+      // batch 2: a1 re-delivered (within horizon -> dropped), a3 new.
+      ms.addData(Seq(
+        env(art("a1", "alice", "2024-01-01T10:00:03")),
+        env(art("a3", "carol", "2024-01-01T10:05:00"))))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("article_id").as[String]
+        .collect().sorted.toSeq
+      assert(got == Seq("a1", "a2", "a3"), "each article id exactly once")
+    } finally q.stop()
+  }
+
+  test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
+    import spark.implicits._
+    val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
+      .toDF("json").select(org.apache.spark.sql.functions.col("json").cast("binary").as("data"))
+    val out = StreamOps.dedupWithinWatermark(
+      Articles.parse(df), "publish_date", "10 minutes", Seq("article_id"))
+    assert(out.count() == 1L)
+  }
+
+  test("W4: observe metrics expose malformed-payload and null-event-time counts per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ms = MemoryStream[KinesisEnvelope]
+    val parsed = StreamOps.withParseMetrics(Articles.parse(ms.toDF()))
+    val q = parsed.writeStream.format("memory").queryName("metrics_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(
+        env(art("ok1", "alice", "2024-01-01T10:00:00")),
+        env("{ this is not json"),
+        env(art("ok2", "bob", "not-a-date"))))
+      q.processAllAvailable()
+      val progress = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("parse_metrics"))).last
+      assert(progress.getAs[Long]("n_rows") == 3L)
+      assert(progress.getAs[Long]("n_null_event_time") == 2L, "malformed json + bad date")
+      assert(progress.getAs[Long]("n_unparsed_payload") == 1L, "malformed json only")
+    } finally q.stop()
+  }
+}
