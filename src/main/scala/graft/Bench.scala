@@ -35,6 +35,13 @@ object Bench {
 
     final case class Res(name: String, cold: Double, warm: Double, ok: Boolean)
 
+    // Warm the engine once (JVM/JIT, codegen framework, parquet reader and
+    // shuffle machinery init) so the first measured query is not charged for
+    // session startup. Each query still pays its own planning and codegen in
+    // its cold number.
+    Tables.load(spark, sfDir, "nation").groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
+
     val results = SparkEntry.benchQueries.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
