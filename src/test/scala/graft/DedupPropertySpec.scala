@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Hashing, Similarity}
+
+/** Semantic properties of the dedup/similarity operators on generated
+  * corpora (SURVEY.md §5.2 property-test requirement, extended to the
+  * LLM-pipeline operators).
+  */
+class DedupPropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  /** n docs: half are near-duplicate pairs (one word changed), half unique. */
+  private def corpus(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val base = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, base)
+    }
+  }
+
+  test("identical documents get identical minhash signatures; signatures are in-range") {
+    import spark.implicits._
+    val docs = (corpus(20, 1) ++ Seq((100L, corpus(20, 1).head._2))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = sigs.groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    assert(byDoc(0L) == byDoc(100L), "same text -> same signature vector")
+    sigs.foreach { case (_, _, mh) =>
+      assert(mh >= 0 && mh < Hashing.FamilyP, "family hashes stay under P")
+    }
+    assert(byDoc(0L).size == 16, "16 signature rows per doc")
+  }
+
+  test("LSH candidates are a superset of exact-duplicate pairs and respect id_a < id_b") {
+    import spark.implicits._
+    val dupText = corpus(1, 7).head._2
+    val docs = (corpus(30, 2) ++ Seq((200L, dupText), (201L, dupText))).toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.contains((200L, 201L)), "exact duplicates always collide in every band")
+    assert(cands.forall { case (a, b) => a < b })
+  }
+
+  test("simhash: identical docs -> Hamming 0; blocked near-dup finds them; hashes < 2^60") {
+    import spark.implicits._
+    val dupText = corpus(1, 9).head._2
+    val docs = (corpus(25, 3) ++ Seq((300L, dupText), (301L, dupText))).toDF("doc_id", "text")
+    val hashes = Dedup.simhash(docs, col("doc_id"), col("text"))
+    hashes.collect().foreach(r => {
+      val h = r.getLong(1)
+      assert(h >= 0L && h < (1L << 60))
+    })
+    val pairs = Dedup.simhashNearDupBlocked(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2) -> r))
+    val dup = pairs.find(p => p._1 == 300L && p._2 == 301L)
+    assert(dup.isDefined && dup.get._3._1 == 0, "identical docs at Hamming 0")
+  }
+
+  test("blocked simhash near-dup == all-pairs simhash near-dup (pigeonhole completeness)") {
+    import spark.implicits._
+    val docs = corpus(40, 4).toDF("doc_id", "text")
+    val hashes = Dedup.simhash(docs, col("doc_id"), col("text")).cache()
+    val blocked = Dedup.simhashNearDupBlocked(hashes, 3)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    val allPairs = Dedup.simhashPairs(hashes, 3)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    assert(blocked == allPairs, "blocking must lose no pair within the Hamming budget")
+    hashes.unpersist()
+  }
+
+  test("ngram Jaccard: identical docs score 1.0; pairs obey 0 < jaccard <= 1") {
+    import spark.implicits._
+    val dupText = corpus(1, 11).head._2
+    val docs = (corpus(15, 5) ++ Seq((400L, dupText), (401L, dupText))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.0, None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(math.abs(pairs((400L, 401L)) - 1.0) < 1e-12)
+    pairs.values.foreach(j => assert(j > 0.0 && j <= 1.0 + 1e-12))
+  }
+
+  test("brute-force and LSH top-k agree on rank-1 for exact duplicate vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat()))) :+
+      (500L, Array.fill(16)(0.5f)) :+ (501L, Array.fill(16)(0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(df, col("vec_id"), col("embedding"), 1)
+      .where(col("query_id") === 500L).select("neighbor_id").head().getLong(0)
+    assert(bf == 501L, "identical vector is the nearest neighbor")
+    // identical vectors land in the same bucket in every table
+    val lsh = Similarity.lshTopK(df, col("vec_id"), col("embedding"), 1,
+        numPlanes = 4, numDims = 16, numTables = 2)
+      .where(col("query_id") === 500L).select("neighbor_id").head().getLong(0)
+    assert(lsh == 501L)
+  }
+
+  test("scalacheck: family hashes are pairwise-distinct functions on a random domain sample") {
+    val xs = Gen.listOfN(200, Gen.choose(0L, Hashing.FamilyBase - 1)).sample.get.distinct
+    // any two family members must disagree somewhere (a_i, b_i distinct mod P)
+    val images = (0 until 16).map(i =>
+      xs.map(x => (Hashing.familyA(i) * x + Hashing.familyB(i)) % Hashing.FamilyP))
+    for (i <- 0 until 16; j <- (i + 1) until 16)
+      assert(images(i) != images(j), s"family members $i and $j coincide on the sample")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Media, Similarity}
+
+/** Physical-plan regression tests: the shuffle/pruning properties the 100 TB
+  * design depends on. These assert plan SHAPE (what `.explain` shows), not
+  * results — a correctness-neutral change that reintroduces a corpus-wide
+  * shuffle should fail here, not in a cluster.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("minhash signatures: exactly one exchange, before the explode (agg reuses the spread)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16))
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange (pre-explode repartition), got $exchanges:\n$p")
+  }
+
+  test("simhash: one exchange; exploded token rows never shuffle") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Dedup.simhash(docs, col("doc_id"), col("text")))
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("exactByKey: the window shuffle is keyed on md5, not the document body") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Dedup.exactByKey(docs, col("text"), col("doc_id")))
+    // The window key is pre-projected (hashpartitioning(_w0) with
+    // _w0 = md5(cast(text))): assert the partition key is the projected
+    // hash, and that the projection computing it is the md5.
+    val part = "(?i)hashpartitioning\\(([^,)]*)".r.findFirstMatchIn(p).map(_.group(1))
+    assert(part.exists(k => k.toLowerCase.contains("md5") || k.startsWith("_w")),
+      s"window partition key must be the md5 projection, got: $part")
+    assert("(?i)_w0#\\d+[^\\n]*".r.findFirstIn(p).isDefined || p.toLowerCase.contains("md5"),
+      "plan must compute md5 for the shuffle key")
+    assert(p.toLowerCase.contains("md5(cast(text"),
+      s"projection must hash the text column:\n${p.linesIterator.take(12).mkString("\n")}")
+  }
+
+  test("dimension joins broadcast the small side (q12)") {
+    val p = plan(SparkEntry.queries("q12_join_revenue_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "nation/region joins must broadcast")
+  }
+
+  test("LSH top-k (1 table): no distinct over embedding vectors in the plan") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5, 8, 64))
+    // a distinct over (va, vb, ...) would show as hashpartitioning on vec columns
+    assert(!"(?i)hashpartitioning\\([^)]*va".r.findFirstIn(p).isDefined,
+      "vectors must not be shuffle keys")
+  }
+
+  test("media metadata-only projection prunes the binary payload at the parquet scan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = tmpDir("media-prune")
+    Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val meta = spark.read.parquet(dir).select(col("media_id"), col("meta.declared_mime"))
+    val scan = plan(meta)
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("payload"),
+      s"metadata-only query must not read payload bytes; ReadSchema=$readSchema")
+    assert(readSchema.contains("media_id"))
+  }
+
+  test("global sort+limit compiles to TakeOrderedAndProject (q19)") {
+    val p = plan(SparkEntry.queries("q19_orderby_limit")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must not globally sort")
+  }
+}
