@@ -144,15 +144,24 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(sum(col("hs")).as("band_sig"))
 
-  /** Candidate near-dup pairs: distinct (id_a < id_b) colliding in >=1 band. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+  /** Candidate near-dup pairs: distinct (id_a < id_b) colliding in >=1 band.
+    *
+    * Bucket-grouped, not self-joined: a self-join would evaluate the whole
+    * signature pipeline twice (Spark does not reuse the duplicated subplan).
+    * Instead, group doc ids per (band, band_sig) bucket once and emit
+    * intra-bucket pairs by exploding the sorted id list — id_a < id_b falls
+    * out of the sort order. Per-bucket lists are bounded by band-collision
+    * cardinality (near-dup cluster size), the same bound that caps the join's
+    * output; pathological mega-clusters blow up either formulation.
+    */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
-  }
 
   /** 60-bit SimHash over token occurrences: majority vote per bit position of
     * each token's hash60 (+1 if bit set, -1 if not; bit set in the output iff
@@ -196,20 +205,27 @@ object Dedup {
   /** Scalable simhash near-dup: bucket by 4 x 15-bit prefix blocks (any pair
     * within Hamming distance 3 of each other collides on at least one intact
     * block — pigeonhole), then verify exact Hamming inside buckets.
+    *
+    * Single-pass: the input fingerprints are computed once, the 4 block keys
+    * exploded from one posexplode (the old 4-way-union self-join re-evaluated
+    * the upstream simhash pipeline 8 times), and intra-bucket pairs emitted
+    * from the sorted per-bucket list as in [[lshCandidatePairs]].
     */
   def simhashNearDupBlocked(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole covers Hamming <= 3")
-    val blocks = (0 until 4).map { blk =>
-      hashes.select(
-        col("doc_id"), col("simhash"),
-        lit(blk).as("blk"),
-        expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * 15})) % 32768").as("blk_val"))
-    }.reduce(_ unionByName _)
-    val a = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("blk", "blk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+    val blockVals = (0 until 4).map(blk =>
+      expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * 15})) % 32768"))
+    hashes
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(blockVals: _*)).as(Seq("blk", "blk_val")))
+      .groupBy(col("blk"), col("blk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
