@@ -148,6 +148,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse quantizer + per-cluster exact search —
+  // the second scale path beside LSH. The quantizer here is the per-label
+  // centroid set (k = label cardinality); swapping in k-means centroids
+  // changes only the `centroids` input, not the search.
+  // -------------------------------------------------------------------------
+
+  /** Exact per-(label, dim) centroid components: decimal-exact mean so both
+    * engines agree bit-for-bit (Num.dsum discipline). Output: (clabel, dim, c).
+    */
+  def labelCentroidsFlat(df: DataFrame, vec: Column, label: Column): DataFrame =
+    df.select(label.as("clabel"), posexplode(vec).as(Seq("dim", "vd")))
+      .groupBy(col("clabel"), col("dim"))
+      // float -> double -> decimal: both engines must take the same widening
+      // path (a direct float->decimal cast rounds differently in Spark).
+      .agg((Num.dsum(col("vd").cast("double"), 9) / count(lit(1))).as("c"))
+
+  /** Assemble flat centroid rows into ordered arrays: (clabel, carr). */
+  def centroidArrays(flat: DataFrame): DataFrame =
+    flat.groupBy(col("clabel"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("carr"))
+
+  /** Sequential L2² fold between a float vector and a double centroid array. */
+  private def l2sq(vec: Column, carr: Column): Column =
+    aggregate(
+      zip_with(vec, carr, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign every vector to its nearest centroid (L2², ties -> lowest label).
+    * Shuffle discipline: the n×k distance rows carry only (vid, clabel, d2) —
+    * never the vectors — and min_by aggregates with map-side combine, so the
+    * exchange sees ~n rows. Output: (vid, cluster, d2).
+    */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame =
+    df.select(id.as("vid"), vec.as("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
+      .groupBy(col("vid"))
+      .agg(
+        min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("cluster"),
+        min(col("d2")).as("d2"))
+
+  /** IVF approximate top-k: probe the query's `nprobe` nearest clusters,
+    * exact cosine ranking against the vectors ASSIGNED to those clusters.
+    * `nprobe` == 1 keeps everything in min_by aggregations; larger values use
+    * a (vid, clabel, d2)-only ranking window. A (query, neighbor) pair can
+    * appear at most once (each neighbor lives in exactly one cluster), so no
+    * candidate dedup is needed at any nprobe.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
+    val base = withNorm(df, id, vec)
+    val assign = ivfAssign(df, id, vec, centroids).select(col("vid"), col("cluster"))
+    val probes =
+      if (nprobe == 1) assign
+      else {
+        val scoredC = df.select(id.as("vid"), vec.as("vec"))
+          .crossJoin(broadcast(centroids))
+          .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vid")).orderBy(col("d2").asc, col("clabel").asc)
+        scoredC.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= nprobe)
+          .select(col("vid"), col("clabel").as("cluster"))
+      }
+    val a = probes.join(base, "vid")
+      .select(col("cluster"), col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na"))
+    val b = assign.join(base, "vid")
+      .select(col("cluster"), col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Scalable embedding near-dup: LSH-bucketed candidate generation + exact
     * cosine verification — the scale-safe twin of [[cosineNearDupPairs]]
     * (which stays as the quadratic oracle baseline, same relationship as

@@ -41,7 +41,10 @@ object Windowing {
     watermarkDelay match {
       case Some(d) if !df.isStreaming =>
         // Batch twin of append-mode finalization: a window is emitted only
-        // once the (global) watermark has passed its end.
+        // once the (global) watermark has passed its end. On inputs with no
+        // non-null event time, max() is null and the <= predicate drops every
+        // window — consistent: such rows produce no windows upstream either
+        // (window() filters null timestamps), so `grouped` is already empty.
         val wm = df.agg((max(col(eventTime)) - expr(s"INTERVAL $d")).as("wm"))
         grouped
           .crossJoin(broadcast(wm))

@@ -30,6 +30,30 @@ object SimilarityQueries {
       .mkString(" + ") + " AS BIGINT)"
   }
 
+  /** DuckDB CTEs shared by the IVF oracles: decimal-exact per-(label, dim)
+    * centroids, ordered centroid arrays, L2² distances, and nearest-centroid
+    * assignment — the twin of `Similarity.labelCentroidsFlat` /
+    * `centroidArrays` / `ivfAssign` (64-dim embeddings).
+    */
+  private val duckIvfCtes: String =
+    s"""cf AS (
+       |  SELECT label AS clabel, i - 1 AS dim,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT clabel, list(c ORDER BY dim) AS carr FROM cf GROUP BY clabel),
+       |dist AS (
+       |  SELECT vec_id, clabel,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+       |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, clabel AS cluster, d2 FROM (
+       |    SELECT vec_id, clabel, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
@@ -99,6 +123,44 @@ object SimilarityQueries {
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
            |WHERE rank <= 5""".stripMargin)),
+
+    // IVF coarse-quantizer assignment: per-label decimal-exact centroids,
+    // every vector assigned to its nearest centroid by L2 (ties -> lowest
+    // label). The n×k distance rows carry ids+distances only.
+    QueryDef(
+      "q65_ivf_assign",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label")))
+        Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+          .withColumnRenamed("vid", "vec_id")
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckIvfCtes
+           |SELECT vec_id, cluster, d2 FROM assign""".stripMargin)),
+
+    // IVF approximate top-3 (nprobe=1): exact cosine within the assigned
+    // cluster — the second ANN scale path beside LSH (q63).
+    QueryDef(
+      "q66_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label")))
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), 3, cents)
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |ec AS (SELECT e.vec_id, e.v, e.nrm, assign.cluster
+           |       FROM e JOIN assign USING (vec_id))
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3""".stripMargin)),
 
     // Scalable cosine near-dup: LSH candidate generation (2 tables x 6
     // planes) + exact cosine verify — the scale-safe counterpart of q62's

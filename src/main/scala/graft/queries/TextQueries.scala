@@ -79,6 +79,24 @@ object TextQueries {
       },
       Some(s"""SELECT doc_id, ${Text.duckFingerprint("text")} AS fp FROM documents""")),
 
+    // Corpus-level n-gram statistics: top-50 bigram shingles by document
+    // frequency with a deterministic tie-break — the vocabulary/contamination
+    // profiling pass of a training-data pipeline. Distributed top-k: partial
+    // counts shuffle once, TakeOrderedAndProject caps the result.
+    QueryDef(
+      "q45_top_ngrams",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.Dedup.shingleRows(docs, col("doc_id"), col("text"), 2)
+          .groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("sh").asc)
+          .limit(50)
+      },
+      Some(s"""SELECT sh, COUNT(*) AS df
+           |FROM (SELECT doc_id, unnest(${Text.duckShingles("text", 2)}) AS sh FROM documents)
+           |GROUP BY sh ORDER BY df DESC, sh ASC LIMIT 50""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",

@@ -59,6 +59,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 1L)
   }
 
+  test("session windows run in streaming append mode (gap-based state, watermark finalization)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val ms = MemoryStream[KinesisEnvelope]
+    val sessions = graft.ops.Windowing.sessionAgg(
+      Articles.enrich(Articles.parse(ms.toDF())),
+      "publish_date", gap = "5 minutes", watermarkDelay = Some("10 seconds"),
+      keys = Seq(col("author")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // alice: two events 2 min apart (one session), then a 20-min silence
+      ms.addData(Seq(
+        env(art("s1", "alice", "2024-01-01T10:00:00")),
+        env(art("s2", "alice", "2024-01-01T10:02:00"))))
+      q.processAllAvailable()
+      // flush far beyond the session gap + watermark -> session finalized
+      ms.addData(Seq(env(art("s3", "alice", "2024-01-01T10:30:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq(env(art("s4", "alice", "2024-01-01T10:30:05"))))
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select("author", "n", "window_start", "window_end").collect()
+      assert(rows.length == 1, s"exactly the closed session emitted, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getString(0) == "alice" && r.getLong(1) == 2L)
+      assert(r.getTimestamp(2) == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(r.getTimestamp(3) == Timestamp.valueOf("2024-01-01 10:07:00"),
+        "session end = last event + gap")
+    } finally q.stop()
+  }
+
   test("W4: observe metrics expose malformed-payload and null-event-time counts per batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
