@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full catalog, in stable order. */
   val catalog: Seq[QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ MediaQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ MediaQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query: the reference's own pipeline (envelope → parse → enrich
     * → windowed avg word count per author), run on seeded generated articles

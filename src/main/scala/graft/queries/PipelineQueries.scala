@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, Hashing, Sampling, Text}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation queries: deterministic splits, per-group sampling,
+  * token inventory, and the composed curation pipeline (language filter →
+  * quality gate → exact dedup) — the operators chained the way a real corpus
+  * build chains them.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val/test split: 80/10/10 by salted id hash.
+    // A row's assignment is a pure function of its id — stable under corpus
+    // growth, reshuffling, and engine choice.
+    QueryDef(
+      "q46_hash_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.withSplit(docs, col("doc_id"), trainPct = 80, valPct = 10)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           |  lang, COUNT(*) AS n_docs
+           |FROM (SELECT lang, ${Sampling.duckHashBucket("doc_id")} AS b FROM documents)
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // Deterministic per-group sample: 20 docs per language by salted hash
+    // order (reservoir-sampling stand-in with partition-independent output).
+    QueryDef(
+      "q47_per_group_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.perGroupSample(docs, col("lang"), col("doc_id"), 20)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val h = Hashing.duckHash60("('sample-' || CAST(doc_id AS VARCHAR))")
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $h ASC, doc_id ASC) AS rn
+           |  FROM documents)
+           |WHERE rn <= 20""".stripMargin
+      }),
+
+    // Corpus token inventory: the "how many tokens do we have, where" query
+    // that sizes every training run. Exact sums via map-side-combining aggs.
+    QueryDef(
+      "q48_token_inventory",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(Text.wordCount(col("text")).cast("long")).as("ws_tokens"),
+            sum(Text.bpeishTokenCount(col("text")).cast("long")).as("bpeish_tokens"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+           |  CAST(SUM(${Text.duckBpeishTokenCount("text")}) AS BIGINT) AS bpeish_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // The composed curation pipeline: predicted-language filter -> quality
+    // gate -> exact dedup (min-id representative) -> per-source yield stats.
+    // Each stage is an independently-verified operator; this query verifies
+    // their composition end to end.
+    QueryDef(
+      "q90_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val filtered = docs
+          .where(Text.langId(col("text")) === "en")
+          .where(Text.qualityScore(col("text")) >= 0.5)
+        Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(Text.wordCount(col("text")).cast("long")).as("ws_tokens"))
+      },
+      Some {
+        val t = "string_split_regex(text, '\\s+')"
+        val tl = "string_split_regex(lower(text), '\\s+')"
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"CAST(len($t) AS BIGINT)"
+        val nChars = "CAST(length(text) AS BIGINT)"
+        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+        val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
+        val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
+        val quality =
+          s"""((CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + $alphaRatio * 0.25)""".stripMargin
+        s"""WITH filtered AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE ${Text.duckLangId("text")} = 'en' AND $quality >= 0.5),
+           |deduped AS (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY text) AS m
+           |    FROM filtered)
+           |  WHERE doc_id = m)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len($t)) AS BIGINT) AS ws_tokens
+           |FROM deduped GROUP BY source""".stripMargin
+      })
+  )
+}
