@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit hash of a string column: first 15 hex chars of md5, base-16. */
+  /** 60-bit hash of a string column: first 15 hex chars of md5, base-16.
+    * Implemented as the native codegen expression [[graft.plans.Hash60]]
+    * (one static call on the digest bytes); [[hash60Composed]] is the
+    * built-in-composition twin kept for the equivalence test.
+    */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Hash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("string"))))
+
+  /** The same hash from Spark built-ins only (md5 → substring → conv). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Driver-side twin of [[hash60]] for values known at plan time (e.g. the
