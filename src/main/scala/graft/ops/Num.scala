@@ -26,8 +26,17 @@ object Num {
 
   /** Sequential left-fold dot product of two float vectors in double —
     * bit-identical to the DuckDB twin [[duckDot]] (same order, same widening).
+    * Native codegen expression (graft.plans.DotProduct); [[dotComposed]] is
+    * the built-in HOF twin kept for the equivalence test.
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** The same fold from Spark built-ins only (interpreted HOFs). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
