@@ -59,6 +59,33 @@ object Bench {
       }
     }
 
+    // Streaming throughput: the reference's own workload shape (producer
+    // JSON -> Kinesis -> parse -> enrich -> windowed agg -> parquet append),
+    // run end to end as a real StreamingQuery over a file-backed envelope
+    // stream at the scale factor's article volume. The reference's implied
+    // envelope is ~500 MB over ~50 min (BASELINE.md) ≈ 0.17 MB/s sustained.
+    val streaming = {
+      import org.apache.spark.sql.functions.{length => blen, col, sum}
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+      val n = math.max(10000L, (6000000 * sf).toLong) // ~reference total volume at sf0.1
+      val envDir = Files.createTempDirectory("graft-bench-env").toString
+      val outDir = Files.createTempDirectory("graft-bench-out").toString
+      val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
+      val env = graft.ops.DataGen.articles(spark, n)
+      env.write.mode("overwrite").parquet(envDir) // datagen excluded from timing
+      val inputBytes = spark.read.parquet(envDir)
+        .agg(sum(blen(col("data")))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Pipelines.articlesToParquet(
+        spark, graft.streaming.StreamSource.FileEnvelopeSource(envDir), outDir, ckptDir)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.read.parquet(outDir).count()
+      s"""{"rows":$n,"input_mb":${inputBytes / 1e6},"sec":${f"$sec%.2f"},""" +
+        s""""rows_per_sec":${(n / sec).toLong},"mb_per_sec":${f"${inputBytes / 1e6 / sec}%.1f"},""" +
+        s""""finalized_windows":$outRows}"""
+    }
+
     def fmt(d: Double): String = f"$d%.4f"
     val okRes = results.filter(_.ok)
     val qsCold = results.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.cold) else "-1"))
@@ -67,7 +94,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$qsCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"queries_warm":$qsWarm,"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$qsCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"queries_warm":$qsWarm,"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}"""
     // Stdout for the driver, plus a file copy in case log decoration mangles
     // the stream (round 1's BENCH parse failed on sbt's [info] prefix).
     println(json)
