@@ -25,10 +25,19 @@ object Text {
   def wordCount(text: Column): Column = size(tokens(text))
 
   /** Distinct word n-gram shingles joined by single spaces. Empty array when
-    * the document has fewer than n tokens (guards `sequence`'s descending-step
-    * inference on negative ranges).
+    * the document has fewer than n tokens or is null. Native codegen
+    * expression (graft.plans.WordShingles); [[shinglesComposed]] is the
+    * built-in HOF twin kept for the equivalence test.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.WordShingles(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")), n)),
+      array().cast("array<string>"))
+
+  /** The same shingling from Spark built-ins only (interpreted HOFs). */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       array_distinct(
