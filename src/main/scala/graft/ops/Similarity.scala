@@ -192,6 +192,48 @@ object Similarity {
         min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("cluster"),
         min(col("d2")).as("d2"))
 
+  /** Deterministic k-means training for the IVF coarse quantizer: seeds are
+    * the k vectors with the smallest salted id hash (reproducible on any
+    * partitioning — no RNG), then `iters` Lloyd iterations with decimal-exact
+    * centroid recomputation (Num.dsum discipline), so every iteration — and
+    * therefore the final quantizer — is bit-identical across engines and
+    * cluster sizes. Empty clusters drop out (k shrinks), mirrored exactly by
+    * the oracle. Output: flat (clabel, dim, c) of the final iteration; feed
+    * through [[centroidArrays]] into [[ivfAssign]]/[[ivfTopK]].
+    *
+    * Scale shape per iteration: one broadcast of k centroid arrays, one
+    * min_by assignment (ids only through the shuffle), one (cluster, dim)
+    * aggregation — no driver-side data, no collects.
+    */
+  def kmeansCentroidsFlat(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      salt: String = "km"): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val h = Hashing.hash60(concat(lit(salt + "-"), id.cast("string")))
+    val seeds = df.select(id.as("vid"), vec.as("vec"), h.as("h"))
+      .orderBy(col("h").asc, col("vid").asc)
+      .limit(k)
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h").asc, col("vid").asc)
+    var cent = seeds
+      .withColumn("clabel", row_number().over(seedW) - 1)
+      .select(col("clabel"), transform(col("vec"), x => x.cast("double")).as("carr"))
+    var flat: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assign = ivfAssign(df, id, vec, cent).select(col("vid"), col("cluster"))
+      flat = df.select(id.as("vid"), posexplode(vec).as(Seq("dim", "vd")))
+        .join(assign, "vid")
+        .groupBy(col("cluster").as("clabel"), col("dim"))
+        .agg((Num.dsum(col("vd").cast("double"), 9) / count(lit(1))).as("c"))
+      cent = centroidArrays(flat)
+    }
+    flat
+  }
+
   /** IVF approximate top-k: probe the query's `nprobe` nearest clusters,
     * exact cosine ranking against the vectors ASSIGNED to those clusters.
     * `nprobe` == 1 keeps everything in min_by aggregations; larger values use

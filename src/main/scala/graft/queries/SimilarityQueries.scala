@@ -54,6 +54,43 @@ object SimilarityQueries {
        |    FROM dist)
        |  WHERE rn = 1)""".stripMargin
 
+  /** DuckDB twin of `Similarity.kmeansCentroidsFlat` with the Lloyd loop
+    * unrolled: seeds by salted hash, then per iteration an assignment
+    * (row_number argmin — same (d2, clabel) tie-break as min_by) and a
+    * decimal-exact (cluster, dim) recomputation. 64-dim embeddings.
+    */
+  private def duckKmeansCtes(k: Int, iters: Int): String = {
+    val h = graft.ops.Hashing.duckHash60("('km-' || CAST(vec_id AS VARCHAR))")
+    val l2 =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+        |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y)""".stripMargin
+    val init =
+      s"""seeds AS (
+         |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) - 1 AS clabel
+         |  FROM (SELECT vec_id, v, $h AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $k),
+         |cent0 AS (SELECT clabel, v AS carr FROM seeds)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""dist$i AS (
+         |  SELECT vec_id, clabel, $l2 AS d2
+         |  FROM e CROSS JOIN cent${i - 1}),
+         |assign$i AS (
+         |  SELECT vec_id, clabel AS cluster FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+         |    FROM dist$i)
+         |  WHERE rn = 1),
+         |cf$i AS (
+         |  SELECT cluster AS clabel, di.i - 1 AS dim,
+         |    CAST(SUM(CAST(v[di.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM e JOIN assign$i USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) di
+         |  GROUP BY 1, 2),
+         |cent$i AS (SELECT clabel, list(c ORDER BY dim) AS carr FROM cf$i GROUP BY clabel)""".stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
@@ -161,6 +198,19 @@ object SimilarityQueries {
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
            |WHERE rank <= 3""".stripMargin)),
+
+    // k-means training for the IVF quantizer: hash-seeded init, 2 Lloyd
+    // iterations, decimal-exact centroid recomputation — the full iterative
+    // algorithm hash-verified against an unrolled DuckDB twin.
+    QueryDef(
+      "q67_kmeans_centroids",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 8, iters = 2)}
+           |SELECT clabel, dim, c FROM cf2""".stripMargin)),
 
     // Scalable cosine near-dup: LSH candidate generation (2 tables x 6
     // planes) + exact cosine verify — the scale-safe counterpart of q62's
