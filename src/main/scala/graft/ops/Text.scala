@@ -68,8 +68,18 @@ object Text {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1")
   )
 
-  /** Count of tokens (occurrences, not distinct) that are in `markers`. */
-  def markerHits(text: Column, markers: Seq[String]): Column = {
+  /** Count of tokens (occurrences, not distinct) that are in `markers`.
+    * Native codegen expression (graft.plans.TokenSetHits);
+    * [[markerHitsComposed]] is the built-in HOF twin kept for the test.
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TokenSetHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")),
+        markers))
+
+  /** The same count from Spark built-ins only (interpreted filter lambda). */
+  def markerHitsComposed(text: Column, markers: Seq[String]): Column = {
     val t = tokens(lower(text))
     size(filter(t, tok => tok.isin(markers.map(lit(_)): _*)))
   }
@@ -120,8 +130,7 @@ object Text {
     val nTok = size(t).cast("long")
     val nChars = length(text).cast("long")
     val alphaChars = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
-    val stopHits =
-      size(filter(tokens(lower(text)), tok => tok.isin(Stopwords.map(lit(_)): _*))).cast("long")
+    val stopHits = markerHits(text, Stopwords).cast("long")
     Seq(
       "n_tokens" -> nTok,
       "n_chars" -> nChars,

@@ -212,6 +212,40 @@ object SimilarityQueries {
            |${duckKmeansCtes(k = 8, iters = 2)}
            |SELECT clabel, dim, c FROM cf2""".stripMargin)),
 
+    // End-to-end learned ANN: the k-means-trained quantizer (q67) chained
+    // into the IVF search (q66's shape) — index training and search verified
+    // as one composition.
+    QueryDef(
+      "q68_kmeans_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.centroidArrays(
+          Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), 3, cents)
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 8, iters = 2)},
+           |sdist AS (
+           |  SELECT vec_id, clabel,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+           |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+           |  FROM e CROSS JOIN cent2),
+           |sassign AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM sdist)
+           |  WHERE rn = 1),
+           |ec AS (SELECT e.vec_id, e.v, e.nrm, sassign.cluster
+           |       FROM e JOIN sassign USING (vec_id))
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3""".stripMargin)),
+
     // Scalable cosine near-dup: LSH candidate generation (2 tables x 6
     // planes) + exact cosine verify — the scale-safe counterpart of q62's
     // all-pairs baseline. Candidate dedup on bare id pairs.

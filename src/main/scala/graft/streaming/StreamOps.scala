@@ -29,6 +29,20 @@ object StreamOps {
     else
       df.dropDuplicates(keyCols)
 
+  /** Stream-static enrichment join: broadcast a small static dimension
+    * against the unbounded stream (the standard lookup-enrichment shape —
+    * author metadata, domain reputation, allow/deny lists). Per micro-batch
+    * Catalyst plans a broadcast hash join, so the stream side never shuffles;
+    * the static side is re-resolved each batch, picking up dimension updates
+    * on sources that support it. Works identically on batch frames.
+    */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Attach an `observe` metric stream counting parsed article rows and rows
     * with a null event time (the reference's silent failure modes: malformed
     * JSON → null struct, unparseable date → null timestamp). Readable per

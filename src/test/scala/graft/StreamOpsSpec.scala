@@ -94,6 +94,33 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream via broadcast without shuffling the stream side") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val dim = Seq(("alice", "books"), ("bob", "sports")).toDF("author", "desk")
+    val ms = MemoryStream[KinesisEnvelope]
+    val enriched = StreamOps.enrichWithStatic(
+      Articles.parse(ms.toDF()), dim, Seq("author"))
+    assert(enriched.isStreaming)
+    val q = enriched.select("article_id", "author", "desk")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(
+        env(art("e1", "alice", "2024-01-01T10:00:00")),
+        env(art("e2", "carol", "2024-01-01T10:00:01")))) // no dim row -> null desk
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getString(1) -> Option(r.getString(2))).toMap
+      assert(got == Map("alice" -> Some("books"), "carol" -> None))
+      val streamPlan = enriched.queryExecution.analyzed.toString()
+      assert(streamPlan.contains("ResolvedHint") || enriched.queryExecution.optimizedPlan
+        .toString().contains("broadcast"), "dimension side must carry the broadcast hint")
+    } finally q.stop()
+  }
+
   test("W4: observe metrics expose malformed-payload and null-event-time counts per batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
