@@ -234,6 +234,20 @@ object Similarity {
     flat
   }
 
+  /** Materialize a trained quantizer: collects the k×d centroid table (a
+    * model parameter of bounded size — k rows regardless of corpus scale,
+    * like the LSH plane constants) and re-creates it as a literal frame.
+    * Without this, every consumer of the centroids DataFrame re-executes the
+    * full training lineage — the search self-join would run the Lloyd
+    * iterations once per join side. This is the train-then-search break every
+    * IVF deployment has; it is NOT a data-scale collect.
+    */
+  def materializeCentroids(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    val rows = java.util.Arrays.asList(centroids.collect(): _*)
+    spark.createDataFrame(rows, centroids.schema)
+  }
+
   /** IVF approximate top-k: probe the query's `nprobe` nearest clusters,
     * exact cosine ranking against the vectors ASSIGNED to those clusters.
     * `nprobe` == 1 keeps everything in min_by aggregations; larger values use

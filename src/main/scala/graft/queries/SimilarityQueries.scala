@@ -183,8 +183,8 @@ object SimilarityQueries {
       "q66_ivf_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = Similarity.centroidArrays(
-          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label")))
+        val cents = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
         Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), 3, cents)
       },
       Some(s"""WITH $duckEmb,
@@ -219,8 +219,8 @@ object SimilarityQueries {
       "q68_kmeans_ivf_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = Similarity.centroidArrays(
-          Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+        val cents = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)))
         Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), 3, cents)
       },
       Some(s"""WITH $duckEmb,
