@@ -1,7 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Running per-author statistics row emitted by
+  * [[StreamOps.runningAuthorStats]].
+  */
+final case class AuthorStats(author: String, n_articles: Long, total_words: Long)
 
 /** Streaming-specific stateful operators and observability — the pieces of
   * the streaming surface beyond the windowed aggregation itself.
@@ -28,6 +34,31 @@ object StreamOps {
         .dropDuplicatesWithinWatermark(keyCols)
     else
       df.dropDuplicates(keyCols)
+
+  /** Custom keyed state beyond windowed aggregation (W5):
+    * `mapGroupsWithState` keeps an explicit (count, word-sum) per author and
+    * emits the updated running totals every micro-batch — the
+    * KeyValueGroupedDataset state API the built-in aggregates don't expose.
+    * State is two longs per author (bounded by author cardinality, not
+    * stream length); rows with a null author (malformed payloads) are
+    * excluded. Runs on batch frames too (state starts empty, one "batch").
+    */
+  def runningAuthorStats(enriched: DataFrame): Dataset[AuthorStats] = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    enriched
+      .where(col("author").isNotNull)
+      .select(col("author"), coalesce(col("word_count"), lit(0)).cast("long").as("wc"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), AuthorStats](GroupStateTimeout.NoTimeout) {
+        (author, rows, state) =>
+          var (n, w) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, wc) => n += 1; w += wc }
+          state.update((n, w))
+          AuthorStats(author, n, w)
+      }
+  }
 
   /** Stream-static enrichment join: broadcast a small static dimension
     * against the unbounded stream (the standard lookup-enrichment shape —

@@ -94,6 +94,70 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("W5: mapGroupsWithState keeps running per-author totals across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ms = MemoryStream[KinesisEnvelope]
+    val stats = StreamOps.runningAuthorStats(
+      Articles.enrich(Articles.parse(ms.toDF())))
+    val q = stats.toDF().writeStream.format("memory").queryName("stats_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def artN(author: String, ts: String, words: Int): String = {
+        val content = (1 to words).map(i => s"w$i").mkString(" ")
+        s"""{"article_id":"$author-$ts","title":"t","author":"$author","publish_date":"$ts","content":"$content"}"""
+      }
+      ms.addData(Seq(
+        env(artN("alice", "2024-01-01T10:00:00", 3)),
+        env(artN("alice", "2024-01-01T10:00:10", 5)),
+        env(artN("bob", "2024-01-01T10:00:20", 7)),
+        env("{ malformed"))) // null author -> excluded from state
+      q.processAllAvailable()
+      ms.addData(Seq(env(artN("alice", "2024-01-01T10:01:00", 2))))
+      q.processAllAvailable()
+      // update-mode memory sink appends every emitted update; the LAST row
+      // per author is the current state
+      val latest = spark.table("stats_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(latest("alice") == ((3L, 10L)), "state carried across batches: 3 articles, 10 words")
+      assert(latest("bob") == ((1L, 7L)))
+      assert(!latest.contains(null))
+    } finally q.stop()
+  }
+
+  test("S4/W5 at scale shape: pipeline runs on the RocksDB state store provider") {
+    import spark.implicits._
+    val envDir = tmpDir("rocks-env")
+    val out = tmpDir("rocks-out")
+    val ckpt = tmpDir("rocks-ckpt")
+    val b = Seq(
+      env(art("r1", "alice", "2024-01-01T10:00:00")),
+      env(art("r2", "alice", "2024-01-01T10:00:30")),
+      env(art("r3", "carol", "2024-01-01T10:30:00")))
+    spark.createDataset(b).toDF().coalesce(1).write.mode("append").parquet(envDir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.Pipelines.articlesToParquet(spark,
+        graft.streaming.StreamSource.FileEnvelopeSource(envDir), out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val rows = spark.read.parquet(out).select("author").as[String].collect()
+      assert(rows.nonEmpty && rows.forall(_ == "alice"),
+        "alice windows finalized through RocksDB-backed state")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join enriches the stream via broadcast without shuffling the stream side") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
