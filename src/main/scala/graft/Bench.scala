@@ -50,7 +50,9 @@ object Bench {
       }
       try {
         val cold = once()
-        val warm = once()
+        // steady-state = min of two warm runs (min is the robust estimator
+        // under shared-machine noise; mean would fold interference in)
+        val warm = math.min(once(), once())
         Res(q.name, cold, warm, ok = true)
       } catch {
         case e: Throwable =>
