@@ -1,13 +1,35 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Running per-author statistics row emitted by
   * [[StreamOps.runningAuthorStats]].
   */
 final case class AuthorStats(author: String, n_articles: Long, total_words: Long)
+
+/** StatefulProcessor backing [[StreamOps.limitPerAuthor]]: one ValueState
+  * counter per author; rows beyond the quota are dropped.
+  */
+class AuthorQuotaProcessor(maxPerAuthor: Int)
+    extends StatefulProcessor[String, (String, String), (String, String)] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, String)],
+      timerValues: TimerValues): Iterator[(String, String)] = {
+    var c = if (count.exists()) count.get() else 0L
+    // materialize before the state update — the input iterator is lazy
+    val out = rows.filter { _ => if (c < maxPerAuthor) { c += 1; true } else false }.toList
+    count.update(c)
+    out.iterator
+  }
+}
 
 /** Streaming-specific stateful operators and observability — the pieces of
   * the streaming surface beyond the windowed aggregation itself.
@@ -60,6 +82,26 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-author quota on the Spark 4 `transformWithState` API
+    * (arbitrary-state v2: explicit `ValueState` via the processor handle,
+    * RocksDB-backed — the successor to mapGroupsWithState): emits only each
+    * author's first `maxPerAuthor` articles across the stream's lifetime —
+    * per-source sampling caps during corpus ingest. State is one long per
+    * author. Requires the RocksDB state store provider (the API rejects the
+    * default HDFS-backed store).
+    */
+  def limitPerAuthor(parsed: DataFrame, maxPerAuthor: Int): Dataset[(String, String)] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .where(col("author").isNotNull)
+      .select(col("author"), col("article_id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new AuthorQuotaProcessor(maxPerAuthor), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-static enrichment join: broadcast a small static dimension
     * against the unbounded stream (the standard lookup-enrichment shape —
     * author metadata, domain reputation, allow/deny lists). Per micro-batch
@@ -73,6 +115,29 @@ object StreamOps {
       keys: Seq[String],
       joinType: String = "left_outer"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
+
+  /** Stream-stream interval join: pair rows of two unbounded streams on an
+    * equi-key within an event-time window of `maxDelay` (right side in
+    * [left - maxDelay, left + maxDelay]). Both sides carry watermarks so the
+    * join state is evicted once the watermark passes the interval — bounded
+    * state, the only way a stream-stream join survives unbounded input.
+    * Column name conflicts are avoided by prefixing the right side.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      eventTime: String,
+      maxDelay: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(eventTime, watermark)
+    val r0 = right.withWatermark(eventTime, watermark)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$eventTime") >= col(eventTime) - expr(s"INTERVAL $maxDelay") &&
+        col(s"r_$eventTime") <= col(eventTime) + expr(s"INTERVAL $maxDelay"))
+  }
 
   /** Attach an `observe` metric stream counting parsed article rows and rows
     * with a null event time (the reference's silent failure modes: malformed

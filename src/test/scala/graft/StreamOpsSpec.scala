@@ -185,6 +185,77 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: per-author quota emits only the first N articles (arbitrary-state v2, RocksDB)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[KinesisEnvelope]
+    val limited = StreamOps.limitPerAuthor(Articles.parse(ms.toDF()), maxPerAuthor = 2)
+    val q = limited.toDF("author", "article_id")
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(
+        env(art("q1", "alice", "2024-01-01T10:00:00")),
+        env(art("q2", "alice", "2024-01-01T10:00:01")),
+        env(art("q3", "bob", "2024-01-01T10:00:02"))))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        env(art("q4", "alice", "2024-01-01T10:00:03")), // over quota -> dropped
+        env(art("q5", "bob", "2024-01-01T10:00:04"))))
+      q.processAllAvailable()
+      val got = spark.table("quota_out").select("article_id").as[String].collect().toSet
+      assert(got == Set("q1", "q2", "q3", "q5"),
+        s"quota 2/author: q4 dropped via state carried across batches, got $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("stream-stream interval join pairs same-author articles within the event-time window, bounded state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val msA = MemoryStream[KinesisEnvelope]
+    val msB = MemoryStream[KinesisEnvelope]
+    def parsed(ms: MemoryStream[KinesisEnvelope]) =
+      Articles.parse(ms.toDF()).select("article_id", "author", "publish_date")
+    val joined = StreamOps.intervalJoin(
+      parsed(msA), parsed(msB),
+      key = "author", eventTime = "publish_date",
+      maxDelay = "5 minutes", watermark = "10 seconds")
+    assert(joined.isStreaming)
+    val q = joined.select(col("article_id"), col("r_article_id"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      msA.addData(Seq(env(art("a1", "alice", "2024-01-01T10:00:00"))))
+      msB.addData(Seq(
+        env(art("b1", "alice", "2024-01-01T10:03:00")), // within 5 min -> pairs
+        env(art("b2", "alice", "2024-01-01T10:20:00")), // outside window -> no pair
+        env(art("b3", "bob", "2024-01-01T10:00:30")))) // different author
+      q.processAllAvailable()
+      // advance both watermarks so the joinable region closes and rows emit
+      msA.addData(Seq(env(art("fa", "zz", "2024-01-01T11:00:00"))))
+      msB.addData(Seq(env(art("fb", "zz2", "2024-01-01T11:00:00"))))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs.contains(("a1", "b1")), s"in-window same-author pair must emit, got $pairs")
+      assert(!pairs.exists(_._2 == "b2"), "pair outside the interval must not emit")
+      assert(!pairs.exists(p => p._1 == "a1" && p._2 == "b3"), "different author must not pair")
+    } finally q.stop()
+  }
+
   test("W4: observe metrics expose malformed-payload and null-event-time counts per batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
