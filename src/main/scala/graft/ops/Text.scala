@@ -175,7 +175,13 @@ object Text {
     * 2^43). Concretely: acc' = (acc * 131071 + (h % 131072)) % 8796093022208
     * (2^43), all intermediates < 2^61.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TokenFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string"))))
+
+  /** The same fold from Spark built-ins only (interpreted HOFs). */
+  def fingerprintComposed(text: Column): Column = {
     val hs = transform(tokens(text), tok => Hashing.hash60(tok) % lit(131072L))
     aggregate(hs, lit(0L),
       (acc, h) => (acc * lit(131071L) + h) % lit(8796093022208L))

@@ -34,6 +34,21 @@ class TokenSetHitsExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(trip.getInt(0) == 3)
   }
 
+  test("token_fingerprint: native == composed on generated texts; null -> null") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "x", "中文", "7", "")
+    val doc = Gen.choose(0, 20).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val inputs = (Gen.listOfN(150, doc).sample.get :+ "" :+ " leading and trailing ").distinct
+    val rows = inputs.toDF("t")
+      .select(Text.fingerprint(col("t")).as("n"),
+        Text.fingerprintComposed(col("t")).as("c"), col("t"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch for '${r.getString(2)}'"))
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(Text.fingerprint(col("t")), Text.fingerprintComposed(col("t"))).head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("null text -> null in both forms; langId over documents unchanged") {
     import spark.implicits._
     val row = Seq[Option[String]](None).toDF("t")
