@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extensions exposing the engine's native expressions to SQL users:
   *
@@ -10,12 +13,42 @@ import org.apache.spark.sql.SparkSessionExtensions
   * SparkSession.builder().withExtensions(new GraftExtensions()) ...
   * }}}
   *
-  * after which `SELECT hash60(col)` is available in Spark SQL. The
+  * after which `hash60(col)`, `dot_product(a, b)`, `word_shingles(text, n)`
+  * and `token_fingerprint(text)` are available in Spark SQL. The
   * DataFrame-API operators do not require this — they build the expressions
-  * directly (graft.ops.Hashing).
+  * directly (graft.ops.Hashing / Num / Text).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(graft.plans.Hash60.registryEntry)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functionEntries.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def entry(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** All injected functions — also registrable directly on a live session's
+    * functionRegistry (how the test exercises them).
+    */
+  val functionEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    graft.plans.Hash60.registryEntry,
+    entry("dot_product", classOf[graft.plans.DotProduct]) { ch =>
+      require(ch.size == 2, "dot_product takes exactly two arguments")
+      graft.plans.DotProduct(ch(0), ch(1))
+    },
+    entry("word_shingles", classOf[graft.plans.WordShingles]) { ch =>
+      require(ch.size == 2, "word_shingles takes (text, n)")
+      val n = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an integer literal, got $other")
+      }
+      graft.plans.WordShingles(ch(0), n)
+    },
+    entry("token_fingerprint", classOf[graft.plans.TokenFingerprint]) { ch =>
+      require(ch.size == 1, "token_fingerprint takes exactly one argument")
+      graft.plans.TokenFingerprint(ch.head)
+    })
 }

@@ -49,10 +49,20 @@ class Hash60ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("SQL registration: hash60() callable from Spark SQL via the registry entry") {
-    val (id, info, builder) = graft.plans.Hash60.registryEntry
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    val got = spark.sql("SELECT hash60('hello world') AS h").head().getLong(0)
-    assert(got == Hashing.hash60JVM("hello world"))
+  test("SQL registration: every GraftExtensions function is callable from Spark SQL") {
+    // register the same entries the extensions inject at session build
+    GraftExtensions.functionEntries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = spark.sql(
+      """SELECT hash60('hello world') AS h,
+        |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  word_shingles('a b c d', 3) AS sh,
+        |  token_fingerprint('a b c') AS fp""".stripMargin).head()
+    assert(r.getLong(0) == Hashing.hash60JVM("hello world"))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 8796093022208L)
   }
 }
