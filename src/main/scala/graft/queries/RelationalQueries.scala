@@ -353,6 +353,46 @@ object RelationalQueries {
       Some(s"""SELECT l_partkey, COUNT(*) AS n, ${Num.duckDsum("l_quantity")} AS sum_qty
            |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5""".stripMargin)),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both linear interpolation over the sorted set).
+    QueryDef(
+      "q32_percentiles",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        events.groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            min(col("value")).as("vmin"),
+            max(col("value")).as("vmax"))
+      },
+      Some("""SELECT event_type,
+           |  quantile_cont(value, 0.5) AS p50,
+           |  quantile_cont(value, 0.95) AS p95,
+           |  min(value) AS vmin, max(value) AS vmax
+           |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Dispersion + correlation aggregates (sample stddev/variance, Pearson
+    // corr, sample covariance — canonicalization rounds to 6dp, absorbing
+    // partial-aggregation merge-order float noise).
+    QueryDef(
+      "q33_dispersion_stats",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        events.groupBy(col("event_type"))
+          .agg(
+            stddev_samp(col("value")).as("sd"),
+            var_samp(col("value")).as("vr"),
+            corr(col("value"), col("user_id").cast("double")).as("cr"),
+            covar_samp(col("value"), col("user_id").cast("double")).as("cv"))
+      },
+      Some("""SELECT event_type,
+           |  stddev_samp(value) AS sd,
+           |  var_samp(value) AS vr,
+           |  corr(value, CAST(user_id AS DOUBLE)) AS cr,
+           |  covar_samp(value, CAST(user_id AS DOUBLE)) AS cv
+           |FROM events GROUP BY event_type""".stripMargin)),
+
     // Scalar subquery (orders above the global average price).
     QueryDef(
       "q31_scalar_subquery",
