@@ -393,6 +393,31 @@ object RelationalQueries {
            |  covar_samp(value, CAST(user_id AS DOUBLE)) AS cv
            |FROM events GROUP BY event_type""".stripMargin)),
 
+    // RANGE-frame analytic window: per-user trailing 1-hour moving average
+    // keyed on event time (value-based frame, not row count).
+    QueryDef(
+      "q34_range_frame_avg",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        // frame on MICROsecond epoch — unix_timestamp would truncate to
+        // seconds and silently shift frame boundaries for sub-second events
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        events
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            avg(col("value")).over(w).as("avg_1h"),
+            count(lit(1)).over(w).as("n_1h"))
+      },
+      Some(s"""SELECT event_id, user_id,
+           |  AVG(value) OVER w AS avg_1h,
+           |  COUNT(*) OVER w AS n_1h
+           |FROM ${Tables.duckEvents} ev
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Scalar subquery (orders above the global average price).
     QueryDef(
       "q31_scalar_subquery",
