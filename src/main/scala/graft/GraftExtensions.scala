@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extensions exposing the engine's native expressions to SQL users:
   *
@@ -19,8 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   * directly (graft.ops.Hashing / Num / Text).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionEntries.foreach(ext.injectFunction)
+    // Optimizer rewrite: size(regexp_extract_all(x, lit, 0)) — and therefore
+    // Spark's RuntimeReplaceable regexp_count — becomes the allocation-free
+    // native RegexpMatchCount (see graft.plans.GraftRewriteRule).
+    ext.injectOptimizerRule(_ => graft.plans.GraftRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -50,5 +56,14 @@ object GraftExtensions {
     entry("token_fingerprint", classOf[graft.plans.TokenFingerprint]) { ch =>
       require(ch.size == 1, "token_fingerprint takes exactly one argument")
       graft.plans.TokenFingerprint(ch.head)
+    },
+    entry("regexp_match_count", classOf[graft.plans.RegexpMatchCount]) { ch =>
+      require(ch.size == 2, "regexp_match_count takes (text, pattern)")
+      val p = ch(1) match {
+        case Literal(v: UTF8String, StringType) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"regexp_match_count pattern must be a string literal, got $other")
+      }
+      graft.plans.RegexpMatchCount(ch(0), p)
     })
 }

@@ -84,11 +84,37 @@ object Text {
     size(filter(t, tok => tok.isin(markers.map(lit(_)): _*)))
   }
 
+  // -------------------------------------------------------------------------
+  // Shared one-pass profile: every langId / quality consumer indexes into the
+  // SAME TextProfile expression (5 language marker sets + the stopword set +
+  // token count + alpha count), so Catalyst subexpression elimination
+  // evaluates ONE tokenization per row no matter how many features a query
+  // projects — the round-2 hot path (curation pipeline) paid ~6-11.
+  // -------------------------------------------------------------------------
+
+  /** Canonical marker-set order for [[profile]]: LangMarkers then Stopwords.
+    * profile[i]   (i < 5) = hits of language i's markers
+    * profile[5]           = stopword hits
+    * profile[6]           = token count
+    * profile[7]           = [A-Za-z] char count
+    */
+  // lazy: Stopwords is declared below (quality section) — forced on first use.
+  private lazy val ProfileSets: Seq[Seq[String]] = LangMarkers.map(_._2) :+ Stopwords
+
+  /** The shared one-pass profile array (see [[ProfileSets]] for the layout). */
+  def profile(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TextProfile(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")),
+        ProfileSets))
+
   /** Predicted language: argmax of marker hits, ties broken by LangMarkers
-    * order; "und" (undetermined) when no marker hits at all.
+    * order; "und" (undetermined) when no marker hits at all. All hit counts
+    * index one shared [[profile]] evaluation.
     */
   def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, m) => (lang, markerHits(text, m)) }
+    val p = profile(text)
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) => (lang, p.getItem(i)) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight builds when(en)...otherwise(when(es)...): first match in
     // LangMarkers order wins — same CASE shape as the DuckDB twin.
@@ -126,11 +152,11 @@ object Text {
     * reproducible in DuckDB.
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val t = tokens(text)
-    val nTok = size(t).cast("long")
+    val p = profile(text)
+    val nTok = p.getItem(6).cast("long")
     val nChars = length(text).cast("long")
-    val alphaChars = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
-    val stopHits = markerHits(text, Stopwords).cast("long")
+    val alphaChars = p.getItem(7).cast("long")
+    val stopHits = p.getItem(5).cast("long")
     Seq(
       "n_tokens" -> nTok,
       "n_chars" -> nChars,
@@ -158,7 +184,17 @@ object Text {
     */
   val BpeishRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
 
+  /** Native match-count (no per-match allocation);
+    * [[bpeishTokenCountComposed]] is the built-in twin kept for the
+    * equivalence test (and the form GraftRewriteRule rewrites to this).
+    */
   def bpeishTokenCount(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.RegexpMatchCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")),
+        BpeishRegex))
+
+  def bpeishTokenCountComposed(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishRegex), lit(0)))
 
   def duckBpeishTokenCount(e: String): String =
