@@ -19,11 +19,12 @@ object Dedup {
     * (`dropDuplicates` keeps an *arbitrary* row, which is fine operationally
     * but untestable; min-id is the canonical-representative policy.)
     *
-    * The analytic window partitions on md5(key), not the raw key: when the
-    * key is a full document body, the shuffle key is 32 bytes instead of the
-    * document — at 100 TB that is the difference between shuffling hashes and
-    * shuffling the corpus. (md5 collisions would merge two distinct keys;
-    * probability ~2^-64 per pair — accepted, same stance as exactGroups.)
+    * The analytic window partitions on md5(key), not the raw key: the full
+    * rows (document body included — it is needed downstream) still ride the
+    * window exchange, but the partition/sort KEY shrinks from the document to
+    * 32 bytes, which is what the shuffle hashes, compares and sorts on. (md5
+    * collisions would merge two distinct keys; probability ~2^-64 per pair —
+    * accepted, same stance as exactGroups.)
     */
   def exactByKey(df: DataFrame, key: Column, id: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(key.cast("string")))
@@ -52,9 +53,9 @@ object Dedup {
     * AQE coalescing (which sees "small input" and would undo the spread).
     */
   private def spreadBy(df: DataFrame, key: Column): DataFrame = {
-    val n =
-      try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      catch { case _: Throwable => df.sparkSession.sparkContext.defaultParallelism }
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     df.repartition(n, key)
   }
 
@@ -152,16 +153,32 @@ object Dedup {
     * intra-bucket pairs by exploding the sorted id list — id_a < id_b falls
     * out of the sort order. Per-bucket lists are bounded by band-collision
     * cardinality (near-dup cluster size), the same bound that caps the join's
-    * output; pathological mega-clusters blow up either formulation.
+    * output.
+    *
+    * `maxBucket` is the mega-bucket guard (the twin of
+    * [[ngramJaccardPairs]]'s `maxShingleDf`): a boilerplate-heavy corpus
+    * (identical headers/footers) can make one (band, band_sig) bucket hold
+    * millions of ids — the collect_list buffer then concentrates on a single
+    * task and the intra-bucket pair explosion goes quadratic. Buckets larger
+    * than the cap are DROPPED whole (their members are mega-cluster
+    * boilerplate that exact dedup already collapses; partial emission would
+    * be arbitrary). Dropped-pair loss is bounded: only pairs whose EVERY
+    * colliding band bucket exceeds the cap are lost.
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band"), col("band_sig"))
+  def lshCandidatePairs(bands: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val grouped = bands.groupBy(col("band"), col("band_sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    val capped = maxBucket match {
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
+      case None => grouped
+    }
+    capped
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
+  }
 
   /** 60-bit SimHash over token occurrences: majority vote per bit position of
     * each token's hash60 (+1 if bit set, -1 if not; bit set in the output iff
@@ -202,25 +219,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Scalable simhash near-dup: bucket by 4 x 15-bit prefix blocks (any pair
-    * within Hamming distance 3 of each other collides on at least one intact
-    * block — pigeonhole), then verify exact Hamming inside buckets.
+  /** Scalable simhash near-dup: multi-block pigeonhole bucketing + exact
+    * Hamming verification inside buckets.
     *
-    * Single-pass: the input fingerprints are computed once, the 4 block keys
-    * exploded from one posexplode (the old 4-way-union self-join re-evaluated
-    * the upstream simhash pipeline 8 times), and intra-bucket pairs emitted
-    * from the sorted per-bucket list as in [[lshCandidatePairs]].
+    * The 60-bit fingerprint splits into `numBlocks` equal blocks; `d` bit
+    * errors corrupt at most `d` blocks, so every pair within Hamming `d` has
+    * at least `r = numBlocks - d` blocks intact and collides on the bucket
+    * key formed from SOME r-combination of block positions. Candidate keys =
+    * all C(numBlocks, r) combinations (combo id, concatenated block values).
+    *
+    * `numBlocks` sizes the bucket space to the corpus — the round-2 fixed
+    * 4×15-bit scheme gave only 2^15 buckets per block position, which goes
+    * quadratic per-bucket on a billion-doc corpus. With numBlocks = 6 and
+    * d = 3 the key carries 3 intact 10-bit blocks → 2^30 buckets per combo
+    * (20 combos), occupancy ~1 at 10^9 docs, at 20× key amplification over
+    * rows that are just (id, fingerprint). The default 4 reproduces the
+    * round-2 behavior (r = 1, keys = single 15-bit blocks).
+    *
+    * Single-pass: fingerprints computed once, combo keys exploded from one
+    * posexplode, intra-bucket pairs emitted from the sorted per-bucket list
+    * as in [[lshCandidatePairs]]. `maxBucket` is the same mega-bucket guard
+    * (oversized buckets dropped whole).
     */
-  def simhashNearDupBlocked(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-block pigeonhole covers Hamming <= 3")
-    val blockVals = (0 until 4).map(blk =>
-      expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * 15})) % 32768"))
-    hashes
+  def simhashNearDupBlocked(
+      hashes: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(numBlocks > maxHamming, "pigeonhole needs more blocks than the Hamming budget")
+    require(60 % numBlocks == 0, s"numBlocks must divide 60, got $numBlocks")
+    val bits = 60 / numBlocks
+    val r = numBlocks - maxHamming
+    val blockVal = (blk: Int) =>
+      expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * bits})) % ${1L << bits}")
+    val keyCols = (0 until numBlocks).combinations(r).toSeq.zipWithIndex.map {
+      case (pos, cid) =>
+        // concatenate the r block values into one <= 60-bit key (base 2^bits
+        // positional fold: r*bits <= 60, ANSI-safe)
+        val key = pos.map(blockVal).reduce((acc, v) => acc * lit(1L << bits) + v)
+        struct(lit(cid).as("blk"), key.as("blk_val"))
+    }
+    val grouped = hashes
+      .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
-        posexplode(array(blockVals: _*)).as(Seq("blk", "blk_val")))
+        col("bk.blk").as("blk"), col("bk.blk_val").as("blk_val"))
       .groupBy(col("blk"), col("blk_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
       .where(size(col("xs")) > 1)
+    val capped = maxBucket match {
+      case Some(cap) => grouped.where(size(col("xs")) <= cap)
+      case None => grouped
+    }
+    capped
       .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
       .select(col("a"),
         explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("b"))

@@ -254,6 +254,13 @@ object Similarity {
     * a (vid, clabel, d2)-only ranking window. A (query, neighbor) pair can
     * appear at most once (each neighbor lives in exactly one cluster), so no
     * candidate dedup is needed at any nprobe.
+    *
+    * The assignment feeds BOTH join sides (probe side and posting-list side);
+    * Catalyst does not reuse a duplicated subplan (only identical exchanges),
+    * so without a break the n×k distance computation would execute twice per
+    * run (the round-2 q68 finding). `localCheckpoint` materializes the tiny
+    * (vid, cluster) frame once, distributed across executors — no driver
+    * collect, content deterministic.
     */
   def ivfTopK(
       df: DataFrame,
@@ -264,6 +271,7 @@ object Similarity {
       nprobe: Int = 1): DataFrame = {
     val base = withNorm(df, id, vec)
     val assign = ivfAssign(df, id, vec, centroids).select(col("vid"), col("cluster"))
+      .localCheckpoint()
     val probes =
       if (nprobe == 1) assign
       else {

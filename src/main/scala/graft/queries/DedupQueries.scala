@@ -106,23 +106,32 @@ object DedupQueries {
            |  CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
            |FROM mh GROUP BY 1, 2""".stripMargin)),
 
-    // MinHash LSH candidate pairs (band-signature collisions).
+    // MinHash LSH candidate pairs (band-signature collisions), with the
+    // mega-bucket guard engaged: buckets holding more than 100 doc ids are
+    // dropped whole before pair emission (boilerplate mega-clusters would
+    // otherwise concentrate a quadratic pair explosion on single tasks).
     QueryDef(
       "q54_minhash_candidates",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
-        Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
+        Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4), maxBucket = Some(100))
       },
       Some(s"""WITH $duckShingleCte,
            |$duckMinhashCtes,
            |bands AS (
            |  SELECT doc_id, seed // 4 AS band,
            |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
-           |  FROM mh GROUP BY 1, 2)
+           |  FROM mh GROUP BY 1, 2),
+           |ok_buckets AS (
+           |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+           |  HAVING COUNT(*) BETWEEN 2 AND 100)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin)),
+           |FROM bands a
+           |JOIN bands b
+           |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |JOIN ok_buckets ob
+           |  ON ob.band = a.band AND ob.band_sig = a.band_sig""".stripMargin)),
 
     // SimHash (60-bit majority-vote fingerprints).
     QueryDef(
@@ -144,14 +153,17 @@ object DedupQueries {
            |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY 1""".stripMargin)),
 
-    // SimHash near-dup pairs within Hamming distance 3 (blocked variant —
-    // the scalable path; oracle does the plain quadratic check).
+    // SimHash near-dup pairs within Hamming distance 3 — the blocked SCALE
+    // path with the 6-block scheme (C(6,3)=20 combo keys of 3 intact 10-bit
+    // blocks → 2^30 buckets; the pigeonhole keeps recall exact, so the plain
+    // quadratic oracle still matches). In the bench set: this is the variant
+    // a 100 TB run would use.
     QueryDef(
       "q56_simhash_pairs",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val hashes = Dedup.simhash(docs, col("doc_id"), col("text"))
-        Dedup.simhashNearDupBlocked(hashes, 3)
+        Dedup.simhashNearDupBlocked(hashes, 3, numBlocks = 6)
       },
       Some(s"""WITH toks AS (
            |  SELECT doc_id, ${Hashing.duckFoldHexCol("m")} AS th
@@ -169,7 +181,6 @@ object DedupQueries {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
-      bench = false)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))
   )
 }

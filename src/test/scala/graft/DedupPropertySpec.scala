@@ -66,12 +66,68 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val docs = corpus(40, 4).toDF("doc_id", "text")
     val hashes = Dedup.simhash(docs, col("doc_id"), col("text")).cache()
-    val blocked = Dedup.simhashNearDupBlocked(hashes, 3)
-      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
     val allPairs = Dedup.simhashPairs(hashes, 3)
       .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
-    assert(blocked == allPairs, "blocking must lose no pair within the Hamming budget")
+    // every valid block scheme must keep recall exact: 4 blocks (r=1, the
+    // round-2 scheme), 6 blocks (r=3, the 2^30-bucket scale scheme)
+    Seq(4, 6).foreach { nb =>
+      val blocked = Dedup.simhashNearDupBlocked(hashes, 3, numBlocks = nb)
+        .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+      assert(blocked == allPairs,
+        s"$nb-block scheme must lose no pair within the Hamming budget")
+    }
     hashes.unpersist()
+  }
+
+  test("synthetic Hamming<=3 perturbations always collide under the 6-block scheme") {
+    import spark.implicits._
+    // direct fingerprint fixture: base hashes plus 1-3 flipped bits each —
+    // the pure pigeonhole property, independent of simhash text behavior
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 25).map(_ => rnd.nextLong() & ((1L << 60) - 1))
+    val rows = bases.zipWithIndex.flatMap { case (h, i) =>
+      val flips = (1 to (1 + i % 3)).map(_ => rnd.nextInt(60)).distinct
+      val pert = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      Seq((i.toLong * 2, h), (i.toLong * 2 + 1, pert))
+    }
+    val hashes = rows.toDF("doc_id", "simhash")
+    val found = Dedup.simhashNearDupBlocked(hashes, 3, numBlocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bases.indices.foreach { i =>
+      assert(found.contains((i.toLong * 2, i.toLong * 2 + 1)),
+        s"perturbed pair $i within Hamming 3 must collide on some intact block triple")
+    }
+  }
+
+  test("mega-bucket guard: oversized buckets dropped whole, small clusters kept") {
+    import spark.implicits._
+    // adversarial boilerplate corpus: 30 identical docs (one mega-cluster
+    // bucket in EVERY band) + one small duplicate pair + unique filler
+    val boiler = corpus(1, 21).head._2
+    val smallDup = corpus(1, 22).head._2
+    val docs = ((0L until 30L).map(i => (i, boiler)) ++
+      Seq((900L, smallDup), (901L, smallDup)) ++
+      corpus(10, 23).map { case (i, t) => (i + 950L, t) }).toDF("doc_id", "text")
+
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4)
+    val capped = Dedup.lshCandidatePairs(bands, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((900L, 901L)), "small duplicate pair survives the cap")
+    assert(!capped.exists { case (a, b) => a < 30L && b < 30L },
+      "mega-cluster pairs are dropped with their bucket")
+    val uncapped = Dedup.lshCandidatePairs(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a < 30L && b < 30L },
+      "without the cap the mega-cluster floods the candidate set")
+
+    // same guard on the blocked simhash path
+    val hashes = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val simCapped = Dedup.simhashNearDupBlocked(hashes, 3, numBlocks = 6,
+        maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCapped.contains((900L, 901L)))
+    assert(!simCapped.exists { case (a, b) => a < 30L && b < 30L })
   }
 
   test("ngram Jaccard: identical docs score 1.0; pairs obey 0 < jaccard <= 1") {
