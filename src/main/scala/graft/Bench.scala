@@ -12,8 +12,12 @@ import java.nio.file.{Files, Paths}
   * compilation — one-off driver costs that dominate at test scale but
   * amortize to noise on a long-running cluster. The SECOND (warm) run
   * measures steady-state data throughput — the number the 100 TB design
-  * targets. The headline `value` stays the COLD total (comparable with
-  * earlier rounds); warm numbers are reported alongside.
+  * targets. The headline `value` stays the COLD total; warm numbers are
+  * reported alongside. NOTE on cross-round comparison: since round 2 a
+  * one-time engine warm-up query runs before the first measured query, so
+  * cold totals no longer charge session/JVM/parquet-reader startup to the
+  * first query — round-1 totals include that startup and read slightly
+  * high in comparison.
   *
   * A query that throws is reported with "ok": false and excluded from both
   * totals — a failed run is never silently folded into the headline.

@@ -83,7 +83,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // zip_with pads a length mismatch with nulls, which would silently zero
+    // every bucket bit (while the DuckDB oracle folds the actual length) —
+    // fail loudly instead of diverging.
+    when(size(vec) === numDims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $numDims-dim vector, got "),
+        size(vec).cast("string"))))
   }
 
   /** (vid, tbl, bucket) id-only bucket assignments for `numTables` tables —

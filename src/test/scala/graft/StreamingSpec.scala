@@ -154,6 +154,102 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) >= 1L)
   }
 
+  test("soak: continuous processing-time trigger — >=3 real micro-batches, cross-batch late data, per-batch observe metrics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    // The reference runs the pipeline on the DEFAULT processing-time trigger
+    // under `spark.streams.awaitAnyTermination()` (`process_articles.py:85-93`)
+    // — here the trigger fires on its own clock (100 ms), data arrives
+    // asynchronously across batch boundaries, and each micro-batch's observe
+    // metrics are read from the listener like a production monitor would.
+    val ms = MemoryStream[KinesisEnvelope]
+    val out = tmpDir("soak-out")
+    val ckpt = tmpDir("soak-ckpt")
+    val observed = Articles.avgWordCountByAuthor(
+      Articles.enrich(graft.streaming.StreamOps.withParseMetrics(
+        Articles.parse(ms.toDF()))))
+
+    final case class BatchObs(batchId: Long, inputRows: Long,
+        nRows: Long, nNullTime: Long, nUnparsed: Long)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[BatchObs]()
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = {
+        val p = event.progress
+        if (p.id == qid) {
+          val om = p.observedMetrics.get("parse_metrics")
+          batches.add(BatchObs(p.batchId, p.numInputRows,
+            if (om != null) om.getLong(0) else 0L,
+            if (om != null) om.getLong(1) else 0L,
+            if (om != null) om.getLong(2) else 0L))
+        }
+      }
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.resetTerminated()
+    spark.streams.addListener(listener)
+    val q = Pipelines.toParquet(observed, out, ckpt,
+      Trigger.ProcessingTime("100 milliseconds"))
+    qid = q.id
+    try {
+      def totalInput: Long = batches.asScala.map(_.inputRows).sum
+      def waitUntil(cond: => Boolean, what: String, timeoutMs: Long = 60000): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (!cond) {
+          assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+          assert(System.currentTimeMillis() - t0 < timeoutMs, s"timed out waiting for $what")
+          // the reference's blocking-loop shape: awaitAnyTermination with a
+          // bounded wait instead of a bare sleep
+          spark.streams.awaitAnyTermination(100)
+        }
+      }
+
+      // batch 1: alice activity inside 10:00-10:02
+      val b1 = Seq(
+        env("alice", "2024-01-01T10:00:00", 3),
+        env("alice", "2024-01-01T10:00:30", 5),
+        env("alice", "2024-01-01T10:02:00", 7))
+      ms.addData(b1)
+      waitUntil(totalInput >= 3, "micro-batch 1 consumed")
+
+      // batch 2: watermark-advancing flush + a malformed payload (visible
+      // only in the parse metrics, never in the sink)
+      seq += 1
+      val malformed = KinesisEnvelope.ofJson("{not json", seq, ts("2024-01-01 00:00:00"))
+      val flush1 = env("carol", "2024-01-01T10:30:00", 1)
+      ms.addData(Seq(flush1, malformed))
+      waitUntil(totalInput >= 5, "micro-batch 2 consumed")
+
+      // batch 3: bob arrives AFTER the watermark left him behind (every bob
+      // window ends by 10:10 << 10:29:50) — the cross-batch late-data drop —
+      // plus a second flush that finalizes carol's 10:30 windows.
+      val lateBob = env("bob", "2024-01-01T10:05:00", 50)
+      val flush2 = env("carol", "2024-01-01T10:40:30", 1)
+      ms.addData(Seq(lateBob, flush2))
+      waitUntil(totalInput >= 7, "micro-batch 3 consumed")
+
+      // the no-data batch after the last watermark advance finalizes carol's
+      // 10:30 windows — wait for the sink to converge to the batch twin
+      val expected = batchTwin(b1 ++ Seq(flush1, flush2)) // late + malformed excluded
+      waitUntil(readOut(out) == expected, "finalized windows match the batch twin")
+
+      val obs = batches.asScala.toVector
+      assert(obs.count(_.inputRows > 0) >= 3, s"expected >=3 real micro-batches, got $obs")
+      assert(obs.map(_.nRows).sum == 7, "observe metrics count every parsed input row")
+      assert(obs.map(_.nUnparsed).sum == 1, "malformed payload visible in per-batch metrics")
+      assert(obs.map(_.nNullTime).sum == 1, "null event time visible in per-batch metrics")
+      assert(!readOut(out).exists(_._3 == "bob"), "cross-batch late row dropped (W4)")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming plan carries EventTimeWatermark + stateful aggregation (W1/W5)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
