@@ -25,6 +25,11 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    if (reps == 0) { // reps=0: print the formatted physical plan instead
+      fn(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

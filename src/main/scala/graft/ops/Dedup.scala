@@ -52,7 +52,7 @@ object Dedup {
     * cross an exchange. A fixed partition count pins the exchange against
     * AQE coalescing (which sees "small input" and would undo the spread).
     */
-  private def spreadBy(df: DataFrame, key: Column): DataFrame = {
+  private[ops] def spreadBy(df: DataFrame, key: Column): DataFrame = {
     val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)

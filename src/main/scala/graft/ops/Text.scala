@@ -201,6 +201,56 @@ object Text {
     s"len(regexp_extract_all($e, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'))"
 
   // -------------------------------------------------------------------------
+  // Heavy-hitter tokens (Misra-Gries sketch pass + exact verify pass)
+  // -------------------------------------------------------------------------
+
+  /** Misra-Gries candidate sketch aggregate over a string column (the
+    * engine's native Catalyst AGGREGATE — graft.plans.FreqItemsSketch).
+    * Evals to the sorted candidate key array.
+    */
+  def freqItemsSketch(c: Column, capacity: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.FreqItemsSketch(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        capacity).toAggregateExpression())
+
+  /** EXACT tokens with frequency >= ceil(total * minFrac), computed at scale
+    * without ever shuffling the full vocabulary:
+    *
+    *  1. sketch pass — Misra-Gries candidates (`capacity` counters per
+    *     partition, `capacity` rows per partition through the shuffle) plus
+    *     the total token count in the same single-row aggregate;
+    *  2. verify pass — exact counts of the <= `capacity` candidates only
+    *     (map-side filter via broadcast semi-join, then a tiny aggregation).
+    *
+    * The Misra-Gries bound (undercount <= n/(capacity+1), merge-order
+    * independent) makes recall exact whenever minFrac > 1/(capacity+1) —
+    * enforced here — so the output is the deterministic true heavy-hitter
+    * set, identical to the full GROUP BY ... HAVING the oracle runs. A naive
+    * full count at 100 TB shuffles billions of distinct tokens; this shuffles
+    * O(capacity × partitions) rows and scans the corpus twice.
+    */
+  def heavyHitterTokens(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      capacity: Int,
+      minFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(minFrac > 1.0 / (capacity + 1),
+      s"minFrac=$minFrac must exceed the Misra-Gries bound 1/(capacity+1)=${1.0 / (capacity + 1)}")
+    val toks = Dedup.spreadBy(df, id).select(explode(tokens(text)).as("tok"))
+    val sk = toks.agg(
+      freqItemsSketch(col("tok"), capacity).as("cands"),
+      count(lit(1)).as("total"))
+    val cands = sk.select(explode(col("cands")).as("tok"), col("total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok"), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= ceil(col("total") * lit(minFrac)))
+      .select(col("tok"), col("n"))
+  }
+
+  // -------------------------------------------------------------------------
   // Document fingerprint (rolling polynomial hash over tokens)
   // -------------------------------------------------------------------------
 

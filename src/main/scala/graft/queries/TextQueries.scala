@@ -97,6 +97,24 @@ object TextQueries {
            |FROM (SELECT doc_id, unnest(${Text.duckShingles("text", 2)}) AS sh FROM documents)
            |GROUP BY sh ORDER BY df DESC, sh ASC LIMIT 50""".stripMargin)),
 
+    // EXACT heavy-hitter tokens via the native Misra-Gries sketch aggregate
+    // (candidate pass) + exact verification of the candidates only — the
+    // scale path that never shuffles the full vocabulary. minFrac=0.02 >
+    // 1/(64+1), so recall is guaranteed and the output equals the oracle's
+    // plain GROUP BY ... HAVING.
+    QueryDef(
+      "q49_heavy_hitter_tokens",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.heavyHitterTokens(docs, col("doc_id"), col("text"),
+          capacity = 64, minFrac = 0.02)
+      },
+      Some("""WITH toks AS (
+           |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+           |tot AS (SELECT COUNT(*) AS total FROM toks)
+           |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+           |HAVING COUNT(*) >= (SELECT ceil(total * 0.02) FROM tot)""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",

@@ -75,4 +75,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan(SparkEntry.queries("q19_orderby_limit")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must not globally sort")
   }
+
+  test("rank<=k filters get per-partition WindowGroupLimit (ANN top-k path)") {
+    // Spark 4 pushes the row_number()<=k filter below the window as partial +
+    // final group limits — each partition keeps k rows per key BEFORE the
+    // exchange, so the top-k shuffle carries O(k * keys), not all candidates.
+    // This is why no custom top-k physical operator is needed.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5, 8, 64))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must compile to WindowGroupLimit:\n${p.linesIterator.take(8).mkString("\n")}")
+  }
+
+  test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
+    val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "exact verification must map-side filter tokens against broadcast candidates")
+  }
 }
