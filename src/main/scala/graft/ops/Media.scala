@@ -127,4 +127,83 @@ object Media {
       it.map(decodeOne)
     }
   }
+
+  // -------------------------------------------------------------------------
+  // Post-decode transforms: resize, frame sampling, feature extraction.
+  // Same honest-stub convention as decodeAll: the per-asset math is a
+  // deterministic stand-in for a pixel/sample kernel, the Spark-side shape
+  // (mapPartitions iterator, 1→1 / 1→N row multiplicity, typed schemas,
+  // partition-amortized init point) is the real thing and oracle-verified.
+  // -------------------------------------------------------------------------
+
+  /** Aspect-ratio-preserving downscale to a bounding box of `maxDim`:
+    * integer-exact target dimensions (floor division, min 1), no-op when the
+    * asset already fits. 1→1 mapPartitions — a real implementation calls the
+    * scaler kernel on the decoded pixels here.
+    */
+  def resizeAll(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    require(maxDim >= 1, "maxDim must be positive")
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val m = math.max(d.width, d.height)
+        val (nw, nh) =
+          if (m <= maxDim) (d.width, d.height)
+          else (math.max(1, d.width * maxDim / m), math.max(1, d.height * maxDim / m))
+        ResizedMedia(d.media_id, d.declared_mime, d.width, d.height, nw, nh)
+      }
+    }
+  }
+
+  /** Sample every `everyK`-th frame of each asset (frame 0 always included):
+    * the 1→N row-expanding shape (UDTF-style) — one row per sampled frame
+    * with a deterministic frame fingerprint (cross-engine hash60 of
+    * "frame-<id>-<idx>", standing in for a real frame content hash).
+    */
+  def sampleFrames(decoded: Dataset[DecodedMedia], everyK: Int): Dataset[FrameSample] = {
+    import decoded.sparkSession.implicits._
+    require(everyK >= 1, "sampling stride must be positive")
+    decoded.mapPartitions { it =>
+      it.flatMap { d =>
+        (0 until d.n_frames by everyK).iterator.map { i =>
+          FrameSample(d.media_id, i, Hashing.hash60JVM(s"frame-${d.media_id}-$i"))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction: a fixed-width vector per asset, emitted as flat
+    * (media_id, feat_idx, feat_val) rows. The stub features are exact
+    * rationals of the decoded dimensions (a real deployment runs its
+    * embedding model in the mapPartitions body and emits its vector the same
+    * way — flat rows keep the oracle compare engine-agnostic).
+    */
+  def extractFeatures(decoded: Dataset[DecodedMedia]): Dataset[MediaFeature] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { it =>
+      it.flatMap { d =>
+        val f = Array(
+          d.width.toDouble / 1040.0,
+          d.height.toDouble / 1040.0,
+          d.n_frames.toDouble / 24.0,
+          d.megapixels)
+        f.iterator.zipWithIndex.map { case (v, i) => MediaFeature(d.media_id, i, v) }
+      }
+    }
+  }
 }
+
+/** Output of [[Media.resizeAll]]: original + bounded target dimensions. */
+final case class ResizedMedia(
+    media_id: Long,
+    declared_mime: String,
+    width: Int,
+    height: Int,
+    new_width: Int,
+    new_height: Int)
+
+/** One sampled frame from [[Media.sampleFrames]]. */
+final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+/** One feature-vector component from [[Media.extractFeatures]]. */
+final case class MediaFeature(media_id: Long, feat_idx: Int, feat_val: Double)

@@ -48,6 +48,41 @@ class MediaSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(d3.megapixels - 20.0 * 140.0 / 1e6) < 1e-12)
   }
 
+  test("resize: aspect preserved within integer floor, bound respected, no-op when small") {
+    import spark.implicits._
+    val recs = (0L until 200L)
+      .map(i => MediaRecord(i, if (i % 3 == 0) "audio/wav" else "image/png",
+        Array.fill((i * 13 % 2000).toInt + 1)(i.toByte)))
+    val dec = Media.decodeAll(spark.createDataset(recs).repartition(4))
+    val out = Media.resizeAll(dec, maxDim = 256).collect()
+    assert(out.length == 200, "1:1 row multiplicity")
+    out.foreach { r =>
+      assert(r.new_width <= 256 && r.new_height <= 256 && r.new_width >= 1 && r.new_height >= 1)
+      val m = math.max(r.width, r.height)
+      if (m <= 256) assert(r.new_width == r.width && r.new_height == r.height)
+      else {
+        assert(math.max(r.new_width, r.new_height) == 256, "long side hits the bound")
+        // floor scaling: new_w = floor(w * 256 / m)
+        assert(r.new_width == math.max(1, r.width * 256 / m))
+      }
+    }
+  }
+
+  test("frame sampling: every 2nd frame, frame 0 always, 1:N multiplicity") {
+    import spark.implicits._
+    val recs = (0L until 100L)
+      .map(i => MediaRecord(i, "audio/wav", Array.fill((i % 48).toInt + 1)(i.toByte)))
+    val dec = Media.decodeAll(spark.createDataset(recs).repartition(3))
+    val frames = Media.sampleFrames(dec, everyK = 2).collect()
+    val byId = frames.groupBy(_.media_id)
+    val nFrames = dec.collect().map(d => d.media_id -> d.n_frames).toMap
+    assert(byId.keySet == nFrames.keySet)
+    byId.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until nFrames(id) by 2).toSeq)
+      assert(fs.map(_.frame_hash).distinct.length == fs.length, "per-frame fingerprints distinct")
+    }
+  }
+
   test("content dedup groups duplicates by payload hash") {
     import spark.implicits._
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"), (4L, "same"))
