@@ -65,5 +65,15 @@ object GraftExtensions {
           s"regexp_match_count pattern must be a string literal, got $other")
       }
       graft.plans.RegexpMatchCount(ch(0), p)
+    },
+    entry("freq_items_sketch", classOf[graft.plans.FreqItemsSketch]) { ch =>
+      require(ch.size == 2, "freq_items_sketch takes (col, capacity)")
+      val cap = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"freq_items_sketch capacity must be an integer literal, got $other")
+      }
+      // bare AggregateFunction: the analyzer wraps it in an AggregateExpression
+      graft.plans.FreqItemsSketch(ch(0), cap)
     })
 }

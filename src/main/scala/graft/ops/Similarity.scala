@@ -240,6 +240,45 @@ object Similarity {
     flat
   }
 
+  /** Deterministic farthest-point (k-center greedy) seed selection — the
+    * "kmeans++ without the dice" initializer: seed 0 is the vector with the
+    * smallest salted id hash (the same no-RNG discipline as
+    * [[kmeansCentroidsFlat]]), then each further seed is the vector with the
+    * MAXIMUM distance to its nearest already-chosen seed (ties → lowest id).
+    * Farthest-point gives the classic 2-approximation to the k-center
+    * objective and spreads IVF cells better than pure hash seeding on
+    * clustered corpora.
+    *
+    * Scale shape per step: broadcast of <= k chosen seed vectors (model
+    * parameters, like the LSH planes), one min-distance aggregation over the
+    * corpus (ids + one double through the shuffle), one global argmax.
+    * Each chosen seed is materialized ([[materializeCentroids]]) so iteration
+    * i+1 does not re-execute iteration i's lineage — k-1 bounded collects at
+    * build time, the train/search break every index build has.
+    *
+    * Output: (sid, vid, v) — seed order, source vector id, double vector.
+    */
+  def farthestPointSeeds(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    require(k >= 1, "need at least one seed")
+    val base = df.select(id.as("vid"), transform(vec, x => x.cast("double")).as("v"))
+    val h = Hashing.hash60(concat(lit("fp-"), col("vid").cast("string")))
+    var chosen = materializeCentroids(
+      base.withColumn("h", h)
+        .orderBy(col("h").asc, col("vid").asc).limit(1)
+        .select(lit(0).as("sid"), col("vid"), col("v")))
+    for (i <- 1 until k) {
+      val picked = base
+        .crossJoin(broadcast(chosen.select(col("v").as("sv"))))
+        .select(col("vid"), l2sq(col("v"), col("sv")).as("d2"))
+        .groupBy(col("vid")).agg(min(col("d2")).as("mind2"))
+        // max distance, ties -> lowest id ((mind2, -vid) lexicographic max)
+        .agg(max_by(col("vid"), struct(col("mind2"), -col("vid"))).as("vid"))
+      chosen = chosen.unionByName(materializeCentroids(
+        picked.join(base, "vid").select(lit(i).as("sid"), col("vid"), col("v"))))
+    }
+    chosen
+  }
+
   /** Materialize a trained quantizer: collects the k×d centroid table (a
     * model parameter of bounded size — k rows regardless of corpus scale,
     * like the LSH plane constants) and re-creates it as a literal frame.

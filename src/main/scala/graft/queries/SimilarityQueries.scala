@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Num, Similarity}
+import graft.ops.{Hashing, Num, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search extension queries over `embeddings` (ArrayType(Float)).
@@ -91,7 +91,48 @@ object SimilarityQueries {
     (init +: its).mkString(",\n")
   }
 
+  /** DuckDB twin of `Similarity.farthestPointSeeds` with the greedy loop
+    * unrolled: hash-min seed, then per step a min-distance-to-chosen
+    * aggregation and an argmax pick (max distance, ties -> lowest id).
+    */
+  private def duckFarthestCtes(k: Int): String = {
+    val h = Hashing.duckHash60("('fp-' || CAST(vec_id AS VARCHAR))")
+    val l2 =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+        |      fpd -> (v[fpd] - sv[fpd]) * (v[fpd] - sv[fpd]))), (x, y) -> x + y)""".stripMargin
+    val init =
+      s"""ch0 AS (
+         |  SELECT 0 AS sid, vec_id, v
+         |  FROM (SELECT vec_id, v, $h AS h FROM e ORDER BY h, vec_id LIMIT 1))""".stripMargin
+    val its = (1 until k).map { i =>
+      s"""mind$i AS (
+         |  SELECT e.vec_id, min($l2) AS mind2
+         |  FROM e CROSS JOIN (SELECT v AS sv FROM ch${i - 1}) s
+         |  GROUP BY e.vec_id),
+         |pick$i AS (SELECT vec_id FROM mind$i ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+         |ch$i AS (
+         |  SELECT * FROM ch${i - 1}
+         |  UNION ALL
+         |  SELECT $i AS sid, e.vec_id, e.v FROM e JOIN pick$i USING (vec_id))""".stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic farthest-point (k-center greedy) seeding for the IVF
+    // quantizer — the no-RNG kmeans++-style initializer, hash-verified
+    // against the unrolled DuckDB greedy.
+    QueryDef(
+      "q69_farthest_seeds",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.farthestPointSeeds(emb, col("vec_id"), col("embedding"), 4)
+          .select(col("sid"), col("vid").as("vec_id"))
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckFarthestCtes(4)}
+           |SELECT sid, vec_id FROM ch3""".stripMargin)),
 
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
     QueryDef(

@@ -59,10 +59,19 @@ class Hash60ExpressionSpec extends AnyFunSuite with SparkSpec {
         |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |  word_shingles('a b c d', 3) AS sh,
-        |  token_fingerprint('a b c') AS fp""".stripMargin).head()
+        |  token_fingerprint('a b c') AS fp,
+        |  regexp_match_count('a1 b2 c3', '[a-z][0-9]') AS rc""".stripMargin).head()
     assert(r.getLong(0) == Hashing.hash60JVM("hello world"))
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
     assert(r.getLong(3) >= 0L && r.getLong(3) < 8796093022208L)
+    assert(r.getInt(4) == 3)
+    // the native aggregate registers too (analyzer wraps the bare
+    // AggregateFunction in an AggregateExpression)
+    val agg = spark.sql(
+      """SELECT freq_items_sketch(t, 4) AS cands FROM
+        |  (SELECT explode(array('a','a','a','b','a','c')) AS t)""".stripMargin)
+      .head().getSeq[String](0)
+    assert(agg.contains("a"))
   }
 }

@@ -250,6 +250,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming session windows: gap-merged sessions finalize via watermark (append)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[KinesisEnvelope]
+    val out = tmpDir("sess-out")
+    val ckpt = tmpDir("sess-ckpt")
+    val sessions = graft.ops.Windowing.sessionAgg(
+      Articles.enrich(Articles.parse(ms.toDF())),
+      "publish_date", gap = "1 minute", watermarkDelay = Some("10 seconds"),
+      keys = Seq(org.apache.spark.sql.functions.col("author")),
+      aggs = Seq(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("word_count")).cast("long").as("w")))
+      .select("window_start", "window_end", "author", "n", "w")
+    val q = Pipelines.toParquet(sessions, out, ckpt, Trigger.ProcessingTime(0))
+
+    // alice: two events 30s apart (one merged session), then one 4.5 min
+    // later (gap > 1 min -> a second session)
+    ms.addData(Seq(
+      env("alice", "2024-01-01T10:00:00", 3),
+      env("alice", "2024-01-01T10:00:30", 5),
+      env("alice", "2024-01-01T10:05:00", 7)))
+    q.processAllAvailable()
+    // watermark flush: zed far in the future finalizes both alice sessions;
+    // zed's own session stays open and must NOT be emitted
+    ms.addData(Seq(env("zed", "2024-01-01T11:00:00", 1)))
+    q.processAllAvailable()
+    ms.addData(Seq(env("zed", "2024-01-01T11:00:05", 1)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expected = Set(
+      // merged session: start = first event, end = last event + gap
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:30"), "alice", 2L, 8L),
+      (ts("2024-01-01 10:05:00"), ts("2024-01-01 10:06:00"), "alice", 1L, 7L))
+    assert(got == expected,
+      s"finalized gap-merged sessions only (open zed session withheld): $got")
+  }
+
   test("streaming plan carries EventTimeWatermark + stateful aggregation (W1/W5)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
