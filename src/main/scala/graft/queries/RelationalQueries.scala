@@ -141,6 +141,67 @@ object RelationalQueries {
            |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            |GROUP BY c_custkey""".stripMargin)),
 
+    // As-of join (an operator Spark lacks as a built-in): each purchase event
+    // joined to the user's latest view event at or before it — one
+    // sort-shuffle on user_id via the union + carry-forward-window
+    // formulation (graft.ops.Joins.asOfJoin). DuckDB verifies with its
+    // native ASOF LEFT JOIN.
+    QueryDef(
+      "q36_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        val views = ev.where(col("event_type") === "view")
+          // unique per (user, ts): keep the max-event_id row (same in oracle)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("v"))
+          .select(col("user_id"), col("ts"),
+            col("v.event_id").as("view_event_id"), col("v.value").as("view_value"))
+        graft.ops.Joins.asOfJoin(purchases, views, key = "user_id", time = "ts",
+          rightVals = Seq("view_event_id", "view_value"))
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.duckEvents} e),
+           |p AS (SELECT event_id, ts, user_id, value FROM ev WHERE event_type = 'purchase'),
+           |v AS (
+           |  SELECT user_id, ts, max(event_id) AS view_event_id,
+           |    arg_max(value, event_id) AS view_value
+           |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+           |SELECT p.event_id, p.ts, p.user_id, p.value,
+           |  v.ts AS asof_ts, v.view_event_id AS asof_view_event_id,
+           |  v.view_value AS asof_view_value
+           |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
+    // Banded range join (interval containment without a nested loop): views
+    // within 60 minutes after each error event of the same user. The band
+    // width equals the interval width, so every interval explodes into <= 2
+    // bucket keys and the plan is a plain equi-join on (user, bucket) + a
+    // residual filter — DuckDB verifies with its native inequality join.
+    QueryDef(
+      "q37_range_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("view_event_id"), col("ts").as("view_ts"),
+            col("user_id"))
+        val errWindows = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("error_event_id"), col("user_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 60 MINUTES")).as("w_end"))
+        graft.ops.Joins.bandedRangeJoin(views, errWindows, key = "user_id",
+            pointTime = "view_ts", start = "w_start", end = "w_end",
+            bandSeconds = 3600)
+          .select(col("error_event_id"), col("view_event_id"), col("user_id"),
+            col("view_ts"))
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.duckEvents} e)
+           |SELECT err.event_id AS error_event_id, v.event_id AS view_event_id,
+           |  err.user_id, v.ts AS view_ts
+           |FROM ev err JOIN ev v
+           |  ON err.user_id = v.user_id
+           |  AND err.event_type = 'error' AND v.event_type = 'view'
+           |  AND v.ts >= err.ts AND v.ts <= err.ts + INTERVAL 60 MINUTE""".stripMargin)),
+
     // Analytic window function: top-3 orders per customer (rank + tie-break).
     QueryDef(
       "q17_window_topk_per_group",
