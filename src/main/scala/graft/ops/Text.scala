@@ -251,6 +251,45 @@ object Text {
   }
 
   // -------------------------------------------------------------------------
+  // Hashing-trick embedding (feature hashing / "the hashing trick")
+  // -------------------------------------------------------------------------
+
+  /** Signed bag-of-words feature-hashing embedding (Weinberger et al.,
+    * "Feature Hashing for Large Scale Multitask Learning", ICML'09): token t
+    * adds sign(t) ∈ {−1, +1} to bucket hash60(t) mod dims; the sign hash
+    * keeps the inner product unbiased. Output: (doc_id, vec array<double>).
+    *
+    * This is the vectorizer that bridges `documents` into the similarity
+    * stack — its output feeds [[Similarity]]'s LSH/IVF ops directly. Scale
+    * shape: one explode, partial-aggregated (doc, bucket) sums, then a
+    * per-doc map assembly; the dense vector materializes once per document,
+    * and no vocabulary table exists anywhere (that is the point of the
+    * trick — memory is O(dims), not O(vocab)).
+    */
+  def hashingTrickEmbedding(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      dims: Int): org.apache.spark.sql.DataFrame = {
+    require(dims >= 1, "need at least one dimension")
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val weights = toks
+      .select(col("doc_id"),
+        pmod(Hashing.hash60(col("tok")), lit(dims.toLong)).cast("int").as("bucket"),
+        when(pmod(Hashing.hash60(concat(lit("sgn-"), col("tok"))), lit(2L)) === 1, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("w"))
+    weights
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d), lit(0L)).cast("double")).as("vec"))
+  }
+
+  // -------------------------------------------------------------------------
   // Document fingerprint (rolling polynomial hash over tokens)
   // -------------------------------------------------------------------------
 

@@ -115,6 +115,28 @@ object TextQueries {
            |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
            |HAVING COUNT(*) >= (SELECT ceil(total * 0.02) FROM tot)""".stripMargin)),
 
+    // Signed feature-hashing embedding (32-dim): the vectorizer bridging
+    // documents into the similarity stack — no vocabulary table, memory
+    // O(dims). Output exploded to flat rows for the oracle compare.
+    QueryDef(
+      "q57_hashing_embedding",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.hashingTrickEmbedding(docs, col("doc_id"), col("text"), dims = 32)
+          .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim", "val")))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+           |contrib AS (
+           |  SELECT doc_id, ${Hashing.duckHash60("tok")} % 32 AS bucket,
+           |    CASE WHEN ${Hashing.duckHash60("('sgn-' || tok)")} % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM toks),
+           |w AS (SELECT doc_id, bucket, SUM(s) AS w FROM contrib GROUP BY 1, 2)
+           |SELECT d.doc_id, g.dim, CAST(COALESCE(w.w, 0) AS DOUBLE) AS val
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
+           |LEFT JOIN w ON w.doc_id = d.doc_id AND w.bucket = g.dim""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",
