@@ -290,6 +290,43 @@ object Text {
   }
 
   // -------------------------------------------------------------------------
+  // TF-IDF
+  // -------------------------------------------------------------------------
+
+  /** Top-k characteristic terms per document by TF-IDF: tf = occurrences of
+    * the token in the document, idf = ln(N / df) with N = corpus size and
+    * df = documents containing the token; ties broken by token asc.
+    *
+    * Scale shape: one explode shuffled once on doc_id (pre-spread), df from
+    * a distinct-(doc, tok) aggregation whose join back to term rows is keyed
+    * on the token — the only corpus-wide statistic is the (token, df) table,
+    * exactly like the shingle-df cap in [[Dedup.ngramJaccardPairs]]. The
+    * final per-doc rank compiles to WindowGroupLimit (no full sort per doc
+    * reaches the exchange).
+    */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------------
   // Document fingerprint (rolling polynomial hash over tokens)
   // -------------------------------------------------------------------------
 

@@ -137,6 +137,29 @@ object TextQueries {
            |CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
            |LEFT JOIN w ON w.doc_id = d.doc_id AND w.bucket = g.dim""".stripMargin)),
 
+    // Top-3 characteristic terms per document by TF-IDF (ties -> token asc).
+    // The only corpus-wide statistic is the (token, df) table; the per-doc
+    // rank compiles to WindowGroupLimit.
+    QueryDef(
+      "q59_tfidf_top_terms",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.tfidfTopTerms(docs, col("doc_id"), col("text"), k = 3)
+      },
+      Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM documents)
+           |SELECT doc_id, tok, tf, df, tfidf, rank FROM (
+           |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf,
+           |    row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) DESC,
+           |               tf.tok ASC) AS rank
+           |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+           |WHERE rank <= 3""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",
