@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Wide per-user event counts (q38's body, reused by q39's round-trip). */
+  private def pivotWide(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables.load(s, dir, "events")
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1 shape: wide aggregate with derived measures (decimal-exact).
@@ -201,6 +211,39 @@ object RelationalQueries {
            |  ON err.user_id = v.user_id
            |  AND err.event_type = 'error' AND v.event_type = 'view'
            |  AND v.ts >= err.ts AND v.ts <= err.ts + INTERVAL 60 MINUTE""".stripMargin)),
+
+    // Pivot: per-user event counts spread into one column per event type.
+    // The pivot values are DECLARED (not discovered) — at scale an undeclared
+    // pivot first runs a distinct-values job and then builds an arbitrarily
+    // wide schema; declaring them keeps this a single pass.
+    QueryDef(
+      "q38_pivot",
+      (s, dir) => pivotWide(s, dir),
+      Some(s"""SELECT user_id,
+           |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+           |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+           |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+           |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           |  COUNT(*) FILTER (event_type = 'error') AS n_error
+           |FROM ${Tables.duckEvents} ev GROUP BY user_id""".stripMargin)),
+
+    // Unpivot (melt): the wide per-user counts back to long (user_id,
+    // event_type, n) rows — the pivot round-trip, dropping zero cells to
+    // match the sparse original.
+    QueryDef(
+      "q39_unpivot",
+      (s, dir) => {
+        val wide = pivotWide(s, dir)
+        wide.unpivot(
+            Array(col("user_id")),
+            Array(col("n_click"), col("n_view"), col("n_signup"),
+              col("n_purchase"), col("n_error")),
+            "event_type", "n")
+          .where(col("n") > 0)
+          .withColumn("event_type", expr("substring(event_type, 3)"))
+      },
+      Some(s"""SELECT user_id, event_type, COUNT(*) AS n
+           |FROM ${Tables.duckEvents} ev GROUP BY 1, 2""".stripMargin)),
 
     // Analytic window function: top-3 orders per customer (rank + tie-break).
     QueryDef(
