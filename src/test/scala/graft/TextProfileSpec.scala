@@ -107,6 +107,21 @@ class TextProfileSpec extends AnyFunSuite with SparkSpec {
     assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
+  test("hashing embedding: partition-invariant, duplicate-consistent, fixed width") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "x y zz"), (4L, ""))
+      .toDF("doc_id", "text")
+    def run(parts: Int): Map[Long, Seq[Double]] =
+      Text.hashingTrickEmbedding(docs.repartition(parts), col("doc_id"), col("text"), 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p1 = run(1)
+    val p4 = run(4)
+    assert(p1 == p4, "vectors must not depend on partitioning")
+    assert(p1(1L) == p1(2L), "identical texts -> identical vectors")
+    assert(p1.keySet == Set(1L, 2L, 3L, 4L) && p1.values.forall(_.size == 16))
+    assert(p1(1L) != p1(3L), "different texts -> (generically) different vectors")
+  }
+
   test("rewrite rule: size(regexp_extract_all) and built-in regexp_count become RegexpMatchCount") {
     // parquet-backed input: a literal local relation would be constant-folded
     // away before the rule could see the expression
