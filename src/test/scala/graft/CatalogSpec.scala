@@ -58,6 +58,28 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall >= 1.5 * (1.0 / 9), "IVF must beat the random-cluster baseline clearly")
   }
 
+  test("LSH recall dial: multi-table candidate union raises recall monotonically") {
+    // measured on sf0.001: 1 table 0.020, 2 tables 0.039, 4 tables 0.076 —
+    // near-linear in table count, the standard LSH recall/cost trade
+    import graft.ops.Similarity
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    def coll(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = coll(Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 5))
+    val total = bf.values.map(_.size).sum.toDouble
+    def recallAt(tables: Int): Double = {
+      val lsh = coll(Similarity.lshTopK(emb, col("vec_id"), col("embedding"), 5,
+        numPlanes = 8, numDims = 64, numTables = tables))
+      bf.toSeq.map { case (q, s) => (s intersect lsh.getOrElse(q, Set.empty)).size }.sum / total
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 > r1, "more tables must not lower recall")
+    assert(r4 >= 3 * r1, f"4-table recall $r4%.3f should be ~4x the 1-table $r1%.3f")
+  }
+
   test("every catalog query has a unique name; oracle coverage is near-total") {
     val names = SparkEntry.catalog.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
