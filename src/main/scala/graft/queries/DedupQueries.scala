@@ -87,8 +87,7 @@ object DedupQueries {
            |FROM inter
            |JOIN sizes sa ON sa.id = id_a
            |JOIN sizes sb ON sb.id = id_b
-           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin),
-      bench = false),
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin)),
 
     // MinHash LSH band signatures (16 hashes, 4 bands x 4 rows). One md5 per
     // shingle; the 16-member family is arithmetic (Hashing.familyHash), which
