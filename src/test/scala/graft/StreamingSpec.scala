@@ -137,6 +137,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "state recovered across restart; newly-finalized windows appended once")
   }
 
+  test("W7: starting-position semantics — fresh checkpoint replays the full retained backlog (TRIM_HORIZON twin), resumed checkpoint only the new data") {
+    import spark.implicits._
+    val envDir = tmpDir("w7-env")
+    val ckpt1 = tmpDir("w7-ckpt1")
+
+    // "retained stream history": two article batches already in the store
+    // before any consumer exists
+    val history = Seq(
+      env("alice", "2024-01-01T10:00:00", 3),
+      env("dave", "2024-01-01T10:02:00", 7),
+      env("carol", "2024-01-01T10:30:00", 2))
+    spark.createDataset(history).toDF().coalesce(1).write.mode("append").parquet(envDir)
+
+    // the parquet sink's metadata log binds a checkpoint to ONE output dir,
+    // so a resume must reuse both
+    def drain(out: String, ckpt: String): Set[(Timestamp, Timestamp, String, Double)] = {
+      val q = Pipelines.articlesToParquet(spark,
+        StreamSource.FileEnvelopeSource(envDir), out, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+      readOut(out)
+    }
+
+    // TRIM_HORIZON: a consumer with NO prior checkpoint starts from the
+    // earliest retained record — the pre-existing backlog fully contributes
+    val out1 = tmpDir("w7-out1")
+    val fresh = drain(out1, ckpt1)
+    assert(fresh == batchTwin(history) && fresh.nonEmpty,
+      "fresh checkpoint must consume the entire retained backlog")
+
+    // resume-from-position: the same checkpoint skips everything already
+    // consumed — only windows finalized by newly-arrived records are added
+    val more = Seq(env("erin", "2024-01-01T10:40:30", 4))
+    spark.createDataset(more).toDF().coalesce(1).write.mode("append").parquet(envDir)
+    assert(drain(out1, ckpt1) == batchTwin(history ++ more),
+      "resumed checkpoint appends only the newly-finalized windows")
+
+    // a SECOND fresh consumer created after the new data still replays the
+    // whole retained stream from the horizon
+    assert(drain(tmpDir("w7-out2"), tmpDir("w7-ckpt2")) == batchTwin(history ++ more),
+      "a later fresh consumer replays the full retained history")
+  }
+
   test("S1: rate source synthesizes parseable producer-shaped articles") {
     val src = StreamSource.RateEnvelopeSource(rowsPerSecond = 500)
     val parsed = Articles.enrich(Articles.parse(src.load(spark)))
