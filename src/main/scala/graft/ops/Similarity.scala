@@ -70,12 +70,25 @@ object Similarity {
     * sign(<vec, plane_j>) where plane components are deterministic ±1.
     *
     * The plane vectors depend only on (table, plane, dim) — they are
-    * evaluated ONCE on the driver ([[planeSign]]) and embedded as array
-    * literals; evaluating the hash inside the expression would cost
-    * numPlanes × numDims md5 calls per row. The fold stays a sequential
-    * double left-fold (same order as the oracle — bit-identical).
+    * evaluated ONCE on the driver ([[planeSign]]) and embedded in the native
+    * expression (graft.plans.SignedProjectionBucket), which computes ALL
+    * plane dots in one pass over the vector; [[lshBucketComposed]] is the
+    * built-in HOF twin (numPlanes interpreted folds) kept for the
+    * equivalence test. Per-plane accumulation order is unchanged —
+    * bit-identical to the oracle. Length mismatch throws (a zip_with would
+    * silently null-pad and zero every bit).
     */
   def lshBucket(vec: Column, table: Int, numPlanes: Int, numDims: Int): Column = {
+    val signs = Array.tabulate(numPlanes * numDims)(
+      i => planeSign(table, i / numDims, i % numDims))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SignedProjectionBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        signs, numPlanes, numDims))
+  }
+
+  /** The same bucket id from Spark built-ins only (interpreted HOFs). */
+  private[graft] def lshBucketComposed(vec: Column, table: Int, numPlanes: Int, numDims: Int): Column = {
     val bits = (0 until numPlanes).map { j =>
       val plane = Array.tabulate(numDims)(d => planeSign(table, j, d))
       val dot = aggregate(
@@ -83,9 +96,6 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    // zip_with pads a length mismatch with nulls, which would silently zero
-    // every bucket bit (while the DuckDB oracle folds the actual length) —
-    // fail loudly instead of diverging.
     when(size(vec) === numDims, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshBucket: expected $numDims-dim vector, got "),
@@ -178,8 +188,19 @@ object Similarity {
         sort_array(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("carr"))
 
-  /** Sequential L2² fold between a float vector and a double centroid array. */
-  private def l2sq(vec: Column, carr: Column): Column =
+  /** Sequential L2² fold between a float vector and a double centroid array.
+    * Native codegen expression (graft.plans.L2Sq) — this runs on the n×k
+    * vector-to-centroid distance rows, the hottest IVF expression;
+    * [[l2sqComposed]] is the HOF twin kept for the equivalence test.
+    */
+  private[graft] def l2sq(vec: Column, carr: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.L2Sq(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(carr)))
+
+  /** The same fold from Spark built-ins only (interpreted HOFs). */
+  private[graft] def l2sqComposed(vec: Column, carr: Column): Column =
     aggregate(
       zip_with(vec, carr, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
