@@ -48,4 +48,58 @@ object Pipelines {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** Parse with a dead-letter side channel: parsed article rows stream to
+    * `goodPath`, rows whose payload failed to parse (null `article_id` after
+    * PERMISSIVE from_json — the reference's silent failure mode) stream to
+    * `badPath` with their raw payload, for replay after a parser fix.
+    *
+    * One source, two sinks = `foreachBatch`: each micro-batch writes BOTH
+    * outputs into `batch_id=<id>` partition directories with dynamic
+    * partition overwrite, so a replayed batch (restart after a crash between
+    * the two writes) overwrites its own partition instead of duplicating —
+    * idempotence comes from the (checkpoint batch id × overwrite) pair, the
+    * standard exactly-once recipe for multi-sink foreachBatch.
+    */
+  def articlesWithDeadLetter(
+      spark: SparkSession,
+      source: StreamSource,
+      goodPath: String,
+      badPath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, from_json, lit, try_to_timestamp}
+    // Articles.parse drops the envelope payload; the dead-letter channel
+    // must keep it, so the parse steps run here with raw_data carried along.
+    val withRaw = source.load(spark)
+      .select(col("data").cast("string").as("raw_data"))
+      .select(col("raw_data"), from_json(col("raw_data"), Articles.payloadSchema).as("article"))
+      .select(col("raw_data"), col("article.*"))
+      .withColumn("publish_date", try_to_timestamp(col("publish_date")))
+    withRaw.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val conf = batch.sparkSession.conf
+        val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          val stamped = batch.withColumn("batch_id", lit(batchId))
+          stamped.where(col("article_id").isNotNull)
+            .drop("raw_data")
+            .write.mode("overwrite").partitionBy("batch_id").parquet(goodPath)
+          stamped.where(col("article_id").isNull)
+            .select(col("raw_data"), col("batch_id"))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(badPath)
+        } finally {
+          prev match {
+            case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        ()
+      }
+      .start()
+  }
 }
