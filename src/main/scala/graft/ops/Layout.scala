@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers: bucketed tables for shuffle-free co-located
+  * joins — the third leg of the join-strategy triad beside broadcast (small
+  * dims) and repartition (one-shot co-location).
+  *
+  * At 100 TB, a fact-to-fact equi-join on a shared key shuffles both sides
+  * every run; writing both sides bucketed (+ sorted) by the key ONCE makes
+  * every later join on that key exchange-free — Catalyst matches the bucket
+  * spec on both sides and plans a sort-merge join directly on the bucket
+  * files (`PlanSpec` proves the plan has zero Exchange nodes). The write
+  * itself costs one shuffle — amortized across every subsequent join,
+  * aggregation, or dedup keyed on the same column.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, bucket-sorted EXTERNAL table (data at `path`,
+    * registered as `table` in the session catalog — bucketing metadata lives
+    * in the catalog, which is why this is `saveAsTable`, not plain parquet).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two tables bucketed on the same key with the
+    * same bucket count: no exchange on either side.
+    */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -87,6 +87,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rank filter must compile to WindowGroupLimit:\n${p.linesIterator.take(8).mkString("\n")}")
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    import graft.ops.Layout
+    val docs = Tables.load(spark, sf, "documents")
+    val dir1 = tmpDir("bkt1")
+    val dir2 = tmpDir("bkt2")
+    Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
+      "bkt_lang", dir1, "doc_id", 4)
+    Layout.writeBucketed(docs.select(col("doc_id"), col("source")),
+      "bkt_source", dir2, "doc_id", 4)
+    // at test scale the planner would broadcast the tiny side (which turns
+    // bucketing off entirely); disable broadcast to see the big-data shape —
+    // two large fact tables neither of which fits in memory
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Layout.bucketedJoin(spark, "bkt_lang", "bkt_source", "doc_id"))
+      assert(!p.contains("Exchange"),
+        s"matching bucket specs must join shuffle-free:\n${p.linesIterator.take(12).mkString("\n")}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "co-located join still uses a real join operator")
+      val n = Layout.bucketedJoin(spark, "bkt_lang", "bkt_source", "doc_id").count()
+      assert(n == docs.count(), "join result covers every document exactly once")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_lang")
+      spark.sql("DROP TABLE IF EXISTS bkt_source")
+    }
+  }
+
   test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
     val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
