@@ -86,4 +86,33 @@ object Joins {
       .where(col(pointTime) >= col(start) && col(pointTime) <= col(end))
       .drop("__bucket")
   }
+
+  /** Skew-salted equi-join: when a handful of hot keys dominate the left
+    * side, a plain shuffle join piles every hot-key row onto one task. Salt
+    * the join key into `salts` sub-keys — the left side deterministically
+    * (hash of a per-row discriminator column, NOT a random number: results
+    * must be reproducible under retries and across engines), the right side
+    * by replicating each row into all `salts` sub-keys — and the hot key's
+    * rows spread across `salts` tasks. Semantically identical to
+    * `left.join(right, key)`: every (l, r) pair still meets on exactly one
+    * (key, salt) value.
+    *
+    * Cost: right side ×`salts` through the shuffle — use for joins whose
+    * right side is too big to broadcast but far smaller than the skewed
+    * left (the classic fact-to-medium-dim shape AQE's skew handling does
+    * not cover, e.g. when the skew is in the source, not a shuffle stage).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      discriminator: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, "need at least one salt")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(discriminator)), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -151,6 +151,27 @@ object RelationalQueries {
            |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            |GROUP BY c_custkey""".stripMargin)),
 
+    // Skew-salted equi-join: lineitem->orders through the salted path must
+    // equal the plain join (the oracle) — the salt spreads hot keys across
+    // tasks without changing semantics.
+    QueryDef(
+      "q35_salted_join",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.ops.Joins.saltedJoin(li, ord, key = "l_orderkey",
+            discriminator = "l_linenumber", salts = 4)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            Num.dsum(col("l_extendedprice")).as("total_price"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+           |  ${Num.duckDsum("l_extendedprice")} AS total_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus""".stripMargin)),
+
     // As-of join (an operator Spark lacks as a built-in): each purchase event
     // joined to the user's latest view event at or before it — one
     // sort-shuffle on user_id via the union + carry-forward-window

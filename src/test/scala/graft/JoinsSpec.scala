@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Joins
 
@@ -62,5 +63,27 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (6L, 11L)),
       s"inclusive containment only, no duplicates across bands: $got")
+  }
+
+  test("saltedJoin == plain join on a skewed corpus; salt actually spreads the hot key") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = ((0 until 900).map(i => (i.toLong, 1L)) ++
+      (900 until 1000).map(i => (i.toLong, (i % 7 + 2).toLong))).toDF("row_id", "k")
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (5L, "c")).toDF("k", "v")
+
+    val plain = left.join(right, "k").select("row_id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Joins.saltedJoin(left, right, key = "k",
+        discriminator = "row_id", salts = 8)
+      .select("row_id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain, "salting must not change the join result")
+
+    // the hot key's left rows really get distributed over the salt space
+    val saltSpread = left.where(col("k") === 1L)
+      .withColumn("s", pmod(xxhash64(col("row_id")), lit(8L)))
+      .select("s").distinct().count()
+    assert(saltSpread >= 6, s"hot key spread over only $saltSpread of 8 salts")
   }
 }
