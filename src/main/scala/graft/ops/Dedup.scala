@@ -180,6 +180,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs among DISTINCT values of a
+    * short-string column, with length-band blocking: since
+    * |len(a) − len(b)| <= lev(a, b), side A explodes into the 2·maxDist+1
+    * length keys it could pair with and the join is an EQUI-join on the
+    * length key — no all-pairs comparison, zero recall loss, and each pair
+    * meets on exactly one key (δ = len(b) − len(a)), so no dedup is needed.
+    * The distinct() first is load-bearing: exact duplicates would otherwise
+    * form O(count²) trivial lev-0 pairs per repeated value (the mega-cluster
+    * failure mode); exact dedup already handles identity.
+    *
+    * The fuzzy-matching primitive for catalog/entity names — the string twin
+    * of the banded range join's "make the inequality an equi-join" move.
+    */
+  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be positive")
+    val names = df.select(name.as("name")).distinct()
+    val a = names.select(col("name").as("name_a"),
+      explode(sequence(
+        length(col("name")) - maxDist,
+        length(col("name")) + maxDist)).as("len_key"))
+    val b = names.select(col("name").as("name_b"), length(col("name")).as("len_key"))
+    a.join(b, "len_key")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
   /** 60-bit SimHash over token occurrences: majority vote per bit position of
     * each token's hash60 (+1 if bit set, -1 if not; bit set in the output iff
     * the vote sum is > 0).

@@ -132,6 +132,23 @@ object DedupQueries {
            |JOIN ok_buckets ob
            |  ON ob.band = a.band AND ob.band_sig = a.band_sig""".stripMargin)),
 
+    // Levenshtein near-dup among distinct part names with lossless
+    // length-band blocking (|len diff| <= lev) — fuzzy entity matching as an
+    // equi-join instead of an all-pairs comparison.
+    QueryDef(
+      "q58_edit_distance_pairs",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        Dedup.editDistancePairs(part, col("p_name"), maxDist = 2)
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+           |SELECT a.p_name AS name_a, b.p_name AS name_b,
+           |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           |FROM n a JOIN n b
+           |  ON a.p_name < b.p_name
+           |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+
     // SimHash (60-bit majority-vote fingerprints).
     QueryDef(
       "q55_simhash",

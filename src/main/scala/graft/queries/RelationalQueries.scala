@@ -374,6 +374,24 @@ object RelationalQueries {
            |JOIN region ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
 
+    // Explicit GROUPING SETS with grouping_id — the general form behind
+    // rollup/cube, with the bitmask disambiguating real nulls from
+    // grouping-set placeholder nulls.
+    QueryDef(
+      "q76_grouping_sets",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupingSets(
+            Seq(Seq(col("event_type"), col("user_id")), Seq(col("event_type")), Seq()),
+            col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            grouping_id().cast("long").as("gid"))
+      },
+      Some(s"""SELECT event_type, user_id, COUNT(*) AS n,
+           |  CAST(GROUPING(event_type, user_id) AS BIGINT) AS gid
+           |FROM ${Tables.duckEvents} ev
+           |GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())""".stripMargin)),
+
     // CUBE (all grouping-set combinations).
     QueryDef(
       "q24_cube",
