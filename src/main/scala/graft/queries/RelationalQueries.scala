@@ -392,6 +392,49 @@ object RelationalQueries {
            |FROM ${Tables.duckEvents} ev
            |GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())""".stripMargin)),
 
+    // JSON scalar functions over the events props column: typed extraction
+    // via from_json, path extraction via get_json_object, plus an aggregate
+    // over the extracted value (F2's json surface beyond the article parse).
+    QueryDef(
+      "q77_json_props",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val k = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k")
+        ev.select(col("event_type"), k.as("k"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            sum(when(col("k") === col("k_path"), 1L).otherwise(0L)).as("n_path_agree"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           |  CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) = CAST(json_extract_string(props, '$$.k') AS BIGINT)
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_path_agree,
+           |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+           |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+           |FROM ${Tables.duckEvents} ev GROUP BY event_type""".stripMargin)),
+
+    // Approximate percentiles (Greenwald-Khanna sketch): merge order across
+    // partitions affects the sketch, so no cross-engine oracle is possible —
+    // the driver records the rows-only check and CatalogSpec bounds the
+    // error against the exact percentiles (same pattern as q26's HLL).
+    QueryDef(
+      "q78_approx_percentile",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(col("event_type"))
+          .agg(
+            percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+              .as("approx_p"))
+      },
+      None),
+
     // CUBE (all grouping-set combinations).
     QueryDef(
       "q24_cube",

@@ -58,6 +58,26 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall >= 1.5 * (1.0 / 9), "IVF must beat the random-cluster baseline clearly")
   }
 
+  test("q78: approx percentiles within tight bounds of the exact values") {
+    val sf = TestSpark.sf0001
+    val ev = Tables.load(spark, sf, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("p"),
+        max(col("value")).as("mx"), min(col("value")).as("mn"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2) - r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("q78_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (ex, range)) =>
+      val ap = approx(k)
+      Seq(0, 1).foreach { i =>
+        assert(math.abs(ap(i) - ex(i)) <= 0.05 * range,
+          s"$k p${if (i == 0) 50 else 95}: approx ${ap(i)} vs exact ${ex(i)} beyond 5% of range")
+      }
+    }
+  }
+
   test("LSH recall dial: multi-table candidate union raises recall monotonically") {
     // measured on sf0.001: 1 table 0.020, 2 tables 0.039, 4 tables 0.076 —
     // near-linear in table count, the standard LSH recall/cost trade
