@@ -43,4 +43,19 @@ object Layout {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Range-partition + sort within partitions on `sortCol`: globally ordered
+    * output (file k's values all precede file k+1's) without a single-task
+    * global sort — the layout that makes downstream range scans, time-ordered
+    * reads, and min/max file pruning effective. The exchange samples the key
+    * distribution (RangePartitioning), so output files are balanced even on
+    * skewed keys.
+    */
+  def rangeSorted(df: DataFrame, sortCol: String, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+
+  /** Write `df` range-sorted on `sortCol` (see [[rangeSorted]]). */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String, partitions: Int): Unit =
+    rangeSorted(df, sortCol, partitions).write.mode("overwrite").parquet(path)
 }

@@ -160,6 +160,34 @@ object TextQueries {
            |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
            |WHERE rank <= 3""".stripMargin)),
 
+    // Array-function surface over the token array: distinct/sort/slice/
+    // contains/position composed to scalar outputs (scalars keep the oracle
+    // compare engine-agnostic; the arrays themselves are exercised upstream
+    // by the shingle/fingerprint paths).
+    QueryDef(
+      "q79_array_funcs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val t = Text.tokens(col("text"))
+        val dt = array_distinct(t)
+        docs.select(
+          col("doc_id"),
+          size(dt).as("n_distinct"),
+          array_contains(t, "the").as("has_the"),
+          array_position(t, "the").cast("long").as("first_the"),
+          concat_ws("|", slice(sort_array(dt), 1, 3)).as("first3_sorted"),
+          element_at(t, 1).as("first_tok"),
+          element_at(t, -1).as("last_tok"))
+      },
+      Some("""SELECT doc_id,
+           |  len(list_distinct(toks)) AS n_distinct,
+           |  list_contains(toks, 'the') AS has_the,
+           |  CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
+           |  array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '|') AS first3_sorted,
+           |  toks[1] AS first_tok,
+           |  toks[-1] AS last_tok
+           |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",

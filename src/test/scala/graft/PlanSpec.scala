@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("range-sorted layout: RangePartitioning exchange + in-partition sort, no global sort") {
+    import graft.ops.Layout
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Layout.rangeSorted(docs, "doc_id", 4))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "must sample-balance partitions by key range")
+    assert("Sort \\[doc_id".r.findFirstIn(p).isDefined, "in-partition sort on the key")
+    // partition-local sort, not a single-task global one
+    assert(p.contains("false, 0") || !p.contains("global=true"),
+      s"sort must be partition-local:\n${p.linesIterator.take(6).mkString("\n")}")
+  }
+
   test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
     val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
