@@ -283,6 +283,65 @@ object RelationalQueries {
            |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            |  FROM orders) WHERE rn <= 3""".stripMargin)),
 
+    // The remaining analytic-function surface in one query: lag/lead,
+    // dense_rank, ntile, percent_rank, cume_dist over a deterministic
+    // per-customer order (orderdate, orderkey — unique, so every function
+    // is reproducible).
+    QueryDef(
+      "q80_analytic_suite",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        orders.select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+           |  lag(o_totalprice, 1) OVER w AS prev_price,
+           |  lead(o_totalprice, 1) OVER w AS next_price,
+           |  CAST(dense_rank() OVER w AS INT) AS drank,
+           |  CAST(ntile(4) OVER w AS INT) AS quartile,
+           |  percent_rank() OVER w AS prank,
+           |  cume_dist() OVER w AS cdist
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
+    // Map-typed column surface: per-user (event_type -> count) maps built
+    // with map_from_entries, consumed via cardinality / element_at /
+    // map_values — outputs scalarized for the oracle (DuckDB computes the
+    // same facts relationally).
+    QueryDef(
+      "q81_map_funcs",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val counts = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("user_id"))
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .select(
+            col("user_id"),
+            size(col("m")).as("n_types"),
+            element_at(col("m"), "click").as("n_click"),
+            array_max(map_values(col("m"))).as("max_type_count"),
+            array_min(map_keys(col("m"))).as("first_type"))
+      },
+      Some(s"""WITH c AS (
+           |  SELECT user_id, event_type, COUNT(*) AS n
+           |  FROM ${Tables.duckEvents} ev GROUP BY 1, 2)
+           |SELECT user_id,
+           |  CAST(COUNT(*) AS INT) AS n_types,
+           |  MAX(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+           |  MAX(n) AS max_type_count,
+           |  MIN(event_type) AS first_type
+           |FROM c GROUP BY user_id""".stripMargin)),
+
     // Running (cumulative) aggregate over an ordered frame.
     QueryDef(
       "q18_running_sum",
