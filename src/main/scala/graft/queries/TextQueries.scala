@@ -188,6 +188,31 @@ object TextQueries {
            |  toks[-1] AS last_tok
            |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
 
+    // Higher-order lambda functions (transform/filter/exists/forall/
+    // aggregate) composed to scalars — the §2.7 HOF surface exercised
+    // directly (the hot paths use native expressions instead; this query
+    // pins the built-in lambda semantics against DuckDB's list lambdas).
+    QueryDef(
+      "q82_higher_order_funcs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val t = Text.tokens(col("text"))
+        docs.select(
+          col("doc_id"),
+          size(filter(t, x => length(x) > 4)).as("n_long"),
+          aggregate(transform(t, x => length(x).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("total_chars"),
+          exists(t, x => x === lit("the")).as("has_the"),
+          forall(t, x => length(x) < 20).as("all_short"))
+      },
+      Some("""SELECT doc_id,
+           |  len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, v) -> a + v) AS total_chars,
+           |  len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+           |  len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short
+           |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",
