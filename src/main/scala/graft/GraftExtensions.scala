@@ -66,6 +66,10 @@ object GraftExtensions {
       }
       graft.plans.RegexpMatchCount(ch(0), p)
     },
+    entry("l2sq", classOf[graft.plans.L2Sq]) { ch =>
+      require(ch.size == 2, "l2sq takes exactly two array arguments")
+      graft.plans.L2Sq(ch(0), ch(1))
+    },
     entry("freq_items_sketch", classOf[graft.plans.FreqItemsSketch]) { ch =>
       require(ch.size == 2, "freq_items_sketch takes (col, capacity)")
       val cap = ch(1) match {

@@ -13,6 +13,7 @@ object TimeQuery {
     require(args.length >= 2, "usage: TimeQuery <query> <sfDir> [reps=3]")
     val (name, sfDir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 3
+    require(reps >= 0, s"reps must be >= 0 (0 prints the plan), got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -16,6 +16,13 @@ object Text {
 
   /** Whitespace-run tokenizer — the reference's exact semantics
     * (`process_articles.py:74`).
+    *
+    * Cross-engine pin: Java's `\s` is `[ \t\n\x0B\f\r]` while DuckDB/RE2's
+    * `\s` is `[ \t\n\f\r]` — they disagree ONLY on vertical tab (U+000B).
+    * The oracle pairing (`split` vs `string_split_regex`) therefore assumes
+    * the corpus is U+000B-free (verified for all testdata scale factors); a
+    * corpus with vertical tabs would need the explicit class
+    * `[ \t\n\x0B\f\r]+` on the DuckDB side.
     */
   val WhitespaceRegex = "\\s+"
 
@@ -243,10 +250,17 @@ object Text {
       freqItemsSketch(col("tok"), capacity).as("cands"),
       count(lit(1)).as("total"))
     val cands = sk.select(explode(col("cands")).as("tok"), col("total"))
+    // threshold in EXACT decimal arithmetic: a double product can overshoot
+    // (ceil(100 * 0.07) = 8 in binary doubles, 7 exactly) and silently drop
+    // a true heavy hitter; DuckDB multiplies decimal literals exactly, so
+    // the engine must too for the "identical to GROUP BY/HAVING" guarantee.
+    // BigDecimal.valueOf goes through the double's shortest decimal
+    // rendering, so minFrac = 0.07 becomes exactly 0.07.
+    val fracDec = lit(java.math.BigDecimal.valueOf(minFrac))
     toks.join(broadcast(cands), "tok")
       .groupBy(col("tok"), col("total"))
       .agg(count(lit(1)).as("n"))
-      .where(col("n") >= ceil(col("total") * lit(minFrac)))
+      .where(col("n") >= ceil(col("total") * fracDec))
       .select(col("tok"), col("n"))
   }
 

@@ -60,12 +60,15 @@ class Hash60ExpressionSpec extends AnyFunSuite with SparkSpec {
         |              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |  word_shingles('a b c d', 3) AS sh,
         |  token_fingerprint('a b c') AS fp,
-        |  regexp_match_count('a1 b2 c3', '[a-z][0-9]') AS rc""".stripMargin).head()
+        |  regexp_match_count('a1 b2 c3', '[a-z][0-9]') AS rc,
+        |  l2sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |       array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS l2""".stripMargin).head()
     assert(r.getLong(0) == Hashing.hash60JVM("hello world"))
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
     assert(r.getLong(3) >= 0L && r.getLong(3) < 8796093022208L)
     assert(r.getInt(4) == 3)
+    assert(r.getDouble(5) == 8.0) // (1-3)^2 + (2-4)^2
     // the native aggregate registers too (analyzer wraps the bare
     // AggregateFunction in an AggregateExpression)
     val agg = spark.sql(
