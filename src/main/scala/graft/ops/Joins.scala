@@ -33,8 +33,16 @@ object Joins {
       key: String,
       time: String,
       rightVals: Seq[String]): DataFrame = {
+    val reserved = Seq("__side", "__rv", "__m") ++ (time +: rightVals).map(c => s"asof_$c")
+    val clash = left.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"asOfJoin: left frame already uses reserved column name(s) ${clash.mkString(", ")}")
     val rv = struct((time +: rightVals).map(col): _*)
-    val r = right.select(col(key), col(time), lit(0).as("__side"), rv.as("__rv"))
+    // A null-time right row would sort first (nulls-first) and its non-null
+    // __rv struct would be carried forward as a spurious "prior" match —
+    // a null timestamp can never be "at or before" anything, so drop it.
+    val r = right.where(col(time).isNotNull)
+      .select(col(key), col(time), lit(0).as("__side"), rv.as("__rv"))
     val l = left.withColumn("__side", lit(1))
     // unionByName fills each side's missing columns with nulls: left rows get
     // a null right-value struct, right rows get null left payload columns

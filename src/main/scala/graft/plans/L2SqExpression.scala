@@ -21,6 +21,10 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2sq"
 
+  // Null even for non-null children (length mismatch → null); without this
+  // the non-nullable codegen branch would emit `false = true` (Janino error).
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -38,9 +42,10 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = isFloat(left)
     val rf = isFloat(right)
+    val r = ctx.freshName("l2sqRes")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = graft.plans.L2Sq.compute($a, $b, $lf, $rf);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) r; }
+      s"""Object $r = graft.plans.L2Sq.compute($a, $b, $lf, $rf);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) $r; }
          |""".stripMargin
     })
   }

@@ -487,10 +487,16 @@ object RelationalQueries {
       "q78_approx_percentile",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
+        // Scalar columns (not the raw array) so the driver's rows-only
+        // fallback can canonicalize the frame — array cells are unsortable
+        // in its pandas compare.
         ev.groupBy(col("event_type"))
           .agg(
             percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
               .as("approx_p"))
+          .select(col("event_type"),
+            element_at(col("approx_p"), 1).as("approx_p50"),
+            element_at(col("approx_p"), 2).as("approx_p95"))
       },
       None),
 

@@ -81,23 +81,19 @@ object Pipelines {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val conf = batch.sparkSession.conf
-        val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          val stamped = batch.withColumn("batch_id", lit(batchId))
-          stamped.where(col("article_id").isNotNull)
-            .drop("raw_data")
-            .write.mode("overwrite").partitionBy("batch_id").parquet(goodPath)
-          stamped.where(col("article_id").isNull)
-            .select(col("raw_data"), col("batch_id"))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(badPath)
-        } finally {
-          prev match {
-            case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-        }
+        // Per-write option, NOT a session-conf toggle: a concurrent query on
+        // the same session must never observe a temporarily-dynamic mode.
+        val stamped = batch.withColumn("batch_id", lit(batchId))
+        stamped.where(col("article_id").isNotNull)
+          .drop("raw_data")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(goodPath)
+        stamped.where(col("article_id").isNull)
+          .select(col("raw_data"), col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(badPath)
         ()
       }
       .start()

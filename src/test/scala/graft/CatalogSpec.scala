@@ -67,7 +67,7 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getSeq[Double](1), r.getDouble(2) - r.getDouble(3))).toMap
     val approx = SparkEntry.queries("q78_approx_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (k, (ex, range)) =>
       val ap = approx(k)
