@@ -180,6 +180,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over candidate near-dup pairs: the step that turns
+    * PAIRS (what every LSH/Jaccard/simhash path emits) into CLUSTERS — the
+    * transitive closure a curation pipeline needs before it can pick one
+    * survivor per duplicate group.
+    *
+    * Output: (id, cluster_id) for every node appearing in `pairs`, where
+    * cluster_id = the MINIMUM id in the node's connected component (so the
+    * label is also the canonical representative — the same min-id policy as
+    * [[exactByKey]]).
+    *
+    * Algorithm: iterative hash-min label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * edges⋈labels shuffle join + one min-aggregation); converged when no
+    * label changed. Rounds = O(component diameter) — near-dup components are
+    * shallow (duplicates of a common ancestor), so this terminates in a
+    * handful of rounds on real corpora; `maxIter` is the runaway guard (a
+    * path graph of 10^maxIter nodes would be the only loser). Everything is
+    * a pure shuffle-on-key dataflow: no driver-side union-find, no collect —
+    * the only driver action per round is the scalar convergence count.
+    * `localCheckpoint` per round keeps the plan flat (lineage would otherwise
+    * double every iteration — the q68/q69 lesson).
+    *
+    * The label frame that shuffles each round is (id, label) ONLY — two
+    * columns, no payload — so at 10^9 nodes a round is a join on ids against
+    * the (static, checkpointed) edge list. Skew bound: a node's in-round
+    * fan-in equals its degree; pair generators above already cap bucket
+    * sizes (`maxBucket` / `maxShingleDf`), which bounds degree at the source.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+      maxIter: Int = 50): DataFrame = {
+    val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .where(col("lbl") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep one survivor per near-dup cluster: drop every row whose id appears
+    * in `labels` (the [[connectedComponents]] output) with a cluster_id other
+    * than itself. Because the cluster label IS the component's min id, the
+    * survivor set is exactly "rows not labeled as someone else's duplicate" —
+    * a single broadcast-able anti-join, no window needed. Rows never seen in
+    * any pair are singletons and survive untouched.
+    */
+  def keepClusterRepresentative(df: DataFrame, id: Column, labels: DataFrame): DataFrame = {
+    val dupes = labels.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__cc_dup"))
+    df.join(dupes, id === col("__cc_dup"), "left_anti")
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs among DISTINCT values of a
     * short-string column, with length-band blocking: since
     * |len(a) − len(b)| <= lev(a, b), side A explodes into the 2·maxDist+1

@@ -38,6 +38,36 @@ object DedupQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB CTE chain ending in `jp(id_a, id_b)`: the q52 Jaccard near-dup
+    * pairs (threshold 0.4, shingle-df cap 100) reduced to id pairs — the
+    * shared input of the cluster-formation oracles (q83/q84).
+    */
+  private val duckJaccardPairCtes: String =
+    s"""$duckShingleCte,
+       |shc AS (
+       |  SELECT id, sh FROM sh
+       |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION
+       |  SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |labels AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup audit: hash groups with representative + multiplicity.
@@ -148,6 +178,39 @@ object DedupQueries {
            |  ON a.p_name < b.p_name
            |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
            |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+
+    // Near-dup CLUSTER formation: connected components (iterative hash-min
+    // label propagation, O(diameter) rounds, no driver-side union-find) over
+    // the q52 Jaccard candidate pairs — cluster_id = min doc id per
+    // component. Oracle: DuckDB recursive-CTE transitive closure.
+    QueryDef(
+      "q83_neardup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100))
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE $duckJaccardPairCtes
+           |SELECT id, cluster_id FROM labels""".stripMargin)),
+
+    // Pairs → clusters → SURVIVORS: the full dedup story composed — every
+    // document survives except those labeled as a non-representative member
+    // of a near-dup cluster (min-id survivor policy, matching exact dedup's).
+    QueryDef(
+      "q84_cluster_survivors",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100))
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepClusterRepresentative(docs, col("doc_id"), labels)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $duckJaccardPairCtes
+           |SELECT doc_id, lang, source FROM documents d
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM labels l WHERE l.id = d.doc_id AND l.id <> l.cluster_id)""".stripMargin)),
 
     // SimHash (60-bit majority-vote fingerprints).
     QueryDef(

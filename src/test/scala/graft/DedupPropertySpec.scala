@@ -140,6 +140,59 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     pairs.values.foreach(j => assert(j > 0.0 && j <= 1.0 + 1e-12))
   }
 
+  test("connected components: labels match union-find on random graphs; idempotent; survivors = one per cluster") {
+    import spark.implicits._
+    Seq(31L, 32L, 33L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      // random sparse graph incl. a long path (exercises multi-round diameter)
+      val randomEdges = (0 until 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val pathEdges = (100L until 110L).map(i => (i, i + 1))
+      val edges = (randomEdges ++ pathEdges).distinct
+      val pairs = edges.toDF("id_a", "id_b")
+
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // reference: test-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map(v => v -> {
+        // min element of v's component
+        val root = find(v)
+        nodes.filter(u => find(u) == root).min
+      }).toMap
+      assert(got == expected, s"seed $seed: CC labels must equal union-find min labels")
+
+      // transitivity/idempotence: re-clustering the (id, cluster_id) pairs
+      // themselves is a fixed point — every node keeps its label
+      val again = Dedup.connectedComponents(
+        got.toSeq.filter { case (id, c) => id != c }.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      again.foreach { case (id, c) => assert(c == got(id), "idempotent labels") }
+
+      // survivors: exactly one per cluster (the min), singletons untouched
+      val universe = (0L until n.toLong).map(i => (i, s"row$i")).toDF("id", "payload")
+      val labels = got.toSeq.toDF("id", "cluster_id")
+      val kept = Dedup.keepClusterRepresentative(universe, col("id"), labels)
+        .collect().map(_.getLong(0)).toSet
+      val clustered = got.keySet.filter(_ < n)
+      val reps = got.filter { case (id, c) => id < n && id == c }.keySet
+      assert(kept == ((0L until n.toLong).toSet -- clustered) ++ reps,
+        s"seed $seed: survivors are non-clustered rows plus one min-id rep per cluster")
+    }
+  }
+
   test("brute-force and LSH top-k agree on rank-1 for exact duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(6)
