@@ -252,28 +252,76 @@ object Dedup {
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs among DISTINCT values of a
-    * short-string column, with length-band blocking: since
-    * |len(a) − len(b)| <= lev(a, b), side A explodes into the 2·maxDist+1
-    * length keys it could pair with and the join is an EQUI-join on the
-    * length key — no all-pairs comparison, zero recall loss, and each pair
-    * meets on exactly one key (δ = len(b) − len(a)), so no dedup is needed.
+    * short-string column — TWO zero-recall-loss blocking dimensions, so the
+    * candidate set never goes quadratic in a popular length band:
+    *
+    *  1. Length filter: |len(a) − len(b)| <= lev(a, b).
+    *  2. Q-gram count filter (Gravano et al., approximate string joins): one
+    *     edit operation creates/destroys at most `q` q-gram types, so a pair
+    *     within lev `d` shares >= max(nd_a, nd_b) − d·q DISTINCT q-grams
+    *     (nd = the name's distinct q-gram count). Candidates come from an
+    *     inverted-index join on the q-gram (exactly [[ngramJaccardPairs]]'s
+    *     shape), aggregated to a shared-gram count and filtered against the
+    *     bound — a pair of long strings must now agree on most of their
+    *     grams to survive, not merely on length.
+    *
+    * The gram bound is vacuous when BOTH sides are short (max(nd) <= d·q):
+    * such a pair can share zero grams yet be within budget ("ab"/"cd" at
+    * lev 2), so short×short pairs route through the plain length-band
+    * equi-join — a bounded pool (names of <= ~(d·q+q−1) chars) that cannot
+    * explode. Pairs with at least one long side are covered by the gram join
+    * (shared >= nd_long − d·q >= 1 guarantees a colliding gram). Survivors
+    * of either path get exact `levenshtein` verification, so the blocking is
+    * invisible in the result — the oracle stays the naive all-pairs SQL.
+    *
+    * Cost bound: the gram join produces Σ_g df(g)² rows (df = names
+    * containing gram g) instead of Σ_len n(len)² — grams slice a corpus far
+    * finer than lengths (per-gram df is corpus-vocabulary-bound, while
+    * popular lengths hold a constant fraction of all names), and the early
+    * length filter prunes the joined rows before the pair aggregation.
+    *
     * The distinct() first is load-bearing: exact duplicates would otherwise
     * form O(count²) trivial lev-0 pairs per repeated value (the mega-cluster
     * failure mode); exact dedup already handles identity.
-    *
-    * The fuzzy-matching primitive for catalog/entity names — the string twin
-    * of the banded range join's "make the inequality an equi-join" move.
     */
-  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int): DataFrame = {
+  def editDistancePairs(df: DataFrame, name: Column, maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be positive")
+    require(q >= 1, "q-gram width must be positive")
     val names = df.select(name.as("name")).distinct()
-    val a = names.select(col("name").as("name_a"),
-      explode(sequence(
-        length(col("name")) - maxDist,
-        length(col("name")) + maxDist)).as("len_key"))
-    val b = names.select(col("name").as("name_b"), length(col("name")).as("len_key"))
-    a.join(b, "len_key")
+      .withColumn("len", length(col("name")))
+      .withColumn("grams", array_distinct(
+        when(col("len") >= q,
+          expr(s"transform(sequence(1, len - ${q - 1}), i -> substring(name, i, $q))"))
+          .otherwise(array())))
+      .withColumn("nd", size(col("grams")))
+    val dq = maxDist * q
+
+    // Path 1: >=1 long side — inverted-index gram join + count filter.
+    val g = names.select(col("name"), col("len"), col("nd"), explode(col("grams")).as("g"))
+    val ga = g.select(col("name").as("name_a"), col("len").as("len_a"),
+      col("nd").as("nd_a"), col("g"))
+    val gb = g.select(col("name").as("name_b"), col("len").as("len_b"),
+      col("nd").as("nd_b"), col("g"))
+    val gramPairs = ga.join(gb, Seq("g"))
+      .where(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .groupBy(col("name_a"), col("name_b"), col("nd_a"), col("nd_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(greatest(col("nd_a"), col("nd_b")) > dq &&
+        col("shared") >= greatest(col("nd_a"), col("nd_b")) - dq)
+      .select(col("name_a"), col("name_b"))
+
+    // Path 2: short×short — plain length-band equi-join over the bounded
+    // short-name pool (the gram bound is vacuous there).
+    val short = names.where(col("nd") <= dq)
+    val sa = short.select(col("name").as("name_a"),
+      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len_key"))
+    val sb = short.select(col("name").as("name_b"), col("len").as("len_key"))
+    val shortPairs = sa.join(sb, "len_key")
       .where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+
+    gramPairs.unionByName(shortPairs)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .where(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"))

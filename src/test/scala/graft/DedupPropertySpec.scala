@@ -140,6 +140,43 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     pairs.values.foreach(j => assert(j > 0.0 && j <= 1.0 + 1e-12))
   }
 
+  test("edit-distance blocking: adversarial same-length corpus — result equals brute force") {
+    import spark.implicits._
+    // adversarial for length-only blocking: EVERY name has length 8, so the
+    // old single-dimension scheme put all of them in one join bucket. The
+    // q-gram count filter must cut candidates without losing a single pair,
+    // including short strings ("abcd..." truncated pool) routed via the
+    // short-short path.
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcdef"
+    val base = (0 until 120).map(_ => (0 until 8).map(_ => alpha(rnd.nextInt(6))).mkString)
+    val perturbed = base.take(40).map { s =>
+      val i = rnd.nextInt(s.length)
+      s.updated(i, alpha(rnd.nextInt(6)))
+    }
+    val shorts = Seq("ab", "cd", "ac", "bd", "a", "b")
+    val all = (base ++ perturbed ++ shorts).distinct
+    val df = all.map(Tuple1(_)).toDF("nm")
+
+    val got = Dedup.editDistancePairs(df, col("nm"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- all; b <- all if a < b
+      dist = lev(a, b) if dist <= 2
+    } yield (a, b, dist.toLong)).toSet
+    assert(got == expected, "blocked result must equal the brute-force pair set")
+    assert(expected.exists(_._3 == 2) && shorts.combinations(2).nonEmpty,
+      "fixture exercises both the gram path and the short-short path")
+  }
+
   test("connected components: labels match union-find on random graphs; idempotent; survivors = one per cluster") {
     import spark.implicits._
     Seq(31L, 32L, 33L).foreach { seed =>
