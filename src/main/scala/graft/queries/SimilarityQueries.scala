@@ -240,6 +240,38 @@ object SimilarityQueries {
            |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
            |WHERE rank <= 3""".stripMargin)),
 
+    // IVF top-3 with nprobe=2 — the recall dial: each query probes its TWO
+    // nearest clusters (window-ranked probe branch of ivfTopK), widening the
+    // candidate set; posting lists stay nprobe-independent. Oracle ranks the
+    // probe clusters per query in SQL with the same (d2, clabel) tie-break.
+    QueryDef(
+      "q85_ivf_topk_nprobe2",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), 3, cents, nprobe = 2)
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |probes AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM dist)
+           |  WHERE rn <= 2),
+           |ec AS (SELECT e.vec_id, e.v, e.nrm, assign.cluster
+           |       FROM e JOIN assign USING (vec_id)),
+           |pq AS (SELECT e.vec_id, e.v, e.nrm, probes.cluster
+           |       FROM e JOIN probes USING (vec_id))
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM pq a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3""".stripMargin)),
+
     // k-means training for the IVF quantizer: hash-seeded init, 2 Lloyd
     // iterations, decimal-exact centroid recomputation — the full iterative
     // algorithm hash-verified against an unrolled DuckDB twin.

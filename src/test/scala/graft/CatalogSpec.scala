@@ -56,6 +56,13 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     val ivfRecall = recall(bf3, topk("q66_ivf_topk", 3))
     assert(ivfRecall >= 0.20, f"IVF top-3 recall $ivfRecall%.3f below pinned floor")
     assert(ivfRecall >= 1.5 * (1.0 / 9), "IVF must beat the random-cluster baseline clearly")
+    // the nprobe recall dial: probing a second cluster can only widen each
+    // query's candidate set, so recall must be monotone (and is strictly
+    // higher on this data)
+    val ivfRecall2 = recall(bf3, topk("q85_ivf_topk_nprobe2", 3))
+    assert(ivfRecall2 >= ivfRecall,
+      f"nprobe=2 recall $ivfRecall2%.3f must not fall below nprobe=1 $ivfRecall%.3f")
+    assert(ivfRecall2 >= 0.30, f"nprobe=2 top-3 recall $ivfRecall2%.3f below pinned floor")
   }
 
   test("q78: approx percentiles within tight bounds of the exact values") {
