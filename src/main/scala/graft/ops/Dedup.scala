@@ -180,6 +180,40 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
+    * signature components (P[min-hash agrees] = Jaccard, so the mean of k
+    * agreement indicators is an unbiased estimate with stderr
+    * ~ sqrt(J(1−J)/k)). This is the cheap rank/filter stage a pipeline runs
+    * BETWEEN LSH candidate generation and exact shingle-join verification:
+    * signatures are k small longs per doc, so scoring a candidate pair costs
+    * k integer compares — no re-tokenization, no shingle re-join.
+    *
+    * Input: `signatures` as produced by [[minhashSignatures]]
+    * ((doc_id, seed, mh) rows), `candidates` as produced by
+    * [[lshCandidatePairs]] ((id_a, id_b)). Output: (id_a, id_b, n_agree,
+    * n_hashes, est_jaccard), optionally filtered to `minEstimate`.
+    *
+    * Scale shape: candidates join signatures by id (ids-only shuffles,
+    * ×k row amplification on the candidate set — NOT the corpus), one
+    * partial-aggregated count per pair.
+    */
+  def minhashJaccardEstimate(
+      signatures: DataFrame,
+      candidates: DataFrame,
+      minEstimate: Option[Double] = None): DataFrame = {
+    val sa = signatures.select(col("doc_id").as("id_a"), col("seed"), col("mh").as("mh_a"))
+    val sb = signatures.select(col("doc_id").as("id_b"), col("seed"), col("mh").as("mh_b"))
+    val est = candidates.join(sa, "id_a").join(sb, Seq("id_b", "seed"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_agree"),
+        count(lit(1)).as("n_hashes"))
+      // division by the hash count is exact in binary for power-of-two k,
+      // and cross-engine-stable regardless (one double op from two ints)
+      .withColumn("est_jaccard", col("n_agree").cast("double") / col("n_hashes"))
+    minEstimate.map(t => est.where(col("est_jaccard") >= t)).getOrElse(est)
+  }
+
   /** Connected components over candidate near-dup pairs: the step that turns
     * PAIRS (what every LSH/Jaccard/simhash path emits) into CLUSTERS — the
     * transitive closure a curation pipeline needs before it can pick one

@@ -179,6 +179,43 @@ object DedupQueries {
            |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
            |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
 
+    // MinHash Jaccard ESTIMATE on the q54 candidate pairs — the cheap
+    // rank/filter stage between LSH candidates and exact verification:
+    // score = fraction of agreeing signature components, k integer compares
+    // per pair instead of a shingle re-join.
+    QueryDef(
+      "q86_minhash_jaccard_estimate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+        val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4), maxBucket = Some(100))
+        Dedup.minhashJaccardEstimate(sigs, cands)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2),
+           |ok_buckets AS (
+           |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+           |  HAVING COUNT(*) BETWEEN 2 AND 100),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN bands b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |  JOIN ok_buckets ob
+           |    ON ob.band = a.band AND ob.band_sig = a.band_sig)
+           |SELECT id_a, id_b,
+           |  CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  COUNT(*) AS n_hashes,
+           |  CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+           |FROM cand
+           |JOIN mh ma ON ma.doc_id = cand.id_a
+           |JOIN mh mb ON mb.doc_id = cand.id_b AND mb.seed = ma.seed
+           |GROUP BY 1, 2""".stripMargin)),
+
     // Near-dup CLUSTER formation: connected components (iterative hash-min
     // label propagation, O(diameter) rounds, no driver-side union-find) over
     // the q52 Jaccard candidate pairs — cluster_id = min doc id per

@@ -40,11 +40,19 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val dupText = corpus(1, 7).head._2
     val docs = (corpus(30, 2) ++ Seq((200L, dupText), (201L, dupText))).toDF("doc_id", "text")
-    val cands = Dedup.lshCandidatePairs(
-      Dedup.lshBands(Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+    val candDf = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4))
+    val cands = candDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cands.contains((200L, 201L)), "exact duplicates always collide in every band")
     assert(cands.forall { case (a, b) => a < b })
+    // the estimate stage: identical docs agree on every component (est = 1.0),
+    // and every estimate is a valid fraction over the full signature length
+    val ests = Dedup.minhashJaccardEstimate(sigs, candDf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(ests((200L, 201L))._3 == 1.0, "identical docs estimate Jaccard 1.0")
+    ests.values.foreach { case (agree, n, est) =>
+      assert(n == 16L && agree >= 0L && agree <= 16L && est == agree.toDouble / 16)
+    }
   }
 
   test("simhash: identical docs -> Hamming 0; blocked near-dup finds them; hashes < 2^60") {
