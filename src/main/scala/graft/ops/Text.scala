@@ -288,11 +288,15 @@ object Text {
     require(dims >= 1, "need at least one dimension")
     val toks = Dedup.spreadBy(df, id)
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    // ONE hash per token supplies both coordinates: the low bit is the sign,
+    // the remaining 59 bits the bucket — independent for dims < 2^59, and
+    // half the hashing work of a separate sign hash (this is the hot path:
+    // one md5 fold per token occurrence).
     val weights = toks
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
       .select(col("doc_id"),
-        pmod(Hashing.hash60(col("tok")), lit(dims.toLong)).cast("int").as("bucket"),
-        when(pmod(Hashing.hash60(concat(lit("sgn-"), col("tok"))), lit(2L)) === 1, lit(1L))
-          .otherwise(lit(-1L)).as("s"))
+        pmod(expr("h div 2"), lit(dims.toLong)).cast("int").as("bucket"),
+        when(col("h") % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("s"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("s")).as("w"))
     weights

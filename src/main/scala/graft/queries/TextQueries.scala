@@ -128,9 +128,9 @@ object TextQueries {
       Some(s"""WITH toks AS (
            |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
            |contrib AS (
-           |  SELECT doc_id, ${Hashing.duckHash60("tok")} % 32 AS bucket,
-           |    CASE WHEN ${Hashing.duckHash60("('sgn-' || tok)")} % 2 = 1 THEN 1 ELSE -1 END AS s
-           |  FROM toks),
+           |  SELECT doc_id, (h // 2) % 32 AS bucket,
+           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
            |w AS (SELECT doc_id, bucket, SUM(s) AS w FROM contrib GROUP BY 1, 2)
            |SELECT d.doc_id, g.dim, CAST(COALESCE(w.w, 0) AS DOUBLE) AS val
            |FROM (SELECT DISTINCT doc_id FROM documents) d
