@@ -81,15 +81,26 @@ object Bench {
       env.write.mode("overwrite").parquet(envDir) // datagen excluded from timing
       val inputBytes = spark.read.parquet(envDir)
         .agg(sum(blen(col("data")))).head().getLong(0)
-      val t0 = System.nanoTime()
-      val q = graft.streaming.Pipelines.articlesToParquet(
-        spark, graft.streaming.StreamSource.FileEnvelopeSource(envDir), outDir, ckptDir)
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val outRows = spark.read.parquet(outDir).count()
+      // min of two full drains (fresh sink+checkpoint each): run-to-run
+      // variance on a shared box is large (57-150 MB/s observed across
+      // rounds), and min is the same robust estimator the query timings use.
+      def drain(run: Int): (Double, Long) = {
+        val out = s"$outDir/run$run"
+        val ckpt = s"$ckptDir/run$run"
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Pipelines.articlesToParquet(
+          spark, graft.streaming.StreamSource.FileEnvelopeSource(envDir), out, ckpt)
+        q.awaitTermination()
+        ((System.nanoTime() - t0) / 1e9, spark.read.parquet(out).count())
+      }
+      val (sec1, rows1) = drain(1)
+      val (sec2, rows2) = drain(2)
+      require(rows1 == rows2, s"streaming drains disagree: $rows1 vs $rows2 windows")
+      val sec = math.min(sec1, sec2)
       s"""{"rows":$n,"input_mb":${inputBytes / 1e6},"sec":${f"$sec%.2f"},""" +
+        s""""sec_runs":[${f"$sec1%.2f"},${f"$sec2%.2f"}],""" +
         s""""rows_per_sec":${(n / sec).toLong},"mb_per_sec":${f"${inputBytes / 1e6 / sec}%.1f"},""" +
-        s""""finalized_windows":$outRows}"""
+        s""""finalized_windows":$rows1}"""
     }
 
     def fmt(d: Double): String = f"$d%.4f"

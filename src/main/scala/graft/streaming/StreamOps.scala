@@ -116,6 +116,31 @@ object StreamOps {
       joinType: String = "left_outer"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Incremental ingest dedup against HISTORY (the streaming face of the
+    * dedup story): fingerprint each incoming row's text
+    * (`Text.fingerprint` — the codegen'd rolling token hash) and anti-join
+    * against the table of fingerprints already in the corpus. Per
+    * micro-batch Catalyst plans a broadcast LEFT ANTI hash join, so the
+    * stream side never shuffles and arbitrarily-reordered redelivery is
+    * handled (unlike watermark dedup, history has no time horizon). The
+    * computed `fp` column rides along on the surviving rows so the sink can
+    * append them straight back into the fingerprint table — the ingest loop
+    * closes without a second pass.
+    *
+    * At 100 TB the fingerprint table exceeds broadcast size; then `known`
+    * arrives bucketed by fp ([[graft.ops.Layout.writeBucketed]]) and the
+    * same call with `broadcastKnown = false` shuffles only (fp, id) pairs.
+    */
+  def antiJoinKnownFingerprints(
+      stream: DataFrame,
+      textCol: String,
+      known: DataFrame,
+      broadcastKnown: Boolean = true): DataFrame = {
+    val fps = known.select(col("fp"))
+    val withFp = stream.withColumn("fp", graft.ops.Text.fingerprint(col(textCol)))
+    withFp.join(if (broadcastKnown) broadcast(fps) else fps, Seq("fp"), "left_anti")
+  }
+
   /** Stream-stream interval join: pair rows of two unbounded streams on an
     * equi-key within an event-time window of `maxDelay` (right side in
     * [left - maxDelay, left + maxDelay]). Both sides carry watermarks so the
