@@ -107,6 +107,17 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(r4 >= 3 * r1, f"4-table recall $r4%.3f should be ~4x the 1-table $r1%.3f")
   }
 
+  test("README query counts match the catalog (the counts are derived, not hand-maintained)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val n = SparkEntry.catalog.size
+    val nOracle = SparkEntry.catalog.count(_.oracle.isDefined)
+    assert(readme.contains(s"$n queries"),
+      s"README must state the true catalog size ($n queries)")
+    assert(readme.contains(s"$nOracle with DuckDB oracles"),
+      s"README must state the true oracle count ($nOracle)")
+  }
+
   test("every catalog query has a unique name; oracle coverage is near-total") {
     val names = SparkEntry.catalog.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
