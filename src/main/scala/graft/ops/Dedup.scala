@@ -180,6 +180,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents that share at least
+    * `minShared` distinct word n-gram shingles with any eval-set document —
+    * the standard "did the training corpus swallow the benchmark?" check a
+    * training-data pipeline runs before every dataset release.
+    *
+    * Output: (doc_id, eval_id, n_shared) for every contaminated
+    * (corpus doc, eval doc) pair.
+    *
+    * Scale shape: the eval set is benchmarks — thousands of docs against a
+    * 100 TB corpus — so its exploded shingle rows BROADCAST and the corpus
+    * side never shuffles: the whole check is one map-side broadcast join +
+    * one partial-aggregated count, a single pass over the corpus. Fan-out
+    * per corpus shingle is bounded by the eval set's shingle df.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minShared: Long): DataFrame = {
+    val c = shingleRows(corpus, id, text, n)
+    val e = shingleRows(evalSet, id, text, n)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    c.join(broadcast(e), "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
     * signature components (P[min-hash agrees] = Jaccard, so the mean of k
     * agreement indicators is an unbiased estimate with stderr

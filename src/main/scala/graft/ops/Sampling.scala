@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines. Everything
@@ -30,6 +31,93 @@ object Sampling {
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
+  }
+
+  /** Deterministic SOURCE MIXING: sample each source at its own rate — the
+    * "data mixing weights" step of a training-data pipeline (e.g. keep all
+    * of wiki, half of web, a tenth of everything else). A row survives iff
+    * its salted id hash lands under the source's threshold, so the decision
+    * is a pure per-row expression: no shuffle, no RNG state, reproducible on
+    * any partitioning, and a source's kept-set only shrinks/grows
+    * monotonically as its rate moves (nested samples — the property that
+    * lets mixture ablations share one corpus scan).
+    *
+    * Rates are fixed-point (millionths) so both engines compare integers —
+    * no float-boundary drift. Unlisted sources fall back to `defaultRate`.
+    */
+  def mixBySource(df: DataFrame, id: Column, source: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
+    val den = 1000000L
+    def thr(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r")
+      math.round(r * den)
+    }
+    val rateCol = rates.foldLeft(lit(thr(defaultRate))) { case (acc, (k, v)) =>
+      when(source === k, lit(thr(v))).otherwise(acc)
+    }
+    df.where(
+      pmod(Hashing.hash60(concat(lit(salt + "-"), id.cast("string"))), lit(den)) < rateCol)
+  }
+
+  /** DuckDB twin of [[mixBySource]]'s keep-predicate. */
+  def duckMixPredicate(idExpr: String, sourceExpr: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): String = {
+    val den = 1000000L
+    val cases = rates.map { case (k, v) =>
+      s"WHEN $sourceExpr = '$k' THEN ${math.round(v * den)}" }.mkString(" ")
+    s"(${Hashing.duckHash60(s"('$salt-' || CAST($idExpr AS VARCHAR))")} % $den) < " +
+      s"(CASE $cases ELSE ${math.round(defaultRate * den)} END)"
+  }
+
+  /** SEQUENCE PACKING (concat-and-chunk): lay the corpus out as one token
+    * stream in id order and cut it into fixed-`budget` context windows — the
+    * packing LLM pretraining uses (documents concatenated, chunked at the
+    * context length; a document near a boundary spans two chunks). Output:
+    * one row per (doc, chunk) span with the token count the doc contributes
+    * to that chunk.
+    *
+    * The global running token total is computed as a DISTRIBUTED two-phase
+    * cumulative sum: range-partition by id, per-partition window cumsum in
+    * parallel, then a #partitions-row offset table (the only global step —
+    * 32 rows here, one per partition at any scale) broadcast back. No
+    * single-partition window ever sees corpus rows, so the op holds at
+    * 100 TB. The ranged (doc_id, n_tok, pid) frame is localCheckpoint'd —
+    * ~24 bytes/doc, no text — because its two consumers (local window,
+    * offset table) do not canonicalize to one exchange; without the break
+    * the corpus scan + tokenization + range shuffle would run twice (the
+    * ivfTopK lesson). The result is partitioning-INDEPENDENT: every doc's
+    * global offset is the same whatever range boundaries were sampled,
+    * which is exactly what the plain windowed-cumsum oracle checks.
+    */
+  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be positive")
+    val base = df.select(id.as("doc_id"), tokens.cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+    val parts = base.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = parts.withColumn("local_end", sum(col("n_tok")).over(wLocal))
+    // offset per partition: exclusive prefix sum of partition totals (rows =
+    // #partitions, bounded by cluster parallelism — not data volume)
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offTable = parts.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val cum = local.join(broadcast(offTable), "pid")
+      .withColumn("end_tok", col("offset") + col("local_end"))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+    cum
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        explode(sequence(
+          expr(s"start_tok div ${budget}L"),
+          expr(s"(start_tok + n_tok - 1) div ${budget}L"))).as("chunk_id"))
+      .withColumn("tokens_in_chunk",
+        least(col("start_tok") + col("n_tok"), (col("chunk_id") + 1) * budget) -
+          greatest(col("start_tok"), col("chunk_id") * budget))
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
   }
 
   /** Deterministic per-group sample: the n group members with the smallest

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** DuckDB CTE: (id, sh) distinct word-3-gram shingle rows of documents. */
-  private val duckShingleCte: String =
+  private[queries] val duckShingleCte: String =
     """sh AS (
       |  SELECT doc_id AS id, unnest(shingles) AS sh FROM (
       |    SELECT doc_id,

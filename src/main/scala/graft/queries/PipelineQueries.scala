@@ -66,6 +66,69 @@ object PipelineQueries {
            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // Benchmark decontamination: corpus docs sharing >= 5 distinct 3-gram
+    // shingles with any eval-set doc (deterministic eval subset: doc_id % 50
+    // == 0). The eval shingle rows broadcast; the corpus side never shuffles.
+    QueryDef(
+      "q87_decontamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationPairs(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), 3, 5)
+      },
+      Some(s"""WITH ${DedupQueries.duckShingleCte},
+           |ev AS (SELECT id AS eval_id, sh FROM sh WHERE id % 50 = 0),
+           |cp AS (SELECT id AS doc_id, sh FROM sh WHERE id % 50 <> 0)
+           |SELECT doc_id, eval_id, COUNT(*) AS n_shared
+           |FROM cp JOIN ev USING (sh)
+           |GROUP BY 1, 2
+           |HAVING COUNT(*) >= 5""".stripMargin)),
+
+    // Source-mixing weights: keep all of src0, half of src1, a quarter of
+    // src2, 10% of everything else — per-row hash-threshold decision, no
+    // shuffle, nested-sample monotone in the rate.
+    QueryDef(
+      "q88_source_mixing",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.mixBySource(docs, col("doc_id"), col("source"),
+            Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""SELECT doc_id, source FROM documents
+           |WHERE ${Sampling.duckMixPredicate("doc_id", "source",
+                Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)}""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk at a 2048-token context): per-doc
+    // chunk spans from a DISTRIBUTED two-phase cumulative token sum; the
+    // oracle is the plain single-window cumsum, which also proves the
+    // partition-offset recomposition exact.
+    QueryDef(
+      "q89_sequence_packing",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.packSequences(docs, col("doc_id"), Text.wordCount(col("text")), 2048L)
+      },
+      Some {
+        val nTok = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
+        s"""WITH t AS (
+           |  SELECT doc_id, $nTok AS n_tok FROM documents WHERE $nTok > 0),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+           |  FROM t),
+           |x AS (
+           |  SELECT doc_id, n_tok, end_tok - n_tok AS start_tok,
+           |    unnest(range((end_tok - n_tok) // 2048, (end_tok - 1) // 2048 + 1)) AS chunk_id
+           |  FROM c)
+           |SELECT doc_id, chunk_id, n_tok,
+           |  least(start_tok + n_tok, (chunk_id + 1) * 2048)
+           |    - greatest(start_tok, chunk_id * 2048) AS tokens_in_chunk
+           |FROM x""".stripMargin
+      }),
+
     // The composed curation pipeline: predicted-language filter -> quality
     // gate -> exact dedup (min-id representative) -> per-source yield stats.
     // Each stage is an independently-verified operator; this query verifies

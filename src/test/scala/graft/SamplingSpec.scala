@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Sampling}
+
+/** Semantic properties of the curation-stage operators: source mixing,
+  * sequence packing, and benchmark decontamination.
+  */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  test("mixBySource: nested samples — a source's kept-set is monotone in its rate; rates land near target") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    def kept(rate: Double): Set[Long] =
+      Sampling.mixBySource(docs, col("id"), col("source"), Map("src1" -> rate), defaultRate = 0.0)
+        .select("id").as[Long].collect().toSet
+    val k25 = kept(0.25); val k50 = kept(0.5); val k100 = kept(1.0)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k100), "kept-sets nest as the rate grows")
+    assert(k100.size == 500, "rate 1.0 keeps every src1 row and nothing else")
+    assert(math.abs(k50.size - 250) < 60, s"rate 0.5 keeps ~half (got ${k50.size}/500)")
+    assert(k25.nonEmpty && k25.size < k50.size)
+  }
+
+  test("packSequences: token conservation, full interior chunks, contiguous spans, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 300L).map(i => (i, 1 + rnd.nextInt(700))).toDF("id", "n")
+    val budget = 512L
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      Sampling.packSequences(df, col("id"), col("n"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+
+    val out = run(docs)
+    // conservation: each doc's chunk spans sum to its token count
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val expected = docs.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(perDoc == expected, "per-doc chunk tokens must sum to the doc's token count")
+    // every chunk except the last holds exactly `budget` tokens
+    val perChunk = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, tot) =>
+      if (c == lastChunk) assert(tot <= budget && tot > 0)
+      else assert(tot == budget, s"interior chunk $c holds $tot != $budget")
+    }
+    // chunk ids are contiguous from 0
+    assert(perChunk.keySet == (0L to lastChunk).toSet)
+    // partitioning must not change the result (the two-phase cumsum's
+    // offsets recompose identically under any input layout)
+    assert(run(docs.repartition(7, col("n"))) == out, "result is partition-invariant")
+  }
+
+  test("contaminationPairs: planted benchmark overlap found, clean docs stay unflagged") {
+    import spark.implicits._
+    val benchmark = "the quick brown fox jumps over the lazy dog again and again today"
+    val contaminated = s"prefix words here $benchmark suffix words there"
+    val clean = "completely different content about spark catalyst optimizer internals"
+    val corpus = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val evalSet = Seq((100L, benchmark)).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, evalSet, col("doc_id"), col("text"), 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 100L)),
+      "exactly the contaminated doc flags against the benchmark doc")
+    assert(got.head._3 >= 5L, "shared-shingle count meets the threshold")
+  }
+}
