@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"sort must be partition-local:\n${p.linesIterator.take(6).mkString("\n")}")
   }
 
+  test("decontamination: eval shingle side broadcasts; the corpus side never shuffles pre-join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Dedup.contaminationPairs(
+      docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+      col("doc_id"), col("text"), 3, 5))
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    // allowed exchanges: the two pre-explode spreads + the final pair agg —
+    // no shuffle may sit between the corpus explode and the join
+    assert(!"(?i)sortmergejoin".r.findFirstIn(p).isDefined,
+      "the contamination join must never be a sort-merge join")
+  }
+
+  test("source mixing is a pure scan+filter: no exchange, no join in the plan") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ops.Sampling.mixBySource(docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.1))
+    assert(!p.toLowerCase.contains("exchange"), s"mixing must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"mixing must not join:\n$p")
+  }
+
   test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
     val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
