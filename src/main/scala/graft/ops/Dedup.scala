@@ -254,17 +254,23 @@ object Dedup {
     * label is also the canonical representative — the same min-id policy as
     * [[exactByKey]]).
     *
-    * Algorithm: iterative hash-min label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels (one
-    * edges⋈labels shuffle join + one min-aggregation); converged when no
-    * label changed. Rounds = O(component diameter) — near-dup components are
-    * shallow (duplicates of a common ancestor), so this terminates in a
-    * handful of rounds on real corpora; `maxIter` is the runaway guard (a
-    * path graph of 10^maxIter nodes would be the only loser). Everything is
-    * a pure shuffle-on-key dataflow: no driver-side union-find, no collect —
-    * the only driver action per round is the scalar convergence count.
-    * `localCheckpoint` per round keeps the plan flat (lineage would otherwise
-    * double every iteration — the q68/q69 lesson).
+    * Algorithm: iterative hash-min label propagation with ADAPTIVE pointer
+    * jumping. Each round every node takes the min of its own label and its
+    * neighbors' labels (one edges⋈labels shuffle join + one
+    * min-aggregation). Real near-dup graphs are shallow (duplicates of a
+    * common ancestor) and converge in 2-3 such rounds; if convergence drags
+    * past `jumpAfter` rounds — a chain-shaped pathology — each further
+    * round also chases one level of label indirection (label := that
+    * label-node's own label, a self-join on the label frame; labels are
+    * always member-node ids, so the lookup resolves). Jumped label
+    * information travels 2^k hops after k rounds, so even a million-node
+    * chain converges in ~20 rounds total (O(log diameter)), while the
+    * common shallow case never pays the extra join. Converged when no label
+    * changed; `maxIter` is the runaway guard. Everything is a pure
+    * shuffle-on-key dataflow: no driver-side union-find, no collect — the
+    * only driver action per round is the scalar convergence count.
+    * `localCheckpoint` per round keeps the plan flat (lineage would
+    * otherwise double every iteration — the q68/q69 lesson).
     *
     * The label frame that shuffles each round is (id, label) ONLY — two
     * columns, no payload — so at 10^9 nodes a round is a join on ids against
@@ -273,7 +279,7 @@ object Dedup {
     * sizes (`maxBucket` / `maxShingleDf`), which bounds degree at the source.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, jumpAfter: Int = 3): DataFrame = {
     val half = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -288,9 +294,18 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(nbr)
+      val propagated = labels.unionByName(nbr)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint() // consumed twice when jumping — never recompute
+      // adaptive pointer jump: lbl -> label(lbl). Labels are member-node
+      // ids and label(x) <= x, so the inner self-join always resolves and
+      // labels only ever decrease within the component.
+      val next =
+        if (iter < jumpAfter) propagated
+        else propagated
+          .join(propagated.select(col("lbl").as("lbl2"), col("id").as("lbl")), "lbl")
+          .select(col("id"), col("lbl2").as("lbl"))
+          .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("lbl").as("prev")), "id")
         .where(col("lbl") =!= col("prev"))

@@ -238,6 +238,18 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected components: pointer jumping converges a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for plain hash-min (O(n) rounds);
+    // maxIter=15 would fail without the jump (plain needs ~200 rounds),
+    // so passing proves the adaptive jump engages and stays correct
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L),
+      "every chain node labels to the component min (node 0)")
+  }
+
   test("brute-force and LSH top-k agree on rank-1 for exact duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(6)
