@@ -344,6 +344,119 @@ object Text {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 lexical retrieval: top-k documents for a fixed query-term list
+    * (Robertson/Sparck-Jones idf in the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * form; tf saturation k1, length normalization b). The lexical half of a
+    * hybrid retrieval stack, beside the embedding ANN operators.
+    *
+    * Determinism note: the per-term contributions are pivoted into FIXED
+    * columns and added in query-term order — never `sum()`-aggregated — so
+    * the floating-point reduction order is identical on any partitioning
+    * and in the DuckDB oracle (the same discipline as `Num.dot`'s
+    * dimension-order accumulation).
+    *
+    * Scale shape: the token explode is filtered to the query terms BEFORE
+    * the tf aggregation (the predicate rides into the explode's project),
+    * so the shuffled tf frame carries |terms| rows per matching doc, not
+    * the corpus vocabulary; doc lengths join from a (doc_id, dl) frame and
+    * the 1-row corpus stats broadcast.
+    */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val dl = df.select(id.as("doc_id"), wordCount(text).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    val tf = toks.where(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // pivot: at most ONE non-zero element per (doc, term) sum, so the
+    // aggregation is reduction-order-free; the cross-term addition is the
+    // fixed-order reduce below
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("contrib")).otherwise(lit(0.0))).as(s"c_$i")
+    }
+    val perDoc = contrib.groupBy(col("doc_id")).agg(termCols.head, termCols.tail: _*)
+    val score = queryTerms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** HYBRID retrieval: Reciprocal Rank Fusion of the BM25 lexical ranking
+    * and a vector ranking (cosine of the corpus' hashing-trick embeddings
+    * against the query's own hashing-trick embedding — the query is
+    * embedded by exactly the document vectorizer, so no model is needed).
+    * rrf = Σ_system 1/(kRrf + rank_system), summed lexical-then-vector
+    * (fixed order), docs absent from a system's top-`perList` contribute 0.
+    *
+    * Fusing top-`perList` lists (not full rankings) is both the standard
+    * RRF contract and the scale-safe one: each system's global ranking is
+    * cut by WindowGroupLimit to perList rows per partition before the final
+    * window, and the fusion join handles 2×perList rows regardless of
+    * corpus size. All arithmetic is integer-derived (ranks) — the fused
+    * score is bit-reproducible on any engine.
+    */
+  def hybridRrfTopK(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      dims: Int,
+      k: Int,
+      perList: Int = 100,
+      kRrf: Int = 60): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = bm25TopK(df, id, text, queryTerms, perList)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = hashingTrickEmbedding(df, id, text, dims)
+    val qdf = Seq((0L, queryTerms.mkString(" "))).toDF("qid", "qtext")
+    val qvec = hashingTrickEmbedding(qdf, col("qid"), col("qtext"), dims)
+      .select(col("vec").as("qv"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = emb.crossJoin(broadcast(qvec))
+      .withColumn("nv", Num.norm(col("vec")))
+      .withColumn("nq", Num.norm(col("qv")))
+      .where(col("nv") > 0 && col("nq") > 0) // zero vectors have no direction
+      .withColumn("cos", Num.dot(col("vec"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("vec_rank", row_number().over(wv))
+      .where(col("vec_rank") <= perList)
+      .select(col("doc_id"), col("vec_rank"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+  }
+
   // -------------------------------------------------------------------------
   // Document fingerprint (rolling polynomial hash over tokens)
   // -------------------------------------------------------------------------

@@ -1,13 +1,58 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Hashing, Text}
+import graft.ops.{Hashing, Num, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis extension queries over `documents` (language-ID heuristic,
   * quality scoring, token counting, fingerprinting) — SURVEY.md §7.2 step 8.
   */
 object TextQueries {
+
+  /** The fixed retrieval query shared by q91 (BM25) and q92 (hybrid RRF). */
+  private val HybridTerms = Seq("join", "scan", "merge")
+
+  /** DuckDB CTE chain ending in `bmranked(doc_id, score, rank)`: the exact
+    * twin of `Text.bm25TopK`'s arithmetic (Lucene idf, k1=1.2, b=0.75,
+    * per-term pivot columns added in term order; every fraction literal CAST
+    * to DOUBLE so DuckDB's decimal literals can't shift the arithmetic).
+    * Also defines `toks` (doc_id, tok), reused by q92's embedding CTEs.
+    */
+  private def duckBm25Ctes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val cs = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN tok = '$t' THEN contrib ELSE CAST(0.0 AS DOUBLE) END) AS c$i"
+    }.mkString(", ")
+    val scoreExpr = terms.indices.map(i => s"c$i").reduce((a, x) => s"($a + $x)")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    ln(CAST(1.0 AS DOUBLE)
+       |        + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |      / (CAST(tf AS DOUBLE)
+       |        + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+       |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |perdoc AS (
+       |  SELECT doc_id, $cs
+       |  FROM contrib GROUP BY 1),
+       |bmranked AS (
+       |  SELECT doc_id, $scoreExpr AS score,
+       |    row_number() OVER (ORDER BY $scoreExpr DESC, doc_id ASC) AS rank
+       |  FROM perdoc)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -159,6 +204,73 @@ object TextQueries {
            |               tf.tok ASC) AS rank
            |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
            |WHERE rank <= 3""".stripMargin)),
+
+    // BM25 lexical top-20 for a fixed 3-term query — the lexical half of
+    // hybrid retrieval beside the ANN operators. Per-term contributions are
+    // pivoted to fixed columns and added in term order, so the double
+    // arithmetic is reduction-order-free and the oracle reproduces it bit
+    // for bit (ln from integer-derived ratios, same expression shape).
+    QueryDef(
+      "q91_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.bm25TopK(docs, col("doc_id"), col("text"), HybridTerms, k = 20)
+      },
+      Some(s"""WITH ${duckBm25Ctes(HybridTerms)}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
+
+    // Hybrid retrieval: Reciprocal Rank Fusion of the BM25 top-100 and the
+    // hashing-embedding cosine top-100 (query embedded by the document
+    // vectorizer itself). Ranks are integers, so the fused score is
+    // bit-reproducible; docs absent from one list contribute 0 from it.
+    QueryDef(
+      "q92_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.hybridRrfTopK(docs, col("doc_id"), col("text"), HybridTerms,
+          dims = 32, k = 20, perList = 100)
+      },
+      Some {
+        val qvals = HybridTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH ${duckBm25Ctes(HybridTerms)},
+           |lex AS (SELECT doc_id, rank AS lex_rank FROM bmranked WHERE rank <= 100),
+           |hcontrib AS (
+           |  SELECT doc_id, (h // 2) % 32 AS bucket,
+           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
+           |hw AS (SELECT doc_id, bucket, SUM(s) AS w FROM hcontrib GROUP BY 1, 2),
+           |dvec AS (
+           |  SELECT d.doc_id, list(CAST(COALESCE(hw.w, 0) AS DOUBLE) ORDER BY g.dim) AS v
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
+           |  LEFT JOIN hw ON hw.doc_id = d.doc_id AND hw.bucket = g.dim
+           |  GROUP BY d.doc_id),
+           |qcontrib AS (
+           |  SELECT (h // 2) % 32 AS bucket, CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT ${Hashing.duckHash60("tok")} AS h FROM (VALUES $qvals) q(tok))),
+           |qw AS (SELECT bucket, SUM(s) AS w FROM qcontrib GROUP BY 1),
+           |qvec AS (
+           |  SELECT list(CAST(COALESCE(qw.w, 0) AS DOUBLE) ORDER BY g.dim) AS qv
+           |  FROM (SELECT unnest(range(0, 32)) AS dim) g
+           |  LEFT JOIN qw ON qw.bucket = g.dim),
+           |vecranked AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+           |  FROM (
+           |    SELECT doc_id, ${Num.duckDot("v", "qv")} / (${Num.duckNorm("v")} * ${Num.duckNorm("qv")}) AS cos
+           |    FROM dvec CROSS JOIN qvec
+           |    WHERE ${Num.duckNorm("v")} > 0 AND ${Num.duckNorm("qv")} > 0)),
+           |vec AS (SELECT doc_id, vec_rank FROM vecranked WHERE vec_rank <= 100)
+           |SELECT doc_id, lex_rank, vec_rank, rrf, rank FROM (
+           |  SELECT doc_id, lex_rank, vec_rank,
+           |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf,
+           |    row_number() OVER (
+           |      ORDER BY COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |        + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) DESC,
+           |      doc_id ASC) AS rank
+           |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+           |WHERE rank <= 20""".stripMargin
+      }),
 
     // Array-function surface over the token array: distinct/sort/slice/
     // contains/position composed to scalar outputs (scalars keep the oracle
