@@ -372,6 +372,103 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** PRODUCT-QUANTIZATION codebooks: split the `dims`-dim space into `m`
+    * equal subspaces and train an independent deterministic k-means (k
+    * codewords, [[kmeansCentroidsFlat]] with a per-subspace salt) on each
+    * subvector slice. Output: flat (sub, clabel, dim, c) — `dim` is the
+    * within-subspace dimension. m·k·(dims/m) doubles of model parameters
+    * total: the memory-compression half of a billion-vector index (a code
+    * is m small ints instead of dims floats — 8 bytes vs 256 here).
+    */
+  def pqCodebooksFlat(df: DataFrame, id: Column, vec: Column,
+      dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sd = dims / m
+    (0 until m).map { sub =>
+      val sliced = df.select(id.as("pqvid"), slice(vec, sub * sd + 1, sd).as("subv"))
+      kmeansCentroidsFlat(sliced, col("pqvid"), col("subv"), k, iters, salt = s"pq$sub")
+        .select(lit(sub).as("sub"), col("clabel"), col("dim"), col("c"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector becomes m codeword ids — per subspace, the
+    * nearest codebook centroid ([[ivfAssign]] on the slice). Output:
+    * (vid, sub, code). Pass a MATERIALIZED codebooks frame (localCheckpoint
+    * / [[materializeCentroids]]-style break): the flat frame is bounded
+    * model parameters, and without the break each of the m filters would
+    * re-execute the whole training union.
+    */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    val sd = dims / m
+    (0 until m).map { sub =>
+      val cents = centroidArrays(
+        codebooks.where(col("sub") === sub).select(col("clabel"), col("dim"), col("c")))
+      val sliced = df.select(id.as("pqvid"), slice(vec, sub * sd + 1, sd).as("subv"))
+      ivfAssign(sliced, col("pqvid"), col("subv"), cents)
+        .select(col("vid"), lit(sub).as("sub"), col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** IVF-PQ approximate top-k — the full billion-vector architecture: an
+    * IVF coarse quantizer prunes the search to the query's cluster, and
+    * within it candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION:
+    * adc(q, x) = Σ_sub l2sq(q_sub, codeword(x_sub)) — the query side stays
+    * exact, the candidate side is its m-byte code, so ranking touches no
+    * candidate vectors at all (the point of PQ: the scan reads codes, the
+    * per-query lookup table has m·k entries).
+    *
+    * Determinism: per-subspace distances land in m PIVOTED columns summed
+    * in subspace order (the BM25 fixed-order discipline) — never a float
+    * `sum()` aggregation — so the ADC total is bit-identical on any
+    * partitioning and in the oracle.
+    *
+    * Output: (query_id, neighbor_id, adc, rank), rank by (adc asc,
+    * neighbor_id asc), rank <= k.
+    */
+  def ivfPqTopK(df: DataFrame, id: Column, vec: Column, k: Int,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      dims: Int, m: Int): DataFrame = {
+    val sd = dims / m
+    val assign = ivfAssign(df, id, vec, coarseCentroids)
+      .select(col("vid"), col("cluster"))
+      .localCheckpoint() // feeds BOTH join sides (the q68 lesson)
+    val codes = pqEncode(df, id, vec, codebooks, dims, m)
+    // per-query ADC lookup table: l2sq of each query subvector against each
+    // codeword — n·m·k rows of (qid, sub, code, d2), broadcast-joined from
+    // the m·k-row codeword table
+    val cw = (0 until m).map { sub =>
+      centroidArrays(
+        codebooks.where(col("sub") === sub).select(col("clabel"), col("dim"), col("c")))
+        .select(lit(sub).as("sub"), col("clabel").as("code"), col("carr"))
+    }.reduce(_ unionByName _)
+    val subv = (0 until m).map { sub =>
+      df.select(id.as("qid"), lit(sub).as("sub"), slice(vec, sub * sd + 1, sd).as("qsub"))
+    }.reduce(_ unionByName _)
+    val lut = subv.join(broadcast(cw), "sub")
+      .select(col("qid"), col("sub"), col("code"), l2sq(col("qsub"), col("carr")).as("d2"))
+    // candidates: same coarse cluster, then neighbor codes -> LUT lookups
+    val cands = assign.select(col("cluster"), col("vid").as("query_id"))
+      .join(assign.select(col("cluster"), col("vid").as("neighbor_id")), Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val subDists = cands
+      .join(codes.select(col("vid").as("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
+      .join(lut.withColumnRenamed("qid", "query_id"), Seq("query_id", "sub", "code"))
+    val pivots = (0 until m).map(i =>
+      sum(when(col("sub") === i, col("d2")).otherwise(lit(0.0))).as(s"d_$i"))
+    val adc = (0 until m).map(i => col(s"d_$i")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    subDists.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
   /** Scalable embedding near-dup: LSH-bucketed candidate generation + exact
     * cosine verification — the scale-safe twin of [[cosineNearDupPairs]]
     * (which stays as the quadratic oracle baseline, same relationship as

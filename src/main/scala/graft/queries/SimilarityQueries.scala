@@ -59,36 +59,73 @@ object SimilarityQueries {
     * (row_number argmin — same (d2, clabel) tie-break as min_by) and a
     * decimal-exact (cluster, dim) recomputation. 64-dim embeddings.
     */
-  private def duckKmeansCtes(k: Int, iters: Int): String = {
-    val h = graft.ops.Hashing.duckHash60("('km-' || CAST(vec_id AS VARCHAR))")
+  private def duckKmeansCtes(k: Int, iters: Int, salt: String = "km",
+      src: String = "e", prefix: String = "", dims: Int = 64): String = {
+    val h = graft.ops.Hashing.duckHash60(s"('$salt-' || CAST(vec_id AS VARCHAR))")
     val l2 =
       """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
         |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y)""".stripMargin
     val init =
-      s"""seeds AS (
+      s"""${prefix}seeds AS (
          |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) - 1 AS clabel
-         |  FROM (SELECT vec_id, v, $h AS h FROM e)
+         |  FROM (SELECT vec_id, v, $h AS h FROM $src)
          |  ORDER BY h, vec_id LIMIT $k),
-         |cent0 AS (SELECT clabel, v AS carr FROM seeds)""".stripMargin
+         |${prefix}cent0 AS (SELECT clabel, v AS carr FROM ${prefix}seeds)""".stripMargin
     val its = (1 to iters).map { i =>
-      s"""dist$i AS (
+      s"""${prefix}dist$i AS (
          |  SELECT vec_id, clabel, $l2 AS d2
-         |  FROM e CROSS JOIN cent${i - 1}),
-         |assign$i AS (
+         |  FROM $src CROSS JOIN ${prefix}cent${i - 1}),
+         |${prefix}assign$i AS (
          |  SELECT vec_id, clabel AS cluster FROM (
          |    SELECT vec_id, clabel,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
-         |    FROM dist$i)
+         |    FROM ${prefix}dist$i)
          |  WHERE rn = 1),
-         |cf$i AS (
+         |${prefix}cf$i AS (
          |  SELECT cluster AS clabel, di.i - 1 AS dim,
          |    CAST(SUM(CAST(v[di.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
-         |  FROM e JOIN assign$i USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) di
+         |  FROM $src JOIN ${prefix}assign$i USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) di
          |  GROUP BY 1, 2),
-         |cent$i AS (SELECT clabel, list(c ORDER BY dim) AS carr FROM cf$i GROUP BY clabel)""".stripMargin
+         |${prefix}cent$i AS (SELECT clabel, list(c ORDER BY dim) AS carr FROM ${prefix}cf$i GROUP BY clabel)""".stripMargin
     }
     (init +: its).mkString(",\n")
+  }
+
+  /** DuckDB twin of the PQ stack (`Similarity.pqCodebooksFlat` /
+    * `pqEncode`): per-subspace sliced embeddings, an unrolled deterministic
+    * k-means per subspace (salt `pq<sub>`), the unified flat codebook
+    * `pqcb(sub, clabel, dim, c)`, the per-(vector, subspace, codeword)
+    * distance tables unified as `pqlut(vec_id, sub, code, d2)` (the ADC
+    * lookup rows), and the codes `pqcodes(vec_id, sub, code)` (argmin per
+    * subspace, ties -> lowest codeword).
+    */
+  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    val sd = dims / m
+    val perSub = (0 until m).map { sub =>
+      val lo = sub * sd + 1
+      val hi = sub * sd + sd
+      s"""es$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |${duckKmeansCtes(k, iters, salt = s"pq$sub", src = s"es$sub", prefix = s"pq${sub}_", dims = sd)},
+         |pqd$sub AS (
+         |  SELECT vec_id, clabel, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(v) + 1),
+         |        ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+         |  FROM es$sub CROSS JOIN pq${sub}_cent$iters)""".stripMargin
+    }
+    val cb = (0 until m).map(s => s"SELECT $s AS sub, clabel, dim, c FROM pq${s}_cf$iters")
+      .mkString(" UNION ALL ")
+    val lut = (0 until m).map(s => s"SELECT vec_id, $s AS sub, clabel AS code, d2 FROM pqd$s")
+      .mkString(" UNION ALL ")
+    s"""${perSub.mkString(",\n")},
+       |pqcb AS ($cb),
+       |pqlut AS ($lut),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |    FROM pqlut)
+       |  WHERE rn = 1)""".stripMargin
   }
 
   /** DuckDB twin of `Similarity.farthestPointSeeds` with the greedy loop
@@ -271,6 +308,77 @@ object SimilarityQueries {
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM pq a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
            |WHERE rank <= 3""".stripMargin)),
+
+    // Product-quantization codebooks: 8 subspaces × 16 codewords, an
+    // independent deterministic k-means per 8-dim slice — the memory-
+    // compression half of a billion-vector index, hash-verified against 8
+    // unrolled per-subspace k-means twins.
+    QueryDef(
+      "q93_pq_codebooks",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
+          dims = 64, m = 8, k = 16, iters = 1)
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)}
+           |SELECT sub, clabel, dim, c FROM pqcb""".stripMargin)),
+
+    // PQ encoding: every vector as 8 codeword ids (nearest codebook entry
+    // per subspace, ties -> lowest codeword) — 8 small ints standing in for
+    // 64 floats.
+    QueryDef(
+      "q94_pq_codes",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
+          dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+        Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb, dims = 64, m = 8)
+          .withColumnRenamed("vid", "vec_id")
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)}
+           |SELECT vec_id, sub, code FROM pqcodes""".stripMargin)),
+
+    // IVF-PQ top-3: coarse quantizer prunes to the query's cluster, ADC
+    // ranks candidates from their 8-byte codes via the per-query m×k lookup
+    // table — candidate vectors are never touched. Subspace distances are
+    // pivoted and added in fixed order, so the oracle reproduces the ADC
+    // total bit for bit.
+    QueryDef(
+      "q95_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        val cb = Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
+          dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+        Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3, coarse, cb,
+          dims = 64, m = 8)
+      },
+      Some {
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |      ")
+        val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)},
+           |pairsubs AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      $pivots
+           |  FROM assign a
+           |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
+           |  JOIN pqlut l ON l.vec_id = a.vec_id AND l.sub = pc.sub AND l.code = pc.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, adc, rank FROM (
+           |  SELECT query_id, neighbor_id, $score AS adc,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $score ASC, neighbor_id ASC) AS rank
+           |  FROM pairsubs)
+           |WHERE rank <= 3""".stripMargin
+      }),
 
     // k-means training for the IVF quantizer: hash-seeded init, 2 Lloyd
     // iterations, decimal-exact centroid recomputation — the full iterative
