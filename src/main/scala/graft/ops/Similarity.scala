@@ -372,43 +372,91 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** (vid, sub, subv) rows: every vector exploded into its m subvector
+    * slices — ONE pass over the corpus feeds all subspaces at once (the
+    * batched-multi-k-means layout; a per-subspace loop would scan the
+    * corpus m times and pay m× the job overhead).
+    */
+  private def pqSubRows(df: DataFrame, id: Column, vec: Column,
+      dims: Int, m: Int): DataFrame = {
+    val sd = dims / m
+    df.select(id.as("vid"),
+      posexplode(array((0 until m).map(s => slice(vec, s * sd + 1, sd)): _*))
+        .as(Seq("sub", "subv")))
+  }
+
+  /** (sub, clabel, carr) centroid arrays from a flat PQ codebook frame —
+    * the per-subspace twin of [[centroidArrays]].
+    */
+  private def pqCentArrays(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy(col("sub"), col("clabel"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("carr"))
+
   /** PRODUCT-QUANTIZATION codebooks: split the `dims`-dim space into `m`
     * equal subspaces and train an independent deterministic k-means (k
-    * codewords, [[kmeansCentroidsFlat]] with a per-subspace salt) on each
-    * subvector slice. Output: flat (sub, clabel, dim, c) — `dim` is the
-    * within-subspace dimension. m·k·(dims/m) doubles of model parameters
-    * total: the memory-compression half of a billion-vector index (a code
-    * is m small ints instead of dims floats — 8 bytes vs 256 here).
+    * codewords, salted seeds `pq<sub>-<id>`, same Lloyd machinery and
+    * decimal-exact recomputation as [[kmeansCentroidsFlat]]) on each
+    * subvector slice. All m trainings run as ONE batched dataflow over the
+    * (vid, sub, subv) explode: per-subspace seed ranking is a windowed
+    * top-k on the sub key (WindowGroupLimit prunes map-side), each Lloyd
+    * iteration is one broadcast join + one min_by assignment + one
+    * (sub, cluster, dim) aggregation for every subspace together. Output:
+    * flat (sub, clabel, dim, c) — m·k·(dims/m) doubles of model
+    * parameters: the memory-compression half of a billion-vector index (a
+    * code is m small ints instead of dims floats — 8 bytes vs 256 here).
     */
   def pqCodebooksFlat(df: DataFrame, id: Column, vec: Column,
       dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
-    val sd = dims / m
-    (0 until m).map { sub =>
-      val sliced = df.select(id.as("pqvid"), slice(vec, sub * sd + 1, sd).as("subv"))
-      kmeansCentroidsFlat(sliced, col("pqvid"), col("subv"), k, iters, salt = s"pq$sub")
-        .select(lit(sub).as("sub"), col("clabel"), col("dim"), col("c"))
-    }.reduce(_ unionByName _)
+    require(iters >= 1, "at least one Lloyd iteration")
+    val rows = pqSubRows(df, id, vec, dims, m)
+    val h = Hashing.hash60(concat(
+      lit("pq"), col("sub").cast("string"), lit("-"), col("vid").cast("string")))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(h.asc, col("vid").asc)
+    var cent = rows
+      .withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).as("clabel"),
+        transform(col("subv"), x => x.cast("double")).as("carr"))
+      .localCheckpoint()
+    var flat: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assign = rows.join(broadcast(cent), "sub")
+        .select(col("vid"), col("sub"), col("subv"), col("clabel"),
+          l2sq(col("subv"), col("carr")).as("d2"))
+        .groupBy(col("vid"), col("sub"))
+        .agg(
+          min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("cluster"),
+          first(col("subv")).as("subv")) // constant within the group
+      flat = assign
+        .select(col("sub"), col("cluster"), posexplode(col("subv")).as(Seq("dim", "vd")))
+        .groupBy(col("sub"), col("cluster"), col("dim"))
+        .agg((Num.dsum(col("vd").cast("double"), 9) / count(lit(1))).as("c"))
+        .select(col("sub"), col("cluster").as("clabel"), col("dim"), col("c"))
+        .localCheckpoint()
+      cent = pqCentArrays(flat)
+    }
+    flat
   }
 
   /** PQ encoding: each vector becomes m codeword ids — per subspace, the
-    * nearest codebook centroid ([[ivfAssign]] on the slice). Output:
-    * (vid, sub, code). Pass a MATERIALIZED codebooks frame (localCheckpoint
-    * / [[materializeCentroids]]-style break): the flat frame is bounded
-    * model parameters, and without the break each of the m filters would
-    * re-execute the whole training union.
+    * nearest codebook centroid (ties -> lowest codeword), all subspaces in
+    * one batched broadcast join + min_by pass. Output: (vid, sub, code).
+    * Pass a MATERIALIZED codebooks frame (localCheckpoint): it is bounded
+    * model parameters, and the break is the train/search split every index
+    * build has.
     */
   def pqEncode(df: DataFrame, id: Column, vec: Column,
-      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
-    val sd = dims / m
-    (0 until m).map { sub =>
-      val cents = centroidArrays(
-        codebooks.where(col("sub") === sub).select(col("clabel"), col("dim"), col("c")))
-      val sliced = df.select(id.as("pqvid"), slice(vec, sub * sd + 1, sd).as("subv"))
-      ivfAssign(sliced, col("pqvid"), col("subv"), cents)
-        .select(col("vid"), lit(sub).as("sub"), col("cluster").as("code"))
-    }.reduce(_ unionByName _)
-  }
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame =
+    pqSubRows(df, id, vec, dims, m).join(broadcast(pqCentArrays(codebooks)), "sub")
+      .select(col("vid"), col("sub"), col("clabel"),
+        l2sq(col("subv"), col("carr")).as("d2"))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("code"))
+      .select(col("vid"), col("sub"), col("code"))
 
   /** IVF-PQ approximate top-k — the full billion-vector architecture: an
     * IVF coarse quantizer prunes the search to the query's cluster, and
@@ -418,52 +466,74 @@ object Similarity {
     * candidate vectors at all (the point of PQ: the scan reads codes, the
     * per-query lookup table has m·k entries).
     *
-    * Determinism: per-subspace distances land in m PIVOTED columns summed
-    * in subspace order (the BM25 fixed-order discipline) — never a float
-    * `sum()` aggregation — so the ADC total is bit-identical on any
-    * partitioning and in the oracle.
+    * Determinism: the ADC total is the fixed-order sum of the m per-
+    * subspace lookups (subspace 0 first — the BM25 fixed-order discipline),
+    * computed as a single per-row expression over each neighbor's code
+    * array and the query's lookup map — never a float `sum()` aggregation —
+    * so it is bit-identical on any partitioning and in the oracle (whose
+    * pivoted-column formulation adds the same values in the same order).
+    *
+    * Per-pair cost is m map lookups + m-1 adds in one projection: the
+    * candidate pair stream never passes through a per-(pair, subspace)
+    * aggregation, so the only exchanges are the two id joins (codes to
+    * neighbors, LUTs to queries) and the final top-k window
+    * (WindowGroupLimit-pruned). The LUT map (m·k doubles) rides each pair
+    * row only inside the projection stage and is dropped before the window
+    * exchange.
     *
     * Output: (query_id, neighbor_id, adc, rank), rank by (adc asc,
     * neighbor_id asc), rank <= k.
     */
   def ivfPqTopK(df: DataFrame, id: Column, vec: Column, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      dims: Int, m: Int): DataFrame = {
-    val sd = dims / m
+      dims: Int, m: Int, codewords: Int = 16): DataFrame = {
     val assign = ivfAssign(df, id, vec, coarseCentroids)
       .select(col("vid"), col("cluster"))
       .localCheckpoint() // feeds BOTH join sides (the q68 lesson)
     val codes = pqEncode(df, id, vec, codebooks, dims, m)
     // per-query ADC lookup table: l2sq of each query subvector against each
     // codeword — n·m·k rows of (qid, sub, code, d2), broadcast-joined from
-    // the m·k-row codeword table
-    val cw = (0 until m).map { sub =>
-      centroidArrays(
-        codebooks.where(col("sub") === sub).select(col("clabel"), col("dim"), col("c")))
-        .select(lit(sub).as("sub"), col("clabel").as("code"), col("carr"))
-    }.reduce(_ unionByName _)
-    val subv = (0 until m).map { sub =>
-      df.select(id.as("qid"), lit(sub).as("sub"), slice(vec, sub * sd + 1, sd).as("qsub"))
-    }.reduce(_ unionByName _)
-    val lut = subv.join(broadcast(cw), "sub")
-      .select(col("qid"), col("sub"), col("code"), l2sq(col("qsub"), col("carr")).as("d2"))
-    // candidates: same coarse cluster, then neighbor codes -> LUT lookups
-    val cands = assign.select(col("cluster"), col("vid").as("query_id"))
-      .join(assign.select(col("cluster"), col("vid").as("neighbor_id")), Seq("cluster"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    val subDists = cands
-      .join(codes.select(col("vid").as("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
-      .join(lut.withColumnRenamed("qid", "query_id"), Seq("query_id", "sub", "code"))
-    val pivots = (0 until m).map(i =>
-      sum(when(col("sub") === i, col("d2")).otherwise(lit(0.0))).as(s"d_$i"))
-    val adc = (0 until m).map(i => col(s"d_$i")).reduce(_ + _)
+    // the m·k-row codeword table, all subspaces in one batched pass
+    val cw = pqCentArrays(codebooks)
+      .select(col("sub"), col("clabel").as("code"), col("carr"))
+    val lut = pqSubRows(df, id, vec, dims, m).join(broadcast(cw), "sub")
+      .select(col("vid").as("qid"), col("sub"), col("code"),
+        l2sq(col("subv"), col("carr")).as("d2"))
+    // one row per vector: the code ARRAY (position = subspace; every vector
+    // has all m subspaces) and the LUT as a DENSE array indexed
+    // sub*codewords+code — built through a map (gap-safe if a codeword ever
+    // drops out as an empty k-means cluster; a dropped codeword is never
+    // referenced by any code, so its null slot is never read) and
+    // densified ONCE per query, because element_at on a Catalyst map is a
+    // linear scan while the array lookup in the per-pair hot loop is O(1)
+    val codeArr = codes.groupBy(col("vid"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val lutMap = lut.groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(
+        col("sub") * codewords + col("code"), col("d2")))).as("lutm"))
+      .select(col("qid"),
+        transform(sequence(lit(0), lit(m * codewords - 1)),
+          i => element_at(col("lutm"), i.cast("int"))).as("lutm"))
+    // attach the LUT to the probe side and the codes to the posting-list
+    // side BEFORE the cluster join (the q66 a/b shape): the pair stream is
+    // born with everything the ADC needs and flows join -> project ->
+    // WindowGroupLimit in one stage — no per-pair re-shuffle
+    val aSide = assign.join(lutMap.withColumnRenamed("qid", "vid"), "vid")
+      .select(col("cluster"), col("vid").as("query_id"), col("lutm"))
+    val bSide = assign.join(codeArr, "vid")
+      .select(col("cluster"), col("vid").as("neighbor_id"), col("codes"))
+    val adc = (0 until m).map(i =>
+      element_at(col("lutm"),
+        lit(i * codewords) + element_at(col("codes"), i + 1) + lit(1)))
+      .reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    subDists.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(pivots.head, pivots.tail: _*)
-      .withColumn("adc", adc)
+    aSide.join(bSide, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
