@@ -44,6 +44,18 @@ object Layout {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Hive-style partitioned layout: one directory per value of `partCol`
+    * (`path/partCol=value/...`). A filter on the partition column then never
+    * opens a non-matching file — the scan's PartitionFilters prune whole
+    * directories at PLANNING time, the coarse-grained pruning that makes
+    * lang/date/source filters free at 100 TB (PlanSpec proves the pruned
+    * scan). Choose partition columns with bounded cardinality (lang, date,
+    * source) — one directory per value; high-cardinality keys belong in
+    * [[writeBucketed]] buckets instead.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Range-partition + sort within partitions on `sortCol`: globally ordered
     * output (file k's values all precede file k+1's) without a single-task
     * global sort — the layout that makes downstream range scans, time-ordered

@@ -128,6 +128,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"sort must be partition-local:\n${p.linesIterator.take(6).mkString("\n")}")
   }
 
+  test("partitioned layout: a partition-column filter prunes directories at planning time") {
+    import graft.ops.Layout
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-partlayout").toString
+    Layout.writePartitioned(docs, dir, "lang")
+    val read = spark.read.parquet(dir).where(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val p = plan(read)
+    assert("(?i)partitionfilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"the lang filter must reach PartitionFilters (directory pruning):\n$p")
+    assert(!"(?i)pushedfilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      "a partition filter should be fully consumed by pruning, not re-evaluated per row")
+  }
+
   test("decontamination: eval shingle side broadcasts; the corpus side never shuffles pre-join") {
     val docs = Tables.load(spark, sf, "documents")
     val p = plan(Dedup.contaminationPairs(
