@@ -325,6 +325,8 @@ object Dedup {
     * any pair are singletons and survive untouched.
     */
   def keepClusterRepresentative(df: DataFrame, id: Column, labels: DataFrame): DataFrame = {
+    require(!df.columns.contains("__cc_dup"),
+      "keepClusterRepresentative: input frame already uses the reserved column name __cc_dup")
     val dupes = labels.where(col("id") =!= col("cluster_id"))
       .select(col("id").as("__cc_dup"))
     df.join(dupes, id === col("__cc_dup"), "left_anti")

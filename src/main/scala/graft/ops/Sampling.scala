@@ -60,15 +60,27 @@ object Sampling {
       pmod(Hashing.hash60(concat(lit(salt + "-"), id.cast("string"))), lit(den)) < rateCol)
   }
 
-  /** DuckDB twin of [[mixBySource]]'s keep-predicate. */
+  /** DuckDB twin of [[mixBySource]]'s keep-predicate. Mirrors the Spark
+    * side's rate validation, degrades to the bare default threshold when no
+    * per-source rate is given (an empty CASE is a SQL parse error), and
+    * escapes quotes in source keys.
+    */
   def duckMixPredicate(idExpr: String, sourceExpr: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "mix"): String = {
     val den = 1000000L
-    val cases = rates.map { case (k, v) =>
-      s"WHEN $sourceExpr = '$k' THEN ${math.round(v * den)}" }.mkString(" ")
-    s"(${Hashing.duckHash60(s"('$salt-' || CAST($idExpr AS VARCHAR))")} % $den) < " +
-      s"(CASE $cases ELSE ${math.round(defaultRate * den)} END)"
+    def thr(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r")
+      math.round(r * den)
+    }
+    val rateExpr =
+      if (rates.isEmpty) thr(defaultRate).toString
+      else {
+        val cases = rates.map { case (k, v) =>
+          s"WHEN $sourceExpr = '${k.replace("'", "''")}' THEN ${thr(v)}" }.mkString(" ")
+        s"(CASE $cases ELSE ${thr(defaultRate)} END)"
+      }
+    s"(${Hashing.duckHash60(s"('$salt-' || CAST($idExpr AS VARCHAR))")} % $den) < $rateExpr"
   }
 
   /** SEQUENCE PACKING (concat-and-chunk): lay the corpus out as one token
@@ -98,7 +110,13 @@ object Sampling {
     val parts = base.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // explicit ROWS frame: the default RANGE frame would give duplicate ids
+    // identical cumulative sums (overlapping spans, conservation broken).
+    // Ids are expected unique (every catalog table's are); with duplicates
+    // the ROWS frame still conserves tokens but their relative order is
+    // partition-dependent.
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("local_end", sum(col("n_tok")).over(wLocal))
     // offset per partition: exclusive prefix sum of partition totals (rows =
     // #partitions, bounded by cluster parallelism — not data volume)

@@ -486,7 +486,11 @@ object Similarity {
     */
   def ivfPqTopK(df: DataFrame, id: Column, vec: Column, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      dims: Int, m: Int, codewords: Int = 16): DataFrame = {
+      dims: Int, m: Int): DataFrame = {
+    // derived, not a parameter: a mismatched codeword count would collide
+    // LUT keys across subspaces (sub*cw+code) and fail far from the cause.
+    // One bounded job over the checkpointed model-parameter frame.
+    val codewords = codebooks.agg(max(col("clabel"))).head().getInt(0) + 1
     val assign = ivfAssign(df, id, vec, coarseCentroids)
       .select(col("vid"), col("cluster"))
       .localCheckpoint() // feeds BOTH join sides (the q68 lesson)

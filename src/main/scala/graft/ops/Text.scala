@@ -435,13 +435,13 @@ object Text {
     val emb = hashingTrickEmbedding(df, id, text, dims)
     val qdf = Seq((0L, queryTerms.mkString(" "))).toDF("qid", "qtext")
     val qvec = hashingTrickEmbedding(qdf, col("qid"), col("qtext"), dims)
-      .select(col("vec").as("qv"))
+      .select(col("vec").as("qv"), Num.norm(col("vec")).as("nq")) // norm ONCE, pre-broadcast
+      .where(col("nq") > 0)
     val wv = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col("doc_id").asc)
     val vec = emb.crossJoin(broadcast(qvec))
       .withColumn("nv", Num.norm(col("vec")))
-      .withColumn("nq", Num.norm(col("qv")))
-      .where(col("nv") > 0 && col("nq") > 0) // zero vectors have no direction
+      .where(col("nv") > 0) // zero vectors have no direction
       .withColumn("cos", Num.dot(col("vec"), col("qv")) / (col("nv") * col("nq")))
       .withColumn("vec_rank", row_number().over(wv))
       .where(col("vec_rank") <= perList)
