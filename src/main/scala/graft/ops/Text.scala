@@ -288,6 +288,17 @@ object Text {
     require(dims >= 1, "need at least one dimension")
     val toks = Dedup.spreadBy(df, id)
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    embeddingFromTokenRows(toks, dims)
+  }
+
+  /** The vectorizer core over pre-exploded `(doc_id, tok)` rows — the shared
+    * tail of [[hashingTrickEmbedding]], also used directly to embed small
+    * query frames (a term list is already token rows; re-tokenizing a joined
+    * string and re-spreading a handful of rows would only add plan nodes).
+    */
+  def embeddingFromTokenRows(
+      toks: org.apache.spark.sql.DataFrame,
+      dims: Int): org.apache.spark.sql.DataFrame = {
     // ONE hash per token supplies both coordinates: the low bit is the sign,
     // the remaining 59 bits the bucket — independent for dims < 2^59, and
     // half the hashing work of a separate sign hash (this is the hot path:
@@ -405,6 +416,104 @@ object Text {
       .select(col("doc_id"), col("score"), col("rank"))
   }
 
+  /** BATCHED multi-query BM25: scores a whole query TABLE `(qid bigint,
+    * terms array<string>)` against the corpus in ONE pass — the shape a real
+    * retrieval/eval pipeline needs (thousands of queries per job), where
+    * [[bm25TopK]] is the single-query special case.
+    *
+    * Determinism note: per-query term counts vary, so the fixed-pivot-column
+    * trick of [[bm25TopK]] cannot apply. Instead the per-(qid, doc)
+    * contributions are collected, sorted by the query's own term index, and
+    * LEFT-FOLDED in that fixed order (`aggregate` over the sorted array) —
+    * the same reduction-order discipline, realized per-row instead of
+    * per-column; the DuckDB twin is `list_reduce` over `list(... ORDER BY
+    * ti)`.
+    *
+    * Scale shape: the corpus is tokenized and aggregated ONCE for all
+    * queries — the token explode is semi-joined against the (broadcast)
+    * distinct term set BEFORE the tf aggregation, so the shuffled tf frame
+    * carries only matching (doc, term) rows; the (qid, ti, term) frame then
+    * broadcast-joins onto tf to fan scored rows out per query. No per-query
+    * re-scan exists anywhere in the plan. The final per-qid top-k compiles
+    * to WindowGroupLimit.
+    */
+  def bm25TopKBatch(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val q = queries.select(col("qid"), posexplode(col("terms")).as(Seq("ti", "tok")))
+    val termSet = q.select(col("tok")).distinct()
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val dl = df.select(id.as("doc_id"), wordCount(text).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    val tf = toks.join(broadcast(termSet), "tok")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(q), "tok")
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val perQd = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("ti"), col("contrib")))).as("cs"))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQd.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal Rank Fusion of N ranked lists, fused in the FIXED order of
+    * `lists`: each element is (frame, rankCol) where the frame carries
+    * columns `partKeys :+ docKey :+ rankCol` (its system's rank, already cut
+    * to that system's top-perList). rrf = Σ_system 1/(kRrf + rank_system),
+    * docs absent from a system contribute 0 from it. All arithmetic is
+    * integer-derived (ranks), so the fused score is bit-reproducible on any
+    * engine and any partitioning.
+    *
+    * Scale shape: each input is top-perList rows per (partKeys) group —
+    * the full-outer fusion joins handle N×perList rows per group regardless
+    * of corpus size; the final per-group top-k is a WindowGroupLimit (or
+    * TakeOrderedAndProject when partKeys is empty).
+    */
+  def rrfFuse(
+      lists: Seq[(org.apache.spark.sql.DataFrame, String)],
+      partKeys: Seq[String],
+      docKey: String,
+      k: Int,
+      kRrf: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(lists.size >= 2, "fusion needs at least two ranked lists")
+    val keys = partKeys :+ docKey
+    val joined = lists.map(_._1).reduce((a, c) => a.join(c, keys, "full_outer"))
+    val rrf = lists
+      .map { case (_, rn) =>
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(rn)), lit(0.0))
+      }
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partKeys.map(col): _*)
+      .orderBy(col("rrf").desc, col(docKey).asc)
+    joined.withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select((keys.map(col) ++ lists.map(l => col(l._2)) ++ Seq(col("rrf"), col("rank"))): _*)
+  }
+
   /** HYBRID retrieval: Reciprocal Rank Fusion of the BM25 lexical ranking
     * and a vector ranking (cosine of the corpus' hashing-trick embeddings
     * against the query's own hashing-trick embedding — the query is
@@ -433,8 +542,10 @@ object Text {
     val lex = bm25TopK(df, id, text, queryTerms, perList)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val emb = hashingTrickEmbedding(df, id, text, dims)
-    val qdf = Seq((0L, queryTerms.mkString(" "))).toDF("qid", "qtext")
-    val qvec = hashingTrickEmbedding(qdf, col("qid"), col("qtext"), dims)
+    // the term list IS the query's token rows — embed it directly (no
+    // re-tokenization / spreadBy plan nodes on a handful of rows)
+    val qtoks = queryTerms.map(t => (0L, t)).toDF("doc_id", "tok")
+    val qvec = embeddingFromTokenRows(qtoks, dims)
       .select(col("vec").as("qv"), Num.norm(col("vec")).as("nq")) // norm ONCE, pre-broadcast
       .where(col("nq") > 0)
     val wv = org.apache.spark.sql.expressions.Window
@@ -446,15 +557,103 @@ object Text {
       .withColumn("vec_rank", row_number().over(wv))
       .where(col("vec_rank") <= perList)
       .select(col("doc_id"), col("vec_rank"))
-    val wf = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("vec_rank")), lit(0.0)))
-      .withColumn("rank", row_number().over(wf))
+    rrfFuse(Seq((lex, "lex_rank"), (vec, "vec_rank")),
+      partKeys = Seq.empty, docKey = "doc_id", k = k, kRrf = kRrf)
+  }
+
+  /** BATCHED hybrid retrieval: [[hybridRrfTopK]] over a whole query TABLE
+    * `(qid bigint, terms array<string>)` — BM25 and embedding-cosine ranked
+    * per query in one corpus pass each, fused per (qid, doc_id) by
+    * [[rrfFuse]] in fixed lexical-then-vector order.
+    *
+    * Scale shape: the corpus embeddings materialize once and broadcast-join
+    * against the |Q| query vectors (corpus scanned once; the per-qid rank
+    * windows cut each list to perList via WindowGroupLimit before fusion).
+    */
+  def hybridRrfTopKBatch(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queries: org.apache.spark.sql.DataFrame,
+      dims: Int,
+      k: Int,
+      perList: Int = 100,
+      kRrf: Int = 60): org.apache.spark.sql.DataFrame = {
+    val lex = bm25TopKBatch(df, id, text, queries, perList)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = embeddingCosineTopKBatch(df, id, text, queries, dims, perList)
+      .select(col("qid"), col("doc_id"), col("rank").as("vec_rank"))
+    rrfFuse(Seq((lex, "lex_rank"), (vec, "vec_rank")),
+      partKeys = Seq("qid"), docKey = "doc_id", k = k, kRrf = kRrf)
+  }
+
+  /** Per-query embedding-cosine top-k over the hashing-trick vectors: each
+    * query's terms are embedded by the document vectorizer itself and ranked
+    * against the corpus vectors — the vector half of hybrid retrieval, and a
+    * batched brute-force cosine baseline in its own right.
+    *
+    * Scale shape: the corpus embeds ONCE; the |Q| query vectors (with their
+    * norms pre-computed) broadcast against it, so the cosine pass is one
+    * corpus scan producing |docs|×|Q| scored rows, cut to k per qid by
+    * WindowGroupLimit. For corpus-×-corpus scale use the ANN operators in
+    * [[Similarity]]; a query TABLE of thousands of rows is exactly the
+    * broadcast-friendly small side this shape assumes.
+    */
+  def embeddingCosineTopKBatch(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queries: org.apache.spark.sql.DataFrame,
+      dims: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val emb = hashingTrickEmbedding(df, id, text, dims)
+    val qtoks = queries.select(col("qid").as("doc_id"), explode(col("terms")).as("tok"))
+    val qvecs = embeddingFromTokenRows(qtoks, dims)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"), Num.norm(col("vec")).as("nq"))
+      .where(col("nq") > 0)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    emb.withColumn("nv", Num.norm(col("vec")))
+      .where(col("nv") > 0) // zero vectors have no direction
+      .crossJoin(broadcast(qvecs))
+      .withColumn("cos", Num.dot(col("vec"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("rank", row_number().over(wv))
       .where(col("rank") <= k)
-      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"), col("rank"))
+      .select(col("qid"), col("doc_id"), col("cos"), col("rank"))
+  }
+
+  /** Term-coverage ranking: per query, docs ranked by HOW MANY of the
+    * query's terms they contain (a boolean-retrieval scorer — integer
+    * scores, engine-exact). The third ranked system beside BM25 and
+    * embedding cosine in the N-system fusion demo; also useful standalone
+    * as a cheap recall-oriented candidate generator.
+    *
+    * Scale shape: token explode semi-joined to the broadcast term set, then
+    * distinct (doc, term) — the shuffled frame is |matched terms| rows per
+    * doc; per-qid counts and the top-perList window follow the standard
+    * WindowGroupLimit shape.
+    */
+  def termCoverageTopK(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val q = queries.select(col("qid"), explode(col("terms")).as("tok"))
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val hits = toks.join(broadcast(q.select(col("tok")).distinct()), "tok")
+      .select(col("doc_id"), col("tok")).distinct()
+      .join(broadcast(q), "tok")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("coverage"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("coverage").desc, col("doc_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("coverage"), col("rank"))
   }
 
   // -------------------------------------------------------------------------

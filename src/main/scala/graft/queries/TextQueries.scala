@@ -12,6 +12,30 @@ object TextQueries {
   /** The fixed retrieval query shared by q91 (BM25) and q92 (hybrid RRF). */
   private val HybridTerms = Seq("join", "scan", "merge")
 
+  /** The fixed query TABLE for the batched retrieval queries q96–q98:
+    * variable term counts on purpose (the batch path cannot rely on the
+    * fixed-pivot trick, so the fixture must exercise ragged queries).
+    */
+  private val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("join", "scan", "merge"),
+    1L -> Seq("filter", "sort", "group"),
+    2L -> Seq("stream", "window", "batch", "spark"))
+
+  /** BM25 per-(doc, term) contribution — Lucene idf, k1=1.2, b=0.75 — over
+    * CTE columns `tf, df, n, total_dl, dl`; every fraction literal CAST to
+    * DOUBLE so DuckDB's decimal literals can't shift the arithmetic. Shared
+    * by the single-query and batch CTE chains.
+    */
+  private val DuckBm25Contrib: String =
+    """ln(CAST(1.0 AS DOUBLE)
+      |        + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf AS DOUBLE)
+      |        + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+      |            / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE))))""".stripMargin
+
   /** DuckDB CTE chain ending in `bmranked(doc_id, score, rank)`: the exact
     * twin of `Text.bm25TopK`'s arithmetic (Lucene idf, k1=1.2, b=0.75,
     * per-term pivot columns added in term order; every fraction literal CAST
@@ -36,14 +60,7 @@ object TextQueries {
        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
        |contrib AS (
        |  SELECT tf.doc_id, tf.tok,
-       |    ln(CAST(1.0 AS DOUBLE)
-       |        + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-       |          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-       |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-       |      / (CAST(tf AS DOUBLE)
-       |        + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-       |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
-       |            / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+       |    $DuckBm25Contrib AS contrib
        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
        |perdoc AS (
        |  SELECT doc_id, $cs
@@ -53,6 +70,83 @@ object TextQueries {
        |    row_number() OVER (ORDER BY $scoreExpr DESC, doc_id ASC) AS rank
        |  FROM perdoc)""".stripMargin
   }
+
+  /** DuckDB CTE chain for the BATCHED retrieval queries, ending in
+    * `bmb(qid, doc_id, score, rank)` — the twin of `Text.bm25TopKBatch`.
+    * The per-(qid, doc) score is `list_reduce` over `list(contrib ORDER BY
+    * ti)` prepended with 0.0: the exact left fold the Spark side performs
+    * with `aggregate` over the ti-sorted contribution array, so the double
+    * reduction order is identical. Also defines `q(qid, ti, tok)` and
+    * `toks`, reused by q97/q98's embedding and coverage CTEs.
+    */
+  private def duckBm25BatchCtes(qs: Seq[(Long, Seq[String])]): String = {
+    val qvals = qs.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => s"($qid, $i, '$t')" }
+    }.mkString(", ")
+    val allTerms = qs.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""q(qid, ti, tok) AS (VALUES $qvals),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($allTerms) GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |bcontrib AS (
+       |  SELECT q.qid, q.ti, tf.doc_id,
+       |    $DuckBm25Contrib AS contrib
+       |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats),
+       |bperqd AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY ti)),
+       |      (a, x) -> a + x) AS score
+       |  FROM bcontrib GROUP BY 1, 2),
+       |bmb AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM bperqd)""".stripMargin
+  }
+
+  /** DuckDB CTEs for the batched embedding-cosine ranking, ending in
+    * `bvecranked(qid, doc_id, cos, vec_rank)` — twin of
+    * `Text.embeddingCosineTopKBatch` (32 dims). Requires `q` and `toks`
+    * from [[duckBm25BatchCtes]].
+    */
+  private val DuckBatchVecCtes: String =
+    s"""hcontrib AS (
+       |  SELECT doc_id, (h // 2) % 32 AS bucket,
+       |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
+       |hw AS (SELECT doc_id, bucket, SUM(s) AS w FROM hcontrib GROUP BY 1, 2),
+       |dvec AS (
+       |  SELECT d.doc_id, list(CAST(COALESCE(hw.w, 0) AS DOUBLE) ORDER BY g.dim) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
+       |  LEFT JOIN hw ON hw.doc_id = d.doc_id AND hw.bucket = g.dim
+       |  GROUP BY d.doc_id),
+       |bqcontrib AS (
+       |  SELECT qid, (h // 2) % 32 AS bucket,
+       |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT qid, ${Hashing.duckHash60("tok")} AS h FROM q)),
+       |bqw AS (SELECT qid, bucket, SUM(s) AS w FROM bqcontrib GROUP BY 1, 2),
+       |bqvec AS (
+       |  SELECT qq.qid, list(CAST(COALESCE(bqw.w, 0) AS DOUBLE) ORDER BY g.dim) AS qv
+       |  FROM (SELECT DISTINCT qid FROM q) qq
+       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
+       |  LEFT JOIN bqw ON bqw.qid = qq.qid AND bqw.bucket = g.dim
+       |  GROUP BY qq.qid),
+       |bvecranked AS (
+       |  SELECT qid, doc_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS vec_rank
+       |  FROM (
+       |    SELECT bqvec.qid, dvec.doc_id,
+       |      ${Num.duckDot("v", "qv")} / (${Num.duckNorm("v")} * ${Num.duckNorm("qv")}) AS cos
+       |    FROM dvec CROSS JOIN bqvec
+       |    WHERE ${Num.duckNorm("v")} > 0 AND ${Num.duckNorm("qv")} > 0))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -270,6 +364,101 @@ object TextQueries {
            |      doc_id ASC) AS rank
            |  FROM lex FULL OUTER JOIN vec USING (doc_id))
            |WHERE rank <= 20""".stripMargin
+      }),
+
+    // BATCHED BM25: a query TABLE (3 ragged queries) scored against the
+    // corpus in ONE pass — the corpus tokenization/tf aggregation is shared
+    // across queries (semi-join on the union term set BEFORE aggregation),
+    // and per-(qid, doc) scores left-fold the contributions in term-index
+    // order (array_sort + aggregate == DuckDB list_reduce over list(ORDER BY
+    // ti)), so the double reduction order is engine-identical.
+    QueryDef(
+      "q96_bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, k = 10)
+      },
+      Some(s"""WITH ${duckBm25BatchCtes(BatchQueries)}
+           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rank
+           |FROM bmb WHERE rank <= 10""".stripMargin)),
+
+    // BATCHED hybrid retrieval: per-query RRF fusion of the batched BM25
+    // top-50 and the batched embedding-cosine top-50 (each query embedded by
+    // the document vectorizer). Integer-rank arithmetic keeps the fused
+    // score bit-reproducible; the fusion joins handle 2×50 rows per query.
+    QueryDef(
+      "q97_hybrid_rrf_batch",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        Text.hybridRrfTopKBatch(docs, col("doc_id"), col("text"), qdf,
+          dims = 32, k = 10, perList = 50)
+      },
+      Some {
+        val rrf2 =
+          """COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+            |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))""".stripMargin
+        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
+           |$DuckBatchVecCtes,
+           |blex AS (SELECT qid, doc_id, rank AS lex_rank FROM bmb WHERE rank <= 50),
+           |bvec AS (SELECT qid, doc_id, vec_rank FROM bvecranked WHERE vec_rank <= 50)
+           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, lex_rank, vec_rank, rrf, rank FROM (
+           |  SELECT qid, doc_id, lex_rank, vec_rank,
+           |    $rrf2 AS rrf,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $rrf2 DESC, doc_id ASC) AS rank
+           |  FROM blex FULL OUTER JOIN bvec USING (qid, doc_id))
+           |WHERE rank <= 10""".stripMargin
+      }),
+
+    // N-SYSTEM RRF: three ranked systems — BM25, embedding cosine, and
+    // term-coverage (boolean retrieval) — fused per query in fixed order by
+    // the general rrfFuse. Proves fusion is not hard-wired to two lists.
+    QueryDef(
+      "q98_rrf_three_system",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        val lex = Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, k = 50)
+          .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+        val vec = Text.embeddingCosineTopKBatch(docs, col("doc_id"), col("text"), qdf,
+            dims = 32, k = 50)
+          .select(col("qid"), col("doc_id"), col("rank").as("vec_rank"))
+        val cov = Text.termCoverageTopK(docs, col("doc_id"), col("text"), qdf, k = 50)
+          .select(col("qid"), col("doc_id"), col("rank").as("cov_rank"))
+        Text.rrfFuse(Seq((lex, "lex_rank"), (vec, "vec_rank"), (cov, "cov_rank")),
+          partKeys = Seq("qid"), docKey = "doc_id", k = 10)
+      },
+      Some {
+        val allTerms = BatchQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+        val rrf3 =
+          """COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+            |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+            |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(cov_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))""".stripMargin
+        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
+           |$DuckBatchVecCtes,
+           |bcov AS (
+           |  SELECT q.qid, t.doc_id, COUNT(*) AS coverage
+           |  FROM (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ($allTerms)) t
+           |  JOIN q USING (tok) GROUP BY 1, 2),
+           |bcovranked AS (
+           |  SELECT qid, doc_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY coverage DESC, doc_id ASC) AS cov_rank
+           |  FROM bcov),
+           |blex AS (SELECT qid, doc_id, rank AS lex_rank FROM bmb WHERE rank <= 50),
+           |bvec AS (SELECT qid, doc_id, vec_rank FROM bvecranked WHERE vec_rank <= 50),
+           |bcovl AS (SELECT qid, doc_id, cov_rank FROM bcovranked WHERE cov_rank <= 50)
+           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, lex_rank, vec_rank, cov_rank, rrf, rank FROM (
+           |  SELECT qid, doc_id, lex_rank, vec_rank, cov_rank,
+           |    $rrf3 AS rrf,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $rrf3 DESC, doc_id ASC) AS rank
+           |  FROM blex
+           |  FULL OUTER JOIN bvec USING (qid, doc_id)
+           |  FULL OUTER JOIN bcovl USING (qid, doc_id))
+           |WHERE rank <= 10""".stripMargin
       }),
 
     // Array-function surface over the token array: distinct/sort/slice/

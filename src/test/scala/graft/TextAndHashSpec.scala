@@ -64,4 +64,41 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     // ab | 12 | cd | ! | e
     assert(n == 5)
   }
+
+  test("bm25TopKBatch on a single query reproduces bm25TopK bit for bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join scan merge join extra words here"),
+      (2L, "scan scan filter scan"),
+      (3L, "merge join"),
+      (4L, "unrelated noise tokens only"),
+      (5L, "join")).toDF("doc_id", "text")
+    val terms = Seq("join", "scan", "merge")
+    val single = Text.bm25TopK(docs, col("doc_id"), col("text"), terms, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val qdf = Seq((7L, terms)).toDF("qid", "terms")
+    val batch = Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, k = 10)
+      .collect().map { r =>
+        assert(r.getLong(0) == 7L, "qid carried through")
+        r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))
+      }.toMap
+    // (0.0 + c0) + c1 + ... == c0 + c1 + ... exactly for nonzero finite
+    // contributions, so the two reduction shapes agree bit for bit
+    assert(batch == single)
+  }
+
+  test("rrfFuse: N-list fixed-order fusion, absent lists contribute 0, per-group windows") {
+    import spark.implicits._
+    // doc 10 ranked by all three systems; doc 20 by two; doc 30 by one
+    val l1 = Seq((0L, 10L, 1), (0L, 20L, 2)).toDF("qid", "doc_id", "r1")
+    val l2 = Seq((0L, 10L, 2), (0L, 30L, 1)).toDF("qid", "doc_id", "r2")
+    val l3 = Seq((0L, 10L, 3), (0L, 20L, 1)).toDF("qid", "doc_id", "r3")
+    val out = Text.rrfFuse(Seq((l1, "r1"), (l2, "r2"), (l3, "r3")),
+        partKeys = Seq("qid"), docKey = "doc_id", k = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(5), r.getInt(6)))).toMap
+    def rr(r: Int): Double = 1.0 / (60.0 + r)
+    assert(out(10L) == (((rr(1) + rr(2)) + rr(3), 1)))
+    assert(out(20L) == (((rr(2) + 0.0) + rr(1), 2)))
+    assert(out(30L) == (((0.0 + rr(1)) + 0.0, 3)))
+  }
 }
