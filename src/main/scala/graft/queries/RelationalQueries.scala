@@ -479,26 +479,55 @@ object RelationalQueries {
            |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
            |FROM ${Tables.duckEvents} ev GROUP BY event_type""".stripMargin)),
 
-    // Approximate percentiles (Greenwald-Khanna sketch): merge order across
-    // partitions affects the sketch, so no cross-engine oracle is possible —
-    // the driver records the rows-only check and CatalogSpec bounds the
-    // error against the exact percentiles (same pattern as q26's HLL).
+    // Approximate percentiles (Greenwald-Khanna sketch): the sketch value is
+    // partition-merge-order dependent, so (like q26) the query outputs the
+    // deterministic verdict — DISCRETE exact percentiles (the value at rank
+    // ⌈p·n⌉, an actual data element: no interpolation arithmetic to diverge
+    // cross-engine; rank arithmetic in DECIMAL to match DuckDB's literals)
+    // plus an in-query `within_bound` boolean (both approx percentiles
+    // within 5% of the group's value range — the same bound CatalogSpec
+    // pins; the disc-vs-interpolated gap is absorbed by it). The oracle
+    // computes the same discrete percentiles and literal `true`.
     QueryDef(
       "q78_approx_percentile",
       (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-        // Scalar columns (not the raw array) so the driver's rows-only
-        // fallback can canonicalize the frame — array cells are unsortable
-        // in its pandas compare.
-        ev.groupBy(col("event_type"))
+        val ev = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+        val half = lit(java.math.BigDecimal.valueOf(0.5))
+        val p95 = lit(java.math.BigDecimal.valueOf(0.95))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("value")).as("mx"), min(col("value")).as("mn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value").asc)
+        val exact = ev.withColumn("rn", row_number().over(w))
+          .join(stats, "event_type")
+          .groupBy(col("event_type"), col("mx"), col("mn"))
           .agg(
-            percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
-              .as("approx_p"))
+            max(when(col("rn") === ceil(half * col("n")), col("value"))).as("exact_p50"),
+            max(when(col("rn") === ceil(p95 * col("n")), col("value"))).as("exact_p95"))
+        val approx = ev.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+            .as("approx_p"))
           .select(col("event_type"),
             element_at(col("approx_p"), 1).as("approx_p50"),
             element_at(col("approx_p"), 2).as("approx_p95"))
+        exact.join(approx, "event_type")
+          .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+            ((abs(col("approx_p50") - col("exact_p50")) <= lit(0.05) * (col("mx") - col("mn")))
+              && (abs(col("approx_p95") - col("exact_p95")) <= lit(0.05) * (col("mx") - col("mn"))))
+              .as("within_bound"))
       },
-      None),
+      Some(s"""WITH ev AS (SELECT event_type, value FROM ${Tables.duckEvents} e),
+           |stats AS (
+           |  SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+           |r AS (
+           |  SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn
+           |  FROM ev)
+           |SELECT event_type,
+           |  MAX(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS exact_p50,
+           |  MAX(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS exact_p95,
+           |  TRUE AS within_bound
+           |FROM r JOIN stats USING (event_type) GROUP BY event_type""".stripMargin)),
 
     // CUBE (all grouping-set combinations).
     QueryDef(
@@ -525,17 +554,27 @@ object RelationalQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
            |FROM events GROUP BY event_type""".stripMargin)),
 
-    // Approximate distinct (HLL++) — engine-specific sketch, no SQL oracle;
-    // accuracy vs q25's exact counts is asserted in CatalogSpec
-    // ("q26: approx_count_distinct(rsd=0.01) within 5*rsd").
+    // Approximate distinct (HLL++) — the sketch value itself is
+    // engine-specific, so the query OUTPUTS the deterministic verdict
+    // instead: the exact count plus an in-query `within_bound` boolean
+    // (|approx − exact| ≤ 5·rsd·exact). The oracle computes the same exact
+    // count and the literal `true` the sketch must earn — a hash-checkable
+    // contract for an approximate operator.
     QueryDef(
       "q26_approx_count_distinct",
       (s, dir) => {
         val events = Tables.load(s, dir, "events")
         events.groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+              <= lit(0.05) * col("exact_users").cast("double")).as("within_bound"))
       },
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           |  TRUE AS within_bound
+           |FROM events GROUP BY event_type""".stripMargin)),
 
     // Scalar string functions (F1/F8 generalization).
     QueryDef(

