@@ -410,8 +410,53 @@ object Similarity {
   def pqCodebooksFlat(df: DataFrame, id: Column, vec: Column,
       dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    pqTrainFromSubRows(pqSubRows(df, id, vec, dims, m), k, iters)
+  }
+
+  /** (vid, cluster, rv): every vector's coarse-quantizer cluster and its
+    * RESIDUAL rv = v − centroid(cluster) — the input of residual product
+    * quantization (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", IVFADC): residuals concentrate around 0 regardless of where
+    * each coarse cell sits, so the m·k codeword budget models the
+    * within-cell displacement instead of re-spending resolution on the cell
+    * positions the coarse quantizer already encodes.
+    *
+    * Scale shape: one assignment pass (ids through the shuffle) + one
+    * broadcast centroid join; the residual is a per-row projection.
+    */
+  def ivfResiduals(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame =
+    ivfAssign(df, id, vec, centroids).select(col("vid"), col("cluster"))
+      .join(df.select(id.as("vid"), vec.as("vec")), "vid")
+      .join(broadcast(centroids.select(col("clabel").as("cluster"), col("carr"))), "cluster")
+      .select(col("vid"), col("cluster"),
+        zip_with(col("vec"), col("carr"), (x, c) => x.cast("double") - c).as("rv"))
+
+  /** RESIDUAL-PQ codebooks: [[pqCodebooksFlat]] trained on coarse-quantizer
+    * residuals instead of raw subvectors (see [[ivfResiduals]]) — the
+    * production IVFADC layout, lifting recall at the same m·k budget.
+    */
+  def pqCodebooksFlatResidual(df: DataFrame, id: Column, vec: Column,
+      coarseCentroids: DataFrame, dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val res = ivfResiduals(df, id, vec, coarseCentroids)
+    pqTrainFromSubRows(pqSubRows(res, col("vid"), col("rv"), dims, m), k, iters)
+  }
+
+  /** RESIDUAL-PQ encoding: each vector's residual (w.r.t. its OWN coarse
+    * cluster) as m codeword ids — pair with [[pqCodebooksFlatResidual]].
+    */
+  def pqEncodeResidual(df: DataFrame, id: Column, vec: Column,
+      coarseCentroids: DataFrame, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    val res = ivfResiduals(df, id, vec, coarseCentroids)
+    pqEncode(res, col("vid"), col("rv"), codebooks, dims, m)
+  }
+
+  /** The batched m-subspace Lloyd trainer over pre-built (vid, sub, subv)
+    * rows — shared by the raw and residual codebook builders.
+    */
+  private def pqTrainFromSubRows(rows: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "at least one Lloyd iteration")
-    val rows = pqSubRows(df, id, vec, dims, m)
     val h = Hashing.hash60(concat(
       lit("pq"), col("sub").cast("string"), lit("-"), col("vid").cast("string")))
     val ws = org.apache.spark.sql.expressions.Window
@@ -458,74 +503,114 @@ object Similarity {
       .agg(min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("code"))
       .select(col("vid"), col("sub"), col("code"))
 
-  /** IVF-PQ approximate top-k — the full billion-vector architecture: an
-    * IVF coarse quantizer prunes the search to the query's cluster, and
-    * within it candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION:
-    * adc(q, x) = Σ_sub l2sq(q_sub, codeword(x_sub)) — the query side stays
-    * exact, the candidate side is its m-byte code, so ranking touches no
-    * candidate vectors at all (the point of PQ: the scan reads codes, the
-    * per-query lookup table has m·k entries).
+  /** IVF-PQ approximate top-k — the full billion-vector architecture
+    * (IVFADC, Jégou et al.): an IVF coarse quantizer prunes the search to
+    * the query's `nprobe` nearest clusters, and within them candidates are
+    * ranked by ASYMMETRIC DISTANCE COMPUTATION over RESIDUALS:
+    * adc(q, x | cell) = Σ_sub l2sq(r(q, cell)_sub, codeword(r(x)_sub)),
+    * with r(v) = v − coarse_centroid — the query side stays exact, the
+    * candidate side is its m-byte residual code, so ranking touches no
+    * candidate vectors at all (the point of PQ: the scan reads codes; the
+    * lookup table has m·k entries per probed cell). Residual encoding
+    * concentrates the codebooks around 0, lifting recall at the same m·k
+    * budget; the price is one LUT per (query, probed cell) instead of per
+    * query, because the query residual depends on the cell — the standard
+    * IVFADC trade.
+    *
+    * `codebooks` must come from [[pqCodebooksFlatResidual]] trained with
+    * the SAME `coarseCentroids`.
     *
     * Determinism: the ADC total is the fixed-order sum of the m per-
     * subspace lookups (subspace 0 first — the BM25 fixed-order discipline),
     * computed as a single per-row expression over each neighbor's code
-    * array and the query's lookup map — never a float `sum()` aggregation —
-    * so it is bit-identical on any partitioning and in the oracle (whose
-    * pivoted-column formulation adds the same values in the same order).
+    * array and the probe's lookup array — never a float `sum()`
+    * aggregation — so it is bit-identical on any partitioning and in the
+    * oracle (whose pivoted-column formulation adds the same values in the
+    * same order).
     *
-    * Per-pair cost is m map lookups + m-1 adds in one projection: the
+    * Per-pair cost is m array lookups + m-1 adds in one projection: the
     * candidate pair stream never passes through a per-(pair, subspace)
     * aggregation, so the only exchanges are the two id joins (codes to
-    * neighbors, LUTs to queries) and the final top-k window
-    * (WindowGroupLimit-pruned). The LUT map (m·k doubles) rides each pair
-    * row only inside the projection stage and is dropped before the window
-    * exchange.
+    * neighbors, LUTs to probes) and the final top-k window
+    * (WindowGroupLimit-pruned). A (query, neighbor) pair appears at most
+    * once at any nprobe — each neighbor lives in exactly one cell and
+    * probed cells are distinct — so no candidate dedup is needed.
     *
     * Output: (query_id, neighbor_id, adc, rank), rank by (adc asc,
     * neighbor_id asc), rank <= k.
     */
   def ivfPqTopK(df: DataFrame, id: Column, vec: Column, k: Int,
       coarseCentroids: DataFrame, codebooks: DataFrame,
-      dims: Int, m: Int): DataFrame = {
+      dims: Int, m: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "probe at least one cell")
     // derived, not a parameter: a mismatched codeword count would collide
     // LUT keys across subspaces (sub*cw+code) and fail far from the cause.
     // One bounded job over the checkpointed model-parameter frame.
     val codewords = codebooks.agg(max(col("clabel"))).head().getInt(0) + 1
+    val sd = dims / m
+    val base = df.select(id.as("vid"), transform(vec, x => x.cast("double")).as("v"))
+    val centByCluster =
+      broadcast(coarseCentroids.select(col("clabel").as("cluster"), col("carr")))
     val assign = ivfAssign(df, id, vec, coarseCentroids)
       .select(col("vid"), col("cluster"))
       .localCheckpoint() // feeds BOTH join sides (the q68 lesson)
-    val codes = pqEncode(df, id, vec, codebooks, dims, m)
-    // per-query ADC lookup table: l2sq of each query subvector against each
-    // codeword — n·m·k rows of (qid, sub, code, d2), broadcast-joined from
-    // the m·k-row codeword table, all subspaces in one batched pass
+    // neighbor codes: residual w.r.t. the OWN cell, m codeword ids
+    val res = assign.join(base, "vid").join(centByCluster, "cluster")
+      .select(col("vid"), zip_with(col("v"), col("carr"), (x, c) => x - c).as("rv"))
+    val codes = pqEncode(res, col("vid"), col("rv"), codebooks, dims, m)
+    // probes: the query's nprobe nearest cells (ties -> lowest label);
+    // nprobe == 1 reuses the assignment — no second distance pass
+    val probes =
+      if (nprobe == 1) assign
+      else {
+        val scoredC = df.select(id.as("vid"), vec.as("vec"))
+          .crossJoin(broadcast(coarseCentroids))
+          .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vid")).orderBy(col("d2").asc, col("clabel").asc)
+        scoredC.withColumn("rnk", row_number().over(wp))
+          .where(col("rnk") <= nprobe)
+          .select(col("vid"), col("clabel").as("cluster"))
+      }
+    // per-(query, probed cell) ADC lookup table: the query's residual in
+    // THAT cell against every codeword — |Q|·nprobe·m·k rows of
+    // (qid, cluster, sub, code, d2), broadcast-joined from the m·k-row
+    // codeword table, all subspaces in one batched pass
     val cw = pqCentArrays(codebooks)
       .select(col("sub"), col("clabel").as("code"), col("carr"))
-    val lut = pqSubRows(df, id, vec, dims, m).join(broadcast(cw), "sub")
-      .select(col("vid").as("qid"), col("sub"), col("code"),
+    val qSub = probes.join(base, "vid").join(centByCluster, "cluster")
+      .select(col("vid"), col("cluster"),
+        zip_with(col("v"), col("carr"), (x, c) => x - c).as("rv"))
+      .select(col("vid"), col("cluster"),
+        posexplode(array((0 until m).map(s => slice(col("rv"), s * sd + 1, sd)): _*))
+          .as(Seq("sub", "subv")))
+    val lut = qSub.join(broadcast(cw), "sub")
+      .select(col("vid").as("qid"), col("cluster"), col("sub"), col("code"),
         l2sq(col("subv"), col("carr")).as("d2"))
     // one row per vector: the code ARRAY (position = subspace; every vector
-    // has all m subspaces) and the LUT as a DENSE array indexed
-    // sub*codewords+code — built through a map (gap-safe if a codeword ever
-    // drops out as an empty k-means cluster; a dropped codeword is never
-    // referenced by any code, so its null slot is never read) and
-    // densified ONCE per query, because element_at on a Catalyst map is a
-    // linear scan while the array lookup in the per-pair hot loop is O(1)
+    // has all m subspaces) and per (query, cell) the LUT as a DENSE array
+    // indexed sub*codewords+code — built through a map (gap-safe if a
+    // codeword ever drops out as an empty k-means cluster; a dropped
+    // codeword is never referenced by any code, so its null slot is never
+    // read) and densified ONCE per (query, cell), because element_at on a
+    // Catalyst map is a linear scan while the array lookup in the per-pair
+    // hot loop is O(1)
     val codeArr = codes.groupBy(col("vid"))
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
-    val lutMap = lut.groupBy(col("qid"))
+    val lutArr = lut.groupBy(col("qid"), col("cluster"))
       .agg(map_from_entries(collect_list(struct(
         col("sub") * codewords + col("code"), col("d2")))).as("lutm"))
-      .select(col("qid"),
+      .select(col("qid"), col("cluster"),
         transform(sequence(lit(0), lit(m * codewords - 1)),
           i => element_at(col("lutm"), i.cast("int"))).as("lutm"))
     // attach the LUT to the probe side and the codes to the posting-list
-    // side BEFORE the cluster join (the q66 a/b shape): the pair stream is
+    // side BEFORE the cell join (the q66 a/b shape): the pair stream is
     // born with everything the ADC needs and flows join -> project ->
     // WindowGroupLimit in one stage — no per-pair re-shuffle
-    val aSide = assign.join(lutMap.withColumnRenamed("qid", "vid"), "vid")
-      .select(col("cluster"), col("vid").as("query_id"), col("lutm"))
+    val aSide = lutArr
+      .select(col("cluster"), col("qid").as("query_id"), col("lutm"))
     val bSide = assign.join(codeArr, "vid")
       .select(col("cluster"), col("vid").as("neighbor_id"), col("codes"))
     val adc = (0 until m).map(i =>

@@ -100,12 +100,13 @@ object SimilarityQueries {
     * lookup rows), and the codes `pqcodes(vec_id, sub, code)` (argmin per
     * subspace, ties -> lowest codeword).
     */
-  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int,
+      src: String = "e"): String = {
     val sd = dims / m
     val perSub = (0 until m).map { sub =>
       val lo = sub * sd + 1
       val hi = sub * sd + sd
-      s"""es$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+      s"""es$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
          |${duckKmeansCtes(k, iters, salt = s"pq$sub", src = s"es$sub", prefix = s"pq${sub}_", dims = sd)},
          |pqd$sub AS (
          |  SELECT vec_id, clabel, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -127,6 +128,17 @@ object SimilarityQueries {
        |    FROM pqlut)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB twin of `Similarity.ivfResiduals` over the label-centroid coarse
+    * quantizer: each vector minus its assigned cell's centroid. Requires
+    * [[duckIvfCtes]] (`e`, `cent`, `assign`) in scope; feeds
+    * [[duckPqCtes]] via `src = "rese"` for the residual-PQ oracles.
+    */
+  private val duckResidualCte: String =
+    """rese AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(1, 65), rri -> e.v[rri] - cent.carr[rri]) AS v
+      |  FROM e JOIN assign USING (vec_id) JOIN cent ON cent.clabel = assign.cluster)""".stripMargin
 
   /** DuckDB twin of `Similarity.farthestPointSeeds` with the greedy loop
     * unrolled: hash-min seed, then per step a min-distance-to-chosen
@@ -309,50 +321,62 @@ object SimilarityQueries {
            |  FROM pq a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
            |WHERE rank <= 3""".stripMargin)),
 
-    // Product-quantization codebooks: 8 subspaces × 16 codewords, an
-    // independent deterministic k-means per 8-dim slice — the memory-
-    // compression half of a billion-vector index, hash-verified against 8
-    // unrolled per-subspace k-means twins.
+    // RESIDUAL product-quantization codebooks (IVFADC): 8 subspaces × 16
+    // codewords, an independent deterministic k-means per 8-dim slice of
+    // the COARSE-QUANTIZER RESIDUALS (v − centroid(cell)) — residuals
+    // concentrate around 0, so the codeword budget models within-cell
+    // displacement instead of re-encoding cell positions. Hash-verified
+    // against 8 unrolled per-subspace k-means twins over the residual CTE.
     QueryDef(
       "q93_pq_codebooks",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
-          dims = 64, m = 8, k = 16, iters = 1)
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1)
       },
       Some(s"""WITH $duckEmb,
-           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)}
+           |$duckIvfCtes,
+           |$duckResidualCte,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")}
            |SELECT sub, clabel, dim, c FROM pqcb""".stripMargin)),
 
-    // PQ encoding: every vector as 8 codeword ids (nearest codebook entry
-    // per subspace, ties -> lowest codeword) — 8 small ints standing in for
-    // 64 floats.
+    // Residual-PQ encoding: every vector's residual (w.r.t. its own coarse
+    // cell) as 8 codeword ids (nearest codebook entry per subspace, ties ->
+    // lowest codeword) — 8 small ints standing in for 64 floats.
     QueryDef(
       "q94_pq_codes",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cb = Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
-          dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
-        Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb, dims = 64, m = 8)
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        val cb = Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+        Similarity.pqEncodeResidual(emb, col("vec_id"), col("embedding"), coarse, cb,
+          dims = 64, m = 8)
           .withColumnRenamed("vid", "vec_id")
       },
       Some(s"""WITH $duckEmb,
-           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)}
+           |$duckIvfCtes,
+           |$duckResidualCte,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")}
            |SELECT vec_id, sub, code FROM pqcodes""".stripMargin)),
 
-    // IVF-PQ top-3: coarse quantizer prunes to the query's cluster, ADC
-    // ranks candidates from their 8-byte codes via the per-query m×k lookup
-    // table — candidate vectors are never touched. Subspace distances are
-    // pivoted and added in fixed order, so the oracle reproduces the ADC
-    // total bit for bit.
+    // IVF-PQ top-3 (IVFADC): coarse quantizer prunes to the query's cell,
+    // ADC ranks candidates from their 8-byte RESIDUAL codes via the
+    // per-(query, cell) m×k lookup table — candidate vectors are never
+    // touched. Subspace distances are pivoted and added in fixed order, so
+    // the oracle reproduces the ADC total bit for bit. (At nprobe=1 the
+    // probed cell is the query's own, so the own-residual LUT rows apply.)
     QueryDef(
       "q95_ivfpq_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
           Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
-        val cb = Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
-          dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+        val cb = Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
         Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3, coarse, cb,
           dims = 64, m = 8)
       },
@@ -363,7 +387,8 @@ object SimilarityQueries {
         val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
         s"""WITH $duckEmb,
            |$duckIvfCtes,
-           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64)},
+           |$duckResidualCte,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
            |pairsubs AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            |      $pivots
@@ -371,6 +396,70 @@ object SimilarityQueries {
            |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
            |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
            |  JOIN pqlut l ON l.vec_id = a.vec_id AND l.sub = pc.sub AND l.code = pc.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, adc, rank FROM (
+           |  SELECT query_id, neighbor_id, $score AS adc,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $score ASC, neighbor_id ASC) AS rank
+           |  FROM pairsubs)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // IVF-PQ with nprobe=2: the recall dial on the full index — each query
+    // searches its TWO nearest cells, with a cell-specific residual lookup
+    // table per probe (the query residual depends on the probed cell; this
+    // is what separates IVFADC from single-cell ADC). Pairs stay unique
+    // (each neighbor lives in one cell), so no dedup is needed.
+    QueryDef(
+      "q99_ivfpq_topk_nprobe2",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        val cb = Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+        Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3, coarse, cb,
+          dims = 64, m = 8, nprobe = 2)
+      },
+      Some {
+        val sd = 8
+        val qlutUnion = (0 until 8).map { s =>
+          val lo = s * sd + 1
+          val hi = s * sd + sd
+          s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
+             |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
+             |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |      ")
+        val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |$duckResidualCte,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+           |probes AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM dist)
+           |  WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.vec_id, p.cluster,
+           |    list_transform(range(1, 65), qri -> e.v[qri] - cent.carr[qri]) AS v
+           |  FROM probes p JOIN e ON e.vec_id = p.vec_id
+           |  JOIN cent ON cent.clabel = p.cluster),
+           |qlut AS (
+           |  $qlutUnion),
+           |pairsubs AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      $pivots
+           |  FROM probes a
+           |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
+           |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
+           |    AND l.sub = pc.sub AND l.code = pc.code
            |  GROUP BY 1, 2)
            |SELECT query_id, neighbor_id, adc, rank FROM (
            |  SELECT query_id, neighbor_id, $score AS adc,

@@ -137,8 +137,8 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val cb = Similarity.pqCodebooksFlat(emb, col("vec_id"), col("embedding"),
-      dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+    val cb = Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
     val adc = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3, coarse, cb,
         dims = 64, m = 8)
       .select("query_id", "neighbor_id").collect()
@@ -147,10 +147,54 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     val hits = exact.toSeq.map { case (q, t) => (t intersect adc.getOrElse(q, Set.empty)).size }.sum
     val recall = hits.toDouble / exact.values.map(_.size).sum
     info(f"IVF-PQ top-3 recall vs exact in-cluster L2: $recall%.3f")
-    // measured 0.322 on sf0.001 (deterministic); near-random embeddings are
-    // PQ's hardest case — the margin over random (3/55 ≈ 0.055) is ~6x
-    assert(recall >= 0.30, f"PQ quantization lost too much ranking signal: $recall%.3f")
+    // residual encoding measured 0.326 on sf0.001 (raw-subvector PQ was
+    // 0.322). The lift is thin HERE because the testdata embeddings are
+    // near-uniform — every cell centroid sits near the global mean, so
+    // residuals ≈ raw vectors; on clustered real data the within-cell
+    // concentration is where IVFADC earns its recall. Near-random
+    // embeddings are PQ's hardest case — the margin over random
+    // (3/55 ≈ 0.055) is ~6x
+    assert(recall >= 0.32, f"PQ quantization lost too much ranking signal: $recall%.3f")
     assert(recall >= 3 * (3.0 / 55), "must clearly beat random in-cluster top-3")
+  }
+
+  test("IVF-PQ nprobe dial: probing a second cell does not lower full-corpus recall") {
+    // vs the EXACT full-corpus L2 top-3 (not in-cluster): nprobe=2 widens
+    // each query's candidate set, so recall must be monotone
+    import graft.ops.Similarity
+    val sf = TestSpark.sf0001
+    val emb = Tables.load(spark, sf, "embeddings")
+    val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+    val cb = Similarity.pqCodebooksFlatResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1).localCheckpoint()
+    val base = emb.select(col("vec_id").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = base.select(col("vid").as("query_id"), col("v").as("va"))
+      .crossJoin(base.select(col("vid").as("neighbor_id"), col("v").as("vb")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", Similarity.l2sq(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3, coarse, cb,
+          dims = 64, m = 8, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.toSeq.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size
+      }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    info(f"IVF-PQ full-corpus top-3 recall: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
+    assert(r2 >= r1, f"nprobe=2 recall $r2%.3f fell below nprobe=1 $r1%.3f")
   }
 
   test("README query counts match the catalog (the counts are derived, not hand-maintained)") {
