@@ -469,17 +469,29 @@ object Dedup {
     * as in [[lshCandidatePairs]]. `maxBucket` is the same mega-bucket guard
     * (oversized buckets dropped whole).
     */
-  def simhashNearDupBlocked(
-      hashes: DataFrame,
-      maxHamming: Int,
-      numBlocks: Int = 4,
-      maxBucket: Option[Int] = None): DataFrame = {
+  /** Per-row 60-bit SimHash column — the stateless native twin of the
+    * [[simhash]] aggregation (bit-identical per document; property-tested).
+    * The form the streaming ingest path needs: fingerprint each arriving
+    * row with no explode and no stateful aggregation.
+    */
+  def simhash60(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SimHash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string"))))
+
+  /** All C(numBlocks, numBlocks−maxHamming) pigeonhole bucket keys for a
+    * simhash column, as an array of struct(blk, blk_val) — the blocking
+    * scheme of [[simhashNearDupBlocked]], exposed so other operators (the
+    * streaming history anti-join) can bucket with the SAME keys. Any pair
+    * within Hamming `maxHamming` shares at least one key.
+    */
+  def simhashComboKeys(sh: Column, maxHamming: Int, numBlocks: Int): Column = {
     require(numBlocks > maxHamming, "pigeonhole needs more blocks than the Hamming budget")
     require(60 % numBlocks == 0, s"numBlocks must divide 60, got $numBlocks")
     val bits = 60 / numBlocks
     val r = numBlocks - maxHamming
     val blockVal = (blk: Int) =>
-      expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), ${blk * bits})) % ${1L << bits}")
+      shiftright(sh, blk * bits).bitwiseAND(lit((1L << bits) - 1))
     val keyCols = (0 until numBlocks).combinations(r).toSeq.zipWithIndex.map {
       case (pos, cid) =>
         // concatenate the r block values into one <= 60-bit key (base 2^bits
@@ -487,8 +499,17 @@ object Dedup {
         val key = pos.map(blockVal).reduce((acc, v) => acc * lit(1L << bits) + v)
         struct(lit(cid).as("blk"), key.as("blk_val"))
     }
+    array(keyCols: _*)
+  }
+
+  def simhashNearDupBlocked(
+      hashes: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     val grouped = hashes
-      .select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        explode(simhashComboKeys(col("simhash"), maxHamming, numBlocks)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.blk").as("blk"), col("bk.blk_val").as("blk_val"))
       .groupBy(col("blk"), col("blk_val"))

@@ -141,6 +141,54 @@ object StreamOps {
     withFp.join(if (broadcastKnown) broadcast(fps) else fps, Seq("fp"), "left_anti")
   }
 
+  /** NEAR-duplicate suppression against HISTORY — the simhash extension of
+    * [[antiJoinKnownFingerprints]]: rows whose per-row SimHash
+    * (`Dedup.simhash60`, stateless native — no aggregation, so the shape is
+    * micro-batch-legal) sits within `maxHamming` bits of any fingerprint in
+    * the history table are dropped; everything else passes with its
+    * `simhash` column attached so the sink can append it back into history.
+    *
+    * Matching uses the SAME pigeonhole blocking as the corpus-side
+    * `Dedup.simhashNearDupBlocked` (`simhashComboKeys`): candidate pairs
+    * meet on a shared block key (broadcast hash join — the batch side never
+    * shuffles), the Hamming verify rides the join, and the matched simhash
+    * set (small: matches only) broadcast-anti-joins back. Two passes over
+    * the micro-batch (fingerprint feeds both the probe and the anti side);
+    * the per-row native keeps that cheap.
+    *
+    * Use per micro-batch (inside `foreachBatch`, like the dead-letter
+    * channel) or on any batch frame. A pure streaming self-derived
+    * anti-join is not expressible in one continuous plan — Spark rejects
+    * stream-stream LEFT ANTI without watermark equality — and foreachBatch
+    * is also where the history append belongs, so the batch shape is the
+    * honest contract. At 100 TB pass `broadcastHistory = false`: history
+    * arrives bucketed on its block keys and the candidate join shuffles
+    * only (key, simhash) pairs.
+    */
+  def suppressNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      history: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 6,
+      broadcastHistory: Boolean = true): DataFrame = {
+    import graft.ops.Dedup
+    val withSh = df.withColumn("simhash", Dedup.simhash60(col(textCol)))
+    val hk = history
+      .select(col("simhash").as("h_sh"))
+      .select(col("h_sh"),
+        explode(Dedup.simhashComboKeys(col("h_sh"), maxHamming, numBlocks)).as("bk"))
+    val hside = if (broadcastHistory) broadcast(hk) else hk
+    val matched = withSh
+      .select(col("simhash"),
+        explode(Dedup.simhashComboKeys(col("simhash"), maxHamming, numBlocks)).as("bk"))
+      .join(hside, Seq("bk"))
+      .where(expr("bit_count(simhash ^ h_sh)") <= maxHamming)
+      .select(col("simhash"))
+      .distinct()
+    withSh.join(broadcast(matched), Seq("simhash"), "left_anti")
+  }
+
   /** Stream-stream interval join: pair rows of two unbounded streams on an
     * equi-key within an event-time window of `maxDelay` (right side in
     * [left - maxDelay, left + maxDelay]). Both sides carry watermarks so the

@@ -70,6 +70,17 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(dup.isDefined && dup.get._3._1 == 0, "identical docs at Hamming 0")
   }
 
+  test("per-row simhash60 native == corpus simhash aggregation, doc by doc") {
+    import spark.implicits._
+    val docs = (corpus(30, 11) ++ Seq((200L, ""), (201L, "solo")))
+      .toDF("doc_id", "text")
+    val agg = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = docs.select(col("doc_id"), Dedup.simhash60(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == agg, "stateless per-row fingerprint must equal the aggregation form")
+  }
+
   test("blocked simhash near-dup == all-pairs simhash near-dup (pigeonhole completeness)") {
     import spark.implicits._
     val docs = corpus(40, 4).toDF("doc_id", "text")

@@ -95,6 +95,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: simhash-blocked history suppression drops near duplicates, keeps fresh rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.ops.Dedup
+
+    val baseText = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls gently on the wide open plain near the old mill"
+    val nearText = baseText.replace("rain", "snow") // near-dup: one token differs
+    val freshText = "vectorized execution pipelines shuffle partitioned " +
+      "columnar batches through whole stage generated operators"
+    // fixture preconditions (deterministic hashes — loud failure on drift):
+    // near is within the Hamming budget but NOT exact; fresh is far outside
+    val dists = Seq((baseText, nearText), (baseText, freshText)).toDF("a", "b")
+      .select(Dedup.simhash60(col("a")).as("x"), Dedup.simhash60(col("b")).as("y"))
+      .select(expr("bit_count(x ^ y)")).as[Int].collect()
+    assert(dists(0) > 0 && dists(0) <= 3, s"fixture drift: near-dup Hamming ${dists(0)}")
+    assert(dists(1) > 3, s"fixture drift: fresh doc Hamming ${dists(1)} not far from history")
+
+    val history = Seq(baseText).toDF("t")
+      .select(Dedup.simhash60(col("t")).as("simhash"))
+
+    val artJson = (id: String, content: String) =>
+      s"""{"article_id":"$id","title":"t","author":"a","publish_date":"2024-01-01T10:00:00","content":"$content"}"""
+    val ms = MemoryStream[KinesisEnvelope]
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    val q = Articles.parse(ms.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= StreamOps.suppressNearDuplicates(
+            batch, "content", history, maxHamming = 3, numBlocks = 6)
+          .select("article_id").collect().map(_.getString(0))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(
+        env(artJson("near1", nearText)),   // near-but-not-exact -> dropped
+        env(artJson("exact1", baseText)),  // exact redelivery -> dropped (Hamming 0)
+        env(artJson("fresh1", freshText)))) // genuinely new -> kept
+      q.processAllAvailable()
+      assert(kept.toSet == Set("fresh1"),
+        "near and exact duplicates of history suppressed; unique row kept")
+    } finally q.stop()
+  }
+
   test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
     import spark.implicits._
     val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
