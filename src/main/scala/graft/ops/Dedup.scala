@@ -317,6 +317,40 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** INCREMENTAL [[connectedComponents]]: merge a new batch of candidate
+    * pairs into an existing (id, cluster_id) labeling without re-walking
+    * the full historical pair set — the daily-ingest shape (history's pairs
+    * were already clustered; only the delta arrives).
+    *
+    * Each existing cluster is re-encoded as STAR edges (member, cluster_id)
+    * — the label is the component's min MEMBER id, so the star preserves
+    * both connectivity and the min — and the hash-min propagation reruns on
+    * star ∪ new edges. Old components enter pre-collapsed at diameter <= 2,
+    * so rounds track the NEW batch's merge structure, not history's: a new
+    * edge bridging two old clusters resolves in one propagation instead of
+    * re-walking both chains. Result == full recompute on the union of all
+    * pairs ever seen (property-tested), because star edges are
+    * connectivity- and min-preserving.
+    *
+    * Scale shape: identical to [[connectedComponents]] (that is the point —
+    * same (id, label)-only shuffles), but over |labels| + |newPairs| edges
+    * instead of |allPairs|, and converging in rounds bounded by the delta's
+    * diameter.
+    */
+  def connectedComponentsIncremental(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int = 50,
+      jumpAfter: Int = 3): DataFrame = {
+    val starEdges = labels.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__inc_a"), col("cluster_id").as("__inc_b"))
+    val unioned = starEdges.unionByName(
+      newPairs.select(col(idA).as("__inc_a"), col(idB).as("__inc_b")))
+    connectedComponents(unioned, "__inc_a", "__inc_b", maxIter, jumpAfter)
+  }
+
   /** Keep one survivor per near-dup cluster: drop every row whose id appears
     * in `labels` (the [[connectedComponents]] output) with a cluster_id other
     * than itself. Because the cluster label IS the component's min id, the

@@ -249,6 +249,30 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental connected components == full recompute on the union of pair batches") {
+    import spark.implicits._
+    Seq(41L, 42L, 43L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val allEdges = ((0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) } ++
+        // a chain split across the two batches: the delta must bridge and
+        // re-label history's components, not merely extend them
+        (200L until 210L).map(i => (i, i + 1))).distinct
+      val (batch1, batch2) = rnd.shuffle(allEdges).splitAt(allEdges.size / 2)
+
+      val full = Dedup.connectedComponents(allEdges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labels1 = Dedup.connectedComponents(batch1.toDF("id_a", "id_b"), "id_a", "id_b")
+      val incr = Dedup.connectedComponentsIncremental(
+          labels1, batch2.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == full,
+        s"seed $seed: incremental merge must equal full recompute on the union")
+    }
+  }
+
   test("connected components: pointer jumping converges a 200-node chain in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the worst case for plain hash-min (O(n) rounds);
