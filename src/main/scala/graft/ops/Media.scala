@@ -23,12 +23,17 @@ final case class DecodedMedia(
     megapixels: Double)
 
 /** Multimodal-column operators: payload construction, magic-byte mime
-  * sniffing, metadata extraction, content-hash dedup, and a mapPartitions
-  * decode pipeline whose decoder body is a clearly-marked deterministic STUB
-  * (no image/audio codec libraries exist in this environment — a real
-  * deployment swaps `decodeOne` for an actual codec; everything around it,
-  * the typed Dataset plumbing, batch shape, schema, and partitioning, is
-  * real and oracle-tested).
+  * sniffing, metadata extraction, content-hash dedup, and two decode paths
+  * sharing one mapPartitions shape:
+  *
+  *  - the STUB pipeline ([[decodeAll]]/[[resizeAll]]/...), whose per-asset
+  *    math is a deterministic stand-in so the surrounding plumbing is
+  *    DuckDB-oracle-verifiable over the synthetic payloads (q70-q75);
+  *  - the REAL pipeline ([[decodeImages]]/[[resizeImages]]), which runs the
+  *    JDK's javax.imageio PNG/JPEG codecs and Graphics2D scaling on actual
+  *    pixels — no external library needed, round-trip-tested on generated
+  *    fixture images. Audio/video decode would still need external codecs
+  *    and keeps only the stub form.
   */
 object Media {
 
@@ -172,6 +177,75 @@ object Media {
     }
   }
 
+  // -------------------------------------------------------------------------
+  // REAL image decode/resize — the JDK's javax.imageio ships PNG/JPEG/GIF/
+  // BMP codecs, so no external library is needed even offline. The stub
+  // pipeline above remains the ORACLE-verified path over the synthetic
+  // payloads (q72-q75); these operators run actual pixel work in the same
+  // mapPartitions shape and are round-trip-tested on generated fixtures.
+  // -------------------------------------------------------------------------
+
+  /** Real image decode via ImageIO. Emits one row per DECODABLE asset;
+    * payloads no codec accepts are dropped (keep them by routing through
+    * [[sniffMime]] to a dead-letter channel upstream if needed — same
+    * convention as the parse dead-letter split). `n_frames` is the image
+    * count ImageIO exposes for the container (1 for PNG/JPEG).
+    *
+    * Scale shape: identical to [[decodeAll]] — iterator-per-partition, codec
+    * init amortized at the closure head, rows never touch the driver.
+    */
+  /** ImageIO returns null for unknown containers but THROWS for a known
+    * magic prefix with a corrupt body — both are "undecodable" here.
+    */
+  private def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    scala.util.Try(Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))).toOption.flatten
+
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        tryDecode(m.payload).map { img =>
+          DecodedMedia(m.media_id, m.declared_mime, img.getWidth, img.getHeight, 1,
+            img.getWidth.toDouble * img.getHeight.toDouble / 1e6)
+        }
+      }
+    }
+  }
+
+  /** Real aspect-ratio-preserving downscale: decode, bilinear Graphics2D
+    * scale into a `maxDim` bounding box (same integer target-dimension rule
+    * as [[resizeAll]]), re-encode as PNG. 1→1 over decodable assets; the
+    * output payload is a valid PNG whose decoded dimensions equal
+    * (new_width, new_height) — round-trip-tested.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    require(maxDim >= 1, "maxDim must be positive")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        tryDecode(m.payload).map { src =>
+          val (w, h) = (src.getWidth, src.getHeight)
+          val mx = math.max(w, h)
+          val (nw, nh) =
+            if (mx <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedImage(m.media_id, w, h, nw, nh, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Feature extraction: a fixed-width vector per asset, emitted as flat
     * (media_id, feat_idx, feat_val) rows. The stub features are exact
     * rationals of the decoded dimensions (a real deployment runs its
@@ -201,6 +275,17 @@ final case class ResizedMedia(
     height: Int,
     new_width: Int,
     new_height: Int)
+
+/** Output of [[Media.resizeImages]]: real dimensions plus the re-encoded
+  * PNG payload.
+  */
+final case class ResizedImage(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    new_width: Int,
+    new_height: Int,
+    png: Array[Byte])
 
 /** One sampled frame from [[Media.sampleFrames]]. */
 final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
