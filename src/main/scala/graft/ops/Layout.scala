@@ -70,4 +70,68 @@ object Layout {
   /** Write `df` range-sorted on `sortCol` (see [[rangeSorted]]). */
   def writeRangeSorted(df: DataFrame, path: String, sortCol: String, partitions: Int): Unit =
     rangeSorted(df, sortCol, partitions).write.mode("overwrite").parquet(path)
+
+  /** Morton (Z-order) interleave of two already-scaled codes in [0, 2^bits):
+    * `a`'s bit k lands at position 2k, `b`'s at 2k+1 — a pure bitwise column
+    * expression (shift/and/or), fully codegen'd.
+    */
+  def mortonCode(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { k =>
+      shiftleft(shiftright(a, k).bitwiseAND(lit(1L)), 2 * k)
+        .bitwiseOR(shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDER two-dimensional layout: scale each dimension to [0, 2^bits)
+    * by its own min/max (1-row stats broadcast), interleave the scaled
+    * codes ([[mortonCode]]), then range-partition + sort on the code —
+    * [[rangeSorted]] generalized from a line to a space-filling curve.
+    *
+    * Why it matters at 100 TB: a range sort on ONE column gives each file a
+    * tight min/max band on that column but the FULL value range on every
+    * other — predicates on the second column prune nothing. The Z-curve
+    * keeps locality in BOTH dimensions, so each file covers a small
+    * sub-rectangle of the (a, b) plane and parquet min/max (or Delta-style
+    * file-stats) pruning cuts file counts for predicates on either column
+    * or both. LayoutSpec measures exactly that: per-file spread of BOTH
+    * columns bounded far below the global range, vs the single-column sort
+    * where dimension b's per-file spread is the whole domain.
+    *
+    * The scaling is per-run min/max; for an append pipeline, fix the scale
+    * bounds per table (pass-through columns already in code space) so new
+    * files land on the same curve.
+    */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+      bits: Int, partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(!df.columns.contains("__zcode"),
+      "zOrdered: input frame already uses the reserved column name __zcode")
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("__za_min"), max(col(colA).cast("double")).as("__za_max"),
+      min(col(colB).cast("double")).as("__zb_min"), max(col(colB).cast("double")).as("__zb_max"))
+    val top = (1L << bits) - 1
+    def scaled(c: String, mn: String, mx: String) = {
+      val span = col(mx) - col(mn)
+      when(span <= 0, lit(0L)).otherwise(
+        floor((col(c).cast("double") - col(mn)) / span * top).cast("long"))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__zcode", mortonCode(
+        scaled(colA, "__za_min", "__za_max"),
+        scaled(colB, "__zb_min", "__zb_max"), bits))
+      .drop("__za_min", "__za_max", "__zb_min", "__zb_max")
+      .repartitionByRange(partitions, col("__zcode"))
+      .sortWithinPartitions("__zcode")
+  }
+
+  /** Write `df` Z-ordered on (colA, colB) (see [[zOrdered]]); the code
+    * column is dropped from the files (it is a layout key, not data).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int, partitions: Int): Unit =
+    zOrdered(df, colA, colB, bits, partitions)
+      .drop("__zcode").write.mode("overwrite").parquet(path)
 }

@@ -167,4 +167,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "exact verification must map-side filter tokens against broadcast candidates")
   }
+
+  test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
+    import graft.ops.Layout
+    import spark.implicits._
+    // a 64x64 uniform grid, arrival order scrambled by hash so neither
+    // dimension is accidentally pre-sorted
+    val grid = (0 until 4096).map(i => (i % 64, i / 64, i)).toDF("a", "b", "i")
+      .orderBy(md5(col("i").cast("string")))
+    def perFileSpread(dir: String): (Double, Double) = {
+      val f = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).head()
+      (f.getDouble(0), f.getDouble(1))
+    }
+    val zDir = tmpDir("zorder")
+    Layout.writeZOrdered(grid, zDir, "a", "b", bits = 6, partitions = 16)
+    val (za, zb) = perFileSpread(zDir)
+    val rDir = tmpDir("rangesort")
+    Layout.writeRangeSorted(grid, rDir, "a", 16)
+    val (_, rb) = perFileSpread(rDir)
+    info(f"z-order per-file spread: a $za%.1f b $zb%.1f; a-range-sort b-spread $rb%.1f (domain 63)")
+    // 4096 cells / 16 files = 256 cells/file; a contiguous Z range of that
+    // size spans a few 16x16 quadrants, so both spreads sit far below the
+    // 63-wide domain — while the one-dimensional sort leaves b unconstrained
+    assert(za <= 40 && zb <= 40,
+      f"z-order must bound both dimensions per file: a $za%.1f b $zb%.1f")
+    assert(rb >= 55, f"control: single-column range sort leaves b unbounded, got $rb%.1f")
+    assert(za < rb && zb < rb, "the curve must beat the line on the second dimension")
+  }
 }
