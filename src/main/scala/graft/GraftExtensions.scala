@@ -57,6 +57,10 @@ object GraftExtensions {
       require(ch.size == 1, "token_fingerprint takes exactly one argument")
       graft.plans.TokenFingerprint(ch.head)
     },
+    entry("simhash60", classOf[graft.plans.SimHash60]) { ch =>
+      require(ch.size == 1, "simhash60 takes exactly one argument")
+      graft.plans.SimHash60(ch.head)
+    },
     entry("regexp_match_count", classOf[graft.plans.RegexpMatchCount]) { ch =>
       require(ch.size == 2, "regexp_match_count takes (text, pattern)")
       val p = ch(1) match {
