@@ -168,6 +168,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "exact verification must map-side filter tokens against broadcast candidates")
   }
 
+  test("batched BM25: corpus scan count is independent of query count (no per-query re-scan)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val terms = Seq("join", "scan", "merge", "filter", "sort", "group")
+    def planFor(nq: Int): String = {
+      val qdf = (0 until nq)
+        .map(i => (i.toLong, terms.drop(i % 3).take(2 + i % 3)))
+        .toDF("qid", "terms")
+      plan(graft.ops.Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, 5))
+    }
+    val p3 = planFor(3)
+    val p9 = planFor(9)
+    def scans(p: String) = "Scan parquet".r.findAllIn(p).size
+    assert(scans(p3) == scans(p9),
+      s"corpus scans must not grow with the query table: ${scans(p3)} vs ${scans(p9)}")
+    assert(p3.contains("WindowGroupLimit"),
+      "per-qid top-k must prune map-side before the rank exchange")
+    assert(!p3.toLowerCase.contains("sortmergejoin"),
+      "the query-table joins must broadcast, never sort-merge")
+  }
+
+  test("ingest near-dup suppression: candidate and anti joins broadcast; no sort-merge") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val history = Seq("some historical body of text").toDF("t")
+      .select(Dedup.simhash60(col("t")).as("simhash"))
+    val p = plan(graft.streaming.StreamOps.suppressNearDuplicates(
+      docs, "text", history, maxHamming = 3, numBlocks = 6))
+    assert(p.contains("BroadcastHashJoin"), s"history block keys must broadcast:\n$p")
+    assert("(?i)leftanti".r.findFirstIn(p).isDefined,
+      "survivors come from a broadcast anti join")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      "the batch side must never shuffle into a sort-merge join")
+  }
+
   test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
     import graft.ops.Layout
     import spark.implicits._
