@@ -678,6 +678,39 @@ object Text {
   }
 
   // -------------------------------------------------------------------------
+  // PII / link redaction
+  // -------------------------------------------------------------------------
+
+  /** Redaction rules applied in FIXED order (email before URL before digit
+    * runs — order is semantics: a pattern must not see text an earlier rule
+    * already replaced). Patterns restrict themselves to the regex subset
+    * with identical meaning in Java regex and RE2/DuckDB: char classes,
+    * bounded repetition, literal space instead of `\s` (the U+000B
+    * Java-vs-RE2 divergence pinned on [[WhitespaceRegex]]).
+    */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("https?://[^ ]+", "<URL>"),
+    ("[0-9]{7,}", "<NUM>"))
+
+  /** PII/link scrubbing for training corpora: replace email addresses, URLs
+    * and long digit runs (phone/account numbers) with typed placeholder
+    * tokens — the standard redaction pass before text enters a training
+    * mix. Pure codegen'd `regexp_replace` chain: per-row, no shuffle, no
+    * UDF; composes with the quality/mixing/packing curation ops.
+    */
+  def redact(text: Column): Column =
+    RedactionRules.foldLeft(text.cast("string")) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+
+  /** DuckDB twin of [[redact]] (global regexp_replace chain, same order). */
+  def duckRedact(e: String): String =
+    RedactionRules.foldLeft(e) {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+
+  // -------------------------------------------------------------------------
   // Document fingerprint (rolling polynomial hash over tokens)
   // -------------------------------------------------------------------------
 

@@ -514,6 +514,29 @@ object TextQueries {
            |  len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short
            |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
 
+    // PII/link redaction: emails, URLs and long digit runs replaced with
+    // typed placeholders in fixed rule order — the scrubbing pass before
+    // text enters a training mix. The corpus is synthetically "dirtied"
+    // per-doc (deterministically, in both engines) so the redaction has
+    // real work to do and the oracle verifies the exact rewritten string.
+    QueryDef(
+      "q100_pii_redaction",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val dirty = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string"),
+          lit(" or call 555"), (col("doc_id") + 1000000L).cast("string"))
+        docs.select(col("doc_id"), Text.redact(dirty).as("clean"))
+      },
+      Some {
+        val dirty = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+          " || '@example.com via https://ex.com/p/' || CAST(doc_id AS VARCHAR)" +
+          " || ' or call 555' || CAST(doc_id + 1000000 AS VARCHAR)"
+        s"""SELECT doc_id, ${Text.duckRedact(s"($dirty)")} AS clean FROM documents"""
+      }),
+
     // Marker-hit aggregation: docs per predicted language (argmax rollup).
     QueryDef(
       "q44_lang_distribution",

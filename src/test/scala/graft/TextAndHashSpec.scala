@@ -92,6 +92,24 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(mat == single, "materializeTf is a physical-plan knob only")
   }
 
+  test("redact: emails, urls, digit runs -> typed placeholders; fixed order; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at a.b-c_1@sub.example.org today",
+      "see https://example.com/x?q=1&r=2 and http://e.co/y",
+      "card 12345678 and short 123456 stay mixed",
+      "u@e.io at https://e.io/u@e.io",
+      "plain words only").toDF("t")
+      .select(Text.redact(col("t")).as("c")).collect().map(_.getString(0))
+    assert(rows(0) == "mail me at <EMAIL> today")
+    assert(rows(1) == "see <URL> and <URL>")
+    assert(rows(2) == "card <NUM> and short 123456 stay mixed", "7+ digits only")
+    // email rule runs first, so the address inside the URL is already gone
+    // before the URL rule sees it; the remaining url prefix still matches
+    assert(rows(3) == "<EMAIL> at <URL>")
+    assert(rows(4) == "plain words only")
+  }
+
   test("rrfFuse: N-list fixed-order fusion, absent lists contribute 0, per-group windows") {
     import spark.implicits._
     // doc 10 ranked by all three systems; doc 20 by two; doc 30 by one
