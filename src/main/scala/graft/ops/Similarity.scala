@@ -551,27 +551,27 @@ object Similarity {
     val base = df.select(id.as("vid"), transform(vec, x => x.cast("double")).as("v"))
     val centByCluster =
       broadcast(coarseCentroids.select(col("clabel").as("cluster"), col("carr")))
-    val assign = ivfAssign(df, id, vec, coarseCentroids)
-      .select(col("vid"), col("cluster"))
-      .localCheckpoint() // feeds BOTH join sides (the q68 lesson)
+    // ONE n×k distance pass serves both the assignment (rank 1 — identical
+    // tie-break to ivfAssign's min_by (d2, clabel)) and the probe list
+    // (rank <= nprobe); the checkpointed ranked frame feeds all consumers
+    // (the q68 lesson). At nprobe == 1 the ranked frame IS the assignment.
+    val ranked = {
+      val scoredC = df.select(id.as("vid"), vec.as("vec"))
+        .crossJoin(broadcast(coarseCentroids))
+        .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid")).orderBy(col("d2").asc, col("clabel").asc)
+      scoredC.withColumn("rnk", row_number().over(wp))
+        .where(col("rnk") <= nprobe)
+        .select(col("vid"), col("clabel").as("cluster"), col("rnk"))
+        .localCheckpoint()
+    }
+    val assign = ranked.where(col("rnk") === 1).select(col("vid"), col("cluster"))
+    val probes = ranked.select(col("vid"), col("cluster"))
     // neighbor codes: residual w.r.t. the OWN cell, m codeword ids
     val res = assign.join(base, "vid").join(centByCluster, "cluster")
       .select(col("vid"), zip_with(col("v"), col("carr"), (x, c) => x - c).as("rv"))
     val codes = pqEncode(res, col("vid"), col("rv"), codebooks, dims, m)
-    // probes: the query's nprobe nearest cells (ties -> lowest label);
-    // nprobe == 1 reuses the assignment — no second distance pass
-    val probes =
-      if (nprobe == 1) assign
-      else {
-        val scoredC = df.select(id.as("vid"), vec.as("vec"))
-          .crossJoin(broadcast(coarseCentroids))
-          .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
-        val wp = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vid")).orderBy(col("d2").asc, col("clabel").asc)
-        scoredC.withColumn("rnk", row_number().over(wp))
-          .where(col("rnk") <= nprobe)
-          .select(col("vid"), col("clabel").as("cluster"))
-      }
     // per-(query, probed cell) ADC lookup table: the query's residual in
     // THAT cell against every codeword — |Q|·nprobe·m·k rows of
     // (qid, cluster, sub, code, d2), broadcast-joined from the m·k-row
