@@ -677,6 +677,48 @@ object Text {
       .select(col("qid"), col("doc_id"), col("coverage"), col("rank"))
   }
 
+  /** Retrieval evaluation: recall@k and NDCG@k per query, from a ranked
+    * frame `(qid, doc_id, rank)` and a binary-relevance qrels frame
+    * `(qid, doc_id)` — the eval stage every retrieval/training pipeline
+    * runs over its rankings.
+    *
+    * NDCG uses the ln discount (gain/ln(rank+1)); the normalization ratio
+    * dcg/idcg is IDENTICAL to the log2 form (the base cancels), and ln of
+    * integer-derived arguments is cross-engine-exact. Both DCG and IDCG are
+    * LEFT-FOLDED in rank order (the bm25TopKBatch discipline), so the
+    * double sums are bit-reproducible on any partitioning and in DuckDB.
+    *
+    * Scale shape: one equi-join of the top-k rows (k rows per query, not
+    * the corpus) against qrels, one per-qid aggregation; n_rel joins from a
+    * qrels aggregate. Nothing corpus-sized crosses a shuffle.
+    */
+  def rankingMetrics(
+      ranked: org.apache.spark.sql.DataFrame,
+      qrels: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val marked = ranked.where(col("rank") <= k)
+      .join(qrels.select(col("qid"), col("doc_id")).withColumn("rel", lit(1L)),
+        Seq("qid", "doc_id"), "left_outer")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    marked.groupBy(col("qid"))
+      .agg(
+        sum(col("rel")).as("hits"),
+        array_sort(collect_list(struct(col("rank"), col("rel")))).as("rs"))
+      .withColumn("dcg", aggregate(col("rs"), lit(0.0),
+        (acc, x) => acc + x.getField("rel").cast("double")
+          / log(x.getField("rank").cast("double") + lit(1.0))))
+      .join(nrel, "qid")
+      .withColumn("m", least(lit(k), col("n_rel")).cast("int"))
+      .withColumn("idcg", aggregate(
+        transform(sequence(lit(1), col("m")),
+          i => lit(1.0) / log(i.cast("double") + lit(1.0))),
+        lit(0.0), (acc, v) => acc + v))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        (col("hits").cast("double") / col("n_rel").cast("double")).as("recall_k"),
+        (col("dcg") / col("idcg")).as("ndcg_k"))
+  }
+
   // -------------------------------------------------------------------------
   // PII / link redaction
   // -------------------------------------------------------------------------

@@ -514,6 +514,55 @@ object TextQueries {
            |  len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short
            |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
 
+    // Retrieval evaluation closing the loop on the batched retrieval stack:
+    // recall@20 and NDCG@20 of the batched BM25 rankings against synthetic
+    // binary qrels (20% of docs relevant per query via the cross-engine
+    // hash, so both engines derive the identical judgment set). DCG and
+    // IDCG left-fold in rank order; ndcg = dcg/idcg is base-free.
+    QueryDef(
+      "q101_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        val ranked = Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, k = 20)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val qrels = qdf.select(col("qid")).crossJoin(docs.select(col("doc_id")))
+          .where(pmod(Hashing.hash60(concat(
+            lit("rel-"), col("qid").cast("string"),
+            lit("-"), col("doc_id").cast("string"))), lit(5L)) === 0)
+        Text.rankingMetrics(ranked, qrels, k = 20)
+      },
+      Some {
+        val relHash = Hashing.duckHash60(
+          "('rel-' || CAST(qid AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
+           |ranked AS (SELECT qid, doc_id, rank FROM bmb WHERE rank <= 20),
+           |qr AS (
+           |  SELECT qq.qid, d.doc_id
+           |  FROM (SELECT DISTINCT qid FROM q) qq CROSS JOIN documents d
+           |  WHERE $relHash % 5 = 0),
+           |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY 1),
+           |marked AS (
+           |  SELECT r.qid, r.rank,
+           |    CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |  FROM ranked r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+           |aggd AS (
+           |  SELECT qid, CAST(SUM(rel) AS BIGINT) AS hits,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(rel AS DOUBLE) / ln(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           |        ORDER BY rank)),
+           |      (a, x) -> a + x) AS dcg
+           |  FROM marked GROUP BY 1)
+           |SELECT CAST(a.qid AS BIGINT) AS qid, n.n_rel, a.hits,
+           |  CAST(a.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_k,
+           |  a.dcg / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(1, CAST(LEAST(20, n.n_rel) AS INTEGER) + 1),
+           |      ndi -> CAST(1.0 AS DOUBLE) / ln(CAST(ndi AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+           |    (a2, x2) -> a2 + x2) AS ndcg_k
+           |FROM aggd a JOIN nrel n ON n.qid = a.qid""".stripMargin
+      }),
+
     // PII/link redaction: emails, URLs and long digit runs replaced with
     // typed placeholders in fixed rule order — the scrubbing pass before
     // text enters a training mix. The corpus is synthetically "dirtied"
