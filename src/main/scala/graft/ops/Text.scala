@@ -677,6 +677,73 @@ object Text {
       .select(col("qid"), col("doc_id"), col("coverage"), col("rank"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `numMerges`
+    * byte-pair merges from the corpus — the tokenizer-training half of a
+    * training-data pipeline, beside the BPE-ish token COUNTER the engine
+    * already has. Each step counts adjacent symbol pairs weighted by word
+    * frequency, picks the most frequent pair (ties → lexicographic (a, b)),
+    * and greedily merges it left-to-right in every word.
+    *
+    * Distribution shape: the corpus is read ONCE (the word-count
+    * aggregation); every merge iteration then runs on the (word, count)
+    * VOCABULARY — vocab-sized, not corpus-sized — as one pair-explode +
+    * weighted count + bounded argmax collect (a 1-row model parameter per
+    * step, like the k-means seeds) + one fold projection, with the
+    * re-symbolized vocab localCheckpointed per step (each iteration's input
+    * is materialized, the k-means lineage discipline).
+    *
+    * Determinism: integer pair counts (exact), fixed tie-break, and the
+    * greedy merge as a LEFT FOLD over the symbol array — the same fold the
+    * DuckDB oracle runs via `list_reduce` over single-element lists.
+    *
+    * Output: (step, a, b, cnt) — the ordered merge table a BPE tokenizer
+    * loads.
+    */
+  def bpeMerges(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1, "learn at least one merge")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(text)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var vocab = words.select(col("n"),
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to numMerges) {
+      val best = vocab
+        .where(size(col("syms")) > 1)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(
+            element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      require(best.nonEmpty, s"no adjacent pairs left to merge at step $step")
+      val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((step, a, b, cnt))
+      // greedy left-to-right merge of (a, b) -> a+b as a left fold: the
+      // just-merged symbol becomes the new tail, so it cannot re-merge as
+      // the left side of the same rule within one step — classic BPE
+      vocab = vocab.select(col("n"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "a", "b", "cnt")
+  }
+
   /** Retrieval evaluation: recall@k and NDCG@k per query, from a ranked
     * frame `(qid, doc_id, rank)` and a binary-relevance qrels frame
     * `(qid, doc_id)` — the eval stage every retrieval/training pipeline

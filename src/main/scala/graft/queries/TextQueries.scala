@@ -514,6 +514,47 @@ object TextQueries {
            |  len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short
            |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
 
+    // Distributed BPE merge training: 6 merges learned from corpus word
+    // counts — pair counting on the vocab (not the corpus), greedy
+    // left-to-right merge as a left fold, deterministic argmax tie-break.
+    // The oracle unrolls all 6 steps as CTE chains with the identical
+    // list_reduce fold (the k-means unrolling discipline applied to a
+    // tokenizer).
+    QueryDef(
+      "q102_bpe_merges",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.bpeMerges(docs, col("text"), numMerges = 6)
+      },
+      Some {
+        val steps = (1 to 6).map { i =>
+          s"""p$i AS (
+             |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+             |    SELECT n, syms[pi] AS a, syms[pi + 1] AS b
+             |    FROM v${i - 1}, unnest(range(1, len(syms))) AS t(pi))
+             |  GROUP BY 1, 2),
+             |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+             |v$i AS (
+             |  SELECT n, list_reduce(list_transform(syms, bs -> [bs]),
+             |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = bb.a AND x[1] = bb.b
+             |                THEN list_append(acc[1:len(acc) - 1], bb.a || bb.b)
+             |                ELSE list_concat(acc, x) END) AS syms
+             |  FROM v${i - 1} CROSS JOIN best$i bb)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 6)
+          .map(i => s"SELECT $i AS step, a, b, cnt FROM best$i")
+          .mkString(" UNION ALL ")
+        s"""WITH wc AS (
+           |  SELECT w, COUNT(*) AS n FROM (
+           |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+           |  WHERE length(w) > 0 GROUP BY 1),
+           |v0 AS (
+           |  SELECT n, list_transform(range(1, length(w) + 1), ci -> substr(w, ci, 1)) AS syms
+           |  FROM wc),
+           |$steps
+           |$out""".stripMargin
+      }),
+
     // Retrieval evaluation closing the loop on the batched retrieval stack:
     // recall@20 and NDCG@20 of the batched BM25 rankings against synthetic
     // binary qrels (20% of docs relevant per query via the cross-engine

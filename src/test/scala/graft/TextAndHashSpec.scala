@@ -92,6 +92,18 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(mat == single, "materializeTf is a physical-plan knob only")
   }
 
+  test("bpeMerges: frequency argmax with lexicographic ties; greedy fold handles overlaps") {
+    import spark.implicits._
+    // "aaab" x3, "ab" x2: step1 pairs: (a,a) 6 (two per aaab), (a,b) 5 ->
+    // merge (a,a). aaab folds greedily to [aa, a, b] (the third 'a' cannot
+    // re-merge into the fresh 'aa'). step2 pairs over [aa,a,b]x3 + [a,b]x2:
+    // (aa,a) 3, (a,b) 5 -> merge (a,b).
+    val docs = Seq("aaab aaab aaab ab ab").toDF("text")
+    val got = Text.bpeMerges(docs, col("text"), numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 5L)))
+  }
+
   test("redact: emails, urls, digit runs -> typed placeholders; fixed order; clean text untouched") {
     import spark.implicits._
     val rows = Seq(
