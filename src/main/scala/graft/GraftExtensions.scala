@@ -83,5 +83,14 @@ object GraftExtensions {
       }
       // bare AggregateFunction: the analyzer wraps it in an AggregateExpression
       graft.plans.FreqItemsSketch(ch(0), cap)
+    },
+    entry("count_min_sketch60", classOf[graft.plans.CountMinSketch]) { ch =>
+      require(ch.size == 3, "count_min_sketch60 takes (col, depth, width)")
+      val Seq(d, w) = ch.drop(1).map {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"count_min_sketch60 depth/width must be integer literals, got $other")
+      }
+      graft.plans.CountMinSketch(ch(0), d, w)
     })
 }

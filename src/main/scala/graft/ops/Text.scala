@@ -221,6 +221,30 @@ object Text {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
         capacity).toAggregateExpression())
 
+  /** Count-Min sketch aggregate over a string column (the engine's second
+    * native Catalyst aggregate — graft.plans.CountMinSketch). Evals to the
+    * flat depth×width counter array; estimate with [[cmsEstimate]]. Cell
+    * values are partitioning-independent sums, so estimates are
+    * hash-comparable cross-engine (not merely error-bounded).
+    */
+  def countMinSketch(c: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CountMinSketch(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("string")),
+        depth, width).toAggregateExpression())
+
+  /** Point estimate from a [[countMinSketch]] array: min over the `depth`
+    * rows of the key's cell — never undercounts; overcount bounded by the
+    * row collisions. Pure column arithmetic over the sketch array.
+    */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    least((0 until depth).map { r =>
+      element_at(sketch,
+        (lit(r * width) + pmod(
+          Hashing.hash60(concat(lit(s"cm$r-"), key.cast("string"))),
+          lit(width.toLong))).cast("int") + 1)
+    }: _*)
+
   /** EXACT tokens with frequency >= ceil(total * minFrac), computed at scale
     * without ever shuffling the full vocabulary:
     *

@@ -514,6 +514,60 @@ object TextQueries {
            |  len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short
            |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)""".stripMargin)),
 
+    // Count-Min sketch (the second native aggregate): per-event-type CMS
+    // over user ids, point estimates for a fixed probe set vs the exact
+    // counts. CMS cells are partitioning-independent SUMS over the
+    // cross-engine hash, so the oracle reproduces the estimates EXACTLY
+    // (relational GROUP BY per (row, cell)) — stronger than an error bound.
+    QueryDef(
+      "q103_countmin_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val probeSeq = Seq("1", "5", "17", "42", "99")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id").cast("string").as("u"))
+        val probes = probeSeq.toDF("probe_u")
+        val sk = ev.groupBy(col("event_type"))
+          .agg(Text.countMinSketch(col("u"), depth = 4, width = 256).as("sk"))
+        val est = sk.crossJoin(broadcast(probes))
+          .select(col("event_type"), col("probe_u"),
+            Text.cmsEstimate(col("sk"), col("probe_u"), depth = 4, width = 256).as("est"))
+        val exact = ev.where(col("u").isin(probeSeq: _*))
+          .groupBy(col("event_type"), col("u").as("probe_u"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("event_type", "probe_u"), "left_outer")
+          .select(col("event_type"), col("probe_u"), col("est"),
+            coalesce(col("exact"), lit(0L)).as("exact"),
+            (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
+      },
+      Some {
+        val cellHash = Hashing.duckHash60("('cm' || CAST(r AS VARCHAR) || '-' || u)")
+        val probeHash = Hashing.duckHash60("('cm' || CAST(rr.r AS VARCHAR) || '-' || p.probe_u)")
+        s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+           |probes(probe_u) AS (VALUES ('1'), ('5'), ('17'), ('42'), ('99')),
+           |rows_r(r) AS (VALUES (0), (1), (2), (3)),
+           |cells AS (
+           |  SELECT event_type, r, $cellHash % 256 AS c, COUNT(*) AS n
+           |  FROM ev CROSS JOIN rows_r GROUP BY 1, 2, 3),
+           |pcells AS (
+           |  SELECT p.probe_u, rr.r, $probeHash % 256 AS c
+           |  FROM probes p CROSS JOIN rows_r rr),
+           |est AS (
+           |  SELECT et.event_type, pc.probe_u, MIN(COALESCE(cells.n, 0)) AS est
+           |  FROM (SELECT DISTINCT event_type FROM ev) et
+           |  CROSS JOIN pcells pc
+           |  LEFT JOIN cells ON cells.event_type = et.event_type
+           |    AND cells.r = pc.r AND cells.c = pc.c
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT event_type, u AS probe_u, COUNT(*) AS exact
+           |  FROM ev WHERE u IN ('1', '5', '17', '42', '99') GROUP BY 1, 2)
+           |SELECT e.event_type, e.probe_u, CAST(e.est AS BIGINT) AS est,
+           |  CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+           |  e.est >= COALESCE(x.exact, 0) AS no_undercount
+           |FROM est e LEFT JOIN exact x USING (event_type, probe_u)""".stripMargin
+      }),
+
     // Distributed BPE merge training: 6 merges learned from corpus word
     // counts — pair counting on the vocab (not the corpus), greedy
     // left-to-right merge as a left fold, deterministic argmax tie-break.
