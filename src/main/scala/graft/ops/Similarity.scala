@@ -102,6 +102,62 @@ object Similarity {
         size(vec).cast("string"))))
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): beside its own
+    * bucket, each QUERY also probes the `numProbes` buckets obtained by
+    * flipping the sign bit of the planes it is CLOSEST to (smallest |dot| —
+    * the boundaries a true neighbor most plausibly sits across; ties →
+    * lowest plane index). The recall dial orthogonal to `numTables`: more
+    * recall from ONE table's index at probe-time cost, instead of building
+    * and storing extra tables — the same trade `nprobe` makes for IVF.
+    *
+    * The index side keeps exactly one bucket per vector, so a (query,
+    * neighbor) pair meets at most once (probed buckets are distinct) — no
+    * candidate dedup. Per-plane dots are computed once per query row and
+    * ranked with array functions; shuffles carry (bucket, id, vec) rows
+    * exactly like [[lshTopK]]'s single-table path, amplified ×(numProbes+1)
+    * on the query side only.
+    */
+  def lshMultiProbeTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      numPlanes: Int,
+      numDims: Int,
+      numProbes: Int): DataFrame = {
+    require(numProbes >= 0 && numProbes < numPlanes,
+      "probe between 0 and numPlanes-1 extra buckets")
+    val base = withNorm(df, id, vec)
+    val dots = array((0 until numPlanes).map { j =>
+      val plane = Array.tabulate(numDims)(d => planeSign(0, j, d))
+      aggregate(zip_with(col("vec"), lit(plane), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val withB = base.select(col("vid"), col("vec"), col("nrm"),
+      lshBucket(col("vec"), 0, numPlanes, numDims).as("bucket"), dots.as("dots"))
+    val probeBuckets = expr(
+      s"""concat(array(bucket),
+         |  transform(
+         |    slice(array_sort(transform(sequence(0, ${numPlanes - 1}),
+         |      pj -> struct(abs(element_at(dots, pj + 1)) AS m, pj AS pj))),
+         |      1, $numProbes),
+         |    s -> bucket ^ shiftleft(CAST(1 AS BIGINT), s.pj)))""".stripMargin)
+    val a = withB
+      .select(col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na"),
+        explode(probeBuckets).as("bucket"))
+    val b = withB.select(col("bucket"),
+      col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** (vid, tbl, bucket) id-only bucket assignments for `numTables` tables —
     * the candidate-generation backbone shared by [[lshTopK]] and
     * [[cosineNearDupBucketed]]. Ids only: vectors never ride the candidate

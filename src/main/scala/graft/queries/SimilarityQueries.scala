@@ -30,6 +30,16 @@ object SimilarityQueries {
       .mkString(" + ") + " AS BIGINT)"
   }
 
+  /** DuckDB list of all per-plane dots for one LSH table — the ranked-flip
+    * input of the multi-probe oracle (same per-plane fold as
+    * [[duckBucketExpr]], collected instead of sign-summed).
+    */
+  private def duckPlaneDots(table: Int, numPlanes: Int): String = {
+    val planeDot = (j: Int) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1), i -> v[i] * (CASE WHEN ${graft.ops.Hashing.duckHash60(s"('pl-$table-$j-' || CAST(i - 1 AS VARCHAR))")} % 2 = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"""
+    "[" + (0 until numPlanes).map(planeDot).mkString(", ") + "]"
+  }
+
   /** DuckDB CTEs shared by the IVF oracles: decimal-exact per-(label, dim)
     * centroids, ordered centroid arrays, L2² distances, and nearest-centroid
     * assignment — the twin of `Similarity.labelCentroidsFlat` /
@@ -249,6 +259,40 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY a.vec_id
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 5""".stripMargin)),
+
+    // MULTI-PROBE LSH: each query additionally probes the 2 buckets reached
+    // by flipping its smallest-|margin| plane bits (the boundaries a true
+    // neighbor most plausibly sits across) — one table's index, 3 probes'
+    // recall. The index side stays one bucket per vector, so pairs are
+    // unique without dedup; the oracle ranks the identical flips from the
+    // identical per-plane dot list.
+    QueryDef(
+      "q104_ann_lsh_multiprobe",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshMultiProbeTopK(emb, col("vec_id"), col("embedding"), 5,
+          numPlanes = 8, numDims = 64, numProbes = 2)
+      },
+      Some(
+        s"""WITH $duckEmb,
+           |qb AS (
+           |  SELECT vec_id, v, nrm, ${duckBucketExpr(0, 8)} AS bucket,
+           |    ${duckPlaneDots(0, 8)} AS dots
+           |  FROM e),
+           |probes AS (
+           |  SELECT vec_id, v, nrm, unnest(list_concat([bucket],
+           |    list_transform(
+           |      list_slice(list_sort(list_transform(range(0, 8),
+           |        pj -> {'m': abs(dots[pj + 1]), 'j': pj})), 1, 2),
+           |      s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS bucket
+           |  FROM qb)
+           |SELECT query_id, neighbor_id, cosine, rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |  FROM probes a JOIN qb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
            |WHERE rank <= 5""".stripMargin)),
 
     // IVF coarse-quantizer assignment: per-label decimal-exact centroids,

@@ -111,6 +111,27 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(r4 >= 3 * r1, f"4-table recall $r4%.3f should be ~4x the 1-table $r1%.3f")
   }
 
+  test("multi-probe LSH: probing flipped boundary buckets does not lower recall") {
+    import graft.ops.Similarity
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    def coll(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = coll(Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 5))
+    val total = bf.values.map(_.size).sum.toDouble
+    def recall(got: Map[Long, Set[Long]]): Double =
+      bf.toSeq.map { case (q, t) => (t intersect got.getOrElse(q, Set.empty)).size }.sum / total
+    val single = recall(coll(Similarity.lshTopK(
+      emb, col("vec_id"), col("embedding"), 5, numPlanes = 8, numDims = 64)))
+    val multi = recall(coll(Similarity.lshMultiProbeTopK(
+      emb, col("vec_id"), col("embedding"), 5, numPlanes = 8, numDims = 64, numProbes = 2)))
+    info(f"LSH top-5 recall: 1 bucket $single%.3f, multi-probe(2 flips) $multi%.3f")
+    // every single-bucket candidate pair is still generated (probe 0 is the
+    // own bucket), so recall is monotone in numProbes
+    assert(multi >= single, f"multi-probe $multi%.3f fell below single-bucket $single%.3f")
+  }
+
   test("IVF-PQ: ADC ranking recalls most of the exact-L2 in-cluster ranking") {
     // isolates QUANTIZATION error: both rankings search the same coarse
     // cluster, one with exact L2, one with 8x16 product codes. Deterministic
