@@ -92,5 +92,14 @@ object GraftExtensions {
           s"count_min_sketch60 depth/width must be integer literals, got $other")
       }
       graft.plans.CountMinSketch(ch(0), d, w)
+    },
+    entry("bloom_filter60", classOf[graft.plans.BloomFilter60]) { ch =>
+      require(ch.size == 3, "bloom_filter60 takes (col, numBits, numHashes)")
+      val Seq(m, k) = ch.drop(1).map {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter60 numBits/numHashes must be integer literals, got $other")
+      }
+      graft.plans.BloomFilter60(ch(0), m, k)
     })
 }

@@ -210,6 +210,46 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a BLOOM-FILTER pre-filter stage — same
+    * output, different (bigger) scale envelope.
+    *
+    * The exact variant broadcasts the eval set's RAW exploded shingle rows,
+    * which stops working once the eval suite grows past broadcast size
+    * (100M shingles × ~30 bytes is gigabytes). Here the eval shingles are
+    * collapsed into a fixed `numBits / 8`-byte Bloom bit array by the native
+    * [[graft.plans.BloomFilter60]] aggregate (one OR-mergeable buffer per
+    * partition through the shuffle), and only the BITS broadcast. Corpus
+    * shingles are probed map-side — no false negatives, so every truly
+    * shared shingle survives — and the surviving sliver (truly shared
+    * shingles + the ≈(1−e^(−kn/m))^k false positives) flows into the exact
+    * shingle join, which kills the false positives. The final join is a
+    * plain shuffled join: both sides are already reduced, so neither needs
+    * to broadcast. bloom + exact verify ≡ exact, hence the oracle is the
+    * very same relational query as [[contaminationPairs]]'s.
+    */
+  def contaminationPairsBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minShared: Long,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    val e = shingleRows(evalSet, id, text, n)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val bloom = e.agg(Hashing.bloomFilterAgg(col("sh"), numBits, numHashes).as("bf"))
+    // 1-row bloom attaches via BroadcastNestedLoopJoin (the scalar-attach plan)
+    val survivors = shingleRows(corpus, id, text, n)
+      .crossJoin(broadcast(bloom))
+      .where(Hashing.bloomMightContain(col("bf"), col("sh"), numBits, numHashes))
+      .drop("bf")
+    survivors.join(e, "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
     * signature components (P[min-hash agrees] = Jaccard, so the mean of k
     * agreement indicators is an unbiased estimate with stderr

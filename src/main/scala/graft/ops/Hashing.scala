@@ -80,6 +80,37 @@ object Hashing {
   // DuckDB oracle can inline them as plain literals.
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // Bloom filter (native aggregate + built-in-composed membership probe)
+
+  /** Bloom-filter aggregate over a string column (the engine's third native
+    * Catalyst aggregate — [[graft.plans.BloomFilter60]]). Evals to the
+    * packed `numBits / 64`-long bit array; probe with [[bloomMightContain]].
+    * Bits are ORs of per-row contributions, so the array is deterministic
+    * under any partitioning or merge order.
+    */
+  def bloomFilterAgg(c: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BloomFilter60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("string")),
+        numBits, numHashes).toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] array: true iff every one
+    * of the `numHashes` bits for `key` is set. NO false negatives; false
+    * positives at ≈ (1 − e^(−kn/m))^k — always confirm positives with an
+    * exact verify stage when exactness matters. Pure codegen'd column
+    * arithmetic around the native hash60 (variable shifts go through
+    * `shiftleft(1L, h mod 64)`; the bit index is 60-bit non-negative, so
+    * `pmod` is unnecessary).
+    */
+  def bloomMightContain(bloom: Column, key: Column, numBits: Int, numHashes: Int): Column =
+    (0 until numHashes).map { j =>
+      val h = hash60(concat(lit(s"bf$j-"), key.cast("string"))) % lit(numBits.toLong)
+      val word = element_at(bloom, shiftright(h, 6).cast("int") + lit(1))
+      val mask = call_function("shiftleft", lit(1L), h.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
   /** Largest prime below 2^30. */
   val FamilyP: Long = 1073741789L
 

@@ -86,6 +86,28 @@ object PipelineQueries {
            |GROUP BY 1, 2
            |HAVING COUNT(*) >= 5""".stripMargin)),
 
+    // Bloom-accelerated decontamination: identical semantics to q87 (eval
+    // split doc_id % 40, >= 4 shared 3-gram shingles) but the eval shingles
+    // broadcast as a 2^18-bit native Bloom array instead of raw rows; the
+    // exact verify join kills the false positives, so the oracle is the
+    // plain exact relational query — bloom + verify == exact, hash-green.
+    QueryDef(
+      "q105_decontamination_bloom",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationPairsBloom(
+          docs.where(col("doc_id") % 40 =!= 0),
+          docs.where(col("doc_id") % 40 === 0),
+          col("doc_id"), col("text"), 3, 4, numBits = 1 << 18, numHashes = 3)
+      },
+      Some(s"""WITH ${DedupQueries.duckShingleCte},
+           |ev AS (SELECT id AS eval_id, sh FROM sh WHERE id % 40 = 0),
+           |cp AS (SELECT id AS doc_id, sh FROM sh WHERE id % 40 <> 0)
+           |SELECT doc_id, eval_id, COUNT(*) AS n_shared
+           |FROM cp JOIN ev USING (sh)
+           |GROUP BY 1, 2
+           |HAVING COUNT(*) >= 4""".stripMargin)),
+
     // Source-mixing weights: keep all of src0, half of src1, a quarter of
     // src2, 10% of everything else — per-row hash-threshold decision, no
     // shuffle, nested-sample monotone in the rate.
