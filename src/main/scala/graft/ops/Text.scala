@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: tokenization, shingling, language-ID heuristic,
@@ -869,4 +869,76 @@ object Text {
   /** DuckDB twin of [[fingerprint]]. */
   def duckFingerprint(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, '\\s+'), tok -> ${Hashing.duckHash60("tok")} % 131072)), (acc, h) -> (acc * 131071 + h) % 8796093022208)"""
+
+  // -------------------------------------------------------------------------
+  // Repetition / boilerplate quality metrics (Gopher-style, token n-grams)
+  // -------------------------------------------------------------------------
+
+  /** Per-document repetition metrics in the spirit of Gopher's repetition
+    * filters (Rae et al. 2021, arXiv:2112.11446, Table A1), adapted to a
+    * token stream (this corpus has no newlines, so the line-based metrics
+    * become token/n-gram ones):
+    *
+    *   - `dup_token_frac`   = 1 - distinct/total tokens
+    *   - `top_2gram_frac`   = tokens covered by the single most frequent word
+    *     2-gram (`count * 2 / n_tokens`); ties break to the lexicographically
+    *     smallest gram (reported as `top_2gram`)
+    *   - `top_3gram_frac`   = same for 3-grams
+    *   - `dup_5gram_frac`   = fraction of 5-gram OCCURRENCES whose gram
+    *     appears more than once within the document
+    *   - `keep`             = `top_2gram_frac <= top2Max AND dup_5gram_frac
+    *     <= dup5Max` — the filter verdict
+    *
+    * All ratios are integer-derived doubles, so the DuckDB oracle reproduces
+    * them bit for bit.
+    *
+    * Shape for 100 TB: ONE explode tags every n-gram occurrence with its n
+    * (≈4 rows per token), ONE (doc_id, n, gram) count aggregation (map-side
+    * partials absorb in-doc repetition before the shuffle), then ONE per-doc
+    * conditional aggregation — `min(struct(-cnt, gram))` folds the argmax
+    * gram inside the same aggregate, so there is no second window/shuffle
+    * stage and no corpus-wide state of any kind.
+    */
+  def repetitionProfile(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      top2Max: Double = 0.125,
+      dup5Max: Double = 0.10): DataFrame = {
+    val t = tokens(text)
+    def occs(n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => struct(lit(n).as("n"), concat_ws(" ", slice(t, i, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val occ = df.select(id.as("doc_id"),
+      explode(concat(occs(1), occs(2), occs(3), occs(5))).as("o"))
+    val counts = occ
+      .groupBy(col("doc_id"), col("o.n").as("n"), col("o.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy(col("doc_id")).agg(
+      sum(when(col("n") === 1, col("cnt"))).as("n_tokens"),
+      count(when(col("n") === 1, lit(1))).as("n_distinct"),
+      min(when(col("n") === 2,
+        struct((-col("cnt")).as("nc"), col("gram").as("g")))).as("t2"),
+      min(when(col("n") === 3,
+        struct((-col("cnt")).as("nc"), col("gram").as("g")))).as("t3"),
+      coalesce(sum(when(col("n") === 5, col("cnt"))), lit(0L)).as("tot5"),
+      coalesce(sum(when(col("n") === 5 && col("cnt") > 1, col("cnt"))), lit(0L))
+        .as("dup5"))
+    val nt = col("n_tokens").cast("double")
+    val top2f = (col("t2.nc") * lit(-2L)).cast("double") / nt
+    val top3f = (col("t3.nc") * lit(-3L)).cast("double") / nt
+    val dup5f = when(col("tot5") > 0,
+      col("dup5").cast("double") / col("tot5").cast("double")).otherwise(lit(0.0))
+    agg.select(
+      col("doc_id"),
+      col("n_tokens"),
+      ((col("n_tokens") - col("n_distinct")).cast("double") / nt).as("dup_token_frac"),
+      col("t2.g").as("top_2gram"),
+      top2f.as("top_2gram_frac"),
+      top3f.as("top_3gram_frac"),
+      dup5f.as("dup_5gram_frac"),
+      (top2f <= lit(top2Max) && dup5f <= lit(dup5Max)).as("keep"))
+  }
 }
