@@ -889,8 +889,15 @@ object Text {
     *   - `keep`             = `top_2gram_frac <= top2Max AND dup_5gram_frac
     *     <= dup5Max` — the filter verdict
     *
-    * All ratios are integer-derived doubles, so the DuckDB oracle reproduces
-    * them bit for bit.
+    * Docs too short to form an n-gram get that fraction coalesced to 0.0
+    * (and `top_2gram` NULL), so `keep` is always a real boolean — a
+    * single-token doc PASSES the filter (it cannot exhibit repetition),
+    * never NULL-drops under three-valued logic. Docs with NULL text are
+    * excluded from the output entirely, matching the [[shingles]]/dedup
+    * convention for this corpus (the generator emits no NULL text).
+    *
+    * All ratios are integer-derived doubles, so the DuckDB oracle (q106)
+    * reproduces them bit for bit.
     *
     * Shape for 100 TB: ONE explode tags every n-gram occurrence with its n
     * (≈4 rows per token), ONE (doc_id, n, gram) count aggregation (map-side
@@ -927,8 +934,10 @@ object Text {
       coalesce(sum(when(col("n") === 5 && col("cnt") > 1, col("cnt"))), lit(0L))
         .as("dup5"))
     val nt = col("n_tokens").cast("double")
-    val top2f = (col("t2.nc") * lit(-2L)).cast("double") / nt
-    val top3f = (col("t3.nc") * lit(-3L)).cast("double") / nt
+    // Coalesce to 0.0: a doc with < n tokens has no n-grams (t_n is NULL) —
+    // it shows zero repetition, and `keep` below must stay a real boolean.
+    val top2f = coalesce((col("t2.nc") * lit(-2L)).cast("double") / nt, lit(0.0))
+    val top3f = coalesce((col("t3.nc") * lit(-3L)).cast("double") / nt, lit(0.0))
     val dup5f = when(col("tot5") > 0,
       col("dup5").cast("double") / col("tot5").cast("double")).otherwise(lit(0.0))
     agg.select(

@@ -691,6 +691,66 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"))
       },
       Some(s"""SELECT ${Text.duckLangId("text")} AS lang_pred, COUNT(*) AS n_docs
-           |FROM documents GROUP BY 1""".stripMargin))
+           |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Gopher-style repetition profile (Rae et al. 2021, Table A1, adapted to
+    // token n-grams): duplicate-token fraction, top 2-/3-gram coverage,
+    // duplicated-5-gram occurrence fraction, and the keep verdict — all
+    // integer-derived doubles. The oracle rebuilds every n-gram occurrence
+    // relationally (unnest over the slice ranges) and breaks the argmax tie
+    // identically (cnt DESC, gram ASC — the min(struct(-cnt, gram)) fold).
+    QueryDef(
+      "q106_repetition_profile",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.repetitionProfile(docs, col("doc_id"), col("text"))
+      },
+      Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+           |ns(n) AS (VALUES (1), (2), (3), (5)),
+           |occ AS (
+           |  SELECT doc_id, n, t,
+           |    unnest(range(1, GREATEST(len(t) - n + 2, 1))) AS i
+           |  FROM toks CROSS JOIN ns),
+           |grams AS (
+           |  SELECT doc_id, n,
+           |    array_to_string(list_slice(t, i, i + n - 1), ' ') AS gram
+           |  FROM occ),
+           |counts AS (
+           |  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+           |base AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+           |    CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct,
+           |    CAST(COALESCE(SUM(CASE WHEN n = 5 THEN cnt END), 0) AS BIGINT) AS tot5,
+           |    CAST(COALESCE(SUM(CASE WHEN n = 5 AND cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup5
+           |  FROM counts GROUP BY 1),
+           |top AS (
+           |  SELECT doc_id, n, gram, cnt FROM (
+           |    SELECT doc_id, n, gram, cnt,
+           |      row_number() OVER (PARTITION BY doc_id, n
+           |        ORDER BY cnt DESC, gram ASC) AS rn
+           |    FROM counts WHERE n IN (2, 3)) ranked
+           |  WHERE rn = 1),
+           |fracs AS (
+           |  SELECT b.doc_id, b.n_tokens,
+           |    CAST(b.n_tokens - b.n_distinct AS DOUBLE)
+           |      / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac,
+           |    t2.gram AS top_2gram,
+           |    COALESCE(CAST(t2.cnt * 2 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE),
+           |      CAST(0.0 AS DOUBLE)) AS top_2gram_frac,
+           |    COALESCE(CAST(t3.cnt * 3 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE),
+           |      CAST(0.0 AS DOUBLE)) AS top_3gram_frac,
+           |    CASE WHEN b.tot5 > 0
+           |      THEN CAST(b.dup5 AS DOUBLE) / CAST(b.tot5 AS DOUBLE)
+           |      ELSE CAST(0.0 AS DOUBLE) END AS dup_5gram_frac
+           |  FROM base b
+           |  LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+           |  LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3)
+           |SELECT doc_id, n_tokens, dup_token_frac, top_2gram, top_2gram_frac,
+           |  top_3gram_frac, dup_5gram_frac,
+           |  top_2gram_frac <= CAST(0.125 AS DOUBLE)
+           |    AND dup_5gram_frac <= CAST(0.10 AS DOUBLE) AS keep
+           |FROM fracs""".stripMargin))
   )
 }

@@ -136,4 +136,35 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(out(20L) == (((rr(2) + 0.0) + rr(1), 2)))
     assert(out(30L) == (((0.0 + rr(1)) + 0.0, 3)))
   }
+
+  test("repetitionProfile: degenerate repetition fails; single-token doc KEEPS (no NULL verdict)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "hello"),
+      (3L, (1 to 20).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Text.repetitionProfile(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val spam = out(1L)
+    assert(spam.getLong(1) == 6L, "n_tokens")
+    assert(spam.getDouble(2) == 5.0 / 6.0, "dup_token_frac")
+    assert(spam.getString(3) == "spam spam", "top_2gram")
+    assert(spam.getDouble(4) == 10.0 / 6.0, "overlapping-gram coverage may exceed 1")
+    assert(spam.getDouble(6) == 1.0, "both 5-gram occurrences are of a duplicated gram")
+    assert(!spam.getBoolean(7), "degenerate doc must be filtered")
+
+    val single = out(2L)
+    assert(single.getLong(1) == 1L)
+    assert(single.isNullAt(3), "no 2-gram exists")
+    assert(single.getDouble(4) == 0.0 && single.getDouble(5) == 0.0 &&
+      single.getDouble(6) == 0.0, "short-doc fractions coalesce to 0.0")
+    assert(single.getBoolean(7), "a doc too short to repeat must PASS, not NULL-drop")
+
+    val distinct20 = out(3L)
+    assert(distinct20.getDouble(2) == 0.0)
+    assert(distinct20.getString(3) == "t1 t2", "count tie breaks to lexicographically smallest")
+    assert(distinct20.getDouble(4) == 0.1)
+    assert(distinct20.getBoolean(7))
+  }
 }
