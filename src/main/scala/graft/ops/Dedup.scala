@@ -250,6 +250,63 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Maximal duplicated token spans — the relational re-expression of
+    * "ExactSubstr" dedup (Lee et al. 2021, arXiv:2107.06499 §4: remove
+    * substrings repeated verbatim elsewhere in the corpus). A suffix array
+    * does not distribute as a dataflow, but its OUTPUT is reproducible with
+    * three shuffles: every n-token window position whose gram occurs ≥
+    * `minDf` times corpus-wide (within- or cross-document) is marked, and
+    * runs of consecutive marked positions in a doc merge (gaps-and-islands:
+    * pos − row_number per doc) into one maximal span — exactly the spans a
+    * suffix array would report for repeats of length ≥ n, merged to their
+    * maximal extent.
+    *
+    * Output: (doc_id, span_start, span_len, span_text); `span_start` is the
+    * 1-based token index, `span_len` in tokens (≥ n).
+    *
+    * Scale shape: occurrence rows carry (doc_id, pos, gram_hash) — three
+    * longs, never the gram text (one md5 per window, the [[Hashing.hash60]]
+    * cross-engine hash; a collision falsely marks one window duplicated,
+    * p ≈ occurrences²·2⁻⁶¹ — documented, and the oracle hashes
+    * identically). The duplicated-gram filter is a LEFT SEMI join against
+    * the (hash, count) aggregate — no fan-out, both sides shuffle on the
+    * ~uniform hash. The islands window shuffles (doc_id, pos) pairs only,
+    * and the token arrays reappear exactly once, in the final slice join
+    * against the (already spread) doc table.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minDf: Long = 2L): DataFrame = {
+    require(n >= 1, "span gram size must be >= 1")
+    val base = spreadBy(df, id)
+      .select(id.as("doc_id"), Text.tokens(text).as("t"))
+      .where(size(col("t")) >= n)
+    val occ = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - lit(n - 1)), i =>
+        struct(i.cast("long").as("pos"),
+          Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(n)))).as("gh"))))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.gh").as("gh"))
+    val dupGrams = occ.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minDf)
+    val marked = occ.join(dupGrams, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n.toLong)).as("span_len"))
+      .drop("grp")
+    spans.join(base, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        concat_ws(" ", slice(col("t"), col("span_start").cast("int"),
+          col("span_len").cast("int"))).as("span_text"))
+  }
+
   /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
     * signature components (P[min-hash agrees] = Jaccard, so the mean of k
     * agreement indicators is an unbiased estimate with stderr

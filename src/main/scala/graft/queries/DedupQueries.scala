@@ -297,6 +297,42 @@ object DedupQueries {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
+    // Maximal duplicated substring spans (ExactSubstr dedup re-expressed
+    // relationally): 5-token windows repeated verbatim anywhere in the
+    // corpus, merged gaps-and-islands into maximal spans. The oracle
+    // rebuilds the identical window hashes (md5 computed once per window in
+    // a CTE) and the identical pos - row_number island keys.
+    QueryDef(
+      "q107_dup_spans",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), n = 5)
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+           |occ AS (
+           |  SELECT doc_id, unnest(range(1, len(t) - 5 + 2)) AS pos, t
+           |  FROM toks WHERE len(t) >= 5),
+           |och AS (
+           |  SELECT doc_id, pos,
+           |    md5(array_to_string(list_slice(t, pos, pos + 4), ' ')) AS m
+           |  FROM occ),
+           |ghs AS (SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS gh FROM och),
+           |dup AS (SELECT gh FROM ghs GROUP BY gh HAVING COUNT(*) >= 2),
+           |mk AS (SELECT g.doc_id, g.pos FROM ghs g JOIN dup USING (gh)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM mk),
+           |spans AS (
+           |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |    CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+           |  FROM isl GROUP BY doc_id, grp)
+           |SELECT s.doc_id, s.span_start, s.span_len,
+           |  array_to_string(list_slice(t.t, CAST(s.span_start AS INTEGER),
+           |    CAST(s.span_start + s.span_len - 1 AS INTEGER)), ' ') AS span_text
+           |FROM spans s JOIN toks t USING (doc_id)""".stripMargin))
   )
 }

@@ -301,6 +301,31 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(lsh == 501L)
   }
 
+  test("duplicatedSpans: cross-doc repeats merge to one maximal span; unique docs emit none") {
+    import spark.implicits._
+    // docs 1 and 2 share a verbatim 7-token run ("one two three four five
+    // six seven") at different offsets; doc 3 repeats a 5-gram within
+    // itself; doc 4 is entirely unique.
+    val shared = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"$shared zeta"),
+      (3L, "p q r s t u0 p q r s t u1"),
+      (4L, "just some fully unique words here nine ten eleven twelve")
+    ).toDF("id", "text")
+    val out = Dedup.duplicatedSpans(docs, col("id"), col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc 1: window positions 3..5 duplicated -> one span tokens 3..9
+    // doc 2: positions 1..3 -> one span tokens 1..7
+    // doc 3: "p q r s t" at positions 1 and 7 -> two non-adjacent spans
+    assert(out.toSeq == Seq(
+      (1L, 3L, 7L, shared),
+      (2L, 1L, 7L, shared),
+      (3L, 1L, 5L, "p q r s t"),
+      (3L, 7L, 5L, "p q r s t")))
+  }
+
   test("scalacheck: family hashes are pairwise-distinct functions on a random domain sample") {
     val xs = Gen.listOfN(200, Gen.choose(0L, Hashing.FamilyBase - 1)).sample.get.distinct
     // any two family members must disagree somewhere (a_i, b_i distinct mod P)
