@@ -871,6 +871,89 @@ object Text {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, '\\s+'), tok -> ${Hashing.duckHash60("tok")} % 131072)), (acc, h) -> (acc * 131071 + h) % 8796093022208)"""
 
   // -------------------------------------------------------------------------
+  // N-gram language-model scoring (CCNet-style perplexity-proxy filter)
+  // -------------------------------------------------------------------------
+
+  /** Bigram language-model document scoring — the relational form of CCNet's
+    * KenLM perplexity filter (Wenzek et al. 2020, arXiv:1911.00359 §3.3:
+    * score each document under an LM trained on a trusted slice; low
+    * log-probability ⇒ gibberish tail, suspiciously low ⇒ boilerplate head).
+    * The LM is a stupid-backoff bigram model (Brants et al. 2007):
+    *
+    *   S(w_i | w_{i-1}) = c2(w_{i-1}, w_i) / c1(w_{i-1})   if c2 > 0
+    *                    = α · (c1(w_i) + 1) / (N + V)      otherwise
+    *
+    * with α = 2/5, add-one-smoothed unigram backoff, N = training token
+    * occurrences, V = training vocabulary size. Output per scored doc (≥ 2
+    * tokens): `n_bigrams`, `nll` = −(Σ ln S)/n_bigrams (the
+    * perplexity exponent — exp is deliberately NOT applied, keeping every
+    * value an ln of an integer ratio, which both engines round identically),
+    * `backoff_frac` = fraction of positions that backed off (an OOV-rate
+    * quality signal of its own).
+    *
+    * Determinism: the per-doc Σ ln S is an ORDER-FIXED left fold (sort by
+    * position, then `aggregate`) — never a float `sum()` whose partial-
+    * aggregation order varies run to run; the oracle folds
+    * `list(lp ORDER BY pos)` identically.
+    *
+    * Scale shape: counting shuffles carry tokens/token-pairs with map-side
+    * partial counts; scoring is three LEFT joins of the exploded bigram
+    * stream against the c2/c1 tables (hash-distributed on ~uniform token
+    * keys, no fan-out) plus a 1-row broadcast of (N, V); the per-doc fold
+    * is a doc-length-bounded collect_list inside a regular aggregation. A
+    * 100 TB run would cap the LM tables to a top-V vocabulary first (one
+    * HAVING on the count tables — same plan otherwise).
+    */
+  def bigramLmScore(
+      train: DataFrame,
+      score: DataFrame,
+      id: Column,
+      text: Column): DataFrame = {
+    val toks = Dedup.spreadBy(train, id).select(tokens(text).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("long").as("n"),
+      count(lit(1)).as("v"))
+    val big = toks.where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val sc = Dedup.spreadBy(score, id)
+      .select(id.as("doc_id"), tokens(text).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(i.cast("long").as("pos"),
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val alpha = lit(2.0) / lit(5.0)
+    val lp = sc
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1_w1")), Seq("w1"), "left_outer")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"),
+        when(col("c2").isNotNull,
+          log(col("c2").cast("double") / col("c1_w1").cast("double")))
+          .otherwise(log(alpha) +
+            log((coalesce(col("c1_w2"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n") + col("v")).cast("double"))).as("lp"),
+        when(col("c2").isNull, lit(1L)).otherwise(lit(0L)).as("backoff"))
+    lp.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        sum(col("backoff")).as("nb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-aggregate(transform(col("arr"), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x) / col("n_bigrams").cast("double")).as("nll"),
+        (col("nb").cast("double") / col("n_bigrams").cast("double")).as("backoff_frac"))
+  }
+
+  // -------------------------------------------------------------------------
   // Repetition / boilerplate quality metrics (Gopher-style, token n-grams)
   // -------------------------------------------------------------------------
 

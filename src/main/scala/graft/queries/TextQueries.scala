@@ -751,6 +751,56 @@ object TextQueries {
            |  top_3gram_frac, dup_5gram_frac,
            |  top_2gram_frac <= CAST(0.125 AS DOUBLE)
            |    AND dup_5gram_frac <= CAST(0.10 AS DOUBLE) AS keep
-           |FROM fracs""".stripMargin))
+           |FROM fracs""".stripMargin)),
+
+    // CCNet-style LM scoring: stupid-backoff bigram model trained on the
+    // deterministic half of the corpus (cross-engine hash split), every doc
+    // scored by average negative log-probability. Every lp is ln of an
+    // integer ratio and the per-doc sum is an order-fixed fold, so the
+    // doubles hash-match.
+    QueryDef(
+      "q108_lm_score",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(pmod(Hashing.hash60(
+          concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+        Text.bigramLmScore(train, docs, col("doc_id"), col("text"))
+      },
+      Some {
+        val splitHash = Hashing.duckHash60("('lm-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH alldocs AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+           |train AS (
+           |  SELECT doc_id, t FROM alldocs WHERE $splitHash % 2 = 0),
+           |uni AS (
+           |  SELECT w, COUNT(*) AS c1
+           |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+           |big AS (
+           |  SELECT w1, w2, COUNT(*) AS c2 FROM (
+           |    SELECT t[pi] AS w1, t[pi + 1] AS w2
+           |    FROM train, unnest(range(1, len(t))) AS tt(pi)) GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT doc_id, pi AS pos, t[pi] AS w1, t[pi + 1] AS w2
+           |  FROM alldocs, unnest(range(1, len(t))) AS tt(pi)),
+           |lp AS (
+           |  SELECT sc.doc_id, sc.pos,
+           |    CASE WHEN b.c2 IS NOT NULL
+           |      THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+           |      ELSE ln(CAST(2.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
+           |        + ln(CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE)
+           |          / CAST(tot.n + tot.v AS DOUBLE)) END AS lp,
+           |    CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+           |  FROM sc
+           |  LEFT JOIN big b ON b.w1 = sc.w1 AND b.w2 = sc.w2
+           |  LEFT JOIN uni u1 ON u1.w = sc.w1
+           |  LEFT JOIN uni u2 ON u2.w = sc.w2
+           |  CROSS JOIN tot)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |  -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos)),
+           |    (a, x) -> a + x)) / CAST(COUNT(*) AS DOUBLE) AS nll,
+           |  CAST(SUM(backoff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS backoff_frac
+           |FROM lp GROUP BY doc_id""".stripMargin
+      })
   )
 }

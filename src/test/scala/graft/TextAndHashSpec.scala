@@ -137,6 +137,21 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(out(30L) == (((0.0 + rr(1)) + 0.0, 3)))
   }
 
+  test("bigramLmScore: seen bigrams score ln(c2/c1); unseen back off with add-one OOV; short docs excluded") {
+    import spark.implicits._
+    // train "a b a b": uni a:2 b:2 (N=4, V=2); bigrams (a,b):2 (b,a):1
+    val train = Seq((10L, "a b a b")).toDF("id", "text")
+    val score = Seq((1L, "a b c"), (2L, "solo")).toDF("id", "text")
+    val out = Text.bigramLmScore(train, score, col("id"), col("text")).collect()
+    assert(out.length == 1, "single-token doc has no bigrams and is excluded")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // pos1 (a,b): ln(2/2) = 0; pos2 (b,c): OOV -> ln(2/5) + ln((0+1)/(4+2))
+    val expected = -(0.0 + (math.log(2.0 / 5.0) + math.log(1.0 / 6.0))) / 2.0
+    assert(r.getDouble(2) == expected, "nll is an exact fold of integer-ratio lns")
+    assert(r.getDouble(3) == 0.5, "one of two positions backed off")
+  }
+
   test("repetitionProfile: degenerate repetition fails; single-token doc KEEPS (no NULL verdict)") {
     import spark.implicits._
     val docs = Seq(
