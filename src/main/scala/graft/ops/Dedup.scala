@@ -77,7 +77,45 @@ object Dedup {
       text: Column,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None): DataFrame =
+    shinglePairCounts(df, id, text, n, maxShingleDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+
+  /** Containment near-dup pairs — the ASYMMETRIC companion to
+    * [[ngramJaccardPairs]]: containment = |A∩B| / min(|A|, |B|). A document
+    * pasted verbatim inside a much larger one scores containment ≈ 1 while
+    * its symmetric Jaccard ≈ |small|/|large| sails under any Jaccard
+    * threshold — the standard miss for web data with quoted/aggregated
+    * pages (cf. Broder 1997's resemblance vs containment distinction).
+    * Same inverted-index join and df-cap scale shape as the Jaccard path.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    shinglePairCounts(df, id, text, n, maxShingleDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("containment"))
+
+  /** Shared pair-counting core of the shingle-set metrics: inverted-index
+    * join (bounded by `maxShingleDf`) → (id_a, id_b, inter, sz_a, sz_b),
+    * id_a < id_b.
+    */
+  private def shinglePairCounts(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      maxShingleDf: Option[Int]): DataFrame = {
     val sh0 = shingleRows(df, id, text, n)
     val sh = maxShingleDf match {
       case Some(cap) =>
@@ -96,10 +134,6 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
   }
 
   /** MinHash signatures: (doc_id, seed, mh) with mh = min over shingles of

@@ -299,6 +299,32 @@ object DedupQueries {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
+    // Asymmetric containment pairs: |A∩B| / min(|A|,|B|) over the same
+    // df-capped shingle inverted index as q52 — catches subset-duplication
+    // (a doc pasted inside a larger one) that symmetric Jaccard misses.
+    QueryDef(
+      "q109_containment_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.5,
+          maxShingleDf = Some(100))
+      },
+      Some(s"""WITH $duckShingleCte,
+           |shc AS (
+           |  SELECT id, sh FROM sh
+           |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5""".stripMargin)),
+
     // Maximal duplicated substring spans (ExactSubstr dedup re-expressed
     // relationally): 5-token windows repeated verbatim anywhere in the
     // corpus, merged gaps-and-islands into maximal spans. The oracle

@@ -301,6 +301,20 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(lsh == 501L)
   }
 
+  test("containmentPairs: a doc pasted inside a larger one scores 1.0 where Jaccard misses") {
+    import spark.implicits._
+    val small = "one two three four five"
+    val big = s"$small plus lots of extra tokens a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2"
+    val docs = Seq((1L, small), (2L, big), (3L, "totally unrelated text here"))
+      .toDF("id", "text")
+    val cont = Dedup.containmentPairs(docs, col("id"), col("text"), 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1.0, "every shingle of the small doc is in the big one")
+    val jac = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.9)
+    assert(jac.count() == 0, "symmetric Jaccard under-scores the subset pair")
+  }
+
   test("duplicatedSpans: cross-doc repeats merge to one maximal span; unique docs emit none") {
     import spark.implicits._
     // docs 1 and 2 share a verbatim 7-token run ("one two three four five
