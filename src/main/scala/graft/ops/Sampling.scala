@@ -138,6 +138,52 @@ object Sampling {
       .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
   }
 
+  /** Fixed-size token chunks with overlap — the RAG/eval-context companion
+    * to [[packSequences]]: where packing concatenates docs into budget-sized
+    * training rows, chunking SPLITS each doc into `chunkSize`-token windows
+    * starting every `stride` tokens (stride < chunkSize ⇒ overlap, so no
+    * retrieval query straddles a hard boundary). The final window is the
+    * first one that reaches the document end (possibly shorter than
+    * `chunkSize`); a doc at most `chunkSize` tokens long emits exactly one
+    * chunk. Pure per-row arithmetic (one explode, ~len/stride rows per
+    * doc) — no shuffle at all; Catalyst keeps the whole thing in one
+    * projection stage.
+    *
+    * Output: (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_text),
+    * `chunk_id` 0-based, `chunk_start` a 1-based token index.
+    */
+  def chunkWithOverlap(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val base = df
+      .select(id.as("doc_id"), Text.tokens(text).as("t"))
+      .where(size(col("t")) >= 1)
+      .withColumn("n", size(col("t")))
+      // extra chunks past the first: ceil((n - chunkSize) / stride), via
+      // integer div on a numerator the `when` guard keeps positive
+      .withColumn("nchunks",
+        lit(1) + when(col("n") > chunkSize,
+          expr(s"(n - $chunkSize + $stride - 1) div $stride").cast("int"))
+          .otherwise(lit(0)))
+    base.select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("cid"))
+      .select(col("doc_id"),
+        col("cid").cast("long").as("chunk_id"),
+        (col("cid").cast("long") * stride + 1L).as("chunk_start"),
+        least(lit(chunkSize.toLong),
+          col("n") - (col("cid").cast("long") * stride + 1L) + 1L)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"),
+          (col("cid") * stride + 1).cast("int"),
+          least(lit(chunkSize), col("n") - (col("cid") * stride + 1) + 1)
+            .cast("int"))).as("chunk_text"))
+  }
+
   /** Deterministic per-group sample: the n group members with the smallest
     * (hash, id) — an order-stable stand-in for reservoir sampling whose
     * output is identical on any partitioning. One shuffle on the group key.

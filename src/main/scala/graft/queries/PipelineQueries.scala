@@ -195,6 +195,32 @@ object PipelineQueries {
            |SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(len($t)) AS BIGINT) AS ws_tokens
            |FROM deduped GROUP BY source""".stripMargin
-      })
+      }),
+
+    // Overlapping token chunks (64-token windows every 48 tokens): the
+    // RAG/context-window splitter. Pure per-row arithmetic — the oracle
+    // re-derives every window boundary including the shortened tail chunk.
+    QueryDef(
+      "q110_doc_chunks",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.chunkWithOverlap(docs, col("doc_id"), col("text"),
+          chunkSize = 64, stride = 48)
+      },
+      Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+           |base AS (
+           |  SELECT doc_id, t, len(t) AS n,
+           |    1 + CASE WHEN len(t) > 64 THEN (len(t) - 64 + 48 - 1) // 48
+           |        ELSE 0 END AS nchunks
+           |  FROM toks WHERE len(t) >= 1),
+           |ch AS (
+           |  SELECT doc_id, t, n, unnest(range(0, nchunks)) AS cid FROM base)
+           |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           |  CAST(cid * 48 + 1 AS BIGINT) AS chunk_start,
+           |  CAST(LEAST(64, n - (cid * 48 + 1) + 1) AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(list_slice(t, CAST(cid * 48 + 1 AS INTEGER),
+           |    CAST(LEAST(cid * 48 + 64, n) AS INTEGER)), ' ') AS chunk_text
+           |FROM ch""".stripMargin))
   )
 }

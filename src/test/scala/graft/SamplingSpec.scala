@@ -63,4 +63,27 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       "exactly the contaminated doc flags against the benchmark doc")
     assert(got.head._3 >= 5L, "shared-shingle count meets the threshold")
   }
+
+  test("chunkWithOverlap: stride windows cover every token; tail shortens; short docs emit one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // <= chunkSize -> 1 chunk
+      (3L, (1 to 12).map(i => s"v$i").mkString(" "))  // exact stride fit at the end
+    ).toDF("id", "text")
+    val out = Sampling.chunkWithOverlap(docs, col("id"), col("text"),
+        chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.toSeq == Seq(
+      (1L, 0L, 1L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 7L, 4L, "w7 w8 w9 w10")), "starts every 3, stops once the end is covered")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
+    val doc3 = out.filter(_._1 == 3L)
+    assert(doc3.length == 4 && doc3.last == ((3L, 3L, 10L, 3L, "v10 v11 v12")),
+      "tail chunk shortens to the remaining tokens")
+  }
 }
