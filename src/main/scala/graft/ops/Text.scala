@@ -728,13 +728,38 @@ object Text {
       df: org.apache.spark.sql.DataFrame,
       text: Column,
       numMerges: Int): org.apache.spark.sql.DataFrame = {
-    require(numMerges >= 1, "learn at least one merge")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrain(df, text, numMerges)._1.toDF("step", "a", "b", "cnt")
+  }
+
+  /** One greedy left-to-right application of merge (a, b) → a+b as a left
+    * fold over a symbol array: the just-merged symbol becomes the new tail,
+    * so it cannot re-merge as the left side of the same rule within one
+    * pass — classic BPE. Shared by training, the vocab encoder, and the
+    * per-row [[bpeTokenize]].
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Full BPE training: the ordered merge list AND the final vocabulary
+    * `(w, n, syms)` — each distinct corpus word with its post-merge symbol
+    * segmentation. The vocab is what [[bpeEncodeByVocab]] joins against;
+    * the merge list is what [[bpeTokenize]] replays on unseen text.
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      numMerges: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    require(numMerges >= 1, "learn at least one merge")
     val words = df.select(explode(tokens(text)).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    var vocab = words.select(col("n"),
+    var vocab = words.select(col("w"), col("n"),
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -754,19 +779,54 @@ object Text {
       require(best.nonEmpty, s"no adjacent pairs left to merge at step $step")
       val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((step, a, b, cnt))
-      // greedy left-to-right merge of (a, b) -> a+b as a left fold: the
-      // just-merged symbol becomes the new tail, so it cannot re-merge as
-      // the left side of the same rule within one step — classic BPE
-      vocab = vocab.select(col("n"),
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))).as("syms"))
+      vocab = vocab.select(col("w"), col("n"), mergeFold(col("syms"), a, b).as("syms"))
         .localCheckpoint()
     }
-    merges.toSeq.toDF("step", "a", "b", "cnt")
+    (merges.toSeq, vocab)
   }
+
+  /** Apply an ordered merge list to ONE word (per-row, no vocabulary
+    * lookup) — how a tokenizer handles text that was not in the training
+    * corpus. `split(w, "(?!^)")` explodes the word into characters (the
+    * lookahead split has no leading empty element); each merge then replays
+    * as the same left fold training used, so for any trained word
+    * `bpeTokenize(w, merges) == vocab.syms` exactly (property-tested).
+    * Empty/null words yield an empty array.
+    */
+  def bpeTokenize(word: Column, merges: Seq[(String, String)]): Column = {
+    // Spark's split keeps a trailing empty element under its limit=-1
+    // semantics — drop empties so the char list is exactly the word
+    val chars = coalesce(filter(split(word, "(?!^)"), s => length(s) > 0),
+      array().cast("array<string>"))
+    merges.foldLeft(chars) { case (acc, (a, b)) => mergeFold(acc, a, b) }
+  }
+
+  /** Tokenizer APPLICATION at corpus scale: explode doc words, join the
+    * trained vocabulary (`bpeTrain`._2), aggregate back per doc. Output:
+    * (doc_id, n_tokens, n_chars, n_bpe_tokens).
+    *
+    * Scale shape: dictionary-encode-then-join — the (word → segmentation)
+    * table is vocab-sized (Heaps' law: ≪ corpus), so the join is a
+    * broadcast at any realistic vocabulary, and the only corpus-sized
+    * shuffle is the per-doc count aggregation of 3 small ints. This beats
+    * replaying the merge folds per occurrence ([[bpeTokenize]]) as soon as
+    * words repeat, i.e. always; the per-row form remains the right tool
+    * for out-of-corpus text.
+    */
+  def bpeEncodeByVocab(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .where(length(col("w")) > 0)
+      .join(broadcast(vocab.select(col("w"), size(col("syms")).cast("long").as("nb"))),
+        Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("nb")).as("n_bpe_tokens"))
 
   /** Retrieval evaluation: recall@k and NDCG@k per query, from a ranked
     * frame `(qid, doc_id, rank)` and a binary-relevance qrels frame

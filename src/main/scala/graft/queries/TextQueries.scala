@@ -21,6 +21,39 @@ object TextQueries {
     1L -> Seq("filter", "sort", "group"),
     2L -> Seq("stream", "window", "batch", "spark"))
 
+  /** DuckDB CTE chain for BPE training over `documents`: word counts `wc`,
+    * symbolized vocab `v0..v<numMerges>` (word column carried through every
+    * fold so the final vocabulary doubles as the q111 encoder dictionary —
+    * the pair counting ignores it), per-step argmax `best1..best<numMerges>`
+    * with the engine's exact tie-break (cnt DESC, a ASC, b ASC) and the
+    * identical greedy left-fold via `list_reduce` over single-element lists.
+    * Shared by q102 (merge table) and q111 (encoding).
+    */
+  private def duckBpeCtes(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, syms[pi] AS a, syms[pi + 1] AS b
+         |    FROM v${i - 1}, unnest(range(1, len(syms))) AS t(pi))
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT w, n, list_reduce(list_transform(syms, bs -> [bs]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = bb.a AND x[1] = bb.b
+         |                THEN list_append(acc[1:len(acc) - 1], bb.a || bb.b)
+         |                ELSE list_concat(acc, x) END) AS syms
+         |  FROM v${i - 1} CROSS JOIN best$i bb)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |v0 AS (
+       |  SELECT w, n, list_transform(range(1, length(w) + 1), ci -> substr(w, ci, 1)) AS syms
+       |  FROM wc),
+       |$steps""".stripMargin
+  }
+
   /** BM25 per-(doc, term) contribution — Lucene idf, k1=1.2, b=0.75 — over
     * CTE columns `tf, df, n, total_dl, dl`; every fraction literal CAST to
     * DOUBLE so DuckDB's decimal literals can't shift the arithmetic. Shared
@@ -581,33 +614,38 @@ object TextQueries {
         Text.bpeMerges(docs, col("text"), numMerges = 6)
       },
       Some {
-        val steps = (1 to 6).map { i =>
-          s"""p$i AS (
-             |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-             |    SELECT n, syms[pi] AS a, syms[pi + 1] AS b
-             |    FROM v${i - 1}, unnest(range(1, len(syms))) AS t(pi))
-             |  GROUP BY 1, 2),
-             |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-             |v$i AS (
-             |  SELECT n, list_reduce(list_transform(syms, bs -> [bs]),
-             |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = bb.a AND x[1] = bb.b
-             |                THEN list_append(acc[1:len(acc) - 1], bb.a || bb.b)
-             |                ELSE list_concat(acc, x) END) AS syms
-             |  FROM v${i - 1} CROSS JOIN best$i bb)""".stripMargin
-        }.mkString(",\n")
         val out = (1 to 6)
           .map(i => s"SELECT $i AS step, a, b, cnt FROM best$i")
           .mkString(" UNION ALL ")
-        s"""WITH wc AS (
-           |  SELECT w, COUNT(*) AS n FROM (
-           |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
-           |  WHERE length(w) > 0 GROUP BY 1),
-           |v0 AS (
-           |  SELECT n, list_transform(range(1, length(w) + 1), ci -> substr(w, ci, 1)) AS syms
-           |  FROM wc),
-           |$steps
+        s"""WITH ${duckBpeCtes(6)}
            |$out""".stripMargin
       }),
+
+    // Tokenizer APPLICATION: every doc encoded with the 6-merge BPE
+    // vocabulary trained by the q102 procedure — dictionary-encode (the
+    // distinct-word vocab carries its final segmentation) then a broadcast
+    // join and per-doc count aggregation. The oracle extends the q102 CTE
+    // chain (word column carried through the folds) and joins doc words
+    // against the final vocabulary exactly like the engine.
+    QueryDef(
+      "q111_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (_, vocab) = Text.bpeTrain(docs, col("text"), numMerges = 6)
+        Text.bpeEncodeByVocab(docs, col("doc_id"), col("text"), vocab)
+      },
+      Some(s"""WITH ${duckBpeCtes(6)},
+           |docw AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+           |  FROM documents),
+           |j AS (
+           |  SELECT d.doc_id, d.w, len(v.syms) AS nb
+           |  FROM docw d JOIN v6 v ON v.w = d.w
+           |  WHERE length(d.w) > 0)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens
+           |FROM j GROUP BY doc_id""".stripMargin)),
 
     // Retrieval evaluation closing the loop on the batched retrieval stack:
     // recall@20 and NDCG@20 of the batched BM25 rankings against synthetic
