@@ -21,6 +21,16 @@ object Num {
   def duckDsum(e: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
 
+  /** High-precision variant for unit-scale values (embedding coordinates,
+    * their pairwise products): 18 fractional digits keeps the double→decimal
+    * rounding far below float32 input noise while leaving 20 integer digits
+    * of headroom for corpus-scale sums.
+    */
+  def dsum38(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+
+  def duckDsum38(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+
   def duckDavg(e: String, scale: Int = 2): String =
     s"(${duckDsum(e, scale)} / COUNT($e))"
 

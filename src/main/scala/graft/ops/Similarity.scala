@@ -690,6 +690,96 @@ object Similarity {
     * simhashPairs / simhashNearDupBlocked). Multiple tables raise recall;
     * candidate dedup happens on bare id pairs before vectors are re-joined.
     */
+  /** Distributed PCA (first principal component) by covariance + power
+    * iteration — the embedding-analytics op behind drift detection,
+    * whitening, and OPQ-style rotations.
+    *
+    * Phase 1, corpus-sized: the d×d covariance C = E[xxᵀ] − μμᵀ in ONE pass.
+    * Each vector explodes to its d(d+1)/2 upper-triangle products — exactly
+    * the d²N/2 multiply-adds covariance costs on any engine — and partial
+    * aggregation collapses every partition to ≤ d(d+1)/2 rows BEFORE the
+    * shuffle, so the exchange carries (j, k, partial-sum) triples per
+    * partition, not per row. Products sum as `decimal(38,18)` (exact,
+    * associative — the [[Num.dsum]] discipline) so the result is
+    * bit-identical on any partitioning and in DuckDB.
+    *
+    * Phase 2, d-bounded: `iters` power-iteration steps v ← C·v / ‖C·v‖ on
+    * the 64-row frames — every matvec component and the norm are
+    * ORDER-FIXED folds (sort by index, then fold), so both engines round
+    * identically at every step; the result is deterministic whether or not
+    * the iteration has converged (the oracle replays the same `iters`
+    * steps). Start vector: uniform 1/√d.
+    *
+    * Output: one row per dimension (1-based `dim`), with `mean`, `pc1`
+    * (unit-norm), and the Rayleigh quotient `eigval` = vᵀCv plus
+    * `explained_frac` = eigval / trace(C) replicated on every row.
+    */
+  def pcaPowerIteration(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      iters: Int): DataFrame = {
+    require(dims >= 1 && iters >= 1, "need dims >= 1 and iters >= 1")
+    // ordered left fold of the `t` field of a sorted struct array — the
+    // double-sum discipline for the d-bounded phase
+    def foldT(arr: Column): Column =
+      aggregate(transform(arr, x => x.getField("t")), lit(0.0), (a, b) => a + b)
+    def orderedSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        orderKey: String, term: Column): DataFrame =
+      grouped.agg(sort_array(collect_list(struct(col(orderKey), term.as("t"))))
+        .as("arr"))
+    val base = Dedup.spreadBy(df, id).select(vec.as("v"))
+    // corpus-sized pass 1: upper-triangle products, decimal partial sums
+    val tri = base
+      .select(explode(flatten(transform(sequence(lit(1), lit(dims)), j =>
+        transform(sequence(j, lit(dims)), k =>
+          struct(j.cast("long").as("j"), k.cast("long").as("k"),
+            (element_at(col("v"), j).cast("double") *
+              element_at(col("v"), k).cast("double")).as("p")))))).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.k").as("k"))
+      .agg(Num.dsum38(col("e.p")).as("s"), count(lit(1)).as("cnt"))
+    val mu = base
+      .select(explode(transform(sequence(lit(1), lit(dims)), j =>
+        struct(j.cast("long").as("j"),
+          element_at(col("v"), j).cast("double").as("x")))).as("e"))
+      .groupBy(col("e.j").as("j"))
+      .agg((Num.dsum38(col("e.x")) / count(lit(1))).as("mu"))
+    val covUpper = tri
+      .join(mu.select(col("j"), col("mu").as("mu_j")), "j")
+      .join(mu.select(col("j").as("k"), col("mu").as("mu_k")), "k")
+      .select(col("j"), col("k"),
+        (col("s") / col("cnt") - col("mu_j") * col("mu_k")).as("c"))
+    val cov = covUpper
+      .unionByName(covUpper.where(col("j") =!= col("k"))
+        .select(col("k").as("j"), col("j").as("k"), col("c")))
+      .localCheckpoint() // consumed by every iteration + trace + Rayleigh
+    def matvec(v: DataFrame): DataFrame =
+      orderedSum(
+        cov.join(v.select(col("j").as("k"), col("vv")), "k").groupBy(col("j")),
+        "k", col("c") * col("vv"))
+        .select(col("j"), foldT(col("arr")).as("y"))
+    var v = df.sparkSession.range(1, dims + 1)
+      .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vv"))
+    for (_ <- 1 to iters) {
+      val y = matvec(v)
+      val nrm = orderedSum(y.groupBy(), "j", col("y") * col("y"))
+        .select(sqrt(foldT(col("arr"))).as("nrm"))
+      v = y.crossJoin(broadcast(nrm))
+        .select(col("j"), (col("y") / col("nrm")).as("vv"))
+        .localCheckpoint() // d rows; keeps the iteration lineage flat
+    }
+    val eig = orderedSum(
+        v.join(matvec(v), "j").groupBy(), "j", col("vv") * col("y"))
+      .select(foldT(col("arr")).as("eigval"))
+    val trace = orderedSum(cov.where(col("j") === col("k")).groupBy(), "j", col("c"))
+      .select(foldT(col("arr")).as("tr"))
+    mu.join(v, "j")
+      .crossJoin(broadcast(eig)).crossJoin(broadcast(trace))
+      .select(col("j").as("dim"), col("mu").as("mean"), col("vv").as("pc1"),
+        col("eigval"), (col("eigval") / col("tr")).as("explained_frac"))
+  }
+
   def cosineNearDupBucketed(
       df: DataFrame,
       id: Column,

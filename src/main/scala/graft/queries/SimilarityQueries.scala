@@ -584,6 +584,62 @@ object SimilarityQueries {
            |FROM cands
            |JOIN e ea ON ea.vec_id = id_a
            |JOIN e eb ON eb.vec_id = id_b
-           |WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.4""".stripMargin))
+           |WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.4""".stripMargin)),
+
+    // Distributed PCA: one-pass decimal-exact covariance (upper-triangle
+    // product rows, map-side partials) + 10 power-iteration steps on the
+    // d-bounded matrix, every double sum an order-fixed fold. The oracle
+    // unrolls all 10 matvec/normalize steps as CTE pairs (the k-means/BPE
+    // unrolling discipline) and reproduces the result bit for bit — no
+    // convergence assumption anywhere.
+    QueryDef(
+      "q112_pca_power",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pcaPowerIteration(emb, col("vec_id"), col("embedding"),
+          dims = 64, iters = 10)
+      },
+      Some {
+        val fold = (expr: String, order: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($expr ORDER BY $order)), (fa, fb) -> fa + fb)"
+        // AS MATERIALIZED is load-bearing: each v_t references y_t twice, so
+        // DuckDB's default CTE inlining would expand the 10-step chain
+        // exponentially (thousands of parquet re-scans -> fd exhaustion)
+        val steps = (1 to 10).map { t =>
+          s"""y$t AS MATERIALIZED (
+             |  SELECT c.j, ${fold("c.c * v.vv", "c.k")} AS y
+             |  FROM cov c JOIN v${t - 1} v ON v.j = c.k GROUP BY c.j),
+             |n$t AS MATERIALIZED (SELECT sqrt(${fold("y * y", "j")}) AS nrm FROM y$t),
+             |v$t AS MATERIALIZED (SELECT j, y / nrm AS vv FROM y$t CROSS JOIN n$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (SELECT embedding AS v FROM embeddings),
+           |tri AS (
+           |  SELECT j, k,
+           |    ${Num.duckDsum38("CAST(v[j] AS DOUBLE) * CAST(v[k] AS DOUBLE)")} AS s,
+           |    COUNT(*) AS cnt
+           |  FROM e, unnest(range(1, 65)) AS tj(j), unnest(range(1, 65)) AS tk(k)
+           |  WHERE k >= j GROUP BY 1, 2),
+           |mu AS (
+           |  SELECT j, ${Num.duckDsum38("CAST(v[j] AS DOUBLE)")} / COUNT(*) AS mu
+           |  FROM e, unnest(range(1, 65)) AS tj(j) GROUP BY 1),
+           |covu AS (
+           |  SELECT t.j, t.k, t.s / t.cnt - mj.mu * mk.mu AS c
+           |  FROM tri t JOIN mu mj ON mj.j = t.j JOIN mu mk ON mk.j = t.k),
+           |cov AS MATERIALIZED (SELECT j, k, c FROM covu
+           |        UNION ALL SELECT k AS j, j AS k, c FROM covu WHERE j <> k),
+           |v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j,
+           |       CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS vv),
+           |$steps,
+           |yf AS (
+           |  SELECT c.j, ${fold("c.c * v.vv", "c.k")} AS y
+           |  FROM cov c JOIN v10 v ON v.j = c.k GROUP BY c.j),
+           |eig AS (
+           |  SELECT ${fold("v.vv * y.y", "v.j")} AS eigval
+           |  FROM v10 v JOIN yf y ON y.j = v.j),
+           |tr AS (SELECT ${fold("c", "j")} AS tr FROM cov WHERE j = k)
+           |SELECT CAST(m.j AS BIGINT) AS dim, m.mu AS mean, v.vv AS pc1,
+           |  e2.eigval AS eigval, e2.eigval / t2.tr AS explained_frac
+           |FROM mu m JOIN v10 v ON v.j = m.j CROSS JOIN eig e2 CROSS JOIN tr t2""".stripMargin
+      })
   )
 }

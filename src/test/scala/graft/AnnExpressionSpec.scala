@@ -32,6 +32,34 @@ class AnnExpressionSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception](bad.collect())
   }
 
+  test("pcaPowerIteration: recovers a planted dominant direction; pc1 unit-norm; explained_frac sane") {
+    import spark.implicits._
+    // 120 vectors in R^8: strong variance along u = e1+e2 (normalized),
+    // small deterministic perturbation on the remaining axes
+    val d = 8
+    val rows = (0 until 120).map { i =>
+      val t = (i % 11).toDouble - 5.0 // dominant coordinate, variance ~10
+      val base = Array.tabulate(d)(j =>
+        if (j == 0 || j == 1) (t / math.sqrt(2.0)).toFloat
+        else (math.sin(i * (j + 1)) * 0.05).toFloat)
+      (i.toLong, base)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity
+      .pcaPowerIteration(df, col("vec_id"), col("embedding"), dims = d, iters = 25)
+      .collect().sortBy(_.getLong(0))
+    val pc1 = out.map(_.getDouble(2))
+    val nrm = math.sqrt(pc1.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9, s"pc1 must be unit-norm, got $nrm")
+    val target = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(pc1(0)) - target) < 0.01 &&
+      math.abs(math.abs(pc1(1)) - target) < 0.01,
+      s"pc1 must align with the planted direction, got ${pc1.take(3).toSeq}")
+    val explained = out.head.getDouble(4)
+    assert(explained > 0.95 && explained <= 1.0 + 1e-9,
+      s"planted direction carries ~all variance, got $explained")
+  }
+
   test("l2sq: native == composed; null propagation on null input") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
