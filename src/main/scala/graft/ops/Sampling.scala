@@ -138,6 +138,42 @@ object Sampling {
       .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
   }
 
+  /** Temperature-based mixture weights — the COMPUTE side of
+    * [[mixBySource]]: given per-source token masses n_s, the sampling
+    * distribution p_s ∝ n_s^α flattens the source skew (α < 1 upsamples
+    * small high-quality sources — the multilingual/mixture practice of
+    * arXiv:1901.07291 §3.1 and its LLM-corpus descendants). α is pinned to
+    * 1/2: `sqrt` is IEEE-correctly-rounded in both engines, so the weights
+    * are bit-reproducible, while a general `pow(x, 0.7)` is not a
+    * correctly-rounded operation and could diverge in the last ulp.
+    *
+    * Output per source: token/doc masses, `weight` = p_s, and
+    * `acceptance_rate` = min(1, p_s·budget / n_s) — the per-source keep
+    * probability that hits `budget` total expected tokens, ready to feed
+    * [[mixBySource]]. The weight normalizer is an ordered fold over the
+    * (bounded) source list; everything upstream is integer aggregation.
+    */
+  def temperatureMixWeights(
+      df: DataFrame,
+      source: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be positive")
+    val per = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+    val z = per
+      .agg(sort_array(collect_list(struct(col("source"), sqrt(col("n_tokens")
+        .cast("double")).as("t")))).as("arr"))
+      .select(aggregate(transform(col("arr"), x => x.getField("t")),
+        lit(0.0), (a, b) => a + b).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / col("z")).as("weight"),
+        least(lit(1.0),
+          sqrt(col("n_tokens").cast("double")) / col("z") * budget
+            / col("n_tokens").cast("double")).as("acceptance_rate"))
+  }
+
   /** Fixed-size token chunks with overlap — the RAG/eval-context companion
     * to [[packSequences]]: where packing concatenates docs into budget-sized
     * training rows, chunking SPLITS each doc into `chunkSize`-token windows

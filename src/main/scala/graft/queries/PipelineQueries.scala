@@ -197,6 +197,34 @@ object PipelineQueries {
            |FROM deduped GROUP BY source""".stripMargin
       }),
 
+    // Temperature mixture weights (alpha = 1/2): per-source token masses ->
+    // sqrt-flattened sampling distribution and the acceptance rates that
+    // hit a 50k-token budget — the compute stage upstream of q88's
+    // mixBySource. sqrt is correctly rounded in both engines, so even the
+    // weights hash-match.
+    QueryDef(
+      "q113_mixture_weights",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.temperatureMixWeights(docs, col("source"),
+          Text.wordCount(col("text")), budget = 50000L)
+      },
+      Some("""WITH per AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |z AS (
+           |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+           |    (a, b) -> a + b) AS z
+           |  FROM per)
+           |SELECT source, n_docs, n_tokens,
+           |  sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
+           |  LEAST(CAST(1 AS DOUBLE),
+           |    sqrt(CAST(n_tokens AS DOUBLE)) / z * 50000
+           |      / CAST(n_tokens AS DOUBLE)) AS acceptance_rate
+           |FROM per CROSS JOIN z""".stripMargin)),
+
     // Overlapping token chunks (64-token windows every 48 tokens): the
     // RAG/context-window splitter. Pure per-row arithmetic — the oracle
     // re-derives every window boundary including the shortened tail chunk.

@@ -64,6 +64,26 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._3 >= 5L, "shared-shingle count meets the threshold")
   }
 
+  test("temperatureMixWeights: sqrt flattening upsamples small sources; budget conserved until capped") {
+    import spark.implicits._
+    // source big: 3 docs x 400 tokens; source small: 1 doc x 100 tokens
+    val docs = Seq.tabulate(3)(i => (s"b$i", "big", 400)) :+ (("s0", "small", 100))
+    val df = docs.toDF("id", "source", "n_tok")
+    val out = Sampling.temperatureMixWeights(df, col("source"), col("n_tok"), budget = 600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (_, nBig, wBig, aBig) = out("big")
+    val (_, nSmall, wSmall, aSmall) = out("small")
+    assert(nBig == 1200L && nSmall == 100L)
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-12, "weights normalize")
+    // raw share of small = 100/1300 ≈ 0.077; sqrt share = 10/(10+sqrt(1200)) ≈ 0.224
+    assert(wSmall > 100.0 / 1300.0, "sqrt temperature upsamples the small source")
+    assert(aBig <= 1.0 && aSmall <= 1.0)
+    val expected = aBig * nBig + aSmall * nSmall
+    assert(expected <= 600.0 + 1e-9, "expected kept tokens never exceed the budget")
+    assert(aSmall > aBig, "small source keeps a larger fraction")
+  }
+
   test("chunkWithOverlap: stride windows cover every token; tail shortens; short docs emit one chunk") {
     import spark.implicits._
     val docs = Seq(
