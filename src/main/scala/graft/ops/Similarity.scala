@@ -780,6 +780,40 @@ object Similarity {
         col("eigval"), (col("eigval") / col("tr")).as("explained_frac"))
   }
 
+  /** PC1 projection outliers — the per-vector consumer of
+    * [[pcaPowerIteration]]: project every embedding onto the first
+    * principal component (dim-ascending double fold, the [[Num.dot]]
+    * order) and keep the k vectors farthest from the mean projection —
+    * embedding drift / anomaly surfacing. The pc1 vector broadcasts as one
+    * d-element array; the mean projection is a [[Num.dsum38]] scalar; the
+    * global top-k compiles to TakeOrderedAndProject (map-side pruned, never
+    * a single-partition window). Output: (vec_id, proj, dev), top k by
+    * (dev DESC, vec_id).
+    */
+  def pcaOutliers(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      iters: Int,
+      k: Int): DataFrame = {
+    val pca = pcaPowerIteration(df, id, vec, dims, iters)
+    val pc = pca
+      .agg(sort_array(collect_list(struct(col("dim"), col("pc1")))).as("arr"))
+      .select(transform(col("arr"), x => x.getField("pc1")).as("pc"))
+    val proj = Dedup.spreadBy(df, id).select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(pc))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("pc"), (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x).as("proj"))
+    val mp = proj.agg((Num.dsum38(col("proj")) / count(lit(1))).as("mean_proj"))
+    proj.crossJoin(broadcast(mp))
+      .select(col("vec_id"), col("proj"),
+        abs(col("proj") - col("mean_proj")).as("dev"))
+      .orderBy(col("dev").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def cosineNearDupBucketed(
       df: DataFrame,
       id: Column,

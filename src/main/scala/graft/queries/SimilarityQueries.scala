@@ -599,47 +599,81 @@ object SimilarityQueries {
         Similarity.pcaPowerIteration(emb, col("vec_id"), col("embedding"),
           dims = 64, iters = 10)
       },
-      Some {
-        val fold = (expr: String, order: String) =>
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($expr ORDER BY $order)), (fa, fb) -> fa + fb)"
-        // AS MATERIALIZED is load-bearing: each v_t references y_t twice, so
-        // DuckDB's default CTE inlining would expand the 10-step chain
-        // exponentially (thousands of parquet re-scans -> fd exhaustion)
-        val steps = (1 to 10).map { t =>
-          s"""y$t AS MATERIALIZED (
-             |  SELECT c.j, ${fold("c.c * v.vv", "c.k")} AS y
-             |  FROM cov c JOIN v${t - 1} v ON v.j = c.k GROUP BY c.j),
-             |n$t AS MATERIALIZED (SELECT sqrt(${fold("y * y", "j")}) AS nrm FROM y$t),
-             |v$t AS MATERIALIZED (SELECT j, y / nrm AS vv FROM y$t CROSS JOIN n$t)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS MATERIALIZED (SELECT embedding AS v FROM embeddings),
-           |tri AS (
-           |  SELECT j, k,
-           |    ${Num.duckDsum38("CAST(v[j] AS DOUBLE) * CAST(v[k] AS DOUBLE)")} AS s,
-           |    COUNT(*) AS cnt
-           |  FROM e, unnest(range(1, 65)) AS tj(j), unnest(range(1, 65)) AS tk(k)
-           |  WHERE k >= j GROUP BY 1, 2),
-           |mu AS (
-           |  SELECT j, ${Num.duckDsum38("CAST(v[j] AS DOUBLE)")} / COUNT(*) AS mu
-           |  FROM e, unnest(range(1, 65)) AS tj(j) GROUP BY 1),
-           |covu AS (
-           |  SELECT t.j, t.k, t.s / t.cnt - mj.mu * mk.mu AS c
-           |  FROM tri t JOIN mu mj ON mj.j = t.j JOIN mu mk ON mk.j = t.k),
-           |cov AS MATERIALIZED (SELECT j, k, c FROM covu
-           |        UNION ALL SELECT k AS j, j AS k, c FROM covu WHERE j <> k),
-           |v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j,
-           |       CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS vv),
-           |$steps,
+      Some(
+        s"""WITH $duckPcaCtes,
            |yf AS (
-           |  SELECT c.j, ${fold("c.c * v.vv", "c.k")} AS y
+           |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
            |  FROM cov c JOIN v10 v ON v.j = c.k GROUP BY c.j),
            |eig AS (
-           |  SELECT ${fold("v.vv * y.y", "v.j")} AS eigval
+           |  SELECT ${duckFold("v.vv * y.y", "v.j")} AS eigval
            |  FROM v10 v JOIN yf y ON y.j = v.j),
-           |tr AS (SELECT ${fold("c", "j")} AS tr FROM cov WHERE j = k)
+           |tr AS (SELECT ${duckFold("c", "j")} AS tr FROM cov WHERE j = k)
            |SELECT CAST(m.j AS BIGINT) AS dim, m.mu AS mean, v.vv AS pc1,
            |  e2.eigval AS eigval, e2.eigval / t2.tr AS explained_frac
-           |FROM mu m JOIN v10 v ON v.j = m.j CROSS JOIN eig e2 CROSS JOIN tr t2""".stripMargin
-      })
+           |FROM mu m JOIN v10 v ON v.j = m.j CROSS JOIN eig e2 CROSS JOIN tr t2""".stripMargin)),
+
+    // PC1 projection outliers: every embedding projected onto the trained
+    // first principal component (dim-ascending fold), top 25 by absolute
+    // deviation from the decimal-exact mean projection — embedding drift /
+    // anomaly surfacing, and the per-vector consumer of q112's model.
+    QueryDef(
+      "q114_pca_outliers",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pcaOutliers(emb, col("vec_id"), col("embedding"),
+          dims = 64, iters = 10, k = 25)
+      },
+      Some(
+        s"""WITH $duckPcaCtes,
+           |pc AS MATERIALIZED (SELECT list(vv ORDER BY j) AS pc FROM v10),
+           |proj AS MATERIALIZED (
+           |  SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(1, 65),
+           |      pi -> CAST(embedding[pi] AS DOUBLE) * pc[pi])),
+           |    (fa, fb) -> fa + fb) AS proj
+           |  FROM embeddings CROSS JOIN pc),
+           |mp AS (SELECT ${Num.duckDsum38("proj")} / COUNT(*) AS mean_proj FROM proj)
+           |SELECT vec_id, proj, abs(proj - mean_proj) AS dev
+           |FROM proj CROSS JOIN mp
+           |ORDER BY dev DESC, vec_id LIMIT 25""".stripMargin))
   )
+
+  /** Order-fixed double-fold fragment (sum of `expr` in `order` order). */
+  private def duckFold(expr: String, order: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($expr ORDER BY $order)), (fa, fb) -> fa + fb)"
+
+  /** DuckDB CTE chain for the PCA model over `embeddings`: decimal-exact
+    * covariance `cov`, per-dim means `mu`, and 10 power-iteration steps
+    * ending at `v10`. AS MATERIALIZED is load-bearing: each v_t references
+    * y_t twice, so DuckDB's default CTE inlining would expand the chain
+    * exponentially (thousands of parquet re-scans → fd exhaustion). Shared
+    * by q112 (model output) and q114 (projection outliers).
+    */
+  private def duckPcaCtes: String = {
+    val steps = (1 to 10).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
+         |  FROM cov c JOIN v${t - 1} v ON v.j = c.k GROUP BY c.j),
+         |n$t AS MATERIALIZED (SELECT sqrt(${duckFold("y * y", "j")}) AS nrm FROM y$t),
+         |v$t AS MATERIALIZED (SELECT j, y / nrm AS vv FROM y$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT embedding AS v FROM embeddings),
+       |tri AS (
+       |  SELECT j, k,
+       |    ${Num.duckDsum38("CAST(v[j] AS DOUBLE) * CAST(v[k] AS DOUBLE)")} AS s,
+       |    COUNT(*) AS cnt
+       |  FROM e, unnest(range(1, 65)) AS tj(j), unnest(range(1, 65)) AS tk(k)
+       |  WHERE k >= j GROUP BY 1, 2),
+       |mu AS (
+       |  SELECT j, ${Num.duckDsum38("CAST(v[j] AS DOUBLE)")} / COUNT(*) AS mu
+       |  FROM e, unnest(range(1, 65)) AS tj(j) GROUP BY 1),
+       |covu AS (
+       |  SELECT t.j, t.k, t.s / t.cnt - mj.mu * mk.mu AS c
+       |  FROM tri t JOIN mu mj ON mj.j = t.j JOIN mu mk ON mk.j = t.k),
+       |cov AS MATERIALIZED (SELECT j, k, c FROM covu
+       |        UNION ALL SELECT k AS j, j AS k, c FROM covu WHERE j <> k),
+       |v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j,
+       |       CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS vv),
+       |$steps""".stripMargin
+  }
 }
