@@ -731,6 +731,8 @@ object Similarity {
         .as("arr"))
     val base = Dedup.spreadBy(df, id).select(vec.as("v"))
     // corpus-sized pass 1: upper-triangle products, decimal partial sums
+    // (a struct-free flat-d²-array variant measured ~25% SLOWER — it
+    // computes and explodes the discarded lower triangle too)
     val tri = base
       .select(explode(flatten(transform(sequence(lit(1), lit(dims)), j =>
         transform(sequence(j, lit(dims)), k =>
@@ -761,13 +763,17 @@ object Similarity {
         .select(col("j"), foldT(col("arr")).as("y"))
     var v = df.sparkSession.range(1, dims + 1)
       .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vv"))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val y = matvec(v)
       val nrm = orderedSum(y.groupBy(), "j", col("y") * col("y"))
         .select(sqrt(foldT(col("arr"))).as("nrm"))
       v = y.crossJoin(broadcast(nrm))
         .select(col("j"), (col("y") / col("nrm")).as("vv"))
-        .localCheckpoint() // d rows; keeps the iteration lineage flat
+      // flatten the d-row lineage every few steps (each localCheckpoint is
+      // an eager tiny job — every iteration would pay 10x scheduling for
+      // nothing; never checkpointing nests 2 joins per step into one
+      // exponential-canonicalization plan)
+      if (t % 3 == 0 || t == iters) v = v.localCheckpoint()
     }
     val eig = orderedSum(
         v.join(matvec(v), "j").groupBy(), "j", col("vv") * col("y"))

@@ -1061,7 +1061,9 @@ object Text {
         transform(sequence(lit(1), size(t) - lit(n - 1)),
           i => struct(lit(n).as("n"), concat_ws(" ", slice(t, i, lit(n))).as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val occ = df.select(id.as("doc_id"),
+    // spreadBy: the ~4-rows-per-token explode must not run on the compact
+    // scan's few input partitions (the shingleRows discipline)
+    val occ = Dedup.spreadBy(df, id).select(id.as("doc_id"),
       explode(concat(occs(1), occs(2), occs(3), occs(5))).as("o"))
     val counts = occ
       .groupBy(col("doc_id"), col("o.n").as("n"), col("o.gram").as("gram"))
