@@ -341,6 +341,54 @@ object Dedup {
           col("span_len").cast("int"))).as("span_text"))
   }
 
+  /** The REMOVAL step of ExactSubstr dedup (Lee et al. 2021 §4.1 cut the
+    * duplicated substring occurrences, keeping one): every maximal
+    * duplicated span from [[duplicatedSpans]] survives only at its
+    * globally-first occurrence (min (doc_id, span_start) per exact span
+    * text); all later occurrences are cut from their documents token-wise.
+    * Output, one row per input doc (cut or not): (doc_id, n_tokens,
+    * n_removed, cleaned_text).
+    *
+    * Scale shape: everything span-sized rides the [[duplicatedSpans]]
+    * machinery; the first-occurrence election is ONE window over
+    * md5(span_text) (32-byte partition keys, span rows only — not corpus
+    * rows); the cut-range list joins back per doc (ranges ≪ doc length,
+    * disjoint by construction since islands are maximal), and the token
+    * filter is a pure per-row HOF — no corpus-sized shuffle beyond the span
+    * detection itself.
+    */
+  def cutDuplicatedSpans(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minDf: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(df, id, text, n, minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("span_text")))
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+    val cuts = spans.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_len") - 1L).as("e")))).as("ranges"))
+    Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), Text.tokens(text).as("t"))
+      .join(cuts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("ranges"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("ranges"))
+      .select(col("doc_id"), col("t"), col("ranges"),
+        filter(sequence(lit(1L), size(col("t")).cast("long")), p =>
+          !exists(col("ranges"),
+            r => p >= r.getField("s") && p <= r.getField("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("t"), p.cast("int")))).as("cleaned_text"))
+  }
+
   /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
     * signature components (P[min-hash agrees] = Jaccard, so the mean of k
     * agreement indicators is an unbiased estimate with stderr

@@ -336,29 +336,72 @@ object DedupQueries {
         val docs = Tables.load(s, dir, "documents")
         Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), n = 5)
       },
-      Some(s"""WITH toks AS (
-           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-           |occ AS (
-           |  SELECT doc_id, unnest(range(1, len(t) - 5 + 2)) AS pos, t
-           |  FROM toks WHERE len(t) >= 5),
-           |och AS (
-           |  SELECT doc_id, pos,
-           |    md5(array_to_string(list_slice(t, pos, pos + 4), ' ')) AS m
-           |  FROM occ),
-           |ghs AS (SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS gh FROM och),
-           |dup AS (SELECT gh FROM ghs GROUP BY gh HAVING COUNT(*) >= 2),
-           |mk AS (SELECT g.doc_id, g.pos FROM ghs g JOIN dup USING (gh)),
-           |isl AS (
-           |  SELECT doc_id, pos,
-           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           |  FROM mk),
-           |spans AS (
-           |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-           |    CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
-           |  FROM isl GROUP BY doc_id, grp)
-           |SELECT s.doc_id, s.span_start, s.span_len,
-           |  array_to_string(list_slice(t.t, CAST(s.span_start AS INTEGER),
-           |    CAST(s.span_start + s.span_len - 1 AS INTEGER)), ' ') AS span_text
-           |FROM spans s JOIN toks t USING (doc_id)""".stripMargin))
+      Some(s"""WITH $duckDupSpanCtes
+           |SELECT doc_id, span_start, span_len, span_text FROM sp""".stripMargin)),
+
+    // The removal step of ExactSubstr dedup: every duplicated span survives
+    // only at its globally-first occurrence (min (doc_id, span_start) per
+    // exact span text, elected by one window over md5(span_text)); later
+    // occurrences are cut token-wise. One row per input doc, cut or not.
+    QueryDef(
+      "q115_dedup_cut",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.cutDuplicatedSpans(docs, col("doc_id"), col("text"), n = 5)
+      },
+      Some(s"""WITH $duckDupSpanCtes,
+           |ranked AS (
+           |  SELECT doc_id, span_start, span_len,
+           |    row_number() OVER (PARTITION BY md5(span_text)
+           |      ORDER BY doc_id, span_start) AS rn
+           |  FROM sp),
+           |cuts AS (
+           |  SELECT doc_id, span_start AS s, span_start + span_len - 1 AS e
+           |  FROM ranked WHERE rn > 1),
+           |kept AS (
+           |  SELECT t.doc_id, pos, t.t[pos] AS tok
+           |  FROM toks t, unnest(range(1, len(t.t) + 1)) AS tp(pos)
+           |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+           |    WHERE c.doc_id = t.doc_id AND pos >= c.s AND pos <= c.e)),
+           |keptagg AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |    array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           |  CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           |  COALESCE(k.cleaned, '') AS cleaned_text
+           |FROM toks t LEFT JOIN keptagg k USING (doc_id)""".stripMargin))
   )
+
+  /** DuckDB CTE chain for duplicated-span detection over `documents`
+    * (n = 5): tokenization `toks`, window hashes, corpus-duplicated marks,
+    * gaps-and-islands merge, ending at `sp(doc_id, span_start, span_len,
+    * span_text)`. Shared by q107 (span report) and q115 (removal).
+    */
+  private def duckDupSpanCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, unnest(range(1, len(t) - 5 + 2)) AS pos, t
+       |  FROM toks WHERE len(t) >= 5),
+       |och AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(list_slice(t, pos, pos + 4), ' ')) AS m
+       |  FROM occ),
+       |ghs AS (SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS gh FROM och),
+       |dup AS (SELECT gh FROM ghs GROUP BY gh HAVING COUNT(*) >= 2),
+       |mk AS (SELECT g.doc_id, g.pos FROM ghs g JOIN dup USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM mk),
+       |spans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_id, grp),
+       |sp AS (
+       |  SELECT s.doc_id, s.span_start, s.span_len,
+       |    array_to_string(list_slice(t.t, CAST(s.span_start AS INTEGER),
+       |      CAST(s.span_start + s.span_len - 1 AS INTEGER)), ' ') AS span_text
+       |  FROM spans s JOIN toks t USING (doc_id))""".stripMargin
 }

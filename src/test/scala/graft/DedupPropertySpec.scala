@@ -340,6 +340,26 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       (3L, 7L, 5L, "p q r s t")))
   }
 
+  test("cutDuplicatedSpans: first occurrence survives, later ones cut; within-doc repeats cut too") {
+    import spark.implicits._
+    val shared = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"$shared zeta"),
+      (3L, "p q r s t u0 p q r s t u1"),
+      (4L, "just some fully unique words here nine ten eleven twelve")
+    ).toDF("id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, col("id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((12L, 0L, s"alpha beta $shared gamma delta epsilon")),
+      "doc 1 holds the first occurrence — nothing cut")
+    assert(out(2L) == ((8L, 7L, "zeta")), "doc 2's copy of the shared run is cut")
+    assert(out(3L) == ((12L, 5L, "p q r s t u0 u1")),
+      "the doc's own second occurrence is cut, the first kept")
+    assert(out(4L) == ((10L, 0L, "just some fully unique words here nine ten eleven twelve")))
+  }
+
   test("scalacheck: family hashes are pairwise-distinct functions on a random domain sample") {
     val xs = Gen.listOfN(200, Gen.choose(0L, Hashing.FamilyBase - 1)).sample.get.distinct
     // any two family members must disagree somewhere (a_i, b_i distinct mod P)
