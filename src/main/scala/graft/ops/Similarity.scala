@@ -796,6 +796,26 @@ object Similarity {
     * a single-partition window). Output: (vec_id, proj, dev), top k by
     * (dev DESC, vec_id).
     */
+  /** (vec_id, proj): every vector's dim-ascending-fold dot product with the
+    * trained first principal component (broadcast as one d-element array).
+    */
+  def pc1Projections(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      iters: Int): DataFrame = {
+    val pca = pcaPowerIteration(df, id, vec, dims, iters)
+    val pc = pca
+      .agg(sort_array(collect_list(struct(col("dim"), col("pc1")))).as("arr"))
+      .select(transform(col("arr"), x => x.getField("pc1")).as("pc"))
+    Dedup.spreadBy(df, id).select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(pc))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("pc"), (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x).as("proj"))
+  }
+
   def pcaOutliers(
       df: DataFrame,
       id: Column,
@@ -803,21 +823,42 @@ object Similarity {
       dims: Int,
       iters: Int,
       k: Int): DataFrame = {
-    val pca = pcaPowerIteration(df, id, vec, dims, iters)
-    val pc = pca
-      .agg(sort_array(collect_list(struct(col("dim"), col("pc1")))).as("arr"))
-      .select(transform(col("arr"), x => x.getField("pc1")).as("pc"))
-    val proj = Dedup.spreadBy(df, id).select(id.as("vec_id"), vec.as("v"))
-      .crossJoin(broadcast(pc))
-      .select(col("vec_id"),
-        aggregate(zip_with(col("v"), col("pc"), (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x).as("proj"))
+    val proj = pc1Projections(df, id, vec, dims, iters)
     val mp = proj.agg((Num.dsum38(col("proj")) / count(lit(1))).as("mean_proj"))
     proj.crossJoin(broadcast(mp))
       .select(col("vec_id"), col("proj"),
         abs(col("proj") - col("mean_proj")).as("dev"))
       .orderBy(col("dev").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Per-group drift of the PC1 projection — the ANOVA decomposition a
+    * pipeline runs to ask "do my sources/labels separate along the dominant
+    * embedding direction, and how tight is each group?": per group n, mean
+    * projection, deviation from the global mean (between-group signal) and
+    * within-group variance (spread). Every moment is a [[Num.dsum38]]
+    * decimal-exact sum, so the doubles hash-match the oracle; shuffles
+    * carry (group, proj) pairs only.
+    */
+  def pc1GroupDrift(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      group: Column,
+      dims: Int,
+      iters: Int): DataFrame = {
+    val proj = pc1Projections(df, id, vec, dims, iters)
+      .join(df.select(id.as("vec_id"), group.as("grp")), "vec_id")
+    val lm = proj.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), (Num.dsum38(col("proj")) / count(lit(1))).as("mean_proj"))
+    val gm = proj.agg((Num.dsum38(col("proj")) / count(lit(1))).as("g"))
+    val wv = proj.join(lm.select(col("grp"), col("mean_proj")), "grp")
+      .groupBy(col("grp"))
+      .agg((Num.dsum38((col("proj") - col("mean_proj")) *
+        (col("proj") - col("mean_proj"))) / count(lit(1))).as("within_var"))
+    lm.join(wv, "grp").crossJoin(broadcast(gm))
+      .select(col("grp"), col("n"), col("mean_proj"),
+        (col("mean_proj") - col("g")).as("dev_from_global"), col("within_var"))
   }
 
   def cosineNearDupBucketed(

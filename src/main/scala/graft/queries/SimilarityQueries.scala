@@ -624,19 +624,54 @@ object SimilarityQueries {
           dims = 64, iters = 10, k = 25)
       },
       Some(
-        s"""WITH $duckPcaCtes,
-           |pc AS MATERIALIZED (SELECT list(vv ORDER BY j) AS pc FROM v10),
-           |proj AS MATERIALIZED (
-           |  SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list_transform(range(1, 65),
-           |      pi -> CAST(embedding[pi] AS DOUBLE) * pc[pi])),
-           |    (fa, fb) -> fa + fb) AS proj
-           |  FROM embeddings CROSS JOIN pc),
+        s"""WITH $duckPcaProjCtes,
            |mp AS (SELECT ${Num.duckDsum38("proj")} / COUNT(*) AS mean_proj FROM proj)
            |SELECT vec_id, proj, abs(proj - mean_proj) AS dev
            |FROM proj CROSS JOIN mp
-           |ORDER BY dev DESC, vec_id LIMIT 25""".stripMargin))
+           |ORDER BY dev DESC, vec_id LIMIT 25""".stripMargin)),
+
+    // Per-label drift of the PC1 projection (ANOVA decomposition): group
+    // means, deviation from the global mean, and within-group variance —
+    // every moment a decimal-exact sum, reusing the unrolled PCA chain.
+    QueryDef(
+      "q116_pca_label_drift",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pc1GroupDrift(emb, col("vec_id"), col("embedding"),
+          col("label"), dims = 64, iters = 10)
+      },
+      Some(
+        s"""WITH $duckPcaProjCtes,
+           |lab AS (
+           |  SELECT p.vec_id, e2.label AS grp, p.proj
+           |  FROM proj p JOIN embeddings e2 USING (vec_id)),
+           |lm AS (
+           |  SELECT grp, COUNT(*) AS n,
+           |    ${Num.duckDsum38("proj")} / COUNT(*) AS mean_proj
+           |  FROM lab GROUP BY 1),
+           |gm AS (SELECT ${Num.duckDsum38("proj")} / COUNT(*) AS g FROM lab),
+           |wv AS (
+           |  SELECT a.grp,
+           |    ${Num.duckDsum38("(a.proj - m.mean_proj) * (a.proj - m.mean_proj)")}
+           |      / COUNT(*) AS within_var
+           |  FROM lab a JOIN lm m USING (grp) GROUP BY a.grp)
+           |SELECT m.grp, m.n, m.mean_proj, m.mean_proj - g.g AS dev_from_global,
+           |  w.within_var
+           |FROM lm m JOIN wv w USING (grp) CROSS JOIN gm g""".stripMargin))
   )
+
+  /** [[duckPcaCtes]] extended with the pc1 array and per-vector projections
+    * (dim-ascending folds) — shared by q114 (outliers) and q116 (drift).
+    */
+  private def duckPcaProjCtes: String =
+    s"""$duckPcaCtes,
+       |pc AS MATERIALIZED (SELECT list(vv ORDER BY j) AS pc FROM v10),
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65),
+       |      pi -> CAST(embedding[pi] AS DOUBLE) * pc[pi])),
+       |    (fa, fb) -> fa + fb) AS proj
+       |  FROM embeddings CROSS JOIN pc)""".stripMargin
 
   /** Order-fixed double-fold fragment (sum of `expr` in `order` order). */
   private def duckFold(expr: String, order: String): String =

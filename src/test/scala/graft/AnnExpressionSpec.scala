@@ -60,6 +60,38 @@ class AnnExpressionSpec extends AnyFunSuite with SparkSpec {
       s"planted direction carries ~all variance, got $explained")
   }
 
+  test("pc1GroupDrift: law of total variance holds; shifted group shows between-group signal") {
+    import spark.implicits._
+    val d = 8
+    // two labels along e1: label 0 centered at -2, label 1 at +2 (spread 0..1)
+    val rows = (0 until 80).map { i =>
+      val lab = i % 2
+      val center = if (lab == 0) -2.0 else 2.0
+      val v = Array.tabulate(d)(j =>
+        if (j == 0) (center + (i % 5) * 0.25).toFloat
+        else (math.cos(i * (j + 2)) * 0.03).toFloat)
+      (i.toLong, v, lab)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val drift = graft.ops.Similarity
+      .pc1GroupDrift(df, col("vec_id"), col("embedding"), col("label"), d, 20)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val projs = graft.ops.Similarity
+      .pc1Projections(df, col("vec_id"), col("embedding"), d, 20)
+      .collect().map(_.getDouble(1))
+    val n = projs.length.toDouble
+    val mean = projs.sum / n
+    val totalVar = projs.map(p => (p - mean) * (p - mean)).sum / n
+    val decomposed = drift.values.map { case (nl, _, dev, wv) =>
+      (nl / n) * (dev * dev + wv)
+    }.sum
+    assert(math.abs(totalVar - decomposed) < 1e-9,
+      s"between + within must reassemble the total variance ($totalVar vs $decomposed)")
+    assert(math.abs(drift(0)._3) > 1.0 && math.abs(drift(1)._3) > 1.0,
+      "the planted label shift dominates the between-group deviation")
+  }
+
   test("l2sq: native == composed; null propagation on null input") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
