@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -225,4 +225,31 @@ object StreamOps {
       count(lit(1)).as("n_rows"),
       count(when(col("publish_date").isNull, 1)).as("n_null_event_time"),
       count(when(col("article_id").isNull, 1)).as("n_unparsed_payload"))
+
+  /** Ingest-time quality gate: the batch catalog's per-row language-ID and
+    * quality-score expressions (q40/q41 semantics — ONE shared TextProfile
+    * evaluation via CSE) applied as a stateless streaming filter, with
+    * observe() metrics splitting the drop reason per micro-batch. Rows pass
+    * when the predicted language is in `langs` AND the composite quality
+    * score clears `minQuality`.
+    *
+    * Scale shape: pure per-row projection + filter — no state, no shuffle,
+    * no watermark interaction; the metrics ride the existing pass with zero
+    * extra reads (the W4 observability discipline).
+    */
+  def qualityGate(
+      stream: DataFrame,
+      text: Column,
+      langs: Seq[String],
+      minQuality: Double): DataFrame = {
+    require(langs.nonEmpty, "allow at least one language")
+    val langOk = graft.ops.Text.langId(text).isin(langs: _*)
+    val q = graft.ops.Text.qualityScore(text)
+    stream
+      .observe("quality_gate",
+        count(lit(1)).as("n_rows"),
+        count(when(!langOk, 1)).as("n_lang_dropped"),
+        count(when(langOk && q < minQuality, 1)).as("n_quality_dropped"))
+      .where(langOk && q >= minQuality)
+  }
 }

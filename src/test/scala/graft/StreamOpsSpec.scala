@@ -368,4 +368,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(progress.getAs[Long]("n_unparsed_payload") == 1L, "malformed json only")
     } finally q.stop()
   }
+
+  test("ingest quality gate: language + quality filters drop per-row, observe splits the reasons") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    // good: english, 25 stopword-laced words; lang-drop: spanish markers;
+    // quality-drop: english marker but 18-char mean word length + digit
+    // noise (fails length, word-len and most of alpha)
+    val good = ("the quick brown fox and the lazy dog of a house with " +
+      "some more plain words in this line to cross twenty tokens")
+    val es = "el perro de la casa que y en un con para los las del se"
+    val tiny = "the aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa 99999999999999999999"
+    val ms = MemoryStream[String]
+    val gated = StreamOps.qualityGate(ms.toDF().toDF("text"), col("text"),
+      langs = Seq("en"), minQuality = 0.5)
+    val q = gated.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(good, es, tiny))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM quality_out").collect().map(_.getString(0))
+      assert(out.toSeq == Seq(good), "only the english high-quality doc passes")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("quality_gate"))).last
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("n_lang_dropped") == 1L, "the spanish doc")
+      assert(m.getAs[Long]("n_quality_dropped") == 1L, "the 3-token doc")
+    } finally q.stop()
+  }
 }
