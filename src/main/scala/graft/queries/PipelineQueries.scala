@@ -197,6 +197,64 @@ object PipelineQueries {
            |FROM deduped GROUP BY source""".stripMargin
       }),
 
+    // The composed Gopher-style filter FUNNEL: raw -> language -> composite
+    // quality -> repetition keep, with doc and whitespace-token survival per
+    // stage — the one-look summary a curator reads before committing a
+    // filter config. Embeds the full q106 repetition chain as a CTE.
+    QueryDef(
+      "q117_filter_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val rep = Text.repetitionProfile(docs, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("keep"))
+        val base = docs.select(col("doc_id"),
+          Text.wordCount(col("text")).cast("long").as("n_tok"),
+          (Text.langId(col("text")) === "en").as("lang_ok"),
+          (Text.qualityScore(col("text")) >= 0.5).as("q_ok"))
+        val j = base.join(rep, "doc_id")
+        def stage(i: Long, cond: org.apache.spark.sql.Column) =
+          j.where(cond).agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_ws_tokens"))
+            .select(lit(i).as("stage"), col("n_docs"), col("n_ws_tokens"))
+        stage(0L, lit(true))
+          .unionByName(stage(1L, col("lang_ok")))
+          .unionByName(stage(2L, col("lang_ok") && col("q_ok")))
+          .unionByName(stage(3L, col("lang_ok") && col("q_ok") && col("keep")))
+      },
+      Some {
+        val t = "string_split_regex(text, '\\s+')"
+        val tl = "string_split_regex(lower(text), '\\s+')"
+        val stop = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"CAST(len($t) AS BIGINT)"
+        val nChars = "CAST(length(text) AS BIGINT)"
+        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+        val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
+        val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
+        val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
+        val quality =
+          s"""((CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
+             | + $alphaRatio * 0.25)""".stripMargin
+        def stage(i: Int, cond: String) =
+          s"""SELECT CAST($i AS BIGINT) AS stage, COUNT(*) AS n_docs,
+             |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_ws_tokens
+             |FROM j WHERE $cond""".stripMargin
+        s"""WITH rep AS (${TextQueries.duckRepetitionSql}),
+           |base AS (
+           |  SELECT doc_id, $nTok AS n_tok,
+           |    ${Text.duckLangId("text")} = 'en' AS lang_ok,
+           |    $quality >= 0.5 AS q_ok
+           |  FROM documents),
+           |j AS (SELECT b.*, r.keep FROM base b JOIN rep r USING (doc_id))
+           |${stage(0, "true")}
+           |UNION ALL ${stage(1, "lang_ok")}
+           |UNION ALL ${stage(2, "lang_ok AND q_ok")}
+           |UNION ALL ${stage(3, "lang_ok AND q_ok AND keep")}""".stripMargin
+      }),
+
     // Temperature mixture weights (alpha = 1/2): per-source token masses ->
     // sqrt-flattened sampling distribution and the acceptance rates that
     // hit a 50k-token budget — the compute stage upstream of q88's

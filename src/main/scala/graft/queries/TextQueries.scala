@@ -743,7 +743,16 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         Text.repetitionProfile(docs, col("doc_id"), col("text"))
       },
-      Some("""WITH toks AS (
+      Some(duckRepetitionSql))
+  ) ++ lateDefs
+
+  /** Complete DuckDB twin of `Text.repetitionProfile` over `documents`
+    * (also embedded as a CTE by q117's filter funnel). A `def`: it is
+    * referenced during `defs` initialization, and object vals initialize in
+    * declaration order.
+    */
+  private[queries] def duckRepetitionSql: String =
+    ("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
            |ns(n) AS (VALUES (1), (2), (3), (5)),
            |occ AS (
@@ -789,7 +798,10 @@ object TextQueries {
            |  top_3gram_frac, dup_5gram_frac,
            |  top_2gram_frac <= CAST(0.125 AS DOUBLE)
            |    AND dup_5gram_frac <= CAST(0.10 AS DOUBLE) AS keep
-           |FROM fracs""".stripMargin)),
+           |FROM fracs""".stripMargin)
+
+  /** Entries defined after the shared helper `def`s (appended to [[defs]]). */
+  private def lateDefs: Seq[QueryDef] = Seq(
 
     // CCNet-style LM scoring: stupid-backoff bigram model trained on the
     // deterministic half of the corpus (cross-engine hash split), every doc
