@@ -720,17 +720,72 @@ object Similarity {
       vec: Column,
       dims: Int,
       iters: Int): DataFrame = {
-    require(dims >= 1 && iters >= 1, "need dims >= 1 and iters >= 1")
-    // ordered left fold of the `t` field of a sorted struct array — the
-    // double-sum discipline for the d-bounded phase
-    def foldT(arr: Column): Column =
-      aggregate(transform(arr, x => x.getField("t")), lit(0.0), (a, b) => a + b)
-    def orderedSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-        orderKey: String, term: Column): DataFrame =
-      grouped.agg(sort_array(collect_list(struct(col(orderKey), term.as("t"))))
-        .as("arr"))
+    val (mu, cov) = pcaCovariance(df, id, vec, dims)
+    val v = pcaPowerIterate(df.sparkSession, cov, dims, iters)
+    mu.join(v, "j")
+      .crossJoin(broadcast(pcaRayleigh(cov, v)))
+      .crossJoin(broadcast(pcaTrace(cov)))
+      .select(col("j").as("dim"), col("mu").as("mean"), col("vv").as("pc1"),
+        col("eigval"), (col("eigval") / col("tr")).as("explained_frac"))
+  }
+
+  /** Top-2 PCA by DEFLATION: pc1 as in [[pcaPowerIteration]], then the same
+    * power iteration on C₂ = C − λ₁·v₁v₁ᵀ (Hotelling deflation — the
+    * dominant direction of the deflated matrix is the second eigenvector).
+    * `eigval2` is the Rayleigh quotient ON C₂ (identical in both engines by
+    * construction; equals v₂ᵀCv₂ up to the convergence residual). Output
+    * adds (pc2, eigval2, explained_frac2); pc2 ⟂ pc1 up to the iteration
+    * residual (asserted ≤ 1e-6 in the spec on a planted spectrum).
+    */
+  def pcaTop2(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      iters: Int): DataFrame = {
+    val (mu, cov) = pcaCovariance(df, id, vec, dims)
+    val v1 = pcaPowerIterate(df.sparkSession, cov, dims, iters)
+    val e1 = pcaRayleigh(cov, v1)
+    val cov2 = cov
+      .join(v1.select(col("j"), col("vv").as("v_j")), "j")
+      .join(v1.select(col("j").as("k"), col("vv").as("v_k")), "k")
+      .crossJoin(broadcast(e1))
+      .select(col("j"), col("k"),
+        (col("c") - col("eigval") * col("v_j") * col("v_k")).as("c"))
+      .localCheckpoint() // same multi-consumer role as cov
+    val v2 = pcaPowerIterate(df.sparkSession, cov2, dims, iters)
+    val e2 = pcaRayleigh(cov2, v2).select(col("eigval").as("eigval2"))
+    mu.join(v1.select(col("j"), col("vv").as("pc1")), "j")
+      .join(v2.select(col("j"), col("vv").as("pc2")), "j")
+      .crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
+      .crossJoin(broadcast(pcaTrace(cov)))
+      .select(col("j").as("dim"), col("mu").as("mean"),
+        col("pc1"), col("pc2"),
+        col("eigval").as("eigval1"), col("eigval2"),
+        (col("eigval") / col("tr")).as("explained_frac1"),
+        (col("eigval2") / col("tr")).as("explained_frac2"))
+  }
+
+  /** Ordered left fold of the `t` field of a sorted struct array — the
+    * double-sum discipline for the d-bounded PCA phase.
+    */
+  private def pcaFoldT(arr: Column): Column =
+    aggregate(transform(arr, x => x.getField("t")), lit(0.0), (a, b) => a + b)
+
+  private def pcaOrderedSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      orderKey: String, term: Column): DataFrame =
+    grouped.agg(sort_array(collect_list(struct(col(orderKey), term.as("t"))))
+      .as("arr"))
+
+  /** One-pass decimal-exact covariance: (per-dim means `mu(j, mu)`,
+    * mirrored covariance `cov(j, k, c)`, localCheckpoint'd for its many
+    * consumers).
+    */
+  private def pcaCovariance(
+      df: DataFrame, id: Column, vec: Column, dims: Int): (DataFrame, DataFrame) = {
+    require(dims >= 1, "need dims >= 1")
     val base = Dedup.spreadBy(df, id).select(vec.as("v"))
-    // corpus-sized pass 1: upper-triangle products, decimal partial sums
+    // corpus-sized pass: upper-triangle products, decimal partial sums
     // (a struct-free flat-d²-array variant measured ~25% SLOWER — it
     // computes and explodes the discarded lower triangle too)
     val tri = base
@@ -756,17 +811,27 @@ object Similarity {
       .unionByName(covUpper.where(col("j") =!= col("k"))
         .select(col("k").as("j"), col("j").as("k"), col("c")))
       .localCheckpoint() // consumed by every iteration + trace + Rayleigh
-    def matvec(v: DataFrame): DataFrame =
-      orderedSum(
-        cov.join(v.select(col("j").as("k"), col("vv")), "k").groupBy(col("j")),
-        "k", col("c") * col("vv"))
-        .select(col("j"), foldT(col("arr")).as("y"))
-    var v = df.sparkSession.range(1, dims + 1)
+    (mu, cov)
+  }
+
+  /** y = C·v with every component an order-fixed fold over k. */
+  private def pcaMatvec(cov: DataFrame, v: DataFrame): DataFrame =
+    pcaOrderedSum(
+      cov.join(v.select(col("j").as("k"), col("vv")), "k").groupBy(col("j")),
+      "k", col("c") * col("vv"))
+      .select(col("j"), pcaFoldT(col("arr")).as("y"))
+
+  /** `iters` power-iteration steps from the uniform 1/√d start. */
+  private def pcaPowerIterate(
+      spark: org.apache.spark.sql.SparkSession,
+      cov: DataFrame, dims: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    var v = spark.range(1, dims + 1)
       .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vv"))
     for (t <- 1 to iters) {
-      val y = matvec(v)
-      val nrm = orderedSum(y.groupBy(), "j", col("y") * col("y"))
-        .select(sqrt(foldT(col("arr"))).as("nrm"))
+      val y = pcaMatvec(cov, v)
+      val nrm = pcaOrderedSum(y.groupBy(), "j", col("y") * col("y"))
+        .select(sqrt(pcaFoldT(col("arr"))).as("nrm"))
       v = y.crossJoin(broadcast(nrm))
         .select(col("j"), (col("y") / col("nrm")).as("vv"))
       // flatten the d-row lineage every few steps (each localCheckpoint is
@@ -775,27 +840,20 @@ object Similarity {
       // exponential-canonicalization plan)
       if (t % 3 == 0 || t == iters) v = v.localCheckpoint()
     }
-    val eig = orderedSum(
-        v.join(matvec(v), "j").groupBy(), "j", col("vv") * col("y"))
-      .select(foldT(col("arr")).as("eigval"))
-    val trace = orderedSum(cov.where(col("j") === col("k")).groupBy(), "j", col("c"))
-      .select(foldT(col("arr")).as("tr"))
-    mu.join(v, "j")
-      .crossJoin(broadcast(eig)).crossJoin(broadcast(trace))
-      .select(col("j").as("dim"), col("mu").as("mean"), col("vv").as("pc1"),
-        col("eigval"), (col("eigval") / col("tr")).as("explained_frac"))
+    v
   }
 
-  /** PC1 projection outliers — the per-vector consumer of
-    * [[pcaPowerIteration]]: project every embedding onto the first
-    * principal component (dim-ascending double fold, the [[Num.dot]]
-    * order) and keep the k vectors farthest from the mean projection —
-    * embedding drift / anomaly surfacing. The pc1 vector broadcasts as one
-    * d-element array; the mean projection is a [[Num.dsum38]] scalar; the
-    * global top-k compiles to TakeOrderedAndProject (map-side pruned, never
-    * a single-partition window). Output: (vec_id, proj, dev), top k by
-    * (dev DESC, vec_id).
-    */
+  /** Rayleigh quotient vᵀCv as a 1-row frame (order-fixed fold over j). */
+  private def pcaRayleigh(cov: DataFrame, v: DataFrame): DataFrame =
+    pcaOrderedSum(
+      v.join(pcaMatvec(cov, v), "j").groupBy(), "j", col("vv") * col("y"))
+      .select(pcaFoldT(col("arr")).as("eigval"))
+
+  /** trace(C) as a 1-row frame (order-fixed fold over the diagonal). */
+  private def pcaTrace(cov: DataFrame): DataFrame =
+    pcaOrderedSum(cov.where(col("j") === col("k")).groupBy(), "j", col("c"))
+      .select(pcaFoldT(col("arr")).as("tr"))
+
   /** (vec_id, proj): every vector's dim-ascending-fold dot product with the
     * trained first principal component (broadcast as one d-element array).
     */
@@ -816,6 +874,14 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x).as("proj"))
   }
 
+  /** PC1 projection outliers — the per-vector consumer of
+    * [[pcaPowerIteration]]: project every embedding onto the first
+    * principal component and keep the k vectors farthest from the mean
+    * projection — embedding drift / anomaly surfacing. The mean projection
+    * is a [[Num.dsum38]] scalar; the global top-k compiles to
+    * TakeOrderedAndProject (map-side pruned, never a single-partition
+    * window). Output: (vec_id, proj, dev), top k by (dev DESC, vec_id).
+    */
   def pcaOutliers(
       df: DataFrame,
       id: Column,

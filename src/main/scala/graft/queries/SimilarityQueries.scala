@@ -657,7 +657,47 @@ object SimilarityQueries {
            |  FROM lab a JOIN lm m USING (grp) GROUP BY a.grp)
            |SELECT m.grp, m.n, m.mean_proj, m.mean_proj - g.g AS dev_from_global,
            |  w.within_var
-           |FROM lm m JOIN wv w USING (grp) CROSS JOIN gm g""".stripMargin))
+           |FROM lm m JOIN wv w USING (grp) CROSS JOIN gm g""".stripMargin)),
+
+    // Top-2 PCA by Hotelling deflation: pc1 as q112, then the identical
+    // 10-step iteration on C - lambda1*v1*v1' (20 unrolled CTE triples
+    // total, second chain prefixed w). eigval2 = Rayleigh on the deflated
+    // matrix — both engines by construction.
+    QueryDef(
+      "q118_pca_top2",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pcaTop2(emb, col("vec_id"), col("embedding"),
+          dims = 64, iters = 10)
+      },
+      Some(
+        s"""WITH $duckPcaCtes,
+           |yf1 AS (
+           |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
+           |  FROM cov c JOIN v10 v ON v.j = c.k GROUP BY c.j),
+           |eig1 AS MATERIALIZED (
+           |  SELECT ${duckFold("v.vv * y.y", "v.j")} AS eigval
+           |  FROM v10 v JOIN yf1 y ON y.j = v.j),
+           |cov2 AS MATERIALIZED (
+           |  SELECT c.j, c.k, c.c - e2.eigval * a.vv * b.vv AS c
+           |  FROM cov c JOIN v10 a ON a.j = c.j JOIN v10 b ON b.j = c.k
+           |  CROSS JOIN eig1 e2),
+           |${duckUniformV("wv0")},
+           |${duckPowerSteps("cov2", "w")},
+           |yf2 AS (
+           |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
+           |  FROM cov2 c JOIN wv10 v ON v.j = c.k GROUP BY c.j),
+           |eig2 AS MATERIALIZED (
+           |  SELECT ${duckFold("v.vv * y.y", "v.j")} AS eigval2
+           |  FROM wv10 v JOIN yf2 y ON y.j = v.j),
+           |tr AS (SELECT ${duckFold("c", "j")} AS tr FROM cov WHERE j = k)
+           |SELECT CAST(m.j AS BIGINT) AS dim, m.mu AS mean,
+           |  p1.vv AS pc1, p2.vv AS pc2,
+           |  e1.eigval AS eigval1, e2.eigval2 AS eigval2,
+           |  e1.eigval / t2.tr AS explained_frac1,
+           |  e2.eigval2 / t2.tr AS explained_frac2
+           |FROM mu m JOIN v10 p1 ON p1.j = m.j JOIN wv10 p2 ON p2.j = m.j
+           |CROSS JOIN eig1 e1 CROSS JOIN eig2 e2 CROSS JOIN tr t2""".stripMargin))
   )
 
   /** [[duckPcaCtes]] extended with the pc1 array and per-vector projections
@@ -684,14 +724,26 @@ object SimilarityQueries {
     * exponentially (thousands of parquet re-scans → fd exhaustion). Shared
     * by q112 (model output) and q114 (projection outliers).
     */
-  private def duckPcaCtes: String = {
-    val steps = (1 to 10).map { t =>
-      s"""y$t AS MATERIALIZED (
+  /** 10 unrolled power-iteration CTE triples over covariance CTE `cov`,
+    * names prefixed `p` (chain start: `${p}v0`) — lets the deflated second
+    * chain coexist with the first.
+    */
+  private def duckPowerSteps(cov: String, p: String): String =
+    (1 to 10).map { t =>
+      s"""${p}y$t AS MATERIALIZED (
          |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
-         |  FROM cov c JOIN v${t - 1} v ON v.j = c.k GROUP BY c.j),
-         |n$t AS MATERIALIZED (SELECT sqrt(${duckFold("y * y", "j")}) AS nrm FROM y$t),
-         |v$t AS MATERIALIZED (SELECT j, y / nrm AS vv FROM y$t CROSS JOIN n$t)""".stripMargin
+         |  FROM $cov c JOIN ${p}v${t - 1} v ON v.j = c.k GROUP BY c.j),
+         |${p}n$t AS MATERIALIZED (SELECT sqrt(${duckFold("y * y", "j")}) AS nrm FROM ${p}y$t),
+         |${p}v$t AS MATERIALIZED (SELECT j, y / nrm AS vv FROM ${p}y$t CROSS JOIN ${p}n$t)""".stripMargin
     }.mkString(",\n")
+
+  /** Uniform 1/√d start vector CTE. */
+  private def duckUniformV(name: String): String =
+    s"""$name AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j,
+       |       CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS vv)""".stripMargin
+
+  private def duckPcaCtes: String = {
+    val steps = duckPowerSteps("cov", "")
     s"""e AS MATERIALIZED (SELECT embedding AS v FROM embeddings),
        |tri AS (
        |  SELECT j, k,

@@ -60,6 +60,33 @@ class AnnExpressionSpec extends AnyFunSuite with SparkSpec {
       s"planted direction carries ~all variance, got $explained")
   }
 
+  test("pcaTop2: deflation recovers a second planted direction, orthogonal to the first") {
+    import spark.implicits._
+    val d = 8
+    // variance ~9 along e1, ~1 along e3, noise elsewhere
+    val rows = (0 until 90).map { i =>
+      val a = ((i % 10) - 4.5) * 2.0 / 3.0
+      val b = ((i / 10) % 3 - 1).toDouble
+      val v = Array.tabulate(d)(j =>
+        if (j == 0) (a * 3.0).toFloat
+        else if (j == 2) b.toFloat
+        else (math.sin(i * (j + 3)) * 0.02).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity
+      .pcaTop2(df, col("vec_id"), col("embedding"), dims = d, iters = 25)
+      .collect().sortBy(_.getLong(0))
+    val pc1 = out.map(_.getDouble(2))
+    val pc2 = out.map(_.getDouble(3))
+    assert(math.abs(math.abs(pc1(0)) - 1.0) < 0.01, "pc1 ~ e1")
+    assert(math.abs(math.abs(pc2(2)) - 1.0) < 0.01, "pc2 ~ e3")
+    val dot = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"deflated component must be orthogonal (dot=$dot)")
+    val (e1v, e2v) = (out.head.getDouble(4), out.head.getDouble(5))
+    assert(e1v > e2v && e2v > 0.5, s"spectrum ordered: $e1v > $e2v")
+  }
+
   test("pc1GroupDrift: law of total variance holds; shifted group shows between-group signal") {
     import spark.implicits._
     val d = 8
