@@ -56,6 +56,36 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Weight-balanced shard assignment: shard k holds the rows whose
+    * cumulative weight lands in [k·target, (k+1)·target) — equal-MASS
+    * output files (tokens, bytes) rather than equal-COUNT, the layout that
+    * keeps downstream training readers and file-per-task consumers
+    * balanced when document sizes are skewed. Rides
+    * [[Sampling.packSequences]]'s distributed two-phase cumulative sum
+    * (range shuffle of (id, weight) pairs; offset table = #partitions
+    * rows), so no single-partition window ever sees corpus rows and the
+    * assignment is partitioning-independent. A row heavier than `target`
+    * gets its own shard(s) boundary-straddled — `shard` is the span's FIRST
+    * chunk, so every shard's overshoot is bounded by one document.
+    */
+  def balancedShards(df: DataFrame, id: String,
+      weight: org.apache.spark.sql.Column, target: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min}
+    val assign = Sampling.packSequences(
+        df.select(col(id).as("doc_id"), weight.as("w")), col("doc_id"), col("w"), target)
+      .groupBy(col("doc_id"))
+      .agg(min(col("chunk_id")).as("shard"))
+      .withColumnRenamed("doc_id", "__bs_id")
+    df.join(assign, df(id) === assign("__bs_id")).drop("__bs_id")
+  }
+
+  /** Write equal-mass shards (see [[balancedShards]]), one directory per
+    * shard via dynamic partitioning.
+    */
+  def writeBalancedShards(df: DataFrame, path: String, id: String,
+      weight: org.apache.spark.sql.Column, target: Long): Unit =
+    writePartitioned(balancedShards(df, id, weight, target), path, "shard")
+
   /** Range-partition + sort within partitions on `sortCol`: globally ordered
     * output (file k's values all precede file k+1's) without a single-task
     * global sort — the layout that makes downstream range scans, time-ordered

@@ -203,6 +203,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the batch side must never shuffle into a sort-merge join")
   }
 
+  test("balanced shards: equal-MASS output, overshoot bounded by one doc, every row assigned once") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // skewed weights: many small docs + a few giants
+    val docs = ((1 to 60).map(i => (i.toLong, 10L)) ++
+      Seq((100L, 180L), (101L, 250L), (102L, 95L))).toDF("id", "n_tok")
+    val target = 200L
+    val sharded = Layout.balancedShards(docs, "id", col("n_tok"), target)
+    val rows = sharded.select(col("id"), col("n_tok"), col("shard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 63 && rows.map(_._1).distinct.length == 63,
+      "every row lands in exactly one shard")
+    val masses = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = rows.map(_._2).max
+    masses.foreach { case (s, m) =>
+      assert(m < target + maxDoc, s"shard $s mass $m exceeds target + one doc")
+    }
+    val total = rows.map(_._2).sum
+    // ids come from the cumsum chunk grid; a doc spanning several targets
+    // absorbs into its FIRST shard, so later grid indices may stay unused
+    assert(masses.keySet.subsetOf((0L to total / target).toSet),
+      "shard ids live on the cumsum chunk grid")
+    assert(masses.size >= (total.toDouble / (target + maxDoc)).ceil.toInt,
+      "mass-bounded shards cannot be fewer than total/(target + maxDoc)")
+    // writer round-trip: dynamic partition dirs per shard
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Layout.writeBalancedShards(docs, dir, "id", col("n_tok"), target)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 63 &&
+      back.select("shard").distinct().count() == masses.size)
+  }
+
   test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
     import graft.ops.Layout
     import spark.implicits._
