@@ -344,18 +344,29 @@ object Dedup {
   /** The REMOVAL step of ExactSubstr dedup (Lee et al. 2021 §4.1 cut the
     * duplicated substring occurrences, keeping one): every maximal
     * duplicated span from [[duplicatedSpans]] survives only at its
-    * globally-first occurrence (min (doc_id, span_start) per exact span
+    * globally-first occurrence (min (doc_id, span_start) per EXACT span
     * text); all later occurrences are cut from their documents token-wise.
     * Output, one row per input doc (cut or not): (doc_id, n_tokens,
     * n_removed, cleaned_text).
     *
+    * Contract (the oracle implements the identical rules):
+    *  - the election is per exact MAXIMAL span text: when a shared run is
+    *    merged into different maximal extents in different docs (one doc
+    *    pairs it with an adjacent duplicated run), each distinct extent is
+    *    its own electorate and keeps its own first occurrence — span-level
+    *    dedup, deliberately coarser than a suffix array's run-level cut;
+    *  - elected winners survive VERBATIM: token ranges of nearby spans can
+    *    overlap even though their marked position sets are disjoint (a
+    *    1-position island gap is < n tokens wide), so a token is kept when
+    *    it lies in any winning span OR outside every losing span — a
+    *    losing neighbor can never mutilate a winner.
+    *
     * Scale shape: everything span-sized rides the [[duplicatedSpans]]
     * machinery; the first-occurrence election is ONE window over
     * md5(span_text) (32-byte partition keys, span rows only — not corpus
-    * rows); the cut-range list joins back per doc (ranges ≪ doc length,
-    * disjoint by construction since islands are maximal), and the token
-    * filter is a pure per-row HOF — no corpus-sized shuffle beyond the span
-    * detection itself.
+    * rows); the winner/loser range lists join back per doc (ranges ≪ doc
+    * length), and the token filter is a pure per-row HOF — no corpus-sized
+    * shuffle beyond the span detection itself.
     */
   def cutDuplicatedSpans(
       df: DataFrame,
@@ -367,21 +378,26 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("span_text")))
       .orderBy(col("doc_id").asc, col("span_start").asc)
-    val cuts = spans.withColumn("rn", row_number().over(w))
-      .where(col("rn") > 1)
+    val ranked = spans.withColumn("rn", row_number().over(w))
+    def rangesOf(part: DataFrame, name: String): DataFrame = part
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("span_start").as("s"),
-        (col("span_start") + col("span_len") - 1L).as("e")))).as("ranges"))
+        (col("span_start") + col("span_len") - 1L).as("e")))).as(name))
+    val losers = rangesOf(ranked.where(col("rn") > 1), "lose")
+    val winners = rangesOf(ranked.where(col("rn") === 1), "win")
+    val emptyRanges = array().cast("array<struct<s:bigint,e:bigint>>")
+    def covered(ranges: Column, p: Column): Column =
+      exists(ranges, r => p >= r.getField("s") && p <= r.getField("e"))
     Dedup.spreadBy(df, id)
       .select(id.as("doc_id"), Text.tokens(text).as("t"))
-      .join(cuts, Seq("doc_id"), "left_outer")
+      .join(losers, Seq("doc_id"), "left_outer")
+      .join(winners, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("t"),
-        coalesce(col("ranges"),
-          array().cast("array<struct<s:bigint,e:bigint>>")).as("ranges"))
-      .select(col("doc_id"), col("t"), col("ranges"),
+        coalesce(col("lose"), emptyRanges).as("lose"),
+        coalesce(col("win"), emptyRanges).as("win"))
+      .select(col("doc_id"), col("t"),
         filter(sequence(lit(1L), size(col("t")).cast("long")), p =>
-          !exists(col("ranges"),
-            r => p >= r.getField("s") && p <= r.getField("e"))).as("kept"))
+          covered(col("win"), p) || !covered(col("lose"), p)).as("kept"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),

@@ -70,9 +70,13 @@ object Layout {
     */
   def balancedShards(df: DataFrame, id: String,
       weight: org.apache.spark.sql.Column, target: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min}
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, lit, min}
+    // clamp to >= 1: packSequences drops non-positive weights, but a SHARD
+    // assignment must place every row — a zero/NULL-weight doc occupies one
+    // budget unit instead of silently vanishing from the written corpus
+    val w = greatest(lit(1L), coalesce(weight.cast("long"), lit(0L)))
     val assign = Sampling.packSequences(
-        df.select(col(id).as("doc_id"), weight.as("w")), col("doc_id"), col("w"), target)
+        df.select(col(id).as("doc_id"), w.as("w")), col("doc_id"), col("w"), target)
       .groupBy(col("doc_id"))
       .agg(min(col("chunk_id")).as("shard"))
       .withColumnRenamed("doc_id", "__bs_id")

@@ -785,23 +785,26 @@ object Similarity {
       df: DataFrame, id: Column, vec: Column, dims: Int): (DataFrame, DataFrame) = {
     require(dims >= 1, "need dims >= 1")
     val base = Dedup.spreadBy(df, id).select(vec.as("v"))
-    // corpus-sized pass: upper-triangle products, decimal partial sums
-    // (a struct-free flat-d²-array variant measured ~25% SLOWER — it
-    // computes and explodes the discarded lower triangle too)
-    val tri = base
+    // ONE corpus pass: upper-triangle products PLUS a k=0 row per dim
+    // carrying the raw coordinate (the mean terms ride the same explode and
+    // the same aggregation — a separate mu aggregation would re-scan the
+    // corpus). Struct-free flat-d²-array variant measured ~25% SLOWER — it
+    // computes and explodes the discarded lower triangle too.
+    val grouped = base
       .select(explode(flatten(transform(sequence(lit(1), lit(dims)), j =>
-        transform(sequence(j, lit(dims)), k =>
-          struct(j.cast("long").as("j"), k.cast("long").as("k"),
-            (element_at(col("v"), j).cast("double") *
-              element_at(col("v"), k).cast("double")).as("p")))))).as("e"))
+        concat(
+          array(struct(j.cast("long").as("j"), lit(0L).as("k"),
+            element_at(col("v"), j).cast("double").as("p"))),
+          transform(sequence(j, lit(dims)), k =>
+            struct(j.cast("long").as("j"), k.cast("long").as("k"),
+              (element_at(col("v"), j).cast("double") *
+                element_at(col("v"), k).cast("double")).as("p"))))))).as("e"))
       .groupBy(col("e.j").as("j"), col("e.k").as("k"))
       .agg(Num.dsum38(col("e.p")).as("s"), count(lit(1)).as("cnt"))
-    val mu = base
-      .select(explode(transform(sequence(lit(1), lit(dims)), j =>
-        struct(j.cast("long").as("j"),
-          element_at(col("v"), j).cast("double").as("x")))).as("e"))
-      .groupBy(col("e.j").as("j"))
-      .agg((Num.dsum38(col("e.x")) / count(lit(1))).as("mu"))
+      .localCheckpoint() // its two consumers must not re-run the corpus scan
+    val tri = grouped.where(col("k") > 0)
+    val mu = grouped.where(col("k") === 0)
+      .select(col("j"), (col("s") / col("cnt")).as("mu"))
     val covUpper = tri
       .join(mu.select(col("j"), col("mu").as("mu_j")), "j")
       .join(mu.select(col("j").as("k"), col("mu").as("mu_k")), "k")

@@ -181,6 +181,27 @@ object Text {
     lengthOk * 0.25 + wordLenOk * 0.25 + stopOk * 0.25 + f("alpha_ratio") * 0.25
   }
 
+  /** DuckDB twin of [[qualityScore]] over column expression `e` — the ONE
+    * copy of the composite-quality SQL scaffold (q41/q90/q117 all embed it;
+    * a drifted copy would silently desynchronize an oracle).
+    */
+  def duckQualityScore(e: String): String = {
+    val t = s"string_split_regex($e, '\\s+')"
+    val tl = s"string_split_regex(lower($e), '\\s+')"
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    val nTok = s"CAST(len($t) AS BIGINT)"
+    val nChars = s"CAST(length($e) AS BIGINT)"
+    val alpha = s"CAST(length(regexp_replace($e, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
+    val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
+    val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
+    val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
+    s"""((CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
+       | + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       | + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
+       | + $alphaRatio * 0.25)""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Token counting (whitespace + BPE-ish regex)
   // -------------------------------------------------------------------------

@@ -358,10 +358,15 @@ object DedupQueries {
            |cuts AS (
            |  SELECT doc_id, span_start AS s, span_start + span_len - 1 AS e
            |  FROM ranked WHERE rn > 1),
+           |wins AS (
+           |  SELECT doc_id, span_start AS s, span_start + span_len - 1 AS e
+           |  FROM ranked WHERE rn = 1),
            |kept AS (
            |  SELECT t.doc_id, pos, t.t[pos] AS tok
            |  FROM toks t, unnest(range(1, len(t.t) + 1)) AS tp(pos)
-           |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+           |  WHERE EXISTS (SELECT 1 FROM wins w
+           |    WHERE w.doc_id = t.doc_id AND pos >= w.s AND pos <= w.e)
+           |    OR NOT EXISTS (SELECT 1 FROM cuts c
            |    WHERE c.doc_id = t.doc_id AND pos >= c.s AND pos <= c.e)),
            |keptagg AS (
            |  SELECT doc_id, COUNT(*) AS n_kept,

@@ -170,23 +170,10 @@ object PipelineQueries {
       },
       Some {
         val t = "string_split_regex(text, '\\s+')"
-        val tl = "string_split_regex(lower(text), '\\s+')"
-        val stop = Text.Stopwords.map(w => s"'$w'").mkString(", ")
-        val nTok = s"CAST(len($t) AS BIGINT)"
-        val nChars = "CAST(length(text) AS BIGINT)"
-        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
-        val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
-        val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
-        val quality =
-          s"""((CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + $alphaRatio * 0.25)""".stripMargin
         s"""WITH filtered AS (
            |  SELECT doc_id, source, text FROM documents
-           |  WHERE ${Text.duckLangId("text")} = 'en' AND $quality >= 0.5),
+           |  WHERE ${Text.duckLangId("text")} = 'en'
+           |    AND ${Text.duckQualityScore("text")} >= 0.5),
            |deduped AS (
            |  SELECT doc_id, source, text FROM (
            |    SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY text) AS m
@@ -223,21 +210,7 @@ object PipelineQueries {
           .unionByName(stage(3L, col("lang_ok") && col("q_ok") && col("keep")))
       },
       Some {
-        val t = "string_split_regex(text, '\\s+')"
-        val tl = "string_split_regex(lower(text), '\\s+')"
-        val stop = Text.Stopwords.map(w => s"'$w'").mkString(", ")
-        val nTok = s"CAST(len($t) AS BIGINT)"
-        val nChars = "CAST(length(text) AS BIGINT)"
-        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
-        val stopHits = s"CAST(len(list_filter($tl, tok -> tok IN ($stop))) AS BIGINT)"
-        val meanWl = s"(CAST($nChars AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val stopRatio = s"(CAST($stopHits AS DOUBLE) / CAST($nTok AS DOUBLE))"
-        val alphaRatio = s"(CAST($alpha AS DOUBLE) / CAST($nChars AS DOUBLE))"
-        val quality =
-          s"""((CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
-             | + $alphaRatio * 0.25)""".stripMargin
+        val nTok = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
         def stage(i: Int, cond: String) =
           s"""SELECT CAST($i AS BIGINT) AS stage, COUNT(*) AS n_docs,
              |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_ws_tokens
@@ -246,7 +219,7 @@ object PipelineQueries {
            |base AS (
            |  SELECT doc_id, $nTok AS n_tok,
            |    ${Text.duckLangId("text")} = 'en' AS lang_ok,
-           |    $quality >= 0.5 AS q_ok
+           |    ${Text.duckQualityScore("text")} >= 0.5 AS q_ok
            |  FROM documents),
            |j AS (SELECT b.*, r.keep FROM base b JOIN rep r USING (doc_id))
            |${stage(0, "true")}

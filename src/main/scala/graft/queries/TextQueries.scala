@@ -220,10 +220,7 @@ object TextQueries {
            |  $alphaRatio AS alpha_ratio,
            |  $meanWl AS mean_word_len,
            |  $stopRatio AS stopword_ratio,
-           |  (CASE WHEN $nTok >= 20 AND $nTok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.25
-           |    + (CASE WHEN $meanWl >= 3.0 AND $meanWl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
-           |    + (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.25
-           |    + $alphaRatio * 0.25 AS quality
+           |  ${Text.duckQualityScore("text")} AS quality
            |FROM documents""".stripMargin
       }),
 

@@ -206,15 +206,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("balanced shards: equal-MASS output, overshoot bounded by one doc, every row assigned once") {
     import spark.implicits._
     import graft.ops.Layout
-    // skewed weights: many small docs + a few giants
+    // skewed weights: many small docs + a few giants + a zero-weight doc
+    // (must still be assigned somewhere, not silently dropped)
     val docs = ((1 to 60).map(i => (i.toLong, 10L)) ++
-      Seq((100L, 180L), (101L, 250L), (102L, 95L))).toDF("id", "n_tok")
+      Seq((100L, 180L), (101L, 250L), (102L, 95L), (103L, 0L))).toDF("id", "n_tok")
     val target = 200L
     val sharded = Layout.balancedShards(docs, "id", col("n_tok"), target)
     val rows = sharded.select(col("id"), col("n_tok"), col("shard")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(rows.length == 63 && rows.map(_._1).distinct.length == 63,
-      "every row lands in exactly one shard")
+    assert(rows.length == 64 && rows.map(_._1).distinct.length == 64,
+      "every row lands in exactly one shard, including the zero-weight doc")
     val masses = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
     val maxDoc = rows.map(_._2).max
     masses.foreach { case (s, m) =>
@@ -231,7 +232,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     Layout.writeBalancedShards(docs, dir, "id", col("n_tok"), target)
     val back = spark.read.parquet(dir)
-    assert(back.count() == 63 &&
+    assert(back.count() == 64 &&
       back.select("shard").distinct().count() == masses.size)
   }
 
