@@ -766,6 +766,40 @@ object Similarity {
         (col("eigval2") / col("tr")).as("explained_frac2"))
   }
 
+  /** Whitened 2-D embedding coordinates: every vector projected onto the
+    * top-2 components ([[pcaTop2]]), centered on the mean projection
+    * (μ·v_k, an order-fixed d-element fold) and scaled by 1/√λ_k — the
+    * standardized (unit-variance-per-axis) coordinates a drift dashboard
+    * or a Mahalanobis-style outlier rule consumes. Output: (vec_id, w1,
+    * w2). The whole model travels as ONE broadcast row (two d-arrays, two
+    * scalars); the per-vector work is two zip_with folds — no shuffle
+    * beyond the model training itself.
+    */
+  def pcaWhiten2(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      iters: Int): DataFrame = {
+    def arrOf(field: String) =
+      transform(sort_array(collect_list(struct(col("dim"), col(field).as("t")))),
+        x => x.getField("t"))
+    def fold2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    val model = pcaTop2(df, id, vec, dims, iters)
+      .agg(arrOf("pc1").as("p1"), arrOf("pc2").as("p2"), arrOf("mean").as("ms"),
+        max(col("eigval1")).as("e1"), max(col("eigval2")).as("e2"))
+      .select(col("p1"), col("p2"), col("e1"), col("e2"),
+        fold2(col("ms"), col("p1")).as("mp1"),
+        fold2(col("ms"), col("p2")).as("mp2"))
+    Dedup.spreadBy(df, id).select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(model))
+      .select(col("vec_id"),
+        ((fold2(col("v"), col("p1")) - col("mp1")) / sqrt(col("e1"))).as("w1"),
+        ((fold2(col("v"), col("p2")) - col("mp2")) / sqrt(col("e2"))).as("w2"))
+  }
+
   /** Ordered left fold of the `t` field of a sorted struct array — the
     * double-sum discipline for the d-bounded PCA phase.
     */

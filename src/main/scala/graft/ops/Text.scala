@@ -981,26 +981,49 @@ object Text {
     * partial counts; scoring is three LEFT joins of the exploded bigram
     * stream against the c2/c1 tables (hash-distributed on ~uniform token
     * keys, no fan-out) plus a 1-row broadcast of (N, V); the per-doc fold
-    * is a doc-length-bounded collect_list inside a regular aggregation. A
-    * 100 TB run would cap the LM tables to a top-V vocabulary first (one
-    * HAVING on the count tables — same plan otherwise).
+    * is a doc-length-bounded collect_list inside a regular aggregation.
+    * `maxVocab` is the 100 TB knob: keep only the top-V training words
+    * (count desc, word asc — deterministic tie-break); words outside the
+    * cap score through the OOV backoff exactly like unseen words, and both
+    * count tables shrink to the kept vocabulary (the bigram table by a
+    * semi join on BOTH endpoints) before anything joins the corpus.
     */
   def bigramLmScore(
       train: DataFrame,
       score: DataFrame,
       id: Column,
-      text: Column): DataFrame = {
+      text: Column,
+      maxVocab: Option[Int] = None): DataFrame = {
     val toks = Dedup.spreadBy(train, id).select(tokens(text).as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
+    val uniAll = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val uni = maxVocab match {
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c1").desc, col("w").asc)
+        // global rank over the vocab table (vocab-sized, not corpus-sized;
+        // Spark plans rank()<=k as a WindowGroupLimit map-side prune)
+        uniAll.withColumn("__r", rank().over(w)).where(col("__r") <= v)
+          .drop("__r")
+      case None => uniAll
+    }
     val tot = uni.agg(sum(col("c1")).cast("long").as("n"),
       count(lit(1)).as("v"))
-    val big = toks.where(size(col("t")) >= 2)
+    val bigAll = toks.where(size(col("t")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
         struct(element_at(col("t"), i).as("w1"),
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
+    val big = maxVocab match {
+      case Some(_) =>
+        // a bigram whose endpoint fell outside the cap must go through the
+        // backoff (a surviving c2 with a dropped w1 would divide by NULL)
+        bigAll
+          .join(uni.select(col("w").as("w1")), Seq("w1"), "left_semi")
+          .join(uni.select(col("w").as("w2")), Seq("w2"), "left_semi")
+      case None => bigAll
+    }
     val sc = Dedup.spreadBy(score, id)
       .select(id.as("doc_id"), tokens(text).as("t"))
       .where(size(col("t")) >= 2)

@@ -697,7 +697,55 @@ object SimilarityQueries {
            |  e1.eigval / t2.tr AS explained_frac1,
            |  e2.eigval2 / t2.tr AS explained_frac2
            |FROM mu m JOIN v10 p1 ON p1.j = m.j JOIN wv10 p2 ON p2.j = m.j
-           |CROSS JOIN eig1 e1 CROSS JOIN eig2 e2 CROSS JOIN tr t2""".stripMargin))
+           |CROSS JOIN eig1 e1 CROSS JOIN eig2 e2 CROSS JOIN tr t2""".stripMargin)),
+
+    // Whitened 2-D coordinates: both top-2 projections centered on the mean
+    // projection and scaled 1/sqrt(lambda) — unit-variance axes for drift
+    // dashboards / Mahalanobis-style rules. One broadcast model row; the
+    // oracle replays the identical dim-ascending folds.
+    QueryDef(
+      "q119_pca_whiten",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pcaWhiten2(emb, col("vec_id"), col("embedding"),
+          dims = 64, iters = 10)
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(range(1, 65),
+             |      wi -> CAST($a[wi] AS DOUBLE) * $b[wi])), (fa, fb) -> fa + fb)""".stripMargin
+        s"""WITH $duckPcaCtes,
+           |yf1 AS (
+           |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
+           |  FROM cov c JOIN v10 v ON v.j = c.k GROUP BY c.j),
+           |eig1 AS MATERIALIZED (
+           |  SELECT ${duckFold("v.vv * y.y", "v.j")} AS eigval
+           |  FROM v10 v JOIN yf1 y ON y.j = v.j),
+           |cov2 AS MATERIALIZED (
+           |  SELECT c.j, c.k, c.c - e2.eigval * a.vv * b.vv AS c
+           |  FROM cov c JOIN v10 a ON a.j = c.j JOIN v10 b ON b.j = c.k
+           |  CROSS JOIN eig1 e2),
+           |${duckUniformV("wv0")},
+           |${duckPowerSteps("cov2", "w")},
+           |yf2 AS (
+           |  SELECT c.j, ${duckFold("c.c * v.vv", "c.k")} AS y
+           |  FROM cov2 c JOIN wv10 v ON v.j = c.k GROUP BY c.j),
+           |eig2 AS MATERIALIZED (
+           |  SELECT ${duckFold("v.vv * y.y", "v.j")} AS eigval2
+           |  FROM wv10 v JOIN yf2 y ON y.j = v.j),
+           |pcA AS MATERIALIZED (SELECT list(vv ORDER BY j) AS pc1 FROM v10),
+           |pcB AS MATERIALIZED (SELECT list(vv ORDER BY j) AS pc2 FROM wv10),
+           |mm AS MATERIALIZED (SELECT list(mu ORDER BY j) AS ms FROM mu),
+           |mp AS MATERIALIZED (
+           |  SELECT ${dot("ms", "pc1")} AS mp1, ${dot("ms", "pc2")} AS mp2
+           |  FROM mm CROSS JOIN pcA CROSS JOIN pcB)
+           |SELECT e3.vec_id,
+           |  (${dot("e3.embedding", "pc1")} - mp.mp1) / sqrt(e1.eigval) AS w1,
+           |  (${dot("e3.embedding", "pc2")} - mp.mp2) / sqrt(e2.eigval2) AS w2
+           |FROM embeddings e3 CROSS JOIN pcA CROSS JOIN pcB CROSS JOIN mp
+           |CROSS JOIN eig1 e1 CROSS JOIN eig2 e2""".stripMargin
+      })
   )
 
   /** [[duckPcaCtes]] extended with the pc1 array and per-vector projections

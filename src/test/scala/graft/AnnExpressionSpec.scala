@@ -87,6 +87,32 @@ class AnnExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(e1v > e2v && e2v > 0.5, s"spectrum ordered: $e1v > $e2v")
   }
 
+  test("pcaWhiten2: whitened axes have ~unit variance and ~zero mean on a planted spectrum") {
+    import spark.implicits._
+    val d = 8
+    val rows = (0 until 90).map { i =>
+      val a = ((i % 10) - 4.5) * 2.0 / 3.0
+      val b = ((i / 10) % 3 - 1).toDouble
+      val v = Array.tabulate(d)(j =>
+        if (j == 0) (a * 3.0).toFloat
+        else if (j == 2) b.toFloat
+        else (math.sin(i * (j + 3)) * 0.02).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val w = graft.ops.Similarity
+      .pcaWhiten2(df, col("vec_id"), col("embedding"), dims = d, iters = 25)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def stats(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    }
+    val (m1, v1) = stats(w.map(_._1)); val (m2, v2) = stats(w.map(_._2))
+    assert(math.abs(m1) < 1e-6 && math.abs(m2) < 1e-6, s"centered: $m1 $m2")
+    assert(math.abs(v1 - 1.0) < 0.01 && math.abs(v2 - 1.0) < 0.01,
+      s"unit variance per whitened axis: $v1 $v2")
+  }
+
   test("pc1GroupDrift: law of total variance holds; shifted group shows between-group signal") {
     import spark.implicits._
     val d = 8

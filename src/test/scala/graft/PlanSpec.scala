@@ -236,6 +236,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       back.select("shard").distinct().count() == masses.size)
   }
 
+  test("round-7 plan pins: semi-join dup marks, broadcast vocab encode, TakeOrdered outliers") {
+    import graft.ops.{Dedup, Similarity, Text}
+    val docs = Tables.load(spark, sf, "documents")
+    // q107: the duplicated-gram filter must stay a LEFT SEMI join (no
+    // fan-out re-materialization of the count table into the occurrences)
+    val pSpans = plan(Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), 5))
+    assert(pSpans.toLowerCase.contains("leftsemi"),
+      "duplicated-gram marks must be a semi join")
+    // q111: the vocab side of the encode join must broadcast
+    val (_, vocab) = Text.bpeTrain(docs.limit(50), col("text"), 1)
+    val pEnc = plan(Text.bpeEncodeByVocab(docs, col("doc_id"), col("text"), vocab))
+    assert(pEnc.contains("BroadcastHashJoin"),
+      "dictionary-encode join must broadcast the vocab")
+    assert(!pEnc.toLowerCase.contains("sortmergejoin"))
+    // q114: the global outlier top-k must be TakeOrderedAndProject, never a
+    // single-partition sort or window
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pOut = plan(Similarity.pcaOutliers(emb, col("vec_id"), col("embedding"), 64, 1, 5))
+    assert(pOut.contains("TakeOrderedAndProject"),
+      "global top-k outliers must map-side prune")
+  }
+
   test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
     import graft.ops.Layout
     import spark.implicits._

@@ -170,6 +170,22 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(3) == 0.5, "one of two positions backed off")
   }
 
+  test("bigramLmScore maxVocab: huge cap == uncapped bit-for-bit; tight cap raises backoff, no NULLs") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b c d c d e f"), (2L, "a b e f a b")).toDF("id", "text")
+    val score = Seq((10L, "a b c d e f g")).toDF("id", "text")
+    def run(cap: Option[Int]) = Text
+      .bigramLmScore(train, score, col("id"), col("text"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val uncapped = run(None)
+    assert(run(Some(1000)).toSeq == uncapped.toSeq, "a non-binding cap changes nothing")
+    val tight = run(Some(2)) // keep only the 2 most frequent words (a, b)
+    assert(tight.forall(r => !r._3.isNaN && !r._4.isNaN), "no NULL/NaN under the cap")
+    assert(tight.head._4 > uncapped.head._4,
+      "dropping vocab must push more positions through the backoff")
+  }
+
   test("repetitionProfile: degenerate repetition fails; single-token doc KEEPS (no NULL verdict)") {
     import spark.implicits._
     val docs = Seq(
