@@ -1057,6 +1057,44 @@ object Text {
         (col("nb").cast("double") / col("n_bigrams").cast("double")).as("backoff_frac"))
   }
 
+  /** The trained LM as DRIVER-SIDE maps for per-row (streaming) scoring:
+    * (unigram counts, bigram counts keyed "w1 w2", N, V). `maxVocab` is
+    * REQUIRED here — it is what bounds the collect to a model-parameter
+    * transfer (the k-means-centroid stance: a capped vocabulary IS the
+    * model; an uncapped corpus vocabulary would not be collectable and
+    * should score through [[bigramLmScore]]'s join pipeline instead).
+    */
+  def bigramLmModel(
+      train: DataFrame,
+      id: Column,
+      text: Column,
+      maxVocab: Int): (Map[String, Long], Map[String, Long], Long, Long) = {
+    require(maxVocab >= 1 && maxVocab <= 200000,
+      s"maxVocab bounds the driver-side model transfer; got $maxVocab")
+    val toks = Dedup.spreadBy(train, id).select(tokens(text).as("t"))
+    val uniAll = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c1").desc, col("w").asc)
+    val uni = uniAll.withColumn("__r", rank().over(w))
+      .where(col("__r") <= maxVocab).drop("__r").localCheckpoint()
+    val big = toks.where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .join(uni.select(col("w").as("w1")), Seq("w1"), "left_semi")
+      .join(uni.select(col("w").as("w2")), Seq("w2"), "left_semi")
+    // explicit select: the USING-key semi joins move their key column to the
+    // FRONT, so positional collect without it would read (w2, w1)
+    val uniM = uni.select(col("w"), col("c1")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigM = big.select(col("w1"), col("w2"), col("c2")).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    (uniM, bigM, uniM.values.sum, uniM.size.toLong)
+  }
+
   // -------------------------------------------------------------------------
   // Repetition / boilerplate quality metrics (Gopher-style, token n-grams)
   // -------------------------------------------------------------------------

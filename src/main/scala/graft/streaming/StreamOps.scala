@@ -237,6 +237,67 @@ object StreamOps {
     * no watermark interaction; the metrics ride the existing pass with zero
     * extra reads (the W4 observability discipline).
     */
+  /** Per-row stupid-backoff LM scoring against a BROADCAST trained model
+    * ([[graft.ops.Text.bigramLmModel]] — vocabulary capped, so the maps are
+    * bona-fide model parameters): the same arithmetic as the batch
+    * [[graft.ops.Text.bigramLmScore]] join pipeline, but as one stateless
+    * fold over the token array with map-literal lookups — no explode, no
+    * aggregation, no watermark, so it runs in any streaming output mode.
+    * Bit-parity with the batch scorer is spec-pinned (both fold lp in
+    * position order from 0.0).
+    *
+    * Returns the nll column (NULL for docs with < 2 tokens — too short to
+    * score, callers keep them, matching the quality-gate convention).
+    */
+  def lmNll(
+      text: Column,
+      uni: Map[String, Long],
+      big: Map[String, Long],
+      n: Long,
+      v: Long): Column = {
+    val t = graft.ops.Text.tokens(text)
+    val uniM = typedlit(uni)
+    val bigM = typedlit(big)
+    val folded = aggregate(
+      sequence(lit(1), size(t) - 1),
+      struct(lit(0.0).as("s"), lit(0L).as("b")),
+      (acc, i) => {
+        val w1 = element_at(t, i)
+        val w2 = element_at(t, i + 1)
+        val c2 = element_at(bigM, concat(w1, lit(" "), w2))
+        val c1 = element_at(uniM, w1)
+        val c1w2 = coalesce(element_at(uniM, w2), lit(0L))
+        val lp = when(c2.isNotNull && c1.isNotNull,
+          log(c2.cast("double") / c1.cast("double")))
+          .otherwise(log(lit(2.0) / lit(5.0)) +
+            log((c1w2 + lit(1L)).cast("double") / lit((n + v).toDouble)))
+        struct((acc.getField("s") + lp).as("s"),
+          (acc.getField("b") + when(c2.isNull, 1L).otherwise(0L)).as("b"))
+      })
+    when(size(t) >= 2,
+      -folded.getField("s") / (size(t) - 1).cast("double"))
+  }
+
+  /** Ingest-time perplexity gate: drop rows whose [[lmNll]] exceeds
+    * `maxNll` (gibberish tail); short docs (NULL nll) pass. observe()
+    * counts the drops per micro-batch.
+    */
+  def lmScoreGate(
+      stream: DataFrame,
+      text: Column,
+      uni: Map[String, Long],
+      big: Map[String, Long],
+      n: Long,
+      v: Long,
+      maxNll: Double): DataFrame = {
+    val keep = coalesce(lmNll(text, uni, big, n, v) <= maxNll, lit(true))
+    stream
+      .observe("lm_gate",
+        count(lit(1)).as("n_rows"),
+        count(when(!keep, 1)).as("n_nll_dropped"))
+      .where(keep)
+  }
+
   def qualityGate(
       stream: DataFrame,
       text: Column,

@@ -369,6 +369,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("lm gate: per-row broadcast-model fold == batch join pipeline bit for bit; stream drops gibberish") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+
+    val train = Seq((1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the rug and the dog slept")).toDF("id", "text")
+    val scoreDocs = Seq((10L, "the cat sat on the rug"),
+      (11L, "zz qq ww rr tt yy uu ii"), (12L, "solo")).toDF("id", "text")
+    val cap = 100
+    // batch pipeline (capped) vs per-row fold over the collected model
+    val batch = Text.bigramLmScore(train, scoreDocs, col("id"), col("text"), Some(cap))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (uni, big, n, v) = Text.bigramLmModel(train, col("id"), col("text"), cap)
+    val perRow = scoreDocs
+      .select(col("id"), StreamOps.lmNll(col("text"), uni, big, n, v).as("nll"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(perRow(10L).contains(batch(10L)) && perRow(11L).contains(batch(11L)),
+      "stateless fold must reproduce the join pipeline bit for bit")
+    assert(perRow(12L).isEmpty, "single-token doc scores NULL (too short)")
+
+    // streaming: gibberish (all-backoff) doc dropped, in-domain + short kept
+    val cut = (batch(10L) + batch(11L)) / 2.0
+    val ms = MemoryStream[String]
+    val gated = StreamOps.lmScoreGate(ms.toDF().toDF("text"), col("text"),
+      uni, big, n, v, maxNll = cut)
+    val q = gated.writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq("the cat sat on the rug", "zz qq ww rr tt yy uu ii", "solo"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM lm_out").collect().map(_.getString(0)).toSet
+      assert(out == Set("the cat sat on the rug", "solo"),
+        "gibberish dropped; in-domain and too-short kept")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("lm_gate"))).last
+      assert(m.getAs[Long]("n_rows") == 3L && m.getAs[Long]("n_nll_dropped") == 1L)
+    } finally q.stop()
+  }
+
   test("ingest quality gate: language + quality filters drop per-row, observe splits the reasons") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
