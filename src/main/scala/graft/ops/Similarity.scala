@@ -428,6 +428,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540 §3):
+    * semantic near-duplicates found by clustering the embedding space with
+    * the deterministic k-means quantizer ([[kmeansCentroidsFlat]]) and
+    * comparing cosine similarity ONLY within each cluster — the cluster
+    * structure is what bounds the otherwise-quadratic pair space (the
+    * paper's core trick: cross-cluster pairs are assumed non-duplicates).
+    * Output: (cluster, id_a, id_b, cosine) for within-cluster pairs with
+    * cosine >= `threshold`, id_a < id_b.
+    *
+    * Scale shape: training is the audited k-means dataflow; assignment rows
+    * carry (vid, cluster) only and are localCheckpoint'd once because they
+    * feed BOTH pair sides (the ivfTopK lesson — Catalyst re-executes
+    * duplicated subplans). Pair formation is an equi-join on the cluster
+    * key, so cost tracks sum(cluster_size²); k is the knob that holds
+    * per-cluster occupancy flat as the corpus grows (the paper runs
+    * k = 11k clusters on LAION-440M).
+    */
+  def semDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = materializeCentroids(centroidArrays(
+      kmeansCentroidsFlat(df, id, vec, k, iters)))
+    val assign = ivfAssign(df, id, vec, cents).select(col("vid"), col("cluster"))
+      .localCheckpoint()
+    val base = withNorm(df, id, vec)
+    val a = assign.join(base, "vid")
+      .select(col("cluster"), col("vid").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = assign.join(base, "vid")
+      .select(col("cluster"), col("vid").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup survivors: [[semDedupPairs]] → connected components →
+    * min-id representative per semantic cluster (the same survivor policy
+    * as exact and Jaccard dedup, replacing the paper's keep-one-random) —
+    * the full embedding-space dedup story composed end to end from audited
+    * pieces. Output: the input rows minus non-representative members.
+    */
+  def semDedupSurvivors(df: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val pairs = semDedupPairs(df, id, vec, k, iters, threshold)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.keepClusterRepresentative(df, id, labels)
+  }
+
   /** (vid, sub, subv) rows: every vector exploded into its m subvector
     * slices — ONE pass over the corpus feeds all subspaces at once (the
     * batched-multi-k-means layout; a per-subspace loop would scan the

@@ -150,6 +150,27 @@ object SimilarityQueries {
       |    list_transform(range(1, 65), rri -> e.v[rri] - cent.carr[rri]) AS v
       |  FROM e JOIN assign USING (vec_id) JOIN cent ON cent.clabel = assign.cluster)""".stripMargin
 
+  /** DuckDB CTEs assigning every embedding to its nearest q67-trained
+    * k-means centroid (`cent2` from [[duckKmeansCtes]](k=8, iters=2) must be
+    * in scope): the twin of `Similarity.ivfAssign` over the trained
+    * quantizer, ending in `ec(vec_id, v, nrm, cluster)`. Shared by the
+    * learned-ANN (q68) and SemDeDup (q120/q121) oracles.
+    */
+  private val duckKmeansAssignCtes: String =
+    """sdist AS (
+      |  SELECT vec_id, clabel,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+      |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+      |  FROM e CROSS JOIN cent2),
+      |sassign AS (
+      |  SELECT vec_id, clabel AS cluster FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      |    FROM sdist)
+      |  WHERE rn = 1),
+      |ec AS (SELECT e.vec_id, e.v, e.nrm, sassign.cluster
+      |       FROM e JOIN sassign USING (vec_id))""".stripMargin
+
   /** DuckDB twin of `Similarity.farthestPointSeeds` with the greedy loop
     * unrolled: hash-min seed, then per step a min-distance-to-chosen
     * aggregation and an argmax pick (max distance, ties -> lowest id).
@@ -559,6 +580,59 @@ object SimilarityQueries {
            |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
            |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
            |WHERE rank <= 3""".stripMargin)),
+
+    // SemDeDup candidate pairs: k-means-clustered embedding space, cosine
+    // compared WITHIN clusters only (the cluster structure bounds the pair
+    // space — arXiv:2303.09540's trick). Same 0.4 threshold as the q62
+    // all-pairs baseline, so the rows are exactly the near-dup pairs whose
+    // endpoints the quantizer co-located.
+    QueryDef(
+      "q120_semdedup_pairs",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.semDedupPairs(emb, col("vec_id"), col("embedding"),
+          k = 8, iters = 2, threshold = 0.4)
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 8, iters = 2)},
+           |$duckKmeansAssignCtes
+           |SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+           |FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin)),
+
+    // SemDeDup survivors: pairs → connected components → min-id
+    // representative — embedding-space dedup composed end to end (train,
+    // assign, pair, cluster, elect) and hash-verified against a recursive-CTE
+    // transitive closure stacked on the unrolled k-means oracle.
+    QueryDef(
+      "q121_semdedup_survivors",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.semDedupSurvivors(emb, col("vec_id"), col("embedding"),
+          k = 8, iters = 2, threshold = 0.4)
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $duckEmb,
+           |${duckKmeansCtes(k = 8, iters = 2)},
+           |$duckKmeansAssignCtes,
+           |jp AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION
+           |  SELECT id_b, id_a FROM jp),
+           |reach(id, r) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r),
+           |labels AS (
+           |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+           |SELECT em.vec_id, em.label FROM embeddings em
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM labels l WHERE l.id = em.vec_id AND l.id <> l.cluster_id)""".stripMargin)),
 
     // Scalable cosine near-dup: LSH candidate generation (2 tables x 6
     // planes) + exact cosine verify — the scale-safe counterpart of q62's
