@@ -90,44 +90,61 @@ object Sampling {
     * one row per (doc, chunk) span with the token count the doc contributes
     * to that chunk.
     *
-    * The global running token total is computed as a DISTRIBUTED two-phase
-    * cumulative sum: range-partition by id, per-partition window cumsum in
-    * parallel, then a #partitions-row offset table (the only global step —
-    * 32 rows here, one per partition at any scale) broadcast back. No
-    * single-partition window ever sees corpus rows, so the op holds at
-    * 100 TB. The ranged (doc_id, n_tok, pid) frame is localCheckpoint'd —
-    * ~24 bytes/doc, no text — because its two consumers (local window,
-    * offset table) do not canonicalize to one exchange; without the break
-    * the corpus scan + tokenization + range shuffle would run twice (the
-    * ivfTopK lesson). The result is partitioning-INDEPENDENT: every doc's
-    * global offset is the same whatever range boundaries were sampled,
-    * which is exactly what the plain windowed-cumsum oracle checks.
+    * The global running token total is [[globalCumsum]]'s distributed
+    * two-phase cumulative sum — no single-partition window ever sees corpus
+    * rows, and the offsets are partitioning-independent, which is exactly
+    * what the plain windowed-cumsum oracle checks.
     */
-  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long): DataFrame = {
-    require(budget >= 1, "token budget must be positive")
-    val base = df.select(id.as("doc_id"), tokens.cast("long").as("n_tok"))
-      .where(col("n_tok") > 0)
+  /** Distributed two-phase GLOBAL running sum of `w` in id order — the
+    * shared engine under [[packSequences]], [[Layout.balancedShards]] and
+    * [[systematicWeightedSample]]: range-partition by id, per-partition
+    * window cumsum in parallel, then a #partitions-row offset table (the
+    * only global step — one row per partition at any scale) broadcast
+    * back. No single-partition window ever sees corpus rows, and the
+    * result is partitioning-INDEPENDENT (every row's offsets are the same
+    * whatever range boundaries were sampled). Rows with non-positive
+    * weight are dropped (they occupy no span on the weight line).
+    *
+    * The ranged (doc_id, w, pid) frame is localCheckpoint'd — ~24
+    * bytes/row, no text — because its two consumers (local window, offset
+    * table) do not canonicalize to one exchange; without the break the
+    * upstream scan + weight derivation + range shuffle would run twice
+    * (the ivfTopK lesson).
+    *
+    * Output: (doc_id, w, start_w, end_w) with end_w = start_w + w, spans
+    * abutting in id order starting at 0.
+    */
+  def globalCumsum(df: DataFrame, id: Column, w: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), w.cast("long").as("w"))
+      .where(col("w") > 0)
     val parts = base.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     // explicit ROWS frame: the default RANGE frame would give duplicate ids
     // identical cumulative sums (overlapping spans, conservation broken).
     // Ids are expected unique (every catalog table's are); with duplicates
-    // the ROWS frame still conserves tokens but their relative order is
+    // the ROWS frame still conserves weight but their relative order is
     // partition-dependent.
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts.withColumn("local_end", sum(col("n_tok")).over(wLocal))
+    val local = parts.withColumn("local_end", sum(col("w")).over(wLocal))
     // offset per partition: exclusive prefix sum of partition totals (rows =
     // #partitions, bounded by cluster parallelism — not data volume)
     val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offTable = parts.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptotal"))
+    val offTable = parts.groupBy(col("pid")).agg(sum(col("w")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
       .select(col("pid"), col("offset"))
-    val cum = local.join(broadcast(offTable), "pid")
-      .withColumn("end_tok", col("offset") + col("local_end"))
-      .withColumn("start_tok", col("end_tok") - col("n_tok"))
-    cum
+    local.join(broadcast(offTable), "pid")
+      .withColumn("end_w", col("offset") + col("local_end"))
+      .withColumn("start_w", col("end_w") - col("w"))
+      .select(col("doc_id"), col("w"), col("start_w"), col("end_w"))
+  }
+
+  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be positive")
+    globalCumsum(df, id, tokens)
+      .select(col("doc_id"), col("w").as("n_tok"),
+        col("start_w").as("start_tok"), col("end_w").as("end_tok"))
       .select(col("doc_id"), col("n_tok"), col("start_tok"),
         explode(sequence(
           expr(s"start_tok div ${budget}L"),
@@ -136,6 +153,38 @@ object Sampling {
         least(col("start_tok") + col("n_tok"), (col("chunk_id") + 1) * budget) -
           greatest(col("start_tok"), col("chunk_id") * budget))
       .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
+  }
+
+  /** Weighted SYSTEMATIC sampling (probability-proportional-to-size): lay
+    * the corpus on the global weight line ([[globalCumsum]], id order) and
+    * pick the rows whose span contains a sampling position `offset`,
+    * `offset + step`, `offset + 2·step`, … — the classic PPS design
+    * (Madow's systematic selection), where a row's expected pick count is
+    * exactly w/step, rows heavier than `step` are picked with
+    * multiplicity, and the sample size is fixed at ⌊(W − offset − 1)/step⌋
+    * + 1 regardless of weight skew. Every quantity is integer arithmetic
+    * on the cumsum — no RNG, no floats, reproducible on any partitioning,
+    * and DuckDB-oracle-exact (unlike exponential-key A-ES sampling, whose
+    * ln() ranking is not a correctly-rounded operation and can flip
+    * near-ties across engines).
+    *
+    * `n_picks` counts positions p ≡ offset (mod step) with start_w <= p <
+    * end_w via a floor-division difference; both numerators are shifted
+    * one period positive so Spark's truncating `div` agrees with floor
+    * (they diverge on negatives).
+    *
+    * Output: the picked rows only — (doc_id, w, start_w, n_picks ≥ 1).
+    */
+  def systematicWeightedSample(df: DataFrame, id: Column, weight: Column,
+      step: Long, offset: Long = 0L): DataFrame = {
+    require(step >= 1, "step must be positive")
+    require(offset >= 0 && offset < step, "offset must be in [0, step)")
+    globalCumsum(df, id, weight)
+      .withColumn("n_picks",
+        expr(s"(end_w - 1 - $offset + $step) div ${step}L") -
+          expr(s"(start_w - 1 - $offset + $step) div ${step}L"))
+      .where(col("n_picks") >= 1)
+      .select(col("doc_id"), col("w"), col("start_w"), col("n_picks"))
   }
 
   /** Temperature-based mixture weights — the COMPUTE side of
@@ -218,6 +267,48 @@ object Sampling {
           (col("cid") * stride + 1).cast("int"),
           least(lit(chunkSize), col("n") - (col("cid") * stride + 1) + 1)
             .cast("int"))).as("chunk_text"))
+  }
+
+  /** STRATIFIED sample of exactly `n` rows with largest-remainder
+    * (Hamilton) allocation: stratum s gets ⌊n·N_s/N⌋ seats plus one of the
+    * n − Σ⌊·⌋ leftover seats in order of remainder (n·N_s mod N) descending
+    * (ties → stratum ascending) — the proportional allocation that sums to
+    * exactly n with every quota within 1 of exact proportionality. Within
+    * each stratum the quota is filled by the [[perGroupSample]] rule
+    * (smallest (salted hash, id) members), so membership is deterministic,
+    * partitioning-independent, and nested as n grows. All allocation
+    * arithmetic is integer — cross-engine exact, no float quotas.
+    *
+    * Scale shape: the allocation table is #strata rows (bounded domain —
+    * source, lang — like [[temperatureMixWeights]]'s fold); its ranking
+    * window runs on those rows only, never the corpus. Corpus rows shuffle
+    * once on the stratum key for the per-stratum ranking, and the quota
+    * table joins back broadcast.
+    *
+    * If n exceeds the row count, quotas degrade to whole strata. Output:
+    * the sampled rows with their stratum's `quota` attached.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column, n: Long,
+      salt: String = "strat"): DataFrame = {
+    require(n >= 0, "sample size must be non-negative")
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("ns"))
+    val tot = counts.agg(sum(col("ns")).as("ntot"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${n}L * ns) div ntot"))
+      .withColumn("rem", expr(s"(${n}L * ns) % ntot"))
+    val totBase = alloc.agg(sum(col("base")).as("sbase"))
+    val wRank = Window.orderBy(col("rem").desc, col("stratum").asc)
+    val quota = alloc.crossJoin(broadcast(totBase))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= lit(n) - col("sbase"), 1L).otherwise(0L))
+      .select(col("stratum").as("__ss_stratum"), col("quota"))
+    val h = Hashing.hash60(concat(lit(salt + "-"), id.cast("string")))
+    val wRow = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+    df.withColumn("__ss_rn", row_number().over(wRow))
+      .join(broadcast(quota), stratum === col("__ss_stratum"))
+      .where(col("__ss_rn") <= col("quota"))
+      .drop("__ss_stratum", "__ss_rn")
   }
 
   /** Deterministic per-group sample: the n group members with the smallest

@@ -151,6 +151,59 @@ object PipelineQueries {
            |FROM x""".stripMargin
       }),
 
+    // Weighted SYSTEMATIC sample (PPS): sampling positions every 2000 chars
+    // (offset 1000) on the global weight line — inclusion probability
+    // exactly n_chars/2000, fixed sample size, integer-exact on the
+    // distributed cumsum (the oracle is the plain single-window cumsum).
+    QueryDef(
+      "q122_systematic_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.systematicWeightedSample(docs, col("doc_id"), col("n_chars"),
+          step = 2000L, offset = 1000L)
+      },
+      Some("""WITH c AS (
+           |  SELECT doc_id, n_chars AS w,
+           |    CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_w
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, w, end_w - w AS start_w,
+           |  (end_w - 1 - 1000 + 2000) // 2000 - (end_w - w - 1 - 1000 + 2000) // 2000 AS n_picks
+           |FROM c
+           |WHERE (end_w - 1 - 1000 + 2000) // 2000 - (end_w - w - 1 - 1000 + 2000) // 2000 >= 1""".stripMargin)),
+
+    // Stratified sample of exactly 60 docs across the 20 sources with
+    // largest-remainder (Hamilton) allocation — every quota within 1 of
+    // exact proportionality, integer allocation arithmetic, per-stratum
+    // membership by the deterministic hash ranking.
+    QueryDef(
+      "q123_stratified_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.stratifiedSample(docs, col("doc_id"), col("source"), n = 60L)
+          .select(col("doc_id"), col("source"), col("quota"))
+      },
+      Some {
+        val h = Hashing.duckHash60("('strat-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH counts AS (SELECT source AS stratum, COUNT(*) AS ns FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ntot FROM counts),
+           |alloc AS (
+           |  SELECT stratum, ns, (60 * ns) // ntot AS base, (60 * ns) % ntot AS rem
+           |  FROM counts CROSS JOIN tot),
+           |tb AS (SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM alloc),
+           |quota AS (
+           |  SELECT stratum,
+           |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum ASC)
+           |      <= 60 - sbase THEN 1 ELSE 0 END AS BIGINT) AS quota
+           |  FROM alloc CROSS JOIN tb),
+           |ranked AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC) AS rn
+           |  FROM documents)
+           |SELECT doc_id, source, quota
+           |FROM ranked JOIN quota ON quota.stratum = ranked.source
+           |WHERE rn <= quota""".stripMargin
+      }),
+
     // The composed curation pipeline: predicted-language filter -> quality
     // gate -> exact dedup (min-id representative) -> per-source yield stats.
     // Each stage is an independently-verified operator; this query verifies
