@@ -106,6 +106,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
         col("containment"))
 
+  /** N-gram NOVELTY profile: for each document, the fraction of its
+    * distinct n-gram shingles whose corpus-wide FIRST occurrence (minimum
+    * doc id over every document containing the shingle) is this document —
+    * the "how much genuinely new text does this document contribute" score
+    * that triages additions to a training corpus (a scrape with novelty
+    * ≈ 0 is already covered; boilerplate scores 0 automatically because
+    * some earlier doc holds each shingle). Id order stands in for arrival
+    * order, matching the engine's min-id survivor convention.
+    *
+    * Scale shape: shingle occurrence rows carry (doc_id, hash60) — two
+    * longs, never the shingle text. The first-occurrence table groups on
+    * the ~uniform hash; the join back is on the same key, so Catalyst
+    * reuses one exchange for both consumers (same-subplan shuffle reuse).
+    * A hash collision merges two shingles' electorates (first-writer wins)
+    * — p ≈ shingles²·2⁻⁶¹, and the oracle hashes identically.
+    *
+    * Output: (doc_id, n_shingles, n_novel, novelty); docs with fewer than
+    * n tokens have no shingles and are absent (the shingles() convention).
+    */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+      .select(col("doc_id"), Hashing.hash60(col("sh")).as("gh"))
+    val first = sh.groupBy(col("gh")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   /** Shared pair-counting core of the shingle-set metrics: inverted-index
     * join (bounded by `maxShingleDf`) → (id_a, id_b, inter, sz_a, sz_b),
     * id_a < id_b.

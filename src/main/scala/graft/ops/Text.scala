@@ -1177,4 +1177,53 @@ object Text {
       dup5f.as("dup_5gram_frac"),
       (top2f <= lit(top2Max) && dup5f <= lit(dup5Max)).as("keep"))
   }
+
+  /** MERGEABLE per-shard distinct-count sketch table + union — the 100 TB
+    * distinct-counting pattern: each shard (source, day, partition) keeps a
+    * tiny Datasketches HLL sketch of its n-gram shingle set; any cross-shard
+    * distinct count is then a register-wise max over the stored sketches
+    * (`hll_union_agg`), with NO rescan of the corpus — unlike
+    * `approx_count_distinct` (q26), whose sketch dies inside the
+    * aggregation, these are durable, composable aggregates (store the
+    * `sk` column and a year of daily sketches folds in milliseconds).
+    * Insertion is idempotent and union is a per-register max, so estimates
+    * are deterministic under any partitioning or merge order.
+    *
+    * Output: one row per group plus a `__union__` row — (scope,
+    * exact_distinct, within_bound), where within_bound checks the sketch
+    * estimate against the exactly-counted truth at `relErr` (lgK=12 ⇒
+    * σ ≈ 1.6%, so 0.05 ≈ 3σ). The exact columns are the VERIFICATION
+    * harness, not the production read path — they are what lets the
+    * correctness gate hash-match a sketch query (the q26 discipline).
+    * The #groups-row shard table is localCheckpoint'd: per-group rows and
+    * the union row both consume it, and without the break the corpus
+    * explode would run twice.
+    */
+  def shingleHllReport(df: DataFrame, id: Column, text: Column, group: Column,
+      n: Int, lgK: Int = 12, relErr: Double = 0.05): DataFrame = {
+    // spread on the high-cardinality id (the shingleRows discipline), NOT the
+    // bounded group key: the per-group HLL aggregation combines map-side, so
+    // only #tasks × #groups partial sketches cross the exchange
+    val rows = Dedup.spreadBy(df, id)
+      .select(group.as("grp"), explode(shingles(text, n)).as("sh"))
+    val shard = rows.groupBy(col("grp"))
+      .agg(
+        hll_sketch_agg(col("sh"), lit(lgK)).as("sk"),
+        count_distinct(col("sh")).as("exact_distinct"))
+      .localCheckpoint()
+    def bounded(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact.cast("double")) <=
+        lit(relErr) * exact.cast("double")
+    val per = shard.select(
+      col("grp").cast("string").as("scope"),
+      col("exact_distinct"),
+      bounded(hll_sketch_estimate(col("sk")), col("exact_distinct")).as("within_bound"))
+    val globalExact = rows.agg(count_distinct(col("sh")).as("exact_distinct"))
+    val union = shard
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(globalExact)
+      .select(lit("__union__").as("scope"), col("exact_distinct"),
+        bounded(col("est"), col("exact_distinct")).as("within_bound"))
+    per.unionByName(union)
+  }
 }

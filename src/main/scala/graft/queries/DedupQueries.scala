@@ -325,6 +325,26 @@ object DedupQueries {
            |JOIN sizes sb ON sb.id = id_b
            |WHERE CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5""".stripMargin)),
 
+    // N-gram novelty: per-doc fraction of distinct 3-gram shingles first
+    // seen (min doc id) in that doc — the marginal-contribution score for
+    // corpus additions. Hash-only shuffles; one shared exchange feeds both
+    // the first-occurrence election and the join back.
+    QueryDef(
+      "q124_ngram_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.ngramNovelty(docs, col("doc_id"), col("text"), 3)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |g AS (SELECT id, ${Hashing.duckFoldHexCol("m")} AS gh
+           |      FROM (SELECT id, md5(sh) AS m FROM sh)),
+           |fo AS (SELECT gh, MIN(id) AS first_id FROM g GROUP BY gh)
+           |SELECT g.id AS doc_id, COUNT(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN fo.first_id = g.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(SUM(CASE WHEN fo.first_id = g.id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+           |FROM g JOIN fo USING (gh)
+           |GROUP BY g.id""".stripMargin)),
+
     // Maximal duplicated substring spans (ExactSubstr dedup re-expressed
     // relationally): 5-token windows repeated verbatim anywhere in the
     // corpus, merged gaps-and-islands into maximal spans. The oracle

@@ -598,6 +598,34 @@ object TextQueries {
            |FROM est e LEFT JOIN exact x USING (event_type, probe_u)""".stripMargin
       }),
 
+    // Mergeable HLL sketch TABLE: per-source Datasketches sketches of the
+    // 3-gram shingle sets, plus the cross-source union folded from the
+    // stored sketches alone (no rescan) — the durable distinct-count
+    // pre-aggregation q26's in-query sketch cannot provide. The q26
+    // discipline makes it hash-checkable: rows carry exact counts + an
+    // in-query within_bound verdict, which the oracle reproduces as exact
+    // counts + literal TRUE.
+    QueryDef(
+      "q125_hll_shingle_sketches",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.shingleHllReport(docs, col("doc_id"), col("text"), col("source"),
+          n = 3, lgK = 12, relErr = 0.05)
+      },
+      Some("""WITH sr AS (
+           |  SELECT scope, unnest(shingles) AS sh FROM (
+           |    SELECT source AS scope,
+           |      CASE WHEN len(toks) >= 3
+           |           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+           |                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           |           ELSE [] END AS shingles
+           |    FROM (SELECT source, string_split_regex(text, '\s+') AS toks FROM documents)))
+           |SELECT scope, CAST(COUNT(DISTINCT sh) AS BIGINT) AS exact_distinct,
+           |  TRUE AS within_bound
+           |FROM sr GROUP BY scope
+           |UNION ALL
+           |SELECT '__union__', CAST(COUNT(DISTINCT sh) AS BIGINT), TRUE FROM sr""".stripMargin)),
+
     // Distributed BPE merge training: 6 merges learned from corpus word
     // counts — pair counting on the vocab (not the corpus), greedy
     // left-to-right merge as a left fold, deterministic argmax tie-break.
