@@ -93,6 +93,15 @@ object GraftExtensions {
       }
       graft.plans.CountMinSketch(ch(0), d, w)
     },
+    entry("hilbert_code", classOf[graft.plans.HilbertCode]) { ch =>
+      require(ch.size == 3, "hilbert_code takes (x, y, bits)")
+      val bits = ch(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"hilbert_code bits must be an integer literal, got $other")
+      }
+      graft.plans.HilbertCode(ch(0), ch(1), bits)
+    },
     entry("bloom_filter60", classOf[graft.plans.BloomFilter60]) { ch =>
       require(ch.size == 3, "bloom_filter60 takes (col, numBits, numHashes)")
       val Seq(m, k) = ch.drop(1).map {

@@ -725,6 +725,44 @@ object RelationalQueries {
           .select(col("o_orderkey"), col("o_totalprice"))
       },
       Some(s"""SELECT o_orderkey, o_totalprice FROM orders
-           |WHERE o_totalprice > (SELECT ${Num.duckDavg("o_totalprice")} FROM orders)""".stripMargin))
+           |WHERE o_totalprice > (SELECT ${Num.duckDavg("o_totalprice")} FROM orders)""".stripMargin)),
+
+    // Hilbert-curve layout key (order-8, 256×256 grid) over part: the
+    // space-filling-curve code Layout.hilbertOrdered sorts on, verified
+    // cell by cell against a DuckDB twin that unrolls the xy2d state
+    // machine one CTE per bit level (the k-means unrolling discipline) —
+    // all-integer arithmetic, exact hash match.
+    QueryDef(
+      "q126_hilbert_code",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        part.select(col("p_partkey"),
+            (col("p_partkey") % 256).as("hx"),
+            col("p_size").cast("long").as("hy"))
+          .withColumn("hcode", graft.ops.Layout.hilbertCode(col("hx"), col("hy"), 8))
+      },
+      Some {
+        val bits = 8
+        val n = 1L << bits
+        val levels = (1 to bits).map { i =>
+          val sz = 1L << (bits - i)
+          s"""h$i AS (
+             |  SELECT p_partkey, hx, hy,
+             |    CASE WHEN (y // $sz) % 2 = 0
+             |         THEN CASE WHEN (x // $sz) % 2 = 1 THEN ${n - 1} - y ELSE y END
+             |         ELSE x END AS x,
+             |    CASE WHEN (y // $sz) % 2 = 0
+             |         THEN CASE WHEN (x // $sz) % 2 = 1 THEN ${n - 1} - x ELSE x END
+             |         ELSE y END AS y,
+             |    d + ${sz * sz} * xor(3 * ((x // $sz) % 2), (y // $sz) % 2) AS d
+             |  FROM h${i - 1})""".stripMargin
+        }
+        s"""WITH h0 AS (
+           |  SELECT p_partkey, p_partkey % 256 AS hx, CAST(p_size AS BIGINT) AS hy,
+           |    p_partkey % 256 AS x, CAST(p_size AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+           |  FROM part),
+           |${levels.mkString(",\n")}
+           |SELECT p_partkey, hx, hy, d AS hcode FROM h$bits""".stripMargin
+      })
   )
 }

@@ -287,4 +287,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(rb >= 55, f"control: single-column range sort leaves b unbounded, got $rb%.1f")
     assert(za < rb && zb < rb, "the curve must beat the line on the second dimension")
   }
+
+  test("Hilbert layout: true space-filling curve (permutation + adjacency), NULL out of range, per-file locality") {
+    import graft.ops.Layout
+    import spark.implicits._
+    // exhaustive order-3 grid: codes must be a permutation of 0..63 and every
+    // consecutive pair of cells Manhattan-adjacent — the curve never jumps,
+    // which is exactly the property the Morton interleave lacks
+    val cells = (0 until 64).map(i => (i % 8L, i / 8L)).toDF("x", "y")
+      .withColumn("d", Layout.hilbertCode(col("x"), col("y"), 3))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 64L),
+      "codes must be a permutation of 0..63")
+    cells.toSeq.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // out-of-range coordinates evaluate to NULL, never a wrapped/aliased code
+    val oob = Seq((8L, 0L), (0L, -1L)).toDF("x", "y")
+      .select(Layout.hilbertCode(col("x"), col("y"), 3).as("d")).collect()
+    assert(oob.forall(_.isNullAt(0)), "out-of-range must be NULL")
+    // same 64x64 harness as the Z-order test: both dimensions bounded per file
+    val grid = (0 until 4096).map(i => (i % 64, i / 64, i)).toDF("a", "b", "i")
+      .orderBy(md5(col("i").cast("string")))
+    val hDir = tmpDir("hilbert")
+    Layout.writeHilbertOrdered(grid, hDir, "a", "b", bits = 6, partitions = 16)
+    val f = spark.read.parquet(hDir)
+      .groupBy(input_file_name())
+      .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+      .agg(avg(col("sa")), avg(col("sb"))).head()
+    val (ha, hb) = (f.getDouble(0), f.getDouble(1))
+    info(f"hilbert per-file spread: a $ha%.1f b $hb%.1f (domain 63)")
+    assert(ha <= 40 && hb <= 40,
+      f"hilbert must bound both dimensions per file: a $ha%.1f b $hb%.1f")
+  }
 }
