@@ -155,6 +155,52 @@ object Sampling {
       .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
   }
 
+  /** MATERIALIZED sequence packing — the text-assembly step downstream of
+    * [[packSequences]]: emit one row per context window with the actual
+    * packed token text (documents concatenated in id order, cut at the
+    * `budget` boundary; a boundary-straddling doc contributes its token
+    * slice to both chunks). The span arithmetic is identical to
+    * [[packSequences]] (same [[globalCumsum]], same chunk ids). Two corpus
+    * passes by design: the counting pass (ids + counts through the cumsum,
+    * checkpointed inside globalCumsum) and the assembly pass that carries
+    * the token arrays — checkpointing tokenized text to save the second
+    * tokenization would cost more than it saves.
+    *
+    * Scale shape: the assembly shuffle carries (chunk_id, doc_id, segment)
+    * rows — a segment is at most `budget` tokens, and a chunk's group is at
+    * most budget tokens total across its segments, so per-group state is
+    * budget-bounded regardless of corpus size. Segment order inside a chunk
+    * is fixed by the sort_array struct fold (doc_id ascending — the engine's
+    * deterministic-concat discipline, == DuckDB's list(ORDER BY doc_id)).
+    *
+    * Output: (chunk_id, n_docs, n_tokens, chunk_text); every chunk except
+    * the last has exactly `budget` tokens.
+    */
+  def packedChunks(df: DataFrame, id: Column, text: Column, budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be positive")
+    val toks = df.select(id.as("doc_id"), Text.tokens(text).as("t"))
+    val cum = globalCumsum(toks, col("doc_id"), size(col("t")))
+    val seg = cum.join(toks, "doc_id")
+      .select(col("doc_id"), col("t"), col("start_w"), col("w"),
+        explode(sequence(
+          expr(s"start_w div ${budget}L"),
+          expr(s"(end_w - 1) div ${budget}L"))).as("chunk_id"))
+      .select(col("doc_id"), col("t"), col("chunk_id"),
+        (greatest(col("start_w"), col("chunk_id") * budget) - col("start_w") + 1L).as("lo"),
+        (least(col("start_w") + col("w"), (col("chunk_id") + 1) * budget) - col("start_w")).as("hi"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("hi") - col("lo") + 1L).as("n_seg"),
+        concat_ws(" ", slice(col("t"), col("lo").cast("int"),
+          (col("hi") - col("lo") + 1L).cast("int"))).as("seg"))
+    seg.groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_seg")).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("doc_id"), col("seg")))),
+          x => x.getField("seg"))).as("chunk_text"))
+  }
+
   /** Weighted SYSTEMATIC sampling (probability-proportional-to-size): lay
     * the corpus on the global weight line ([[globalCumsum]], id order) and
     * pick the rows whose span contains a sampling position `offset`,

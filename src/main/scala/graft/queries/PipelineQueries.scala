@@ -204,6 +204,43 @@ object PipelineQueries {
            |WHERE rn <= quota""".stripMargin
       }),
 
+    // Materialized packing: q89's chunk spans assembled into actual
+    // 512-token training rows (docs concatenated in id order, sliced at
+    // boundaries) — segment order fixed by the sorted-struct fold, so the
+    // chunk text hash-matches DuckDB's list(ORDER BY doc_id) assembly.
+    QueryDef(
+      "q127_packed_chunks",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.packedChunks(docs, col("doc_id"), col("text"), budget = 512L)
+      },
+      Some {
+        val nTok = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t, $nTok AS w
+           |  FROM documents WHERE $nTok > 0),
+           |c AS (
+           |  SELECT doc_id, t, w,
+           |    CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_w
+           |  FROM t),
+           |x AS (
+           |  SELECT doc_id, t, w, end_w - w AS start_w,
+           |    unnest(range((end_w - w) // 512, (end_w - 1) // 512 + 1)) AS chunk_id
+           |  FROM c),
+           |seg AS (
+           |  SELECT doc_id, chunk_id,
+           |    greatest(start_w, chunk_id * 512) - start_w + 1 AS lo,
+           |    least(start_w + w, (chunk_id + 1) * 512) - start_w AS hi,
+           |    t
+           |  FROM x)
+           |SELECT chunk_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(hi - lo + 1) AS BIGINT) AS n_tokens,
+           |  array_to_string(list(array_to_string(
+           |    list_slice(t, CAST(lo AS INTEGER), CAST(hi AS INTEGER)), ' ')
+           |    ORDER BY doc_id), ' ') AS chunk_text
+           |FROM seg GROUP BY chunk_id""".stripMargin
+      }),
+
     // The composed curation pipeline: predicted-language filter -> quality
     // gate -> exact dedup (min-id representative) -> per-source yield stats.
     // Each stage is an independently-verified operator; this query verifies
