@@ -440,4 +440,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(m.getAs[Long]("n_quality_dropped") == 1L, "the 3-token doc")
     } finally q.stop()
   }
+
+  test("source mixing is stream-safe: per-row hash-threshold keep on a stream == batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // mixBySource is a pure per-row predicate (no shuffle, no state), so it
+    // applies unchanged to a stream — the batch-and-stream-testable contract
+    val rates = Map("keepall" -> 1.0, "half" -> 0.5)
+    val rows = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "keepall" else "half"))
+    val ms = MemoryStream[(Long, String)]
+    val gated = graft.ops.Sampling.mixBySource(
+      ms.toDF().toDF("id", "source"), col("id"), col("source"), rates, defaultRate = 0.0)
+    val q = gated.writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id FROM mix_out").collect().map(_.getLong(0)).sorted
+      val batch = graft.ops.Sampling.mixBySource(
+        rows.toDF("id", "source"), col("id"), col("source"), rates, defaultRate = 0.0)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(streamed.sameElements(batch), "stream and batch must keep identical rows")
+      assert(streamed.length > 50 && streamed.length < 200,
+        s"the half-rate source must actually drop rows (kept ${streamed.length}/200)")
+    } finally q.stop()
+  }
 }
