@@ -155,6 +155,53 @@ object Sampling {
       .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
   }
 
+  /** Distributed EXACT global rank by (value, id) — the ordering engine
+    * under [[equiDepthHistogram]], built exactly like [[globalCumsum]] but
+    * ordered by an arbitrary value column: range-partition on (v, id) (the
+    * id tiebreak makes the order total, so the result is deterministic on
+    * duplicate values), per-partition row_number in parallel, then the
+    * #partitions-row count-offset table broadcast back. The classic
+    * "global sort order without a global window" two-phase — a bare
+    * `row_number() OVER (ORDER BY v)` at 100 TB is a single-task sort.
+    *
+    * Output: (rid, v, rank), rank 1..N dense in (v, id) order.
+    */
+  def globalRank(df: DataFrame, value: Column, id: Column): DataFrame = {
+    val base = df.select(id.as("rid"), value.as("v"))
+    val parts = base.repartitionByRange(col("v"), col("rid"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("v"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("local_rn", count(lit(1)).over(wLocal))
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offTable = parts.groupBy(col("pid")).agg(count(lit(1)).as("pcount"))
+      .withColumn("offset", coalesce(sum(col("pcount")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offTable), "pid")
+      .select(col("rid"), col("v"), (col("offset") + col("local_rn")).as("rank"))
+  }
+
+  /** EXACT equi-depth histogram: `buckets` buckets of (nearly) equal ROW
+    * count — bucket = (rank−1)·buckets div N over the [[globalRank]] order,
+    * so every bucket holds ⌊N/B⌋ or ⌈N/B⌉ rows exactly (the property
+    * approximate-percentile histograms only promise asymptotically), with
+    * per-bucket (n, lo, hi) boundaries. The profiling table that drives
+    * partition sizing, skew detection, and CBO-style selectivity estimates.
+    * Integer arithmetic on exact ranks — cross-engine hash-exact even on
+    * heavily duplicated values (ties split deterministically by id).
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column, id: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val ranked = globalRank(df, value, id)
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((rank - 1) * $buckets) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** MATERIALIZED sequence packing — the text-assembly step downstream of
     * [[packSequences]]: emit one row per context window with the actual
     * packed token text (documents concatenated in id order, cut at the

@@ -727,6 +727,27 @@ object RelationalQueries {
       Some(s"""SELECT o_orderkey, o_totalprice FROM orders
            |WHERE o_totalprice > (SELECT ${Num.duckDavg("o_totalprice")} FROM orders)""".stripMargin)),
 
+    // EXACT equi-depth histogram of order prices (16 buckets): global rank
+    // via the distributed two-phase (range partition + per-partition
+    // row_number + broadcast count offsets — no single-task global sort),
+    // every bucket exactly floor/ceil(N/16) rows, id-tiebroken on
+    // duplicate values. The oracle is the plain single-window row_number.
+    QueryDef(
+      "q128_equidepth_histogram",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        graft.ops.Sampling.equiDepthHistogram(orders, col("o_totalprice"),
+          col("o_orderkey"), buckets = 16)
+      },
+      Some("""WITH r AS (
+           |  SELECT o_totalprice AS v,
+           |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+           |    COUNT(*) OVER () AS n
+           |  FROM orders)
+           |SELECT ((rank - 1) * 16) // n AS bucket, COUNT(*) AS n_rows,
+           |  MIN(v) AS lo, MAX(v) AS hi
+           |FROM r GROUP BY 1""".stripMargin)),
+
     // Hilbert-curve layout key (order-8, 256×256 grid) over part: the
     // space-filling-curve code Layout.hilbertOrdered sorts on, verified
     // cell by cell against a DuckDB twin that unrolls the xy2d state
