@@ -788,4 +788,58 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Cross-shard shingle-overlap (leakage-audit) matrix: for every pair of
+    * corpus shards (sources, dumps, snapshots), how much of shard A's
+    * n-gram shingle vocabulary also appears in shard B — the audit a
+    * curator runs BEFORE mixing sources, to catch mirrored sites, shared
+    * boilerplate, and republished content at the SHARD level (the
+    * complement of q87's document-level decontamination).
+    *
+    * Output per unordered pair (src_a < src_b, sharing ≥ 1 kept shingle):
+    * (src_a, src_b, n_shared, sz_a, sz_b, containment_a, containment_b)
+    * where containment_x = n_shared / sz_x over the KEPT shingle sets.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (shard, shingle-hash60)
+    * pairs — two longs per row, never shingle text (hash collision merges
+    * two shingles with p ≈ shingles²·2⁻⁶¹, the q124 bound) — and that
+    * compact frame is localCheckpoint'd: the df-cap, both size sides, and
+    * the pair join all consume it without re-exploding the corpus. The
+    * inverted-index pair join fans out as df² per shingle; `maxSrcDf`
+    * drops shingles present in more than that many shards (corpus-wide
+    * boilerplate carries no pair-specific signal and would otherwise cost
+    * #shards² rows per shingle at 100 TB — the maxShingleDf trade, and the
+    * cap also keeps containment denominators consistent: sizes are counted
+    * over kept shingles only).
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      group: Column,
+      n: Int,
+      maxSrcDf: Option[Int] = None): DataFrame = {
+    val sh0 = spreadBy(df, id)
+      .select(group.as("src"), explode(Text.shingles(text, n)).as("s"))
+      .select(col("src"), Hashing.hash60(col("s")).as("h"))
+      .distinct()
+    val sh = (maxSrcDf match {
+      case Some(cap) =>
+        val keep = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("h"))
+        sh0.join(keep, Seq("h"), "left_semi")
+      case None => sh0
+    }).localCheckpoint()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("src").as("src_a"), col("sz").as("sz_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        (col("n_shared").cast("double") / col("sz_a").cast("double")).as("containment_a"),
+        (col("n_shared").cast("double") / col("sz_b").cast("double")).as("containment_b"))
+  }
 }

@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-SELECTION operators: importance weighting of a raw corpus toward a
+  * target distribution (DSIR) and classifier-based quality filtering (the
+  * "train a classifier on a trusted slice, score everything" pattern) — the
+  * two standard ways an LLM pretraining pipeline decides WHICH documents to
+  * keep, complementing the dedup (how many copies) and quality-heuristic
+  * (is it text at all) stages.
+  *
+  * Both operators follow the repo's cross-engine determinism discipline:
+  * every score is built from natural logs of integer ratios, every per-row
+  * sum is an ORDER-FIXED left fold (sorted collect + `aggregate`), and the
+  * DuckDB oracles reproduce the identical fold over `list(... ORDER BY ...)`
+  * — so doubles hash-match bit for bit.
+  */
+object Select {
+
+  /** Tokens with empty strings dropped (split("\\s+") emits a leading ""
+    * for text starting with whitespace; the generator doesn't produce such
+    * text, but the filter makes the operator total).
+    */
+  private def cleanTokens(text: Column): Column =
+    filter(Text.tokens(text), w => length(w) > 0)
+
+  // -------------------------------------------------------------------------
+  // DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score each raw document by the log-likelihood ratio
+  // of a TARGET hashed-n-gram unigram model over a RAW model.
+  // -------------------------------------------------------------------------
+
+  /** Per-document DSIR importance weight.
+    *
+    * Features are hashed unigrams AND word bigrams (the paper's hashed
+    * n-gram parameterization, §3.2): bucket = hash60("ds-" || gram) mod
+    * `numBuckets`. Two bag-of-buckets distributions are estimated with
+    * add-one smoothing —
+    *
+    *   p_b = (c_target(b) + 1) / (N_target + B)
+    *   q_b = (c_raw(b)    + 1) / (N_raw    + B)
+    *
+    * and the weight of document x is  log w(x) = Σ_b n_b(x)·(ln p_b − ln q_b),
+    * folded in BUCKET-ID order. `target_like = logw > 0` is the resampling
+    * verdict at the natural threshold (importance resampling proper draws
+    * with probability ∝ exp(logw); the deterministic thresholded form is
+    * what a reproducible pipeline materializes).
+    *
+    * Output: (doc_id, n_feats, logw, target_like) — one row per document
+    * that produced at least one feature (every non-empty document does).
+    *
+    * Scale shape for 100 TB: the corpus is exploded ONCE into hashed-gram
+    * rows (pre-spread on the doc id — the shingleRows discipline), reduced
+    * to per-(doc, bucket) counts with map-side partials, and
+    * localCheckpoint'd: the raw and target bucket tables (≤ B rows each)
+    * both derive from that compact frame, so nothing re-scans the corpus.
+    * The (bucket, llr) model is B rows, broadcast to the scoring join; the
+    * per-doc fold is bounded by min(doc grams, B). Nothing corpus-sized
+    * crosses a shuffle except the one (doc_id, bucket) reduction.
+    *
+    * @param isTarget row predicate marking the target-distribution sample
+    *                 (e.g. a trusted source or language slice)
+    */
+  def dsirWeights(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      numBuckets: Int = 512): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [2, 2^20], got $numBuckets")
+    val base = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), isTarget.as("is_t"), cleanTokens(text).as("t"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("doc_id"), col("is_t"),
+        explode(concat(col("t"), bigrams)).as("g"))
+      .select(col("doc_id"), col("is_t"),
+        (Hashing.hash60(concat(lit("ds-"), col("g"))) % lit(numBuckets.toLong)).as("b"))
+    // the ONLY corpus-sized aggregation; both model tables fold from it
+    val docCnt = grams
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val raw = docCnt.groupBy(col("b")).agg(sum(col("n")).cast("long").as("cq"))
+    val tgt = docCnt.where(col("is_t"))
+      .groupBy(col("b")).agg(sum(col("n")).cast("long").as("cp"))
+    val l0 = raw.join(tgt, Seq("b"), "left_outer")
+      .select(col("b"), col("cq"), coalesce(col("cp"), lit(0L)).as("cp"))
+    val tots = l0.agg(sum(col("cq")).cast("long").as("nq"),
+      sum(col("cp")).cast("long").as("np"))
+    val bLit = lit(numBuckets.toLong)
+    val llr = l0.crossJoin(broadcast(tots)).select(col("b"),
+      (log((col("cp") + lit(1L)).cast("double") / (col("np") + bLit).cast("double")) -
+        log((col("cq") + lit(1L)).cast("double") / (col("nq") + bLit).cast("double")))
+        .as("llr"))
+    docCnt.join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).cast("long").as("n_feats"),
+        sort_array(collect_list(struct(col("b"),
+          (col("n").cast("double") * col("llr")).as("c")))).as("arr"))
+      .select(col("doc_id"), col("n_feats"),
+        aggregate(transform(col("arr"), x => x.getField("c")),
+          lit(0.0), (a, x) => a + x).as("logw"))
+      .select(col("doc_id"), col("n_feats"), col("logw"),
+        (col("logw") > lit(0.0)).as("target_like"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Naive Bayes classifier — the relational form of "train a quality/domain
+  // classifier, score the corpus" (GPT-3 / LLaMA data pipelines use a linear
+  // fastText-style model the same way; multinomial NB is the closed-form
+  // member of that family, trainable in ONE aggregation pass).
+  // -------------------------------------------------------------------------
+
+  /** Train a multinomial Naive Bayes text classifier on the `isTrain` slice
+    * (labels from `label`) and score EVERY document, predicting the argmax
+    * class.
+    *
+    *   score(x, c) = ln(docs_c / docs_total)
+    *              + Σ_w n_w(x) · ln((c(w,c) + 1) / (N_c + V))
+    *
+    * with add-one smoothing, V = kept-vocabulary size, N_c = class token
+    * mass over the kept vocabulary. The per-(doc, class) sum is an
+    * order-fixed fold over the doc's distinct kept tokens sorted by token;
+    * the fold STARTS from the class prior, so the full summation order is
+    * pinned. The argmax breaks score ties toward the lexicographically
+    * smallest class — `min(struct(-score, class))`, the repo's standard
+    * deterministic-argmax shape.
+    *
+    * `maxVocab` (the 100 TB knob, mirroring [[Text.bigramLmScore]]): keep
+    * only the top-V training tokens by total count (count desc, token asc —
+    * rank(), so boundary ties keep both). Score-time tokens OUTSIDE the
+    * kept vocabulary are ignored (standard NB practice — they carry no
+    * class signal); a document with no kept token at all is absent from the
+    * output (documented, mirrored by the oracle).
+    *
+    * Output: (doc_id, label, pred, score, is_train, correct) — `score` is
+    * the winning class's log-score; `correct` compares pred to the true
+    * label (on train rows that is training accuracy; on the holdout it is
+    * the honest eval).
+    *
+    * Scale shape: the model is three vocabulary-bounded tables (class
+    * priors: #classes rows; class token mass: #classes rows; (class, token)
+    * counts: ≤ #classes·V rows) — `clsInfo` broadcasts, the (class, token)
+    * table hash-joins on (class, token). The corpus side reduces to
+    * per-(doc, token) counts once, semi-joins the kept vocab, fans out by
+    * the BOUNDED class count, and folds per (doc, class). No corpus-sized
+    * state, no driver collect.
+    */
+  def nbTrainScore(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column,
+      isTrain: Column,
+      maxVocab: Option[Int] = None): DataFrame = {
+    val base = Dedup.spreadBy(df, id).select(id.as("doc_id"), label.as("lbl"),
+      isTrain.as("is_tr"), cleanTokens(text).as("t"))
+    val cls = base.where(col("is_tr")).groupBy(col("lbl"))
+      .agg(count(lit(1)).as("ndocs"))
+    val cwcAll = base.where(col("is_tr"))
+      .select(col("lbl"), explode(col("t")).as("w"))
+      .groupBy(col("lbl"), col("w")).agg(count(lit(1)).as("cwc"))
+    val vocab = maxVocab match {
+      case Some(v) =>
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cw").desc, col("w").asc)
+        // vocab-sized global rank (WindowGroupLimit map-side prune)
+        cwcAll.groupBy(col("w")).agg(sum(col("cwc")).cast("long").as("cw"))
+          .withColumn("__r", rank().over(win)).where(col("__r") <= v)
+          .select(col("w"))
+      case None => cwcAll.select(col("w")).distinct()
+    }
+    val cwc = cwcAll.join(vocab, Seq("w"), "left_semi")
+    val nc = cwc.groupBy(col("lbl")).agg(sum(col("cwc")).cast("long").as("ncl"))
+    val vCount = cwc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val ntot = cls.agg(sum(col("ndocs")).cast("long").as("ntot"))
+    // #classes rows: prior + token mass + smoothing denominator
+    val clsInfo = cls.join(nc, Seq("lbl")).crossJoin(ntot).crossJoin(vCount)
+      .select(col("lbl").as("cls"),
+        log(col("ndocs").cast("double") / col("ntot").cast("double")).as("prior"),
+        col("ncl"), col("v"))
+    val dt = base
+      .select(col("doc_id"), col("lbl"), col("is_tr"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("lbl"), col("is_tr"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .join(vocab, Seq("w"), "left_semi")
+    val contrib = dt.crossJoin(broadcast(clsInfo))
+      .join(cwc.select(col("lbl").as("cls"), col("w"), col("cwc")),
+        Seq("cls", "w"), "left_outer")
+      .select(col("doc_id"), col("lbl"), col("is_tr"), col("cls"), col("prior"),
+        col("w"),
+        (col("n").cast("double") *
+          log((coalesce(col("cwc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("ncl") + col("v")).cast("double"))).as("c"))
+    val perClass = contrib
+      .groupBy(col("doc_id"), col("lbl"), col("is_tr"), col("cls"), col("prior"))
+      .agg(sort_array(collect_list(struct(col("w"), col("c")))).as("arr"))
+      .select(col("doc_id"), col("lbl"), col("is_tr"), col("cls"),
+        aggregate(transform(col("arr"), x => x.getField("c")),
+          col("prior"), (a, x) => a + x).as("score"))
+    perClass
+      .groupBy(col("doc_id"), col("lbl").as("label"), col("is_tr").as("is_train"))
+      .agg(max(col("score")).as("score"),
+        min(struct((-col("score")).as("ns"), col("cls").as("c"))).as("win"))
+      .select(col("doc_id"), col("label"), col("win.c").as("pred"), col("score"),
+        col("is_train"), (col("win.c") === col("label")).as("correct"))
+  }
+
+  /** The trained NB model as DRIVER-SIDE maps for per-row (streaming)
+    * scoring — the [[Text.bigramLmModel]] stance: `maxVocab` is REQUIRED,
+    * it is what bounds the collect to a model-parameter transfer.
+    *
+    * Returns (classes sorted asc, priors ln(docs_c/docs_total) keyed by
+    * class, token counts keyed "class w", class token mass N_c, kept
+    * vocabulary as a set, V).
+    */
+  def nbModel(
+      train: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column,
+      maxVocab: Int): NbModel = {
+    require(maxVocab >= 1 && maxVocab <= 200000,
+      s"maxVocab bounds the driver-side model transfer; got $maxVocab")
+    val base = Dedup.spreadBy(train, id)
+      .select(id.as("doc_id"), label.as("lbl"), cleanTokens(text).as("t"))
+    val cwcAll = base.select(col("lbl"), explode(col("t")).as("w"))
+      .groupBy(col("lbl"), col("w")).agg(count(lit(1)).as("cwc"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cw").desc, col("w").asc)
+    val vocab = cwcAll.groupBy(col("w")).agg(sum(col("cwc")).cast("long").as("cw"))
+      .withColumn("__r", rank().over(win)).where(col("__r") <= maxVocab)
+      .select(col("w")).localCheckpoint()
+    val cwc = cwcAll.join(vocab, Seq("w"), "left_semi")
+      .select(col("lbl"), col("w"), col("cwc")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val clsDocs = base.groupBy(col("lbl")).agg(count(lit(1)).as("ndocs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = clsDocs.values.sum
+    val classes = clsDocs.keys.toSeq.sorted
+    val priors = clsDocs.map { case (c, n) => c -> math.log(n.toDouble / total.toDouble) }
+    val counts = cwc.map { case (c, w, n) => s"$c $w" -> n }.toMap
+    val mass = cwc.groupBy(_._1).map { case (c, rows) => c -> rows.map(_._3).sum }
+    val vocabSet = cwc.map(_._2).toSet
+    NbModel(classes, priors, counts,
+      classes.map(c => c -> mass.getOrElse(c, 0L)).toMap, vocabSet, vocabSet.size.toLong)
+  }
+
+  /** Bounded NB model parameters (all vocabulary-/class-sized). */
+  final case class NbModel(
+      classes: Seq[String],
+      priors: Map[String, Double],
+      counts: Map[String, Long],
+      mass: Map[String, Long],
+      vocab: Set[String],
+      v: Long)
+}

@@ -1035,4 +1035,98 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // -------------------------------------------------------------------------
+  // SQ8 scalar quantization — the third member of the quantization family
+  // beside raw vectors (q61-q68) and product quantization (q93-q95/q99):
+  // each dimension is quantized independently into an 8-bit code against
+  // per-dimension corpus [min, max] ranges. Unlike PQ there is no trained
+  // codebook — the "model" is 2·d doubles — so encoding is a pure
+  // per-row expression and the index rebuilds in one aggregation pass.
+  // Asymmetric distance (ADC) compares the EXACT query vector against
+  // midpoint-dequantized candidate codes (Jégou et al. 2011 §II.C: keeping
+  // the query exact costs nothing and halves the quantization error).
+  // -------------------------------------------------------------------------
+
+  /** Per-dimension corpus quantization ranges as ONE broadcastable row:
+    * (mins, spans) double arrays, dimension-ordered. min/max over doubles
+    * are exact selections (no accumulation), so the stats — and everything
+    * derived from them — are bit-reproducible under any partitioning.
+    */
+  def sq8Stats(df: DataFrame, vec: Column): DataFrame =
+    df.select(posexplode(vec.cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("a"))
+      .select(
+        transform(col("a"), s => s.getField("mn")).as("mins"),
+        transform(col("a"), s => s.getField("mx") - s.getField("mn")).as("spans"))
+
+  /** Attach the 8-bit code array: code_d = min(255, ⌊(x_d − mn_d)/span_d ·
+    * 256⌋), with constant dimensions (span 0) coding to 0. Output:
+    * (vid, codes). Pure per-row arithmetic over the broadcast 1-row stats —
+    * at 100 TB the candidate side of every downstream join carries these
+    * d small ints, never the d floats they summarize.
+    */
+  def sq8Encode(df: DataFrame, id: Column, vec: Column, stats: DataFrame): DataFrame =
+    df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+      .crossJoin(broadcast(stats))
+      .select(col("vid"),
+        zip_with(
+          zip_with(col("xd"), col("mins"), (x, mn) => x - mn), col("spans"),
+          (d, s) => when(s > lit(0.0),
+            least(lit(255L), floor(d / s * lit(256.0)).cast("long")))
+            .otherwise(lit(0L))).as("codes"))
+
+  /** Asymmetric SQ8 distance: ‖q − dequant(codes)‖² with midpoint
+    * dequantization deq_d = (code_d + 0.5)·span_d/256 + mn_d, folded in
+    * dimension order (bit-identical to the oracle's list_reduce).
+    */
+  private def sq8AdcDist(qd: Column, codes: Column, mins: Column, spans: Column): Column = {
+    val deq = zip_with(
+      zip_with(codes, spans, (c, s) => (c.cast("double") + lit(0.5)) * s / lit(256.0)),
+      mins, (t, mn) => t + mn)
+    val diff = zip_with(qd, deq, (a, b) => a - b)
+    aggregate(transform(diff, x => x * x), lit(0.0), (a, x) => a + x)
+  }
+
+  /** LSH-bucketed approximate top-k under SQ8 ADC distance — the scalable
+    * composition: candidate generation is the q63 single-table hyperplane
+    * bucket join, but the INDEX side of the join carries only (vid, bucket,
+    * codes); raw vectors ride exclusively with queries. Output:
+    * (query_id, neighbor_id, adc_dist, rank), rank by (adc_dist asc,
+    * neighbor_id asc) — integer codes make the distance deterministic, so
+    * the ranking is engine-exact.
+    *
+    * Scale shape: one aggregation pass for stats (1 row, broadcast +
+    * localCheckpoint'd — encode and ADC both consume it), one per-row
+    * encode, one bucket equi-join whose fan-out is bucket occupancy (the
+    * q63 guarantee), WindowGroupLimit caps the per-query shuffle at O(k).
+    */
+  def sq8LshTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      numPlanes: Int,
+      numDims: Int): DataFrame = {
+    val stats = sq8Stats(df, vec).localCheckpoint()
+    val base = df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+    val bucketed = base.withColumn("bucket",
+      lshBucket(col("xd"), table = 0, numPlanes = numPlanes, numDims = numDims))
+    val index = bucketed.select(col("vid"), col("bucket"))
+      .join(sq8Encode(df, id, vec, stats), "vid")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    bucketed.select(col("vid").as("query_id"), col("xd"), col("bucket"))
+      .join(index.select(col("vid").as("neighbor_id"), col("bucket"), col("codes")),
+        Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("neighbor_id"),
+        sq8AdcDist(col("xd"), col("codes"), col("mins"), col("spans")).as("adc_dist"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+  }
 }

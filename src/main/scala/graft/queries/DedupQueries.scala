@@ -395,7 +395,45 @@ object DedupQueries {
            |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
            |  CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
            |  COALESCE(k.cleaned, '') AS cleaned_text
-           |FROM toks t LEFT JOIN keptagg k USING (doc_id)""".stripMargin))
+           |FROM toks t LEFT JOIN keptagg k USING (doc_id)""".stripMargin)),
+
+    // Cross-SOURCE shingle-overlap (leakage-audit) matrix: containment of
+    // every source pair's 3-gram shingle vocabularies, over hash60'd
+    // shingles with the source-df cap ENGAGED at 15 (corpus-wide
+    // boilerplate shingles carry no pair signal and would fan out as df²)
+    // — the shard-level complement of q87's document-level
+    // decontamination.
+    QueryDef(
+      "q133_source_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.sourceOverlapMatrix(docs, col("doc_id"), col("text"),
+          col("source"), n = 3, maxSrcDf = Some(15))
+      },
+      Some {
+        val h = Hashing.duckFoldHexCol("m")
+        s"""WITH sr AS (
+           |  SELECT source AS src, unnest(${graft.ops.Text.duckShingles("text", 3)}) AS sh
+           |  FROM documents),
+           |sh1 AS (
+           |  SELECT DISTINCT src, $h AS hh
+           |  FROM (SELECT src, md5(sh) AS m FROM sr)),
+           |keep AS (
+           |  SELECT hh FROM (SELECT hh, COUNT(*) AS df FROM sh1 GROUP BY 1)
+           |  WHERE df <= 15),
+           |shk AS (SELECT * FROM sh1 WHERE hh IN (SELECT hh FROM keep)),
+           |sizes AS (SELECT src, COUNT(*) AS sz FROM shk GROUP BY 1),
+           |p AS (
+           |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+           |  FROM shk a JOIN shk b ON a.hh = b.hh AND a.src < b.src
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           |  CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a,
+           |  CAST(n_shared AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b
+           |FROM p JOIN sizes sa ON sa.src = p.src_a
+           |JOIN sizes sb ON sb.src = p.src_b""".stripMargin
+      })
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

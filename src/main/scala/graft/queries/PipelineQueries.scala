@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Hashing, Sampling, Text}
+import graft.ops.{Dedup, Hashing, Sampling, Select, Text}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation queries: deterministic splits, per-group sampling,
@@ -370,6 +370,120 @@ object PipelineQueries {
            |  CAST(LEAST(64, n - (cid * 48 + 1) + 1) AS BIGINT) AS n_chunk_tokens,
            |  array_to_string(list_slice(t, CAST(cid * 48 + 1 AS INTEGER),
            |    CAST(LEAST(cid * 48 + 64, n) AS INTEGER)), ' ') AS chunk_text
-           |FROM ch""".stripMargin))
+           |FROM ch""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): every document scored by
+    // the hashed-n-gram log-likelihood ratio of a target distribution
+    // (the English slice) over the raw corpus. Model = 512 bucket rows;
+    // every ln is of an integer ratio and the per-doc sum folds in
+    // bucket-id order, so the doubles hash-match.
+    QueryDef(
+      "q129_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Select.dsirWeights(docs, col("doc_id"), col("text"),
+          col("lang") === "en", numBuckets = 512)
+      },
+      Some {
+        val h = Hashing.duckFoldHexCol("m")
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang = 'en' AS is_t,
+           |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, is_t, unnest(t) AS g FROM toks
+           |  UNION ALL
+           |  SELECT doc_id, is_t, t[pi] || ' ' || t[pi + 1] AS g
+           |  FROM toks, unnest(range(1, len(t))) AS tt(pi)),
+           |hb AS (
+           |  SELECT doc_id, is_t, $h % 512 AS b
+           |  FROM (SELECT doc_id, is_t, md5('ds-' || g) AS m FROM grams)),
+           |dc AS (SELECT doc_id, is_t, b, COUNT(*) AS n FROM hb GROUP BY 1, 2, 3),
+           |raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cq FROM dc GROUP BY 1),
+           |tgt AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cp FROM dc WHERE is_t GROUP BY 1),
+           |l0 AS (SELECT r.b, r.cq, COALESCE(t.cp, 0) AS cp
+           |       FROM raw r LEFT JOIN tgt t USING (b)),
+           |tots AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq,
+           |                CAST(SUM(cp) AS BIGINT) AS np FROM l0),
+           |llr AS (
+           |  SELECT b,
+           |    ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 512 AS DOUBLE))
+           |    - ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 512 AS DOUBLE)) AS llr
+           |  FROM l0 CROSS JOIN tots),
+           |sc AS (
+           |  SELECT dc.doc_id, CAST(SUM(dc.n) AS BIGINT) AS n_feats,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(dc.n AS DOUBLE) * llr.llr ORDER BY dc.b)),
+           |      (a, x) -> a + x) AS logw
+           |  FROM dc JOIN llr ON llr.b = dc.b
+           |  GROUP BY dc.doc_id)
+           |SELECT doc_id, n_feats, logw, logw > 0.0 AS target_like FROM sc""".stripMargin
+      }),
+
+    // Naive Bayes language classifier, trained on the deterministic 3/4
+    // hash split with a top-60 vocabulary cap (engaged: the corpus
+    // vocabulary is ~100 words, so out-of-vocab scoring is exercised), and
+    // scored over EVERY document — the closed-form member of the
+    // fastText-style classifier-filtering family. Per-(doc, class) scores
+    // fold from the class prior in token order; argmax ties break to the
+    // smallest class.
+    QueryDef(
+      "q130_nb_classifier",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Select.nbTrainScore(docs, col("doc_id"), col("text"), col("lang"),
+          pmod(Hashing.hash60(concat(lit("nb-"), col("doc_id").cast("string"))),
+            lit(4L)) < 3,
+          maxVocab = Some(60))
+      },
+      Some {
+        val splitHash = Hashing.duckHash60("('nb-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH docs0 AS (
+           |  SELECT doc_id, lang AS lbl, $splitHash % 4 < 3 AS is_tr,
+           |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS t
+           |  FROM documents),
+           |cwcall AS (
+           |  SELECT lbl, w, COUNT(*) AS cwc
+           |  FROM (SELECT lbl, unnest(t) AS w FROM docs0 WHERE is_tr) GROUP BY 1, 2),
+           |voc AS (
+           |  SELECT w FROM (
+           |    SELECT w, RANK() OVER (ORDER BY cw DESC, w ASC) AS r
+           |    FROM (SELECT w, CAST(SUM(cwc) AS BIGINT) AS cw FROM cwcall GROUP BY 1))
+           |  WHERE r <= 60),
+           |cwc AS (SELECT * FROM cwcall WHERE w IN (SELECT w FROM voc)),
+           |nc AS (SELECT lbl, CAST(SUM(cwc) AS BIGINT) AS ncl FROM cwc GROUP BY 1),
+           |vv AS (SELECT COUNT(DISTINCT w) AS v FROM cwc),
+           |cls AS (SELECT lbl, COUNT(*) AS ndocs FROM docs0 WHERE is_tr GROUP BY 1),
+           |ntot AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS ntot FROM cls),
+           |ci AS (
+           |  SELECT c.lbl AS cls,
+           |    ln(CAST(c.ndocs AS DOUBLE) / CAST(ntot.ntot AS DOUBLE)) AS prior,
+           |    n.ncl, vv.v
+           |  FROM cls c JOIN nc n ON n.lbl = c.lbl CROSS JOIN ntot CROSS JOIN vv),
+           |dt AS (
+           |  SELECT doc_id, lbl, is_tr, w, COUNT(*) AS n
+           |  FROM (SELECT doc_id, lbl, is_tr, unnest(t) AS w FROM docs0)
+           |  GROUP BY 1, 2, 3, 4),
+           |dtv AS (SELECT * FROM dt WHERE w IN (SELECT w FROM voc)),
+           |sc AS (
+           |  SELECT d.doc_id, d.lbl, d.is_tr, ci.cls, ci.prior, d.w,
+           |    CAST(d.n AS DOUBLE) * ln(CAST(COALESCE(t.cwc, 0) + 1 AS DOUBLE)
+           |      / CAST(ci.ncl + ci.v AS DOUBLE)) AS c
+           |  FROM dtv d CROSS JOIN ci
+           |  LEFT JOIN cwc t ON t.lbl = ci.cls AND t.w = d.w),
+           |pc AS (
+           |  SELECT doc_id, lbl, is_tr, cls,
+           |    list_reduce(list_prepend(prior, list(c ORDER BY w)),
+           |      (a, x) -> a + x) AS score
+           |  FROM sc GROUP BY doc_id, lbl, is_tr, cls, prior),
+           |win AS (
+           |  SELECT doc_id, lbl, is_tr, cls, score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, cls ASC) AS rn
+           |  FROM pc)
+           |SELECT doc_id, lbl AS label, cls AS pred, score, is_tr AS is_train,
+           |  cls = lbl AS correct
+           |FROM win WHERE rn = 1""".stripMargin
+      })
   )
 }

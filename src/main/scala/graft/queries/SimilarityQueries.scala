@@ -819,8 +819,85 @@ object SimilarityQueries {
            |  (${dot("e3.embedding", "pc2")} - mp.mp2) / sqrt(e2.eigval2) AS w2
            |FROM embeddings e3 CROSS JOIN pcA CROSS JOIN pcB CROSS JOIN mp
            |CROSS JOIN eig1 e1 CROSS JOIN eig2 e2""".stripMargin
-      })
+      }),
+
+    // SQ8 scalar quantization codes + midpoint dequantization: the
+    // codebook-free member of the quantization family (model = 2·64
+    // doubles). One row per (vector, dimension) — the oracle re-derives
+    // the per-dimension [min, max] ranges and every code.
+    QueryDef(
+      "q131_sq8_codes",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val stats = Similarity.sq8Stats(emb, col("embedding")).localCheckpoint()
+        Similarity.sq8Encode(emb, col("vec_id"), col("embedding"), stats)
+          .select(col("vid").as("vec_id"), posexplode(col("codes")).as(Seq("d", "code")))
+          .crossJoin(broadcast(stats))
+          .select(col("vec_id"), col("d").cast("long").as("d"), col("code"),
+            ((col("code").cast("double") + lit(0.5)) *
+              element_at(col("spans"), col("d") + lit(1)) / lit(256.0) +
+              element_at(col("mins"), col("d") + lit(1))).as("deq"))
+      },
+      Some(s"""WITH $duckSq8Ctes,
+           |c AS (
+           |  SELECT vec_id, i - 1 AS d,
+           |    CASE WHEN spans[i] > 0.0
+           |      THEN LEAST(255, CAST(floor((v[i] - mins[i]) / spans[i] * 256.0) AS BIGINT))
+           |      ELSE 0 END AS code
+           |  FROM e CROSS JOIN st, unnest(range(1, 65)) AS u(i))
+           |SELECT vec_id, CAST(d AS BIGINT) AS d, code,
+           |  (CAST(code AS DOUBLE) + 0.5) * spans[CAST(d + 1 AS INTEGER)] / 256.0
+           |    + mins[CAST(d + 1 AS INTEGER)] AS deq
+           |FROM c CROSS JOIN st""".stripMargin)),
+
+    // LSH-bucketed ANN top-5 under asymmetric SQ8 distance: candidate
+    // generation is q63's hyperplane bucket join, but the index side of
+    // the join carries only 8-bit codes — raw vectors ride exclusively
+    // with queries. Integer codes make the ADC distance deterministic, so
+    // the full ranking hash-matches.
+    QueryDef(
+      "q132_sq8_ann_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.sq8LshTopK(emb, col("vec_id"), col("embedding"), 5,
+          numPlanes = 8, numDims = 64)
+      },
+      Some(s"""WITH $duckSq8Ctes,
+           |codes AS (
+           |  SELECT vec_id, list_transform(range(1, 65), ci ->
+           |    CASE WHEN spans[ci] > 0.0
+           |      THEN LEAST(255, CAST(floor((v[ci] - mins[ci]) / spans[ci] * 256.0) AS BIGINT))
+           |      ELSE 0 END) AS codes
+           |  FROM e CROSS JOIN st),
+           |b AS (SELECT vec_id, v, ${duckBucketExpr(0, 8)} AS bucket FROM e),
+           |pairs AS (
+           |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_transform(range(1, 65), di ->
+           |        a.v[di] - ((CAST(c.codes[di] AS DOUBLE) + 0.5) * st.spans[di] / 256.0
+           |          + st.mins[di])), dx -> dx * dx)), (x, y) -> x + y) AS adc_dist
+           |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
+           |  JOIN codes c ON c.vec_id = nb.vec_id
+           |  CROSS JOIN st)
+           |SELECT query_id, neighbor_id, adc_dist, rank FROM (
+           |  SELECT query_id, neighbor_id, adc_dist,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 5""".stripMargin))
   )
+
+  /** DuckDB CTEs shared by the SQ8 oracles: double-cast vectors and the
+    * per-dimension (mins, spans) quantization ranges as one row.
+    */
+  private def duckSq8Ctes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (
+      |  SELECT list(mn ORDER BY d) AS mins, list(mx - mn ORDER BY d) AS spans
+      |  FROM (SELECT d, MIN(x) AS mn, MAX(x) AS mx
+      |        FROM (SELECT i - 1 AS d, v[i] AS x
+      |              FROM e, unnest(range(1, 65)) AS u(i))
+      |        GROUP BY d))""".stripMargin
 
   /** [[duckPcaCtes]] extended with the pc1 array and per-vector projections
     * (dim-ascending folds) — shared by q114 (outliers) and q116 (drift).

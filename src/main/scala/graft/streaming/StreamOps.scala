@@ -313,4 +313,60 @@ object StreamOps {
         count(when(langOk && q < minQuality, 1)).as("n_quality_dropped"))
       .where(langOk && q >= minQuality)
   }
+
+  /** Per-row Naive Bayes class prediction against a BROADCAST trained model
+    * ([[graft.ops.Select.nbModel]] — vocabulary-capped, so the maps are
+    * bona-fide model parameters): the same arithmetic as the batch
+    * [[graft.ops.Select.nbTrainScore]] join pipeline, but as one stateless
+    * per-class fold over the row's sorted distinct kept tokens with
+    * map-literal lookups — no explode, no aggregation, no watermark, so it
+    * runs in any streaming output mode. Bit-parity with the batch scorer is
+    * spec-pinned: both fold n_w·ln((c(w,cls)+1)/(N_cls+V)) in token order
+    * starting from the class prior, and both break argmax ties toward the
+    * lexicographically smallest class.
+    *
+    * Returns a struct column (pred, score); pred is NULL for rows with no
+    * kept token (the batch scorer omits those rows — callers decide).
+    */
+  def nbPredict(text: Column, model: graft.ops.Select.NbModel): Column = {
+    require(model.classes.nonEmpty, "model must have at least one class")
+    val countsM = typedlit(model.counts)
+    val toks = graft.ops.Text.tokens(text)
+    val kept = array_sort(array_distinct(
+      filter(toks, w => length(w) > 0 && w.isInCollection(model.vocab))))
+    val scores: Seq[(String, Column)] = model.classes.map { cls =>
+      val denom = lit((model.mass(cls) + model.v).toDouble)
+      val s = aggregate(kept, lit(model.priors(cls)), (acc, w) => {
+        val n = size(filter(toks, x => x === w)).cast("double")
+        val cwc = coalesce(element_at(countsM, concat(lit(cls + " "), w)), lit(0L))
+        acc + n * log((cwc + lit(1L)).cast("double") / denom)
+      })
+      cls -> s
+    }
+    val win = scores.map { case (cls, s) =>
+      struct((-s).as("ns"), lit(cls).as("c"), s.as("s"))
+    }.reduce((a, b) => when(a <= b, a).otherwise(b))
+    when(size(kept) > 0,
+      struct(win.getField("c").as("pred"), win.getField("s").as("score")))
+  }
+
+  /** Ingest-time classifier gate: keep only rows the broadcast NB model
+    * predicts into `keepClasses`; rows with no kept token pass (too short
+    * to classify — the quality-gate convention). observe() counts drops
+    * per micro-batch.
+    */
+  def nbClassGate(
+      stream: DataFrame,
+      text: Column,
+      model: graft.ops.Select.NbModel,
+      keepClasses: Seq[String]): DataFrame = {
+    require(keepClasses.nonEmpty, "keep at least one class")
+    val pred = nbPredict(text, model).getField("pred")
+    val keep = pred.isNull || pred.isInCollection(keepClasses)
+    stream
+      .observe("nb_gate",
+        count(lit(1)).as("n_rows"),
+        count(when(!keep, 1)).as("n_class_dropped"))
+      .where(keep)
+  }
 }
