@@ -61,6 +61,10 @@ object GraftExtensions {
       require(ch.size == 1, "simhash60 takes exactly one argument")
       graft.plans.SimHash60(ch.head)
     },
+    entry("dhash60", classOf[graft.plans.DHash60]) { ch =>
+      require(ch.size == 1, "dhash60 takes exactly one (hex string) argument")
+      graft.plans.DHash60(ch.head)
+    },
     entry("regexp_match_count", classOf[graft.plans.RegexpMatchCount]) { ch =>
       require(ch.size == 2, "regexp_match_count takes (text, pattern)")
       val p = ch(1) match {

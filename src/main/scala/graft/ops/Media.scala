@@ -246,6 +246,87 @@ object Media {
     }
   }
 
+  // -------------------------------------------------------------------------
+  // Perceptual hashing (dHash) — near-duplicate detection for media assets,
+  // the binary complement of SimHash for text: content-hash dedup (q71)
+  // only catches byte-identical payloads; re-encoded, lightly edited, or
+  // metadata-stripped copies need a locality-sensitive code. Two paths with
+  // ONE bit layout (11×6 brightness grid → 60 horizontal-gradient bits):
+  // the content-region form below (oracle-verifiable over any payload) and
+  // the real pixel form [[dhashOf]]/[[dhashImages]] for decodable images.
+  // -------------------------------------------------------------------------
+
+  /** 60-bit content-region dHash of a binary payload — the native
+    * [[graft.plans.DHash60]] expression over `hex(payload)` (hex, not raw
+    * bytes, because the md5-based gray values must be reproducible in the
+    * DuckDB oracle, the `contentHash` convention). Local edits flip ≤ ~4
+    * bits; use [[dhashNearDupPairs]] to join within a Hamming radius.
+    */
+  def dhash(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.DHash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hex(payload))))
+
+  /** Near-duplicate media pairs within Hamming `maxHamming` of their dHash
+    * codes: delegates to the audited simhash pigeonhole blocking
+    * ([[Dedup.simhashNearDupBlocked]]) — same C(b, b−d) combo keys, same
+    * `maxBucket` whole-bucket drop guard, id+code-only shuffles. Input:
+    * (media_id, dhash) from [[dhash]] or [[dhashImages]].
+    */
+  def dhashNearDupPairs(
+      codes: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame =
+    Dedup.simhashNearDupBlocked(
+      codes.select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
+      maxHamming, numBlocks, maxBucket)
+
+  /** REAL pixel dHash of a decoded image: bilinear-downscale to the same
+    * 11×6 grid as [[dhash]], BT.601 integer luma per cell, one bit per
+    * horizontally adjacent cell pair (brightness increasing left→right).
+    * Bit layout identical to the content-region form, so pair joins and
+    * blocking work unchanged on either code.
+    */
+  def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    import graft.plans.DHash60.{Cols, Rows}
+    val dst = new java.awt.image.BufferedImage(
+      Cols, Rows, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, Cols, Rows, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val rgb = dst.getRGB(x, y)
+      (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255) + 114 * (rgb & 255)) / 1000
+    }
+    var out = 0L
+    var r = 0
+    while (r < Rows) {
+      var c = 0
+      while (c < Cols - 1) {
+        if (luma(c, r) < luma(c + 1, r)) out |= 1L << (r * 10 + c)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Real-image dHash over a media table: decode via ImageIO (undecodable
+    * payloads dropped, the [[decodeImages]] convention) and hash actual
+    * pixels — mapPartitions, codec init amortized per partition. Output:
+    * (media_id, dhash).
+    */
+  def dhashImages(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(m => tryDecode(m.payload).map(img => (m.media_id, dhashOf(img))))
+    }.toDF("media_id", "dhash")
+  }
+
   /** Feature extraction: a fixed-width vector per asset, emitted as flat
     * (media_id, feat_idx, feat_val) rows. The stub features are exact
     * rationals of the decoded dimensions (a real deployment runs its

@@ -56,6 +56,34 @@ object MediaQueries {
     Media.decodeAll(media)
   }
 
+  /** DuckDB CTE chain reproducing `Media.dhash` (the 11×6 content-scaled
+    * dHash grid of graft.plans.DHash60) bit for bit: cell i covers bytes
+    * ⌊i·L/66⌋..⌊(i+1)·L/66⌋ of the L-byte payload, per-cell md5 of
+    * "i-<region hex>", hash60 fold mod 256 as the gray value, one bit per
+    * horizontally adjacent cell pair.
+    */
+  private val duckDhashCtes: String = {
+    import graft.plans.DHash60.{Cols, Rows, Cells}
+    val bits = (for (r <- 0 until Rows; c <- 0 until Cols - 1) yield
+      s"CASE WHEN gs[${r * Cols + c + 1}] < gs[${r * Cols + c + 2}] " +
+        s"THEN ${1L << (r * 10 + c)} ELSE 0 END").mkString(" + ")
+    s"""dcells AS (
+       |  SELECT media_id, t.i AS i,
+       |    md5(CAST(t.i AS VARCHAR) || '-' ||
+       |        substring(hex(payload),
+       |          1 + 2 * ((t.i * octet_length(payload)) // $Cells),
+       |          2 * ((((t.i + 1) * octet_length(payload)) // $Cells)
+       |               - ((t.i * octet_length(payload)) // $Cells)))) AS m
+       |  FROM media CROSS JOIN (SELECT unnest(range(0, $Cells)) AS i) t),
+       |dgray AS (
+       |  SELECT media_id, i, (${Hashing.duckFoldHexCol("m")} % 256) AS gray
+       |  FROM dcells),
+       |dcode AS (
+       |  SELECT media_id, CAST($bits AS BIGINT) AS dhash
+       |  FROM (SELECT media_id, list(gray ORDER BY i) AS gs FROM dgray
+       |        GROUP BY media_id))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Metadata extraction over the binary column: declared vs sniffed mime,
@@ -151,6 +179,71 @@ object MediaQueries {
            |    WHEN 1 THEN CAST(height AS DOUBLE) / 1040.0
            |    WHEN 2 THEN CAST(n_frames AS DOUBLE) / 24.0
            |    ELSE megapixels END AS feat_val
-           |FROM dec CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f""".stripMargin))
+           |FROM dec CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f""".stripMargin)),
+
+    // Perceptual (difference) hash of every media payload: the native
+    // DHash60 expression over hex(payload) — 66 content-region gray values
+    // on an 11×6 grid, 60 horizontal-gradient bits. Content-hash dedup
+    // (q71) only matches byte-identical assets; this code gives every asset
+    // a locality-sensitive fingerprint where local edits flip ≤ ~4 bits.
+    // The oracle rebuilds the full grid from md5/substring arithmetic.
+    QueryDef(
+      "q134_dhash_codes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        media.select(col("media_id"), Media.dhash(col("payload")).as("dhash"))
+      },
+      Some(s"""WITH $duckMediaCte,
+           |$duckDhashCtes
+           |SELECT media_id, dhash FROM dcode""".stripMargin)),
+
+    // Near-duplicate media pairs within Hamming 3 of their dHash codes,
+    // via the audited simhash pigeonhole blocking (4 blocks of 15 bits —
+    // any pair within Hamming 3 shares a block). The corpus has no
+    // byte-identical payloads at this SF, so the query plants the scenario
+    // the operator exists for: every 20th document also ships a COPY with
+    // a 4-char same-length edit (the "lightly edited re-upload") under
+    // media_id + 10^7 — those copies must pair with their originals at
+    // Hamming ≤ 3 while unrelated assets (~30 bits apart) stay out. The
+    // oracle rebuilds the same copies and brute-forces bit_count(xor);
+    // the engine never forms the quadratic pair space.
+    QueryDef(
+      "q135_dhash_neardup_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        // same-length edit => same magic (kind keyed on the ORIGINAL id)
+        val edited = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 100), lit("XXXX"),
+              substring(col("text"), 105, 1000000000)).as("text"))
+        val copies = Media.syntheticFromDocs(edited, col("doc_id"), col("text"))
+          .withColumn("media_id", col("media_id") + lit(10000000L))
+        val media = base.unionByName(copies)
+        val codes = media.select(col("media_id"),
+          Media.dhash(col("payload")).as("dhash"))
+        Media.dhashNearDupPairs(codes, maxHamming = 3)
+      },
+      Some {
+        val k = Hashing.duckHash60("('media-' || CAST(kid AS VARCHAR))")
+        s"""WITH dd AS (
+           |  SELECT doc_id AS media_id, doc_id AS kid, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS media_id, doc_id AS kid,
+           |    substring(text, 1, 100) || 'XXXX' || substring(text, 105, 1000000000) AS text
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |media AS (
+           |  SELECT media_id,
+           |    (CASE WHEN k = 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+           |          WHEN k = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+           |          ELSE 'RIFF'::BLOB END) || encode(text) AS payload
+           |  FROM (SELECT media_id, text, $k % 3 AS k FROM dd)),
+           |$duckDhashCtes
+           |SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+           |FROM dcode a JOIN dcode b ON a.media_id < b.media_id
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+      })
   )
 }

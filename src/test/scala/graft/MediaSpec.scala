@@ -138,4 +138,73 @@ class MediaSpec extends AnyFunSuite with SparkSpec {
         s"asset ${r.media_id}: emitted PNG must decode to the declared target size")
     }
   }
+
+  test("dhash native expression == built-in composed twin (content-scaled grid)") {
+    import spark.implicits._
+    import graft.plans.DHash60.{Cols, Rows, Cells}
+    val docs = (0L until 40L)
+      .map(i => (i, ("payload body " * (i.toInt % 9 + 1)) + i)).toDF("doc_id", "text")
+    val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+      .select(col("media_id"), hex(col("payload")).as("hx"))
+    // composed twin: cell i covers hex chars [2*((i*L) div 66), 2*(((i+1)*L) div 66))
+    def grayC(i: Int) = pmod(graft.ops.Hashing.hash60Composed(concat(
+      lit(s"$i-"),
+      expr(s"substring(hx, cast(($i * L) div $Cells as int) * 2 + 1, " +
+        s"cast(((${i + 1} * L) div $Cells) - (($i * L) div $Cells) as int) * 2)"))),
+      lit(256L))
+    val withL = media.withColumn("L", (length(col("hx")) / 2).cast("long"))
+    val grays = (0 until Cells).map(i => grayC(i).as(s"g$i"))
+    val composed = withL.select((col("media_id") +: grays): _*)
+      .select(col("media_id"),
+        (for (r <- 0 until Rows; c <- 0 until Cols - 1) yield
+          when(col(s"g${r * Cols + c}") < col(s"g${r * Cols + c + 1}"),
+            lit(1L << (r * 10 + c))).otherwise(lit(0L)))
+          .reduce(_ + _).as("dhash"))
+    val native = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+      .select(col("media_id"), Media.dhash(col("payload")).as("dhash"))
+    val diff = native.join(composed, "media_id")
+      .where(native("dhash") =!= composed("dhash")).count()
+    assert(diff == 0L, "native DHash60 must equal the built-in composition")
+  }
+
+  test("real-image dhash: stable under re-encode, close under light edit, far for unrelated") {
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 48).foreach(y => im.setRGB(x, y, f(x, y))))
+      im
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // horizontal gradient: deterministic non-trivial code
+    val grad = img((x, _) => (x * 4 << 16) | (x * 4 << 8) | (x * 4))
+    val h0 = Media.dhashOf(grad)
+    // re-encode via PNG bytes and decode back: identical pixels -> identical code
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "png", bos)
+    val re = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(Media.dhashOf(re) == h0, "lossless re-encode must not move the code")
+    // light edit: a small bright patch -> few bits flip
+    val edited = img((x, y) =>
+      if (x >= 10 && x < 16 && y >= 10 && y < 16) 0xFFFFFF
+      else (x * 4 << 16) | (x * 4 << 8) | (x * 4))
+    assert(ham(h0, Media.dhashOf(edited)) <= 6,
+      "a local patch edit must flip only a few gradient bits")
+    // unrelated content: reversed gradient -> most comparison bits flip
+    val reversed = img((x, _) => {
+      val v = (63 - x) * 4; (v << 16) | (v << 8) | v
+    })
+    assert(ham(h0, Media.dhashOf(reversed)) >= 30,
+      "an unrelated image must land far away in Hamming space")
+  }
+
+  test("dhashNearDupPairs: blocked join finds every pair within radius, drops far pairs") {
+    import spark.implicits._
+    val close1 = 0x0F0F0F0F0F0F0FL
+    val close2 = close1 ^ 0x5L // hamming 2
+    val far = ~close1 & ((1L << 60) - 1)
+    val codes = Seq((1L, close1), (2L, close2), (3L, far)).toDF("media_id", "dhash")
+    val pairs = Media.dhashNearDupPairs(codes, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2)), s"got $pairs")
+  }
 }
