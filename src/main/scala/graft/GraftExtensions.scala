@@ -65,6 +65,23 @@ object GraftExtensions {
       require(ch.size == 1, "dhash60 takes exactly one (hex string) argument")
       graft.plans.DHash60(ch.head)
     },
+    entry("theta_sketch", classOf[graft.plans.ThetaSketchAgg]) { ch =>
+      require(ch.size == 2, "theta_sketch takes (col, lgK)")
+      val lgK = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"theta_sketch lgK must be an integer literal, got $other")
+      }
+      graft.plans.ThetaSketchAgg(ch(0), lgK)
+    },
+    entry("theta_estimate", classOf[graft.plans.ThetaEstimate]) { ch =>
+      require(ch.size == 1, "theta_estimate takes exactly one argument")
+      graft.plans.ThetaEstimate(ch.head)
+    },
+    entry("theta_intersect_estimate", classOf[graft.plans.ThetaIntersectEstimate]) { ch =>
+      require(ch.size == 2, "theta_intersect_estimate takes two sketch arguments")
+      graft.plans.ThetaIntersectEstimate(ch(0), ch(1))
+    },
     entry("regexp_match_count", classOf[graft.plans.RegexpMatchCount]) { ch =>
       require(ch.size == 2, "regexp_match_count takes (text, pattern)")
       val p = ch(1) match {

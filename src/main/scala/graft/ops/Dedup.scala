@@ -812,6 +812,32 @@ object Dedup {
     * cap also keeps containment denominators consistent: sizes are counted
     * over kept shingles only).
     */
+  /** The compact (src, shingle-hash60) frame both shard-overlap audits run
+    * on: DISTINCT per-source shingle hashes, optionally df-capped (shingles
+    * present in more than `maxSrcDf` shards dropped whole), localCheckpoint'd
+    * because every consumer (sizes, pair join, sketch aggregation) would
+    * otherwise re-explode the corpus.
+    */
+  private def keptSourceShingles(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      group: Column,
+      n: Int,
+      maxSrcDf: Option[Int]): DataFrame = {
+    val sh0 = spreadBy(df, id)
+      .select(group.as("src"), explode(Text.shingles(text, n)).as("s"))
+      .select(col("src"), Hashing.hash60(col("s")).as("h"))
+      .distinct()
+    (maxSrcDf match {
+      case Some(cap) =>
+        val keep = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("h"))
+        sh0.join(keep, Seq("h"), "left_semi")
+      case None => sh0
+    }).localCheckpoint()
+  }
+
   def sourceOverlapMatrix(
       df: DataFrame,
       id: Column,
@@ -819,17 +845,7 @@ object Dedup {
       group: Column,
       n: Int,
       maxSrcDf: Option[Int] = None): DataFrame = {
-    val sh0 = spreadBy(df, id)
-      .select(group.as("src"), explode(Text.shingles(text, n)).as("s"))
-      .select(col("src"), Hashing.hash60(col("s")).as("h"))
-      .distinct()
-    val sh = (maxSrcDf match {
-      case Some(cap) =>
-        val keep = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= cap).select(col("h"))
-        sh0.join(keep, Seq("h"), "left_semi")
-      case None => sh0
-    }).localCheckpoint()
+    val sh = keptSourceShingles(df, id, text, group, n, maxSrcDf)
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
     sh.select(col("src").as("src_a"), col("h"))
       .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
@@ -841,5 +857,61 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
         (col("n_shared").cast("double") / col("sz_a").cast("double")).as("containment_a"),
         (col("n_shared").cast("double") / col("sz_b").cast("double")).as("containment_b"))
+  }
+
+  /** SKETCHED shard-overlap audit: per-source THETA sketches of the kept
+    * shingle sets ([[Hashing.thetaSketchAgg]]) plus every pairwise
+    * |A ∩ B| estimate computed from the STORED sketches alone — the 100 TB
+    * form of [[sourceOverlapMatrix]]'s exact pair join. The exact join
+    * shuffles every kept (src, shingle) row into df²-fan-out pair buckets;
+    * the sketch path aggregates each source once (map-side partial unions,
+    * #tasks × #sources partial sketches across the exchange) and then
+    * intersects #sources² sketch PAIRS of ≤ 2^lgK retained hashes each —
+    * no shingle row ever crosses a second exchange, and a year of daily
+    * shard sketches answers any new pair without rescanning the corpus
+    * (the q125 durability argument, plus the set operations HLL cannot do).
+    *
+    * Output per source pair: (src_a, src_b, n_shared, sz_a, sz_b,
+    * within_bound) — exact columns + an in-engine verdict that the sketch
+    * intersection lands within `3·U/√(2^lgK) + relSlack·n_shared` of the
+    * exact count, U = |A ∪ B| exact (the union-scaled ~3σ bound from the
+    * theta-framework error analysis: intersection error scales with the
+    * UNION size over √k, not the intersection size). The exact columns are
+    * the verification harness, not the production read path (the
+    * q26/q125 discipline — this is what lets a sketch query hash-match a
+    * DuckDB oracle). The shard sketch table is localCheckpoint'd: both
+    * join sides consume it, and without the break the corpus aggregation
+    * would run twice.
+    */
+  def thetaSourceOverlap(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      group: Column,
+      n: Int,
+      lgK: Int = 12,
+      maxSrcDf: Option[Int] = None,
+      relSlack: Double = 0.05): DataFrame = {
+    val sh = keptSourceShingles(df, id, text, group, n, maxSrcDf)
+    val shard = sh.groupBy(col("src"))
+      .agg(Hashing.thetaSketchAgg(col("h"), lgK).as("sk"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val exactPairs = sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val est = Hashing.thetaIntersectEstimate(col("sk_a"), col("sk_b"))
+    val unionExact = col("sz_a") + col("sz_b") - col("n_shared")
+    val bound = lit(3.0) * unionExact.cast("double") / lit(math.sqrt((1L << lgK).toDouble)) +
+      lit(relSlack) * col("n_shared").cast("double")
+    exactPairs
+      .join(shard.select(col("src").as("src_a"), col("sk").as("sk_a"),
+        col("sz").as("sz_a")), Seq("src_a"))
+      .join(shard.select(col("src").as("src_b"), col("sk").as("sk_b"),
+        col("sz").as("sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        (abs(est - col("n_shared").cast("double")) <= bound).as("within_bound"))
   }
 }

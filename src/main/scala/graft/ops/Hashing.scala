@@ -111,6 +111,31 @@ object Hashing {
       word.bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
 
+  /** Theta sketch aggregate over a BIGINT column ([[graft.plans
+    * .ThetaSketchAgg]]): evals to the serialized ordered CompactSketch —
+    * durable, mergeable, and (unlike HLL) supporting set operations on the
+    * stored bytes. Deterministic under any partitioning (k-smallest-hash
+    * retention over the distinct item set).
+    */
+  def thetaSketchAgg(c: Column, lgK: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ThetaSketchAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("long")),
+        lgK).toAggregateExpression())
+
+  /** Distinct-count estimate of a stored theta sketch (binary column). */
+  def thetaEstimate(sk: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ThetaEstimate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sk)))
+
+  /** |A ∩ B| estimate from two stored theta sketches. */
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ThetaIntersectEstimate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Largest prime below 2^30. */
   val FamilyP: Long = 1073741789L
 

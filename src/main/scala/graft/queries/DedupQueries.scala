@@ -433,6 +433,46 @@ object DedupQueries {
            |  CAST(n_shared AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b
            |FROM p JOIN sizes sa ON sa.src = p.src_a
            |JOIN sizes sb ON sb.src = p.src_b""".stripMargin
+      }),
+
+    // SKETCHED shard-overlap audit: per-source THETA sketches of the kept
+    // shingle sets, every pairwise intersection estimated from the STORED
+    // sketch bytes alone — the set operation HLL (q125) cannot do, and the
+    // 100 TB replacement for q133's df²-fan-out exact pair join. The q26/
+    // q125 discipline makes it hash-checkable: rows carry exact counts
+    // plus an in-engine within_bound verdict (union-scaled ~3σ theta
+    // intersection bound), which the oracle reproduces as exact counts +
+    // literal TRUE. Same df cap (15) as q133 so both audits see the same
+    // kept sets.
+    QueryDef(
+      "q136_theta_source_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.thetaSourceOverlap(docs, col("doc_id"), col("text"),
+          col("source"), n = 3, lgK = 12, maxSrcDf = Some(15))
+      },
+      Some {
+        val h = Hashing.duckFoldHexCol("m")
+        s"""WITH sr AS (
+           |  SELECT source AS src, unnest(${graft.ops.Text.duckShingles("text", 3)}) AS sh
+           |  FROM documents),
+           |sh1 AS (
+           |  SELECT DISTINCT src, $h AS hh
+           |  FROM (SELECT src, md5(sh) AS m FROM sr)),
+           |keep AS (
+           |  SELECT hh FROM (SELECT hh, COUNT(*) AS df FROM sh1 GROUP BY 1)
+           |  WHERE df <= 15),
+           |shk AS (SELECT * FROM sh1 WHERE hh IN (SELECT hh FROM keep)),
+           |sizes AS (SELECT src, COUNT(*) AS sz FROM shk GROUP BY 1),
+           |p AS (
+           |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+           |  FROM shk a JOIN shk b ON a.hh = b.hh AND a.src < b.src
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           |  TRUE AS within_bound
+           |FROM p JOIN sizes sa ON sa.src = p.src_a
+           |JOIN sizes sb ON sb.src = p.src_b""".stripMargin
       })
   )
 
