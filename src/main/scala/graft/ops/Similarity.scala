@@ -364,6 +364,37 @@ object Similarity {
     chosen
   }
 
+  /** k-center CORESET selection over an embedding column — the
+    * embedding-coverage data-selection step: pick the k greedy farthest-point
+    * centers (Gonzalez's 2-approximation to the k-center objective, the
+    * deterministic [[farthestPointSeeds]]), assign every vector to its
+    * nearest center, and weight each center by its basin — (sid, seed_id,
+    * weight, cost) where weight = |basin| (the importance weight a
+    * weighted trainer or [[graft.ops.Sampling]] quota consumes) and cost =
+    * Σ d² over the basin (the quantization cost that tells a curator how
+    * well k centers cover the collection; re-run with larger k until it
+    * flattens). Unlike [[semDedupPairs]] (which REMOVES redundant points),
+    * a coreset KEEPS k representatives with multiplicities — the classic
+    * small-summary form for clustering/selection downstream.
+    *
+    * Scale shape: seeding is k bounded corpus passes (broadcast chosen
+    * centers, ids+one double through each shuffle); assignment broadcasts
+    * the final k×d seed table once (n×k distance rows carry ids+distances
+    * only, map-side min_by combine); the per-center aggregation is k rows.
+    * Cost sums are decimal-exact (Num.dsum38) so the output is
+    * bit-reproducible under any partitioning.
+    */
+  def kcenterCoreset(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    val seeds = farthestPointSeeds(df, id, vec, k)
+    val cents = seeds.select(col("sid").as("clabel"), col("v").as("carr"))
+    ivfAssign(df, id, vec, cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("weight"), Num.dsum38(col("d2")).as("cost"))
+      .join(broadcast(seeds.select(col("sid"), col("vid").as("seed_id"))),
+        col("cluster") === col("sid"))
+      .select(col("sid"), col("seed_id"), col("weight"), col("cost"))
+  }
+
   /** Materialize a trained quantizer: collects the k×d centroid table (a
     * model parameter of bounded size — k rows regardless of corpus scale,
     * like the LSH plane constants) and re-creates it as a literal frame.

@@ -214,6 +214,40 @@ object SimilarityQueries {
            |${duckFarthestCtes(4)}
            |SELECT sid, vec_id FROM ch3""".stripMargin)),
 
+    // k-center CORESET: the 4 greedy farthest-point centers with basin
+    // weights and decimal-exact quantization cost — the embedding-coverage
+    // selection summary (k representatives with multiplicities). Oracle
+    // extends the unrolled greedy with an argmin assignment (ties -> lowest
+    // sid, the ivfAssign rule) and the q60 decimal-sum discipline.
+    QueryDef(
+      "q137_kcenter_coreset",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.kcenterCoreset(emb, col("vec_id"), col("embedding"), 4)
+      },
+      Some {
+        val l2 = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(range(1, len(e.v) + 1),
+          |      kcd -> (e.v[kcd] - ch.v[kcd]) * (e.v[kcd] - ch.v[kcd]))),
+          |    (x, y) -> x + y)""".stripMargin
+        s"""WITH $duckEmb,
+           |${duckFarthestCtes(4)},
+           |sd AS (
+           |  SELECT e.vec_id, ch.sid, $l2 AS d2
+           |  FROM e CROSS JOIN ch3 ch),
+           |asg AS (
+           |  SELECT vec_id, sid, d2 FROM (
+           |    SELECT vec_id, sid, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+           |    FROM sd)
+           |  WHERE rn = 1)
+           |SELECT a.sid, ch.vec_id AS seed_id,
+           |  CAST(COUNT(*) AS BIGINT) AS weight,
+           |  CAST(SUM(CAST(a.d2 AS DECIMAL(38,18))) AS DOUBLE) AS cost
+           |FROM asg a JOIN ch3 ch ON ch.sid = a.sid
+           |GROUP BY 1, 2""".stripMargin
+      }),
+
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
     QueryDef(
       "q60_embedding_norms",

@@ -218,6 +218,21 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(r2 >= r1, f"nprobe=2 recall $r2%.3f fell below nprobe=1 $r1%.3f")
   }
 
+  test("k-center coreset: weights partition the corpus; coverage cost shrinks as k grows") {
+    import graft.ops.Similarity
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val n = emb.count()
+    def summary(k: Int): (Long, Double) = {
+      val rows = Similarity.kcenterCoreset(emb, col("vec_id"), col("embedding"), k)
+        .select(col("weight"), col("cost")).collect()
+      (rows.map(_.getLong(0)).sum, rows.map(_.getDouble(1)).sum)
+    }
+    val (w2, c2) = summary(2)
+    val (w6, c6) = summary(6)
+    assert(w2 == n && w6 == n, "every vector lands in exactly one basin")
+    assert(c6 < c2, f"6 centers must cover better than 2 (cost $c6%.3f vs $c2%.3f)")
+  }
+
   test("README query counts match the catalog (the counts are derived, not hand-maintained)") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
