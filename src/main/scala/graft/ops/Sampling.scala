@@ -114,10 +114,22 @@ object Sampling {
     * Output: (doc_id, w, start_w, end_w) with end_w = start_w + w, spans
     * abutting in id order starting at 0.
     */
-  def globalCumsum(df: DataFrame, id: Column, w: Column): DataFrame = {
-    val base = df.select(id.as("doc_id"), w.cast("long").as("w"))
+  def globalCumsum(df: DataFrame, id: Column, w: Column): DataFrame =
+    globalCumsumBy(df, id, w, id).drop("key")
+
+  /** [[globalCumsum]] generalized to an ARBITRARY total order: spans abut in
+    * (key, id) order (the id tiebreak keeps the order total on duplicate
+    * keys) instead of id order. Same two-phase shape — range-partition on
+    * (key, id), per-partition window cumsum, #partitions-row offset table
+    * broadcast back — and the same partitioning-independence: every row's
+    * offsets depend only on the global (key, id) order, not on where the
+    * range boundaries fell. Output adds the key: (doc_id, key, w, start_w,
+    * end_w).
+    */
+  def globalCumsumBy(df: DataFrame, id: Column, w: Column, key: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), key.as("key"), w.cast("long").as("w"))
       .where(col("w") > 0)
-    val parts = base.repartitionByRange(col("doc_id"))
+    val parts = base.repartitionByRange(col("key"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     // explicit ROWS frame: the default RANGE frame would give duplicate ids
@@ -125,7 +137,7 @@ object Sampling {
     // Ids are expected unique (every catalog table's are); with duplicates
     // the ROWS frame still conserves weight but their relative order is
     // partition-dependent.
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("key"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("local_end", sum(col("w")).over(wLocal))
     // offset per partition: exclusive prefix sum of partition totals (rows =
@@ -137,23 +149,46 @@ object Sampling {
     local.join(broadcast(offTable), "pid")
       .withColumn("end_w", col("offset") + col("local_end"))
       .withColumn("start_w", col("end_w") - col("w"))
-      .select(col("doc_id"), col("w"), col("start_w"), col("end_w"))
+      .select(col("doc_id"), col("key"), col("w"), col("start_w"), col("end_w"))
   }
 
-  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long): DataFrame = {
+  /** The budget-boundary chunk arithmetic shared by [[packSequences]] and
+    * [[packSequencesBy]]: explode each (doc_id, w, start_w) span into the
+    * context windows it overlaps, with the per-chunk token count.
+    */
+  private def chunkSpans(spans: DataFrame, budget: Long): DataFrame = {
     require(budget >= 1, "token budget must be positive")
-    globalCumsum(df, id, tokens)
-      .select(col("doc_id"), col("w").as("n_tok"),
-        col("start_w").as("start_tok"), col("end_w").as("end_tok"))
-      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+    spans
+      .select(spans.columns.map(col) :+
         explode(sequence(
-          expr(s"start_tok div ${budget}L"),
-          expr(s"(start_tok + n_tok - 1) div ${budget}L"))).as("chunk_id"))
+          expr(s"start_w div ${budget}L"),
+          expr(s"(start_w + w - 1) div ${budget}L"))).as("chunk_id"): _*)
       .withColumn("tokens_in_chunk",
-        least(col("start_tok") + col("n_tok"), (col("chunk_id") + 1) * budget) -
-          greatest(col("start_tok"), col("chunk_id") * budget))
-      .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("tokens_in_chunk"))
+        least(col("start_w") + col("w"), (col("chunk_id") + 1) * budget) -
+          greatest(col("start_w"), col("chunk_id") * budget))
   }
+
+  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long): DataFrame =
+    chunkSpans(globalCumsum(df, id, tokens)
+        .select(col("doc_id"), col("w"), col("start_w")), budget)
+      .select(col("doc_id"), col("chunk_id"), col("w").as("n_tok"),
+        col("tokens_in_chunk"))
+
+  /** CURRICULUM sequence packing: [[packSequences]] with the documents laid
+    * on the token line in (key, id) order instead of id order — pass a
+    * difficulty proxy (LM nll, quality score, length) as `key` and the
+    * packed chunks read easy→hard in chunk_id order, the standard
+    * curriculum-learning data layout. Same budget-boundary arithmetic, same
+    * two-phase distributed cumsum (no corpus-row single-partition window
+    * anywhere); the only new cost is range-partitioning on the key instead
+    * of the id. Output: (doc_id, key, chunk_id, n_tok, tokens_in_chunk).
+    */
+  def packSequencesBy(
+      df: DataFrame, id: Column, tokens: Column, key: Column, budget: Long): DataFrame =
+    chunkSpans(globalCumsumBy(df, id, tokens, key)
+        .select(col("doc_id"), col("key"), col("w"), col("start_w")), budget)
+      .select(col("doc_id"), col("key"), col("chunk_id"), col("w").as("n_tok"),
+        col("tokens_in_chunk"))
 
   /** Distributed EXACT global rank by (value, id) — the ordering engine
     * under [[equiDepthHistogram]], built exactly like [[globalCumsum]] but

@@ -395,6 +395,44 @@ object Similarity {
       .select(col("sid"), col("seed_id"), col("weight"), col("cost"))
   }
 
+  /** Cross-modal ALIGNMENT scoring — the LAION-style curation step for
+    * paired multimodal data: every (document, embedding) pair joined on id
+    * gets the cosine between a text-derived vector (the deterministic
+    * hashing-trick vectorizer, [[graft.ops.Text.hashingTrickEmbedding]],
+    * standing in for the text tower of a dual encoder) and the stored
+    * embedding column (the image/audio tower's output), plus an `aligned`
+    * verdict at `minCos` — the filter that drops mismatched caption/asset
+    * pairs before training. With a real dual encoder the text vector comes
+    * from the model instead; every Spark-side shape (id-equi join, fold
+    * cosine, verdict column) is identical.
+    *
+    * Scale shape: both towers' vectors are per-row derivations (the text
+    * side aggregates token rows map-side); the join is a plain id
+    * equi-join — ids+vectors cross the exchange once, no pair fan-out.
+    * Zero-norm text vectors (all buckets cancelled) score 0, not NaN, so
+    * the verdict stays a real boolean (the q106 lesson).
+    */
+  def crossModalAlignment(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      emb: DataFrame,
+      vid: Column,
+      vec: Column,
+      dims: Int,
+      minCos: Double): DataFrame = {
+    val tv = Text.hashingTrickEmbedding(docs, id, text, dims)
+      .select(col("doc_id"), col("vec").as("tvec"))
+    val ev = emb.select(vid.as("doc_id"), vec.as("evec"))
+    val nt = Num.norm(col("tvec"))
+    val ne = Num.norm(col("evec"))
+    val cos = when(nt === 0.0 || ne === 0.0, lit(0.0))
+      .otherwise(Num.dot(col("tvec"), col("evec")) / (nt * ne))
+    tv.join(ev, "doc_id")
+      .select(col("doc_id"), cos.as("cosine"),
+        (cos >= lit(minCos)).as("aligned"))
+  }
+
   /** Materialize a trained quantizer: collects the k×d centroid table (a
     * model parameter of bounded size — k rows regardless of corpus scale,
     * like the LSH plane constants) and re-creates it as a literal frame.

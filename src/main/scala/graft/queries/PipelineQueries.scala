@@ -241,6 +241,48 @@ object PipelineQueries {
            |FROM seg GROUP BY chunk_id""".stripMargin
       }),
 
+    // CURRICULUM packing: the q89 budget-boundary packing with documents
+    // laid on the token line in LM-difficulty order (q108 nll ascending,
+    // doc_id tiebreak) instead of id order — chunk_id now reads easy→hard,
+    // the curriculum-learning data layout. Only LM-scoreable docs (≥ 2
+    // tokens) pack; the oracle chains the shared q108 CTE chain into the
+    // plain single-window cumsum ordered by (nll, doc_id).
+    QueryDef(
+      "q139_curriculum_pack",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(pmod(Hashing.hash60(
+          concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+        val scored = Text.bigramLmScore(train, docs, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("nll"))
+        val withTok = docs.join(scored, "doc_id")
+          .select(col("doc_id"), col("nll"), Text.wordCount(col("text")).as("n_tok"))
+        Sampling.packSequencesBy(withTok, col("doc_id"), col("n_tok"),
+            col("nll"), budget = 2048L)
+          .withColumnRenamed("key", "nll")
+      },
+      Some {
+        val nTok = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
+        s"""WITH ${TextQueries.duckLmScoreCtes},
+           |t AS (
+           |  SELECT d.doc_id, s.nll, $nTok AS n_tok
+           |  FROM documents d JOIN lmscores s ON s.doc_id = d.doc_id
+           |  WHERE $nTok > 0),
+           |c AS (
+           |  SELECT doc_id, nll, n_tok,
+           |    CAST(SUM(n_tok) OVER (ORDER BY nll, doc_id ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS end_tok
+           |  FROM t),
+           |x AS (
+           |  SELECT doc_id, nll, n_tok, end_tok - n_tok AS start_tok,
+           |    unnest(range((end_tok - n_tok) // 2048, (end_tok - 1) // 2048 + 1)) AS chunk_id
+           |  FROM c)
+           |SELECT doc_id, nll, chunk_id, n_tok,
+           |  least(start_tok + n_tok, (chunk_id + 1) * 2048)
+           |    - greatest(start_tok, chunk_id * 2048) AS tokens_in_chunk
+           |FROM x""".stripMargin
+      }),
+
     // The composed curation pipeline: predicted-language filter -> quality
     // gate -> exact dedup (min-id representative) -> per-source yield stats.
     // Each stage is an independently-verified operator; this query verifies

@@ -248,6 +248,43 @@ object SimilarityQueries {
            |GROUP BY 1, 2""".stripMargin
       }),
 
+    // Cross-modal alignment scoring (the LAION-style pair filter): cosine
+    // between the 64-dim hashing-trick text vector of each document and
+    // its paired stored embedding (doc_id == vec_id), with an aligned
+    // verdict at cos >= 0. The oracle rebuilds the q57 vectorizer grid at
+    // dims=64, assembles the ordered list, and folds the same cosine.
+    QueryDef(
+      "q138_crossmodal_alignment",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.crossModalAlignment(docs, col("doc_id"), col("text"),
+          emb, col("vec_id"), col("embedding"), dims = 64, minCos = 0.0)
+      },
+      Some(s"""WITH $duckEmb,
+           |toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+           |contrib AS (
+           |  SELECT doc_id, (h // 2) % 64 AS bucket,
+           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
+           |w AS (SELECT doc_id, bucket, SUM(s) AS w FROM contrib GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT d.doc_id, g.dim, CAST(COALESCE(w.w, 0) AS DOUBLE) AS val
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) g
+           |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.bucket = g.dim),
+           |tv AS (
+           |  SELECT doc_id, list(val ORDER BY dim) AS tvec FROM grid GROUP BY doc_id),
+           |scored AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN sqrt(list_dot_product(t.tvec, t.tvec)) = 0 OR e.nrm = 0
+           |         THEN 0.0
+           |         ELSE list_dot_product(t.tvec, e.v)
+           |              / (sqrt(list_dot_product(t.tvec, t.tvec)) * e.nrm) END AS cosine
+           |  FROM tv t JOIN e ON e.vec_id = t.doc_id)
+           |SELECT doc_id, cosine, cosine >= 0.0 AS aligned FROM scored""".stripMargin)),
+
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
     QueryDef(
       "q60_embedding_norms",

@@ -841,41 +841,50 @@ object TextQueries {
           concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
         Text.bigramLmScore(train, docs, col("doc_id"), col("text"))
       },
-      Some {
-        val splitHash = Hashing.duckHash60("('lm-' || CAST(doc_id AS VARCHAR))")
-        s"""WITH alldocs AS (
-           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-           |train AS (
-           |  SELECT doc_id, t FROM alldocs WHERE $splitHash % 2 = 0),
-           |uni AS (
-           |  SELECT w, COUNT(*) AS c1
-           |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
-           |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
-           |big AS (
-           |  SELECT w1, w2, COUNT(*) AS c2 FROM (
-           |    SELECT t[pi] AS w1, t[pi + 1] AS w2
-           |    FROM train, unnest(range(1, len(t))) AS tt(pi)) GROUP BY 1, 2),
-           |sc AS (
-           |  SELECT doc_id, pi AS pos, t[pi] AS w1, t[pi + 1] AS w2
-           |  FROM alldocs, unnest(range(1, len(t))) AS tt(pi)),
-           |lp AS (
-           |  SELECT sc.doc_id, sc.pos,
-           |    CASE WHEN b.c2 IS NOT NULL
-           |      THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
-           |      ELSE ln(CAST(2.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
-           |        + ln(CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE)
-           |          / CAST(tot.n + tot.v AS DOUBLE)) END AS lp,
-           |    CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS backoff
-           |  FROM sc
-           |  LEFT JOIN big b ON b.w1 = sc.w1 AND b.w2 = sc.w2
-           |  LEFT JOIN uni u1 ON u1.w = sc.w1
-           |  LEFT JOIN uni u2 ON u2.w = sc.w2
-           |  CROSS JOIN tot)
-           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           |  -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos)),
-           |    (a, x) -> a + x)) / CAST(COUNT(*) AS DOUBLE) AS nll,
-           |  CAST(SUM(backoff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS backoff_frac
-           |FROM lp GROUP BY doc_id""".stripMargin
-      })
+      Some(s"""WITH $duckLmScoreCtes
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin))
   )
+
+  /** DuckDB CTE chain for the q108 CCNet-style LM scoring pipeline (train
+    * split → stupid-backoff bigram model → per-doc order-fixed nll fold),
+    * ending in `lmscores(doc_id, n_bigrams, nll, backoff_frac)` — shared by
+    * q108 and the curriculum packing oracle (q139).
+    */
+  def duckLmScoreCtes: String = {
+    val splitHash = Hashing.duckHash60("('lm-' || CAST(doc_id AS VARCHAR))")
+    s"""alldocs AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |train AS (
+       |  SELECT doc_id, t FROM alldocs WHERE $splitHash % 2 = 0),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c1
+       |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+       |big AS (
+       |  SELECT w1, w2, COUNT(*) AS c2 FROM (
+       |    SELECT t[pi] AS w1, t[pi + 1] AS w2
+       |    FROM train, unnest(range(1, len(t))) AS tt(pi)) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, pi AS pos, t[pi] AS w1, t[pi + 1] AS w2
+       |  FROM alldocs, unnest(range(1, len(t))) AS tt(pi)),
+       |lp AS (
+       |  SELECT sc.doc_id, sc.pos,
+       |    CASE WHEN b.c2 IS NOT NULL
+       |      THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+       |      ELSE ln(CAST(2.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
+       |        + ln(CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE)
+       |          / CAST(tot.n + tot.v AS DOUBLE)) END AS lp,
+       |    CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+       |  FROM sc
+       |  LEFT JOIN big b ON b.w1 = sc.w1 AND b.w2 = sc.w2
+       |  LEFT JOIN uni u1 ON u1.w = sc.w1
+       |  LEFT JOIN uni u2 ON u2.w = sc.w2
+       |  CROSS JOIN tot),
+       |lmscores AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos)),
+       |      (a, x) -> a + x)) / CAST(COUNT(*) AS DOUBLE) AS nll,
+       |    CAST(SUM(backoff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS backoff_frac
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+  }
 }

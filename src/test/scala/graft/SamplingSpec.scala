@@ -106,4 +106,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(doc3.length == 4 && doc3.last == ((3L, 3L, 10L, 3L, "v10 v11 v12")),
       "tail chunk shortens to the remaining tokens")
   }
+
+  test("packSequencesBy: curriculum order respected, conservation and full chunks hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // difficulty key deliberately anti-correlated with id order
+    val docs = (1L to 200L).map(i => (i, (i * 7) % 50 + 1, (200 - i).toDouble))
+      .toDF("doc_id", "n_tok", "difficulty").repartition(13)
+    val packed = graft.ops.Sampling.packSequencesBy(
+      docs, col("doc_id"), col("n_tok"), col("difficulty"), budget = 100L)
+    val rows = packed.select("doc_id", "key", "chunk_id", "n_tok", "tokens_in_chunk")
+      .as[(Long, Double, Long, Long, Long)].collect()
+    // conservation: every doc's chunk segments sum to its token count
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.forall { case (_, rs) => rs.map(_._5).sum == rs.head._4 })
+    // full interior chunks
+    val byChunk = rows.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    val last = byChunk.keys.max
+    assert(byChunk.filter(_._1 != last).values.forall(_ == 100L),
+      "every chunk but the last is exactly the budget")
+    // curriculum: a doc strictly earlier in (key, id) order never starts in
+    // a LATER chunk than a doc after it
+    val ordered = rows.groupBy(r => (r._2, r._1)).view
+      .mapValues(_.map(_._3).min).toSeq.sortBy(_._1)
+    assert(ordered.sliding(2).forall {
+      case Seq((_, c1), (_, c2)) => c1 <= c2
+      case _ => true
+    }, "chunk ids must be monotone in the (difficulty, id) order")
+  }
 }
