@@ -258,6 +258,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "global top-k outliers must map-side prune")
   }
 
+  test("round-7 additions: dhash is scan-only; dhash pairs never cartesian; theta agg is map-side partial; coreset assignment broadcasts") {
+    val docs = Tables.load(spark, sf, "documents")
+    val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+    // q134: a per-row code — no exchange, no join anywhere
+    val pCodes = plan(media.select(col("media_id"), Media.dhash(col("payload")).as("dhash")))
+    assert(!pCodes.toLowerCase.contains("exchange"), "dhash codes must be scan+project only")
+    // q135: pigeonhole-blocked pairs — no cartesian/nested-loop pair space
+    val codes = media.select(col("media_id"), Media.dhash(col("payload")).as("dhash"))
+    val pPairs = plan(Media.dhashNearDupPairs(codes, maxHamming = 3))
+    assert(!pPairs.contains("CartesianProduct"), "blocked pair join must not be quadratic")
+    // q136 core: the theta aggregation must combine map-side (partial
+    // ObjectHashAggregate before the exchange), so only #tasks x #sources
+    // partial sketches cross the wire
+    val sh = docs.select(col("source"),
+      graft.ops.Hashing.hash60(col("text")).as("h"))
+    val pTheta = plan(sh.groupBy(col("source"))
+      .agg(graft.ops.Hashing.thetaSketchAgg(col("h"), 12).as("sk")))
+    val oha = "ObjectHashAggregate".r.findAllIn(pTheta).size
+    assert(oha >= 2, s"theta sketch agg must have a partial (map-side) stage:\n$pTheta")
+    // q137: the basin assignment broadcasts the k seeds, never shuffles the corpus
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pCs = plan(Similarity.kcenterCoreset(emb, col("vec_id"), col("embedding"), 2))
+    assert(pCs.contains("BroadcastNestedLoopJoin") || pCs.contains("BroadcastExchange"),
+      "seed table must broadcast into the assignment")
+  }
+
   test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
     import graft.ops.Layout
     import spark.implicits._
