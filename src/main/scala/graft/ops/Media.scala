@@ -327,6 +327,77 @@ object Media {
     }.toDF("media_id", "dhash")
   }
 
+  /** CONTENT-derived frame fingerprints: the payload cut into fixed-width
+    * `frameBytes` frames (the video analog — fixed frame duration, so a
+    * TRUNCATED or clipped copy still shares its complete frames with the
+    * original, unlike the content-scaled [[dhash]] grid whose boundaries
+    * move with length), each frame fingerprinted by the cross-engine
+    * hash60 of its hex region. Position is deliberately NOT part of the
+    * hash — shared content matches wherever it sits. One row per DISTINCT
+    * (media_id, frame_hash): in-asset repeats collapse, so downstream set
+    * arithmetic is over frame SETS. Replaces [[sampleFrames]]'s id-derived
+    * stub hash when frames must be comparable ACROSS assets.
+    */
+  def frameContentHashes(
+      media: DataFrame, id: Column, payload: Column, frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, "frame width must be positive")
+    val hexPerFrame = frameBytes * 2
+    // integer frame count ceil(hexLen / w) — `div`, not `/` (double division)
+    val nf = expr(s"(length(hx) + ${hexPerFrame - 1}) div $hexPerFrame")
+    media.select(id.as("media_id"), hex(payload).as("hx"))
+      .select(col("media_id"), col("hx"),
+        explode(when(nf >= 1, sequence(lit(0), nf.cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("media_id"),
+        Hashing.hash60(concat(lit("frm-"),
+          col("hx").substr(lit(1) + col("j") * lit(hexPerFrame), lit(hexPerFrame))))
+          .as("frame_hash"))
+      .distinct()
+  }
+
+  /** Frame-overlap near-duplicate pairs — the video-dedup analog of shingle
+    * containment (q109): every asset pair sharing ≥ `minShared` frame
+    * fingerprints, with containment = shared / min(|A|, |B|) over the
+    * distinct frame sets (a clipped or truncated copy contains ~all of its
+    * frames in the original, where symmetric Jaccard would dilute).
+    *
+    * Scale shape: the inverted-index join on frame_hash — two longs per
+    * row, never payload bytes; `maxFrameDf` drops fingerprints present in
+    * more than that many assets (intros/color-bars/silence frames fan out
+    * as df² and carry no pair-specific signal — the maxShingleDf trade).
+    * The distinct (media_id, frame_hash) frame is localCheckpoint'd: sizes
+    * and the pair join both consume it.
+    */
+  def frameOverlapPairs(
+      frames: DataFrame,
+      minShared: Int,
+      minContainment: Double,
+      maxFrameDf: Option[Int] = None): DataFrame = {
+    val fr0 = frames.select(col("media_id"), col("frame_hash")).distinct()
+    val fr = (maxFrameDf match {
+      case Some(cap) =>
+        val keep = fr0.groupBy(col("frame_hash")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("frame_hash"))
+        fr0.join(keep, Seq("frame_hash"), "left_semi")
+      case None => fr0
+    }).localCheckpoint()
+    val sizes = fr.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    fr.select(col("media_id").as("id_a"), col("frame_hash"))
+      .join(fr.select(col("media_id").as("id_b"), col("frame_hash")), Seq("frame_hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col("media_id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") /
+          least(col("nf_a"), col("nf_b")).cast("double"))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("nf_a"), col("nf_b"),
+        col("containment"))
+  }
+
   /** Feature extraction: a fixed-width vector per asset, emitted as flat
     * (media_id, feat_idx, feat_val) rows. The stub features are exact
     * rationals of the decoded dimensions (a real deployment runs its

@@ -476,6 +476,69 @@ object Text {
       .select(col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    * 2001) — the third classical retrieval model beside BM25 (tf·idf
+    * saturation) and vector cosine: rank by the probability the document's
+    * smoothed unigram LM generates the query,
+    *
+    *   score(q, d) = Σ_{t∈q} ln( (tf(t,d) + μ·cf(t)/|C|) / (dl(d) + μ) )
+    *
+    * computed as ln of INTEGER ratios — the per-term argument is
+    * (tf·|C| + μ·cf) / (|C|·(dl+μ)) with integer μ, so both engines take ln
+    * of bit-identical doubles and the per-doc sum is a fixed-term-order
+    * fold (the q108 ln discipline). Only documents containing ≥ 1 query
+    * term are ranked (the standard inverted-index practice; a no-match doc
+    * differs only by its length prior). Terms with zero collection
+    * frequency must be dropped upstream — they would send every score to
+    * -∞ (ln 0).
+    *
+    * Scale shape: identical to [[bm25TopK]] — the token explode filters to
+    * the query terms BEFORE the tf aggregation, collection stats are a
+    * 1-row broadcast, cf is a |terms|-row broadcast, and the global top-k
+    * window prunes map-side (TakeOrderedAndProject/WindowGroupLimit).
+    */
+  def queryLikelihoodTopK(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Long = 2000L): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    require(mu >= 1, "Dirichlet mu must be a positive integer")
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val dl = df.select(id.as("doc_id"), wordCount(text).cast("long").as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("total"))
+    val tf = toks.where(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // collection frequency per term: one row per query term, pivoted to a
+    // single broadcast row (at most one non-zero element per sum)
+    val cfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("cf")).otherwise(lit(0L))).as(s"cf_$i")
+    }
+    val cfRow = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+      .agg(cfCols.head, cfCols.tail: _*)
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i")
+    }
+    val perDoc = tf.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(cfRow))
+    val score = queryTerms.indices.map { i =>
+      log((col(s"tf_$i") * col("total") + lit(mu) * col(s"cf_$i")).cast("double") /
+        (col("total") * (col("dl") + lit(mu))).cast("double"))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+
   /** BATCHED multi-query BM25: scores a whole query TABLE `(qid bigint,
     * terms array<string>)` against the corpus in ONE pass — the shape a real
     * retrieval/eval pipeline needs (thousands of queries per job), where

@@ -244,6 +244,65 @@ object MediaQueries {
            |  bit_count(xor(a.dhash, b.dhash)) AS hamming
            |FROM dcode a JOIN dcode b ON a.media_id < b.media_id
            |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+      }),
+
+    // Frame-overlap near-dup pairs (the video-dedup analog of shingle
+    // containment): payloads cut into fixed 64-byte frames, content-hash
+    // fingerprints, inverted-index pair join with containment =
+    // shared/min(|A|,|B|). The planted scenario is the TRUNCATED
+    // re-upload: every 25th document also ships a half-length prefix copy
+    // (same magic — kind keyed on the original id) under media_id + 2·10^7;
+    // its complete frames all appear in the original, so it must pair at
+    // containment ≈ 1 while unrelated assets share nothing. The dHash
+    // (q135) misses truncation by design (content-scaled boundaries move);
+    // this catches exactly that case.
+    QueryDef(
+      "q141_frame_overlap_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        val truncated = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id"),
+            col("text").substr(lit(1), expr("length(text) div 2")).as("text"))
+        val copies = Media.syntheticFromDocs(truncated, col("doc_id"), col("text"))
+          .withColumn("media_id", col("media_id") + lit(20000000L))
+        val media = base.unionByName(copies)
+        val frames = Media.frameContentHashes(media, col("media_id"),
+          col("payload"), frameBytes = 64)
+        Media.frameOverlapPairs(frames, minShared = 2, minContainment = 0.5)
+      },
+      Some {
+        val k = Hashing.duckHash60("('media-' || CAST(kid AS VARCHAR))")
+        val fold = Hashing.duckFoldHexCol("m")
+        s"""WITH dd AS (
+           |  SELECT doc_id AS media_id, doc_id AS kid, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS media_id, doc_id AS kid,
+           |    substring(text, 1, length(text) // 2) AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |media AS (
+           |  SELECT media_id,
+           |    (CASE WHEN k = 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+           |          WHEN k = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+           |          ELSE 'RIFF'::BLOB END) || encode(text) AS payload
+           |  FROM (SELECT media_id, text, $k % 3 AS k FROM dd)),
+           |fr AS (
+           |  SELECT DISTINCT media_id, $fold AS fh FROM (
+           |    SELECT media_id,
+           |      md5('frm-' || substring(hex(payload), 1 + t.j * 128, 128)) AS m
+           |    FROM media CROSS JOIN
+           |      LATERAL unnest(range(0, (octet_length(payload) * 2 + 127) // 128)) AS t(j))),
+           |sizes AS (SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY 1),
+           |p AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+           |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.media_id < b.media_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(sa.nf AS BIGINT) AS nf_a, CAST(sb.nf AS BIGINT) AS nf_b,
+           |  CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) AS containment
+           |FROM p JOIN sizes sa ON sa.media_id = p.id_a
+           |JOIN sizes sb ON sb.media_id = p.id_b
+           |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin
       })
   )
 }

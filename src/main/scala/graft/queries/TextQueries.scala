@@ -343,6 +343,48 @@ object TextQueries {
       Some(s"""WITH ${duckBm25Ctes(HybridTerms)}
            |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
 
+    // Query-likelihood retrieval (Dirichlet smoothing, mu = 2000): the
+    // third classical ranking model beside BM25 (q91) and cosine — every
+    // per-term contribution is ln of an integer ratio and the per-doc sum
+    // a fixed-term-order fold, so the doubles hash-match the oracle.
+    QueryDef(
+      "q140_query_likelihood_topk",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.queryLikelihoodTopK(docs, col("doc_id"), col("text"),
+          HybridTerms, k = 20, mu = 2000L)
+      },
+      Some {
+        val inList = HybridTerms.map(t => s"'$t'").mkString(", ")
+        val tfCs = HybridTerms.zipWithIndex.map { case (t, i) =>
+          s"SUM(CASE WHEN tok = '$t' THEN tf ELSE 0 END) AS tf_$i"
+        }.mkString(", ")
+        val cfCs = HybridTerms.zipWithIndex.map { case (t, i) =>
+          s"SUM(CASE WHEN tok = '$t' THEN cf ELSE 0 END) AS cf_$i"
+        }.mkString(", ")
+        val scoreExpr = HybridTerms.indices.map { i =>
+          s"ln(CAST(tf_$i * total + 2000 * cf_$i AS DOUBLE) / CAST(total * (dl + 2000) AS DOUBLE))"
+        }.reduce((a, x) => s"($a + $x)")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+           |dl AS (
+           |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS dl
+           |  FROM documents),
+           |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+           |tf AS (
+           |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           |  WHERE tok IN ($inList) GROUP BY 1, 2),
+           |cfrow AS (
+           |  SELECT $cfCs FROM (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)),
+           |perdoc AS (
+           |  SELECT doc_id, $tfCs FROM tf GROUP BY 1)
+           |SELECT doc_id, score, rank FROM (
+           |  SELECT p.doc_id, $scoreExpr AS score,
+           |    row_number() OVER (ORDER BY $scoreExpr DESC, p.doc_id ASC) AS rank
+           |  FROM perdoc p JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN cfrow)
+           |WHERE rank <= 20""".stripMargin
+      }),
+
     // Hybrid retrieval: Reciprocal Rank Fusion of the BM25 top-100 and the
     // hashing-embedding cosine top-100 (query embedded by the document
     // vectorizer itself). Ranks are integers, so the fused score is

@@ -173,21 +173,61 @@ object StreamOps {
       numBlocks: Int = 6,
       broadcastHistory: Boolean = true): DataFrame = {
     import graft.ops.Dedup
-    val withSh = df.withColumn("simhash", Dedup.simhash60(col(textCol)))
-    val hk = history
-      .select(col("simhash").as("h_sh"))
-      .select(col("h_sh"),
-        explode(Dedup.simhashComboKeys(col("h_sh"), maxHamming, numBlocks)).as("bk"))
-    val hside = if (broadcastHistory) broadcast(hk) else hk
-    val matched = withSh
-      .select(col("simhash"),
-        explode(Dedup.simhashComboKeys(col("simhash"), maxHamming, numBlocks)).as("bk"))
-      .join(hside, Seq("bk"))
-      .where(expr("bit_count(simhash ^ h_sh)") <= maxHamming)
-      .select(col("simhash"))
-      .distinct()
-    withSh.join(broadcast(matched), Seq("simhash"), "left_anti")
+    suppressByHammingCode(
+      df.withColumn("simhash", Dedup.simhash60(col(textCol))),
+      "simhash", history, maxHamming, numBlocks, broadcastHistory)
   }
+
+  /** The code-agnostic core of the near-dup ingest gate: drop every row of
+    * `df` whose 60-bit `codeCol` lands within Hamming `maxHamming` of any
+    * code in `history` (a frame with the same-named column). Shared by the
+    * text path ([[suppressNearDuplicates]], SimHash60 codes) and the media
+    * path ([[suppressNearDupMedia]], dHash codes) — one audited blocking
+    * join instead of two.
+    */
+  def suppressByHammingCode(
+      withCode: DataFrame,
+      codeCol: String,
+      history: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 6,
+      broadcastHistory: Boolean = true): DataFrame = {
+    import graft.ops.Dedup
+    val hk = history
+      .select(col(codeCol).as("h_code"))
+      .select(col("h_code"),
+        explode(Dedup.simhashComboKeys(col("h_code"), maxHamming, numBlocks)).as("bk"))
+    val hside = if (broadcastHistory) broadcast(hk) else hk
+    val matched = withCode
+      .select(col(codeCol),
+        explode(Dedup.simhashComboKeys(col(codeCol), maxHamming, numBlocks)).as("bk"))
+      .join(hside, Seq("bk"))
+      .where(expr(s"bit_count($codeCol ^ h_code)") <= maxHamming)
+      .select(col(codeCol))
+      .distinct()
+    withCode.join(broadcast(matched), Seq(codeCol), "left_anti")
+  }
+
+  /** Media ingest near-dup suppression: the [[suppressNearDuplicates]]
+    * contract for BINARY payloads — each arriving asset gets its per-row
+    * perceptual dHash ([[graft.ops.Media.dhash]], a stateless codegen
+    * expression, so the micro-batch needs no aggregation) and is dropped
+    * when a history code sits within Hamming `maxHamming`. `history`
+    * carries (dhash) of previously accepted assets — append the surviving
+    * rows' codes in the same foreachBatch that runs this gate, exactly
+    * like the text path. Catches re-uploads and lightly edited copies that
+    * the exact content-hash anti-join misses.
+    */
+  def suppressNearDupMedia(
+      df: DataFrame,
+      payloadCol: String,
+      history: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int = 6,
+      broadcastHistory: Boolean = true): DataFrame =
+    suppressByHammingCode(
+      df.withColumn("dhash", graft.ops.Media.dhash(col(payloadCol))),
+      "dhash", history, maxHamming, numBlocks, broadcastHistory)
 
   /** Stream-stream interval join: pair rows of two unbounded streams on an
     * equi-key within an event-time window of `maxDelay` (right side in

@@ -141,6 +141,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("media ingest near-dup gate: dhash-blocked history suppression drops edited re-uploads, keeps fresh assets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.ops.Media
+
+    val baseText = ("stable content region " * 40).trim // long enough for a full grid
+    val editedText = baseText.updated(100, 'X').updated(101, 'Y') // same-length local edit
+    val freshText = ("completely different material " * 40).trim
+    def payloadDf(rows: Seq[(Long, String)]) = rows.toDF("media_id", "t")
+      .select(col("media_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(Media.PngMagic),
+          col("t").cast("binary")).as("payload"))
+    // fixture preconditions: edited within Hamming 3 of base, fresh far out
+    val codes = payloadDf(Seq((0L, baseText), (1L, editedText), (2L, freshText)))
+      .select(Media.dhash(col("payload")).as("c")).as[Long].collect()
+    val hamEdit = java.lang.Long.bitCount(codes(0) ^ codes(1))
+    val hamFresh = java.lang.Long.bitCount(codes(0) ^ codes(2))
+    assert(hamEdit > 0 && hamEdit <= 3, s"fixture drift: edited copy Hamming $hamEdit")
+    assert(hamFresh > 3, s"fixture drift: fresh asset Hamming $hamFresh")
+
+    val history = payloadDf(Seq((0L, baseText)))
+      .select(Media.dhash(col("payload")).as("dhash"))
+    val arriving = payloadDf(Seq((10L, editedText), (11L, baseText), (12L, freshText)))
+    val kept = StreamOps.suppressNearDupMedia(
+        arriving, "payload", history, maxHamming = 3)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(12L),
+      "edited and exact re-uploads suppressed; the genuinely new asset kept")
+  }
+
   test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
     import spark.implicits._
     val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
