@@ -82,6 +82,19 @@ object GraftExtensions {
       require(ch.size == 2, "theta_intersect_estimate takes two sketch arguments")
       graft.plans.ThetaIntersectEstimate(ch(0), ch(1))
     },
+    entry("theta_union", classOf[graft.plans.ThetaUnionAgg]) { ch =>
+      require(ch.size == 2, "theta_union takes (sketch_col, lgK)")
+      val lgK = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"theta_union lgK must be an integer literal, got $other")
+      }
+      graft.plans.ThetaUnionAgg(ch(0), lgK)
+    },
+    entry("theta_anotb_estimate", classOf[graft.plans.ThetaAnotBEstimate]) { ch =>
+      require(ch.size == 2, "theta_anotb_estimate takes two sketch arguments")
+      graft.plans.ThetaAnotBEstimate(ch(0), ch(1))
+    },
     entry("regexp_match_count", classOf[graft.plans.RegexpMatchCount]) { ch =>
       require(ch.size == 2, "regexp_match_count takes (text, pattern)")
       val p = ch(1) match {

@@ -914,4 +914,60 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
         (abs(est - col("n_shared").cast("double")) <= bound).as("within_bound"))
   }
+
+  /** Per-source NOVELTY audit from stored theta sketches: for every source,
+    * how much of its shingle vocabulary appears NOWHERE else — |src \
+    * ∪ others|, the set DIFFERENCE (AnotB) that completes the sketch
+    * algebra ([[thetaSourceOverlap]] gives intersections). The audit an
+    * incremental-crawl curator runs to decide whether a new dump adds
+    * content or re-crawls the web it already has.
+    *
+    * Scale shape: the corpus aggregates ONCE into #sources sketch rows;
+    * the union-of-others per source is a #sources² sketch-pair
+    * re-aggregation over STORED bytes ([[Hashing.thetaUnionAgg]]) — no
+    * corpus rescan, and a year of daily shard sketches folds the same way.
+    * Exact verification counts df==1 shingles per source from the same
+    * kept frame (the q26/q125 discipline); the verdict uses the
+    * union-scaled ~3σ AnotB bound (difference error, like intersection,
+    * scales with the union size over √k).
+    *
+    * Output: (src, sz, n_unique, within_bound) — sz/n_unique exact.
+    */
+  def thetaSourceNovelty(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      group: Column,
+      n: Int,
+      lgK: Int = 12,
+      maxSrcDf: Option[Int] = None,
+      relSlack: Double = 0.05): DataFrame = {
+    val sh = keptSourceShingles(df, id, text, group, n, maxSrcDf)
+    val shard = sh.groupBy(col("src"))
+      .agg(Hashing.thetaSketchAgg(col("h"), lgK).as("sk"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint()
+    // exact uniques: shingles with corpus-wide df == 1, counted per source
+    val uniq = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("src")).as("src"))
+      .where(col("df") === 1)
+      .groupBy(col("src")).agg(count(lit(1)).as("n_unique"))
+    val others = shard.select(col("src").as("src_a"), col("sz").as("sz_a"), col("sk").as("sk_a"))
+      .join(shard.select(col("src").as("src_b"), col("sk").as("sk_b")),
+        col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("sz_a"), col("sk_a"))
+      .agg(Hashing.thetaUnionAgg(col("sk_b"), lgK).as("sk_others"))
+    val est = Hashing.thetaAnotBEstimate(col("sk_a"), col("sk_others"))
+    val totalSz = sh.agg(count(lit(1)).as("total_rows"))
+    val bound = lit(3.0) * col("total_rows").cast("double") /
+      lit(math.sqrt((1L << lgK).toDouble)) +
+      lit(relSlack) * col("n_unique").cast("double")
+    others
+      .join(uniq.withColumnRenamed("src", "src_a"), Seq("src_a"), "left_outer")
+      .crossJoin(broadcast(totalSz))
+      .select(col("src_a").as("src"), col("sz_a").as("sz"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (abs(est - coalesce(col("n_unique"), lit(0L)).cast("double")) <= bound)
+          .as("within_bound"))
+  }
 }

@@ -136,6 +136,20 @@ object Hashing {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
+  /** Union aggregate over STORED theta sketch bytes (shard rollups). */
+  def thetaUnionAgg(sk: Column, lgK: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ThetaUnionAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sk),
+        lgK).toAggregateExpression())
+
+  /** |A \ B| estimate from two stored theta sketches. */
+  def thetaAnotBEstimate(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ThetaAnotBEstimate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Largest prime below 2^30. */
   val FamilyP: Long = 1073741789L
 

@@ -83,6 +83,92 @@ object ThetaSketchOps {
   def wrap(bytes: Array[Byte]): Sketch = Sketches.wrapSketch(Memory.wrap(bytes))
 }
 
+/** Union of STORED theta sketches (a binary column of serialized
+  * CompactSketches) — the re-aggregation layer: fold shard sketches into
+  * coarser rollups (daily → monthly, per-source → corpus) without touching
+  * raw data. Same determinism argument as [[ThetaSketchAgg]]; `lgK` bounds
+  * the RESULT sketch (inputs keep their own k).
+  */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with UnaryLike[Expression] {
+
+  require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
+
+  override def prettyName: String = "theta_union"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[BinaryType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_union requires BINARY (sketch) input, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(ThetaSketchOps.wrap(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult(false, null))
+    buffer
+  }
+
+  override def eval(buffer: Union): Any =
+    buffer.getResult(true, null).toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult(true, null).toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}
+
+/** |A \ B| estimate from two stored theta sketches (set difference — with
+  * [[ThetaIntersectEstimate]] the full set algebra HLL lacks). Shard-table
+  * rows only, interpreted eval.
+  */
+case class ThetaAnotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "theta_anotb_estimate"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[BinaryType] && right.dataType.isInstanceOf[BinaryType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_anotb_estimate requires BINARY inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOperation.builder().buildANotB()
+      .aNotB(ThetaSketchOps.wrap(a.asInstanceOf[Array[Byte]]),
+        ThetaSketchOps.wrap(b.asInstanceOf[Array[Byte]]))
+      .getEstimate
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotBEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct-count estimate of a stored theta sketch (binary column). Not a
   * hot-path expression — it reads model/shard-table rows (#shards, never
   * corpus rows), so interpreted eval is fine.

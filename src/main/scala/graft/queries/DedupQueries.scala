@@ -473,6 +473,41 @@ object DedupQueries {
            |  TRUE AS within_bound
            |FROM p JOIN sizes sa ON sa.src = p.src_a
            |JOIN sizes sb ON sb.src = p.src_b""".stripMargin
+      }),
+
+    // Per-source NOVELTY from stored theta sketches: |src \ union(others)|
+    // via the AnotB set difference — the incremental-crawl audit ("does
+    // this dump add anything?"). Union-of-others is a sketch-pair
+    // re-aggregation over stored bytes (no corpus rescan); rows carry the
+    // exact unique counts (corpus df == 1 per source) + the in-engine
+    // 3σ verdict, which the oracle reproduces as exact + TRUE.
+    QueryDef(
+      "q143_theta_source_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.thetaSourceNovelty(docs, col("doc_id"), col("text"),
+          col("source"), n = 3, lgK = 12, maxSrcDf = Some(15))
+      },
+      Some {
+        val h = Hashing.duckFoldHexCol("m")
+        s"""WITH sr AS (
+           |  SELECT source AS src, unnest(${graft.ops.Text.duckShingles("text", 3)}) AS sh
+           |  FROM documents),
+           |sh1 AS (
+           |  SELECT DISTINCT src, $h AS hh
+           |  FROM (SELECT src, md5(sh) AS m FROM sr)),
+           |keep AS (
+           |  SELECT hh FROM (SELECT hh, COUNT(*) AS df FROM sh1 GROUP BY 1)
+           |  WHERE df <= 15),
+           |shk AS (SELECT * FROM sh1 WHERE hh IN (SELECT hh FROM keep)),
+           |sizes AS (SELECT src, COUNT(*) AS sz FROM shk GROUP BY 1),
+           |uniq AS (
+           |  SELECT min(src) AS src, COUNT(*) AS df FROM shk GROUP BY hh HAVING COUNT(*) = 1),
+           |nu AS (SELECT src, COUNT(*) AS n_unique FROM uniq GROUP BY 1)
+           |SELECT s.src, CAST(s.sz AS BIGINT) AS sz,
+           |  CAST(COALESCE(nu.n_unique, 0) AS BIGINT) AS n_unique,
+           |  TRUE AS within_bound
+           |FROM sizes s LEFT JOIN nu ON nu.src = s.src""".stripMargin
       })
   )
 

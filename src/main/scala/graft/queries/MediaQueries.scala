@@ -84,6 +84,40 @@ object MediaQueries {
        |        GROUP BY media_id))""".stripMargin
   }
 
+  /** The q135/q142 planted-near-dup corpus: all synthetic media plus, for
+    * every 20th document, a COPY with a 4-char same-length edit (same magic
+    * — kind keyed on the ORIGINAL id) under media_id + 10^7.
+    */
+  private def editedMediaUnion(docs: org.apache.spark.sql.DataFrame) = {
+    val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+    val edited = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 100), lit("XXXX"),
+          substring(col("text"), 105, 1000000000)).as("text"))
+    val copies = Media.syntheticFromDocs(edited, col("doc_id"), col("text"))
+      .withColumn("media_id", col("media_id") + lit(10000000L))
+    base.unionByName(copies)
+  }
+
+  /** DuckDB twin of [[editedMediaUnion]], ending in `media(media_id,
+    * payload)`.
+    */
+  private val duckEditedMediaCtes: String = {
+    val k = Hashing.duckHash60("('media-' || CAST(kid AS VARCHAR))")
+    s"""dd AS (
+       |  SELECT doc_id AS media_id, doc_id AS kid, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS media_id, doc_id AS kid,
+       |    substring(text, 1, 100) || 'XXXX' || substring(text, 105, 1000000000) AS text
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |media AS (
+       |  SELECT media_id,
+       |    (CASE WHEN k = 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+       |          WHEN k = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+       |          ELSE 'RIFF'::BLOB END) || encode(text) AS payload
+       |  FROM (SELECT media_id, text, $k % 3 AS k FROM dd))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Metadata extraction over the binary column: declared vs sniffed mime,
@@ -212,39 +246,55 @@ object MediaQueries {
       "q135_dhash_neardup_pairs",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
-        // same-length edit => same magic (kind keyed on the ORIGINAL id)
-        val edited = docs.where(pmod(col("doc_id"), lit(20)) === 0)
-          .select(col("doc_id"),
-            concat(substring(col("text"), 1, 100), lit("XXXX"),
-              substring(col("text"), 105, 1000000000)).as("text"))
-        val copies = Media.syntheticFromDocs(edited, col("doc_id"), col("text"))
-          .withColumn("media_id", col("media_id") + lit(10000000L))
-        val media = base.unionByName(copies)
-        val codes = media.select(col("media_id"),
+        val codes = editedMediaUnion(docs).select(col("media_id"),
           Media.dhash(col("payload")).as("dhash"))
         Media.dhashNearDupPairs(codes, maxHamming = 3)
       },
-      Some {
-        val k = Hashing.duckHash60("('media-' || CAST(kid AS VARCHAR))")
-        s"""WITH dd AS (
-           |  SELECT doc_id AS media_id, doc_id AS kid, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 10000000 AS media_id, doc_id AS kid,
-           |    substring(text, 1, 100) || 'XXXX' || substring(text, 105, 1000000000) AS text
-           |  FROM documents WHERE doc_id % 20 = 0),
-           |media AS (
-           |  SELECT media_id,
-           |    (CASE WHEN k = 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
-           |          WHEN k = 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
-           |          ELSE 'RIFF'::BLOB END) || encode(text) AS payload
-           |  FROM (SELECT media_id, text, $k % 3 AS k FROM dd)),
+      Some(s"""WITH $duckEditedMediaCtes,
            |$duckDhashCtes
            |SELECT a.media_id AS id_a, b.media_id AS id_b,
            |  bit_count(xor(a.dhash, b.dhash)) AS hamming
            |FROM dcode a JOIN dcode b ON a.media_id < b.media_id
-           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
-      }),
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin)),
+
+    // Pairs → clusters → SURVIVORS for MEDIA: the q83/q84 dedup story on
+    // binary assets — dHash near-dup pairs over the same planted edited
+    // copies, hash-min connected components, min-id representative policy.
+    // Every edited copy (media_id + 10^7 > its original) must drop; every
+    // original and every unpaired asset survives. The oracle reruns the
+    // pair brute-force and the recursive-CTE transitive closure.
+    QueryDef(
+      "q142_media_dedup_survivors",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val media = editedMediaUnion(docs)
+        val codes = media.select(col("media_id"),
+          Media.dhash(col("payload")).as("dhash"))
+        val pairs = Media.dhashNearDupPairs(codes, maxHamming = 3)
+        val labels = graft.ops.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+        graft.ops.Dedup.keepClusterRepresentative(
+          media.select(col("media_id")), col("media_id"), labels)
+      },
+      Some(s"""WITH RECURSIVE $duckEditedMediaCtes,
+           |$duckDhashCtes,
+           |jp AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM dcode a JOIN dcode b ON a.media_id < b.media_id
+           |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION
+           |  SELECT id_b, id_a FROM jp),
+           |reach(id, r) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |labels AS (
+           |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+           |SELECT m.media_id FROM media m
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM labels l WHERE l.id = m.media_id AND l.id <> l.cluster_id)""".stripMargin)),
 
     // Frame-overlap near-dup pairs (the video-dedup analog of shingle
     // containment): payloads cut into fixed 64-byte frames, content-hash

@@ -52,4 +52,29 @@ class ThetaSketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ei - 20000.0) <= 3.0 * 100000.0 / math.sqrt(4096.0),
       s"intersection estimate $ei outside the union-scaled 3σ bound of 20000")
   }
+
+  test("union re-aggregation over stored bytes == direct sketch; AnotB difference within bound") {
+    import spark.implicits._
+    // three shards of one logical set: sketch each, union the BYTES, compare
+    // against sketching the concatenation directly (same retained set)
+    val parts = (0L until 30000L).map(i => (i % 3, i))
+    val shards = parts.toDF("shard", "v").groupBy(col("shard"))
+      .agg(Hashing.thetaSketchAgg(col("v"), 12).as("sk"))
+    val folded = shards.agg(Hashing.thetaUnionAgg(col("sk"), 12).as("u"))
+      .select(Hashing.thetaEstimate(col("u"))).head().getDouble(0)
+    val direct = parts.toDF("shard", "v")
+      .agg(Hashing.thetaEstimate(Hashing.thetaSketchAgg(col("v"), 12)))
+      .head().getDouble(0)
+    assert(folded == direct,
+      s"stored-bytes union ($folded) must equal the direct sketch ($direct)")
+    // difference: |A \ B| with A = 0..60k, B = 40k..100k -> truth 40k
+    val a = (0L until 60000L).map(i => ("a", i))
+    val b = (40000L until 100000L).map(i => ("b", i))
+    val sk = (a ++ b).toDF("g", "v").groupBy(col("g"))
+      .agg(Hashing.thetaSketchAgg(col("v"), 12).as("sk"))
+    val ed = sk.groupBy().pivot(col("g"), Seq("a", "b")).agg(first(col("sk")))
+      .select(Hashing.thetaAnotBEstimate(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(ed - 40000.0) <= 3.0 * 100000.0 / math.sqrt(4096.0),
+      s"difference estimate $ed outside the union-scaled 3σ bound of 40000")
+  }
 }
