@@ -784,6 +784,113 @@ object RelationalQueries {
            |  FROM part),
            |${levels.mkString(",\n")}
            |SELECT p_partkey, hx, hy, d AS hcode FROM h$bits""".stripMargin
-      })
+      }),
+
+    // MERGEABLE exact-moment shard tables: per-event-type (n, Σv, Σv²) in
+    // decimal, with the __total__ row rolled up FROM THE SHARD FRAME (a sum
+    // over #groups stored rows — the no-rescan merge path, the numeric
+    // companion of the q125/q136 sketch tables; moments merge EXACTLY, so
+    // unlike a sketch no within_bound verdict is needed). The oracle
+    // mirrors the decimal sums and the final double arithmetic order.
+    QueryDef(
+      "q144_moment_shards",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.ops.Stats.momentShards(ev, col("value"), col("event_type"))
+      },
+      Some("""WITH shard AS (
+           |  SELECT event_type AS scope, COUNT(*) AS n,
+           |    SUM(CAST(value AS DECIMAL(38,18))) AS s1,
+           |    SUM(CAST(value * value AS DECIMAL(38,18))) AS s2
+           |  FROM events GROUP BY 1),
+           |allrows AS (
+           |  SELECT scope, n, s1, s2 FROM shard
+           |  UNION ALL
+           |  SELECT '__total__', CAST(SUM(n) AS BIGINT), SUM(s1), SUM(s2) FROM shard)
+           |SELECT scope, CAST(n AS BIGINT) AS n,
+           |  CAST(s1 AS DOUBLE) AS sum_v,
+           |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           |  (CAST(s2 AS DOUBLE)
+           |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / CAST(n AS DOUBLE) AS variance
+           |FROM allrows""".stripMargin)),
+
+    // Event FUNNEL: per-user ordered view -> click -> purchase conversion
+    // (each step's timestamp strictly after the previous step's first
+    // occurrence), reported as per-stage reached-user counts. Two keyed
+    // aggregation passes — no window over all users, no driver loop.
+    QueryDef(
+      "q145_event_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val tView = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val tClick = ev.join(tView, "user_id")
+          .where(col("event_type") === "click" && col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val tPurchase = ev.join(tClick, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        val stages = Seq(
+          ("1_view", tView), ("2_click_after_view", tClick),
+          ("3_purchase_after_click", tPurchase))
+        stages.map { case (name, frame) =>
+          frame.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH tv AS (
+           |  SELECT user_id, min(ts) AS t_view FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |tc AS (
+           |  SELECT e.user_id, min(e.ts) AS t_click
+           |  FROM events e JOIN tv ON tv.user_id = e.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > tv.t_view GROUP BY 1),
+           |tp AS (
+           |  SELECT e.user_id, min(e.ts) AS t_purchase
+           |  FROM events e JOIN tc ON tc.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click GROUP BY 1)
+           |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM tv
+           |UNION ALL SELECT '2_click_after_view', COUNT(*) FROM tc
+           |UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM tp""".stripMargin)),
+
+    // Batch SESSIONIZATION (gaps-and-islands): per-user sessions split at
+    // >10-minute silence — the batch twin of q07's streaming session
+    // windows. The lag/cumsum windows are PER-USER (keyed partitions, never
+    // a global window); ties order by (ts, event_id) so session ids are
+    // total-order deterministic.
+    QueryDef(
+      "q146_event_sessions",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = ev.select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      },
+      Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts,
+           |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           |  COUNT(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+           |FROM sess GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -285,6 +285,60 @@ object SimilarityQueries {
            |  FROM tv t JOIN e ON e.vec_id = t.doc_id)
            |SELECT doc_id, cosine, cosine >= 0.0 AS aligned FROM scored""".stripMargin)),
 
+    // Matryoshka-style truncation eval (the MRL question: how much ANN
+    // quality survives using only the first 32 of 64 dims?): per-query
+    // overlap between the exact top-3 under the full vectors and under the
+    // 32-dim prefixes. Quadratic baselines — quarantined from the bench
+    // like q61; at scale the truncated side would be the IVF/PQ index and
+    // this query is its acceptance gate.
+    QueryDef(
+      "q147_matryoshka_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val full = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val truncated = Similarity.bruteForceTopK(
+          emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+          col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val overlap = full.join(truncated, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+        emb.select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left_outer")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(3.0)).as("recall"))
+      },
+      Some(s"""WITH $duckEmb,
+           |et AS (
+           |  SELECT vec_id, list_slice(v, 1, 32) AS v,
+           |    sqrt(list_dot_product(list_slice(v, 1, 32), list_slice(v, 1, 32))) AS nrm
+           |  FROM e),
+           |topf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+           |  WHERE rank <= 3),
+           |topt AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+           |    FROM et a JOIN et b ON a.vec_id <> b.vec_id)
+           |  WHERE rank <= 3),
+           |ov AS (
+           |  SELECT f.query_id, COUNT(*) AS n_overlap
+           |  FROM topf f JOIN topt t ON t.query_id = f.query_id
+           |    AND t.neighbor_id = f.neighbor_id
+           |  GROUP BY 1)
+           |SELECT e.vec_id AS query_id,
+           |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 3.0 AS recall
+           |FROM e LEFT JOIN ov ON ov.query_id = e.vec_id""".stripMargin),
+      bench = false),
+
     // Per-vector L2 norm + per-label aggregate (warm-up / plumbing check).
     QueryDef(
       "q60_embedding_norms",
