@@ -172,6 +172,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       "edited and exact re-uploads suppressed; the genuinely new asset kept")
   }
 
+  test("incremental moment maintenance: per-micro-batch sum appends re-merge to the exact batch stats") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Stats
+
+    val all = (1 to 500).map(i => (s"g${i % 3}", math.sin(i) * 100.0))
+    val ms = MemoryStream[(String, Double)]
+    // the durable stats table a stream maintains: one appended (scope, n,
+    // s1, s2) frame per micro-batch, never a rescan of earlier batches
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += Stats.momentSums(batch, col("v"), col("g")).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(all.take(200)); q.processAllAvailable()
+      ms.addData(all.slice(200, 350)); q.processAllAvailable()
+      ms.addData(all.drop(350)); q.processAllAvailable()
+    } finally q.stop()
+    assert(stored.size == 3, "three micro-batches -> three stored sum frames")
+    val merged = Stats.finalizeMoments(
+        Stats.mergeMoments(stored.reduce(_ unionByName _)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    val direct = Stats.finalizeMoments(
+        Stats.momentSums(all.toDF("g", "v"), col("v"), col("g")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(merged == direct,
+      "decimal sums must merge EXACTLY across micro-batches (bit-equal mean/variance)")
+  }
+
   test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
     import spark.implicits._
     val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
