@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the companion of
+  * [[Dedup.connectedComponents]] (which owns cluster formation): centrality
+  * scores used by curation pipelines to pick cluster REPRESENTATIVES by
+  * importance instead of min-id, and to rank near-duplicate communities by
+  * how central their members are.
+  */
+object Graph {
+
+  /** MUTUAL-kNN edges from any ranked neighbor frame (query_id,
+    * neighbor_id) — brute-force exact, LSH, or IVF top-k all fit: an
+    * undirected edge (a < b) exists iff each endpoint appears in the
+    * other's top-k. Mutuality is the classic symmetrization that prunes
+    * hub-induced one-way links before community/centrality analysis.
+    * One self-semi-join on (id, id) pairs — two longs per row.
+    */
+  def mutualEdges(topk: DataFrame): DataFrame = {
+    val e = topk.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    e.join(e.select(col("id_b").as("id_a"), col("id_a").as("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      .where(col("id_a") < col("id_b"))
+  }
+
+  /** Deterministic PageRank over a DIRECTED edge list (src, dst) and a node
+    * frame (id): `iters` synchronous iterations of
+    *
+    *   pr(v) = 0.15/N + 0.85 · (Σ_{u→v} pr(u)/deg(u) + DM/N)
+    *
+    * with dangling mass DM = Σ_{deg(u)=0} pr(u) redistributed uniformly —
+    * the standard damped random surfer (Page et al. 1999). Every
+    * mass-gathering sum is decimal(38,18)-exact (order-independent), the
+    * per-edge contribution pr/deg and the final combination are fixed
+    * double expressions, so the scores are bit-reproducible on any
+    * partitioning and hash-match an oracle that mirrors the same casts
+    * (the q112 power-iteration discipline applied to a graph).
+    *
+    * Scale shape per iteration: one (src-keyed) join to attach pr/deg, one
+    * dst-keyed decimal aggregation — ids and one double per row through
+    * every exchange; N and the dangling mass are 1-row broadcasts; the
+    * rank frame is localCheckpoint'd each iteration (it feeds both the
+    * next contribution join and the dangling sum — and 10 iterations of
+    * unbroken lineage would replay the whole chain per action).
+    */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val d = lit(damping)
+    val oneMinusD = lit(1.0 - damping)
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var r = nodes.select(col("id"))
+      .crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("nn").cast("double")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(r.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst"),
+          (col("pr") / col("deg").cast("double")).as("c"))
+      val gathered = contrib.groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(38,18)")).as("s"))
+      val dangling = r.join(deg, r("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(38,18)")),
+          lit(0).cast("decimal(38,18)")).as("dm"))
+      r = r.select(col("id"))
+        .join(gathered, col("id") === col("dst"), "left_outer")
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          ((oneMinusD / col("nn").cast("double")) +
+            d * (coalesce(col("s").cast("double"), lit(0.0)) +
+              col("dm").cast("double") / col("nn").cast("double"))).as("pr"))
+        .localCheckpoint()
+    }
+    r
+  }
+}

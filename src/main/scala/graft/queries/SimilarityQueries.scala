@@ -198,7 +198,102 @@ object SimilarityQueries {
     (init +: its).mkString(",\n")
   }
 
+  /** Exact cosine top-3 CTE (`topf(query_id, neighbor_id)`) shared by the
+    * graph queries (q148/q149). Declared before `defs` — Scala vals
+    * initialize in declaration order.
+    */
+  private val duckTop3Cte: String =
+    """topf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rank
+      |    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      |  WHERE rank <= 3)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Mutual-kNN graph edges: (a, b) iff each is in the other's exact
+    // cosine top-3 — the symmetrization that prunes hub-induced one-way
+    // links before community/centrality analysis. Brute-force base
+    // quarantined from the bench like q61; at scale the ranked frame
+    // comes from LSH/IVF.
+    QueryDef(
+      "q148_mutual_knn_edges",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.mutualEdges(topk)
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckTop3Cte
+           |SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |FROM topf f
+           |WHERE f.query_id < f.neighbor_id
+           |  AND EXISTS (SELECT 1 FROM topf r
+           |              WHERE r.query_id = f.neighbor_id
+           |                AND r.neighbor_id = f.query_id)""".stripMargin),
+      bench = false),
+
+    // PageRank centrality over the mutual-kNN graph: 10 damped iterations
+    // with decimal-exact mass gathering and uniform dangling-mass
+    // redistribution — the importance score a curator uses to pick cluster
+    // REPRESENTATIVES (vs min-id) and rank near-dup communities. The
+    // oracle unrolls all 10 iterations with the identical casts (the q112
+    // power-iteration discipline applied to a graph).
+    QueryDef(
+      "q149_knn_pagerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val mutual = graft.ops.Graph.mutualEdges(topk).localCheckpoint()
+        val edges = mutual.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(mutual.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.ops.Graph.pageRank(
+            emb.select(col("vec_id").as("id")), edges, iters = 10)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val its = (1 to 10).map { i =>
+          s"""g$i AS MATERIALIZED (
+             |  SELECT ed.dst,
+             |    SUM(CAST(r.pr / CAST(dg.deg AS DOUBLE) AS DECIMAL(38,18))) AS s
+             |  FROM ed JOIN dg ON dg.src = ed.src
+             |  JOIN r${i - 1} r ON r.id = ed.src GROUP BY 1),
+             |dm$i AS MATERIALIZED (
+             |  SELECT COALESCE(SUM(CAST(r.pr AS DECIMAL(38,18))),
+             |    CAST(0 AS DECIMAL(38,18))) AS dm
+             |  FROM r${i - 1} r WHERE r.id NOT IN (SELECT src FROM dg)),
+             |r$i AS MATERIALIZED (
+             |  SELECT n.id,
+             |    ((1.0 - 0.85) / CAST(nn AS DOUBLE))
+             |      + 0.85 * (COALESCE(CAST(g.s AS DOUBLE), 0.0)
+             |                + CAST(d.dm AS DOUBLE) / CAST(nn AS DOUBLE)) AS pr
+             |  FROM (SELECT id FROM r0) n
+             |  LEFT JOIN g$i g ON g.dst = n.id
+             |  CROSS JOIN dm$i d CROSS JOIN nnc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |mk AS MATERIALIZED (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mk
+           |       UNION ALL SELECT id_b, id_a FROM mk),
+           |dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+           |nnc AS (SELECT COUNT(*) AS nn FROM e),
+           |r0 AS MATERIALIZED (SELECT vec_id AS id, 1.0 / CAST(nn AS DOUBLE) AS pr
+           |       FROM e CROSS JOIN nnc),
+           |$its
+           |SELECT id AS vec_id, pr FROM r10""".stripMargin
+      },
+      bench = false),
 
     // Deterministic farthest-point (k-center greedy) seeding for the IVF
     // quantizer — the no-RNG kmeans++-style initializer, hash-verified
