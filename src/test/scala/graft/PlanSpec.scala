@@ -284,6 +284,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "seed table must broadcast into the assignment")
   }
 
+  test("round-7 additions II: moments aggregate map-side; funnel has no global window; sessions never single-partition; pagerank broadcasts scalars") {
+    val ev = Tables.load(spark, sf, "events")
+    // q144 core: the decimal sum must have a partial (map-side) stage
+    val pM = plan(graft.ops.Stats.momentShards(ev, col("value"), col("event_type")))
+    assert("partial".r.findAllIn(pM.toLowerCase).nonEmpty,
+      s"moment sums must combine map-side:\n$pM")
+    // q146: every window runs on user-keyed partitions — a sessionization
+    // that funnels the corpus into one partition is the classic scale bug
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+    assert(!plan(sessions).contains("Exchange SinglePartition"),
+      "per-user windows must not collapse to a single partition")
+    // q149 core: every iteration ends in a localCheckpoint, so the final
+    // plan must be a bare materialized scan — no exchange, no join replay
+    // (10 unbroken iterations would re-execute the whole chain per action)
+    import spark.implicits._
+    val nodes = (0L until 50L).toDF("id")
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val pPr = plan(graft.ops.Graph.pageRank(nodes, edges, iters = 2))
+    assert(pPr.contains("ExistingRDD") && !pPr.contains("Exchange"),
+      s"iteration lineage must be broken by the per-iteration checkpoint:\n$pPr")
+  }
+
   test("Z-order layout: per-file min/max stays tight in BOTH dimensions (range sort: only one)") {
     import graft.ops.Layout
     import spark.implicits._
