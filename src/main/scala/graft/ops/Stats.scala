@@ -58,6 +58,49 @@ object Stats {
       ((s2d - s1d * s1d / nd) / nd).as("variance"))
   }
 
+  /** SLIDING distinct-count rollup from stored hourly theta sketches: one
+    * sketch per event-time hour (the durable shard table), then every
+    * `windowHours`-hour sliding window answered by a UNION OVER STORED
+    * BYTES ([[Hashing.thetaUnionAgg]]) — the time-series form of the
+    * sketch-table pattern. An exact sliding `count_distinct` re-scans the
+    * raw events once per window (w× write amplification); the sketch path
+    * scans once ever, and new hours extend the table incrementally. Rows
+    * carry the exact windowed distinct (the verification harness, q26
+    * discipline) and an in-engine `within_bound` verdict at `relErr`
+    * (sketches under 2^lgK distinct keys are exact, so at test scale the
+    * estimate equals the exact count bit for bit).
+    *
+    * Output: (win_end, n_hours, exact_distinct, within_bound) — one row
+    * per hour, window = (win_end − windowHours, win_end].
+    */
+  def slidingThetaDistinct(
+      df: DataFrame,
+      ts: Column,
+      key: Column,
+      windowHours: Int,
+      lgK: Int = 12,
+      relErr: Double = 0.05): DataFrame = {
+    require(windowHours >= 1, "window must span at least one hour")
+    val ev = df.select(date_trunc("hour", ts).as("h"), key.cast("long").as("k"))
+    val hourly = ev.groupBy(col("h"))
+      .agg(Hashing.thetaSketchAgg(col("k"), lgK).as("sk"))
+      .localCheckpoint()
+    val win = hourly.select(col("h").as("win_end"))
+    val inWindow = col("h") <= col("win_end") &&
+      col("h") > col("win_end") - expr(s"INTERVAL $windowHours HOURS")
+    val est = win.join(hourly, inWindow)
+      .groupBy(col("win_end"))
+      .agg(Hashing.thetaEstimate(Hashing.thetaUnionAgg(col("sk"), lgK)).as("est"),
+        count(lit(1)).as("n_hours"))
+    val exact = win.join(ev, inWindow)
+      .groupBy(col("win_end"))
+      .agg(count_distinct(col("k")).as("exact_distinct"))
+    est.join(exact, "win_end")
+      .select(col("win_end"), col("n_hours"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct").cast("double")) <=
+          lit(relErr) * col("exact_distinct").cast("double")).as("within_bound"))
+  }
+
   /** Per-group moment shards plus a `__total__` row ROLLED UP FROM THE
     * SHARD FRAME (not recomputed from the data — the frame is
     * localCheckpoint'd and the total is a sum over #groups rows, proving

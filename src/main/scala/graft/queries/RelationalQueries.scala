@@ -891,6 +891,62 @@ object RelationalQueries {
            |  FROM flagged)
            |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            |  COUNT(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
-           |FROM sess GROUP BY 1, 2""".stripMargin))
+           |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // SLIDING 3-hour distinct users from STORED hourly theta sketches —
+    // the time-series rollup form of the sketch-table pattern: the raw
+    // events are scanned once into 720 hourly sketches; every window is a
+    // union over stored bytes (an exact sliding count_distinct re-scans
+    // the events per window). Exact counts + verdict per the q26/q125
+    // discipline (reproduced by the oracle as exact + TRUE).
+    QueryDef(
+      "q150_sliding_distinct_sketch",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.ops.Stats.slidingThetaDistinct(ev, col("ts"), col("user_id"),
+          windowHours = 3, lgK = 12)
+      },
+      Some("""WITH ev AS (
+           |  SELECT date_trunc('hour', ts) AS h, user_id AS k FROM events),
+           |win AS (SELECT DISTINCT h AS win_end FROM ev)
+           |SELECT w.win_end,
+           |  CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_hours,
+           |  CAST(COUNT(DISTINCT e.k) AS BIGINT) AS exact_distinct,
+           |  TRUE AS within_bound
+           |FROM win w JOIN ev e
+           |  ON e.h <= w.win_end AND e.h > w.win_end - INTERVAL 3 HOUR
+           |GROUP BY 1""".stripMargin)),
+
+    // Retention COHORT matrix: users grouped by first-signup day, activity
+    // counted per day offset — the classic growth-analytics table. Plain
+    // keyed aggregations over (user, day) distinct rows; day arithmetic on
+    // midnight-truncated timestamps is integer-exact in both engines.
+    QueryDef(
+      "q151_retention_cohorts",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cohort = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+        val act = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        act.join(cohort, "user_id")
+          .where(col("day") >= col("cohort_day"))
+          .select(col("user_id"), col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH cohort AS (
+           |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |act AS (
+           |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+           |SELECT c.cohort_day,
+           |  CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+           |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+           |FROM act a JOIN cohort c ON c.user_id = a.user_id
+           |WHERE a.day >= c.cohort_day
+           |GROUP BY 1, 2""".stripMargin))
   )
 }
