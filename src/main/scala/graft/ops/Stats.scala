@@ -86,13 +86,20 @@ object Stats {
       .agg(Hashing.thetaSketchAgg(col("k"), lgK).as("sk"))
       .localCheckpoint()
     val win = hourly.select(col("h").as("win_end"))
-    val inWindow = col("h") <= col("win_end") &&
-      col("h") > col("win_end") - expr(s"INTERVAL $windowHours HOURS")
-    val est = win.join(hourly, inWindow)
+    // each hour contributes to the `windowHours` windows ending at h..h+w-1:
+    // EXPLODE to those window keys and equi-join — a BETWEEN range join
+    // would nested-loop over #hours² at scale; this shuffles w rows per
+    // input row on an equi key. Windows past the last hour are dropped by
+    // the semi join (only observed hours define windows).
+    def toWindows(frame: DataFrame): DataFrame = frame
+      .withColumn("win_end", explode(array((0 until windowHours).map(i =>
+        col("h") + expr(s"INTERVAL $i HOURS")): _*)))
+      .join(win, Seq("win_end"), "left_semi")
+    val est = toWindows(hourly)
       .groupBy(col("win_end"))
       .agg(Hashing.thetaEstimate(Hashing.thetaUnionAgg(col("sk"), lgK)).as("est"),
         count(lit(1)).as("n_hours"))
-    val exact = win.join(ev, inWindow)
+    val exact = toWindows(ev.distinct())
       .groupBy(col("win_end"))
       .agg(count_distinct(col("k")).as("exact_distinct"))
     est.join(exact, "win_end")
