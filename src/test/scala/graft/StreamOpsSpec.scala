@@ -206,6 +206,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       "decimal sums must merge EXACTLY across micro-batches (bit-equal mean/variance)")
   }
 
+  test("incremental sketch maintenance: per-micro-batch hourly theta appends union to the direct batch sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, date_trunc, to_timestamp}
+    import graft.ops.Hashing
+
+    val all = (0 until 900).map { i =>
+      (s"2024-03-01T0${i % 3}:1${i % 6}:00", (i * 37 % 211).toLong)
+    }
+    def hourlySketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_trunc("hour", to_timestamp(col("t"))).as("h"), col("u"))
+      .groupBy(col("h")).agg(Hashing.thetaSketchAgg(col("u"), 12).as("sk"))
+    val ms = MemoryStream[(String, Long)]
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("t", "u")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += hourlySketch(batch).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(all.take(300)); q.processAllAvailable()
+      ms.addData(all.slice(300, 600)); q.processAllAvailable()
+      ms.addData(all.drop(600)); q.processAllAvailable()
+    } finally q.stop()
+    val merged = stored.reduce(_ unionByName _)
+      .groupBy(col("h")).agg(Hashing.thetaUnionAgg(col("sk"), 12).as("sk"))
+      .collect().map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val direct = hourlySketch(all.toDF("t", "u"))
+      .collect().map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(merged.keySet == direct.keySet)
+    assert(merged.forall { case (h, b) => java.util.Arrays.equals(b, direct(h)) },
+      "unioned stored sketches must be byte-equal to the direct batch sketch " +
+        "(exact mode: retention is the full distinct hash set)")
+  }
+
   test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
     import spark.implicits._
     val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
