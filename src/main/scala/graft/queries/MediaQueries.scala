@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object MediaQueries {
 
   /** DuckDB CTE twin of `Media.syntheticFromDocs` over documents. */
-  private val duckMediaCte: String = {
+  private[queries] val duckMediaCte: String = {
     val k = Hashing.duckHash60("('media-' || CAST(doc_id AS VARCHAR))")
     s"""media AS (
        |  SELECT doc_id AS media_id,
@@ -27,7 +27,7 @@ object MediaQueries {
   }
 
   /** DuckDB twin of `Media.sniffMime` (same check order as the fold). */
-  private val duckSniff: String =
+  private[queries] val duckSniff: String =
     """CASE WHEN substring(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
       |     WHEN substring(hex(payload), 1, 8) = 'FFD8FFE0' THEN 'image/jpeg'
       |     WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'

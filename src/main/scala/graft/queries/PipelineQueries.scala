@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Hashing, Sampling, Select, Text}
+import graft.ops.{Dedup, Hashing, Media, Sampling, Select, Text}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation queries: deterministic splits, per-group sampling,
@@ -282,6 +282,61 @@ object PipelineQueries {
            |    - greatest(start_tok, chunk_id * 2048) AS tokens_in_chunk
            |FROM x""".stripMargin
       }),
+
+    // The composed MULTIMODAL curation funnel: document+asset pairs gated
+    // by predicted language -> composite quality -> metadata integrity
+    // (sniffed mime == declared) -> cross-modal alignment (cosine >= 0),
+    // reported as per-source sequential survival counts — the multimodal
+    // complement of q90/q117, composing four independently-verified
+    // operators (q40, q41, q70, q138) end to end. Only docs WITH a paired
+    // embedding enter the funnel (the LAION pair-table framing).
+    QueryDef(
+      "q152_multimodal_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        val meta = Media.extractMeta(media, col("media_id"), col("payload"))
+          .select(col("media_id").as("doc_id"),
+            (col("declared_mime") === col("sniffed_mime")).as("meta_ok"))
+        val aligned = graft.ops.Similarity.crossModalAlignment(
+            docs, col("doc_id"), col("text"),
+            emb, col("vec_id"), col("embedding"), dims = 64, minCos = 0.0)
+          .select(col("doc_id"), col("aligned"))
+        val staged = docs
+          .join(meta, "doc_id")
+          .join(aligned, "doc_id")
+          .select(col("source"),
+            (Text.langId(col("text")) === "en").as("l_ok"),
+            (Text.qualityScore(col("text")) >= 0.5).as("q_ok"),
+            col("meta_ok"), col("aligned"))
+        staged.groupBy(col("source")).agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("l_ok"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("l_ok") && col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("l_ok") && col("q_ok") && col("meta_ok"), 1L).otherwise(0L))
+            .as("n_meta"),
+          sum(when(col("l_ok") && col("q_ok") && col("meta_ok") && col("aligned"), 1L)
+            .otherwise(0L)).as("n_final"))
+      },
+      Some(s"""WITH ${SimilarityQueries.duckEmbCte},
+           |${MediaQueries.duckMediaCte},
+           |${SimilarityQueries.duckAlignmentCtes},
+           |staged AS (
+           |  SELECT d.source,
+           |    ${Text.duckLangId("d.text")} = 'en' AS l_ok,
+           |    ${Text.duckQualityScore("d.text")} >= 0.5 AS q_ok,
+           |    (m.declared_mime = ${MediaQueries.duckSniff.replace("hex(payload)", "hex(m.payload)")}) AS meta_ok,
+           |    sc.cosine >= 0.0 AS aligned
+           |  FROM documents d
+           |  JOIN media m ON m.media_id = d.doc_id
+           |  JOIN scored sc ON sc.doc_id = d.doc_id)
+           |SELECT source, COUNT(*) AS n_pairs,
+           |  CAST(SUM(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           |  CAST(SUM(CASE WHEN l_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(SUM(CASE WHEN l_ok AND q_ok AND meta_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+           |  CAST(SUM(CASE WHEN l_ok AND q_ok AND meta_ok AND aligned THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+           |FROM staged GROUP BY source""".stripMargin)),
 
     // The composed curation pipeline: predicted-language filter -> quality
     // gate -> exact dedup (min-id representative) -> per-source yield stats.

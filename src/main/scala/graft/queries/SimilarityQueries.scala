@@ -211,6 +211,38 @@ object SimilarityQueries {
       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
       |  WHERE rank <= 3)""".stripMargin
 
+  /** DuckDB CTE chain for the q138 cross-modal alignment score (the q57
+    * vectorizer at dims=64 assembled into an ordered list, folded into a
+    * zero-norm-safe cosine against the stored embedding), ending in
+    * `scored(doc_id, cosine)`. Requires `e` (duckEmb) upstream. Shared
+    * with the composed multimodal pipeline (q152).
+    */
+  private[queries] val duckAlignmentCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |contrib AS (
+       |  SELECT doc_id, (h // 2) % 64 AS bucket,
+       |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
+       |w AS (SELECT doc_id, bucket, SUM(s) AS w FROM contrib GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.doc_id, g.dim, CAST(COALESCE(w.w, 0) AS DOUBLE) AS val
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) g
+       |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.bucket = g.dim),
+       |tv AS (
+       |  SELECT doc_id, list(val ORDER BY dim) AS tvec FROM grid GROUP BY doc_id),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN sqrt(list_dot_product(t.tvec, t.tvec)) = 0 OR e.nrm = 0
+       |         THEN 0.0
+       |         ELSE list_dot_product(t.tvec, e.v)
+       |              / (sqrt(list_dot_product(t.tvec, t.tvec)) * e.nrm) END AS cosine
+       |  FROM tv t JOIN e ON e.vec_id = t.doc_id)""".stripMargin
+
+  /** The embeddings CTE, exposed for cross-object oracle composition. */
+  private[queries] val duckEmbCte: String = duckEmb
+
   val defs: Seq[QueryDef] = Seq(
 
     // Mutual-kNN graph edges: (a, b) iff each is in the other's exact
@@ -357,27 +389,7 @@ object SimilarityQueries {
           emb, col("vec_id"), col("embedding"), dims = 64, minCos = 0.0)
       },
       Some(s"""WITH $duckEmb,
-           |toks AS (
-           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
-           |contrib AS (
-           |  SELECT doc_id, (h // 2) % 64 AS bucket,
-           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
-           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
-           |w AS (SELECT doc_id, bucket, SUM(s) AS w FROM contrib GROUP BY 1, 2),
-           |grid AS (
-           |  SELECT d.doc_id, g.dim, CAST(COALESCE(w.w, 0) AS DOUBLE) AS val
-           |  FROM (SELECT DISTINCT doc_id FROM documents) d
-           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) g
-           |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.bucket = g.dim),
-           |tv AS (
-           |  SELECT doc_id, list(val ORDER BY dim) AS tvec FROM grid GROUP BY doc_id),
-           |scored AS (
-           |  SELECT t.doc_id,
-           |    CASE WHEN sqrt(list_dot_product(t.tvec, t.tvec)) = 0 OR e.nrm = 0
-           |         THEN 0.0
-           |         ELSE list_dot_product(t.tvec, e.v)
-           |              / (sqrt(list_dot_product(t.tvec, t.tvec)) * e.nrm) END AS cosine
-           |  FROM tv t JOIN e ON e.vec_id = t.doc_id)
+           |$duckAlignmentCtes
            |SELECT doc_id, cosine, cosine >= 0.0 AS aligned FROM scored""".stripMargin)),
 
     // Matryoshka-style truncation eval (the MRL question: how much ANN
