@@ -947,6 +947,81 @@ object RelationalQueries {
            |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
            |FROM act a JOIN cohort c ON c.user_id = a.user_id
            |WHERE a.day >= c.cohort_day
-           |GROUP BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // EXACT global percentiles via the distributed two-phase rank (the
+    // exact complement of q78's approximate sketch): p50/p90/p99 of
+    // l_extendedprice as the value at rank ceil(q·N) — nearest-rank
+    // definition, integer arithmetic on exact ranks, deterministic on
+    // duplicate values via the (v, id) total order. No single-task sort
+    // anywhere (the q128 machinery).
+    QueryDef(
+      "q153_exact_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        // lineitem has no single-column key; rank ties break on the
+        // (orderkey, linenumber) composite
+        val li = Tables.load(s, dir, "lineitem")
+          .select((col("l_orderkey") * 100 + col("l_linenumber")).as("rid"),
+            col("l_extendedprice"))
+        val ranked = graft.ops.Sampling.globalRank(li, col("l_extendedprice"), col("rid"))
+        val n = ranked.agg(count(lit(1)).as("n"))
+        val pcts = Seq(50, 90, 99).toDF("pct")
+        ranked.crossJoin(broadcast(n))
+          .join(broadcast(pcts),
+            col("rank") === expr("-((-(pct * n)) div 100)")) // ceil(p*N/100) via div
+          .select(col("pct"), col("rank"), col("v").as("value"))
+      },
+      Some("""WITH ranked AS (
+           |  SELECT l_extendedprice AS v,
+           |    row_number() OVER (ORDER BY l_extendedprice,
+           |      l_orderkey * 100 + l_linenumber) AS rank
+           |  FROM lineitem),
+           |n AS (SELECT COUNT(*) AS n FROM ranked),
+           |pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+           |SELECT pct, CAST(rank AS BIGINT) AS rank, v AS value
+           |FROM ranked CROSS JOIN n JOIN pcts
+           |  ON rank = -((-(pct * n)) // 100)""".stripMargin)),
+
+    // TPC-H Q5-style six-table star join ("local supplier volume"): revenue
+    // from lineitems where customer and supplier sit in the same EUROPE
+    // nation, orders in 1996 — region/nation broadcast, customer/supplier
+    // shuffle on their keys, decimal-exact revenue sums.
+    QueryDef(
+      "q154_local_supplier_volume",
+      (s, dir) => {
+        val region = Tables.load(s, dir, "region").where(col("r_name") === "EUROPE")
+        val nation = Tables.load(s, dir, "nation")
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val supplier = Tables.load(s, dir, "supplier")
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""SELECT n_name,
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_lineitems
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'EUROPE'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1""".stripMargin))
   )
 }
