@@ -249,6 +249,27 @@ object DedupQueries {
            |WHERE NOT EXISTS (
            |  SELECT 1 FROM labels l WHERE l.id = d.doc_id AND l.id <> l.cluster_id)""".stripMargin)),
 
+    // INCREMENTAL cluster maintenance as a catalog row: the q52 pair set is
+    // split deterministically into a base batch and a delta; base clusters
+    // are re-encoded as min-preserving star edges and the delta merged in
+    // (the daily-ingest path — rounds bounded by the delta, not the
+    // corpus). The oracle is the FULL recursive-CTE closure over all
+    // pairs, so hash-green IS the incremental == full-recompute proof at
+    // catalog level (the property test's production twin).
+    QueryDef(
+      "q155_incremental_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100)).localCheckpoint()
+        val base = pairs.where(pmod(col("id_a") + col("id_b"), lit(3)) =!= 0)
+        val delta = pairs.where(pmod(col("id_a") + col("id_b"), lit(3)) === 0)
+        val baseLabels = Dedup.connectedComponents(base, "id_a", "id_b")
+        Dedup.connectedComponentsIncremental(baseLabels, delta, "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE $duckJaccardPairCtes
+           |SELECT id, cluster_id FROM labels""".stripMargin)),
+
     // SimHash (60-bit majority-vote fingerprints).
     QueryDef(
       "q55_simhash",

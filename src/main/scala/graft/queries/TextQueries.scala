@@ -798,6 +798,35 @@ object TextQueries {
       Some(s"""SELECT ${Text.duckLangId("text")} AS lang_pred, COUNT(*) AS n_docs
            |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Language-ID CONFUSION matrix: predicted vs labeled language with
+    // per-cell counts and the cell's share of its true-label row — the
+    // classifier-quality table a curator reads before trusting q44's
+    // distribution. Counts and shares are integer-derived.
+    QueryDef(
+      "q156_langid_confusion",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cells = docs
+          .groupBy(col("lang").as("lang_true"),
+            Text.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+        val rows = cells.groupBy(col("lang_true"))
+          .agg(sum(col("n_docs")).as("n_true"))
+        cells.join(rows, "lang_true")
+          .select(col("lang_true"), col("lang_pred"), col("n_docs"),
+            (col("n_docs").cast("double") / col("n_true").cast("double"))
+              .as("row_frac"))
+      },
+      Some(s"""WITH cells AS (
+           |  SELECT lang AS lang_true, ${Text.duckLangId("text")} AS lang_pred,
+           |    COUNT(*) AS n_docs
+           |  FROM documents GROUP BY 1, 2),
+           |rows_t AS (
+           |  SELECT lang_true, SUM(n_docs) AS n_true FROM cells GROUP BY 1)
+           |SELECT c.lang_true, c.lang_pred, CAST(c.n_docs AS BIGINT) AS n_docs,
+           |  CAST(c.n_docs AS DOUBLE) / CAST(r.n_true AS DOUBLE) AS row_frac
+           |FROM cells c JOIN rows_t r ON r.lang_true = c.lang_true""".stripMargin)),
+
     // Gopher-style repetition profile (Rae et al. 2021, Table A1, adapted to
     // token n-grams): duplicate-token fraction, top 2-/3-gram coverage,
     // duplicated-5-gram occurrence fraction, and the keep verdict — all
