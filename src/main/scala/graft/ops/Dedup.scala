@@ -952,12 +952,19 @@ object Dedup {
       .agg(count(lit(1)).as("df"), min(col("src")).as("src"))
       .where(col("df") === 1)
       .groupBy(col("src")).agg(count(lit(1)).as("n_unique"))
-    val others = shard.select(col("src").as("src_a"), col("sz").as("sz_a"), col("sk").as("sk_a"))
+    // union-of-others per source, LEFT-joined back onto the shard frame so
+    // a single-source corpus still reports (missing sk_others == empty
+    // sketch == nothing subtracted: novelty estimate = |src| estimate)
+    val othersAgg = shard.select(col("src").as("src_a"))
       .join(shard.select(col("src").as("src_b"), col("sk").as("sk_b")),
         col("src_a") =!= col("src_b"))
-      .groupBy(col("src_a"), col("sz_a"), col("sk_a"))
+      .groupBy(col("src_a"))
       .agg(Hashing.thetaUnionAgg(col("sk_b"), lgK).as("sk_others"))
-    val est = Hashing.thetaAnotBEstimate(col("sk_a"), col("sk_others"))
+    val others = shard
+      .select(col("src").as("src_a"), col("sz").as("sz_a"), col("sk").as("sk_a"))
+      .join(othersAgg, Seq("src_a"), "left_outer")
+    val est = when(col("sk_others").isNull, Hashing.thetaEstimate(col("sk_a")))
+      .otherwise(Hashing.thetaAnotBEstimate(col("sk_a"), col("sk_others")))
     val totalSz = sh.agg(count(lit(1)).as("total_rows"))
     val bound = lit(3.0) * col("total_rows").cast("double") /
       lit(math.sqrt((1L << lgK).toDouble)) +

@@ -67,6 +67,20 @@ object DHash60 {
     */
   def ofHex(hexStr: UTF8String): Long = {
     val s = hexStr.toString
+    // the grid/oracle semantics are only defined over hex(payload) output
+    // (even-length uppercase hex); anything else must error, not silently
+    // drop the odd trailing char or hash lowercase into different grays
+    if (s.length % 2 != 0)
+      throw new IllegalArgumentException(
+        s"dhash60: odd-length hex input (${s.length} chars); expected hex(payload)")
+    var v = 0
+    while (v < s.length) {
+      val ch = s.charAt(v)
+      if (!((ch >= '0' && ch <= '9') || (ch >= 'A' && ch <= 'F')))
+        throw new IllegalArgumentException(
+          s"dhash60: non-uppercase-hex char '$ch' at $v; expected hex(payload)")
+      v += 1
+    }
     val nBytes = s.length / 2
     val gray = new Array[Long](Cells)
     var i = 0

@@ -85,12 +85,17 @@ object MediaQueries {
   }
 
   /** The q135/q142 planted-near-dup corpus: all synthetic media plus, for
-    * every 20th document, a COPY with a 4-char same-length edit (same magic
-    * — kind keyed on the ORIGINAL id) under media_id + 10^7.
+    * every 20th document of length >= 105, a COPY with a 4-char same-length
+    * edit (same magic — kind keyed on the ORIGINAL id) under media_id + 10^7.
     */
   private def editedMediaUnion(docs: org.apache.spark.sql.DataFrame) = {
     val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
-    val edited = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+    // length >= 105 keeps the edit LENGTH-PRESERVING by construction: for
+    // shorter texts the splice becomes an append, which shifts every
+    // content-scaled dHash region and voids the "edited copy lands within
+    // Hamming 3" invariant
+    val edited = docs
+      .where(pmod(col("doc_id"), lit(20)) === 0 && length(col("text")) >= 105)
       .select(col("doc_id"),
         concat(substring(col("text"), 1, 100), lit("XXXX"),
           substring(col("text"), 105, 1000000000)).as("text"))
@@ -109,7 +114,7 @@ object MediaQueries {
        |  UNION ALL
        |  SELECT doc_id + 10000000 AS media_id, doc_id AS kid,
        |    substring(text, 1, 100) || 'XXXX' || substring(text, 105, 1000000000) AS text
-       |  FROM documents WHERE doc_id % 20 = 0),
+       |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 105),
        |media AS (
        |  SELECT media_id,
        |    (CASE WHEN k = 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB

@@ -969,7 +969,10 @@ object RelationalQueries {
         val pcts = Seq(50, 90, 99).toDF("pct")
         ranked.crossJoin(broadcast(n))
           .join(broadcast(pcts),
-            col("rank") === expr("-((-(pct * n)) div 100)")) // ceil(p*N/100) via div
+            // ceil(p*N/100) with nonnegative inputs: both Spark `div` and
+            // DuckDB `//` truncate toward zero, so the add-99 form is the
+            // only portable ceil (double-negation is an identity here)
+            col("rank") === expr("(pct * n + 99) div 100"))
           .select(col("pct"), col("rank"), col("v").as("value"))
       },
       Some("""WITH ranked AS (
@@ -981,7 +984,7 @@ object RelationalQueries {
            |pcts AS (SELECT unnest([50, 90, 99]) AS pct)
            |SELECT pct, CAST(rank AS BIGINT) AS rank, v AS value
            |FROM ranked CROSS JOIN n JOIN pcts
-           |  ON rank = -((-(pct * n)) // 100)""".stripMargin)),
+           |  ON rank = (pct * n + 99) // 100""".stripMargin)),
 
     // TPC-H Q5-style six-table star join ("local supplier volume"): revenue
     // from lineitems where customer and supplier sit in the same EUROPE
