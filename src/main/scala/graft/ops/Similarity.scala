@@ -561,7 +561,7 @@ object Similarity {
   /** (sub, clabel, carr) centroid arrays from a flat PQ codebook frame —
     * the per-subspace twin of [[centroidArrays]].
     */
-  private def pqCentArrays(codebooks: DataFrame): DataFrame =
+  private[graft] def pqCentArrays(codebooks: DataFrame): DataFrame =
     codebooks.groupBy(col("sub"), col("clabel"))
       .agg(transform(
         sort_array(collect_list(struct(col("dim"), col("c")))),

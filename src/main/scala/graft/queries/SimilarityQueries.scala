@@ -111,13 +111,19 @@ object SimilarityQueries {
     * subspace, ties -> lowest codeword).
     */
   private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int,
-      src: String = "e"): String = {
+      src: String = "e", trainSrc: Option[String] = None): String = {
     val sd = dims / m
     val perSub = (0 until m).map { sub =>
       val lo = sub * sd + 1
       val hi = sub * sd + sd
+      // when trainSrc is set, the k-means trains on ITS slices while the
+      // lut/codes below still encode every `src` row — the frozen-model
+      // incremental-encode oracle (q158)
+      val trainCte = trainSrc.map(t =>
+        s"ts$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM $t),\n").getOrElse("")
+      val kmSrc = if (trainSrc.isDefined) s"ts$sub" else s"es$sub"
       s"""es$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
-         |${duckKmeansCtes(k, iters, salt = s"pq$sub", src = s"es$sub", prefix = s"pq${sub}_", dims = sd)},
+         |$trainCte${duckKmeansCtes(k, iters, salt = s"pq$sub", src = kmSrc, prefix = s"pq${sub}_", dims = sd)},
          |pqd$sub AS (
          |  SELECT vec_id, clabel, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, len(v) + 1),
@@ -1116,7 +1122,128 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
            |  FROM pairs)
-           |WHERE rank <= 5""".stripMargin))
+           |WHERE rank <= 5""".stripMargin)),
+
+    // Search from a PERSISTED index (index-as-table): the IVF-PQ model
+    // (centroids, residual codebooks, posting-list codes) is built ONCE and
+    // materialized as stored tables; a 10% query subset then searches top-3
+    // at nprobe=2 from the stored tables alone — no corpus assignment, no
+    // encoding, no training anywhere in the serve plan (PlanSpec pins the
+    // scan-only shape). Same ADC semantics as q99, so the oracle is q99's
+    // chain with the probe side restricted to the query subset.
+    QueryDef(
+      "q157_ivfpq_index_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        val idx = graft.ops.AnnIndex.build(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1)
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some {
+        val sd = 8
+        val qlutUnion = (0 until 8).map { s =>
+          val lo = s * sd + 1
+          val hi = s * sd + sd
+          s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
+             |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
+             |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |      ")
+        val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |$duckResidualCte,
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+           |probes AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM dist WHERE vec_id % 10 = 0)
+           |  WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.vec_id, p.cluster,
+           |    list_transform(range(1, 65), qri -> e.v[qri] - cent.carr[qri]) AS v
+           |  FROM probes p JOIN e ON e.vec_id = p.vec_id
+           |  JOIN cent ON cent.clabel = p.cluster),
+           |qlut AS (
+           |  $qlutUnion),
+           |pairsubs AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      $pivots
+           |  FROM probes a
+           |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
+           |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
+           |    AND l.sub = pc.sub AND l.code = pc.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, adc, rank FROM (
+           |  SELECT query_id, neighbor_id, $score AS adc,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $score ASC, neighbor_id ASC) AS rank
+           |  FROM pairsubs)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // INCREMENTAL index maintenance, hash-proved (the q155 discipline
+    // applied to the ANN stack): the index is built on the 6/7 base corpus,
+    // the 1/7 delta is encoded against the FROZEN model and appended, and
+    // the appended posting lists must equal a full re-encode of the union
+    // under the same base-trained model — which is exactly what the oracle
+    // computes (train on base slices, encode everything). Per-row
+    // deterministic encoding is what makes append == rebuild hold exactly;
+    // this query is the cross-engine proof that the daily-ingest path
+    // never drifts from a from-scratch encode.
+    QueryDef(
+      "q158_ivfpq_incremental_append",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+        val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(base, col("embedding"), col("label"))))
+        val idx = graft.ops.AnnIndex.build(base, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1)
+        val appended = graft.ops.AnnIndex.append(idx,
+          graft.ops.AnnIndex.encode(delta, col("vec_id"), col("embedding"), idx))
+        appended.codes.select(col("vid").as("vec_id"), col("cluster"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+      },
+      Some(s"""WITH $duckEmb,
+           |bcf AS (
+           |  SELECT label AS clabel, i - 1 AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+           |  WHERE vec_id % 7 <> 0
+           |  GROUP BY 1, 2),
+           |bcent AS (SELECT clabel, list(c ORDER BY dim) AS carr FROM bcf GROUP BY clabel),
+           |bdist AS (
+           |  SELECT vec_id, clabel,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+           |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+           |  FROM e CROSS JOIN bcent),
+           |bassign AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM bdist)
+           |  WHERE rn = 1),
+           |brall AS (
+           |  SELECT e.vec_id,
+           |    list_transform(range(1, 65), rri -> e.v[rri] - bcent.carr[rri]) AS v
+           |  FROM e JOIN bassign USING (vec_id)
+           |  JOIN bcent ON bcent.clabel = bassign.cluster),
+           |brbase AS (SELECT * FROM brall WHERE vec_id % 7 <> 0),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64,
+                src = "brall", trainSrc = Some("brbase"))}
+           |SELECT pc.vec_id, b.cluster, pc.sub, pc.code
+           |FROM pqcodes pc JOIN bassign b USING (vec_id)""".stripMargin))
   )
 
   /** DuckDB CTEs shared by the SQ8 oracles: double-cast vectors and the

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AnnIndex, IvfPqIndex, Similarity}
+
+/** The persisted-index lifecycle: build == write+read, append == rebuild
+  * encode, and the stored-table serve path returns exactly what the
+  * in-query trainer (q95/q99's `ivfPqTopK`) returns.
+  */
+class AnnIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  private def coarseOf(df: DataFrame) =
+    Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(df, col("embedding"), col("label"))))
+
+  private def buildOn(df: DataFrame): IvfPqIndex =
+    AnnIndex.build(df, col("vec_id"), col("embedding"), coarseOf(df),
+      dims = 64, m = 8, k = 16, iters = 1)
+
+  private def searchRows(idx: IvfPqIndex, queries: DataFrame): Set[(Long, Long, Int)] =
+    AnnIndex.search(queries, col("vec_id"), col("embedding"), 3, idx, nprobe = 2)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def codeRows(codes: DataFrame): Set[(Long, String)] =
+    codes.select(col("vid").cast("long"),
+        concat_ws(",", col("cluster"), concat_ws("-", col("codes"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("write + read roundtrip: params survive and the read-back index serves identical results") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-idx")
+    AnnIndex.write(idx, dir)
+    val stored = AnnIndex.read(spark, dir)
+    assert((stored.dims, stored.m, stored.codewords) == (idx.dims, idx.m, idx.codewords))
+    assert(codeRows(stored.codes) == codeRows(idx.codes),
+      "stored posting lists must match the built index exactly")
+    val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    assert(searchRows(stored, queries) == searchRows(idx, queries),
+      "search from the read-back index must equal search from the built index")
+  }
+
+  test("incremental append == full rebuild encode under the frozen model") {
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+    val idx = buildOn(base)
+    val appended = AnnIndex.append(idx,
+      AnnIndex.encode(delta, col("vec_id"), col("embedding"), idx))
+    val rebuilt = AnnIndex.encode(emb, col("vec_id"), col("embedding"), idx)
+    assert(codeRows(appended.codes) == codeRows(rebuilt),
+      "appending the frozen-model delta must equal re-encoding the union")
+    assert(appended.codes.count() == emb.count(), "one posting row per vector")
+  }
+
+  test("stored-table serve path == in-query ivfPqTopK (same ADC, same ranks)") {
+    val idx = buildOn(emb)
+    val inQuery = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"), 3,
+        idx.centroids, idx.codebooks, dims = 64, m = 8, nprobe = 2)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(searchRows(idx, emb) == inQuery,
+      "the serve path must reproduce the in-query trainer's results exactly")
+  }
+}

@@ -162,6 +162,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.toLowerCase.contains("join"), s"mixing must not join:\n$p")
   }
 
+  test("ANN serve path from stored index: no training lineage, broadcast model, WindowGroupLimit top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+    val idx = graft.ops.AnnIndex.build(emb, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1)
+    val dir = tmpDir("ann-serve")
+    graft.ops.AnnIndex.write(idx, dir)
+    val stored = graft.ops.AnnIndex.read(spark, dir)
+    val q = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val p = plan(graft.ops.AnnIndex.search(q, col("vec_id"), col("embedding"), 3,
+      stored, nprobe = 2))
+    // the read-back index carries parquet-scan lineage only: if any k-means
+    // subtree (or the build's localCheckpoints) leaked into the serve plan
+    // it would show as an ExistingRDD scan
+    assert(!p.toLowerCase.contains("existingrdd"),
+      "serve plan must contain no checkpointed training lineage")
+    assert(p.contains("WindowGroupLimit"),
+      "the top-k rank filter must prune map-side before the exchange")
+    // model tables attach via broadcast; the posting-list join is the only
+    // corpus-scale operation
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids/codebooks must broadcast")
+    // the cluster-partitioned posting lists get DYNAMIC PARTITION PRUNING
+    // from the probe side: a selective serve reads only the probed cells'
+    // directories, never the full codes table — the on-disk IVF behavior
+    assert(p.contains("dynamicpruning"),
+      s"the codes scan must be partition-pruned by the probed clusters:\n$p")
+    // aggregates allowed: codebook-array assembly (bounded model rows) and
+    // the per-(query, cell) LUT densify — 2 logical aggregates (partial +
+    // final = 4 nodes), duplicated once more inside the DPP subquery.
+    // Nothing aggregates the corpus.
+    val aggs = "(?i)hashaggregate|objecthashaggregate|sortaggregate".r.findAllIn(p).size
+    assert(aggs <= 8,
+      s"only the model-side assembly and query-side LUT densify may aggregate, got $aggs:\n$p")
+  }
+
   test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
     val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
