@@ -386,15 +386,25 @@ object PipelineQueries {
           (Text.langId(col("text")) === "en").as("lang_ok"),
           (Text.qualityScore(col("text")) >= 0.5).as("q_ok"))
         val j = base.join(rep, "doc_id")
-        def stage(i: Long, cond: org.apache.spark.sql.Column) =
-          j.where(cond).agg(
-            count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_tok")), lit(0L)).as("n_ws_tokens"))
-            .select(lit(i).as("stage"), col("n_docs"), col("n_ws_tokens"))
-        stage(0L, lit(true))
-          .unionByName(stage(1L, col("lang_ok")))
-          .unionByName(stage(2L, col("lang_ok") && col("q_ok")))
-          .unionByName(stage(3L, col("lang_ok") && col("q_ok") && col("keep")))
+        // ONE conditional aggregation over the joined frame (not four union
+        // branches relying on ReuseExchange to dedup identical subplans),
+        // unpivoted by stack() to the same 4-row funnel schema — integer
+        // sums, so the unpivot order can't perturb anything
+        val conds = Seq(
+          lit(true),
+          col("lang_ok"),
+          col("lang_ok") && col("q_ok"),
+          col("lang_ok") && col("q_ok") && col("keep"))
+        val aggs = conds.zipWithIndex.flatMap { case (c, i) =>
+          Seq(
+            coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"d$i"),
+            coalesce(sum(when(c, col("n_tok"))), lit(0L)).as(s"t$i"))
+        }
+        val agged = j.agg(aggs.head, aggs.tail: _*)
+        agged.select(expr(
+          "stack(4, " + (0 until 4).map(i =>
+            s"bigint($i), d$i, t$i").mkString(", ") +
+            ") AS (stage, n_docs, n_ws_tokens)"))
       },
       Some {
         val nTok = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"

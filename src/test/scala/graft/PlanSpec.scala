@@ -199,6 +199,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"only the model-side assembly and query-side LUT densify may aggregate, got $aggs:\n$p")
   }
 
+  test("round-8 plan pins: vocab caps prune map-side; q117 funnel is one aggregate over the join") {
+    import graft.ops.{Select, Text}
+    val docs = Tables.load(spark, sf, "documents")
+    // the rank()<=V vocabulary caps must compile to WindowGroupLimit: a
+    // regression here is a silent single-task sort over the whole distinct
+    // token table (the empty-partition window has no partition key)
+    val pLm = plan(Text.bigramLmScore(
+      docs.where(col("doc_id") % 2 === 0), docs, col("doc_id"), col("text"),
+      maxVocab = Some(500)))
+    assert(pLm.contains("WindowGroupLimit"),
+      s"bigramLmScore vocab cap must prune map-side:\n${pLm.linesIterator.take(8).mkString("\n")}")
+    val pNb = plan(Select.nbTrainScore(docs, col("doc_id"), col("text"),
+      col("lang"), col("doc_id") % 2 === 0, maxVocab = Some(500)))
+    assert(pNb.contains("WindowGroupLimit"),
+      s"nbTrainScore vocab cap must prune map-side:\n${pNb.linesIterator.take(8).mkString("\n")}")
+    // q117: ONE conditional aggregation over the base ⋈ repetition join —
+    // not four union branches depending on ReuseExchange
+    val pFunnel = plan(SparkEntry.queries("q117_filter_funnel")(spark, sf))
+    assert(!pFunnel.contains("Union"),
+      "the funnel must not be a union of per-stage aggregations")
+    assert(pFunnel.contains("Generate"), "stack() unpivot must be present")
+  }
+
   test("heavy-hitter verify pass broadcasts the candidate set (q49)") {
     val p = plan(SparkEntry.queries("q49_heavy_hitter_tokens")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
