@@ -31,6 +31,74 @@ object Text {
   /** Word count = token count (`process_articles.py:75`). */
   def wordCount(text: Column): Column = size(tokens(text))
 
+  // -------------------------------------------------------------------------
+  // Script-aware (CJK) segmentation.
+  //
+  // CJK text has no spaces, so every whitespace-tokenized operator silently
+  // degrades to whole-sentence tokens on it. The fix stays behind the same
+  // tokens() seam: cjkSegment() rewrites each han/kana RUN as its
+  // space-joined character BIGRAMS (the standard CJK shingling unit) and
+  // leaves space-delimited scripts untouched — so wordCount, shingles, BM25,
+  // Jaccard/MinHash dedup, repetition metrics all become CJK-correct by
+  // tokenizing cjkSegment(text) instead of text. Ranges are BMP-only
+  // (CJK Unified Ideographs + Hiragana/Katakana): Spark's length()/substr()
+  // count codepoints while DuckDB slices characters, so supplementary-plane
+  // ideographs (Ext-B+) would need a codepoint-safe slice on the Duck side.
+  // -------------------------------------------------------------------------
+
+  /** Regex character-class body for han (CJK Unified Ideographs) + kana. */
+  val HanRange = "\\x{4E00}-\\x{9FFF}"
+  val KanaRange = "\\x{3040}-\\x{30FF}"
+  private val CjkClass = s"[$HanRange$KanaRange]"
+
+  /** Text with every CJK run replaced by its space-joined character bigrams
+    * (single CJK chars stay as unigrams); non-CJK text passes through with
+    * whitespace runs normalized to single spaces (token-stream-invariant).
+    */
+  def cjkSegment(text: Column): Column = {
+    val marked = regexp_replace(text, s"($CjkClass+)", " $1 ")
+    val toks = split(trim(marked), WhitespaceRegex)
+    concat_ws(" ", transform(toks, t =>
+      when(t.rlike(s"^$CjkClass{2,}$$"),
+        concat_ws(" ", transform(sequence(lit(1), length(t) - 1),
+          i => t.substr(i, lit(2)))))
+        .otherwise(t)))
+  }
+
+  /** DuckDB twin of [[cjkSegment]] over VARCHAR expr `e`. */
+  def duckCjkSegment(e: String): String = {
+    val cls = """[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]"""
+    s"""array_to_string(list_transform(
+       |  string_split_regex(trim(regexp_replace($e, '($cls+)', ' \\1 ', 'g')), '\\s+'),
+       |  sgt -> CASE WHEN regexp_full_match(sgt, '$cls{2,}')
+       |    THEN array_to_string(list_transform(range(1, length(sgt)),
+       |      sgi -> sgt[sgi:sgi+1]), ' ')
+       |    ELSE sgt END), ' ')""".stripMargin
+  }
+
+  /** Script-aware language ID: kana presence (>= 5 chars) marks Japanese,
+    * else han presence (>= 5 chars) marks Chinese — character-class markers,
+    * the script-level analogue of the token marker sets (CJK has no
+    * space-delimited marker tokens for [[langId]] to hit) — otherwise fall
+    * back to the marker-token heuristic.
+    */
+  def langIdScript(text: Column): Column = {
+    val nKana = length(text) - length(regexp_replace(text, s"[$KanaRange]", ""))
+    val nHan = length(text) - length(regexp_replace(text, s"[$HanRange]", ""))
+    when(nKana >= 5, lit("ja"))
+      .when(nHan >= 5, lit("zh"))
+      .otherwise(langId(text))
+  }
+
+  /** DuckDB twin of [[langIdScript]] over VARCHAR expr `e`. */
+  def duckLangIdScript(e: String): String = {
+    val kana = s"(length($e) - length(regexp_replace($e, '[\\x{3040}-\\x{30FF}]', '', 'g')))"
+    val han = s"(length($e) - length(regexp_replace($e, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))"
+    s"""(CASE WHEN $kana >= 5 THEN 'ja'
+       | WHEN $han >= 5 THEN 'zh'
+       | ELSE ${duckLangId(e)} END)""".stripMargin
+  }
+
   /** Distinct word n-gram shingles joined by single spaces. Empty array when
     * the document has fewer than n tokens or is null. Native codegen
     * expression (graft.plans.WordShingles); [[shinglesComposed]] is the

@@ -913,8 +913,133 @@ object TextQueries {
         Text.bigramLmScore(train, docs, col("doc_id"), col("text"))
       },
       Some(s"""WITH $duckLmScoreCtes
-           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin))
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
+    // Script-aware language ID + tokenization over a PLANTED CJK mix (the
+    // q135 planted-fixture pattern: the corpus has no organic CJK, so every
+    // 31st document is rewritten as deterministic palette-built han (zh) or
+    // han+kana (ja) text, mirrored in the oracle). The per-language token
+    // sums show exactly the degradation cjkSegment fixes: whitespace
+    // tokenization sees each 20-char CJK doc as ONE token; the script-aware
+    // path sees its 19 character bigrams.
+    QueryDef(
+      "q159_script_langid",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val raw = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val zh = docs.where(pmod(col("doc_id"), lit(62)) === 0)
+          .select(col("doc_id"), plantedHan(col("doc_id"), Set.empty).as("text"))
+        val ja = docs.where(pmod(col("doc_id"), lit(31)) === 0 &&
+            pmod(col("doc_id"), lit(62)) =!= 0)
+          .select(col("doc_id"), plantedJa(col("doc_id")).as("text"))
+        raw.unionByName(zh).unionByName(ja)
+          .groupBy(Text.langIdScript(col("text")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.wordCount(col("text")).cast("long")).as("ws_tokens"),
+            sum(Text.wordCount(Text.cjkSegment(col("text"))).cast("long"))
+              .as("script_tokens"))
+      },
+      Some(s"""WITH mix AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, ${duckPlantedHan("doc_id", Set.empty)} AS text
+           |  FROM documents WHERE doc_id % 62 = 0
+           |  UNION ALL
+           |  SELECT doc_id, ${duckPlantedJa("doc_id")} AS text
+           |  FROM documents WHERE doc_id % 31 = 0 AND doc_id % 62 <> 0)
+           |SELECT ${Text.duckLangIdScript("text")} AS lang,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+           |  CAST(SUM(len(string_split_regex(${Text.duckCjkSegment("text")}, '\\s+'))) AS BIGINT) AS script_tokens
+           |FROM mix GROUP BY 1""".stripMargin)),
+
+    // CJK near-dup pairs through the UNCHANGED Jaccard machinery: planted
+    // han docs plus 2-char-edited copies, shingled over cjkSegment(text) —
+    // with whitespace tokens each doc is a single token and has NO 2-gram
+    // shingles at all (zero pairs, silent dedup blindness); over the
+    // segmented bigram stream the inverted-index join finds every edited
+    // copy. The oracle rebuilds the segmentation and the q52 pair chain.
+    QueryDef(
+      "q160_cjk_neardup_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val originals = docs.where(pmod(col("doc_id"), lit(62)) === 0)
+          .select(col("doc_id"), plantedHan(col("doc_id"), Set.empty).as("text"))
+        val copies = docs.where(pmod(col("doc_id"), lit(62)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            plantedHan(col("doc_id"), Set(10, 11)).as("text"))
+        graft.ops.Dedup.ngramJaccardPairs(originals.unionByName(copies),
+          col("doc_id"), Text.cjkSegment(col("text")), 2, 0.25)
+      },
+      Some(s"""WITH cjk AS (
+           |  SELECT doc_id, ${duckPlantedHan("doc_id", Set.empty)} AS text
+           |  FROM documents WHERE doc_id % 62 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    ${duckPlantedHan("doc_id", Set(10, 11))} AS text
+           |  FROM documents WHERE doc_id % 62 = 0),
+           |seg AS (SELECT doc_id, ${Text.duckCjkSegment("text")} AS st FROM cjk),
+           |sh AS (
+           |  SELECT doc_id AS id, unnest(${Text.duckShingles("st", 2)}) AS sh
+           |  FROM seg),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.25""".stripMargin))
   )
+
+  // -------------------------------------------------------------------------
+  // CJK planted fixtures (q159/q160): palette-built deterministic texts —
+  // Spark `chr()` is ASCII-only, so CJK strings are assembled from literal
+  // char palettes indexed by doc_id arithmetic, identically in both engines.
+  // -------------------------------------------------------------------------
+
+  private val HanPalette =
+    Seq("水", "光", "潋", "滟", "晴", "方", "好", "山", "色", "空", "蒙", "雨")
+  private val KanaPalette = Seq("の", "に", "は", "を", "た", "が", "で", "て")
+
+  private def hanAt(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(HanPalette.map(lit): _*), (pmod(e, lit(12)) + 1).cast("int"))
+
+  private def kanaAt(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(KanaPalette.map(lit): _*), (pmod(e, lit(8)) + 1).cast("int"))
+
+  /** 20-char han text from the palette; positions in `editAt` take a +6
+    * palette shift (guaranteed different char — the same-length-edit
+    * discipline from the media fixtures).
+    */
+  private def plantedHan(idc: org.apache.spark.sql.Column,
+      editAt: Set[Int]): org.apache.spark.sql.Column =
+    concat((0 until 20).map(j =>
+      hanAt(idc + lit(5 * j + (if (editAt(j)) 6 else 0)))): _*)
+
+  /** 20-char alternating han/kana text (kana presence marks it ja). */
+  private def plantedJa(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat((0 until 20).map(j =>
+      if (j % 2 == 0) hanAt(idc + lit(5 * j)) else kanaAt(idc + lit(7 * j))): _*)
+
+  private def duckHanAt(e: String): String =
+    s"['水','光','潋','滟','晴','方','好','山','色','空','蒙','雨'][CAST(($e) % 12 + 1 AS INTEGER)]"
+
+  private def duckKanaAt(e: String): String =
+    s"['の','に','は','を','た','が','で','て'][CAST(($e) % 8 + 1 AS INTEGER)]"
+
+  private def duckPlantedHan(id: String, editAt: Set[Int]): String =
+    (0 until 20).map(j =>
+      duckHanAt(s"$id + ${5 * j + (if (editAt(j)) 6 else 0)}")).mkString(" || ")
+
+  private def duckPlantedJa(id: String): String =
+    (0 until 20).map(j =>
+      if (j % 2 == 0) duckHanAt(s"$id + ${5 * j}")
+      else duckKanaAt(s"$id + ${7 * j}")).mkString(" || ")
 
   /** DuckDB CTE chain for the q108 CCNet-style LM scoring pipeline (train
     * split → stupid-backoff bigram model → per-doc order-fixed nll fold),

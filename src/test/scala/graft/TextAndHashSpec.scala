@@ -216,4 +216,45 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(distinct20.getDouble(4) == 0.1)
     assert(distinct20.getBoolean(7))
   }
+
+  test("cjkSegment: CJK runs become character bigrams; ASCII token streams are invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      "水光潋滟",                 // pure han run
+      "abc 水光潋 def",           // mixed: run embedded in ASCII
+      "水",                       // single CJK char stays a unigram
+      "のには",                   // kana run
+      "plain ascii text",         // untouched
+      "")                         // empty
+      .toDF("t")
+      .select(Text.cjkSegment(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "水光 光潋 潋滟")
+    assert(rows(1) == "abc 水光 光潋 def")
+    assert(rows(2) == "水")
+    assert(rows(3) == "のに には")
+    assert(rows(4) == "plain ascii text")
+    assert(rows(5) == "")
+
+    // corpus-level invariance: on CJK-free text the segmented token stream
+    // equals the whitespace token stream (whitespace runs normalize away)
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val diff = docs.select(
+        Text.tokens(Text.cjkSegment(col("text"))).as("a"),
+        Text.tokens(col("text")).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, s"$diff documents changed token streams under cjkSegment")
+  }
+
+  test("langIdScript: kana >= 5 -> ja, han >= 5 -> zh, otherwise the marker fallback") {
+    import spark.implicits._
+    val got = Seq(
+      "水光潋滟晴方好",                    // 7 han -> zh
+      "水がのにはをた",                    // 6 kana beats 1 han -> ja
+      "the cat sat on the mat and so on", // en markers
+      "水光 mostly english the and of to a in is that") // 2 han only -> fallback
+      .toDF("t").select(Text.langIdScript(col("t")).as("l"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("zh", "ja", "en", "en"))
+  }
 }
