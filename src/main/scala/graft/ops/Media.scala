@@ -29,10 +29,10 @@ final case class DecodedMedia(
   *  - the STUB pipeline ([[decodeAll]]/[[resizeAll]]/...), whose per-asset
   *    math is a deterministic stand-in so the surrounding plumbing is
   *    DuckDB-oracle-verifiable over the synthetic payloads (q70-q75);
-  *  - the REAL pipeline ([[decodeImages]]/[[resizeImages]]), which runs the
-  *    JDK's javax.imageio PNG/JPEG codecs and Graphics2D scaling on actual
-  *    pixels — no external library needed, round-trip-tested on generated
-  *    fixture images. Audio/video decode would still need external codecs
+  *  - the REAL pipeline ([[decodeImages]]/[[resizeImages]] via javax.imageio,
+  *    [[decodeAudio]] via javax.sound.sampled), which runs actual JDK codecs
+  *    on pixels/PCM samples — no external library needed, round-trip-tested
+  *    on generated fixtures. VIDEO decode would still need external codecs
   *    and keeps only the stub form.
   */
 object Media {
@@ -398,6 +398,148 @@ object Media {
         col("containment"))
   }
 
+  // -------------------------------------------------------------------------
+  // REAL audio decode — WAV/PCM ships in the JDK (javax.sound.sampled), so
+  // like ImageIO no external codec is needed offline. Same two-path
+  // discipline as images: [[decodeAudio]] runs the real codec in the
+  // mapPartitions shape (spec round-trip-tested against synthesized WAVs);
+  // [[audioEnvelope]] is the ORACLE-verifiable relational twin of the
+  // fingerprint over raw payload bytes. Video remains the only honest stub
+  // (no JDK video codec exists).
+  // -------------------------------------------------------------------------
+
+  /** Number of energy windows (61 → 60 adjacent-gradient bits, the dHash
+    * cell convention applied to the time axis).
+    */
+  val EnvWindows = 61
+
+  /** 60-bit ENERGY-ENVELOPE fingerprint over PCM bytes — the audio twin of
+    * [[dhashOf]]: the byte stream cut into 61 content-scaled windows
+    * (window w covers bytes ⌊w·L/61⌋ until ⌊(w+1)·L/61⌋), each window's
+    * energy = sum of unsigned byte values, one bit per adjacent window pair
+    * (mean energy increasing in time). Means are compared CROSS-MULTIPLIED
+    * (s_w·c_{w+1} < s_{w+1}·c_w) so the code is integer-exact — no float
+    * division anywhere, bit-identical to the relational [[audioEnvelope]]
+    * form. Empty windows (L < 61) compare as 0 < 0 = false.
+    */
+  def energyEnvelope60(pcm: Array[Byte]): Long = {
+    val n = EnvWindows
+    val s = new Array[Long](n)
+    val c = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      val lo = (w.toLong * pcm.length / n).toInt
+      val hi = ((w + 1).toLong * pcm.length / n).toInt
+      var i = lo
+      var acc = 0L
+      while (i < hi) { acc += (pcm(i) & 0xFF); i += 1 }
+      s(w) = acc
+      c(w) = (hi - lo).toLong
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < n - 1) {
+      if (s(b) * c(b + 1) < s(b + 1) * c(b)) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** A real 8-bit-unsigned-PCM mono WAV file from raw samples — the fixture
+    * generator for the audio round-trip specs (and the shape a producer-side
+    * encoder would use).
+    */
+  def wavBytes(samples: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** WAV decode: (format, PCM bytes), None when no installed reader accepts
+    * the payload (the [[tryDecode]] convention).
+    */
+  private def tryDecodeWav(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try (ais.getFormat, ais.readAllBytes())
+      finally ais.close()
+    }.toOption
+
+  /** REAL audio decode via the JDK codec: format parameters, frame count,
+    * duration, and the [[energyEnvelope60]] fingerprint of the decoded PCM
+    * stream. One row per decodable asset, mapPartitions iterator shape,
+    * codec init amortized per partition — identical scale posture to
+    * [[decodeImages]].
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        tryDecodeWav(m.payload).map { case (fmt, pcm) =>
+          val frames =
+            if (fmt.getFrameSize > 0) pcm.length.toLong / fmt.getFrameSize else 0L
+          DecodedAudio(m.media_id, fmt.getSampleRate.toDouble, fmt.getChannels,
+            fmt.getSampleSizeInBits, frames,
+            if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0,
+            energyEnvelope60(pcm))
+        }
+      }
+    }
+  }
+
+  /** The ORACLE-verifiable relational twin of [[energyEnvelope60]] over the
+    * synthetic payloads: PCM taken as the bytes after the 4-byte container
+    * magic, parsed from hex pairs (the cross-engine byte-access convention),
+    * windowed by the arithmetic inverse of the content-scaled partition
+    * (byte i lands in window ((i+1)·61 − 1) div L — one explode, no per-
+    * window range scan), summed with map-side partials, and folded into the
+    * 60-bit code per asset. Output: (media_id, n_bytes, env60).
+    *
+    * Scale shape: the byte explode is the only corpus-scale stage and
+    * aggregates immediately on (media_id, w) — 61 rows per asset reach the
+    * final fold; payload bytes never shuffle (the hex column dies before
+    * the aggregation).
+    */
+  def audioEnvelope(media: DataFrame, id: Column, payload: Column): DataFrame = {
+    val n = EnvWindows
+    val base = media.where(sniffMime(payload) === "audio/wav")
+      .select(id.as("media_id"), substring(hex(payload), 9, 1000000000).as("h"))
+      .withColumn("nb", expr("length(h) div 2").cast("long"))
+    val bytes = base.where(col("nb") > 0)
+      .select(col("media_id"), col("nb"), col("h"),
+        explode(sequence(lit(1L), col("nb"))).as("bi"))
+      .select(col("media_id"),
+        expr(s"(bi * $n - 1) div nb").as("w"),
+        expr("(instr('0123456789ABCDEF', substring(h, cast(2*bi-1 as int), 1)) - 1) * 16" +
+          " + (instr('0123456789ABCDEF', substring(h, cast(2*bi as int), 1)) - 1)")
+          .cast("long").as("v"))
+    val sums = bytes.groupBy(col("media_id"), col("w"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val wins = base.select(col("media_id"), col("nb"),
+      explode(sequence(lit(0L), lit((n - 1).toLong))).as("w"))
+    val env = wins.join(sums, Seq("media_id", "w"), "left_outer")
+      .select(col("media_id"), col("nb"), col("w"),
+        coalesce(col("s"), lit(0L)).as("s"), coalesce(col("c"), lit(0L)).as("c"))
+    val arr = env.groupBy(col("media_id"), col("nb"))
+      .agg(sort_array(collect_list(struct(col("w"), col("s"), col("c")))).as("a"))
+    val code = (0 until n - 1).map { b =>
+      val sw = element_at(col("a"), b + 1).getField("s")
+      val cw = element_at(col("a"), b + 1).getField("c")
+      val sn = element_at(col("a"), b + 2).getField("s")
+      val cn = element_at(col("a"), b + 2).getField("c")
+      when(sw * cn < sn * cw, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    arr.select(col("media_id"), col("nb").as("n_bytes"), code.as("env60"))
+  }
+
   /** Feature extraction: a fixed-width vector per asset, emitted as flat
     * (media_id, feat_idx, feat_val) rows. The stub features are exact
     * rationals of the decoded dimensions (a real deployment runs its
@@ -441,6 +583,18 @@ final case class ResizedImage(
 
 /** One sampled frame from [[Media.sampleFrames]]. */
 final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+/** Output of [[Media.decodeAudio]]: real format parameters + the PCM
+  * energy-envelope fingerprint.
+  */
+final case class DecodedAudio(
+    media_id: Long,
+    sample_rate: Double,
+    channels: Int,
+    sample_bits: Int,
+    n_frames: Long,
+    duration_sec: Double,
+    envelope60: Long)
 
 /** One feature-vector component from [[Media.extractFeatures]]. */
 final case class MediaFeature(media_id: Long, feat_idx: Int, feat_val: Double)

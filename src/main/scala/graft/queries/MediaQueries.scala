@@ -358,6 +358,53 @@ object MediaQueries {
            |FROM p JOIN sizes sa ON sa.media_id = p.id_a
            |JOIN sizes sb ON sb.media_id = p.id_b
            |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin
+      }),
+
+    // Audio ENERGY-ENVELOPE fingerprint (the dHash discipline on the time
+    // axis): every sniffed-wav payload's PCM bytes cut into 61 content-
+    // scaled windows, per-window energy sums, 60 adjacent-gradient bits with
+    // CROSS-MULTIPLIED mean comparison (integer-exact, no float division).
+    // The REAL javax.sound.sampled decode path computes the identical code
+    // over decoded PCM (MediaSpec round-trip pins JVM == this relational
+    // form); here the oracle re-derives every window sum from hex pairs.
+    QueryDef(
+      "q161_audio_envelope",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val media = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        Media.audioEnvelope(media, col("media_id"), col("payload"))
+      },
+      Some {
+        val n = Media.EnvWindows
+        val bits = (0 until n - 1).map(b =>
+          s"CASE WHEN ss[${b + 1}] * cs[${b + 2}] < ss[${b + 2}] * cs[${b + 1}] " +
+            s"THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH $duckMediaCte,
+           |wav AS (
+           |  SELECT media_id, substring(hex(payload), 9) AS h,
+           |    CAST(octet_length(payload) - 4 AS BIGINT) AS nb
+           |  FROM media WHERE $duckSniff = 'audio/wav'),
+           |bytes AS (
+           |  SELECT media_id, (bi * $n - 1) // nb AS w,
+           |    (strpos('0123456789ABCDEF', substring(h, CAST(2 * bi - 1 AS INTEGER), 1)) - 1) * 16
+           |      + (strpos('0123456789ABCDEF', substring(h, CAST(2 * bi AS INTEGER), 1)) - 1) AS v
+           |  FROM wav, unnest(range(1, nb + 1)) AS t(bi)
+           |  WHERE nb > 0),
+           |sums AS (
+           |  SELECT media_id, w, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+           |  FROM bytes GROUP BY 1, 2),
+           |wins AS (
+           |  SELECT media_id, nb, unnest(range(0, $n)) AS w FROM wav),
+           |env AS (
+           |  SELECT wins.media_id, wins.nb, wins.w,
+           |    COALESCE(s.s, 0) AS s, COALESCE(CAST(s.c AS BIGINT), 0) AS c
+           |  FROM wins LEFT JOIN sums s
+           |    ON s.media_id = wins.media_id AND s.w = wins.w),
+           |lists AS (
+           |  SELECT media_id, nb, list(s ORDER BY w) AS ss, list(c ORDER BY w) AS cs
+           |  FROM env GROUP BY 1, 2)
+           |SELECT media_id, nb AS n_bytes, CAST($bits AS BIGINT) AS env60
+           |FROM lists""".stripMargin
       })
   )
 }

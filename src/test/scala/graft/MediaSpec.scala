@@ -207,4 +207,40 @@ class MediaSpec extends AnyFunSuite with SparkSpec {
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 2)), s"got $pairs")
   }
+
+  test("real WAV decode: format parameters, frame count and PCM envelope recovered; non-WAV dropped") {
+    import spark.implicits._
+    val samples = Array.tabulate(500)(i =>
+      (128 + 100 * math.sin(i * 2 * math.Pi / 50)).toByte)
+    val media = Seq(
+      MediaRecord(1L, "audio/wav", Media.wavBytes(samples)),
+      MediaRecord(2L, "audio/wav", Media.WavMagic ++ "not really audio".getBytes("UTF-8")))
+      .toDS()
+    val got = Media.decodeAudio(media).collect().map(d => d.media_id -> d).toMap
+    assert(got.keySet == Set(1L), "the fake RIFF payload has no parseable WAV header")
+    val d = got(1L)
+    assert(d.sample_rate == 8000.0 && d.channels == 1 && d.sample_bits == 8)
+    assert(d.n_frames == 500L && math.abs(d.duration_sec - 500.0 / 8000.0) < 1e-9)
+    assert(d.envelope60 == Media.energyEnvelope60(samples),
+      "the decoded PCM stream is the original sample array, bit for bit")
+  }
+
+  test("audio envelope: relational form == JVM energyEnvelope60 on the same bytes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val payloads = Seq(
+      Array.fill(400)(rnd.nextInt(256).toByte),   // dense: every window populated
+      Array.fill(30)(rnd.nextInt(256).toByte),    // sparse: empty windows (L < 61)
+      Array.empty[Byte])                          // degenerate: zero PCM bytes
+    val media = payloads.zipWithIndex.map { case (pcm, i) =>
+      (i.toLong, Media.WavMagic ++ pcm)
+    }.toDF("media_id", "payload")
+    val got = Media.audioEnvelope(media, col("media_id"), col("payload"))
+      .select("media_id", "n_bytes", "env60").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = payloads.zipWithIndex.map { case (pcm, i) =>
+      i.toLong -> ((pcm.length.toLong, Media.energyEnvelope60(pcm)))
+    }.toMap
+    assert(got == want, s"relational and JVM fingerprints must be bit-identical; got $got")
+  }
 }
