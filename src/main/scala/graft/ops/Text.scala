@@ -906,8 +906,10 @@ object Text {
   def bpeTrain(
       df: org.apache.spark.sql.DataFrame,
       text: Column,
-      numMerges: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+      numMerges: Int,
+      batch: Int = 8): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     require(numMerges >= 1, "learn at least one merge")
+    require(batch >= 1, "batch at least one merge per round-trip")
     val words = df.select(explode(tokens(text)).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -915,8 +917,28 @@ object Text {
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (step <- 1 to numMerges) {
-      val best = vocab
+    while (merges.size < numMerges) {
+      // BATCHED merge selection (cuts driver round-trips up to `batch`×,
+      // EXACTLY equal to one-merge-at-a-time training — property-tested):
+      // collect the top batch+1 pairs, then keep the rank-order prefix that
+      // sequential training would provably pick unchanged:
+      //  - kept pairs are symbol-disjoint, guarding concatenations too (a
+      //    kept merge may neither consume another's symbols nor create one
+      //    of them), so kept counts are invariant under each other;
+      //  - stop at the FIRST conflicting candidate (no skipping — kept is a
+      //    prefix of the global ranking); a SELF-pair (a,a) also closes its
+      //    batch: its greedy merge leaves residual (aa,a)/(aa,aa) pairs
+      //    bounded only by its own count, so nothing may batch after it;
+      //  - a merge can only GROW the count of a pair touching its new
+      //    symbol; at sequential pick time any such competitor's
+      //    occurrences map to pre-batch occurrences of at most 2×2
+      //    boundary pairs (last-constituent × first-constituent, each
+      //    possibly colliding with a pre-existing symbol name), all
+      //    conflict-excluded hence ≤ stopCnt each — so batching is safe
+      //    only while cnt > 4·stopCnt; otherwise fall back to the
+      //    unconditionally-correct single merge.
+      val want = math.min(batch, numMerges - merges.size)
+      val top = vocab
         .where(size(col("syms")) > 1)
         .select(col("n"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
@@ -926,12 +948,29 @@ object Text {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(want + 1)
         .collect()
-      require(best.nonEmpty, s"no adjacent pairs left to merge at step $step")
-      val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((step, a, b, cnt))
-      vocab = vocab.select(col("w"), col("n"), mergeFold(col("syms"), a, b).as("syms"))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(top.nonEmpty, s"no adjacent pairs left to merge at step ${merges.size + 1}")
+      val guard = scala.collection.mutable.Set[String]()
+      val kept = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var stopCnt = 0L // no residual candidate => nothing a merge can grow from
+      var open = true
+      for (cand @ (a, b, cnt) <- top if open) {
+        if (kept.size == want || Seq(a, b, a + b).exists(guard.contains)) {
+          stopCnt = cnt; open = false
+        } else if (a == b) {
+          if (kept.isEmpty) kept += cand
+          else stopCnt = cnt
+          open = false
+        } else { kept += cand; guard ++= Seq(a, b, a + b) }
+      }
+      val safe = kept.takeWhile(_._3 > 4 * stopCnt)
+      val step = if (safe.nonEmpty) safe.toSeq else Seq(kept.head)
+      step.foreach { case (a, b, cnt) => merges += ((merges.size + 1, a, b, cnt)) }
+      vocab = vocab.select(col("w"), col("n"),
+          step.foldLeft(col("syms")) { case (s, (a, b, _)) => mergeFold(s, a, b) }
+            .as("syms"))
         .localCheckpoint()
     }
     (merges.toSeq, vocab)

@@ -104,6 +104,26 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 5L)))
   }
 
+  test("bpeTrain batched == sequential: same merge table, same counts, same final vocab") {
+    import spark.implicits._
+    // Real corpus (documents at sf0.001) plus an adversarial fixture that
+    // exercises the batch-closing rules: a self-pair with a high count
+    // ("xxxx" words — residual (xx,x)/(xx,xx) pairs bound only by its own
+    // count), a pre-existing symbol colliding with a concat, and flat
+    // counts that force the 4·stopCnt fallback to single merges.
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("text"))
+      .union(Seq("xxxx xxxx xxxx xxxx qr qr qr rs rs st st").toDF("text"))
+    val (seqM, seqV) = Text.bpeTrain(docs, col("text"), numMerges = 12, batch = 1)
+    val (batM, batV) = Text.bpeTrain(docs, col("text"), numMerges = 12, batch = 8)
+    assert(batM == seqM,
+      s"batched merge table must equal sequential exactly:\nseq=$seqM\nbat=$batM")
+    val key = concat_ws("|", col("w"), col("n"), concat_ws("+", col("syms")))
+    val sv = seqV.select(key).as[String].collect().sorted.toSeq
+    val bv = batV.select(key).as[String].collect().sorted.toSeq
+    assert(bv == sv, "batched final vocabulary must equal sequential exactly")
+  }
+
   test("bpeTokenize replays training folds exactly: per-row encoding == trained vocab, any word") {
     import spark.implicits._
     val docs = Seq("aaab aaab aaab ab ab banana band bandana").toDF("text")
