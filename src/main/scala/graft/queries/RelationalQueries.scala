@@ -1025,6 +1025,76 @@ object RelationalQueries {
            |WHERE r_name = 'EUROPE'
            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
            |  AND o_orderdate < TIMESTAMP '1997-01-01'
-           |GROUP BY 1""".stripMargin))
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q3-style shipping-priority top-k: unshipped revenue per order for
+    // one market segment, top 10 by revenue. Customer (segment-filtered)
+    // broadcasts into orders; lineitem shuffles on l_orderkey only. Revenue
+    // is decimal-exact (identical doubles both engines), and the ordering is
+    // made total with the orderkey tie-break, so the LIMIT boundary is
+    // deterministic cross-engine. Top-k is TakeOrderedAndProject — no global
+    // sort materializes at scale.
+    QueryDef(
+      "q162_shipping_priority",
+      (s, dir) => {
+        val cutoff = "1996-06-01"
+        val customer = Tables.load(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < lit(cutoff))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") > lit(cutoff))
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""WITH agg AS (
+           |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  WHERE c_mktsegment = 'BUILDING'
+           |    AND o_orderdate < TIMESTAMP '1996-06-01'
+           |    AND l_shipdate > TIMESTAMP '1996-06-01'
+           |  GROUP BY 1, 2, 3)
+           |SELECT * FROM agg
+           |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+           |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q18-style large-volume customers: orders whose total lineitem
+    // quantity exceeds the threshold, with the owning customer. The HAVING
+    // subquery aggregates lineitem on l_orderkey (the only corpus-scale
+    // shuffle); the surviving keys are a vanishing fraction, so the join
+    // back to orders is AQE-broadcastable at any scale. Quantities are
+    // integral doubles (exact under any summation order — no decimal ladder
+    // needed).
+    QueryDef(
+      "q163_large_volume_customers",
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .where(col("total_qty") > 250)
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        orders
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      },
+      Some("""WITH big AS (
+           |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+           |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+           |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+           |FROM orders
+           |JOIN big ON o_orderkey = l_orderkey
+           |JOIN customer ON o_custkey = c_custkey""".stripMargin))
   )
 }
