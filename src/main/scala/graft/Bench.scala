@@ -117,6 +117,30 @@ object Bench {
     println(json)
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    // Committed per-query artifact: the driver's BENCH_rN.json capture
+    // truncates the single-line JSON, so regression calls across rounds were
+    // limited to the visible prefix. This file is pretty-printed one query
+    // per line (diffable in git) and committed each round — warm min-of-two
+    // is the steady-state number the 100 TB design targets.
+    val perQuery = results.map { r =>
+      val v = if (r.ok) s"""{"cold":${fmt(r.cold)},"warm":${fmt(r.warm)}}"""
+      else """{"cold":-1,"warm":-1,"ok":false}"""
+      s"""    "${r.name}": $v"""
+    }.mkString(",\n")
+    val warmJson =
+      s"""{
+         |  "sf": "$sfDir",
+         |  "n_ok": ${okRes.size},
+         |  "n_failed": ${results.size - okRes.size},
+         |  "total_cold_sec": ${fmt(okRes.map(_.cold).sum)},
+         |  "total_warm_sec": ${fmt(okRes.map(_.warm).sum)},
+         |  "streaming": $streaming,
+         |  "queries": {
+         |$perQuery
+         |  }
+         |}""".stripMargin
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_OUT", "bench_warm.json")), warmJson + "\n")
     spark.stop()
   }
 }

@@ -35,7 +35,9 @@ def main():
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
     if "--run" in sys.argv:
-        subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sfdir} {outdir}"],
+        names = " ".join(sorted(only))
+        subprocess.run(["sbt", "-batch",
+                        f"runMain graft.Verify {sfdir} {outdir} {names}".strip()],
                        check=True, capture_output=True, text=True)
     con = duckdb.connect()
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
