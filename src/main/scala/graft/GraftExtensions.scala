@@ -40,6 +40,7 @@ object GraftExtensions {
     */
   val functionEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     graft.plans.Hash60.registryEntry,
+    graft.plans.NfcNormalize.registryEntry,
     entry("dot_product", classOf[graft.plans.DotProduct]) { ch =>
       require(ch.size == 2, "dot_product takes exactly two arguments")
       graft.plans.DotProduct(ch(0), ch(1))

@@ -141,6 +141,125 @@ object Dedup {
     * join (bounded by `maxShingleDf`) → (id_a, id_b, inter, sz_a, sz_b),
     * id_a < id_b.
     */
+  /** Exact dedup groups keyed on the NFC-NORMALIZED text: groups that
+    * byte-keyed dedup splits (composed vs decomposed Unicode spellings of
+    * the same text) merge here; `n_raw_distinct` counts how many raw byte
+    * forms the group contained, so `n_raw_distinct > 1` rows are exactly
+    * the duplicates plain [[exactGroups]] misses. Same md5-shuffle-key
+    * scale shape as exactGroups — normalization happens before the hash,
+    * on the scan side.
+    */
+  def normalizedDedupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(Text.nfc(text)).as("norm_hash"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(md5(text.cast("string"))).as("n_raw_distinct"))
+      .where(col("n_docs") >= 2)
+
+  // -------------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+  // MOSS local document fingerprinting algorithm).
+  // -------------------------------------------------------------------------
+
+  /** Positioned k-gram shingle hashes: (doc_id, n_sh, pos, h) with pos dense
+    * 1..n_sh over the token stream and h = hash60 of the space-joined k-gram
+    * starting at pos. NOT distinct — winnowing selects from the full
+    * positional sequence. Hashes are computed INSIDE the transform lambda,
+    * so exploded rows carry (pos, h) pairs only; the token array never
+    * survives the explode.
+    */
+  def positionedShingleHashes(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int): DataFrame =
+    spreadBy(df, id)
+      .select(id.as("doc_id"), Text.tokens(text).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), (size(col("t")) - lit(k - 1)).cast("long").as("n_sh"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
+          i => struct(i.cast("long").as("pos"),
+            Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))).as("h"))))
+          .as("p"))
+      .select(col("doc_id"), col("n_sh"), col("p.pos").as("pos"), col("p.h").as("h"))
+
+  /** Robust winnowing fingerprint selection: every window of `w` consecutive
+    * k-gram hashes selects its minimum, RIGHTMOST position on ties (the
+    * min-of-(hash, -pos) struct trick makes the tie-break part of the
+    * ordering itself); a document with fewer than w shingles selects from
+    * the single window covering the whole document, so every document with
+    * at least one shingle yields at least one fingerprint. Output: distinct
+    * (doc_id, pos, h). Expected density is 2/(w+1) of the shingle count
+    * (the winnowing guarantee), with a worst-case gap of w-1 positions
+    * between selections — the LOCAL property n-gram sampling (e.g. 0 mod p)
+    * lacks.
+    *
+    * Scale shape: the only corpus-scale stage is the per-doc analytic
+    * window, whose partitioning key (doc_id) is exactly the spreadBy key of
+    * the positioned rows — one exchange, reused. Selected fingerprints are
+    * (id, pos, long) triples; shingle text dies before any shuffle.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+      w: Int): DataFrame = {
+    require(w >= 1, "winnowing window must cover at least one shingle")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    positionedShingleHashes(df, id, text, k)
+      .withColumn("sel",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(win))
+      .where(col("pos") >= least(lit(w.toLong), col("n_sh")))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** Near-dup pairs over WINNOWED fingerprint sets — containment
+    * (|A∩B| / min |A|,|B|) on the selected hashes. Same inverted-index
+    * join as [[containmentPairs]], but the index is the winnowed ~2/(w+1)
+    * fraction of the shingle index: the 100 TB story of winnowing is that
+    * the pair-generation index shrinks by w/2 while any shared run of at
+    * least w+k-1 tokens still collides (the winnowing guarantee — both
+    * documents select the same minimum inside the shared window).
+    * `maxFpDf` drops ultra-common fingerprints, the [[ngramJaccardPairs]]
+    * df-cap discipline.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+      w: Int,
+      threshold: Double,
+      maxFpDf: Option[Int] = None): DataFrame = {
+    val fp0 = winnowFingerprints(df, id, text, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val fp = maxFpDf match {
+      case Some(cap) =>
+        val dfreq = fp0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("h"))
+        fp0.join(dfreq, "h")
+      case None => fp0
+    }
+    val fpc = fp.localCheckpoint()
+    val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val inter = fpc.select(col("doc_id").as("id_a"), col("h"))
+      .join(fpc.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("nfp_a"), col("nfp_b")))
+      .where(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("nfp_a"), col("nfp_b"),
+        col("overlap"))
+  }
+
   private def shinglePairCounts(
       df: DataFrame,
       id: Column,

@@ -28,6 +28,17 @@ object Text {
 
   def tokens(text: Column): Column = split(text, WhitespaceRegex)
 
+  /** Unicode NFC (canonical composition) normalization — native codegen
+    * expression (graft.plans.NfcNormalize), DuckDB twin `nfc_normalize()`.
+    * Normalize BEFORE any byte-keyed operator (exact dedup, shingle/minhash
+    * hashing): composed U+00E1 and decomposed "a"+U+0301 are the same text
+    * to a reader but different bytes to every hash in the engine.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string"))))
+
   /** Word count = token count (`process_articles.py:75`). */
   def wordCount(text: Column): Column = size(tokens(text))
 

@@ -529,7 +529,119 @@ object DedupQueries {
            |  CAST(COALESCE(nu.n_unique, 0) AS BIGINT) AS n_unique,
            |  TRUE AS within_bound
            |FROM sizes s LEFT JOIN nu ON nu.src = s.src""".stripMargin
-      })
+      }),
+
+    // Robust winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    // fingerprinter): each window of 4 consecutive 3-gram hashes selects its
+    // minimum (rightmost on ties — the min-of-(h, -pos) struct carries the
+    // tie-break inside the ordering, identically in both engines); short
+    // documents select from the whole-document window. The oracle re-derives
+    // every positioned hash and replays the identical struct-min window.
+    QueryDef(
+      "q164_winnow_fingerprints",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), k = 3, w = 4)
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+           |pos AS (
+           |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_sh, t,
+           |    unnest(range(1, len(t) - 1)) AS pos
+           |  FROM toks WHERE len(t) >= 3),
+           |ph AS (
+           |  SELECT doc_id, n_sh, pos, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, n_sh, pos,
+           |          md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
+           |            CAST(pos + 2 AS INTEGER)), ' ')) AS m
+           |        FROM pos)),
+           |sel AS (
+           |  SELECT doc_id, pos, n_sh,
+           |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+           |  FROM ph)
+           |SELECT DISTINCT doc_id, CAST(-(s.np) AS BIGINT) AS pos, s.h AS h
+           |FROM sel WHERE pos >= least(4, n_sh)""".stripMargin)),
+
+    // Near-dup pairs over the winnowed index: containment on selected
+    // hashes. The index is the ~2/(w+1) winnowed fraction of the shingle
+    // index while any shared run of >= w+k-1 tokens still collides (the
+    // winnowing guarantee) — the cheap first-pass pair generator at corpus
+    // scale. df cap 100 mirrored in the oracle.
+    QueryDef(
+      "q165_winnow_overlap_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+           |pos AS (
+           |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_sh, t,
+           |    unnest(range(1, len(t) - 1)) AS pos
+           |  FROM toks WHERE len(t) >= 3),
+           |ph AS (
+           |  SELECT doc_id, n_sh, pos, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, n_sh, pos,
+           |          md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
+           |            CAST(pos + 2 AS INTEGER)), ' ')) AS m
+           |        FROM pos)),
+           |sel AS (
+           |  SELECT doc_id, pos, n_sh,
+           |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+           |  FROM ph),
+           |fp0 AS (SELECT DISTINCT doc_id, s.h AS h FROM sel
+           |        WHERE pos >= least(4, n_sh)),
+           |fp AS (
+           |  SELECT doc_id, h FROM fp0
+           |  WHERE h IN (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) <= 100)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+           |  CAST(inter AS DOUBLE) / least(sa.nfp, sb.nfp) AS overlap
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(inter AS DOUBLE) / least(sa.nfp, sb.nfp) >= 0.4""".stripMargin)),
+
+    // Unicode-normalization-aware exact dedup: the corpus has no decomposed
+    // spellings, so the QUERY plants them (the q135 planted-fixture
+    // pattern) — every 20th document gains a composed copy (a -> U+00E1)
+    // and a decomposed copy (a -> a+U+0301). Raw byte hashing splits those
+    // copies; hashing nfc(text) merges them — n_raw_distinct counts the
+    // byte forms each merged group contained. Both engines build the
+    // identical corpus (chr() literals) and normalize with their native
+    // NFC (graft.plans.NfcNormalize vs DuckDB nfc_normalize).
+    QueryDef(
+      "q166_nfc_dedup_groups",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("text"))
+        val planted = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        val comp = planted.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          replace(col("text"), lit("a"), lit("\u00e1")).as("text"))
+        val decomp = planted.select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          replace(col("text"), lit("a"), lit("a\u0301")).as("text"))
+        Dedup.normalizedDedupGroups(
+          base.union(comp).union(decomp), col("doc_id"), col("text"))
+      },
+      Some("""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, replace(text, 'a', chr(225))
+           |  FROM documents WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000000, replace(text, 'a', 'a' || chr(769))
+           |  FROM documents WHERE doc_id % 20 = 0)
+           |SELECT md5(nfc_normalize(text)) AS norm_hash, MIN(doc_id) AS rep_id,
+           |  COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_raw_distinct
+           |FROM all_docs
+           |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -360,6 +360,63 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == ((10L, 0L, "just some fully unique words here nine ten eleven twelve")))
   }
 
+  test("winnowing: guarantee properties — coverage gap <= w, >= 1 fp per doc, shared-run collision") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val k = 3; val w = 4
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), k, w)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val nsh = Dedup.positionedShingleHashes(docs, col("doc_id"), col("text"), k)
+      .groupBy("doc_id").agg(max("pos").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(nsh.keySet == fp.keySet, "every doc with >= 1 shingle yields >= 1 fingerprint")
+    fp.foreach { case (d, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.head <= w, s"doc $d: first selection within the first window")
+      ps.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= w, s"doc $d: gap $a->$b exceeds the winnowing bound w=$w")
+      case _ => }
+      val m = nsh(d)
+      assert(ps.last > m - w || ps.last == m,
+        s"doc $d: tail of the sequence must be covered")
+      // density: expected 2/(w+1); allow a generous band around it
+      assert(rows.length <= m, s"doc $d: cannot select more than every shingle")
+    }
+    // shared-run collision: two synthetic docs sharing a long verbatim run
+    // must share at least one selected fingerprint (the winnowing guarantee
+    // for runs of >= w+k-1 tokens)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val syn = Seq(
+      (1L, s"unrelated prefix words here $shared and a suffix"),
+      (2L, s"$shared totally different tail content follows now")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowFingerprints(syn, col("doc_id"), col("text"), k, w)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val h1 = sfp(1L).map(_._3).toSet
+    val h2 = sfp(2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "a shared >= w+k-1 token run must collide")
+  }
+
+  test("winnowing: rightmost tie-break and short-doc whole-window selection") {
+    import spark.implicits._
+    // "a b a b a b a b" with k=2: every shingle is "a b" or "b a" — massive
+    // hash ties; the rightmost-min tie-break must pick deterministically and
+    // the gap bound still holds. A doc with fewer shingles than w selects
+    // from the single whole-doc window.
+    val docs = Seq((1L, "a b a b a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), k = 2, w = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val ties = fp(1L).map(_._2).sorted
+    // 7 shingles alternating between two hash values: the min value's
+    // rightmost occurrence per window -> selections advance, gaps <= 4
+    ties.sliding(2).foreach { case Array(a, b) => assert(b - a <= 4); case _ => }
+    // doc 2: 2 shingles < w -> the whole-doc window selects exactly one
+    assert(fp(2L).length == 1, s"short doc must select exactly its minimum: ${fp(2L).toSeq}")
+    // determinism: selected positions are reproducible run to run
+    val again = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), k = 2, w = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(again(1L).toSet == fp(1L).toSet && again(2L).toSet == fp(2L).toSet)
+  }
+
   test("scalacheck: family hashes are pairwise-distinct functions on a random domain sample") {
     val xs = Gen.listOfN(200, Gen.choose(0L, Hashing.FamilyBase - 1)).sample.get.distinct
     // any two family members must disagree somewhere (a_i, b_i distinct mod P)

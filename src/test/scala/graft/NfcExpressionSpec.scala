@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Text
+
+/** The native NFC expression must match java.text.Normalizer on a fixture
+  * matrix of composed/decomposed forms, be identity on already-normalized
+  * text (the common path), stay inside whole-stage codegen, and register
+  * for SQL.
+  */
+class NfcExpressionSpec extends AnyFunSuite with SparkSpec {
+
+  private val fixtures = Seq(
+    // (input, expected NFC) — all escapes, no raw combining chars in source
+    "á" -> "á",                   // a + combining acute -> á
+    "é́" -> "é́",        // é + second acute: no further compose
+    "á" -> "á",                    // already composed: identity
+    "plain ascii text" -> "plain ascii text",
+    "" -> "",
+    "öü" -> "öü",      // ö ü from combining diaeresis
+    "ガ" -> "ガ",              // katakana KA + voicing -> GA
+    "x́ỳ" -> "x́ỳ")    // x/y have no composed form
+
+  test("native nfc == java.text.Normalizer on the fixture matrix; nulls propagate") {
+    import spark.implicits._
+    val rows = fixtures.map(_._1).toDF("s")
+      .select(col("s"), Text.nfc(col("s")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (in, want) =>
+      assert(rows(in) == want, s"nfc of ${in.map(c => f"U+${c.toInt}%04X").mkString(" ")}")
+      assert(rows(in) == java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC))
+    }
+    val n = Seq[Option[String]](None).toDF("s").select(Text.nfc(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("nfc stays inside whole-stage codegen over a real scan") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val df = docs.select(Text.nfc(col("text")).as("t"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("\\*\\(\\d+\\) Project \\[nfc".r.findFirstIn(plan).isDefined,
+      s"nfc projection must carry the codegen star:\n$plan")
+    // corpus text is already NFC: normalization must be the identity on it
+    assert(docs.where(col("text").isNotNull &&
+      not(Text.nfc(col("text")) === col("text"))).count() == 0)
+  }
+
+  test("SQL registration: nfc callable from Spark SQL") {
+    GraftExtensions.functionEntries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = spark.sql("SELECT nfc('á') AS n").head()
+    assert(r.getString(0) == "á")
+  }
+}
