@@ -105,13 +105,13 @@ object Bench {
 
     def fmt(d: Double): String = f"$d%.4f"
     val okRes = results.filter(_.ok)
-    val qsCold = results.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.cold) else "-1"))
+    val qsCold = results.map(r => Json.str(r.name) + ":" + (if (r.ok) fmt(r.cold) else "-1"))
       .mkString("{", ",", "}")
-    val qsWarm = results.map(r => "\"" + r.name + "\":" + (if (r.ok) fmt(r.warm) else "-1"))
+    val qsWarm = results.map(r => Json.str(r.name) + ":" + (if (r.ok) fmt(r.warm) else "-1"))
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val failed = results.filterNot(_.ok).map(r => Json.str(r.name)).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$qsCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"queries_warm":$qsWarm,"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$qsCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"queries_warm":$qsWarm,"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"streaming":$streaming,"sf":${Json.str(sfDir)}}"""
     // Stdout for the driver, plus a file copy in case log decoration mangles
     // the stream (round 1's BENCH parse failed on sbt's [info] prefix).
     println(json)
@@ -125,11 +125,11 @@ object Bench {
     val perQuery = results.map { r =>
       val v = if (r.ok) s"""{"cold":${fmt(r.cold)},"warm":${fmt(r.warm)}}"""
       else """{"cold":-1,"warm":-1,"ok":false}"""
-      s"""    "${r.name}": $v"""
+      s"""    ${Json.str(r.name)}: $v"""
     }.mkString(",\n")
     val warmJson =
       s"""{
-         |  "sf": "$sfDir",
+         |  "sf": ${Json.str(sfDir)},
          |  "n_ok": ${okRes.size},
          |  "n_failed": ${results.size - okRes.size},
          |  "total_cold_sec": ${fmt(okRes.map(_.cold).sum)},

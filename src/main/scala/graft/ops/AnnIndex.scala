@@ -65,8 +65,13 @@ object AnnIndex {
       .pqCodebooksFlatResidual(df, id, vec, cents, dims, m, k, iters)
       .localCheckpoint()
     // derived, not a parameter (the ivfPqTopK discipline): a mismatched
-    // codeword count would collide densified LUT slots far from the cause
-    val codewords = cb.agg(max(col("clabel"))).head().getInt(0) + 1
+    // codeword count would collide densified LUT slots far from the cause.
+    // Read the max as nullable: an empty input frame must fail HERE with a
+    // clear message, not as an opaque NPE (and never as a codes=null index).
+    val maxLabel = cb.agg(max(col("clabel"))).head()
+    require(!maxLabel.isNullAt(0),
+      "AnnIndex.build: input frame produced no codebooks (empty corpus?) — cannot derive codeword count")
+    val codewords = maxLabel.getInt(0) + 1
     val idx = IvfPqIndex(cents, cb, codes = null, dims, m, codewords)
     idx.copy(codes = encode(df, id, vec, idx).localCheckpoint())
   }
@@ -192,7 +197,12 @@ object AnnIndex {
         transform(sequence(lit(0), lit(m * codewords - 1)),
           i => element_at(col("lutm"), i.cast("int"))).as("lutm"))
     val aSide = lutArr.select(col("cluster"), col("qid").as("query_id"), col("lutm"))
+    // a stored code array shorter than m (a bad write / manual edit) would make
+    // element_at return NULL, the ADC sum NULL, and — since ascending sorts
+    // nulls FIRST — put the corrupted row at rank 1; exclude it from the
+    // candidate set instead (it cannot be a correct answer either way)
     val bSide = idx.codes
+      .where(size(col("codes")) === m)
       .select(col("cluster"), col("vid").as("neighbor_id"), col("codes"))
     val adc = (0 until m).map(i =>
       element_at(col("lutm"),

@@ -182,7 +182,9 @@ object Dedup {
           .as("p"))
       .select(col("doc_id"), col("n_sh"), col("p.pos").as("pos"), col("p.h").as("h"))
 
-  /** Robust winnowing fingerprint selection: every window of `w` consecutive
+  /** STANDARD winnowing fingerprint selection (rightmost-min tie-break; the
+    * paper's "robust" variant would instead prefer the previously selected
+    * hash on ties — not implemented here): every window of `w` consecutive
     * k-gram hashes selects its minimum, RIGHTMOST position on ties (the
     * min-of-(hash, -pos) struct trick makes the tie-break part of the
     * ordering itself); a document with fewer than w shingles selects from

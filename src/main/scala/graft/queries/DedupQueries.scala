@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Hashing}
+import graft.ops.{Dedup, Hashing, Text}
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension queries over `documents`: exact, n-gram Jaccard,
@@ -531,8 +531,9 @@ object DedupQueries {
            |FROM sizes s LEFT JOIN nu ON nu.src = s.src""".stripMargin
       }),
 
-    // Robust winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
-    // fingerprinter): each window of 4 consecutive 3-gram hashes selects its
+    // Standard winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    // fingerprinter; the paper's "robust" tie-break variant is NOT used):
+    // each window of 4 consecutive 3-gram hashes selects its
     // minimum (rightmost on ties — the min-of-(h, -pos) struct carries the
     // tie-break inside the ordering, identically in both engines); short
     // documents select from the whole-document window. The oracle re-derives
@@ -641,7 +642,55 @@ object DedupQueries {
            |SELECT md5(nfc_normalize(text)) AS norm_hash, MIN(doc_id) AS rep_id,
            |  COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_raw_distinct
            |FROM all_docs
-           |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin))
+           |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin)),
+
+    // NFC through the UNCHANGED near-dup machinery (the cjkSegment/q160 seam
+    // discipline): composed vs decomposed spellings of the same word differ
+    // in every byte-keyed shingle hash, so a decomposed near-copy of a
+    // composed document loses every 'a'-word shingle match and can sail
+    // under any Jaccard threshold — q166 fixed exact dedup only, leaving
+    // winnowing/Jaccard/MinHash/SimHash normalization-blind. Shingling
+    // Text.nfc(text) at the tokens() seam restores the match with zero new
+    // shuffles (nfc is a per-row codegen expression on the pre-explode
+    // scan). Fixture: composed originals vs decomposed copies extended by
+    // three marker tokens, so the pair is NEAR (jaccard < 1), not exact;
+    // the oracle normalizes with DuckDB's native nfc_normalize and replays
+    // the q52 inverted-index chain.
+    QueryDef(
+      "q167_nfc_neardup_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(40)) === 0)
+        val comp = base.select(col("doc_id"),
+          replace(col("text"), lit("a"), lit("\u00e1")).as("text"))
+        val decomp = base.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(replace(col("text"), lit("a"), lit("a\u0301")),
+            lit(" zq1 zq2 zq3")).as("text"))
+        Dedup.ngramJaccardPairs(comp.unionByName(decomp),
+          col("doc_id"), Text.nfc(col("text")), 3, 0.5)
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id, replace(text, 'a', chr(225)) AS text
+           |  FROM documents WHERE doc_id % 40 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    replace(text, 'a', 'a' || chr(769)) || ' zq1 zq2 zq3' AS text
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (
+           |  SELECT doc_id AS id,
+           |    unnest(${Text.duckShingles("nfc_normalize(text)", 3)}) AS sh
+           |  FROM planted),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -13,14 +13,14 @@ class NfcExpressionSpec extends AnyFunSuite with SparkSpec {
 
   private val fixtures = Seq(
     // (input, expected NFC) — all escapes, no raw combining chars in source
-    "á" -> "á",                   // a + combining acute -> á
-    "é́" -> "é́",        // é + second acute: no further compose
-    "á" -> "á",                    // already composed: identity
+    "a\u0301" -> "\u00e1",                   // a + combining acute -> a-acute
+    "\u00e9\u0301" -> "\u00e9\u0301",      // e-acute + second acute: no further compose
+    "\u00e1" -> "\u00e1",                    // already composed: identity
     "plain ascii text" -> "plain ascii text",
     "" -> "",
-    "öü" -> "öü",      // ö ü from combining diaeresis
-    "ガ" -> "ガ",              // katakana KA + voicing -> GA
-    "x́ỳ" -> "x́ỳ")    // x/y have no composed form
+    "o\u0308u\u0308" -> "\u00f6\u00fc",    // o-umlaut u-umlaut from combining diaeresis
+    "\u30ab\u3099" -> "\u30ac",             // katakana KA + voicing -> GA
+    "x\u0301y\u0300" -> "x\u0301\u1ef3")   // x-acute has no composed form; y+grave -> U+1EF3
 
   test("native nfc == java.text.Normalizer on the fixture matrix; nulls propagate") {
     import spark.implicits._
@@ -50,7 +50,7 @@ class NfcExpressionSpec extends AnyFunSuite with SparkSpec {
     GraftExtensions.functionEntries.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    val r = spark.sql("SELECT nfc('á') AS n").head()
-    assert(r.getString(0) == "á")
+    val r = spark.sql("SELECT nfc('a\u0301') AS n").head()
+    assert(r.getString(0) == "\u00e1")
   }
 }
