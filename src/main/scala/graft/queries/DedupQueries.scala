@@ -68,6 +68,34 @@ object DedupQueries {
        |labels AS (
        |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB CTE chain ending in `${p}wfp(doc_id, pos, h)`: standard-winnowed
+    * (k = 3, w = 4) fingerprints of `src(doc_id, text)` — the exact twin of
+    * `Dedup.winnowFingerprints`, prefix-parameterized so two winnowed sets
+    * (index + probes) can coexist in one oracle. Shared by q164, q165,
+    * q168, q169.
+    */
+  private def duckWinnowCtes(src: String, p: String): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
+       |${p}pos AS (
+       |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_sh, t,
+       |    unnest(range(1, len(t) - 1)) AS pos
+       |  FROM ${p}toks WHERE len(t) >= 3),
+       |${p}ph AS (
+       |  SELECT doc_id, n_sh, pos, ${Hashing.duckFoldHexCol("m")} AS h
+       |  FROM (SELECT doc_id, n_sh, pos,
+       |          md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
+       |            CAST(pos + 2 AS INTEGER)), ' ')) AS m
+       |        FROM ${p}pos)),
+       |${p}sel AS (
+       |  SELECT doc_id, pos, n_sh,
+       |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+       |  FROM ${p}ph),
+       |${p}wfp AS (
+       |  SELECT DISTINCT doc_id, CAST(-(s.np) AS BIGINT) AS pos, s.h AS h
+       |  FROM ${p}sel WHERE pos >= least(4, n_sh))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup audit: hash groups with representative + multiplicity.
@@ -544,25 +572,8 @@ object DedupQueries {
         val docs = Tables.load(s, dir, "documents")
         Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), k = 3, w = 4)
       },
-      Some(s"""WITH toks AS (
-           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-           |pos AS (
-           |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_sh, t,
-           |    unnest(range(1, len(t) - 1)) AS pos
-           |  FROM toks WHERE len(t) >= 3),
-           |ph AS (
-           |  SELECT doc_id, n_sh, pos, ${Hashing.duckFoldHexCol("m")} AS h
-           |  FROM (SELECT doc_id, n_sh, pos,
-           |          md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
-           |            CAST(pos + 2 AS INTEGER)), ' ')) AS m
-           |        FROM pos)),
-           |sel AS (
-           |  SELECT doc_id, pos, n_sh,
-           |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-           |  FROM ph)
-           |SELECT DISTINCT doc_id, CAST(-(s.np) AS BIGINT) AS pos, s.h AS h
-           |FROM sel WHERE pos >= least(4, n_sh)""".stripMargin)),
+      Some(s"""WITH ${duckWinnowCtes("documents", "")}
+           |SELECT doc_id, pos, h FROM wfp""".stripMargin)),
 
     // Near-dup pairs over the winnowed index: containment on selected
     // hashes. The index is the ~2/(w+1) winnowed fraction of the shingle
@@ -576,25 +587,8 @@ object DedupQueries {
         Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"),
           k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
       },
-      Some(s"""WITH toks AS (
-           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-           |pos AS (
-           |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_sh, t,
-           |    unnest(range(1, len(t) - 1)) AS pos
-           |  FROM toks WHERE len(t) >= 3),
-           |ph AS (
-           |  SELECT doc_id, n_sh, pos, ${Hashing.duckFoldHexCol("m")} AS h
-           |  FROM (SELECT doc_id, n_sh, pos,
-           |          md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
-           |            CAST(pos + 2 AS INTEGER)), ' ')) AS m
-           |        FROM pos)),
-           |sel AS (
-           |  SELECT doc_id, pos, n_sh,
-           |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-           |  FROM ph),
-           |fp0 AS (SELECT DISTINCT doc_id, s.h AS h FROM sel
-           |        WHERE pos >= least(4, n_sh)),
+      Some(s"""WITH ${duckWinnowCtes("documents", "")},
+           |fp0 AS (SELECT DISTINCT doc_id, h FROM wfp),
            |fp AS (
            |  SELECT doc_id, h FROM fp0
            |  WHERE h IN (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) <= 100)),
@@ -690,7 +684,73 @@ object DedupQueries {
            |FROM inter
            |JOIN sizes sa ON sa.id = id_a
            |JOIN sizes sb ON sb.id = id_b
-           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin))
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin)),
+
+    // DURABLE winnow fingerprint table, maintenance path (the q158
+    // append==rebuild discipline): the table is built on the 6/7 base
+    // corpus, the 1/7 delta is winnowed separately and appended — and
+    // because winnowing is strictly per-document, the appended table must
+    // equal a from-scratch rebuild of the union ROW FOR ROW. The oracle IS
+    // the full rebuild (q164's chain over all documents): hash-match here
+    // proves the daily-ingest path never drifts from recomputation.
+    QueryDef(
+      "q168_winnow_index_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val fp = graft.ops.WinnowIndex.build(base, col("doc_id"), col("text"),
+          k = 3, w = 4)
+        graft.ops.WinnowIndex.append(fp, delta, col("doc_id"), col("text"),
+          k = 3, w = 4)
+      },
+      Some(s"""WITH ${duckWinnowCtes("documents", "")}
+           |SELECT doc_id, pos, h FROM wfp""".stripMargin)),
+
+    // DURABLE winnow fingerprint table, serve path: probe documents (30-token
+    // prefix truncations of every 25th doc — the q141 planted-truncation
+    // pattern; any shared run of >= w+k-1 = 6 tokens still collides by the
+    // winnowing guarantee) are winnowed and matched against the STORED
+    // fingerprint table. The table side is never re-tokenized — its three
+    // consumers (df cap, per-doc sizes, pair join) all read stored
+    // fingerprint rows; corpus text is touched only at build. df cap 100
+    // mirrored in the oracle on the INDEX side only (probe text never
+    // shifts index statistics).
+    QueryDef(
+      "q169_winnow_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val fp = graft.ops.WinnowIndex.build(docs, col("doc_id"), col("text"),
+          k = 3, w = 4)
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
+        graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+      },
+      Some(s"""WITH probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 30), ' ') AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckWinnowCtes("documents", "i")},
+           |${duckWinnowCtes("probes", "p")},
+           |ifp0 AS (SELECT DISTINCT doc_id, h FROM iwfp),
+           |ifp AS (
+           |  SELECT doc_id, h FROM ifp0
+           |  WHERE h IN (SELECT h FROM ifp0 GROUP BY h HAVING COUNT(*) <= 100)),
+           |isz AS (SELECT doc_id, COUNT(*) AS nfp_doc FROM ifp GROUP BY 1),
+           |pfp AS (SELECT DISTINCT doc_id AS probe_id, h FROM pwfp),
+           |psz AS (SELECT probe_id, COUNT(*) AS nfp_probe FROM pfp GROUP BY 1),
+           |inter AS (
+           |  SELECT p.probe_id, i.doc_id, COUNT(*) AS inter
+           |  FROM pfp p JOIN ifp i ON p.h = i.h
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, doc_id, inter, psz.nfp_probe, isz.nfp_doc,
+           |  CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) AS overlap
+           |FROM inter
+           |JOIN psz USING (probe_id)
+           |JOIN isz USING (doc_id)
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`
