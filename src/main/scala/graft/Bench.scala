@@ -81,9 +81,13 @@ object Bench {
       env.write.mode("overwrite").parquet(envDir) // datagen excluded from timing
       val inputBytes = spark.read.parquet(envDir)
         .agg(sum(blen(col("data")))).head().getLong(0)
-      // min of two full drains (fresh sink+checkpoint each): run-to-run
-      // variance on a shared box is large (57-150 MB/s observed across
-      // rounds), and min is the same robust estimator the query timings use.
+      // Methodology pin (round-8 verdict #7): MB/s swung 34-224 across
+      // rounds on unchanged code. A fixed WARM-UP drain (excluded from the
+      // measurement — it pays streaming-machinery init, state-store and
+      // sink-committer class loading) followed by min of THREE measured
+      // drains (fresh sink+checkpoint each; min is the same robust
+      // estimator the query timings use). All runs are recorded in
+      // sec_runs so the artifact itself documents the spread.
       def drain(run: Int): (Double, Long) = {
         val out = s"$outDir/run$run"
         val ckpt = s"$ckptDir/run$run"
@@ -93,14 +97,16 @@ object Bench {
         q.awaitTermination()
         ((System.nanoTime() - t0) / 1e9, spark.read.parquet(out).count())
       }
-      val (sec1, rows1) = drain(1)
-      val (sec2, rows2) = drain(2)
-      require(rows1 == rows2, s"streaming drains disagree: $rows1 vs $rows2 windows")
-      val sec = math.min(sec1, sec2)
+      drain(0) // warm-up, unmeasured
+      val runs = (1 to 3).map(drain)
+      val secs = runs.map(_._1)
+      require(runs.map(_._2).distinct.size == 1,
+        s"streaming drains disagree: ${runs.map(_._2).mkString(", ")} windows")
+      val sec = secs.min
       s"""{"rows":$n,"input_mb":${inputBytes / 1e6},"sec":${f"$sec%.2f"},""" +
-        s""""sec_runs":[${f"$sec1%.2f"},${f"$sec2%.2f"}],""" +
+        s""""sec_runs":[${secs.map(s => f"$s%.2f").mkString(",")}],""" +
         s""""rows_per_sec":${(n / sec).toLong},"mb_per_sec":${f"${inputBytes / 1e6 / sec}%.1f"},""" +
-        s""""finalized_windows":$rows1}"""
+        s""""finalized_windows":${runs.head._2}}"""
     }
 
     def fmt(d: Double): String = f"$d%.4f"

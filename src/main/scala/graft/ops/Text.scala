@@ -469,10 +469,13 @@ object Text {
     // exchanges, so the corpus tokenizes once per consumer. materializeTf
     // checkpoints the compact (doc, tok, tf) table instead (the q68
     // double-execution lesson): OFF by default because recomputing the
-    // tokenization is MEASURED cheaper at bench scale (0.92 vs 1.23 s warm
-    // at sf0.1) — flip it when tokenization dominates (the 100 TB regime,
-    // where the checkpoint is corpus-size-independent and the saved pass is
-    // the whole corpus scan).
+    // tokenization is MEASURED cheaper at bench scale — re-measured round 9
+    // on the full 171-query catalog: warm-min 0.63 s (off) vs 0.86 s (on),
+    // isolated 5-rep TimeQuery at sf0.1 (the round-8 shared-session 11.9 s
+    // reading was bench-session noise; see BASELINE.md noise band). Flip it
+    // when tokenization dominates (the 100 TB regime, where the checkpoint
+    // is corpus-size-independent and the saved pass is the whole corpus
+    // scan).
     val tf0 = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val tf = if (materializeTf) tf0.localCheckpoint() else tf0
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -405,6 +405,57 @@ object MediaQueries {
            |  FROM env GROUP BY 1, 2)
            |SELECT media_id, nb AS n_bytes, CAST($bits AS BIGINT) AS env60
            |FROM lists""".stripMargin
-      })
+      }),
+
+    // REAL MJPEG-in-AVI video dedup: every 50th document becomes a 6-frame
+    // MJPEG AVI (palette frames start..start+5 mod 64, start = 37·doc_id
+    // mod 64) plus a 3-frame CLIPPED re-upload under media_id + 2·10^7.
+    // The engine runs the full real pipeline — RIFF container walk, per-
+    // frame ImageIO JPEG decode, real-pixel dHash — and pairs assets on
+    // shared frame codes (q141's machinery with REAL frames). The oracle
+    // cannot decode JPEG, and does not need to: palette members keep 64
+    // distinct dHashes through the lossy round-trip (VideoSpec pins this),
+    // so the pair structure is fully determined by the palette-index
+    // arithmetic — any container-walk or decode defect changes the counts
+    // and fails the hash. Clips must pair with their originals at
+    // containment 1.0 (3 of min(3, 6) frames shared).
+    QueryDef(
+      "q170_mjpeg_frame_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(50)) === 0)
+        val vids = docs.select(col("doc_id").as("id"),
+          pmod(col("doc_id") * 37, lit(64)).cast("int").as("s"), lit(6).as("n"))
+        val clips = docs.select((col("doc_id") + lit(20000000L)).as("id"),
+          pmod(col("doc_id") * 37, lit(64)).cast("int").as("s"), lit(3).as("n"))
+        val media = Media.syntheticMjpegAvi(vids.unionByName(clips),
+            col("id"), col("s"), col("n"))
+          .select(col("media_id"), lit("video/avi").as("declared_mime"), col("payload"))
+          .as[MediaRecord]
+        val frames = Media.decodeVideoFrames(media)
+          .select(col("media_id"), col("dhash").as("frame_hash"))
+        Media.frameOverlapPairs(frames, minShared = 2, minContainment = 0.5)
+      },
+      Some(s"""WITH vids AS (
+           |  SELECT doc_id AS media_id, (doc_id * 37) % 64 AS s, 6 AS n
+           |  FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS media_id, (doc_id * 37) % 64 AS s, 3 AS n
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |fr AS (
+           |  SELECT DISTINCT media_id, (s + t.j) % 64 AS ph
+           |  FROM vids, unnest(range(0, n)) AS t(j)),
+           |sizes AS (SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY 1),
+           |p AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+           |  FROM fr a JOIN fr b ON a.ph = b.ph AND a.media_id < b.media_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(sa.nf AS BIGINT) AS nf_a, CAST(sb.nf AS BIGINT) AS nf_b,
+           |  CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) AS containment
+           |FROM p JOIN sizes sa ON sa.media_id = p.id_a
+           |JOIN sizes sb ON sb.media_id = p.id_b
+           |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin))
   )
 }

@@ -1095,6 +1095,111 @@ object RelationalQueries {
            |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
            |FROM orders
            |JOIN big ON o_orderkey = l_orderkey
-           |JOIN customer ON o_custkey = c_custkey""".stripMargin))
+           |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // TPC-H Q7-style bilateral trade volume: revenue shipped between a
+    // nation pair, by supplier nation × customer nation × ship year. The
+    // q154/q162 multi-dimension discipline: lineitem→orders is the ONE
+    // fact-to-fact shuffle; supplier, customer, and both nation copies are
+    // broadcast dimensions, and the nation filter prunes the supplier/
+    // customer broadcasts BEFORE they reach the fact rows. Revenue folds
+    // decimal(38,18); year extraction is UTC-pinned in both engines.
+    QueryDef(
+      "q171_nation_trade_volume",
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val nation = Tables.load(s, dir, "nation")
+          .where(col("n_name").isin(pair: _*))
+        val supplier = Tables.load(s, dir, "supplier")
+          .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+            col("n_name").as("supp_nation"))), "s_nationkey")
+        val customer = Tables.load(s, dir, "customer")
+          .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+            col("n_name").as("cust_nation"))), "c_nationkey")
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+        lineitem
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supplier.select(col("s_suppkey"), col("supp_nation"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(customer.select(col("c_custkey"), col("cust_nation"))),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n1.n_name <> n2.n_name
+           |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8-style market share: the target supplier nation's share of
+    // PROMO-part revenue sold into the AMERICA region, by order year. Two
+    // decimal(38,18) sums (conditional numerator via a CASE inside the
+    // fold, total denominator) divided AFTER the final cast — the division
+    // is the only double op and both operands are bit-reproducible. Part,
+    // supplier(+nation), customer(+nation+region) all broadcast; the fact
+    // shuffle is lineitem→orders on the order key.
+    QueryDef(
+      "q172_nation_market_share",
+      (s, dir) => {
+        val target = "NATION_3"
+        val region = Tables.load(s, dir, "region").where(col("r_name") === "AMERICA")
+        val custNation = Tables.load(s, dir, "nation")
+          .join(broadcast(region.select(col("r_regionkey").as("n_regionkey"))),
+            "n_regionkey")
+        val customer = Tables.load(s, dir, "customer")
+          .join(broadcast(custNation.select(col("n_nationkey").as("c_nationkey"))),
+            "c_nationkey")
+        val supplier = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").as("s_nationkey"),
+              col("n_name").as("supp_nation"))), "s_nationkey")
+        val part = Tables.load(s, dir, "part").where(col("p_type") === "PROMO")
+        val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(part.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supplier.select(col("s_suppkey"), col("supp_nation"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(customer.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            Num.dsum38(when(col("supp_nation") === target, vol).otherwise(lit(0.0)))
+              .as("target_revenue"),
+            Num.dsum38(vol).as("total_revenue"))
+          .withColumn("mkt_share", col("target_revenue") / col("total_revenue"))
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           |  ${Num.duckDsum38("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS target_revenue,
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+           |  ${Num.duckDsum38("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |JOIN region ON n1.n_regionkey = r_regionkey
+           |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+           |GROUP BY 1""".stripMargin))
   )
 }

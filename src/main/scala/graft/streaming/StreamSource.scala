@@ -98,4 +98,17 @@ object StreamSource {
         .option("startingPosition", startingPosition)
         .load()
   }
+
+  /** Whether a `format("kinesis")` provider is actually on the classpath —
+    * the deploy-time switch AppMain uses to fall back to the file-envelope
+    * transport instead of failing at `start()` in connector-less
+    * environments (this offline build has none).
+    */
+  def kinesisConnectorAvailable: Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister])
+      .iterator().asScala
+      .exists(r => scala.util.Try(r.shortName() == "kinesis").getOrElse(false))
+  }
 }

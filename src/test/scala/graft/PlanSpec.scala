@@ -87,6 +87,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rank filter must compile to WindowGroupLimit:\n${p.linesIterator.take(8).mkString("\n")}")
   }
 
+  test("q59 TF-IDF per-doc top-k compiles to WindowGroupLimit") {
+    // the rank <= k filter must push partial group limits below the window
+    // exchange — at corpus scale a full per-doc sort reaching the exchange
+    // would shuffle every (doc, token, score) row instead of O(k · docs)
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ops.Text.tfidfTopTerms(docs, col("doc_id"), col("text"), 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"TF-IDF top-k must compile to WindowGroupLimit:\n${p.linesIterator.take(12).mkString("\n")}")
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     import graft.ops.Layout
     val docs = Tables.load(spark, sf, "documents")
