@@ -56,6 +56,21 @@ object WinnowIndex {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Document-frequency side table over the stored fingerprints:
+    * (h, df) with df = number of documents carrying hash h. This is the
+    * statistic the serve-path cap consumes; because appended documents have
+    * NEW doc_ids, their contribution is purely ADDITIVE — maintaining the
+    * table on append is [[mergeDfTables]] over the delta's own df table,
+    * no corpus rescan (q173 hash-proves merge == full recompute).
+    */
+  def dfTable(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** Additive merge of df tables (base ∪ delta): same-h rows sum. */
+  def mergeDfTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("h")).agg(sum(col("df")).as("df"))
+
   /** Match a probe document set against the STORED fingerprint table — the
     * serve path of a repository-scale plagiarism check. Probes are winnowed
     * with the SAME (k, w) as the table was built with; containment
@@ -87,7 +102,8 @@ object WinnowIndex {
       w: Int,
       threshold: Double,
       maxFpDf: Option[Int] = None,
-      hashBuckets: Int = DefaultHashBuckets): DataFrame = {
+      hashBuckets: Int = DefaultHashBuckets,
+      storedDf: Option[DataFrame] = None): DataFrame = {
     val hbOf = (c: Column) => pmod(c, lit(hashBuckets.toLong)).cast("int")
     // keep the stored partition column when present: a recomputed
     // pmod(h, buckets) is opaque to partition pruning even though equal
@@ -96,7 +112,11 @@ object WinnowIndex {
        else fp.select(col("doc_id"), col("h"), hbOf(col("h")).as("hb"))).distinct()
     val idx = maxFpDf match {
       case Some(cap) =>
-        val dfreq = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        // a stored [[dfTable]] replaces the only corpus-wide aggregation in
+        // the serve plan with a side-table scan (q174 hash-proves the swap
+        // is semantics-preserving); it must cover the SAME fp rows
+        val dfreq = storedDf.getOrElse(
+            base.groupBy(col("h")).agg(count(lit(1)).as("df")))
           .where(col("df") <= cap).select(col("h"))
         base.join(dfreq, "h")
       case None => base

@@ -750,6 +750,79 @@ object DedupQueries {
            |FROM inter
            |JOIN psz USING (probe_id)
            |JOIN isz USING (doc_id)
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin)),
+
+    // Winnow-index DF SIDE TABLE maintenance (the q144 moment-table
+    // discipline applied to the serve statistics): the (h, df) table the
+    // serve cap consumes is ADDITIVE under append — appended docs carry new
+    // doc_ids, so the delta's own df table merges by summation, no corpus
+    // rescan. Engine: dfTable(base fp) merged with dfTable(delta fp);
+    // oracle: full recompute over the rebuilt fingerprint set. Hash-equal
+    // proves the maintained statistic never drifts from recomputation.
+    QueryDef(
+      "q173_winnow_df_merge",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        graft.ops.WinnowIndex.mergeDfTables(
+          graft.ops.WinnowIndex.dfTable(
+            graft.ops.WinnowIndex.build(base, col("doc_id"), col("text"), k = 3, w = 4)),
+          graft.ops.WinnowIndex.dfTable(
+            Dedup.winnowFingerprints(delta, col("doc_id"), col("text"), k = 3, w = 4)))
+      },
+      Some(s"""WITH ${duckWinnowCtes("documents", "")},
+           |fp0 AS (SELECT DISTINCT doc_id, h FROM wfp)
+           |SELECT h, COUNT(*) AS df FROM fp0 GROUP BY 1""".stripMargin)),
+
+    // Serve with STORED statistics: q169's plagiarism check with the df cap
+    // fed from the maintained side table (base-df merged with delta-df)
+    // instead of an in-plan corpus aggregation — the last corpus-wide
+    // operation leaves the serve path. The oracle is exactly q169's: the
+    // swap must be invisible in the results.
+    QueryDef(
+      "q174_winnow_serve_stats",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val baseFp = graft.ops.WinnowIndex.build(base, col("doc_id"), col("text"),
+          k = 3, w = 4)
+        val fp = graft.ops.WinnowIndex.append(baseFp, delta, col("doc_id"),
+          col("text"), k = 3, w = 4)
+        val stats = graft.ops.WinnowIndex.mergeDfTables(
+          graft.ops.WinnowIndex.dfTable(baseFp),
+          graft.ops.WinnowIndex.dfTable(
+            Dedup.winnowFingerprints(delta, col("doc_id"), col("text"), k = 3, w = 4)))
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
+        graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100),
+          storedDf = Some(stats))
+      },
+      Some(s"""WITH probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 30), ' ') AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckWinnowCtes("documents", "i")},
+           |${duckWinnowCtes("probes", "p")},
+           |ifp0 AS (SELECT DISTINCT doc_id, h FROM iwfp),
+           |ifp AS (
+           |  SELECT doc_id, h FROM ifp0
+           |  WHERE h IN (SELECT h FROM ifp0 GROUP BY h HAVING COUNT(*) <= 100)),
+           |isz AS (SELECT doc_id, COUNT(*) AS nfp_doc FROM ifp GROUP BY 1),
+           |pfp AS (SELECT DISTINCT doc_id AS probe_id, h FROM pwfp),
+           |psz AS (SELECT probe_id, COUNT(*) AS nfp_probe FROM pfp GROUP BY 1),
+           |inter AS (
+           |  SELECT p.probe_id, i.doc_id, COUNT(*) AS inter
+           |  FROM pfp p JOIN ifp i ON p.h = i.h
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, doc_id, inter, psz.nfp_probe, isz.nfp_doc,
+           |  CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) AS overlap
+           |FROM inter
+           |JOIN psz USING (probe_id)
+           |JOIN isz USING (doc_id)
            |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin))
   )
 

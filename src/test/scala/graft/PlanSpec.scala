@@ -87,6 +87,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rank filter must compile to WindowGroupLimit:\n${p.linesIterator.take(8).mkString("\n")}")
   }
 
+  test("q171/q172 multi-nation joins: every dimension broadcasts; one fact shuffle") {
+    // the Q7/Q8 discipline — supplier/customer/nation/part/region reach the
+    // fact rows as BroadcastHashJoins; the only shuffled join is
+    // lineitem→orders on the order key. A dimension falling out of
+    // broadcast (statistics regression, hint lost) would shuffle the fact
+    // table once per dimension at 100 TB.
+    Seq("q171_nation_trade_volume", "q172_nation_market_share").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      val shj = "ShuffledHashJoin".r.findAllIn(p).size
+      assert(bhj >= 3, s"$q: dimensions must broadcast, got $bhj BroadcastHashJoins")
+      assert(smj + shj <= 1,
+        s"$q: at most the fact-fact join may shuffle, got smj=$smj shj=$shj:\n$p")
+    }
+  }
+
   test("q59 TF-IDF per-doc top-k compiles to WindowGroupLimit") {
     // the rank <= k filter must push partial group limits below the window
     // exchange — at corpus scale a full per-doc sort reaching the exchange
