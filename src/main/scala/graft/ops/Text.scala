@@ -523,13 +523,29 @@ object Text {
     val toks = Dedup.spreadBy(df, id)
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
     val dl = df.select(id.as("doc_id"), wordCount(text).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     // tf feeds both dfreq and the contrib join; materializeTf checkpoints
     // the compact (doc, term, tf) frame so the corpus tokenizes ONCE at
     // scale — default off per the measured bench-scale trade (tfidfTopTerms)
     val tf0 = toks.where(col("tok").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val tf = if (materializeTf) tf0.localCheckpoint() else tf0
+    bm25Rank(tf, dl, queryTerms, k, k1, b)
+  }
+
+  /** BM25 scoring over pre-computed query-term tf rows + doc lengths — the
+    * shared back half of [[bm25TopK]] (which derives tf/dl from text) and
+    * [[TextIndex.searchBM25]] (which reads them from stored postings
+    * tables). Identical expression tree either way, so the index serve
+    * path is hash-provably equal to the in-query scan (q175).
+    */
+  private[ops] def bm25Rank(
+      tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double): org.apache.spark.sql.DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val contrib = tf.join(dfreq, "tok")
       .join(dl, "doc_id")

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted BM25 postings index — the durable twin of [[Text.bm25TopK]]
+  * (the WinnowIndex/AnnIndex table-ification discipline applied to lexical
+  * retrieval): tokenize the corpus ONCE, store
+  *
+  *  - `postings` (tok, doc_id, tf): one row per distinct (doc, token),
+  *    partitioned by `tb = hash60(tok) mod tokenBuckets` so a query's term
+  *    filter prunes the scan to its terms' buckets;
+  *  - `doclens` (doc_id, dl): the length-normalization side table — narrow
+  *    (two longs) and only aggregated, never joined wide.
+  *
+  * Serve reads ONLY stored tables — no tokenization anywhere in the search
+  * plan (q175 hash-proves serve == the in-query scan, TextIndexSpec pins
+  * the plan). Corpus-wide statistics (N, total_dl, per-term df) are
+  * computed at serve time from the stored tables: df only over the
+  * partition-pruned query-term rows, N/total_dl over the narrow doclens —
+  * so they are always consistent with the CURRENT index state, including
+  * right after an append (BM25 scores legitimately shift as the corpus
+  * grows; the stored tables shift them exactly as a full rescan would,
+  * q176).
+  *
+  * Incremental maintenance is exact by per-document locality, the same law
+  * as the winnow table: a new document's postings and length depend on
+  * nothing outside its own token stream, so [[append]] == full rebuild row
+  * for row (TextIndexSpec).
+  */
+final case class Bm25Index(postings: DataFrame, doclens: DataFrame)
+
+object TextIndex {
+
+  val DefaultTokenBuckets = 64
+
+  /** Tokenize + count the corpus into the two index frames, materialized so
+    * writes and repeated searches never replay the tokenize lineage.
+    */
+  def build(df: DataFrame, id: Column, text: Column): Bm25Index = {
+    val toks = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(Text.tokens(text)).as("tok"))
+    Bm25Index(
+      postings = toks.groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint(),
+      doclens = df.select(id.as("doc_id"), Text.wordCount(text).cast("long").as("dl"))
+        .localCheckpoint())
+  }
+
+  /** Index a NEW-docs delta and append — exact by per-doc locality. */
+  def append(idx: Bm25Index, delta: DataFrame, id: Column, text: Column): Bm25Index = {
+    val d = build(delta, id, text)
+    Bm25Index(
+      postings = idx.postings.unionByName(d.postings),
+      doclens = idx.doclens.unionByName(d.doclens))
+  }
+
+  /** Persist the index; postings partitioned by the token hash-bucket. */
+  def write(idx: Bm25Index, path: String,
+      tokenBuckets: Int = DefaultTokenBuckets): Unit = {
+    idx.postings
+      .withColumn("tb", pmod(Hashing.hash60(col("tok")), lit(tokenBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    idx.doclens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Load a stored index (scan-only lineage). */
+  def read(spark: SparkSession, path: String): Bm25Index =
+    Bm25Index(
+      postings = spark.read.parquet(s"$path/postings"),
+      doclens = spark.read.parquet(s"$path/doclens"))
+
+  /** BM25 top-k from the STORED tables alone: postings filtered to the
+    * query terms (the filter rides to the scan; on a written index the
+    * term's hash-bucket partitions prune), then the SAME scoring tree as
+    * [[Text.bm25TopK]] ([[Text.bm25Rank]] — shared code, not a copy), so
+    * results are engine-exact against the in-query scan.
+    */
+  def searchBM25(
+      idx: Bm25Index,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val tf = idx.postings.where(col("tok").isin(queryTerms: _*))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    Text.bm25Rank(tf, idx.doclens.select(col("doc_id"), col("dl")),
+      queryTerms, k, k1, b)
+  }
+}

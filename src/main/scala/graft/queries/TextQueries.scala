@@ -993,7 +993,45 @@ object TextQueries {
            |FROM inter
            |JOIN sizes sa ON sa.id = id_a
            |JOIN sizes sb ON sb.id = id_b
-           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.25""".stripMargin))
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.25""".stripMargin)),
+
+    // BM25 from a PERSISTED postings index (the q157/q169 table-ification
+    // discipline applied to lexical retrieval): the corpus is tokenized
+    // ONCE into (tok, doc_id, tf) postings + (doc_id, dl) lengths; serve
+    // filters postings to the query terms and runs the SHARED bm25Rank
+    // scoring tree. The oracle is q91's chain VERBATIM — hash-equality
+    // proves the stored-index path is indistinguishable from the in-query
+    // corpus scan.
+    QueryDef(
+      "q175_bm25_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val idx = graft.ops.TextIndex.build(docs, col("doc_id"), col("text"))
+        graft.ops.TextIndex.searchBM25(idx, HybridTerms, k = 20)
+      },
+      Some(s"""WITH ${duckBm25Ctes(HybridTerms)}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
+
+    // Index maintenance THROUGH the serve result: the index is built on the
+    // 6/7 base corpus, the 1/7 delta indexed against nothing but its own
+    // text and appended (per-doc locality — postings/lengths of a new doc
+    // are self-contained), and a DIFFERENT query served from the appended
+    // tables must equal the oracle's full-corpus scan — including the
+    // corpus-wide statistics (N, avgdl, df) the append legitimately shifts.
+    // TextIndexSpec additionally pins postings-level append == rebuild.
+    QueryDef(
+      "q176_bm25_index_append_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val idx = graft.ops.TextIndex.append(
+          graft.ops.TextIndex.build(base, col("doc_id"), col("text")),
+          delta, col("doc_id"), col("text"))
+        graft.ops.TextIndex.searchBM25(idx, Seq("window", "stream"), k = 15)
+      },
+      Some(s"""WITH ${duckBm25Ctes(Seq("window", "stream"))}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 15""".stripMargin))
   )
 
   // -------------------------------------------------------------------------

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Text, TextIndex}
+
+/** The persisted BM25 index lifecycle: serve == the in-query scan exactly,
+  * append == rebuild at the postings level, write+read round-trips, and
+  * the stored-index serve plan contains no tokenization.
+  */
+class TextIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = TestSpark.sf0001
+  private val terms = Seq("join", "scan", "merge")
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  private def ranked(df: DataFrame): Seq[(Long, Double, Int)] =
+    df.select(col("doc_id").cast("long"), col("score"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3).toSeq
+
+  private def postingRows(idx: graft.ops.Bm25Index): Set[(String, Long, Long)] =
+    idx.postings.select(col("tok"), col("doc_id").cast("long"), col("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("stored-index serve == in-query bm25TopK, bit for bit") {
+    val idx = TextIndex.build(docs, col("doc_id"), col("text"))
+    val fromIndex = ranked(TextIndex.searchBM25(idx, terms, k = 10))
+    val fromScan = ranked(Text.bm25TopK(docs, col("doc_id"), col("text"), terms, k = 10))
+    assert(fromIndex == fromScan)
+  }
+
+  test("append == full rebuild at the postings level (per-doc locality)") {
+    val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val appended = TextIndex.append(
+      TextIndex.build(base, col("doc_id"), col("text")),
+      delta, col("doc_id"), col("text"))
+    val rebuilt = TextIndex.build(docs, col("doc_id"), col("text"))
+    assert(postingRows(appended) == postingRows(rebuilt))
+    assert(appended.doclens.count() == docs.count())
+  }
+
+  test("write + read roundtrip serves identical results; serve plan has no tokenization") {
+    val idx = TextIndex.build(docs, col("doc_id"), col("text"))
+    val dir = tmpDir("bm25-idx")
+    TextIndex.write(idx, dir)
+    val stored = TextIndex.read(spark, dir)
+    assert(ranked(TextIndex.searchBM25(stored, terms, k = 10))
+      == ranked(TextIndex.searchBM25(idx, terms, k = 10)))
+    val plan = TextIndex.searchBM25(stored, terms, k = 10)
+      .queryExecution.executedPlan.toString()
+    Seq("split(", "explode").foreach(tok =>
+      assert(!plan.contains(tok), s"stored-index serve must not contain '$tok':\n$plan"))
+    // the term filter must reach the postings scan as a pushed filter
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"query-term filter must push into the postings scan:\n$plan")
+  }
+}
