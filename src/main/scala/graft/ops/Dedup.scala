@@ -557,6 +557,72 @@ object Dedup {
           p => element_at(col("t"), p.cast("int")))).as("cleaned_text"))
   }
 
+  /** Targeted DECONTAMINATION removal — the surgical complement of
+    * [[contaminationPairs]] (which FLAGS documents) and
+    * [[cutDuplicatedSpans]] (which cuts corpus-internal repeats): every
+    * n-token window of a corpus document that appears VERBATIM anywhere in
+    * the eval set is marked, consecutive marks merge gaps-and-islands into
+    * maximal contaminated spans, and ALL of them are cut token-wise — no
+    * winner election, because evaluation text must survive nowhere in
+    * training data (the Lee et al. 2021 cut applied against an external
+    * vocabulary instead of the corpus itself). Dropping whole flagged
+    * documents (the q87 → filter composition) throws away every clean
+    * token in them; this keeps the document minus the leaked spans.
+    *
+    * Output, one row per corpus doc (cut or not): (doc_id, n_tokens,
+    * n_removed, cleaned_text).
+    *
+    * Scale shape: the eval window vocabulary is a DISTINCT hash set
+    * (benchmarks ≪ corpus) and BROADCASTS into a left-semi mark join — the
+    * corpus side never shuffles for the marking; the islands window and
+    * range join-back are the audited [[duplicatedSpans]] shapes ((doc_id,
+    * pos) pairs and per-doc range lists); the token filter is a per-row
+    * HOF. Hash collision falsely cuts one window (p ≈ windows²·2⁻⁶¹,
+    * documented — conservative in the removal direction).
+    */
+  def cutEvalSpans(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      eval: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "span gram size must be >= 1")
+    val eg = spreadBy(eval, evalId)
+      .select(explode(Text.shingles(evalText, n)).as("sh"))
+      .select(Hashing.hash60(col("sh")).as("gh")).distinct()
+    val base = spreadBy(df, id).select(id.as("doc_id"), Text.tokens(text).as("t"))
+    val occ = base.where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(n - 1)), i =>
+          struct(i.cast("long").as("pos"),
+            Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(n)))).as("gh"))))
+          .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.gh").as("gh"))
+    val marked = occ.join(broadcast(eg), Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cuts = marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1L)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cut"))
+    val emptyRanges = array().cast("array<struct<s:bigint,e:bigint>>")
+    base.join(cuts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("t"), coalesce(col("cut"), emptyRanges).as("cut"))
+      .select(col("doc_id"), col("t"),
+        filter(sequence(lit(1L), size(col("t")).cast("long")), p =>
+          !exists(col("cut"), r => p >= r.getField("s") && p <= r.getField("e")))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("t"), p.cast("int")))).as("cleaned_text"))
+  }
+
   /** MinHash Jaccard ESTIMATE on candidate pairs: the fraction of agreeing
     * signature components (P[min-hash agrees] = Jaccard, so the mean of k
     * agreement indicators is an unbiased estimate with stderr

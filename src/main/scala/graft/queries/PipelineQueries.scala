@@ -108,6 +108,81 @@ object PipelineQueries {
            |GROUP BY 1, 2
            |HAVING COUNT(*) >= 4""".stripMargin)),
 
+    // Targeted decontamination REMOVAL (q87 flags; this CUTS): every
+    // 5-token window of a corpus doc appearing verbatim in the eval set
+    // (doc_id % 50 == 0) is marked, runs merge to maximal spans, all spans
+    // are cut — the document survives minus the leaked text. The corpus
+    // has no organic verbatim 5-gram leaks at test SF, so the QUERY plants
+    // them (the q135/q141 discipline): every corpus doc with doc_id % 10
+    // == 1 gets the 12-token prefix of its floor-multiple-of-50 eval doc
+    // appended; the cut must remove exactly that suffix (plus any organic
+    // hits) and leave every other doc untouched. Both engines build the
+    // identical planted corpus and replay the identical mark/island/cut.
+    QueryDef(
+      "q177_decontam_cut",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id"), col("text"))
+        val corpus0 = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val pref = concat_ws(" ", slice(Text.tokens(col("etext")), 1, 12))
+        val corpus = corpus0
+          .join(evalSet.select(col("doc_id").as("eid"), col("text").as("etext")),
+            col("eid") === col("doc_id") - pmod(col("doc_id"), lit(50)), "left_outer")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 1 && col("etext").isNotNull,
+              concat(col("text"), lit(" "), pref)).otherwise(col("text")).as("text"))
+        Dedup.cutEvalSpans(corpus, col("doc_id"), col("text"),
+          evalSet, col("doc_id"), col("text"), n = 5)
+      },
+      Some(s"""WITH ev AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+           |corp0 AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+           |corp AS (
+           |  SELECT c.doc_id,
+           |    CASE WHEN c.doc_id % 10 = 1 AND e.text IS NOT NULL
+           |      THEN c.text || ' ' || array_to_string(
+           |        list_slice(string_split_regex(e.text, '\\s+'), 1, 12), ' ')
+           |      ELSE c.text END AS text
+           |  FROM corp0 c LEFT JOIN ev e ON e.doc_id = c.doc_id - (c.doc_id % 50)),
+           |etoks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM ev),
+           |egh AS (
+           |  SELECT DISTINCT ${Hashing.duckFoldHexCol("m")} AS gh FROM (
+           |    SELECT md5(array_to_string(list_slice(t, CAST(pos AS INTEGER),
+           |      CAST(pos + 4 AS INTEGER)), ' ')) AS m
+           |    FROM etoks, unnest(range(1, len(t) - 5 + 2)) AS tp(pos)
+           |    WHERE len(t) >= 5)),
+           |toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM corp),
+           |ghs AS (
+           |  SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS gh FROM (
+           |    SELECT doc_id, pos, md5(array_to_string(list_slice(t,
+           |      CAST(pos AS INTEGER), CAST(pos + 4 AS INTEGER)), ' ')) AS m
+           |    FROM toks, unnest(range(1, len(t) - 5 + 2)) AS tp(pos)
+           |    WHERE len(t) >= 5)),
+           |mk AS (SELECT doc_id, pos FROM ghs WHERE gh IN (SELECT gh FROM egh)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM mk),
+           |cuts AS (
+           |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+           |  FROM isl GROUP BY doc_id, grp),
+           |kept AS (
+           |  SELECT t.doc_id, pos, t.t[pos] AS tok
+           |  FROM toks t, unnest(range(1, len(t.t) + 1)) AS tp(pos)
+           |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+           |    WHERE c.doc_id = t.doc_id AND pos >= c.s AND pos <= c.e)),
+           |keptagg AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |    array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           |  CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           |  COALESCE(k.cleaned, '') AS cleaned_text
+           |FROM toks t LEFT JOIN keptagg k USING (doc_id)""".stripMargin)),
+
     // Source-mixing weights: keep all of src0, half of src1, a quarter of
     // src2, 10% of everything else — per-row hash-threshold decision, no
     // shuffle, nested-sample monotone in the rate.
