@@ -33,6 +33,39 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** LEAKAGE-FREE split: assignment by near-dup CLUSTER, not by document.
+    * [[withSplit]] hashes each doc independently, so a near-duplicate pair
+    * can straddle train and test — the eval set then contains paraphrases
+    * of training documents and every benchmark number on it is inflated
+    * (the split-level face of the q87 contamination problem). Here the
+    * split key is the cluster representative from any pair generator's
+    * [[Dedup.connectedComponents]] labels: every member of a near-dup
+    * cluster hashes the SAME rep id and lands on the same side, provably
+    * (SamplingSpec pins zero straddling pairs). Docs absent from `labels`
+    * are singletons and hash their own id — for them the assignment is
+    * IDENTICAL to [[withSplit]], so growing the pair set only ever moves
+    * whole clusters, never reshuffles the untouched corpus.
+    *
+    * Output: (doc_id, rep_id, bucket, split).
+    *
+    * Scale shape: one join of the corpus id column against the (id,
+    * cluster_id) label frame (two-long rows, a vanishing fraction of the
+    * corpus); the split itself stays a pure per-row hash expression.
+    */
+  def clusterSplit(df: DataFrame, id: Column, labels: DataFrame,
+      trainPct: Int, valPct: Int, salt: String = "split"): DataFrame = {
+    df.select(id.as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", hashBucket(col("rep_id"), salt))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+  }
+
   /** Deterministic SOURCE MIXING: sample each source at its own rate — the
     * "data mixing weights" step of a training-data pipeline (e.g. keep all
     * of wiki, half of web, a tenth of everything else). A row survives iff

@@ -259,6 +259,35 @@ object DedupQueries {
       Some(s"""WITH RECURSIVE $duckJaccardPairCtes
            |SELECT id, cluster_id FROM labels""".stripMargin)),
 
+    // LEAKAGE-FREE train/val/test split: q46's hash split assigns each doc
+    // independently, so a near-dup pair can straddle train and test and
+    // quietly inflate every benchmark run on the corpus. Splitting on the
+    // CLUSTER representative (q83's labels; singletons hash their own id)
+    // makes straddling impossible by construction — SamplingSpec pins the
+    // zero-straddle property; this query hash-pins the exact assignment.
+    QueryDef(
+      "q178_cluster_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100))
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        graft.ops.Sampling.clusterSplit(docs, col("doc_id"), labels,
+          trainPct = 80, valPct = 10)
+      },
+      Some(s"""WITH RECURSIVE $duckJaccardPairCtes,
+           |rep AS (
+           |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep_id
+           |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+           |bkt AS (
+           |  SELECT doc_id, rep_id,
+           |    ${graft.ops.Sampling.duckHashBucket("rep_id")} AS bucket
+           |  FROM rep)
+           |SELECT doc_id, rep_id, bucket,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM bkt""".stripMargin)),
+
     // Pairs → clusters → SURVIVORS: the full dedup story composed — every
     // document survives except those labeled as a non-representative member
     // of a near-dup cluster (min-id survivor policy, matching exact dedup's).

@@ -9,6 +9,29 @@ import graft.ops.{Dedup, Sampling}
   */
 class SamplingSpec extends AnyFunSuite with SparkSpec {
 
+  test("clusterSplit: no near-dup pair straddles splits; singletons match withSplit exactly") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+      maxShingleDf = Some(100))
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val split = Sampling.clusterSplit(docs, col("doc_id"), labels, 80, 10)
+      .select(col("doc_id").as[Long], col("split").as[String]).collect().toMap
+    // the leakage guarantee: every pair's two sides share a split
+    val straddling = pairs.select(col("id_a").as[Long], col("id_b").as[Long]).collect()
+      .filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty, s"near-dup pairs straddle splits: ${straddling.take(5).toSeq}")
+    // singletons (docs in no pair) get exactly the per-doc assignment
+    val clustered = labels.select(col("id").as[Long]).collect().toSet
+    val perDoc = Sampling.withSplit(docs, col("doc_id"), 80, 10)
+      .select(col("doc_id").as[Long], col("split").as[String]).collect().toMap
+    val singles = split.keySet -- clustered
+    assert(singles.nonEmpty && singles.forall(d => split(d) == perDoc(d)),
+      "singleton assignment must equal the plain hash split")
+    // and at least one multi-member cluster exists so the test is not vacuous
+    assert(pairs.count() > 0)
+  }
+
   test("mixBySource: nested samples — a source's kept-set is monotone in its rate; rates land near target") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
