@@ -78,6 +78,26 @@ object Sampling {
     * Rates are fixed-point (millionths) so both engines compare integers —
     * no float-boundary drift. Unlisted sources fall back to `defaultRate`.
     */
+  /** [[mixBySource]] with rates DERIVED IN-PLAN instead of hand-specified —
+    * the application half of temperature mixing: join each row to its
+    * source's acceptance rate (a #sources-row broadcast, e.g.
+    * [[temperatureMixWeights]] output) and keep it iff the salted id hash
+    * lands under rate·10⁶. The threshold is a double computed identically
+    * in both engines (sqrt is correctly rounded, the normalizer folds in
+    * fixed order), compared against an integer hash — exact below 2⁵³.
+    * Same nested-sample and no-shuffle properties as [[mixBySource]].
+    * `rates`: (src, rate) with rate ∈ [0, 1].
+    */
+  def mixByDerivedRates(df: DataFrame, id: Column, source: Column,
+      rates: DataFrame, salt: String = "mix"): DataFrame = {
+    val den = 1000000L
+    df.join(broadcast(rates.select(col("src"), col("rate"))),
+        source === col("src"))
+      .where(pmod(Hashing.hash60(concat(lit(salt + "-"), id.cast("string"))),
+        lit(den)).cast("double") < col("rate") * lit(den.toDouble))
+      .drop("src", "rate")
+  }
+
   def mixBySource(df: DataFrame, id: Column, source: Column,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "mix"): DataFrame = {

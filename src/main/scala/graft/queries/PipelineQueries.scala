@@ -528,6 +528,48 @@ object PipelineQueries {
            |      / CAST(n_tokens AS DOUBLE)) AS acceptance_rate
            |FROM per CROSS JOIN z""".stripMargin)),
 
+    // Temperature mixing APPLIED end-to-end: q113 derives the sqrt-
+    // flattened acceptance rates, q88 applies hand-specified rates — this
+    // composes them: rates derived in-plan from the corpus's own token
+    // masses (50k budget), broadcast-joined back, and every row kept iff
+    // its salted hash lands under rate·10^6. The integer-hash-vs-derived-
+    // double comparison is engine-exact (sqrt correctly rounded, fixed
+    // normalizer fold), so the RESAMPLED corpus itself hash-matches, not
+    // just the weights. Output: per-source kept counts + surviving tokens.
+    QueryDef(
+      "q179_temperature_resample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = Sampling.temperatureMixWeights(docs, col("source"),
+          Text.wordCount(col("text")), budget = 50000L)
+        val rates = w.select(col("source").as("src"),
+          col("acceptance_rate").as("rate"))
+        Sampling.mixByDerivedRates(docs, col("doc_id"), col("source"), rates)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(Text.wordCount(col("text")).cast("long")).as("kept_tokens"))
+      },
+      Some(s"""WITH per AS (
+           |  SELECT source, CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |z AS (
+           |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+           |    (a, b) -> a + b) AS z
+           |  FROM per),
+           |rates AS (
+           |  SELECT source, LEAST(CAST(1 AS DOUBLE),
+           |    sqrt(CAST(n_tokens AS DOUBLE)) / z * 50000
+           |      / CAST(n_tokens AS DOUBLE)) AS rate
+           |  FROM per CROSS JOIN z),
+           |kept AS (
+           |  SELECT d.source, len(string_split_regex(d.text, '\\s+')) AS tok
+           |  FROM documents d JOIN rates r USING (source)
+           |  WHERE (${Hashing.duckHash60("('mix-' || CAST(doc_id AS VARCHAR))")} % 1000000)
+           |    < r.rate * 1000000)
+           |SELECT source, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS kept_tokens
+           |FROM kept GROUP BY 1""".stripMargin)),
+
     // Overlapping token chunks (64-token windows every 48 tokens): the
     // RAG/context-window splitter. Pure per-row arithmetic — the oracle
     // re-derives every window boundary including the shortened tail chunk.
