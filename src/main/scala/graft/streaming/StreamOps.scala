@@ -338,6 +338,46 @@ object StreamOps {
       .where(keep)
   }
 
+  /** Ingest DECONTAMINATION gate — the streaming face of q87/q105: drop
+    * every incoming document sharing at least `minShared` distinct n-gram
+    * shingles with the eval set, so benchmark text never even lands in the
+    * corpus (the batch cut, [[graft.ops.Dedup.cutEvalSpans]], then only has
+    * to handle what predates the eval set). The eval vocabulary rides as a
+    * 1-row Bloom bit-array (numBits/64 longs) attached by a stream-static
+    * broadcast cross join; the shingle probe is a stateless per-row HOF —
+    * no shuffle, no state, any output mode.
+    *
+    * Bloom-only on purpose (the batch q105 adds an exact verify join; a
+    * micro-batch gate has no eval rows to join): false positives OVERCOUNT
+    * shared shingles, so the error direction is dropping a clean document
+    * (bounded by the Bloom FP rate) — never keeping a contaminated one
+    * beyond what `minShared` itself allows. Size `numBits` to the eval
+    * shingle count as usual.
+    */
+  def decontamGate(
+      stream: DataFrame,
+      text: Column,
+      evalSet: DataFrame,
+      evalText: Column,
+      n: Int,
+      minShared: Int,
+      numBits: Int = 1 << 18,
+      numHashes: Int = 3): DataFrame = {
+    import graft.ops.{Hashing, Text}
+    require(minShared >= 1, "minShared must be positive")
+    val bloom = broadcast(evalSet
+      .select(explode(Text.shingles(evalText, n)).as("sh"))
+      .agg(Hashing.bloomFilterAgg(col("sh"), numBits, numHashes).as("bf")))
+    val hits = size(filter(Text.shingles(text, n),
+      s => Hashing.bloomMightContain(col("bf"), s, numBits, numHashes)))
+    stream.crossJoin(bloom)
+      .observe("decontam_gate",
+        count(lit(1)).as("n_rows"),
+        count(when(hits >= minShared, 1)).as("n_contaminated_dropped"))
+      .where(hits < minShared)
+      .drop("bf")
+  }
+
   def qualityGate(
       stream: DataFrame,
       text: Column,

@@ -543,6 +543,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamGate drops eval-overlapping docs at ingest; clean docs pass; metrics count the drops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // eval doc shares a verbatim 4-gram run with the contaminated doc only
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val contaminated = "intro words then the quick brown fox jumps over the lazy dog tonight and more"
+    val clean = "completely unrelated content about spark shuffle partitions and joins here"
+    val evalSet = Seq(evalDoc).toDF("text")
+    val ms = MemoryStream[String]
+    val gated = StreamOps.decontamGate(ms.toDF().toDF("text"), col("text"),
+      evalSet, col("text"), n = 4, minShared = 3)
+    val q = gated.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(contaminated, clean))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM decontam_out").collect().map(_.getString(0))
+      assert(out.toSeq == Seq(clean), s"only the clean doc passes, got ${out.toSeq}")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("decontam_gate"))).last
+      assert(m.getAs[Long]("n_rows") == 2L)
+      assert(m.getAs[Long]("n_contaminated_dropped") == 1L)
+    } finally q.stop()
+  }
+
   test("source mixing is stream-safe: per-row hash-threshold keep on a stream == batch twin") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
