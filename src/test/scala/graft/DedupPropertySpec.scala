@@ -360,6 +360,41 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == ((10L, 0L, "just some fully unique words here nine ten eleven twelve")))
   }
 
+  test("cutEvalSpans: the cleaned corpus contains NO eval n-gram; clean docs are untouched") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id"), col("text"))
+    // plant contamination: eval prefixes appended to some corpus docs
+    val pref = concat_ws(" ", slice(graft.ops.Text.tokens(col("etext")), 1, 12))
+    val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      .join(evalSet.select(col("doc_id").as("eid"), col("text").as("etext")),
+        col("eid") === col("doc_id") - pmod(col("doc_id"), lit(50)), "left_outer")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 1 && col("etext").isNotNull,
+          concat(col("text"), lit(" "), pref)).otherwise(col("text")).as("text"))
+    val n = 5
+    val cut = Dedup.cutEvalSpans(corpus, col("doc_id"), col("text"),
+      evalSet, col("doc_id"), col("text"), n)
+    // THE guarantee: no 5-gram of any cleaned doc appears in the eval set
+    val evalGrams = evalSet
+      .select(explode(graft.ops.Text.shingles(col("text"), n)).as("sh"))
+      .distinct().as[String].collect().toSet
+    val leaked = cut.select(col("doc_id"),
+        explode(graft.ops.Text.shingles(col("cleaned_text"), n)).as("sh"))
+      .as[(Long, String)].collect().filter { case (_, sh) => evalGrams(sh) }
+    assert(leaked.isEmpty, s"eval n-grams survive the cut: ${leaked.take(3).toSeq}")
+    // contaminated docs lost tokens; most clean docs lost none
+    val removed = cut.select(col("doc_id").as[Long], col("n_removed").as[Long])
+      .collect().toMap
+    val planted = corpus.where(pmod(col("doc_id"), lit(10)) === 1)
+      .select(col("doc_id").as[Long]).collect()
+    assert(planted.nonEmpty && planted.forall(d => removed(d) >= 12L),
+      "every planted doc loses at least its appended eval prefix")
+    assert(removed.count(_._2 == 0L) > removed.size / 2,
+      "the bulk of the corpus is untouched")
+  }
+
   test("winnowing: guarantee properties — coverage gap <= w, >= 1 fp per doc, shared-run collision") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
