@@ -79,6 +79,40 @@ class AqeSpec extends AnyFunSuite with SparkSpec {
       s"the broadcast of the query/model side must survive AQE:\n$p")
   }
 
+  test("BM25 serve-from-postings: term-filter pushdown and the top-k window survive AQE") {
+    val docs = Tables.load(spark, sf, "documents")
+    val idx = graft.ops.TextIndex.build(docs, col("doc_id"), col("text"))
+    val dir = tmpDir("aqe-bm25-idx")
+    graft.ops.TextIndex.write(idx, dir)
+    val served = graft.ops.TextIndex.searchBM25(
+      graft.ops.TextIndex.read(spark, dir), Seq("join", "scan", "merge"), k = 10)
+    val p = finalPlan(served)
+    assert(p.contains("PushedFilters: [In(tok"),
+      s"term filter must still push into the postings scan after AQE:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"top-k must survive re-planning:\n$p")
+    assert(!p.contains("split("), "no tokenization may appear in the served final plan")
+  }
+
+  test("winnow serve: the broadcast probe join survives AQE; table side stays scan-only") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = graft.ops.WinnowIndex.build(docs, col("doc_id"), col("text"), k = 3, w = 4)
+    val dir = tmpDir("aqe-fp-idx")
+    graft.ops.WinnowIndex.write(fp, dir)
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat_ws(" ", slice(graft.ops.Text.tokens(col("text")), 1, 30)).as("text"))
+    val served = graft.ops.WinnowIndex.matches(
+      graft.ops.WinnowIndex.read(spark, dir), probes, col("doc_id"), col("text"),
+      k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+    val p = finalPlan(served)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe pair join must stay broadcast after AQE:\n$p")
+    Seq("split(", "md5", "hash60").foreach(tok =>
+      assert(!p.toLowerCase.contains(tok.toLowerCase),
+        s"serve final plan must not contain '$tok'"))
+  }
+
   test("corpus-scale grouped agg: AQE coalesces post-shuffle partitions (AQEShuffleRead)") {
     val docs = Tables.load(spark, sf, "documents")
     val df = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
