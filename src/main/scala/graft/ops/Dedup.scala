@@ -779,6 +779,83 @@ object Dedup {
     df.join(dupes, id === col("__cc_dup"), "left_anti")
   }
 
+  /** Keep the HIGHEST-QUALITY survivor per near-dup cluster (vs
+    * [[keepClusterRepresentative]]'s min-id policy): within each cluster the
+    * row maximizing `score` (ties broken by min id) survives; every other
+    * member is dropped. Min-id keeps whichever duplicate happened to be
+    * ingested first — for a training corpus the curator wants the cleanest
+    * copy, not the earliest.
+    *
+    * Scale shape: only rows that appear in `labels` (i.e. participated in at
+    * least one near-dup pair — a vanishing fraction of the corpus) enter the
+    * election window; the untouched corpus passes through a single anti-join
+    * against the label frame (pair-derived, broadcastable). The window
+    * partitions on cluster_id and orders by (score desc, id asc) — cluster
+    * populations are bounded upstream by the pair caps (`maxBucket` /
+    * `maxShingleDf`), so no window partition goes corpus-scale.
+    */
+  def keepBestInCluster(df: DataFrame, id: Column, score: Column,
+      labels: DataFrame): DataFrame = {
+    require(!df.columns.contains("__kb_id"),
+      "keepBestInCluster: input frame already uses the reserved column name __kb_id")
+    val lab = labels.select(col("id").as("__kb_id"), col("cluster_id").as("__kb_cluster"))
+    val members = df.join(lab, id === col("__kb_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__kb_cluster"))
+      .orderBy(score.desc, id.asc)
+    val winners = members.withColumn("__kb_rn", row_number().over(w))
+      .where(col("__kb_rn") === 1)
+      .drop("__kb_id", "__kb_cluster", "__kb_rn")
+    val untouched = df.join(lab.select(col("__kb_id")),
+      id === col("__kb_id"), "left_anti")
+    untouched.unionByName(winners)
+  }
+
+  /** CCNet-style paragraph-level exact dedup across the corpus: split each
+    * document on `sep`, elect the FIRST occurrence (min (doc_id, pos)) of
+    * every distinct paragraph corpus-wide, cut all later occurrences, and
+    * stitch each document back together from its surviving paragraphs in
+    * original order. Finer-grained than document dedup (q50) and coarser
+    * than span dedup (q115): boilerplate paragraphs (headers, licenses,
+    * navigation) repeated across otherwise-distinct pages vanish exactly
+    * once-removed.
+    *
+    * Output: (doc_id, n_paras, n_kept, clean_text); a document whose every
+    * paragraph lost its election keeps an empty clean_text row (n_kept = 0)
+    * rather than disappearing.
+    *
+    * Scale shape: two shuffles — the election window partitions on
+    * md5(paragraph) (32-byte key, the [[exactByKey]] discipline; collisions
+    * merge electorates first-writer-wins at ~2^-64/pair), and the rebuild
+    * groups on doc_id. Paragraph text rides each shuffle exactly once; the
+    * base frame contributes only (doc_id, n_paras) to the final join. The
+    * per-hash window is bounded by the paragraph's corpus frequency — a
+    * pathological mega-boilerplate paragraph lands one window partition of
+    * its df, acceptable because the window computes only row_number.
+    */
+  def paragraphDedup(df: DataFrame, id: Column, text: Column,
+      sep: String = "\n"): DataFrame = {
+    val paras = spreadBy(df.select(id.as("doc_id"), text.as("__pd_text")), col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("__pd_text"), sep)).as(Seq("pos", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para")))
+      .orderBy(col("doc_id"), col("pos"))
+    val kept = paras.withColumn("__pd_rn", row_number().over(w))
+      .where(col("__pd_rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")),
+        sep).as("clean_text"))
+    df.select(id.as("doc_id"),
+        size(split(text, sep)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs among DISTINCT values of a
     * short-string column — TWO zero-recall-loss blocking dimensions, so the
     * candidate set never goes quadratic in a popular length band:

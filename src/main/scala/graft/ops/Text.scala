@@ -308,6 +308,60 @@ object Text {
     s"len(regexp_extract_all($e, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'))"
 
   // -------------------------------------------------------------------------
+  // PII redaction (emails / IPv4 / international phone numbers)
+  // -------------------------------------------------------------------------
+
+  /** Redaction regexes, written in the Java∩RE2 common subset (no
+    * lookaround, no backreferences, unambiguous greedy quantifiers) so the
+    * Spark `regexp_replace` and the DuckDB oracle produce byte-identical
+    * output. Order matters and is fixed: emails first (an address contains
+    * digit runs and dots that the IP pattern could otherwise nibble), then
+    * IPv4, then phones.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** Scrub PII spans, replacing each with its `<TYPE>` placeholder — the
+    * standard pre-training privacy pass. Pure per-row codegen'd
+    * `regexp_replace` chain: no shuffle, no state, streaming-safe in any
+    * output mode. Deliberately pattern-based (the public-corpus baseline,
+    * e.g. what C4/ROOTS-style pipelines ship); an NER-grade scrubber is a
+    * model, not an operator.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-class PII match counts on the RAW text (audit surface for the
+    * redaction pass), via the allocation-free native counter.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.RegexpMatchCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(text.cast("string")),
+          pat)).cast("long")
+    }
+
+  /** DuckDB twins of [[redactPii]] / [[piiCounts]] over column expression
+    * `e`. DuckDB's standard SQL strings pass backslashes through verbatim
+    * (no doubling — the `duckBpeishTokenCount` precedent), so the identical
+    * pattern text reaches RE2 that the JVM side hands to java.util.regex.
+    */
+  def duckRedactPii(e: String): String =
+    PiiPatterns.foldLeft(e) { case (s, (_, pat, repl)) =>
+      s"regexp_replace($s, '$pat', '$repl', 'g')"
+    }
+
+  def duckPiiCount(e: String, name: String): String = {
+    val pat = PiiPatterns.find(_._1 == name).get._2
+    s"CAST(len(regexp_extract_all($e, '$pat')) AS BIGINT)"
+  }
+
+  // -------------------------------------------------------------------------
   // Heavy-hitter tokens (Misra-Gries sketch pass + exact verify pass)
   // -------------------------------------------------------------------------
 

@@ -852,7 +852,88 @@ object DedupQueries {
            |FROM inter
            |JOIN psz USING (probe_id)
            |JOIN isz USING (doc_id)
-           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin))
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin)),
+
+    // QUALITY-ranked survivor election: q84 keeps the min-id member of each
+    // near-dup cluster — whichever duplicate was ingested first — but a
+    // curator wants the CLEANEST copy. Same pairs → clusters chain; the
+    // survivor is the member maximizing the q41 quality score (ties by min
+    // id). Only cluster members enter the election window; the untouched
+    // corpus passes through one anti-join. The oracle replays the
+    // recursive-CTE closure and the same (quality DESC, id ASC) election —
+    // quality is integer-derived ratio arithmetic, so the double compares
+    // identically cross-engine.
+    QueryDef(
+      "q180_cluster_best_survivors",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.4,
+          maxShingleDf = Some(100))
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepBestInCluster(docs, col("doc_id"), Text.qualityScore(col("text")), labels)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $duckJaccardPairCtes,
+           |members AS (
+           |  SELECT l.id, l.cluster_id, ${Text.duckQualityScore("d.text")} AS quality
+           |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+           |winners AS (
+           |  SELECT id FROM (
+           |    SELECT id, row_number() OVER (
+           |      PARTITION BY cluster_id ORDER BY quality DESC, id ASC) AS rn
+           |    FROM members) WHERE rn = 1)
+           |SELECT doc_id, lang, source FROM documents d
+           |WHERE d.doc_id IN (SELECT id FROM winners)
+           |   OR NOT EXISTS (SELECT 1 FROM labels l WHERE l.id = d.doc_id)""".stripMargin)),
+
+    // CCNet-style PARAGRAPH dedup: the corpus' documents are single
+    // paragraphs, so the query plants multi-paragraph pages — every 10th
+    // document gains its successor's full text as a second
+    // newline-separated paragraph. First occurrence per distinct paragraph
+    // corpus-wide survives (min (doc_id, pos) — so the PLANTED copy inside
+    // doc 10k beats doc 10k+1's own body, which comes back as the n_kept=0
+    // empty-text edge case); documents are stitched back from surviving
+    // paragraphs in original order. The granularity between document dedup
+    // (q50) and span dedup (q115): cross-page boilerplate vanishes without
+    // touching unique prose.
+    QueryDef(
+      "q181_paragraph_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+        val base = docs.select(col("doc_id"), col("text")).join(nxt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0 && col("next_text").isNotNull,
+              concat(col("text"), lit("\n"), col("next_text")))
+              .otherwise(col("text")).as("text"))
+        Dedup.paragraphDedup(base, col("doc_id"), col("text"))
+      },
+      Some("""WITH base AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+           |         THEN d.text || chr(10) || n.text ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM base)),
+           |paras AS (
+           |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           |    t[CAST(p AS INTEGER)] AS para
+           |  FROM px),
+           |kept AS (
+           |  SELECT doc_id, pos, para FROM (
+           |    SELECT doc_id, pos, para, row_number() OVER (
+           |      PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+           |    FROM paras) WHERE rn = 1),
+           |reb AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |    string_agg(para, chr(10) ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_paras,
+           |  COALESCE(r.n_kept, 0) AS n_kept,
+           |  COALESCE(r.clean_text, '') AS clean_text
+           |FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

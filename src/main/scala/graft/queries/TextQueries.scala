@@ -1031,7 +1031,48 @@ object TextQueries {
         graft.ops.TextIndex.searchBM25(idx, Seq("window", "stream"), k = 15)
       },
       Some(s"""WITH ${duckBm25Ctes(Seq("window", "stream"))}
-           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 15""".stripMargin))
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 15""".stripMargin)),
+
+    // PII redaction: the standard pre-training privacy pass. The corpus has
+    // no PII, so every 5th document is planted with a doc_id-derived email,
+    // IPv4 and international phone number (identical construction both
+    // engines); the other 4/5 exercise the no-op path. Counts audit the raw
+    // text via the native allocation-free RegexpMatchCount; clean_text is
+    // the codegen'd regexp_replace chain — patterns live in the Java∩RE2
+    // common subset so both engines redact byte-identically. Pure per-row
+    // work: no shuffle, streaming-safe.
+    QueryDef(
+      "q182_pii_redaction",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com via 10."),
+              pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+              pmod(col("doc_id"), lit(250)).cast("string"),
+              lit(" or +14155550"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0")))
+            .otherwise(col("text")).as("text"))
+        val counts = Text.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+        planted.select(
+          Seq(col("doc_id")) ++ counts :+ Text.redactPii(col("text")).as("clean_text"): _*)
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN text || ' contact user' || doc_id || '@mail.example.com via 10.'
+           |        || (doc_id % 200) || '.0.' || (doc_id % 250)
+           |        || ' or +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+           |      ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  ${Text.duckPiiCount("text", "email")} AS n_email,
+           |  ${Text.duckPiiCount("text", "ip")} AS n_ip,
+           |  ${Text.duckPiiCount("text", "phone")} AS n_phone,
+           |  ${Text.duckRedactPii("text")} AS clean_text
+           |FROM planted""".stripMargin))
   )
 
   // -------------------------------------------------------------------------
