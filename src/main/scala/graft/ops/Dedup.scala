@@ -436,6 +436,70 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-EVAL-DOC contamination report — the leakage summary a curator reads
+    * before trusting a benchmark number, aggregated from
+    * [[contaminationPairs]]' (corpus_doc, eval_doc, n_shared) rows: how many
+    * corpus documents leak into each eval document, the worst single
+    * overlap, and that overlap as a fraction of the eval doc's shingle set
+    * (max containment — 1.0 means some corpus doc covers the eval doc's
+    * n-grams entirely). Every eval doc appears, zeros included: "nothing
+    * leaked" is the row the curator is looking for, and a silently missing
+    * row is indistinguishable from an unchecked one.
+    *
+    * Scale shape: the pair frame is already eval-bounded (≪ corpus); the
+    * report groups it by eval_id and joins the #eval-docs-row shingle-size
+    * frame — nothing corpus-sized crosses a shuffle beyond what
+    * [[contaminationPairs]] itself does.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minShared: Long): DataFrame = {
+    val pairs = contaminationPairs(corpus, evalSet, id, text, n, minShared)
+    val sizes = shingleRows(evalSet, id, text, n)
+      .groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val agg = pairs.groupBy(col("eval_id")).agg(
+      count(lit(1)).as("n_flagged"),
+      max(col("n_shared")).as("max_shared"))
+    sizes.join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("max_shared"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("max_containment"))
+  }
+
+  /** LSH RECALL AUDIT: the measurement that justifies replacing the exact
+    * inverted-index pair scan with MinHash+LSH at scale. Joins the exact
+    * Jaccard pairs (ground truth, threshold as low as affordable) against
+    * the LSH candidate set and reports recall per similarity band
+    * (floor(jaccard·10)) — the empirical S-curve of the chosen (bands,
+    * rows-per-band) configuration, read next to the theoretical
+    * 1−(1−j^r)^b before committing an LSH config to a production dedup run.
+    *
+    * Scale shape: both inputs are pair frames (bounded by the upstream df /
+    * bucket caps); the audit itself is one pair-keyed left join plus a
+    * #bands-row aggregate. At 100 TB the exact side runs on a SAMPLE of the
+    * corpus (ground truth needs only statistical mass); the audit dataflow
+    * is unchanged.
+    */
+  def lshRecallAudit(exactPairs: DataFrame, candidates: DataFrame): DataFrame = {
+    val cand = candidates.select(col("id_a").as("__lr_a"), col("id_b").as("__lr_b"),
+      lit(1L).as("__lr_found"))
+    exactPairs
+      .join(cand, col("id_a") === col("__lr_a") && col("id_b") === col("__lr_b"), "left")
+      .withColumn("band", floor(col("jaccard") * lit(10)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__lr_found"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_pairs").cast("double"))
+  }
+
   /** Maximal duplicated token spans — the relational re-expression of
     * "ExactSubstr" dedup (Lee et al. 2021, arXiv:2107.06499 §4: remove
     * substrings repeated verbatim elsewhere in the corpus). A suffix array

@@ -243,6 +243,32 @@ object Sampling {
       .select(col("doc_id"), col("key"), col("chunk_id"), col("w").as("n_tok"),
         col("tokens_in_chunk"))
 
+  /** Greedy TOKEN-BUDGET corpus selection: take documents in (score desc,
+    * id asc) order until the next document would push the cumulative token
+    * count past `budget` — "give me the best N-token corpus" as one
+    * dataflow, the selection counterpart of [[packSequencesBy]]'s
+    * curriculum ordering. A document is selected iff the cumulative token
+    * count INCLUDING it stays ≤ budget, so the selection is a prefix of the
+    * quality ordering (deterministic; no knapsack backfill — a document
+    * larger than the remaining budget ends the prefix, matching the greedy
+    * semantics a curator can reason about).
+    *
+    * Scale shape: the [[globalCumsumBy]] two-phase cumsum (one range
+    * shuffle on (−score, id), #partitions-row offset table) — no
+    * corpus-row single-partition window; the budget cut is a per-row
+    * predicate on the exact global prefix sums.
+    *
+    * Output: (doc_id, score, n_tok, cum_tok), cum_tok ≤ budget.
+    */
+  def selectByBudget(df: DataFrame, id: Column, score: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "token budget must be positive")
+    val spans = globalCumsumBy(df, id, tokens, negate(score))
+    spans.where(col("end_w") <= budget)
+      .select(col("doc_id"), negate(col("key")).as("score"),
+        col("w").as("n_tok"), col("end_w").as("cum_tok"))
+  }
+
   /** Distributed EXACT global rank by (value, id) — the ordering engine
     * under [[equiDepthHistogram]], built exactly like [[globalCumsum]] but
     * ordered by an arbitrary value column: range-partition on (v, id) (the

@@ -933,7 +933,87 @@ object DedupQueries {
            |  CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_paras,
            |  COALESCE(r.n_kept, 0) AS n_kept,
            |  COALESCE(r.clean_text, '') AS clean_text
-           |FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id""".stripMargin))
+           |FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id""".stripMargin)),
+
+    // LSH recall audit: exact Jaccard pairs (threshold 0.3 — ground truth)
+    // LEFT JOIN the q54 MinHash+LSH candidate set, recall per
+    // floor(jaccard*10) similarity band — the empirical S-curve of the
+    // (16 sigs, 4 rows/band) config, read against the theoretical
+    // 1-(1-j^4)^4 before committing the LSH path to a production dedup
+    // run. Low bands SHOULD show recall ≪ 1 (that is the curve working);
+    // bands at/above the 0.4 operating threshold should be near 1. The
+    // corpus' organic near-dups are all jaccard ≈ 0.9+, so the query
+    // PLANTS graded-similarity pairs (the q135/q166 discipline): every
+    // 25th document gains a prefix-truncated copy keeping (doc_id%6+4)/10
+    // of its tokens — pairs landing across bands 3..8, identical integer
+    // truncation arithmetic in both engines.
+    QueryDef(
+      "q185_lsh_recall_audit",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = Text.tokens(col("text"))
+        val nKeep = ((size(toks) * (pmod(col("doc_id"), lit(6)) + lit(4)))
+          .cast("double") / lit(10.0))
+        val copies = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), floor(nKeep).cast("int"))).as("text"))
+        val all = docs.select(col("doc_id"), col("text")).unionByName(copies)
+        val exact = Dedup.ngramJaccardPairs(all, col("doc_id"), col("text"), 3, 0.3,
+          maxShingleDf = Some(100))
+        val sigs = Dedup.minhashSignatures(all, col("doc_id"), col("text"), 3, 16)
+        val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 4), maxBucket = Some(100))
+        Dedup.lshRecallAudit(exact, cand)
+      },
+      Some(s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(toks, 1,
+           |      CAST(floor(CAST(len(toks) * (doc_id % 6 + 4) AS DOUBLE) / 10.0) AS INTEGER)), ' ') AS text
+           |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           |        FROM documents WHERE doc_id % 25 = 0)),
+           |sh AS (
+           |  SELECT doc_id AS id, unnest(${Text.duckShingles("text", 3)}) AS sh
+           |  FROM all_docs),
+           |$duckMinhashCtes,
+           |shc AS (
+           |  SELECT id, sh FROM sh
+           |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |ex AS (
+           |  SELECT id_a, id_b,
+           |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON sa.id = id_a
+           |  JOIN sizes sb ON sb.id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2),
+           |ok_buckets AS (
+           |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+           |  HAVING COUNT(*) BETWEEN 2 AND 100),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN bands b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |  JOIN ok_buckets ob
+           |    ON ob.band = a.band AND ob.band_sig = a.band_sig),
+           |j AS (
+           |  SELECT e.jaccard,
+           |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+           |  FROM ex e LEFT JOIN cand c
+           |    ON c.id_a = e.id_a AND c.id_b = e.id_b)
+           |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+           |  COUNT(*) AS n_pairs, CAST(SUM(found) AS BIGINT) AS n_found,
+           |  CAST(SUM(found) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+           |FROM j GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

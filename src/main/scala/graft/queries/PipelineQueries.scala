@@ -708,6 +708,69 @@ object PipelineQueries {
            |SELECT doc_id, lbl AS label, cls AS pred, score, is_tr AS is_train,
            |  cls = lbl AS correct
            |FROM win WHERE rn = 1""".stripMargin
-      })
+      }),
+
+    // Greedy token-budget corpus selection: "the best 8k-token corpus" —
+    // documents taken in (quality desc, id) order while the cumulative
+    // token count stays within budget. The cut is exact-prefix (cum_tok is
+    // the true global prefix sum from the two-phase cumsum, not a
+    // per-partition approximation); the oracle replays the same ordering
+    // with a plain window cumsum. Quality is integer-ratio arithmetic, so
+    // the DESC ordering agrees cross-engine bit-for-bit.
+    QueryDef(
+      "q183_token_budget_selection",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.selectByBudget(docs, col("doc_id"),
+          Text.qualityScore(col("text")), Text.wordCount(col("text")),
+          budget = 8000L)
+      },
+      Some(s"""WITH q AS (
+           |  SELECT doc_id, ${Text.duckQualityScore("text")} AS score,
+           |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, score, n_tok,
+           |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tok
+           |  FROM q)
+           |SELECT doc_id, score, n_tok, cum_tok FROM c
+           |WHERE cum_tok <= 8000""".stripMargin)),
+
+    // Per-eval-doc contamination REPORT (q87 flags pairs; this is the
+    // summary a curator signs off on): corpus-leak count, worst single
+    // overlap, and max containment per eval document — zeros included, so
+    // "clean" is an explicit row, not an absence. Same eval split as q87
+    // (doc_id % 50), lower minShared (3) so the report has graded severity
+    // at test SF.
+    QueryDef(
+      "q184_contamination_report",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationReport(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), 3, 3)
+      },
+      Some(s"""WITH ${DedupQueries.duckShingleCte},
+           |ev AS (SELECT id AS eval_id, sh FROM sh WHERE id % 50 = 0),
+           |cp AS (SELECT id AS doc_id, sh FROM sh WHERE id % 50 <> 0),
+           |pairs AS (
+           |  SELECT doc_id, eval_id, COUNT(*) AS n_shared
+           |  FROM cp JOIN ev USING (sh)
+           |  GROUP BY 1, 2
+           |  HAVING COUNT(*) >= 3),
+           |sizes AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+           |agg AS (
+           |  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+           |    CAST(MAX(n_shared) AS BIGINT) AS max_shared
+           |  FROM pairs GROUP BY 1)
+           |SELECT s.eval_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           |  COALESCE(a.n_flagged, 0) AS n_flagged,
+           |  COALESCE(a.max_shared, 0) AS max_shared,
+           |  CAST(COALESCE(a.max_shared, 0) AS DOUBLE)
+           |    / CAST(s.n_shingles AS DOUBLE) AS max_containment
+           |FROM sizes s LEFT JOIN agg a ON a.eval_id = s.eval_id""".stripMargin))
   )
 }
