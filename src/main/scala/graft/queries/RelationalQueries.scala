@@ -1200,6 +1200,147 @@ object RelationalQueries {
            |JOIN region ON n1.n_regionkey = r_regionkey
            |JOIN nation n2 ON s_nationkey = n2.n_nationkey
            |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q10-style returned-item customer ranking: revenue lost to
+    // returns per customer over one year, top 20. The q163 discipline:
+    // the FACT side aggregates to o_custkey grain first (one lineitem
+    // shuffle on l_orderkey, one on o_custkey), and customer — NOT
+    // broadcastable at 100 TB — joins the already-#customers-bounded
+    // aggregate; only nation broadcasts. Revenue is the decimal-exact fold
+    // and the top-20 ordering is made total with the c_custkey tie-break,
+    // so the LIMIT boundary is deterministic — the plan ends in
+    // TakeOrderedAndProject, no global sort.
+    QueryDef(
+      "q186_returned_item_ranking",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R")
+        val byCust = lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+        byCust
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue"), col("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, c_custkey ASC
+           |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q13-style customer order-count distribution: how many customers
+    // placed exactly N qualifying orders, zeros included — the LEFT OUTER
+    // join with the filter INSIDE the join condition (pushing it to a WHERE
+    // would silently drop the zero-order customers, the classic Q13 trap).
+    // Orders shuffle on o_custkey once; the second aggregation's input is
+    // #customers rows.
+    QueryDef(
+      "q187_order_count_distribution",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        val joined = customer.join(orders,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        joined.groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+           |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           |  FROM customer LEFT OUTER JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q14-style promo revenue share: one month of lineitems against
+    // the broadcast part dimension, conditional decimal fold over the same
+    // aggregation pass (no second scan for the numerator), the single
+    // double division at the end.
+    QueryDef(
+      "q188_promo_revenue_share",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-03-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+        val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        lineitem
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            Num.dsum38(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)))
+              .as("promo_revenue"),
+            Num.dsum38(vol).as("total_revenue"))
+          .withColumn("promo_share",
+            lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      },
+      Some(s"""SELECT
+           |  ${Num.duckDsum38("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+           |  100.0 * ${Num.duckDsum38("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS promo_share
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
+    // TPC-H Q22-style dormant high-value customers: above-average-balance
+    // customers with NO qualifying order in 1996, grouped by nation. The
+    // global average is a 1-row broadcast (scalar-subquery shape); the
+    // no-orders predicate is a LEFT ANTI join against the year's orders —
+    // both sides reduced before joining. Balance sums are decimal-exact.
+    QueryDef(
+      "q189_dormant_high_balance",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        // decimal-exact mean: a plain double avg() would sum in partition
+        // order and could flip a boundary customer across the threshold
+        val avgBal = customer.where(col("c_acctbal") > 0.0)
+          .agg((Num.dsum38(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+        customer
+          .crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(orders.select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            Num.dsum38(col("c_acctbal")).as("total_bal"))
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_cust,
+           |  ${Num.duckDsum38("c_acctbal")} AS total_bal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT ${Num.duckDsum38("c_acctbal")} / COUNT(*)
+           |                   FROM customer WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |      AND o_orderdate < TIMESTAMP '1997-01-01')
            |GROUP BY 1""".stripMargin))
   )
 }

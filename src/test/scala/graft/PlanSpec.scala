@@ -459,4 +459,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(ha <= 40 && hb <= 40,
       f"hilbert must bound both dimensions per file: a $ha%.1f b $hb%.1f")
   }
+
+  test("q186 returned-item ranking: top-20 is TakeOrderedAndProject; nation broadcasts") {
+    val p = plan(SparkEntry.queries("q186_returned_item_ranking")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+  }
+
+  test("q189 dormant customers: the no-orders predicate is an anti join, the mean a 1-row broadcast") {
+    val p = plan(SparkEntry.queries("q189_dormant_high_balance")(spark, sf))
+    assert("(?i)leftanti".r.findFirstIn(p).isDefined,
+      s"no-orders must compile to a LEFT ANTI join:\n${p.linesIterator.take(20).mkString("\n")}")
+    assert("(?i)broadcastnestedloopjoin|broadcastexchange".r.findFirstIn(p).isDefined,
+      "the scalar mean must attach via broadcast")
+  }
 }
