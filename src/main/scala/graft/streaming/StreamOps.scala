@@ -378,6 +378,30 @@ object StreamOps {
       .drop("bf")
   }
 
+  /** Ingest PII scrub — the streaming face of q182: replace
+    * email/IPv4/phone spans with their `<TYPE>` placeholders BEFORE the
+    * document lands anywhere durable (scrubbing at ingest is the only
+    * placement that keeps raw PII out of checkpoints, dead-letter
+    * quarantines and the corpus itself). A pure per-row projection
+    * ([[graft.ops.Text.redactPii]]'s codegen'd regexp_replace chain + the
+    * native match counters): no shuffle, no state, any output mode. The
+    * observe() metrics surface rows-touched and per-class match counts per
+    * micro-batch — the audit trail a privacy review asks for.
+    */
+  def piiScrub(stream: DataFrame, textCol: String): DataFrame = {
+    import graft.ops.Text
+    val counts = Text.piiCounts(col(textCol))
+    val touched = counts.map(_._2).reduce(_ + _) > 0
+    stream
+      .observe("pii_scrub",
+        count(lit(1)).as("n_rows"),
+        count(when(touched, 1)).as("n_rows_redacted"),
+        sum(counts.find(_._1 == "n_email").get._2).as("n_email"),
+        sum(counts.find(_._1 == "n_ip").get._2).as("n_ip"),
+        sum(counts.find(_._1 == "n_phone").get._2).as("n_phone"))
+      .withColumn(textCol, Text.redactPii(col(textCol)))
+  }
+
   def qualityGate(
       stream: DataFrame,
       text: Column,

@@ -460,4 +460,42 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     for (i <- 0 until 16; j <- (i + 1) until 16)
       assert(images(i) != images(j), s"family members $i and $j coincide on the sample")
   }
+
+  test("paragraphDedup: first occurrence survives corpus-wide, order preserved, all-cut docs stay as empty rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha line\nshared boilerplate footer\nunique beta line"),
+      (2L, "shared boilerplate footer\nanother unique paragraph"),
+      (3L, "shared boilerplate footer"), // every paragraph a later duplicate
+      (4L, "completely distinct page")
+    ).toDF("id", "text").repartition(3)
+    val out = Dedup.paragraphDedup(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "unique alpha line\nshared boilerplate footer\nunique beta line")),
+      "doc 1 owns the first occurrence — nothing cut, order intact")
+    assert(out(2L) == ((2L, 1L, "another unique paragraph")),
+      "doc 2 loses the footer (doc 1 was first), keeps its own paragraph")
+    assert(out(3L) == ((1L, 0L, "")),
+      "a fully-duplicated doc survives as an explicit empty row")
+    assert(out(4L) == ((1L, 1L, "completely distinct page")))
+    // conservation: kept paragraph occurrences == distinct paragraphs corpus-wide
+    assert(out.values.map(_._2).sum ==
+      docs.select(explode(split(col("text"), "\n"))).distinct().count(),
+      "exactly one surviving occurrence per distinct paragraph")
+  }
+
+  test("keepBestInCluster: max-quality member survives, ties break to min id, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster A: 2 and 3 tie on quality -> 2 wins
+      (10L, 0.5),                      // singleton (never in labels)
+      (20L, 0.1), (21L, 0.8)           // cluster B: 21 wins
+    ).toDF("id", "q")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("id", "cluster_id")
+    val kept = Dedup.keepBestInCluster(docs, col("id"), col("q"), labels)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 21L),
+      s"expected max-quality survivors + singleton, got $kept")
+  }
 }

@@ -157,4 +157,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       case _ => true
     }, "chunk ids must be monotone in the (difficulty, id) order")
   }
+
+  test("selectByBudget: exact greedy prefix, budget respected, selection monotone in budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic corpus: scores with ties, varied sizes
+    val rows = (1L to 300L).map(i => (i, (i * 7 % 13).toDouble / 13.0, 5 + (i * 11 % 50)))
+    val df = rows.toDF("id", "score", "n_tok").repartition(7)
+
+    def run(budget: Long): Seq[(Long, Long)] =
+      Sampling.selectByBudget(df, col("id"), col("score"), col("n_tok"), budget)
+        .select("doc_id", "cum_tok").as[(Long, Long)].collect().sortBy(_._2).toSeq
+
+    val sel = run(2000L)
+    // budget respected, cum_tok is the true running sum in (score desc, id) order
+    assert(sel.nonEmpty && sel.last._2 <= 2000L)
+    val order = rows.sortBy { case (i, s, _) => (-s, i) }
+    val prefix = order.scanLeft(0L) { case (acc, (_, _, w)) => acc + w }.tail
+      .zip(order).takeWhile(_._1 <= 2000L)
+    assert(sel.map(_._1) == prefix.map(_._2._1).toSeq,
+      "selection must be exactly the greedy prefix of the (score desc, id) order")
+    // monotone: a bigger budget only ADDS documents
+    val small = run(1200L).map(_._1).toSet
+    val big = run(2400L).map(_._1).toSet
+    assert(small.subsetOf(big), "selection must be monotone in budget")
+  }
 }

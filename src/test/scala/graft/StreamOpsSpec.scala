@@ -594,4 +594,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         s"the half-rate source must actually drop rows (kept ${streamed.length}/200)")
     } finally q.stop()
   }
+
+  test("piiScrub: stream output == batch redactPii; clean rows pass through byte-identical") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val rows = Seq(
+      (1L, "write to alice.smith+spam@corp.example.org today"),
+      (2L, "server at 192.168.1.250 answered"),
+      (3L, "call +4915123456789 or +1415555"),
+      (4L, "no pii here, just words and 123 numbers"),
+      (5L, "mixed: bob@x.io from 10.0.0.1 dial +12025550123"))
+    val ms = MemoryStream[(Long, String)]
+    val scrubbed = StreamOps.piiScrub(ms.toDF().toDF("id", "text"), "text")
+    assert(scrubbed.isStreaming)
+    val q = scrubbed.writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_out").as[(Long, String)].collect().toMap
+      val batch = rows.toDF("id", "text")
+        .select(col("id"), graft.ops.Text.redactPii(col("text")).as("text"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream and batch must redact identically")
+      assert(streamed(1L) == "write to <EMAIL> today")
+      assert(streamed(2L) == "server at <IP> answered")
+      assert(streamed(3L) == "call <PHONE> or <PHONE>")
+      assert(streamed(4L) == rows(3)._2, "clean rows must pass through untouched")
+      assert(streamed(5L) == "mixed: <EMAIL> from <IP> dial <PHONE>")
+    } finally q.stop()
+  }
 }
