@@ -1013,7 +1013,105 @@ object DedupQueries {
            |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
            |  COUNT(*) AS n_pairs, CAST(SUM(found) AS BIGINT) AS n_found,
            |  CAST(SUM(found) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-           |FROM j GROUP BY 1""".stripMargin))
+           |FROM j GROUP BY 1""".stripMargin)),
+
+    // DURABLE paragraph-hash table, maintenance path (the q168/q158
+    // append==rebuild discipline): the table is built on the id-prefix of
+    // the q181 planted multi-paragraph corpus (doc_id < 400), the suffix
+    // appended as a daily-ingest delta — ids sort after the base, so the
+    // append contract holds and the result must equal a from-scratch
+    // first-occurrence election over the whole corpus ROW FOR ROW. The
+    // oracle IS that full rebuild.
+    QueryDef(
+      "q190_para_index_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+        val corpus = docs.select(col("doc_id"), col("text")).join(nxt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0 && col("next_text").isNotNull,
+              concat(col("text"), lit("\n"), col("next_text")))
+              .otherwise(col("text")).as("text"))
+        val base = corpus.where(col("doc_id") < 400)
+        val delta = corpus.where(col("doc_id") >= 400)
+        graft.ops.ParaIndex.append(
+          graft.ops.ParaIndex.build(base, col("doc_id"), col("text")),
+          delta, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+           |         THEN d.text || chr(10) || n.text ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM base)),
+           |paras AS (
+           |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           |    t[CAST(p AS INTEGER)] AS para
+           |  FROM px),
+           |ph AS (
+           |  SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, pos, md5(para) AS m FROM paras)),
+           |sel AS (
+           |  SELECT h, doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |  FROM ph)
+           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin)),
+
+    // DURABLE paragraph-hash table, serve path: an ingest batch of probe
+    // documents is scrubbed against the STORED table — each probe carries
+    // one corpus paragraph (cut: table hit), one novel paragraph (kept),
+    // and one batch-wide shared paragraph (kept exactly once — the
+    // in-batch election). The table side contributes only its hash column;
+    // probe text crosses the election window and the rebuild once each.
+    QueryDef(
+      "q191_para_index_scrub",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tbl = graft.ops.ParaIndex.build(docs, col("doc_id"), col("text"))
+        val probes = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit("\nfresh content "),
+              col("doc_id").cast("string"),
+              lit("\nshared probe boilerplate")).as("text"))
+        graft.ops.ParaIndex.scrub(tbl, probes, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH tblh AS (
+           |  SELECT DISTINCT ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT md5(text) AS m FROM documents)),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    text || chr(10) || 'fresh content ' || doc_id
+           |      || chr(10) || 'shared probe boilerplate' AS text
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM probes)),
+           |paras AS (
+           |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           |    t[CAST(p AS INTEGER)] AS para
+           |  FROM px),
+           |ph AS (
+           |  SELECT doc_id, pos, para, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, pos, para, md5(para) AS m FROM paras)),
+           |novel AS (
+           |  SELECT doc_id, pos, para, h FROM ph
+           |  WHERE h NOT IN (SELECT h FROM tblh)),
+           |kept AS (
+           |  SELECT doc_id, pos, para FROM (
+           |    SELECT doc_id, pos, para,
+           |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |    FROM novel) WHERE rn = 1),
+           |reb AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |    string_agg(para, chr(10) ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id)
+           |SELECT p.doc_id,
+           |  CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_paras,
+           |  COALESCE(r.n_kept, 0) AS n_kept,
+           |  COALESCE(r.clean_text, '') AS clean_text
+           |FROM probes p LEFT JOIN reb r ON r.doc_id = p.doc_id""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

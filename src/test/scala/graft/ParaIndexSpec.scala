@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ParaIndex
+
+/** The durable paragraph-hash-table lifecycle: build == write+read, append
+  * == rebuild under the id-ordering contract, and the stored-table scrub
+  * reproduces the in-memory scrub while keeping the table side scan-only.
+  */
+class ParaIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def rows(t: DataFrame): Set[(Long, Long, Long)] =
+    t.select(col("h"), col("doc_id").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha one\nshared footer"),
+      (2L, "beta two\nshared footer\nbeta extra"),
+      (3L, "gamma three"),
+      (4L, "alpha one") // duplicate of doc 1's first paragraph
+    ).toDF("id", "text")
+  }
+
+  test("write + read roundtrip preserves rows; stored table carries its partition column") {
+    val tbl = ParaIndex.build(corpus, col("id"), col("text"))
+    val dir = tmpDir("para-idx")
+    ParaIndex.write(tbl, dir)
+    val stored = ParaIndex.read(spark, dir)
+    assert(stored.columns.contains("hb"))
+    assert(rows(stored) == rows(tbl))
+  }
+
+  test("append == rebuild when delta ids sort after the base (the ingest contract)") {
+    import spark.implicits._
+    val delta = Seq(
+      (10L, "shared footer\nnovel delta par"), // footer already indexed
+      (11L, "novel delta par\nanother novel")  // in-delta duplicate election
+    ).toDF("id", "text")
+    val appended = ParaIndex.append(
+      ParaIndex.build(corpus, col("id"), col("text")), delta, col("id"), col("text"))
+    val rebuilt = ParaIndex.firstOccurrences(
+      corpus.unionByName(delta), col("id"), col("text"))
+    assert(rows(appended) == rows(rebuilt),
+      "append must equal the from-scratch election row for row")
+  }
+
+  test("scrub from the stored table == scrub from the built frame; table text never re-split") {
+    import spark.implicits._
+    val tbl = ParaIndex.build(corpus, col("id"), col("text"))
+    val dir = tmpDir("para-idx-serve")
+    ParaIndex.write(tbl, dir)
+    val stored = ParaIndex.read(spark, dir)
+    val batch = Seq(
+      (100L, "shared footer\nfresh paragraph\nbatch shared"),
+      (101L, "batch shared\nalso fresh")
+    ).toDF("id", "text")
+    def out(t: DataFrame): Map[Long, (Long, Long, String)] =
+      ParaIndex.scrub(t, batch, col("id"), col("text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val fromStored = out(stored)
+    assert(fromStored == out(tbl))
+    assert(fromStored(100L) == ((3L, 2L, "fresh paragraph\nbatch shared")),
+      "table hit cut; batch-shared paragraph won its in-batch election here")
+    assert(fromStored(101L) == ((2L, 1L, "also fresh")),
+      "later in-batch duplicate cut")
+    // the serve plan must not re-split or re-hash table text: its input is
+    // the stored (h, doc_id, pos, hb) parquet — no string column to split
+    val plan = ParaIndex.scrub(stored, batch, col("id"), col("text"))
+      .queryExecution.executedPlan.toString()
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits <= 2, // batch paragraphs + batch n_paras projection only
+      s"table side must be scan-only; found $splits split() calls:\n$plan")
+  }
+}
