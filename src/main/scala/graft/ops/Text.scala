@@ -1480,4 +1480,110 @@ object Text {
         bounded(col("est"), col("exact_distinct")).as("within_bound"))
     per.unionByName(union)
   }
+
+  // -------------------------------------------------------------------------
+  // Corpus distribution statistics (diversity / divergence / Zipf)
+  // -------------------------------------------------------------------------
+
+  /** Per-source distinct-n-gram diversity (the distinct-n metric of Li et
+    * al. 2016, arXiv:1510.03055 §5, applied to corpus sources instead of
+    * generations): distinct n-gram types ÷ total n-gram occurrences, per
+    * (source, n). Low diversity = templated/repetitive source — the
+    * corpus-level face of q106's per-document repetition profile.
+    *
+    * ONE corpus pass for all n: each token array explodes once into
+    * (n, hash) occurrence structs for every requested n. The shuffle
+    * carries (source, n, hash60) — never gram text; a hash collision
+    * merges two gram types (undercounts distinct by 1 at ~2⁻⁶¹/pair, the
+    * q124 stance).
+    */
+  def ngramDiversity(df: org.apache.spark.sql.DataFrame, source: Column,
+      text: Column, ns: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram sizes must be positive")
+    val base = df.select(source.as("source"), tokens(text).as("t"))
+    val grams = flatten(transform(array(ns.map(n => lit(n)): _*), nc =>
+      when(size(col("t")) >= nc,
+        transform(sequence(lit(1), size(col("t")) - nc + lit(1)),
+          i => struct(nc.as("n"),
+            Hashing.hash60(concat_ws(" ", slice(col("t"), i, nc))).as("h"))))
+        .otherwise(array().cast("array<struct<n:int,h:bigint>>"))))
+    base.select(col("source"), explode(grams).as("g"))
+      .groupBy(col("source"), col("g.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        count_distinct(col("g.h")).as("distinct_ngrams"))
+      .withColumn("diversity",
+        col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"))
+  }
+
+  /** KL divergence of each source's unigram distribution from the corpus
+    * distribution: Σ_tok p_src(tok) · ln(p_src(tok) / p_corpus(tok)) —
+    * the standard "how far does this shard drift from the mixture" number
+    * a curator reads next to q113's mixture weights. Every probability is
+    * an integer-count ratio (exact in both engines) and the per-source sum
+    * folds decimal(38,18) ([[Num.dsum38]]), so the result is
+    * bit-reproducible on any partitioning. p_corpus > 0 wherever
+    * p_src > 0 by construction (the corpus contains every source), so no
+    * term degenerates.
+    *
+    * Scale shape: one corpus tokenization into (source, tok) counts; the
+    * corpus-marginal table derives from those counts by a second
+    * vocab-sized aggregation (no second corpus pass — the count frame is
+    * localCheckpoint'd for its two consumers); source totals and the
+    * 1-row corpus total broadcast back.
+    */
+  def sourceTokenKL(df: org.apache.spark.sql.DataFrame, source: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val sc = df.select(source.as("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_s"))
+      .localCheckpoint()
+    val cc = sc.groupBy(col("tok")).agg(sum(col("c_s")).as("c_c"))
+    val totS = sc.groupBy(col("source")).agg(sum(col("c_s")).as("t_s"))
+    val totC = sc.agg(sum(col("c_s")).as("t_c"))
+    val p = col("c_s").cast("double") / col("t_s").cast("double")
+    val q = col("c_c").cast("double") / col("t_c").cast("double")
+    sc.join(cc, "tok")
+      .join(broadcast(totS), "source")
+      .crossJoin(broadcast(totC))
+      .groupBy(col("source"))
+      .agg(Num.dsum38(p * log(p / q)).as("kl_divergence"),
+        count(lit(1)).as("n_token_types"))
+  }
+
+  /** Zipf rank-frequency slope over the corpus' top-`k` tokens: the
+    * least-squares slope of ln(freq) on ln(rank) — ≈ −1 for natural text
+    * (Zipf's law), ≈ 0 for uniform/synthetic vocabularies. Rank ties
+    * break by token asc, so the top-k boundary and every x-coordinate are
+    * deterministic cross-engine; the four regression sums fold
+    * decimal(38,18) over k ≤ bounded rows.
+    *
+    * Scale shape: the vocabulary aggregation is the only corpus-scale
+    * stage; the top-k cut is TakeOrderedAndProject and the ranking window
+    * runs on k rows (bounded by the parameter, not the data).
+    */
+  def zipfSlope(df: org.apache.spark.sql.DataFrame, text: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "need at least 2 ranks for a slope")
+    val vocab = df.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok").asc)
+    val xy = vocab.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val s = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum38(col("x")).as("sx"),
+      Num.dsum38(col("y")).as("sy"),
+      Num.dsum38(col("x") * col("y")).as("sxy"),
+      Num.dsum38(col("x") * col("x")).as("sxx"))
+    s.select(col("n").cast("long").as("k"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+        .as("intercept"))
+  }
 }

@@ -1072,7 +1072,88 @@ object TextQueries {
            |  ${Text.duckPiiCount("text", "ip")} AS n_ip,
            |  ${Text.duckPiiCount("text", "phone")} AS n_phone,
            |  ${Text.duckRedactPii("text")} AS clean_text
-           |FROM planted""".stripMargin))
+           |FROM planted""".stripMargin)),
+
+    // Per-source distinct-n diversity (Li et al. 2016 distinct-n over
+    // corpus shards): one corpus pass explodes every token array into
+    // (n, hash60) occurrence structs for n = 1, 2, 3 — the shuffle carries
+    // hashes, never gram text.
+    QueryDef(
+      "q192_ngram_diversity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.ngramDiversity(docs, col("source"), col("text"), Seq(1, 2, 3))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT source, string_split_regex(text, '\\s+') AS t FROM documents),
+           |ns(n) AS (VALUES (1), (2), (3)),
+           |occ AS (
+           |  SELECT source, n, t,
+           |    unnest(range(1, GREATEST(len(t) - n + 2, 1))) AS i
+           |  FROM toks CROSS JOIN ns),
+           |gh AS (
+           |  SELECT source, n, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT source, n,
+           |          md5(array_to_string(list_slice(t, i, i + n - 1), ' ')) AS m
+           |        FROM occ))
+           |SELECT source, n, COUNT(*) AS total_ngrams,
+           |  CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+           |  CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+           |FROM gh GROUP BY 1, 2""".stripMargin)),
+
+    // Per-source KL divergence from the corpus unigram distribution — the
+    // drift number next to q113's mixture weights. All probabilities are
+    // integer-count ratios; the per-source sum folds decimal(38,18), so
+    // the doubles agree cross-engine exactly.
+    QueryDef(
+      "q193_source_kl_divergence",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.sourceTokenKL(docs, col("source"), col("text"))
+      },
+      Some(s"""WITH sc AS (
+           |  SELECT source, tok, COUNT(*) AS c_s
+           |  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |cc AS (SELECT tok, SUM(c_s) AS c_c FROM sc GROUP BY 1),
+           |ts AS (SELECT source, SUM(c_s) AS t_s FROM sc GROUP BY 1),
+           |tc AS (SELECT SUM(c_s) AS t_c FROM sc)
+           |SELECT source,
+           |  ${Num.duckDsum38("(CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE)) * ln((CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE)) / (CAST(c_c AS DOUBLE) / CAST(t_c AS DOUBLE)))")} AS kl_divergence,
+           |  COUNT(*) AS n_token_types
+           |FROM sc JOIN cc USING (tok) JOIN ts USING (source) CROSS JOIN tc
+           |GROUP BY 1""".stripMargin)),
+
+    // Zipf rank-frequency slope over the top-100 tokens: ~ -1 for natural
+    // text, ~ 0 for uniform synthetic vocabularies — a one-row corpus
+    // health check. Rank ties break by token, the top-k cut is
+    // TakeOrderedAndProject, and the four regression sums fold
+    // decimal(38,18) over 100 bounded rows.
+    QueryDef(
+      "q194_zipf_slope",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.zipfSlope(docs, col("text"), k = 100)
+      },
+      Some(s"""WITH vocab AS (
+           |  SELECT tok, COUNT(*) AS freq
+           |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 100),
+           |xy AS (
+           |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+           |    ln(CAST(freq AS DOUBLE)) AS y
+           |  FROM vocab),
+           |s AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |    ${Num.duckDsum38("x")} AS sx, ${Num.duckDsum38("y")} AS sy,
+           |    ${Num.duckDsum38("x * y")} AS sxy, ${Num.duckDsum38("x * x")} AS sxx
+           |  FROM xy)
+           |SELECT CAST(n AS BIGINT) AS k,
+           |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+           |FROM s""".stripMargin))
   )
 
   // -------------------------------------------------------------------------
