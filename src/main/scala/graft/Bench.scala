@@ -53,6 +53,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try {
+        // Inter-query isolation (round-10 methodology pin): on a 128 GiB
+        // local[*] heap a full GC almost never fires on its own, so
+        // broadcast/accumulator garbage from earlier queries piles up until
+        // the ContextCleaner stalls SOME later query's run — measured as
+        // late-session queries reading up to 10x their isolated TimeQuery
+        // times (q117 11.85 s in-session vs 1.08 s isolated, round 10)
+        // while a fresh session reproduces the committed numbers. One
+        // explicit collection per query returns the session to a known
+        // state; the cost is outside the timed window.
+        System.gc()
         val cold = once()
         // steady-state = min of two warm runs (min is the robust estimator
         // under shared-machine noise; mean would fold interference in)

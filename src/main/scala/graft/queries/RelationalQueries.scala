@@ -1341,6 +1341,32 @@ object RelationalQueries {
            |    WHERE o_custkey = c_custkey
            |      AND o_orderdate >= TIMESTAMP '1996-01-01'
            |      AND o_orderdate < TIMESTAMP '1997-01-01')
-           |GROUP BY 1""".stripMargin))
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q6-style forecast revenue change: the pure scan-filter-fold
+    // query — zero joins, one decimal fold; the plan is a single
+    // WholeStageCodegen span over the pushed-down parquet scan, the
+    // throughput yardstick every other lineitem query is read against.
+    QueryDef(
+      "q195_forecast_revenue_change",
+      (s, dir) => {
+        val lineitem = Tables.load(s, dir, "lineitem")
+        lineitem
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+            col("l_quantity") < 24)
+          .agg(Num.dsum38(col("l_extendedprice") * col("l_discount"))
+            .as("revenue_change"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""SELECT
+           |  ${Num.duckDsum38("l_extendedprice * l_discount")} AS revenue_change,
+           |  COUNT(*) AS n_lineitems
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount >= 0.03 AND l_discount <= 0.05
+           |  AND l_quantity < 24""".stripMargin))
   )
 }

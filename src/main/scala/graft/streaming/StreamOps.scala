@@ -402,6 +402,42 @@ object StreamOps {
       .withColumn(textCol, Text.redactPii(col(textCol)))
   }
 
+  /** Ingest PARAGRAPH scrub — the streaming face of q191: cut every
+    * incoming paragraph whose hash is in the stored [[graft.ops.ParaIndex]]
+    * table, so known boilerplate never lands in the corpus. The stored
+    * hash set rides as a 1-row Bloom bit-array (the [[decontamGate]]
+    * transport); the paragraph probe is a stateless per-row HOF filter +
+    * re-join — no shuffle, no state, any output mode.
+    *
+    * Bloom-only on purpose (a micro-batch has no table rows to
+    * verify-join): a false positive CUTS a novel paragraph (rate bounded
+    * by numBits sizing), never keeps a duplicate. In-batch duplicate
+    * paragraphs pass (electing a first occurrence needs cross-row state);
+    * the next table refresh catches them — the same division of labor as
+    * [[antiJoinKnownFingerprints]] history dedup.
+    */
+  def paraScrubGate(
+      stream: DataFrame,
+      textCol: String,
+      knownHashes: DataFrame,
+      sep: String = "\n",
+      numBits: Int = 1 << 18,
+      numHashes: Int = 3): DataFrame = {
+    import graft.ops.Hashing
+    val bloom = broadcast(knownHashes
+      .agg(Hashing.bloomFilterAgg(col("h").cast("string"), numBits, numHashes).as("bf")))
+    val paras = split(col(textCol), sep)
+    val kept = filter(paras, p => !Hashing.bloomMightContain(col("bf"),
+      Hashing.hash60(p).cast("string"), numBits, numHashes))
+    stream.crossJoin(bloom)
+      .observe("para_scrub",
+        count(lit(1)).as("n_rows"),
+        sum(size(paras) - size(kept)).as("n_paras_cut"),
+        count(when(size(kept) === 0, 1)).as("n_rows_emptied"))
+      .withColumn(textCol, array_join(kept, sep))
+      .drop("bf")
+  }
+
   def qualityGate(
       stream: DataFrame,
       text: Column,

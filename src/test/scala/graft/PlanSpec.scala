@@ -460,6 +460,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       f"hilbert must bound both dimensions per file: a $ha%.1f b $hb%.1f")
   }
 
+  test("q181 paragraph dedup: the election shuffle is keyed on md5(paragraph), not paragraph text") {
+    val p = plan(SparkEntry.queries("q181_paragraph_dedup")(spark, sf))
+    assert(p.toLowerCase.contains("md5"),
+      "the election window must hash paragraphs for its partition key")
+    assert(!"(?i)hashpartitioning\\(para#".r.findFirstIn(p).isDefined,
+      "raw paragraph text must never be a shuffle key")
+  }
+
+  test("q183 token-budget selection: no corpus-scale shuffle after the checkpointed range pass") {
+    // the ONE range shuffle is paid inside globalCumsumBy's localCheckpoint;
+    // the serve plan downstream must shuffle nothing corpus-keyed — its only
+    // exchanges are the #partitions-row offset machinery (pid keys) and the
+    // broadcast offset attach.
+    val p = plan(SparkEntry.queries("q183_token_budget_selection")(spark, sf))
+    val keys = "(?i)hashpartitioning\\(([^,)]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.toLowerCase.startsWith("pid")),
+      s"every post-checkpoint exchange must be pid-keyed (#partitions rows), got $keys")
+    assert(!"(?i)rangepartitioning".r.findFirstIn(p).isDefined,
+      "the corpus range shuffle must not replay downstream of the checkpoint")
+    assert(p.contains("BroadcastHashJoin"), "the offset table must attach via broadcast")
+  }
+
   test("q186 returned-item ranking: top-20 is TakeOrderedAndProject; nation broadcasts") {
     val p = plan(SparkEntry.queries("q186_returned_item_ranking")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),

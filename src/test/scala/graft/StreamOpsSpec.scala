@@ -626,4 +626,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(streamed(5L) == "mixed: <EMAIL> from <IP> dial <PHONE>")
     } finally q.stop()
   }
+
+  test("paraScrubGate: stored-table paragraphs cut at ingest; novel paragraphs survive; no false keeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val corpus = Seq(
+      (1L, "known alpha paragraph\nshared footer text"),
+      (2L, "shared footer text\nknown beta paragraph")
+    ).toDF("id", "text")
+    val tbl = graft.ops.ParaIndex.build(corpus, col("id"), col("text"))
+
+    val rows = Seq(
+      (10L, "shared footer text\ncompletely new prose"),
+      (11L, "known alpha paragraph\nknown beta paragraph"), // all known -> emptied
+      (12L, "only novel content here"))
+    val ms = MemoryStream[(Long, String)]
+    val gated = StreamOps.paraScrubGate(
+      ms.toDF().toDF("id", "text"), "text", tbl.select(col("h")))
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("parascrub_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("parascrub_out").as[(Long, String)].collect().toMap
+      assert(got(10L) == "completely new prose", "table hit cut, novel kept")
+      assert(got(11L) == "", "an all-known document survives as an empty row")
+      assert(got(12L) == "only novel content here")
+      // batch twin: the same Bloom-filter predicate applied statically
+      val batch = StreamOps.paraScrubGate(
+        rows.toDF("id", "text"), "text", tbl.select(col("h")))
+        .as[(Long, String)].collect().toMap
+      assert(got == batch, "stream and batch gates must agree")
+    } finally q.stop()
+  }
 }
