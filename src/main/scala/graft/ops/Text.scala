@@ -1482,6 +1482,49 @@ object Text {
   }
 
   // -------------------------------------------------------------------------
+  // Line hygiene (C4-style rules + within-document line dedup)
+  // -------------------------------------------------------------------------
+
+  /** C4's line-level cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): keep only lines that end in terminal punctuation AND carry at
+    * least `minWords` words; a document keeps its row with the surviving
+    * lines stitched back in order plus a `keep` verdict requiring at least
+    * `minLines` survivors. Pure per-row HOF work — no shuffle, no state,
+    * streaming-safe (the gate-family transport).
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text, keep).
+    */
+  def c4LineRules(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      minWords: Int = 3, minLines: Int = 2,
+      sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = split(text, sep)
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?") && size(tokens(l)) >= minWords)
+    df.select(id.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("clean_text"),
+      (size(kept) >= minLines).as("keep"))
+  }
+
+  /** Within-document line dedup: drop repeated lines INSIDE a document,
+    * keeping first occurrences in order — the in-row complement of the
+    * corpus-wide [[Dedup.paragraphDedup]] (no corpus state, so it runs as
+    * a stateless per-row expression; `array_distinct` preserves
+    * first-occurrence order by contract). Output: (doc_id, n_lines,
+    * n_distinct, clean_text).
+    */
+  def dedupLinesWithin(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = split(text, sep)
+    val distinctLines = array_distinct(lines)
+    df.select(id.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(distinctLines).cast("long").as("n_distinct"),
+      array_join(distinctLines, sep).as("clean_text"))
+  }
+
+  // -------------------------------------------------------------------------
   // Corpus distribution statistics (diversity / divergence / Zipf)
   // -------------------------------------------------------------------------
 

@@ -1125,6 +1125,79 @@ object TextQueries {
            |FROM sc JOIN cc USING (tok) JOIN ts USING (source) CROSS JOIN tc
            |GROUP BY 1""".stripMargin)),
 
+    // C4-style line rules (Raffel et al. 2020 §2.2) over a planted 4-line
+    // corpus (the documents are single lines with no punctuation, so the
+    // query builds the fixture): line 1 = the doc text + '.', line 2 =
+    // 'so short.' (punctuated but under min-words), line 3 = the raw text
+    // (no terminal punctuation), line 4 = a constant punctuated sentence.
+    // Expected survivors: lines 1 and 4 — both rules exercised per doc.
+    // Pure per-row HOFs, both engines applying the identical predicates.
+    QueryDef(
+      "q196_c4_line_rules",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          concat(col("text"), lit(".\nso short.\n"), col("text"),
+            lit("\nthe final line stays here.")).as("text"))
+        Text.c4LineRules(planted, col("doc_id"), col("text"))
+      },
+      Some("""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || '.' || chr(10) || 'so short.' || chr(10) || text
+           |      || chr(10) || 'the final line stays here.' AS text
+           |  FROM documents),
+           |ln AS (
+           |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+           |flt AS (
+           |  SELECT doc_id, lines,
+           |    list_filter(lines, l -> right(l, 1) IN ('.', '!', '?')
+           |      AND len(string_split_regex(l, '\s+')) >= 3) AS kept
+           |  FROM ln)
+           |SELECT doc_id,
+           |  CAST(len(lines) AS BIGINT) AS n_lines,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  array_to_string(kept, chr(10)) AS clean_text,
+           |  len(kept) >= 2 AS keep
+           |FROM flt""".stripMargin)),
+
+    // Within-document line dedup (first occurrence kept, order preserved)
+    // over a planted repeat: doc text, a constant boilerplate line, the
+    // SAME doc text again, a closing line — the repeated line 3 must
+    // vanish. Stateless per-row array_distinct; the oracle replays the
+    // positional first-occurrence election relationally (DuckDB's
+    // list_distinct does not guarantee order).
+    QueryDef(
+      "q197_line_dedup_within",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          concat(col("text"), lit("\nboilerplate nav bar\n"), col("text"),
+            lit("\nclosing line")).as("text"))
+        Text.dedupLinesWithin(planted, col("doc_id"), col("text"))
+      },
+      Some("""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || chr(10) || 'boilerplate nav bar' || chr(10) || text
+           |      || chr(10) || 'closing line' AS text
+           |  FROM documents),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM planted)),
+           |ln AS (
+           |  SELECT doc_id, CAST(p AS BIGINT) AS pos, len(t) AS n_lines,
+           |    t[CAST(p AS INTEGER)] AS line
+           |  FROM px),
+           |first AS (
+           |  SELECT doc_id, pos, n_lines, line FROM (
+           |    SELECT doc_id, pos, n_lines, line, row_number() OVER (
+           |      PARTITION BY doc_id, line ORDER BY pos) AS rn
+           |    FROM ln) WHERE rn = 1)
+           |SELECT doc_id,
+           |  CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+           |  COUNT(*) AS n_distinct,
+           |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           |FROM first GROUP BY doc_id""".stripMargin)),
+
     // Zipf rank-frequency slope over the top-100 tokens: ~ -1 for natural
     // text, ~ 0 for uniform synthetic vocabularies — a one-row corpus
     // health check. Rank ties break by token, the top-k cut is
