@@ -1251,6 +1251,31 @@ object Text {
     val toks = Dedup.spreadBy(train, id).select(tokens(text).as("t"))
     val uniAll = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bigAll = toks.where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    lmScoreFromCounts(uniAll, bigAll, score, id, text, maxVocab)
+  }
+
+  /** Stupid-backoff scoring from ALREADY-AGGREGATED count tables
+    * (uni = (w, c1), big = (w1, w2, c2)) — the ONE copy of the scoring
+    * tree, shared by [[bigramLmScore]] (in-query counts) and
+    * [[LmIndex.score]] (stored tables); a drifted copy would silently
+    * desynchronize the serve path from the q108 oracle. The vocabulary cap
+    * applies HERE, at read: stored tables keep raw additive counts (a
+    * capped table could not be appended exactly — top-V of a merge is not
+    * the merge of top-Vs).
+    */
+  private[ops] def lmScoreFromCounts(
+      uniAll: DataFrame,
+      bigAll: DataFrame,
+      score: DataFrame,
+      id: Column,
+      text: Column,
+      maxVocab: Option[Int]): DataFrame = {
     val uni = maxVocab match {
       case Some(v) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -1263,12 +1288,6 @@ object Text {
     }
     val tot = uni.agg(sum(col("c1")).cast("long").as("n"),
       count(lit(1)).as("v"))
-    val bigAll = toks.where(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-        struct(element_at(col("t"), i).as("w1"),
-          element_at(col("t"), i + 1).as("w2")))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
     val big = maxVocab match {
       case Some(_) =>
         // a bigram whose endpoint fell outside the cap must go through the

@@ -1198,6 +1198,65 @@ object TextQueries {
            |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
            |FROM first GROUP BY doc_id""".stripMargin)),
 
+    // DURABLE bigram-LM count tables, maintenance path: the q108 train
+    // split is divided into a base batch and a daily-ingest delta, counted
+    // separately, and merged by summation — counts are ADDITIVE, so the
+    // merge equals a from-scratch aggregation of the whole training corpus
+    // EXACTLY (no ordering contract needed, unlike q190). The oracle IS
+    // that full rebuild. Raw counts on purpose: a vocab-capped table could
+    // never append exactly (top-V of a merge != merge of top-Vs); the cap
+    // is a read-time concern (Text.lmScoreFromCounts).
+    QueryDef(
+      "q198_lm_table_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(pmod(Hashing.hash60(
+          concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+        val base = train.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        val delta = train.where(pmod(col("doc_id"), lit(3)) === 0)
+        val merged = graft.ops.LmIndex.append(
+          graft.ops.LmIndex.build(base, col("doc_id"), col("text")),
+          delta, col("doc_id"), col("text"))
+        merged.uni.select(lit("uni").as("kind"), col("w").as("w1"),
+            lit("").as("w2"), col("c1").cast("long").as("cnt"))
+          .unionByName(merged.big.select(lit("big").as("kind"), col("w1"),
+            col("w2"), col("c2").cast("long").as("cnt")))
+      },
+      Some {
+        val splitHash = Hashing.duckHash60("('lm-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH train AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
+           |  FROM documents WHERE $splitHash % 2 = 0),
+           |uni AS (
+           |  SELECT w, COUNT(*) AS c1
+           |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+           |big AS (
+           |  SELECT w1, w2, COUNT(*) AS c2 FROM (
+           |    SELECT t[pi] AS w1, t[pi + 1] AS w2
+           |    FROM train, unnest(range(1, len(t))) AS tt(pi)) GROUP BY 1, 2)
+           |SELECT 'uni' AS kind, w AS w1, '' AS w2, CAST(c1 AS BIGINT) AS cnt FROM uni
+           |UNION ALL
+           |SELECT 'big' AS kind, w1, w2, CAST(c2 AS BIGINT) AS cnt FROM big""".stripMargin
+      }),
+
+    // DURABLE bigram-LM tables, serve path: q108's scoring driven from the
+    // STORED count tables through the ONE shared scoring tree
+    // (Text.lmScoreFromCounts) — the training corpus is never re-tokenized
+    // at serve. The oracle is q108's verbatim (the q175 discipline):
+    // hash-green IS the proof that stored-table scoring == in-query
+    // scoring.
+    QueryDef(
+      "q199_lm_table_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(pmod(Hashing.hash60(
+          concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+        val tbl = graft.ops.LmIndex.build(train, col("doc_id"), col("text"))
+        graft.ops.LmIndex.score(tbl, docs, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH $duckLmScoreCtes
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
     // Zipf rank-frequency slope over the top-100 tokens: ~ -1 for natural
     // text, ~ 0 for uniform synthetic vocabularies — a one-row corpus
     // health check. Rank ties break by token, the top-k cut is
