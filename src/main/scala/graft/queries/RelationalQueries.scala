@@ -1367,6 +1367,236 @@ object RelationalQueries {
            |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            |  AND l_shipdate < TIMESTAMP '1997-01-01'
            |  AND l_discount >= 0.03 AND l_discount <= 0.05
-           |  AND l_quantity < 24""".stripMargin))
+           |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q4-style order priority check: orders in a quarter that had at
+    // least one lineitem shipped >60 days after the order date (the testdata
+    // lacks commit/receipt dates; ship-lag preserves the shape), counted per
+    // priority. The EXISTS is a LEFT SEMI join whose condition mixes the
+    // orderkey equi-key with a non-equi date predicate referencing BOTH
+    // sides — Catalyst keeps the equi part as the hash key and evaluates the
+    // date compare as a join residual, so both facts shuffle exactly once on
+    // orderkey and the semi join emits each order at most once (no distinct
+    // needed, unlike an inner-join + dedup formulation).
+    QueryDef(
+      "q200_order_priority_check",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-07-01") &&
+            col("o_orderdate") < lit("1996-10-01"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        orders
+          .join(lineitem,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           |  AND o_orderdate < TIMESTAMP '1996-10-01'
+           |  AND EXISTS (
+           |    SELECT 1 FROM lineitem
+           |    WHERE l_orderkey = o_orderkey
+           |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q12-style priority counts per line status (linestatus stands in
+    // for the absent shipmode column): one year of qualifying lineitems
+    // against orders — a genuine FACT-FACT join, so both sides shuffle on
+    // orderkey (neither is broadcastable at 100 TB) and the high/low
+    // priority split is a conditional fold riding the same aggregation
+    // pass, not a second scan.
+    QueryDef(
+      "q201_linestatus_priority",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_returnflag").isin("A", "R"))
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      // DuckDB SUM(integer) widens to HUGEINT (pandas object) — cast back to
+      // BIGINT so the dtype matches Spark's LongType in the hash compare.
+      Some("""SELECT l_linestatus,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_returnflag IN ('A', 'R')
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q15-style top supplier(s): suppliers whose quarterly revenue
+    // equals the global maximum. Revenue stays DECIMAL through the max
+    // comparison (casting to double first could in principle collapse two
+    // near-max values; exact decimals cannot), and the max itself is a
+    // 1-row broadcast joined back scalar-subquery-style — the #suppliers-row
+    // aggregate is the only shuffled frame; lineitem shuffles once on
+    // suppkey. Ties all surface, ordered by suppkey, so the result is
+    // deterministic either way.
+    QueryDef(
+      "q202_top_revenue_suppliers",
+      (s, dir) => {
+        val supplier = Tables.load(s, dir, "supplier")
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+        val rev = lineitem
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,18)")).as("rev"))
+        val maxRev = rev.agg(max(col("rev")).as("max_rev"))
+        rev
+          .crossJoin(broadcast(maxRev))
+          .where(col("rev") === col("max_rev"))
+          .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+           |  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,18))) AS r
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+           |WHERE r = (SELECT MAX(r) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q17-style small-quantity revenue: average yearly revenue lost if
+    // small orders (below 20% of the part's average quantity) were not
+    // filled. The correlated AVG subquery decorrelates to a per-partkey
+    // pre-aggregate joined back — the classic rewrite. The brand filter
+    // reduces part to a broadcastable key list FIRST, so lineitem is cut to
+    // the brand's rows before either the pre-agg or the join-back; the
+    // per-part average is dsum38/count (a double avg() folds in partition
+    // order and could flip a boundary lineitem across the 0.2× threshold
+    // cross-engine).
+    QueryDef(
+      "q203_small_quantity_revenue",
+      (s, dir) => {
+        val bparts = Tables.load(s, dir, "part")
+          .where(col("p_brand") === "Brand#3")
+          .select(col("p_partkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+        val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg((Num.dsum38(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        li.join(avgq, col("l_partkey") === col("a_partkey"))
+          .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(
+            (Num.dsum38(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some(s"""SELECT
+           |  ${Num.duckDsum38("l_extendedprice")} / 7.0 AS avg_yearly,
+           |  COUNT(*) AS n_small
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand = 'Brand#3'
+           |  AND l_quantity < 0.2 * (
+           |    SELECT ${Num.duckDsum38("l_quantity")} / COUNT(*)
+           |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q19-style disjunctive revenue: three OR'd conjunct blocks mixing
+    // part attributes (brand, size) with lineitem attributes (quantity).
+    // Part broadcasts; the disjunction evaluates as a post-join residual in
+    // one codegen'd pass — no union-of-three-scans rewrite needed, and the
+    // partkey equi-join stays the single hash key under all three blocks.
+    QueryDef(
+      "q204_disjunctive_revenue",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val blocks =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+            col("l_quantity").between(20, 40))
+        lineitem
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .where(blocks)
+          .agg(
+            Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""SELECT
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_lineitems
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 25)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // TPC-H Q21-style waiting suppliers: suppliers who were the ONLY late
+    // shipper (>90-day ship lag) on a multi-supplier order, ranked by how
+    // many lineitems they held up. The oracle keeps Q21's literal
+    // EXISTS / NOT-EXISTS self-joins; the engine decorrelates BOTH into one
+    // orderkey-grain aggregation — n_supp (multi-supplier test), n_late
+    // (sole-late test), and, because n_late = 1 pins a unique late supplier,
+    // max(when(late, suppkey)) recovers WHO without any join-back and
+    // sum(when(late, 1)) recovers their held-up row count. Net dataflow:
+    // one fact-fact shuffle on orderkey + one #orders-row aggregation +
+    // one #suppliers-row aggregation, vs the textbook THREE lineitem
+    // self-joins.
+    QueryDef(
+      "q205_waiting_suppliers",
+      (s, dir) => {
+        val supplier = Tables.load(s, dir, "supplier")
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+        val grain = lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+            max(when(late, col("l_suppkey"))).as("late_supp"),
+            sum(when(late, 1L).otherwise(0L)).as("late_rows"))
+        grain
+          .where(col("n_supp") > 1 && col("n_late") === 1)
+          .groupBy(col("late_supp"))
+          .agg(sum(col("late_rows")).as("numwait"))
+          .join(broadcast(supplier), col("late_supp") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT s_suppkey, s_name, COUNT(*) AS numwait
+           |FROM supplier, lineitem l1, orders
+           |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           |  AND EXISTS (
+           |    SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY 1, 2
+           |ORDER BY numwait DESC, s_suppkey ASC
+           |LIMIT 10""".stripMargin))
   )
 }
