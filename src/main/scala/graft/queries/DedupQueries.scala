@@ -38,6 +38,32 @@ object DedupQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB CTE chain `{pfx}sh → {pfx}hb → {pfx}mh → {pfx}bands` over an
+    * arbitrary source relation — the parameterized twin of
+    * [[duckShingleCte]] + [[duckMinhashCtes]] + the q53 band CTE, used by
+    * the durable-minhash-table oracles that need the chain on BOTH the
+    * corpus and a probe relation (q208/q210).
+    */
+  private def duckMshChain(src: String, pfx: String): String = {
+    val as = (0 until 16).map(Hashing.familyA).mkString(", ")
+    val bs = (0 until 16).map(Hashing.familyB).mkString(", ")
+    s"""${pfx}sh AS (
+       |  SELECT doc_id AS id, unnest(${Text.duckShingles("text", 3)}) AS sh
+       |  FROM $src),
+       |${pfx}hb AS (
+       |  SELECT id AS doc_id, ${Hashing.duckFoldHexCol("m")} % ${Hashing.FamilyBase} AS hb
+       |  FROM (SELECT id, md5(sh) AS m FROM ${pfx}sh)),
+       |${pfx}mh AS (
+       |  SELECT doc_id, seed,
+       |    min((list_value($as)[seed + 1] * hb + list_value($bs)[seed + 1]) % ${Hashing.FamilyP}) AS mh
+       |  FROM ${pfx}hb CROSS JOIN generate_series(0, 15) AS ${pfx}gs(seed)
+       |  GROUP BY 1, 2),
+       |${pfx}bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+       |  FROM ${pfx}mh GROUP BY 1, 2)""".stripMargin
+  }
+
   /** DuckDB CTE chain ending in `jp(id_a, id_b)`: the q52 Jaccard near-dup
     * pairs (threshold 0.4, shingle-df cap 100) reduced to id pairs — the
     * shared input of the cluster-formation oracles (q83/q84).
@@ -1111,7 +1137,175 @@ object DedupQueries {
            |  CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_paras,
            |  COALESCE(r.n_kept, 0) AS n_kept,
            |  COALESCE(r.clean_text, '') AS clean_text
-           |FROM probes p LEFT JOIN reb r ON r.doc_id = p.doc_id""".stripMargin))
+           |FROM probes p LEFT JOIN reb r ON r.doc_id = p.doc_id""".stripMargin)),
+
+    // DURABLE minhash signature table, maintenance path (the q168
+    // append==rebuild discipline applied to the LSH candidate generator):
+    // the table is built on the 6/7 base corpus, the 1/7 delta is signed
+    // separately and appended — and because minhash signatures are strictly
+    // per-document, the band table derived from the appended signatures
+    // must equal a from-scratch rebuild of the union ROW FOR ROW. The
+    // oracle IS the full rebuild (q53's chain over all documents):
+    // hash-match proves the daily-ingest path never drifts from
+    // recomputation.
+    QueryDef(
+      "q207_minhash_index_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val sigs = graft.ops.MinHashIndex.append(
+          graft.ops.MinHashIndex.build(base, col("doc_id"), col("text"), 3, 16),
+          delta, col("doc_id"), col("text"), 3, 16)
+        graft.ops.MinHashIndex.bandTable(sigs, 4)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes
+           |SELECT doc_id, seed // 4 AS band,
+           |  CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |FROM mh GROUP BY 1, 2""".stripMargin)),
+
+    // DURABLE minhash table, serve path: an ingest batch of probe documents
+    // (near-identical copies of every 25th doc — two trailing noise tokens,
+    // new ids) is checked against the STORED signature + band tables — the
+    // incremental ingest near-dup gate. Candidates are band collisions
+    // probe × table, scored by signature agreement (q86's estimator on the
+    // probe × table slice); the table side is never re-tokenized, and the
+    // q54 mega-bucket guard applies to TABLE bucket sizes only (probe text
+    // never shifts index statistics — the q169 stance).
+    QueryDef(
+      "q208_minhash_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.ops.MinHashIndex.build(docs, col("doc_id"), col("text"), 3, 16)
+        val bands = graft.ops.MinHashIndex.bandTable(sigs, 4)
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.MinHashIndex.matches(bands, sigs, probes,
+          col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4,
+          minEstimate = 0.75, maxBucket = Some(100))
+      },
+      Some(s"""WITH probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckMshChain("documents", "i")},
+           |${duckMshChain("probes", "p")},
+           |ok AS (
+           |  SELECT band, band_sig FROM ibands GROUP BY 1, 2
+           |  HAVING COUNT(*) <= 100),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS doc_id
+           |  FROM pbands p
+           |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig
+           |  JOIN ok ON ok.band = p.band AND ok.band_sig = p.band_sig)
+           |SELECT cand.probe_id, cand.doc_id,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  COUNT(*) AS n_hashes,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+           |FROM cand
+           |JOIN pmh pm ON pm.doc_id = cand.probe_id
+           |JOIN imh im ON im.doc_id = cand.doc_id AND im.seed = pm.seed
+           |GROUP BY 1, 2
+           |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin)),
+
+    // Minhash BUCKET-SIZE side table maintenance (the q173 df-merge
+    // discipline): the (band, band_sig, df) table the serve-path mega-bucket
+    // guard consumes is ADDITIVE under append — appended docs carry new
+    // doc_ids, so the delta's own bucket table merges by summation, no
+    // corpus rescan. Oracle: full recompute over the rebuilt band table.
+    QueryDef(
+      "q209_minhash_bucket_df_merge",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        graft.ops.MinHashIndex.mergeBucketDf(
+          graft.ops.MinHashIndex.bucketDfTable(graft.ops.MinHashIndex.bandTable(
+            graft.ops.MinHashIndex.build(base, col("doc_id"), col("text"), 3, 16), 4)),
+          graft.ops.MinHashIndex.bucketDfTable(graft.ops.MinHashIndex.bandTable(
+            Dedup.minhashSignatures(delta, col("doc_id"), col("text"), 3, 16), 4)))
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2)
+           |SELECT band, band_sig, COUNT(*) AS df
+           |FROM bands GROUP BY 1, 2""".stripMargin)),
+
+    // Serve with STORED statistics: q208's ingest gate with the mega-bucket
+    // cap fed from the maintained side table (base bucket-df merged with
+    // delta bucket-df) instead of an in-plan table aggregation — the last
+    // table-wide operation leaves the serve plan. The oracle is exactly
+    // q208's: the swap must be invisible in the results.
+    QueryDef(
+      "q210_minhash_serve_stats",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val baseSigs = graft.ops.MinHashIndex.build(base, col("doc_id"), col("text"), 3, 16)
+        val deltaSigs = Dedup.minhashSignatures(delta, col("doc_id"), col("text"), 3, 16)
+        val sigs = graft.ops.MinHashIndex.append(baseSigs, delta, col("doc_id"), col("text"), 3, 16)
+        val bands = graft.ops.MinHashIndex.bandTable(sigs, 4)
+        val stats = graft.ops.MinHashIndex.mergeBucketDf(
+          graft.ops.MinHashIndex.bucketDfTable(graft.ops.MinHashIndex.bandTable(baseSigs, 4)),
+          graft.ops.MinHashIndex.bucketDfTable(graft.ops.MinHashIndex.bandTable(deltaSigs, 4)))
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.MinHashIndex.matches(bands, sigs, probes,
+          col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4,
+          minEstimate = 0.75, maxBucket = Some(100),
+          storedBucketDf = Some(stats))
+      },
+      Some(s"""WITH probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckMshChain("documents", "i")},
+           |${duckMshChain("probes", "p")},
+           |ok AS (
+           |  SELECT band, band_sig FROM ibands GROUP BY 1, 2
+           |  HAVING COUNT(*) <= 100),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS doc_id
+           |  FROM pbands p
+           |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig
+           |  JOIN ok ON ok.band = p.band AND ok.band_sig = p.band_sig)
+           |SELECT cand.probe_id, cand.doc_id,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  COUNT(*) AS n_hashes,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+           |FROM cand
+           |JOIN pmh pm ON pm.doc_id = cand.probe_id
+           |JOIN imh im ON im.doc_id = cand.doc_id AND im.seed = pm.seed
+           |GROUP BY 1, 2
+           |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin)),
+
+    // Per-ROW minhash band signatures == the grouped q53 chain: the
+    // streaming ingest near-dup gate (StreamOps.nearDupGate) cannot run the
+    // grouped signature aggregation, so it evaluates shingles → minima →
+    // band sums entirely inside each row's scope (pure codegen HOFs, no
+    // shuffle). This query hash-proves that per-row path against the very
+    // oracle that certifies the grouped path — the gate's probe keys are
+    // exactly the stored table's keys. Docs below the shingle width yield
+    // null signatures (filtered; the grouped path has no rows for them).
+    QueryDef(
+      "q211_rowwise_minhash_bands",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"),
+          posexplode(graft.ops.MinHashIndex.rowBandSigs(col("text"), 3, 16, 4))
+            .as(Seq("band", "band_sig")))
+          .where(col("band_sig").isNotNull)
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes
+           |SELECT doc_id, seed // 4 AS band,
+           |  CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |FROM mh GROUP BY 1, 2""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -1597,6 +1597,50 @@ object RelationalQueries {
            |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
            |GROUP BY 1, 2
            |ORDER BY numwait DESC, s_suppkey ASC
-           |LIMIT 10""".stripMargin))
+           |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q9-style product-line profit by supplier nation × order year
+    // (reference pattern adapted: the synthetic schema has no partsupp, so
+    // supply cost is proxied as 60% of p_retailprice per unit — the join
+    // topology and fold are Q9's). The q171 discipline: the name-filtered
+    // part cut is a broadcastable key list applied BEFORE the fact rows
+    // (it prunes ~7/8 of lineitem at the scan-side join), supplier and
+    // nation broadcast, and lineitem→orders stays the ONE fact-fact
+    // shuffle. Per-row profit arithmetic is plain IEEE double (identical
+    // cross-engine), folded decimal(38,18).
+    QueryDef(
+      "q206_profit_by_nation_year",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .where(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val supplier = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))),
+            "s_nationkey")
+          .select(col("s_suppkey"), col("nation"))
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        Tables.load(s, dir, "lineitem")
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(Num.dsum38(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+            .as("sum_profit"))
+      },
+      Some(s"""SELECT n_name AS nation,
+           |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           |  ${Num.duckDsum38(
+               "l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS sum_profit
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE p_name LIKE '%widget%'
+           |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -454,6 +454,53 @@ object StreamOps {
       .where(langOk && q >= minQuality)
   }
 
+  /** Ingest NEAR-DUP gate — the streaming face of q208: drop every incoming
+    * document whose per-row LSH band signatures
+    * ([[graft.ops.MinHashIndex.rowBandSigs]] — pure codegen HOFs, no
+    * shuffle, no state, any output mode) collide with the STORED minhash
+    * band table in at least one band, so near-copies of already-indexed
+    * corpus documents never land. The stored (band, band_sig) key set rides
+    * as a 1-row Bloom bit-array (the [[decontamGate]] transport) attached
+    * by a stream-static broadcast cross join.
+    *
+    * Bloom-only on purpose (a micro-batch has no table rows to score the
+    * q86/q208 agreement estimate against): a false positive DROPS a novel
+    * document (rate bounded by numBits sizing — and a band probe is
+    * `numBands` Bloom lookups, so the per-doc FP bound is numBands × the
+    * per-key rate), never keeps a band-colliding near-dup. LSH recall
+    * limits are the indexed path's own (a near-dup colliding in zero bands
+    * passes here exactly as it evades q208); in-batch mutual near-dups
+    * pass — the next table refresh catches them, the [[paraScrubGate]]
+    * division of labor. Documents below the shingle width carry null
+    * signatures and always pass.
+    */
+  def nearDupGate(
+      stream: DataFrame,
+      textCol: String,
+      bands: DataFrame,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      numBits: Int = 1 << 18,
+      numBloomHashes: Int = 3): DataFrame = {
+    import graft.ops.{Hashing, MinHashIndex}
+    val bloom = broadcast(bands
+      .select(concat_ws(":", col("band"), col("band_sig")).as("k"))
+      .agg(Hashing.bloomFilterAgg(col("k"), numBits, numBloomHashes).as("bf")))
+    val sigs = MinHashIndex.rowBandSigs(col(textCol), n, numHashes, rowsPerBand)
+    val hit = (0 until numHashes / rowsPerBand).map { b =>
+      val s = element_at(sigs, b + 1)
+      s.isNotNull && Hashing.bloomMightContain(col("bf"),
+        concat_ws(":", lit(b), s), numBits, numBloomHashes)
+    }.reduce(_ || _)
+    stream.crossJoin(bloom)
+      .observe("neardup_gate",
+        count(lit(1)).as("n_rows"),
+        count(when(hit, 1)).as("n_neardup_dropped"))
+      .where(!hit)
+      .drop("bf")
+  }
+
   /** Per-row Naive Bayes class prediction against a BROADCAST trained model
     * ([[graft.ops.Select.nbModel]] — vocabulary-capped, so the maps are
     * bona-fide model parameters): the same arithmetic as the batch

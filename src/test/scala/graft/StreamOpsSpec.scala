@@ -662,4 +662,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(got == batch, "stream and batch gates must agree")
     } finally q.stop()
   }
+
+  test("nearDupGate: copies of indexed docs band-collide and drop; novel and sub-shingle docs pass") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpusDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val otherDoc = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq((1L, corpusDoc), (2L, otherDoc)).toDF("doc_id", "text")
+    val bands = graft.ops.MinHashIndex.bandTable(
+      graft.ops.MinHashIndex.build(corpus, col("doc_id"), col("text"), 3, 16), 4)
+    val copy = corpusDoc // identical shingle set -> every band collides
+    val novel = "spark shuffle partitions broadcast joins watermark state " +
+      "checkpoint trigger output mode append parquet"
+    val tiny = "just two" // below shingle width: null signatures, always passes
+    val ms = MemoryStream[String]
+    val gated = StreamOps.nearDupGate(ms.toDF().toDF("text"), "text", bands,
+      n = 3, numHashes = 16, rowsPerBand = 4)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(copy, novel, tiny))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM neardup_out").collect()
+        .map(_.getString(0)).toSet
+      assert(out == Set(novel, tiny),
+        s"the exact copy must drop, novel and sub-shingle docs pass; got $out")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("neardup_gate"))).last
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("n_neardup_dropped") == 1L)
+    } finally q.stop()
+  }
 }
