@@ -1648,4 +1648,75 @@ object Text {
         (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
         .as("intercept"))
   }
+
+  // -------------------------------------------------------------------------
+  // Mojibake repair (UTF-8 read as Latin-1/cp1252 double-encoding).
+  //
+  // The ftfy-style fix a web-corpus pipeline runs before any hashing: text
+  // that was UTF-8 but got decoded as Latin-1/cp1252 somewhere upstream
+  // carries the telltale "Ã©"/"â€œ" artifact pairs. Repair is a fixed,
+  // ordered chain of literal replacements — deterministic, codegen'd
+  // (functions.replace), and exactly replayable in DuckDB via the same
+  // chain (no byte-level decode needed, which DuckDB could not mirror).
+  // The curated table covers the printable artifacts of the Latin-1
+  // Supplement letters plus the cp1252 punctuation range; multi-byte
+  // (3-byte) artifacts repair FIRST so a repaired 2-byte "â" can never be
+  // produced before the longer patterns have been consumed. Clean text
+  // passes through byte-identical (no pattern can match post-repair text
+  // that was not itself mojibake).
+  // -------------------------------------------------------------------------
+
+  /** (mojibake artifact, repaired form), applied in order — ALL escapes,
+    * no raw supplement/punctuation chars in source (the NfcExpressionSpec
+    * round-8 lesson). 3-byte artifacts (E2 80 xx) precede the 2-byte ones
+    * so a repaired 2-byte a-circumflex can never be produced before the
+    * longer patterns have been consumed.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u0153" -> "\u201c", // left double quote (9C reads as cp1252 oe-ligature)
+    "\u00e2\u20ac\u02dc" -> "\u2018", // left single quote (98 reads as cp1252 small tilde)
+    "\u00e2\u20ac\u2122" -> "\u2019", // right single quote / apostrophe (99 = trade mark)
+    "\u00e2\u20ac\u201c" -> "\u2013", // en dash (93 reads as cp1252 left double quote)
+    "\u00e2\u20ac\u201d" -> "\u2014", // em dash (94 reads as cp1252 right double quote)
+    "\u00e2\u20ac\u00a6" -> "\u2026", // ellipsis (A6 = broken bar)
+    "\u00c3\u00a9" -> "\u00e9", // e-acute
+    "\u00c3\u00a8" -> "\u00e8", // e-grave
+    "\u00c3\u00aa" -> "\u00ea", // e-circumflex
+    "\u00c3\u00ab" -> "\u00eb", // e-diaeresis
+    "\u00c3\u00a1" -> "\u00e1", // a-acute
+    "\u00c3\u00a2" -> "\u00e2", // a-circumflex
+    "\u00c3\u00a4" -> "\u00e4", // a-diaeresis
+    "\u00c3\u00a7" -> "\u00e7", // c-cedilla
+    "\u00c3\u00ae" -> "\u00ee", // i-circumflex
+    "\u00c3\u00af" -> "\u00ef", // i-diaeresis
+    "\u00c3\u00b1" -> "\u00f1", // n-tilde
+    "\u00c3\u00b3" -> "\u00f3", // o-acute
+    "\u00c3\u00b4" -> "\u00f4", // o-circumflex
+    "\u00c3\u00b6" -> "\u00f6", // o-diaeresis
+    "\u00c3\u00ba" -> "\u00fa", // u-acute
+    "\u00c3\u00bb" -> "\u00fb", // u-circumflex
+    "\u00c3\u00bc" -> "\u00fc", // u-diaeresis
+    "\u00c3\u0178" -> "\u00df", // sharp-s (9F reads as cp1252 Y-diaeresis)
+    "\u00c2\u00ab" -> "\u00ab", // left guillemet
+    "\u00c2\u00bb" -> "\u00bb", // right guillemet
+    "\u00c2\u00b0" -> "\u00b0", // degree sign
+    "\u00c2\u00a0" -> "\u00a0") // no-break space
+
+  /** Repair double-encoded text: the ordered literal-replace chain. */
+  def fixMojibake(text: Column): Column =
+    MojibakePairs.foldLeft(text.cast("string")) { case (acc, (m, f)) =>
+      replace(acc, lit(m), lit(f))
+    }
+
+  /** Build a DuckDB chr()-chain literal for a (possibly non-ASCII) string —
+    * keeps the oracle SQL pure ASCII regardless of transport encoding.
+    */
+  def duckChr(s: String): String =
+    s.map(ch => s"chr(${ch.toInt})").mkString("(", " || ", ")")
+
+  /** DuckDB twin of [[fixMojibake]] over a VARCHAR expression `e`. */
+  def duckFixMojibake(e: String): String =
+    MojibakePairs.foldLeft(e) { case (acc, (m, f)) =>
+      s"replace($acc, ${duckChr(m)}, ${duckChr(f)})"
+    }
 }

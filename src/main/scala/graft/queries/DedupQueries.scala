@@ -64,6 +64,26 @@ object DedupQueries {
        |  FROM ${pfx}mh GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB CTE chain `{pfx}toks → {pfx}votes → {pfx}sh(doc_id, simhash)`
+    * over an arbitrary source relation — the parameterized q55 chain, used
+    * by the durable-simhash-table oracles that need it on BOTH the corpus
+    * and a probe relation (q213).
+    */
+  private def duckSimhashChain(src: String, pfx: String): String =
+    s"""${pfx}toks AS (
+       |  SELECT doc_id, ${Hashing.duckFoldHexCol("m")} AS th
+       |  FROM (SELECT doc_id, md5(tok) AS m FROM
+       |        (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM $src))),
+       |${pfx}votes AS (
+       |  SELECT doc_id, k,
+       |    SUM(CASE WHEN (th // (CAST(1 AS BIGINT) << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM ${pfx}toks CROSS JOIN generate_series(0, 59) AS ${pfx}g(k)
+       |  GROUP BY 1, 2),
+       |${pfx}sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM ${pfx}votes GROUP BY 1)""".stripMargin
+
   /** DuckDB CTE chain ending in `jp(id_a, id_b)`: the q52 Jaccard near-dup
     * pairs (threshold 0.4, shingle-df cap 100) reduced to id pairs — the
     * shared input of the cluster-formation oracles (q83/q84).
@@ -1305,7 +1325,55 @@ object DedupQueries {
            |$duckMinhashCtes
            |SELECT doc_id, seed // 4 AS band,
            |  CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
-           |FROM mh GROUP BY 1, 2""".stripMargin))
+           |FROM mh GROUP BY 1, 2""".stripMargin)),
+
+    // DURABLE simhash fingerprint table, maintenance path: fingerprints are
+    // a strictly per-document majority vote, so signing the 1/7 delta and
+    // appending must equal a from-scratch rebuild ROW FOR ROW — the oracle
+    // IS the full q55 chain over all documents (the q168/q207 discipline,
+    // closing the durable-table family: every near-dup operator now has a
+    // stored, incrementally-maintained index).
+    QueryDef(
+      "q212_simhash_index_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        graft.ops.SimHashIndex.append(
+          graft.ops.SimHashIndex.build(base, col("doc_id"), col("text")),
+          delta, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH ${duckSimhashChain("documents", "")}
+           |SELECT doc_id, simhash FROM sh""".stripMargin)),
+
+    // DURABLE simhash table, serve path: an ingest batch of probes
+    // (near-identical copies of every 25th doc — two trailing noise tokens,
+    // new ids) is fingerprinted PER ROW (Dedup.simhash60, the stateless
+    // native twin of the batch aggregation) and matched against the STORED
+    // pigeonhole key table within Hamming 3. Blocking recall is exact by
+    // the pigeonhole argument, so the oracle is the plain quadratic
+    // Hamming join probe × corpus — the blocked path must lose nothing.
+    QueryDef(
+      "q213_simhash_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val hashes = graft.ops.SimHashIndex.build(docs, col("doc_id"), col("text"))
+        val keys = graft.ops.SimHashIndex.keyTable(hashes, maxHamming = 3, numBlocks = 6)
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.SimHashIndex.matches(keys, probes, col("doc_id"), col("text"),
+          maxHamming = 3, numBlocks = 6)
+      },
+      Some(s"""WITH probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckSimhashChain("documents", "c")},
+           |${duckSimhashChain("probes", "p")}
+           |SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+           |  bit_count(xor(p.simhash, c.simhash)) AS hamming
+           |FROM psh p JOIN csh c
+           |  ON bit_count(xor(p.simhash, c.simhash)) <= 3""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -771,6 +771,41 @@ object PipelineQueries {
            |  COALESCE(a.max_shared, 0) AS max_shared,
            |  CAST(COALESCE(a.max_shared, 0) AS DOUBLE)
            |    / CAST(s.n_shingles AS DOUBLE) AS max_containment
-           |FROM sizes s LEFT JOIN agg a ON a.eval_id = s.eval_id""".stripMargin))
+           |FROM sizes s LEFT JOIN agg a ON a.eval_id = s.eval_id""".stripMargin)),
+
+    // One-row corpus DATASHEET — the "dataset card" header block every
+    // release pipeline stamps on a corpus drop: volume (docs/tokens/chars),
+    // diversity (languages/sources), and exact-duplication volume. Each
+    // distinct count runs as its OWN tiny aggregation crossJoined back as a
+    // 1-row broadcast rather than one multi-countDistinct agg — the Expand
+    // operator a combined plan would use triples the corpus rows through
+    // the shuffle, while separate aggs each shuffle only their own narrow
+    // column (lang/source are near-empty domains; the md5 distinct is the
+    // only corpus-cardinality one, two longs per row). dup_frac is one
+    // double division from two exact longs.
+    QueryDef(
+      "q215_corpus_datasheet",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(Text.wordCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        val langs = docs.agg(countDistinct(col("lang")).as("n_langs"))
+        val sources = docs.agg(countDistinct(col("source")).as("n_sources"))
+        val texts = docs.agg(countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        base.crossJoin(broadcast(langs)).crossJoin(broadcast(sources))
+          .crossJoin(broadcast(texts))
+          .withColumn("dup_frac",
+            (col("n_docs") - col("n_distinct_texts")).cast("double") / col("n_docs"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  COUNT(DISTINCT lang) AS n_langs,
+           |  COUNT(DISTINCT source) AS n_sources,
+           |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac
+           |FROM documents""".stripMargin))
   )
 }

@@ -1285,7 +1285,46 @@ object TextQueries {
            |SELECT CAST(n AS BIGINT) AS k,
            |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
            |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
-           |FROM s""".stripMargin))
+           |FROM s""".stripMargin)),
+
+    // Mojibake repair (ftfy-style): every 30th doc is planted with
+    // UTF-8-read-as-cp1252 artifacts (the accented-letter and curly-quote
+    // forms a scraped web corpus actually carries), every other 15th doc
+    // stays clean — the repair chain must fix the former and pass the
+    // latter through byte-identical. Both engines replay the SAME ordered
+    // literal-replace chain (Text.MojibakePairs); the oracle builds every
+    // non-ASCII literal from chr() codes so the SQL stays pure ASCII
+    // end-to-end. A pure per-row projection: streaming-safe in any output
+    // mode, no corpus state, applied BEFORE any hashing so dedup sees
+    // repaired bytes.
+    QueryDef(
+      "q214_mojibake_repair",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // planted artifacts spelled in escapes (corrupt caf\u00e9 na\u00efve + curly quote + ellipsis)
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        val planted = docs.where(pmod(col("doc_id"), lit(15)) === 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(30)) === 0,
+              concat(col("text"), lit(corrupted)))
+              .otherwise(col("text")).as("text"))
+        planted
+          .select(col("doc_id"), col("text"),
+            Text.fixMojibake(col("text")).as("fixed"))
+          .select(col("doc_id"), col("fixed"),
+            (col("fixed") =!= col("text")).as("changed"))
+      }, {
+        // planted artifacts spelled in escapes (corrupt caf\u00e9 na\u00efve + curly quote + ellipsis)
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        Some(s"""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 30 = 0 THEN text || ${Text.duckChr(corrupted)}
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 15 = 0)
+             |SELECT doc_id, ${Text.duckFixMojibake("text")} AS fixed,
+             |  ${Text.duckFixMojibake("text")} <> text AS changed
+             |FROM planted""".stripMargin)
+      })
   )
 
   // -------------------------------------------------------------------------

@@ -277,4 +277,23 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0))
     assert(got.toSeq == Seq("zh", "ja", "en", "en"))
   }
+
+  test("fixMojibake: repairs every table artifact, is identity on clean text, and idempotent") {
+    import spark.implicits._
+    // every artifact must round-trip: cp1252-misdecode of the fixed form's
+    // UTF-8 bytes IS the artifact (the JVM check mirrors tools the web uses)
+    Text.MojibakePairs.foreach { case (moj, fixed) =>
+      assert(moj == new String(fixed.getBytes("UTF-8"), "windows-1252"),
+        s"artifact table row is not a cp1252 misdecode: ${moj.map(c => f"U+${c.toInt}%04X")}")
+    }
+    val corrupt = "caf\u00c3\u00a9 \u00e2\u20ac\u0153ok\u00e2\u20ac\u00a6 na\u00c3\u00afve"
+    val want = "caf\u00e9 \u201cok\u2026 na\u00efve"
+    val clean = "plain ascii text with no artifacts at all"
+    val rows = Seq(corrupt, want, clean).toDF("t")
+      .select(col("t"), Text.fixMojibake(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows(corrupt) == want, "artifacts repaired")
+    assert(rows(want) == want, "repaired text is a fixed point (idempotent)")
+    assert(rows(clean) == clean, "clean text passes byte-identical")
+  }
 }
