@@ -129,4 +129,43 @@ class AqeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1,
       s"AQE must not introduce extra exchanges on the minhash path, got $exchanges:\n$p")
   }
+
+  test("minhash serve-from-tables: probe joins stay broadcast after AQE; table side scan-only") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sigs = graft.ops.MinHashIndex.build(docs, col("doc_id"), col("text"), 3, 16)
+    val dir = tmpDir("aqe-mh-idx")
+    graft.ops.MinHashIndex.write(sigs, dir, rowsPerBand = 4)
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    val served = graft.ops.MinHashIndex.matches(
+      graft.ops.MinHashIndex.readBands(spark, dir),
+      graft.ops.MinHashIndex.readSigs(spark, dir),
+      probes, col("doc_id"), col("text"), n = 3, numHashes = 16,
+      rowsPerBand = 4, minEstimate = 0.75, maxBucket = Some(100))
+    val p = finalPlan(served)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe band/signature joins must stay broadcast after AQE:\n$p")
+    Seq("split(", "md5", "hash60").foreach(tok =>
+      assert(!p.toLowerCase.contains(tok.toLowerCase),
+        s"serve final plan must not contain '$tok'"))
+  }
+
+  test("simhash serve-from-keys: probe key join stays broadcast after AQE; no corpus tokenization") {
+    val docs = Tables.load(spark, sf, "documents")
+    val hashes = graft.ops.SimHashIndex.build(docs, col("doc_id"), col("text"))
+    val dir = tmpDir("aqe-sh-idx")
+    graft.ops.SimHashIndex.write(hashes, dir, maxHamming = 3, numBlocks = 6)
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    val served = graft.ops.SimHashIndex.matches(
+      graft.ops.SimHashIndex.readKeys(spark, dir), probes,
+      col("doc_id"), col("text"), maxHamming = 3, numBlocks = 6)
+    val p = finalPlan(served)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe key join must stay broadcast after AQE:\n$p")
+    assert(!p.toLowerCase.contains("generate explode(split"),
+      s"corpus tokenization leaked into the serve final plan:\n$p")
+  }
 }
