@@ -501,6 +501,62 @@ object StreamOps {
       .drop("bf")
   }
 
+  /** The COMPOSED curation ingest pipeline — every per-row gate this module
+    * provides, chained in the canonical order a production deployment runs
+    * them:
+    *
+    *   1. mojibake repair  (fix encoding BEFORE anything hashes or scores)
+    *   2. PII scrub        (redact before any text lands anywhere durable)
+    *   3. quality gate     (cheapest drop first: language + quality score)
+    *   4. decontamination  (eval-overlap Bloom drop)
+    *   5. paragraph scrub  (known-boilerplate cut — mutates text)
+    *   6. near-dup gate    (stored minhash band table — sees the FINAL
+    *                        text form, which is also the form the batch
+    *                        index was built from)
+    *
+    * The ordering is load-bearing twice over: repair must precede the
+    * hash-keyed gates (a mojibake'd copy of an indexed document only
+    * band-collides after repair — spec-pinned), and the near-dup probe
+    * must see post-scrub text so its shingles match what [[graft.ops
+    * .MinHashIndex]] indexed. Every stage keeps its own observe() metrics
+    * (distinct names), so one streaming query surfaces the whole funnel
+    * per micro-batch. Stages 4-6 are armed only when their corpus artifact
+    * is supplied; every stage is stateless (broadcast side artifacts
+    * only), so the composition runs in any output mode.
+    */
+  def curationIngest(
+      stream: DataFrame,
+      textCol: String,
+      langs: Seq[String],
+      minQuality: Double,
+      evalSet: Option[DataFrame] = None,
+      evalN: Int = 4,
+      evalMinShared: Int = 3,
+      knownParaHashes: Option[DataFrame] = None,
+      neardupBands: Option[DataFrame] = None,
+      mhShingle: Int = 3,
+      mhHashes: Int = 16,
+      mhRowsPerBand: Int = 4): DataFrame = {
+    val repaired = stream.withColumn(textCol,
+      graft.ops.Text.fixMojibake(col(textCol)))
+    val scrubbed = piiScrub(repaired, textCol)
+    val qualified = qualityGate(scrubbed, col(textCol), langs, minQuality)
+    val decontamed = evalSet match {
+      case Some(ev) => decontamGate(qualified, col(textCol), ev, col("text"),
+        n = evalN, minShared = evalMinShared)
+      case None => qualified
+    }
+    val deboiled = knownParaHashes match {
+      case Some(kh) => paraScrubGate(decontamed, textCol, kh)
+      case None => decontamed
+    }
+    neardupBands match {
+      case Some(bands) => nearDupGate(deboiled, textCol, bands,
+        n = mhShingle, numHashes = mhHashes, rowsPerBand = mhRowsPerBand)
+      case None => deboiled
+    }
+  }
+
   /** Per-row Naive Bayes class prediction against a BROADCAST trained model
     * ([[graft.ops.Select.nbModel]] — vocabulary-capped, so the maps are
     * bona-fide model parameters): the same arithmetic as the batch

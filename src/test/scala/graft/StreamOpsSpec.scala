@@ -696,4 +696,62 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(m.getAs[Long]("n_neardup_dropped") == 1L)
     } finally q.stop()
   }
+
+  test("curationIngest composes all gates: each fixture drops at its intended stage, survivors carry repaired+redacted text") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the indexed corpus doc carries a non-ASCII char so a mojibake'd copy
+    // only matches it after repair (all escapes)
+    val indexed = "the quick brown fox and the lazy dog of a caf\u00e9 house " +
+      "with some more plain words in this line to cross twenty tokens"
+    val corpus = Seq((1L, indexed)).toDF("doc_id", "text")
+    val bands = graft.ops.MinHashIndex.bandTable(
+      graft.ops.MinHashIndex.build(corpus, col("doc_id"), col("text"), 3, 16), 4)
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val paraTbl = graft.ops.ParaIndex.build(
+      Seq((9L, "shared footer text")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).select(col("h"))
+
+    val mojCopy = indexed.replace("caf\u00e9", "caf\u00c3\u00a9")
+    val mojNovel = "the spark engine and the shuffle of a caf\u00c3\u00a9 queue " +
+      "with wholly different tokens here contact a.b@example.org for more info today"
+    val mojNovelFixed = "the spark engine and the shuffle of a caf\u00e9 queue " +
+      "with wholly different tokens here contact <EMAIL> for more info today"
+    val es = "el perro de la casa que y en un con para los las del se"
+    val junk = "the aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa 99999999999999999999"
+    val contaminated = "intro words then the quick brown fox jumps over the " +
+      "lazy dog tonight and more of the plain filler words following here"
+    val boiled = "shared footer text\nthe fresh and unique prose of this " +
+      "line runs long enough to pass the quality gate with plain words"
+    val clean = "the completely novel and unrelated words of a clean " +
+      "document about spark shuffle partitions and joins pass through here"
+
+    val ms = MemoryStream[String]
+    val gated = StreamOps.curationIngest(ms.toDF().toDF("text"), "text",
+      langs = Seq("en"), minQuality = 0.5,
+      evalSet = Some(Seq(evalDoc).toDF("text")),
+      knownParaHashes = Some(paraTbl),
+      neardupBands = Some(bands))
+    val q = gated.writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(mojCopy, mojNovel, es, junk, contaminated, boiled, clean))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM curation_out").collect()
+        .map(_.getString(0)).toSet
+      val boiledKept = boiled.split("\n")(1)
+      assert(out == Set(mojNovelFixed, boiledKept, clean),
+        s"survivors must be the repaired novel doc, the de-boilerplated doc and the clean doc; got $out")
+      def metric(name: String) = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get(name))).last
+      assert(metric("quality_gate").getAs[Long]("n_lang_dropped") == 1L, "the spanish doc")
+      assert(metric("quality_gate").getAs[Long]("n_quality_dropped") == 1L, "the junk doc")
+      assert(metric("decontam_gate").getAs[Long]("n_contaminated_dropped") == 1L)
+      assert(metric("para_scrub").getAs[Long]("n_paras_cut") == 1L)
+      assert(metric("neardup_gate").getAs[Long]("n_neardup_dropped") == 1L,
+        "the mojibake'd copy must collide with the index only AFTER repair")
+      assert(metric("pii_scrub").getAs[Long]("n_email") == 1L)
+    } finally q.stop()
+  }
 }
