@@ -12,6 +12,39 @@ object TextQueries {
   /** The fixed retrieval query shared by q91 (BM25) and q92 (hybrid RRF). */
   private val HybridTerms = Seq("join", "scan", "merge")
 
+  /** The CMS estimate-vs-exact oracle shared by q103 (in-query sketch) and
+    * q216 (merged durable sketch table): CMS linearity means both engines'
+    * estimate surfaces are the SAME relational per-cell replay over the
+    * full events table.
+    */
+  private val duckCmsOracle: String = {
+    val cellHash = Hashing.duckHash60("('cm' || CAST(r AS VARCHAR) || '-' || u)")
+    val probeHash = Hashing.duckHash60("('cm' || CAST(rr.r AS VARCHAR) || '-' || p.probe_u)")
+    s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+       |probes(probe_u) AS (VALUES ('1'), ('5'), ('17'), ('42'), ('99')),
+       |rows_r(r) AS (VALUES (0), (1), (2), (3)),
+       |cells AS (
+       |  SELECT event_type, r, $cellHash % 256 AS c, COUNT(*) AS n
+       |  FROM ev CROSS JOIN rows_r GROUP BY 1, 2, 3),
+       |pcells AS (
+       |  SELECT p.probe_u, rr.r, $probeHash % 256 AS c
+       |  FROM probes p CROSS JOIN rows_r rr),
+       |est AS (
+       |  SELECT et.event_type, pc.probe_u, MIN(COALESCE(cells.n, 0)) AS est
+       |  FROM (SELECT DISTINCT event_type FROM ev) et
+       |  CROSS JOIN pcells pc
+       |  LEFT JOIN cells ON cells.event_type = et.event_type
+       |    AND cells.r = pc.r AND cells.c = pc.c
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT event_type, u AS probe_u, COUNT(*) AS exact
+       |  FROM ev WHERE u IN ('1', '5', '17', '42', '99') GROUP BY 1, 2)
+       |SELECT e.event_type, e.probe_u, CAST(e.est AS BIGINT) AS est,
+       |  CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+       |  e.est >= COALESCE(x.exact, 0) AS no_undercount
+       |FROM est e LEFT JOIN exact x USING (event_type, probe_u)""".stripMargin
+  }
+
   /** The fixed query TABLE for the batched retrieval queries q96–q98:
     * variable term counts on purpose (the batch path cannot rely on the
     * fixed-pivot trick, so the fixture must exercise ragged queries).
@@ -612,33 +645,7 @@ object TextQueries {
             coalesce(col("exact"), lit(0L)).as("exact"),
             (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
       },
-      Some {
-        val cellHash = Hashing.duckHash60("('cm' || CAST(r AS VARCHAR) || '-' || u)")
-        val probeHash = Hashing.duckHash60("('cm' || CAST(rr.r AS VARCHAR) || '-' || p.probe_u)")
-        s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
-           |probes(probe_u) AS (VALUES ('1'), ('5'), ('17'), ('42'), ('99')),
-           |rows_r(r) AS (VALUES (0), (1), (2), (3)),
-           |cells AS (
-           |  SELECT event_type, r, $cellHash % 256 AS c, COUNT(*) AS n
-           |  FROM ev CROSS JOIN rows_r GROUP BY 1, 2, 3),
-           |pcells AS (
-           |  SELECT p.probe_u, rr.r, $probeHash % 256 AS c
-           |  FROM probes p CROSS JOIN rows_r rr),
-           |est AS (
-           |  SELECT et.event_type, pc.probe_u, MIN(COALESCE(cells.n, 0)) AS est
-           |  FROM (SELECT DISTINCT event_type FROM ev) et
-           |  CROSS JOIN pcells pc
-           |  LEFT JOIN cells ON cells.event_type = et.event_type
-           |    AND cells.r = pc.r AND cells.c = pc.c
-           |  GROUP BY 1, 2),
-           |exact AS (
-           |  SELECT event_type, u AS probe_u, COUNT(*) AS exact
-           |  FROM ev WHERE u IN ('1', '5', '17', '42', '99') GROUP BY 1, 2)
-           |SELECT e.event_type, e.probe_u, CAST(e.est AS BIGINT) AS est,
-           |  CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
-           |  e.est >= COALESCE(x.exact, 0) AS no_undercount
-           |FROM est e LEFT JOIN exact x USING (event_type, probe_u)""".stripMargin
-      }),
+      Some(duckCmsOracle)),
 
     // Mergeable HLL sketch TABLE: per-source Datasketches sketches of the
     // 3-gram shingle sets, plus the cross-source union folded from the
@@ -1324,7 +1331,40 @@ object TextQueries {
              |SELECT doc_id, ${Text.duckFixMojibake("text")} AS fixed,
              |  ${Text.duckFixMojibake("text")} <> text AS changed
              |FROM planted""".stripMargin)
-      })
+      }),
+
+    // DURABLE Count-Min sketch table, maintenance path: the per-event-type
+    // sketch is built on each half of the events split SEPARATELY and
+    // merged (elementwise counter sum per key — CMS linearity), then probed
+    // for the q103 point estimates. The oracle is q103's VERBATIM (the full
+    // relational per-cell replay): hash-match proves merge == rebuild with
+    // no ordering contract at all, over fixed-size state (depth×width longs
+    // per key, independent of item cardinality — the strongest maintenance
+    // class in the table hierarchy).
+    QueryDef(
+      "q216_cms_table_merge",
+      (s, dir) => {
+        val probeSeq = Seq("1", "5", "17", "42", "99")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id").cast("string").as("u"),
+            col("event_id"))
+        val base = ev.where(pmod(col("event_id"), lit(2)) === 0)
+        val delta = ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+        val merged = graft.ops.CmsIndex.merge(
+          graft.ops.CmsIndex.build(base, col("event_type"), col("u"), 4, 256),
+          graft.ops.CmsIndex.build(delta, col("event_type"), col("u"), 4, 256))
+        val est = graft.ops.CmsIndex.estimates(merged, probeSeq, 4, 256)
+          .withColumnRenamed("key", "event_type")
+          .withColumnRenamed("probe", "probe_u")
+        val exact = ev.where(col("u").isin(probeSeq: _*))
+          .groupBy(col("event_type"), col("u").as("probe_u"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("event_type", "probe_u"), "left_outer")
+          .select(col("event_type"), col("probe_u"), col("est"),
+            coalesce(col("exact"), lit(0L)).as("exact"),
+            (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
+      },
+      Some(duckCmsOracle))
   )
 
   // -------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CmsIndex
+
+/** The durable CMS-table lifecycle: merge == rebuild at the raw COUNTER
+  * level (linearity — stronger than the estimate-surface proof q216 runs),
+  * disk roundtrip, and estimates from the stored table never undercount.
+  */
+class CmsIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  private def ev = Tables.load(spark, sf, "events")
+    .select(col("event_type"), col("user_id").cast("string").as("u"),
+      col("event_id"))
+
+  private def counters(sk: DataFrame): Map[String, Seq[Long]] =
+    sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("merge of split-half sketches == one-shot build, counter for counter") {
+    val full = CmsIndex.build(ev, col("event_type"), col("u"), 4, 256)
+    val merged = CmsIndex.merge(
+      CmsIndex.build(ev.where(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("u"), 4, 256),
+      CmsIndex.build(ev.where(pmod(col("event_id"), lit(2)) =!= 0),
+        col("event_type"), col("u"), 4, 256))
+    assert(counters(merged) == counters(full),
+      "CMS linearity: elementwise merge must equal the one-shot sketch exactly")
+  }
+
+  test("merge keeps one-sided keys intact (full-outer semantics)") {
+    val a = CmsIndex.build(ev.where(col("event_type") =!= "click"),
+      col("event_type"), col("u"), 4, 256)
+    val b = CmsIndex.build(ev.where(col("event_type") === "click"),
+      col("event_type"), col("u"), 4, 256)
+    val merged = counters(CmsIndex.merge(a, b))
+    val full = counters(CmsIndex.build(ev, col("event_type"), col("u"), 4, 256))
+    assert(merged == full, "disjoint-key merge must pass both sides through")
+  }
+
+  test("write + read roundtrip; stored-table estimates never undercount the exact counts") {
+    val sk = CmsIndex.build(ev, col("event_type"), col("u"), 4, 256)
+    val dir = tmpDir("cms-tbl")
+    CmsIndex.write(sk, dir)
+    val stored = CmsIndex.read(spark, dir)
+    assert(counters(stored) == counters(sk))
+    val probes = Seq("1", "5", "17", "42", "99")
+    val est = CmsIndex.estimates(stored, probes, 4, 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = ev.where(col("u").isin(probes: _*))
+      .groupBy(col("event_type"), col("u")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est.getOrElse(k, 0L) >= n, s"undercount at $k: ${est.get(k)} < $n")
+    }
+  }
+}
