@@ -89,4 +89,44 @@ object TextIndex {
     Text.bm25Rank(tf, idx.doclens.select(col("doc_id"), col("dl")),
       queryTerms, k, k1, b)
   }
+
+  /** HYBRID retrieval served entirely from durable tables: RRF of
+    * [[searchBM25]] over the stored postings and cosine over a stored
+    * doc-vector table ((doc_id, vec) — [[Text.hashingTrickEmbedding]]'s
+    * output persisted like any other side table). The query embeds itself
+    * through the SAME vectorizer ([[Text.embeddingFromTokenRows]] on its
+    * term rows), so serving needs no model and no corpus text: the whole
+    * search plan reads postings + doclens + vectors. Fusion, tie-breaks
+    * and the perList cut are [[Text.rrfFuse]]'s — q217 pins the result to
+    * q92's in-query oracle, proving the table-served stack loses nothing.
+    */
+  def hybridFromTables(
+      idx: Bm25Index,
+      vecs: DataFrame,
+      queryTerms: Seq[String],
+      dims: Int,
+      k: Int,
+      perList: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val lex = searchBM25(idx, queryTerms, perList)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val qtoks = queryTerms.map(t => (0L, t)).toDF("doc_id", "tok")
+    val qvec = Text.embeddingFromTokenRows(qtoks, dims)
+      .select(col("vec").as("qv"), Num.norm(col("vec")).as("nq"))
+      .where(col("nq") > 0)
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = vecs.select(col("doc_id"), col("vec"))
+      .crossJoin(broadcast(qvec))
+      .withColumn("nv", Num.norm(col("vec")))
+      .where(col("nv") > 0)
+      .withColumn("cos", Num.dot(col("vec"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("vec_rank", row_number().over(wv))
+      .where(col("vec_rank") <= perList)
+      .select(col("doc_id"), col("vec_rank"))
+    Text.rrfFuse(Seq((lex, "lex_rank"), (vec, "vec_rank")),
+      partKeys = Seq.empty, docKey = "doc_id", k = k, kRrf = kRrf)
+  }
 }

@@ -12,6 +12,52 @@ object TextQueries {
   /** The fixed retrieval query shared by q91 (BM25) and q92 (hybrid RRF). */
   private val HybridTerms = Seq("join", "scan", "merge")
 
+  /** The hybrid-RRF oracle shared by q92 (in-query) and q217 (served from
+    * durable tables): both engines' fused rankings must equal the same
+    * relational replay — table-serving may lose nothing.
+    */
+  private lazy val duckHybridOracle: String = {
+        val qvals = HybridTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH ${duckBm25Ctes(HybridTerms)},
+           |lex AS (SELECT doc_id, rank AS lex_rank FROM bmranked WHERE rank <= 100),
+           |hcontrib AS (
+           |  SELECT doc_id, (h // 2) % 32 AS bucket,
+           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
+           |hw AS (SELECT doc_id, bucket, SUM(s) AS w FROM hcontrib GROUP BY 1, 2),
+           |dvec AS (
+           |  SELECT d.doc_id, list(CAST(COALESCE(hw.w, 0) AS DOUBLE) ORDER BY g.dim) AS v
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
+           |  LEFT JOIN hw ON hw.doc_id = d.doc_id AND hw.bucket = g.dim
+           |  GROUP BY d.doc_id),
+           |qcontrib AS (
+           |  SELECT (h // 2) % 32 AS bucket, CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+           |  FROM (SELECT ${Hashing.duckHash60("tok")} AS h FROM (VALUES $qvals) q(tok))),
+           |qw AS (SELECT bucket, SUM(s) AS w FROM qcontrib GROUP BY 1),
+           |qvec AS (
+           |  SELECT list(CAST(COALESCE(qw.w, 0) AS DOUBLE) ORDER BY g.dim) AS qv
+           |  FROM (SELECT unnest(range(0, 32)) AS dim) g
+           |  LEFT JOIN qw ON qw.bucket = g.dim),
+           |vecranked AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+           |  FROM (
+           |    SELECT doc_id, ${Num.duckDot("v", "qv")} / (${Num.duckNorm("v")} * ${Num.duckNorm("qv")}) AS cos
+           |    FROM dvec CROSS JOIN qvec
+           |    WHERE ${Num.duckNorm("v")} > 0 AND ${Num.duckNorm("qv")} > 0)),
+           |vec AS (SELECT doc_id, vec_rank FROM vecranked WHERE vec_rank <= 100)
+           |SELECT doc_id, lex_rank, vec_rank, rrf, rank FROM (
+           |  SELECT doc_id, lex_rank, vec_rank,
+           |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf,
+           |    row_number() OVER (
+           |      ORDER BY COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |        + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) DESC,
+           |      doc_id ASC) AS rank
+           |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+           |WHERE rank <= 20""".stripMargin
+  }
+
   /** The CMS estimate-vs-exact oracle shared by q103 (in-query sketch) and
     * q216 (merged durable sketch table): CMS linearity means both engines'
     * estimate surfaces are the SAME relational per-cell replay over the
@@ -429,47 +475,7 @@ object TextQueries {
         Text.hybridRrfTopK(docs, col("doc_id"), col("text"), HybridTerms,
           dims = 32, k = 20, perList = 100)
       },
-      Some {
-        val qvals = HybridTerms.map(t => s"('$t')").mkString(", ")
-        s"""WITH ${duckBm25Ctes(HybridTerms)},
-           |lex AS (SELECT doc_id, rank AS lex_rank FROM bmranked WHERE rank <= 100),
-           |hcontrib AS (
-           |  SELECT doc_id, (h // 2) % 32 AS bucket,
-           |    CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
-           |  FROM (SELECT doc_id, ${Hashing.duckHash60("tok")} AS h FROM toks)),
-           |hw AS (SELECT doc_id, bucket, SUM(s) AS w FROM hcontrib GROUP BY 1, 2),
-           |dvec AS (
-           |  SELECT d.doc_id, list(CAST(COALESCE(hw.w, 0) AS DOUBLE) ORDER BY g.dim) AS v
-           |  FROM (SELECT DISTINCT doc_id FROM documents) d
-           |  CROSS JOIN (SELECT unnest(range(0, 32)) AS dim) g
-           |  LEFT JOIN hw ON hw.doc_id = d.doc_id AND hw.bucket = g.dim
-           |  GROUP BY d.doc_id),
-           |qcontrib AS (
-           |  SELECT (h // 2) % 32 AS bucket, CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
-           |  FROM (SELECT ${Hashing.duckHash60("tok")} AS h FROM (VALUES $qvals) q(tok))),
-           |qw AS (SELECT bucket, SUM(s) AS w FROM qcontrib GROUP BY 1),
-           |qvec AS (
-           |  SELECT list(CAST(COALESCE(qw.w, 0) AS DOUBLE) ORDER BY g.dim) AS qv
-           |  FROM (SELECT unnest(range(0, 32)) AS dim) g
-           |  LEFT JOIN qw ON qw.bucket = g.dim),
-           |vecranked AS (
-           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
-           |  FROM (
-           |    SELECT doc_id, ${Num.duckDot("v", "qv")} / (${Num.duckNorm("v")} * ${Num.duckNorm("qv")}) AS cos
-           |    FROM dvec CROSS JOIN qvec
-           |    WHERE ${Num.duckNorm("v")} > 0 AND ${Num.duckNorm("qv")} > 0)),
-           |vec AS (SELECT doc_id, vec_rank FROM vecranked WHERE vec_rank <= 100)
-           |SELECT doc_id, lex_rank, vec_rank, rrf, rank FROM (
-           |  SELECT doc_id, lex_rank, vec_rank,
-           |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
-           |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf,
-           |    row_number() OVER (
-           |      ORDER BY COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
-           |        + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) DESC,
-           |      doc_id ASC) AS rank
-           |  FROM lex FULL OUTER JOIN vec USING (doc_id))
-           |WHERE rank <= 20""".stripMargin
-      }),
+      Some(duckHybridOracle)),
 
     // BATCHED BM25: a query TABLE (3 ragged queries) scored against the
     // corpus in ONE pass — the corpus tokenization/tf aggregation is shared
@@ -1364,7 +1370,26 @@ object TextQueries {
             coalesce(col("exact"), lit(0L)).as("exact"),
             (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
       },
-      Some(duckCmsOracle))
+      Some(duckCmsOracle)),
+
+    // HYBRID retrieval served ENTIRELY from durable tables: BM25 from the
+    // stored postings+doclens (q175) fused with cosine over a stored
+    // doc-vector side table — no corpus text anywhere in the search plan.
+    // The oracle is q92's VERBATIM in-query hybrid: hash-match proves the
+    // fully table-served retrieval stack reproduces the in-query ranking
+    // bit for bit (ranks are integers; the fused score is two integer-
+    // derived divisions).
+    QueryDef(
+      "q217_hybrid_from_tables",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val idx = graft.ops.TextIndex.build(docs, col("doc_id"), col("text"))
+        val vecs = Text.hashingTrickEmbedding(docs, col("doc_id"), col("text"), 32)
+          .localCheckpoint()
+        graft.ops.TextIndex.hybridFromTables(idx, vecs, HybridTerms,
+          dims = 32, k = 20)
+      },
+      Some(duckHybridOracle))
   )
 
   // -------------------------------------------------------------------------

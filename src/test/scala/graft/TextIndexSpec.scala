@@ -58,4 +58,30 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters: [In(tok"),
       s"query-term filter must push into the postings scan:\n$plan")
   }
+
+  test("hybridFromTables == in-query hybridRrfTopK; served plan reads tables only") {
+    val idx = TextIndex.build(docs, col("doc_id"), col("text"))
+    val vecs = graft.ops.Text.hashingTrickEmbedding(
+      docs, col("doc_id"), col("text"), 32).localCheckpoint()
+    def fused(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Int)] =
+      df.select(col("doc_id").cast("long"), col("rrf"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .sortBy(_._3).toSeq
+    val inQuery = graft.ops.Text.hybridRrfTopK(docs, col("doc_id"), col("text"),
+      terms, dims = 32, k = 20)
+    val fromTables = TextIndex.hybridFromTables(idx, vecs, terms, dims = 32, k = 20)
+    assert(fused(fromTables) == fused(inQuery),
+      "table-served hybrid must reproduce the in-query ranking bit for bit")
+    // disk roundtrip: write both tables, serve from the read-back frames —
+    // the search plan must tokenize nothing (corpus text stays at build)
+    val dir = tmpDir("hybrid-idx")
+    TextIndex.write(idx, dir)
+    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+    val served = TextIndex.hybridFromTables(TextIndex.read(spark, dir),
+      spark.read.parquet(s"$dir/vectors"), terms, dims = 32, k = 20)
+    assert(fused(served) == fused(inQuery))
+    val plan = served.queryExecution.executedPlan.toString()
+    assert(!plan.contains("split("),
+      s"corpus tokenization leaked into the hybrid serve plan:\n$plan")
+  }
 }
