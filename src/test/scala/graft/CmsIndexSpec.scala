@@ -41,6 +41,35 @@ class CmsIndexSpec extends AnyFunSuite with SparkSpec {
     assert(merged == full, "disjoint-key merge must pass both sides through")
   }
 
+  test("streaming maintenance: per-micro-batch sketches fold into the table == direct batch sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val all = (0 until 600).map(i => (s"type${i % 4}", (i * 37 % 211).toString))
+    val ms = MemoryStream[(String, String)]
+    val batches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = ms.toDF().toDF("k", "u")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += CmsIndex.build(batch, col("k"), col("u"), 4, 256)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(all.take(200)); q.processAllAvailable()
+      ms.addData(all.slice(200, 400)); q.processAllAvailable()
+      ms.addData(all.drop(400)); q.processAllAvailable()
+    } finally q.stop()
+    // maintenance = left-fold of merges, the order micro-batches arrive in;
+    // linearity makes the result independent of that order
+    val maintained = counters(batches.reduce(CmsIndex.merge))
+    val direct = counters(
+      CmsIndex.build(all.toDF("k", "u"), col("k"), col("u"), 4, 256))
+    assert(maintained == direct,
+      "folding micro-batch sketches into the table must equal the one-shot batch sketch")
+  }
+
   test("write + read roundtrip; stored-table estimates never undercount the exact counts") {
     val sk = CmsIndex.build(ev, col("event_type"), col("u"), 4, 256)
     val dir = tmpDir("cms-tbl")

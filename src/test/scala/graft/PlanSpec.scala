@@ -93,7 +93,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // lineitem→orders on the order key. A dimension falling out of
     // broadcast (statistics regression, hint lost) would shuffle the fact
     // table once per dimension at 100 TB.
-    Seq("q171_nation_trade_volume", "q172_nation_market_share").foreach { q =>
+    Seq("q171_nation_trade_volume", "q172_nation_market_share",
+        "q206_profit_by_nation_year").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val bhj = "BroadcastHashJoin".r.findAllIn(p).size
       val smj = "SortMergeJoin".r.findAllIn(p).size
