@@ -726,7 +726,6 @@ object Text {
     val toks = Dedup.spreadBy(df, id)
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
     val dl = df.select(id.as("doc_id"), wordCount(text).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     // tf feeds dfreq AND the per-query contrib fan-out; materializeTf trades
     // a checkpoint of the compact tf frame for the second corpus
     // tokenization — default off per the measured bench-scale trade (see
@@ -734,6 +733,24 @@ object Text {
     val tf0 = toks.join(broadcast(termSet), "tok")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val tf = if (materializeTf) tf0.localCheckpoint() else tf0
+    bm25BatchRank(tf, dl, q, k, k1, b)
+  }
+
+  /** The shared batched-BM25 scoring tail over an already-materialized
+    * (doc_id, tok, tf) frame and a (doc_id, dl) length table — the seam
+    * that lets [[graft.ops.TextIndex.searchBM25Batch]] serve the identical
+    * ranking from STORED postings (q218 pins it to q96's oracle). Per-query
+    * contributions sum in fixed term order (the collect_list + array_sort +
+    * fold), so scores are bit-reproducible regardless of partitioning.
+    */
+  private[ops] def bm25BatchRank(
+      tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): org.apache.spark.sql.DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(q), "tok")
       .join(dfreq, "tok")

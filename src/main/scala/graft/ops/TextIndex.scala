@@ -90,6 +90,27 @@ object TextIndex {
       queryTerms, k, k1, b)
   }
 
+  /** BATCHED BM25 from the STORED tables: the whole query table is served
+    * in one pass over the term-filtered postings ([[Text.bm25BatchRank]] —
+    * shared scoring tail, not a copy), so results are engine-exact against
+    * the in-query batch scan (q218) and the postings scan count stays
+    * independent of the query count.
+    */
+  def searchBM25Batch(
+      idx: Bm25Index,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("qid"),
+      posexplode(col("terms")).as(Seq("ti", "tok")))
+    val termSet = q.select(col("tok")).distinct()
+    val tf = idx.postings.join(broadcast(termSet), "tok")
+      .select(col("doc_id"), col("tok"), col("tf"))
+    Text.bm25BatchRank(tf, idx.doclens.select(col("doc_id"), col("dl")),
+      q, k, k1, b)
+  }
+
   /** HYBRID retrieval served entirely from durable tables: RRF of
     * [[searchBM25]] over the stored postings and cosine over a stored
     * doc-vector table ((doc_id, vec) — [[Text.hashingTrickEmbedding]]'s

@@ -1389,7 +1389,24 @@ object TextQueries {
         graft.ops.TextIndex.hybridFromTables(idx, vecs, HybridTerms,
           dims = 32, k = 20)
       },
-      Some(duckHybridOracle))
+      Some(duckHybridOracle)),
+
+    // BATCHED BM25 served from the stored postings: the q96 query table
+    // against the durable index, one term-filtered pass — the oracle is
+    // q96's verbatim batch scan. Hash-match proves the stored-table batch
+    // path scores every query identically to the in-query tokenization.
+    QueryDef(
+      "q218_bm25_batch_from_tables",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val idx = graft.ops.TextIndex.build(docs, col("doc_id"), col("text"))
+        val qdf = BatchQueries.toDF("qid", "terms")
+        graft.ops.TextIndex.searchBM25Batch(idx, qdf, k = 10)
+      },
+      Some(s"""WITH ${duckBm25BatchCtes(BatchQueries)}
+           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rank
+           |FROM bmb WHERE rank <= 10""".stripMargin))
   )
 
   // -------------------------------------------------------------------------
