@@ -806,6 +806,39 @@ object PipelineQueries {
            |  COUNT(DISTINCT source) AS n_sources,
            |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
            |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac
-           |FROM documents""".stripMargin))
+           |FROM documents""".stripMargin)),
+
+    // PER-SOURCE datasheet — the q215 card broken out by source: the table
+    // a curator reads before setting mixture weights (volume, language
+    // spread, within-source duplication, mean document length). Same
+    // discipline: each distinct count is its own narrow aggregation joined
+    // back on the near-empty source key rather than one Expand-ing
+    // multi-countDistinct pass.
+    QueryDef(
+      "q219_source_datasheet",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(Text.wordCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        val langs = docs.groupBy(col("source"))
+          .agg(countDistinct(col("lang")).as("n_langs"))
+        val texts = docs.groupBy(col("source"))
+          .agg(countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        base.join(langs, "source").join(texts, "source")
+          .withColumn("dup_frac",
+            (col("n_docs") - col("n_distinct_texts")).cast("double") / col("n_docs"))
+          .withColumn("mean_tokens",
+            col("n_tokens").cast("double") / col("n_docs"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  COUNT(DISTINCT lang) AS n_langs,
+           |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac,
+           |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE) / COUNT(*) AS mean_tokens
+           |FROM documents GROUP BY source""".stripMargin))
   )
 }
