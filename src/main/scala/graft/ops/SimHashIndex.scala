@@ -96,6 +96,24 @@ object SimHashIndex {
       maxHamming: Int,
       numBlocks: Int,
       maxBucket: Option[Int] = None,
+      keyBuckets: Int = DefaultKeyBuckets): DataFrame =
+    matchesCodes(keys,
+      probes.select(id.as("probe_id"), Dedup.simhash60(text).as("psh")),
+      maxHamming, numBlocks, maxBucket, keyBuckets)
+
+  /** [[matches]] over ALREADY-FINGERPRINTED probes ((probe_id, psh) rows) —
+    * the modality-agnostic core: the key table stores 60-bit codes with no
+    * opinion on where they came from, so the same stored index serves text
+    * simhashes (q213) and media dHashes (q220) alike. Probe codes come from
+    * whatever per-row fingerprinter the modality provides
+    * ([[Dedup.simhash60]], [[Media.dhash]]).
+    */
+  def matchesCodes(
+      keys: DataFrame,
+      probeCodes: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int,
+      maxBucket: Option[Int] = None,
       keyBuckets: Int = DefaultKeyBuckets): DataFrame = {
     val kbOf = (c: Column) => pmod(c, lit(keyBuckets.toLong)).cast("int")
     val tk =
@@ -113,8 +131,7 @@ object SimHashIndex {
         tk.join(bdf, Seq("blk", "blk_val"))
       case None => tk
     }
-    val pk = probes
-      .select(id.as("probe_id"), Dedup.simhash60(text).as("psh"))
+    val pk = probeCodes
       .select(col("probe_id"), col("psh"),
         explode(Dedup.simhashComboKeys(col("psh"), maxHamming, numBlocks))
           .as("bk"))

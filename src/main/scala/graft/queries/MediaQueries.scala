@@ -456,6 +456,42 @@ object MediaQueries {
            |  CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) AS containment
            |FROM p JOIN sizes sa ON sa.media_id = p.id_a
            |JOIN sizes sb ON sb.media_id = p.id_b
-           |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin))
+           |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // DURABLE MEDIA fingerprint serve: the q213 simhash key table is
+    // modality-AGNOSTIC — it stores 60-bit codes with no opinion on their
+    // origin — so the same stored pigeonhole index serves media dHashes.
+    // Corpus assets build the key table once; probe assets (the q135
+    // length-preserving edited re-uploads under media_id + 10^7) are
+    // fingerprinted per row and matched within Hamming 3 without the
+    // corpus ever re-decoding. The oracle brute-forces bit_count(xor) on
+    // the probe × corpus slice — pigeonhole recall must lose nothing.
+    QueryDef(
+      "q220_media_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = Media.syntheticFromDocs(docs, col("doc_id"), col("text"))
+        val hashes = base.select(col("media_id").as("doc_id"),
+          Media.dhash(col("payload")).as("simhash")).localCheckpoint()
+        val keys = graft.ops.SimHashIndex.keyTable(hashes,
+          maxHamming = 3, numBlocks = 6)
+        val edited = docs
+          .where(pmod(col("doc_id"), lit(20)) === 0 && length(col("text")) >= 105)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 100), lit("XXXX"),
+              substring(col("text"), 105, 1000000000)).as("text"))
+        val probes = Media.syntheticFromDocs(edited, col("doc_id"), col("text"))
+          .select((col("media_id") + lit(10000000L)).as("probe_id"),
+            Media.dhash(col("payload")).as("psh"))
+        graft.ops.SimHashIndex.matchesCodes(keys, probes,
+          maxHamming = 3, numBlocks = 6)
+      },
+      Some(s"""WITH $duckEditedMediaCtes,
+           |$duckDhashCtes
+           |SELECT p.media_id AS probe_id, c.media_id AS doc_id,
+           |  bit_count(xor(p.dhash, c.dhash)) AS hamming
+           |FROM dcode p JOIN dcode c
+           |  ON p.media_id >= 10000000 AND c.media_id < 10000000
+           |  AND bit_count(xor(p.dhash, c.dhash)) <= 3""".stripMargin))
   )
 }
