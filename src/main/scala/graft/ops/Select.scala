@@ -166,6 +166,60 @@ object Select {
     val cwcAll = base.where(col("is_tr"))
       .select(col("lbl"), explode(col("t")).as("w"))
       .groupBy(col("lbl"), col("w")).agg(count(lit(1)).as("cwc"))
+    nbScoreWithCounts(base, cls, cwcAll, maxVocab)
+  }
+
+  /** The DURABLE NB count tables — (cls(lbl, ndocs), counts(lbl, w, cwc)),
+    * RAW and uncapped (the q198 law: top-V-of-merge ≠ merge-of-top-Vs, so
+    * the vocab cap belongs at READ, inside the one shared scoring tree).
+    * Both tables are ADDITIVE — training on a label-docs delta and merging
+    * by summation equals a from-scratch rebuild with no ordering contract
+    * (q221 proves it through the prediction surface against q130's
+    * verbatim oracle).
+    */
+  def nbCountTables(train: DataFrame, id: Column, text: Column,
+      label: Column): (DataFrame, DataFrame) = {
+    val base = Dedup.spreadBy(train, id)
+      .select(id.as("doc_id"), label.as("lbl"), cleanTokens(text).as("t"))
+    (base.groupBy(col("lbl")).agg(count(lit(1)).as("ndocs")),
+      base.select(col("lbl"), explode(col("t")).as("w"))
+        .groupBy(col("lbl"), col("w")).agg(count(lit(1)).as("cwc")))
+  }
+
+  /** Additive merge of NB count-table pairs (base ∪ delta). */
+  def nbMergeCounts(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    (a._1.unionByName(b._1).groupBy(col("lbl"))
+        .agg(sum(col("ndocs")).as("ndocs")),
+      a._2.unionByName(b._2).groupBy(col("lbl"), col("w"))
+        .agg(sum(col("cwc")).as("cwc")))
+
+  /** Score a document frame against STORED count tables — the serve path:
+    * the vocab cap and all smoothing derive from the tables alone, and the
+    * scoring tree is [[nbTrainScore]]'s own tail (shared seam, not a copy).
+    */
+  def nbScoreFromTables(
+      tables: (DataFrame, DataFrame),
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column,
+      isTrain: Column,
+      maxVocab: Option[Int]): DataFrame = {
+    val base = Dedup.spreadBy(df, id).select(id.as("doc_id"), label.as("lbl"),
+      isTrain.as("is_tr"), cleanTokens(text).as("t"))
+    nbScoreWithCounts(base, tables._1, tables._2, maxVocab)
+  }
+
+  /** Shared NB scoring tail over explicit count frames. `base` carries
+    * every document to score ((doc_id, lbl, is_tr, t)); `cls`/`cwcAll`
+    * carry the training statistics (however they were built or merged).
+    */
+  private def nbScoreWithCounts(
+      base: DataFrame,
+      cls: DataFrame,
+      cwcAll: DataFrame,
+      maxVocab: Option[Int]): DataFrame = {
     val vocab = maxVocab match {
       case Some(v) =>
         val win = org.apache.spark.sql.expressions.Window

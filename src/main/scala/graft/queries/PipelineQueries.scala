@@ -11,6 +11,60 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** The NB classifier oracle shared by q130 (in-query train+score) and
+    * q221 (merged durable count tables): count additivity means both
+    * engines' prediction surfaces are the SAME relational replay.
+    */
+  private lazy val duckNbOracle: String = {
+        val splitHash = Hashing.duckHash60("('nb-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH docs0 AS (
+           |  SELECT doc_id, lang AS lbl, $splitHash % 4 < 3 AS is_tr,
+           |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS t
+           |  FROM documents),
+           |cwcall AS (
+           |  SELECT lbl, w, COUNT(*) AS cwc
+           |  FROM (SELECT lbl, unnest(t) AS w FROM docs0 WHERE is_tr) GROUP BY 1, 2),
+           |voc AS (
+           |  SELECT w FROM (
+           |    SELECT w, RANK() OVER (ORDER BY cw DESC, w ASC) AS r
+           |    FROM (SELECT w, CAST(SUM(cwc) AS BIGINT) AS cw FROM cwcall GROUP BY 1))
+           |  WHERE r <= 60),
+           |cwc AS (SELECT * FROM cwcall WHERE w IN (SELECT w FROM voc)),
+           |nc AS (SELECT lbl, CAST(SUM(cwc) AS BIGINT) AS ncl FROM cwc GROUP BY 1),
+           |vv AS (SELECT COUNT(DISTINCT w) AS v FROM cwc),
+           |cls AS (SELECT lbl, COUNT(*) AS ndocs FROM docs0 WHERE is_tr GROUP BY 1),
+           |ntot AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS ntot FROM cls),
+           |ci AS (
+           |  SELECT c.lbl AS cls,
+           |    ln(CAST(c.ndocs AS DOUBLE) / CAST(ntot.ntot AS DOUBLE)) AS prior,
+           |    n.ncl, vv.v
+           |  FROM cls c JOIN nc n ON n.lbl = c.lbl CROSS JOIN ntot CROSS JOIN vv),
+           |dt AS (
+           |  SELECT doc_id, lbl, is_tr, w, COUNT(*) AS n
+           |  FROM (SELECT doc_id, lbl, is_tr, unnest(t) AS w FROM docs0)
+           |  GROUP BY 1, 2, 3, 4),
+           |dtv AS (SELECT * FROM dt WHERE w IN (SELECT w FROM voc)),
+           |sc AS (
+           |  SELECT d.doc_id, d.lbl, d.is_tr, ci.cls, ci.prior, d.w,
+           |    CAST(d.n AS DOUBLE) * ln(CAST(COALESCE(t.cwc, 0) + 1 AS DOUBLE)
+           |      / CAST(ci.ncl + ci.v AS DOUBLE)) AS c
+           |  FROM dtv d CROSS JOIN ci
+           |  LEFT JOIN cwc t ON t.lbl = ci.cls AND t.w = d.w),
+           |pc AS (
+           |  SELECT doc_id, lbl, is_tr, cls,
+           |    list_reduce(list_prepend(prior, list(c ORDER BY w)),
+           |      (a, x) -> a + x) AS score
+           |  FROM sc GROUP BY doc_id, lbl, is_tr, cls, prior),
+           |win AS (
+           |  SELECT doc_id, lbl, is_tr, cls, score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, cls ASC) AS rn
+           |  FROM pc)
+           |SELECT doc_id, lbl AS label, cls AS pred, score, is_tr AS is_train,
+           |  cls = lbl AS correct
+           |FROM win WHERE rn = 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test split: 80/10/10 by salted id hash.
@@ -660,55 +714,7 @@ object PipelineQueries {
             lit(4L)) < 3,
           maxVocab = Some(60))
       },
-      Some {
-        val splitHash = Hashing.duckHash60("('nb-' || CAST(doc_id AS VARCHAR))")
-        s"""WITH docs0 AS (
-           |  SELECT doc_id, lang AS lbl, $splitHash % 4 < 3 AS is_tr,
-           |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS t
-           |  FROM documents),
-           |cwcall AS (
-           |  SELECT lbl, w, COUNT(*) AS cwc
-           |  FROM (SELECT lbl, unnest(t) AS w FROM docs0 WHERE is_tr) GROUP BY 1, 2),
-           |voc AS (
-           |  SELECT w FROM (
-           |    SELECT w, RANK() OVER (ORDER BY cw DESC, w ASC) AS r
-           |    FROM (SELECT w, CAST(SUM(cwc) AS BIGINT) AS cw FROM cwcall GROUP BY 1))
-           |  WHERE r <= 60),
-           |cwc AS (SELECT * FROM cwcall WHERE w IN (SELECT w FROM voc)),
-           |nc AS (SELECT lbl, CAST(SUM(cwc) AS BIGINT) AS ncl FROM cwc GROUP BY 1),
-           |vv AS (SELECT COUNT(DISTINCT w) AS v FROM cwc),
-           |cls AS (SELECT lbl, COUNT(*) AS ndocs FROM docs0 WHERE is_tr GROUP BY 1),
-           |ntot AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS ntot FROM cls),
-           |ci AS (
-           |  SELECT c.lbl AS cls,
-           |    ln(CAST(c.ndocs AS DOUBLE) / CAST(ntot.ntot AS DOUBLE)) AS prior,
-           |    n.ncl, vv.v
-           |  FROM cls c JOIN nc n ON n.lbl = c.lbl CROSS JOIN ntot CROSS JOIN vv),
-           |dt AS (
-           |  SELECT doc_id, lbl, is_tr, w, COUNT(*) AS n
-           |  FROM (SELECT doc_id, lbl, is_tr, unnest(t) AS w FROM docs0)
-           |  GROUP BY 1, 2, 3, 4),
-           |dtv AS (SELECT * FROM dt WHERE w IN (SELECT w FROM voc)),
-           |sc AS (
-           |  SELECT d.doc_id, d.lbl, d.is_tr, ci.cls, ci.prior, d.w,
-           |    CAST(d.n AS DOUBLE) * ln(CAST(COALESCE(t.cwc, 0) + 1 AS DOUBLE)
-           |      / CAST(ci.ncl + ci.v AS DOUBLE)) AS c
-           |  FROM dtv d CROSS JOIN ci
-           |  LEFT JOIN cwc t ON t.lbl = ci.cls AND t.w = d.w),
-           |pc AS (
-           |  SELECT doc_id, lbl, is_tr, cls,
-           |    list_reduce(list_prepend(prior, list(c ORDER BY w)),
-           |      (a, x) -> a + x) AS score
-           |  FROM sc GROUP BY doc_id, lbl, is_tr, cls, prior),
-           |win AS (
-           |  SELECT doc_id, lbl, is_tr, cls, score,
-           |    row_number() OVER (PARTITION BY doc_id
-           |      ORDER BY score DESC, cls ASC) AS rn
-           |  FROM pc)
-           |SELECT doc_id, lbl AS label, cls AS pred, score, is_tr AS is_train,
-           |  cls = lbl AS correct
-           |FROM win WHERE rn = 1""".stripMargin
-      }),
+      Some(duckNbOracle)),
 
     // Greedy token-budget corpus selection: "the best 8k-token corpus" —
     // documents taken in (quality desc, id) order while the cumulative
@@ -839,6 +845,30 @@ object PipelineQueries {
            |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
            |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac,
            |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE) / COUNT(*) AS mean_tokens
-           |FROM documents GROUP BY source""".stripMargin))
+           |FROM documents GROUP BY source""".stripMargin)),
+
+    // DURABLE NB count tables (the last trained artifact without one): raw
+    // (lbl, ndocs) and (lbl, w, cwc) counts are ADDITIVE, so training each
+    // half of the train split separately and merging by summation must
+    // reproduce q130's predictions exactly — the vocab cap applies at READ
+    // inside the one shared scoring tree (the q198 law: top-V-of-merge ≠
+    // merge-of-top-Vs, so raw counts are what the table stores). Oracle is
+    // q130's verbatim.
+    QueryDef(
+      "q221_nb_table_merge",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val isTr = pmod(Hashing.hash60(
+          concat(lit("nb-"), col("doc_id").cast("string"))), lit(4L)) < 3
+        val train = docs.where(isTr)
+        val tables = Select.nbMergeCounts(
+          Select.nbCountTables(train.where(pmod(col("doc_id"), lit(2)) === 0),
+            col("doc_id"), col("text"), col("lang")),
+          Select.nbCountTables(train.where(pmod(col("doc_id"), lit(2)) =!= 0),
+            col("doc_id"), col("text"), col("lang")))
+        Select.nbScoreFromTables(tables, docs, col("doc_id"), col("text"),
+          col("lang"), isTr, maxVocab = Some(60))
+      },
+      Some(duckNbOracle))
   )
 }
