@@ -869,6 +869,85 @@ object PipelineQueries {
         Select.nbScoreFromTables(tables, docs, col("doc_id"), col("text"),
           col("lang"), isTr, maxVocab = Some(60))
       },
-      Some(duckNbOracle))
+      Some(duckNbOracle)),
+
+    // END-TO-END batch curation, one oracle-checked query: mojibake repair
+    // (observable — every 30th doc is planted with real cp1252 artifacts)
+    // → language + quality filter → exact-dup survivor election →
+    // benchmark decontamination (eval = every 40th repaired doc, ≥ 4
+    // shared 3-gram shingles drops the corpus doc) → quality-ranked token
+    // budget. Each stage is an independently hash-proved operator
+    // (q214/q90/q50/q87/q183); this query proves the COMPOSITION — stage
+    // order, column flow, and every boundary — against one relational
+    // replay of the whole chain.
+    QueryDef(
+      "q222_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(30)) === 0,
+            concat(col("text"), lit(corrupted)))
+            .otherwise(col("text")).as("text"))
+        val fixed = planted.withColumn("text", Text.fixMojibake(col("text")))
+        val filtered = fixed
+          .where(Text.langId(col("text")) === "en" &&
+            Text.qualityScore(col("text")) >= 0.5)
+        val deduped = Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+        val evalSet = fixed.where(pmod(col("doc_id"), lit(40)) === 0)
+        val corpus = deduped.where(pmod(col("doc_id"), lit(40)) =!= 0)
+        val contaminated = Dedup.contaminationPairs(corpus, evalSet,
+            col("doc_id"), col("text"), 3, 4)
+          .select(col("doc_id")).distinct()
+        val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        Sampling.selectByBudget(clean, col("doc_id"),
+          Text.qualityScore(col("text")), Text.wordCount(col("text")),
+          budget = 8000L)
+      }, {
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        Some(s"""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 30 = 0 THEN text || ${Text.duckChr(corrupted)}
+             |         ELSE text END AS text
+             |  FROM documents),
+             |fixed AS (
+             |  SELECT doc_id, ${Text.duckFixMojibake("text")} AS text FROM planted),
+             |filtered AS (
+             |  SELECT doc_id, text FROM fixed
+             |  WHERE ${Text.duckLangId("text")} = 'en'
+             |    AND ${Text.duckQualityScore("text")} >= 0.5),
+             |deduped AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS m
+             |    FROM filtered)
+             |  WHERE doc_id = m),
+             |evl AS (
+             |  SELECT doc_id AS eval_id, unnest(${Text.duckShingles("text", 3)}) AS sh
+             |  FROM fixed WHERE doc_id % 40 = 0),
+             |cp AS (
+             |  SELECT doc_id, text, unnest(${Text.duckShingles("text", 3)}) AS sh
+             |  FROM deduped WHERE doc_id % 40 <> 0),
+             |contam AS (
+             |  SELECT doc_id FROM (
+             |    SELECT cp.doc_id, evl.eval_id, COUNT(*) AS ns
+             |    FROM cp JOIN evl USING (sh) GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+             |  GROUP BY doc_id),
+             |clean AS (
+             |  SELECT doc_id, text FROM deduped
+             |  WHERE doc_id % 40 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |q AS (
+             |  SELECT doc_id, ${Text.duckQualityScore("text")} AS score,
+             |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+             |  FROM clean),
+             |c AS (
+             |  SELECT doc_id, score, n_tok,
+             |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tok
+             |  FROM q)
+             |SELECT doc_id, score, n_tok, cum_tok FROM c
+             |WHERE cum_tok <= 8000""".stripMargin)
+      })
   )
 }
