@@ -84,6 +84,76 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
 
+  /** EXACT Jaccard-threshold pairs via PREFIX FILTERING — the PPJoin-family
+    * candidate space (cf. Chaudhuri et al., ICDE 2006; Xiao et al., WWW
+    * 2008) as a pure dataflow: same output as [[ngramJaccardPairs]] with no
+    * df cap, from a candidate index that is only the (1−t) fraction of each
+    * document's shingles.
+    *
+    * Order every document's distinct shingles by GLOBAL rarity (df asc,
+    * shingle asc — a total order), and index only the first
+    * |x| − ceil(t·|x|) + 1 of them. Completeness: J(A,B) ≥ t means the
+    * overlap O ≥ t·|A∪B| ≥ t·|X| for BOTH sets, while the unindexed suffix
+    * of X holds only ceil(t·|X|) − 1 elements — so a qualifying pair MUST
+    * collide on some indexed prefix shingle; the exact intersection verify
+    * then computes true Jaccard on candidates only. Rare-first ordering
+    * puts the high-df boilerplate shingles in the (unindexed) suffixes,
+    * which is what shrinks candidate fan-out — the principled version of
+    * the `maxShingleDf` cap, with NO recall loss.
+    *
+    * Scale shape: the df rank and the verify both reuse the checkpointed
+    * distinct (doc, shingle) frame; the prefix index rows are strictly
+    * fewer than the full inverted index ((1−t)·|x|+1 per doc); candidate
+    * buckets are keyed by the RARE shingles, so their occupancy is bounded
+    * by rare-shingle df. `maxBucket` remains as the whole-bucket guard for
+    * adversarial corpora.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = shingleRows(df, id, text, n).localCheckpoint()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfc").asc, col("sh").asc)
+    val pre = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(wdoc))
+      .join(szs, "doc_id")
+      // ceil of t·sz is exact for the halves/quarters thresholds in use;
+      // any double rounding here only wobbles the CANDIDATE space, never
+      // the verified output
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("sh"))
+    val grouped = pre.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val capped = maxBucket match {
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
+      case None => grouped
+    }
+    val cand = capped
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    cand.join(a, "id_a").join(b, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(szs.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(szs.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("jaccard"))
+  }
+
   /** Containment near-dup pairs — the ASYMMETRIC companion to
     * [[ngramJaccardPairs]]: containment = |A∩B| / min(|A|, |B|). A document
     * pasted verbatim inside a much larger one scores containment ≈ 1 while

@@ -1373,7 +1373,45 @@ object DedupQueries {
            |SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
            |  bit_count(xor(p.simhash, c.simhash)) AS hamming
            |FROM psh p JOIN csh c
-           |  ON bit_count(xor(p.simhash, c.simhash)) <= 3""".stripMargin))
+           |  ON bit_count(xor(p.simhash, c.simhash)) <= 3""".stripMargin)),
+
+    // PREFIX-FILTERING set-similarity join (the PPJoin candidate space):
+    // EXACT Jaccard >= 0.6 pairs — near-copies planted as in q208 — from an
+    // index holding only each document's rarest (1-t)|x|+1 shingles. The
+    // oracle is the PLAIN full inverted-index join with no cap: prefix
+    // filtering must lose nothing (the completeness lemma in the op's
+    // scaladoc), it only shrinks the candidate space — the principled
+    // df-cap with zero recall loss.
+    QueryDef(
+      "q223_jaccard_prefix_filter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val copies = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        Dedup.jaccardPairsPrefix(
+          docs.select(col("doc_id"), col("text")).unionByName(copies),
+          col("doc_id"), col("text"), 3, 0.6)
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |psh AS (
+           |  SELECT doc_id AS id, unnest(${Text.duckShingles("text", 3)}) AS sh
+           |  FROM planted),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM psh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM psh a JOIN psh b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -498,4 +498,38 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(2L, 10L, 21L),
       s"expected max-quality survivors + singleton, got $kept")
   }
+
+  test("prefix filtering loses nothing: jaccardPairsPrefix == full inverted-index join; index is smaller") {
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val copies = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(copies)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"), col("inter"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t = 0.6
+    val full = rows(Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"), 3, t))
+    val prefix = rows(Dedup.jaccardPairsPrefix(corpus, col("doc_id"), col("text"), 3, t))
+    assert(prefix == full, "prefix candidates must recover every qualifying pair")
+    assert(full.nonEmpty, "the planted near-copies must produce pairs")
+    // the candidate index really is the advertised fraction: strictly fewer
+    // indexed rows than the full (doc, shingle) inverted index
+    val sh = Dedup.shingleRows(corpus, col("doc_id"), col("text"), 3)
+    val fullRows = sh.count()
+    val prefixRows = sh
+      .join(sh.groupBy(col("sh")).agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("dfc")), "sh")
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("dfc").asc, col("sh").asc)))
+      .join(sh.groupBy(col("doc_id")).agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("sz")), "doc_id")
+      .where(col("pos") <= col("sz")
+        - org.apache.spark.sql.functions.ceil(lit(t) * col("sz")) + lit(1))
+      .count()
+    assert(prefixRows * 2 < fullRows,
+      s"prefix index must be well under half the full index ($prefixRows vs $fullRows)")
+  }
 }
