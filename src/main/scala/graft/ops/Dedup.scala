@@ -136,17 +136,24 @@ object Dedup {
       case Some(cap) => grouped.where(size(col("ids")) <= cap)
       case None => grouped
     }
+    // LENGTH filter before the (more expensive) intersection verify:
+    // J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so size-mismatched candidates are
+    // dropped on two broadcast-sized joins — another PPJoin pruning rule
+    // with zero recall impact (the verified output is unchanged)
     val cand = capped
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
+      .join(szs.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(szs.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .where(col("sz_b").cast("double") >= lit(threshold) * col("sz_a") &&
+        col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
     val a = sh.select(col("doc_id").as("id_a"), col("sh"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh"))
     cand.join(a, "id_a").join(b, Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      .join(szs.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(szs.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
