@@ -244,6 +244,19 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       s"README must state the true oracle count ($nOracle)")
   }
 
+  test("every query id cited in SURVEY.md exists in the catalog (no stale doc references)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val cited = "\\bq(\\d{1,3})\\b".r.findAllMatchIn(survey)
+      .map(_.group(1).toInt).toSet
+    val have = SparkEntry.catalog.map(_.name)
+      .flatMap(n => "^q(\\d+)_".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .toSet + 0 // q00 is the flagship
+    val stale = (cited -- have).toSeq.sorted
+    assert(stale.isEmpty,
+      s"SURVEY.md cites query ids missing from the catalog: ${stale.mkString(", ")}")
+  }
+
   test("every catalog query has a unique name; oracle coverage is near-total") {
     val names = SparkEntry.catalog.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
