@@ -903,8 +903,20 @@ object Text {
       text: Column,
       queries: org.apache.spark.sql.DataFrame,
       dims: Int,
+      k: Int): org.apache.spark.sql.DataFrame =
+    cosineTopKBatchFromVectors(hashingTrickEmbedding(df, id, text, dims),
+      queries, dims, k)
+
+  /** The batched cosine ranking over an ALREADY-built (doc_id, vec) frame —
+    * the seam that lets the stored doc-vector table serve the batch
+    * ([[graft.ops.TextIndex.hybridFromTablesBatch]], q224) through the
+    * identical scoring tree as the in-query path.
+    */
+  def cosineTopKBatchFromVectors(
+      emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      dims: Int,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val emb = hashingTrickEmbedding(df, id, text, dims)
     val qtoks = queries.select(col("qid").as("doc_id"), explode(col("terms")).as("tok"))
     val qvecs = embeddingFromTokenRows(qtoks, dims)
       .select(col("doc_id").as("qid"), col("vec").as("qv"), Num.norm(col("vec")).as("nq"))

@@ -111,6 +111,30 @@ object TextIndex {
       q, k, k1, b)
   }
 
+  /** BATCHED hybrid retrieval from durable tables: [[searchBM25Batch]]
+    * fused with [[Text.cosineTopKBatchFromVectors]] over the stored
+    * doc-vector table, per query, by [[Text.rrfFuse]] in fixed
+    * lexical-then-vector order — the whole serving matrix (single/batched ×
+    * lexical/vector/hybrid) now reads tables only (q224 pins it to q97's
+    * verbatim in-query oracle).
+    */
+  def hybridFromTablesBatch(
+      idx: Bm25Index,
+      vecs: DataFrame,
+      queries: DataFrame,
+      dims: Int,
+      k: Int,
+      perList: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    val lex = searchBM25Batch(idx, queries, perList)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Text.cosineTopKBatchFromVectors(
+        vecs.select(col("doc_id"), col("vec")), queries, dims, perList)
+      .select(col("qid"), col("doc_id"), col("rank").as("vec_rank"))
+    Text.rrfFuse(Seq((lex, "lex_rank"), (vec, "vec_rank")),
+      partKeys = Seq("qid"), docKey = "doc_id", k = k, kRrf = kRrf)
+  }
+
   /** HYBRID retrieval served entirely from durable tables: RRF of
     * [[searchBM25]] over the stored postings and cosine over a stored
     * doc-vector table ((doc_id, vec) — [[Text.hashingTrickEmbedding]]'s

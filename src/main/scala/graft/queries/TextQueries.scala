@@ -12,6 +12,26 @@ object TextQueries {
   /** The fixed retrieval query shared by q91 (BM25) and q92 (hybrid RRF). */
   private val HybridTerms = Seq("join", "scan", "merge")
 
+  /** The batched-hybrid oracle shared by q97 (in-query) and q224 (served
+    * from durable tables): the table-served batch stack must reproduce the
+    * same per-query fused ranking.
+    */
+  private lazy val duckHybridBatchOracle: String = {
+        val rrf2 =
+          """COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+            |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))""".stripMargin
+        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
+           |$DuckBatchVecCtes,
+           |blex AS (SELECT qid, doc_id, rank AS lex_rank FROM bmb WHERE rank <= 50),
+           |bvec AS (SELECT qid, doc_id, vec_rank FROM bvecranked WHERE vec_rank <= 50)
+           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, lex_rank, vec_rank, rrf, rank FROM (
+           |  SELECT qid, doc_id, lex_rank, vec_rank,
+           |    $rrf2 AS rrf,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $rrf2 DESC, doc_id ASC) AS rank
+           |  FROM blex FULL OUTER JOIN bvec USING (qid, doc_id))
+           |WHERE rank <= 10""".stripMargin
+  }
+
   /** The hybrid-RRF oracle shared by q92 (in-query) and q217 (served from
     * durable tables): both engines' fused rankings must equal the same
     * relational replay — table-serving may lose nothing.
@@ -508,21 +528,7 @@ object TextQueries {
         Text.hybridRrfTopKBatch(docs, col("doc_id"), col("text"), qdf,
           dims = 32, k = 10, perList = 50)
       },
-      Some {
-        val rrf2 =
-          """COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
-            |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))""".stripMargin
-        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
-           |$DuckBatchVecCtes,
-           |blex AS (SELECT qid, doc_id, rank AS lex_rank FROM bmb WHERE rank <= 50),
-           |bvec AS (SELECT qid, doc_id, vec_rank FROM bvecranked WHERE vec_rank <= 50)
-           |SELECT CAST(qid AS BIGINT) AS qid, doc_id, lex_rank, vec_rank, rrf, rank FROM (
-           |  SELECT qid, doc_id, lex_rank, vec_rank,
-           |    $rrf2 AS rrf,
-           |    row_number() OVER (PARTITION BY qid ORDER BY $rrf2 DESC, doc_id ASC) AS rank
-           |  FROM blex FULL OUTER JOIN bvec USING (qid, doc_id))
-           |WHERE rank <= 10""".stripMargin
-      }),
+      Some(duckHybridBatchOracle)),
 
     // N-SYSTEM RRF: three ranked systems — BM25, embedding cosine, and
     // term-coverage (boolean retrieval) — fused per query in fixed order by
@@ -1406,7 +1412,25 @@ object TextQueries {
       },
       Some(s"""WITH ${duckBm25BatchCtes(BatchQueries)}
            |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rank
-           |FROM bmb WHERE rank <= 10""".stripMargin))
+           |FROM bmb WHERE rank <= 10""".stripMargin)),
+
+    // BATCHED hybrid retrieval from durable tables: stored postings +
+    // stored doc-vectors serve the whole q97 query table — the serving
+    // matrix (single/batched × lexical/vector/hybrid) is now entirely
+    // table-backed. Oracle is q97's verbatim in-query batch hybrid.
+    QueryDef(
+      "q224_hybrid_batch_from_tables",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val idx = graft.ops.TextIndex.build(docs, col("doc_id"), col("text"))
+        val vecs = Text.hashingTrickEmbedding(docs, col("doc_id"), col("text"), 32)
+          .localCheckpoint()
+        val qdf = BatchQueries.toDF("qid", "terms")
+        graft.ops.TextIndex.hybridFromTablesBatch(idx, vecs, qdf,
+          dims = 32, k = 10, perList = 50)
+      },
+      Some(duckHybridBatchOracle))
   )
 
   // -------------------------------------------------------------------------
