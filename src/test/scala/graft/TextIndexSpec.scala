@@ -84,4 +84,37 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("split("),
       s"corpus tokenization leaked into the hybrid serve plan:\n$plan")
   }
+
+  test("batched serves from read-back tables == in-query batch paths, tokenization-free") {
+    import spark.implicits._
+    val queries = Seq((1L, Seq("join", "scan")), (2L, Seq("merge", "window")))
+      .toDF("qid", "terms")
+    val idx = TextIndex.build(docs, col("doc_id"), col("text"))
+    val vecs = graft.ops.Text.hashingTrickEmbedding(
+      docs, col("doc_id"), col("text"), 32).localCheckpoint()
+    val dir = tmpDir("batch-serve-idx")
+    TextIndex.write(idx, dir)
+    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+    val storedIdx = TextIndex.read(spark, dir)
+    val storedVecs = spark.read.parquet(s"$dir/vectors")
+    def bmRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("doc_id").cast("long"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bmRows(TextIndex.searchBM25Batch(storedIdx, queries, k = 10))
+      == bmRows(graft.ops.Text.bm25TopKBatch(docs, col("doc_id"), col("text"),
+        queries, k = 10)))
+    def hyRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("doc_id").cast("long"), col("rrf"),
+          col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val servedBatch = TextIndex.hybridFromTablesBatch(storedIdx, storedVecs,
+      queries, dims = 32, k = 10)
+    assert(hyRows(servedBatch)
+      == hyRows(graft.ops.Text.hybridRrfTopKBatch(docs, col("doc_id"),
+        col("text"), queries, dims = 32, k = 10)))
+    val plan = servedBatch.queryExecution.executedPlan.toString()
+    assert(!plan.contains("split("),
+      s"corpus tokenization leaked into the batched hybrid serve plan:\n$plan")
+  }
 }
