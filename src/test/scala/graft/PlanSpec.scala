@@ -520,4 +520,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"lineitem must be scanned once, saw $lineitemScans mentions:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "the top-10 must not globally sort")
   }
+
+  test("q223 prefix join: no cartesian, prefix rank window partitioned per doc (never global)") {
+    val p = plan(SparkEntry.queries("q223_jaccard_prefix_filter")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"prefix filtering must never go all-pairs:\n$p")
+    // the prefix-position row_number partitions by doc_id — a GLOBAL window
+    // here would single-thread the whole corpus
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"the prefix rank must be a per-document window:\n$p")
+    assert(!"Window \\[row_number".r.findAllIn(p)
+        .exists(_ => p.contains("windowspecdefinition(row_number")),
+      "no unpartitioned rank windows")
+  }
 }
