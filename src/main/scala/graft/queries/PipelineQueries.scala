@@ -948,6 +948,100 @@ object PipelineQueries {
              |  FROM q)
              |SELECT doc_id, score, n_tok, cum_tok FROM c
              |WHERE cum_tok <= 8000""".stripMargin)
+      }),
+
+    // The q222 chain's per-stage FUNNEL report — doc and token survival
+    // after repair, quality, dedup, decontamination and the budget cut:
+    // the one-look summary a curator signs before committing the pipeline
+    // config (the q117 reporting discipline applied to the full chain).
+    // Five 1-row aggregates unioned; every number is an exact long.
+    QueryDef(
+      "q225_curation_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(30)) === 0,
+            concat(col("text"), lit(corrupted)))
+            .otherwise(col("text")).as("text"))
+        val fixed = planted.withColumn("text", Text.fixMojibake(col("text")))
+        val filtered = fixed
+          .where(Text.langId(col("text")) === "en" &&
+            Text.qualityScore(col("text")) >= 0.5)
+        val deduped = Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+        val evalSet = fixed.where(pmod(col("doc_id"), lit(40)) === 0)
+        val corpus = deduped.where(pmod(col("doc_id"), lit(40)) =!= 0)
+        val contaminated = Dedup.contaminationPairs(corpus, evalSet,
+            col("doc_id"), col("text"), 3, 4)
+          .select(col("doc_id")).distinct()
+        val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        val budget = Sampling.selectByBudget(clean, col("doc_id"),
+          Text.qualityScore(col("text")), Text.wordCount(col("text")),
+          budget = 8000L)
+        def stat(name: String, df: org.apache.spark.sql.DataFrame,
+            tok: org.apache.spark.sql.Column) =
+          df.groupBy().agg(count(lit(1)).as("n_docs"),
+              sum(tok.cast("long")).as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stat("00_repaired", fixed, Text.wordCount(col("text")))
+          .unionByName(stat("10_quality", filtered, Text.wordCount(col("text"))))
+          .unionByName(stat("20_dedup", deduped, Text.wordCount(col("text"))))
+          .unionByName(stat("30_decontam", clean, Text.wordCount(col("text"))))
+          .unionByName(stat("40_budget", budget, col("n_tok")))
+      }, {
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        val tok = "CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)"
+        Some(s"""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 30 = 0 THEN text || ${Text.duckChr(corrupted)}
+             |         ELSE text END AS text
+             |  FROM documents),
+             |fixed AS (
+             |  SELECT doc_id, ${Text.duckFixMojibake("text")} AS text FROM planted),
+             |filtered AS (
+             |  SELECT doc_id, text FROM fixed
+             |  WHERE ${Text.duckLangId("text")} = 'en'
+             |    AND ${Text.duckQualityScore("text")} >= 0.5),
+             |deduped AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS m
+             |    FROM filtered)
+             |  WHERE doc_id = m),
+             |evl AS (
+             |  SELECT doc_id AS eval_id, unnest(${Text.duckShingles("text", 3)}) AS sh
+             |  FROM fixed WHERE doc_id % 40 = 0),
+             |cp AS (
+             |  SELECT doc_id, text, unnest(${Text.duckShingles("text", 3)}) AS sh
+             |  FROM deduped WHERE doc_id % 40 <> 0),
+             |contam AS (
+             |  SELECT doc_id FROM (
+             |    SELECT cp.doc_id, evl.eval_id, COUNT(*) AS ns
+             |    FROM cp JOIN evl USING (sh) GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+             |  GROUP BY doc_id),
+             |clean AS (
+             |  SELECT doc_id, text FROM deduped
+             |  WHERE doc_id % 40 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |q AS (
+             |  SELECT doc_id, ${Text.duckQualityScore("text")} AS score,
+             |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+             |  FROM clean),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tok
+             |  FROM q)
+             |SELECT '00_repaired' AS stage, COUNT(*) AS n_docs, $tok AS n_tokens FROM fixed
+             |UNION ALL
+             |SELECT '10_quality', COUNT(*), $tok FROM filtered
+             |UNION ALL
+             |SELECT '20_dedup', COUNT(*), $tok FROM deduped
+             |UNION ALL
+             |SELECT '30_decontam', COUNT(*), $tok FROM clean
+             |UNION ALL
+             |SELECT '40_budget', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+             |FROM c WHERE cum_tok <= 8000""".stripMargin)
       })
   )
 }
