@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit) embedding quantization — the smallest member of the
+  * quantization family (fp32 → q61, SQ8 → q131/q132, PQ → q93–q95, binary →
+  * here): each 64-dim float vector compresses to 64 BITS (two 32-bit words
+  * in non-negative longs), bit d set iff the coordinate exceeds the corpus
+  * per-dimension mean. Mean thresholding keeps each bit ~balanced, which
+  * maximizes the information the Hamming distance carries (the classic
+  * "zero-mean the data, then take signs" construction; reference behavior
+  * generalized from the embedding pipeline the reference feeds its
+  * downstream index from — app/process_articles.py:63-86 ships raw
+  * features; this is the 16-byte serving representation of the same
+  * column).
+  *
+  * Serving shape (the production three-stage funnel, mirrored from the SQ8
+  * path q132): LSH buckets generate candidates, the 16-byte codes screen
+  * them with integer Hamming distance (XOR + popcount — no floats touched),
+  * and only the screen's survivors fetch raw vectors for the exact L2
+  * rerank. At 100 TB the index side of the candidate join carries
+  * (vid, bucket, lo, hi) — 28 bytes/vector — the full-precision vectors are
+  * touched for exactly `screenR` rows per query, and every distance in the
+  * screen is integer arithmetic, so the whole ranking is engine-exact.
+  *
+  * Determinism: thresholds are decimal-exact means (Num.dsum discipline);
+  * codes are integer; Hamming is integer; the rerank L2 is the dimension-
+  * ordered double fold both engines share. Ties break by neighbor_id at
+  * both ranks.
+  */
+object BinaryQuant {
+
+  /** Dimensionality this packer supports (two 32-bit words). */
+  val Dims = 64
+
+  /** Per-dimension corpus mean thresholds as ONE broadcastable row:
+    * (mus: array&lt;double&gt;), dimension-ordered. Decimal-exact sum then a
+    * single double division — bit-identical to the oracle's
+    * `CAST(SUM(DECIMAL) AS DOUBLE) / COUNT(*)`.
+    */
+  def thresholds(df: DataFrame, vec: Column): DataFrame =
+    df.select(posexplode(vec).as(Seq("dim", "vd")))
+      .groupBy(col("dim"))
+      .agg((Num.dsum(col("vd").cast("double"), 9) / count(lit(1))).as("mu"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("mu")))),
+        x => x.getField("mu")).as("mus"))
+
+  /** One packed 32-bit word (as a non-negative long): bit d set iff
+    * vec[base+d] &gt; mus[base+d]. A static sum of 32 literal-weighted
+    * comparisons — pure whole-stage-codegen arithmetic, no shifts by
+    * column, no sign-bit hazards (max value 2³²−1).
+    */
+  private def packWord(vec: Column, mus: Column, base: Int): Column =
+    (0 until 32).map { d =>
+      when(element_at(vec, base + d + 1).cast("double") >
+        element_at(mus, base + d + 1), lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Attach the packed code words: (vid, lo, hi) with lo = bits 0..31 and
+    * hi = bits 32..63. Per-row arithmetic over the broadcast 1-row
+    * thresholds — the encode never shuffles.
+    */
+  def encode(df: DataFrame, id: Column, vec: Column, thr: DataFrame): DataFrame =
+    df.select(id.as("vid"), vec.as("xv"))
+      .crossJoin(broadcast(thr))
+      .select(col("vid"),
+        packWord(col("xv"), col("mus"), 0).as("lo"),
+        packWord(col("xv"), col("mus"), 32).as("hi"))
+
+  /** Integer Hamming distance between two packed codes. */
+  def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
+    bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))
+
+  /** LSH-bucketed top-k with binary-code Hamming screening and exact L2
+    * rerank — the three-stage serve funnel:
+    *
+    *  1. candidates: the q63 single-table hyperplane bucket equi-join; the
+    *     index side carries only (vid, bucket, lo, hi);
+    *  2. screen: per query keep the `screenR` candidates with the smallest
+    *     Hamming distance (XOR+popcount on the 16-byte codes; ties →
+    *     lowest neighbor_id) — WindowGroupLimit caps the shuffle at
+    *     O(screenR) rows per query;
+    *  3. rerank: ONLY the survivors fetch their raw vectors (an id
+    *     equi-join against the vector table) and rank by the exact
+    *     dimension-ordered L2² fold (ties → lowest neighbor_id).
+    *
+    * Output: (query_id, neighbor_id, hamming, l2_dist, rank), rank ≤ k.
+    */
+  def lshHammingRerankTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      screenR: Int,
+      numPlanes: Int,
+      numDims: Int): DataFrame = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
+    val thr = thresholds(df, vec).localCheckpoint()
+    val base = df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+    val bucketed = base.withColumn("bucket",
+      Similarity.lshBucket(col("xd"), table = 0, numPlanes = numPlanes,
+        numDims = numDims))
+    val codes = encode(df, id, vec, thr)
+    val index = bucketed.select(col("vid"), col("bucket")).join(codes, "vid")
+
+    val hWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val screened = bucketed
+      .select(col("vid").as("query_id"), col("bucket"))
+      .join(codes.select(col("vid").as("query_id"),
+        col("lo").as("q_lo"), col("hi").as("q_hi")), "query_id")
+      .join(index.select(col("vid").as("neighbor_id"), col("bucket"),
+        col("lo"), col("hi")), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("q_lo"), col("q_hi"), col("lo"), col("hi")).as("hamming"))
+      .withColumn("hrank", row_number().over(hWin))
+      .where(col("hrank") <= screenR)
+
+    val rWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    screened
+      .join(base.select(col("vid").as("query_id"), col("xd").as("q_v")), "query_id")
+      .join(base.select(col("vid").as("neighbor_id"), col("xd").as("n_v")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        aggregate(
+          zip_with(col("q_v"), col("n_v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("l2_dist"))
+      .withColumn("rank", row_number().over(rWin))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("l2_dist"), col("rank"))
+  }
+}

@@ -1641,6 +1641,203 @@ object RelationalQueries {
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN nation ON s_nationkey = n_nationkey
            |WHERE p_name LIKE '%widget%'
-           |GROUP BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
+    // supply cost is the observed MIN unit price min(l_extendedprice /
+    // l_quantity) per (part, supplier) from lineitem — the same
+    // "cheapest qualified supplier per part in a region" correlated-min
+    // semantics). Scale discipline: the part cut is a broadcastable key
+    // list applied BEFORE the (part, supplier) aggregation so the heavy
+    // fact shuffle carries only the ~1/60 filtered slice (q206); supplier
+    // × nation × region collapses to one broadcast dimension; the per-part
+    // min-cost election is a WindowGroupLimit rank, ties → lowest suppkey.
+    QueryDef(
+      "q228_min_cost_supplier",
+      (s, dir) => {
+        val partCut = Tables.load(s, dir, "part")
+          .where(col("p_type") === "PROMO" && pmod(col("p_size"), lit(10)) === 5)
+          .select(col("p_partkey"), col("p_brand"))
+        val eu = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .join(broadcast(Tables.load(s, dir, "region")
+                  .where(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("nation"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+          .orderBy(col("unit_cost").asc, col("l_suppkey").asc)
+        Tables.load(s, dir, "lineitem")
+          .join(broadcast(partCut), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"),
+            col("s_name"), col("s_acctbal"), col("nation"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("s_acctbal"), col("s_name"), col("nation"),
+            col("l_partkey").as("p_partkey"), col("p_brand"), col("unit_cost"))
+          .orderBy(col("s_acctbal").desc, col("nation").asc, col("s_name").asc,
+            col("p_partkey").asc)
+          .limit(100)
+      },
+      Some("""WITH cost AS (
+           |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+           |  FROM lineitem GROUP BY 1, 2),
+           |eu AS (
+           |  SELECT s_suppkey, s_name, s_acctbal, n_name
+           |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'EUROPE'),
+           |ranked AS (
+           |  SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+           |    row_number() OVER (PARTITION BY c.l_partkey
+           |      ORDER BY c.unit_cost ASC, c.l_suppkey ASC) AS rk
+           |  FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey)
+           |SELECT eu.s_acctbal, eu.s_name, eu.n_name AS nation,
+           |  p.p_partkey, p.p_brand, r.unit_cost
+           |FROM ranked r
+           |JOIN eu ON eu.s_suppkey = r.l_suppkey
+           |JOIN part p ON p.p_partkey = r.l_partkey
+           |WHERE r.rk = 1 AND p.p_type = 'PROMO' AND p.p_size % 10 = 5
+           |ORDER BY eu.s_acctbal DESC, nation, eu.s_name, p.p_partkey
+           |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q11-style important-part value concentration: revenue value per
+    // part restricted to ONE nation's suppliers, keeping parts whose value
+    // exceeds 1.5× the average part value (the scalar-subquery HAVING — a
+    // share threshold, so the selectivity is scale-stable). BOTH folds are
+    // decimal-exact (per-part dsum38, then dsum38 again over the per-part
+    // doubles), so the threshold compare is engine-exact; the nation's
+    // supplier list broadcasts and prunes the fact scan before its only
+    // shuffle; the 1-row total rides a broadcast nested-loop join.
+    QueryDef(
+      "q229_important_parts",
+      (s, dir) => {
+        val natSupp = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val value = Tables.load(s, dir, "lineitem")
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("value"))
+          // two consumers (total + threshold filter): break the lineage so
+          // the fact scan and its shuffle run once
+          .localCheckpoint()
+        val tot = value.agg(Num.dsum38(col("value")).as("total"),
+          count(lit(1)).as("np"))
+        value.crossJoin(broadcast(tot))
+          .where(col("value") > lit(1.5) * col("total") / col("np"))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc)
+      },
+      Some(s"""WITH val AS (
+           |  SELECT l_partkey,
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS value
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_7' GROUP BY 1),
+           |tot AS (SELECT ${Num.duckDsum38("value")} AS total, COUNT(*) AS np FROM val)
+           |SELECT l_partkey, value FROM val CROSS JOIN tot
+           |WHERE value > 1.5 * total / np
+           |ORDER BY value DESC""".stripMargin)),
+
+    // TPC-H Q16-style supplier diversity by part attribute: how many
+    // DISTINCT suppliers ship each (brand, type, size) bucket, excluding a
+    // brand/type slice and the "complaint" suppliers (negative account
+    // balance — the synthetic twin of Q16's comment filter, excluded by
+    // anti-join). Scale: the part-attribute cut broadcasts and prunes
+    // lineitem BEFORE the (part, supplier) distinct, the exclusion list is
+    // a broadcast anti-join, and the final count-distinct groups by the
+    // low-cardinality attribute triple.
+    QueryDef(
+      "q230_supplier_part_counts",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+          .where(!(col("p_brand") === "Brand#4" || col("p_type") === "PROMO") &&
+            col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        val excl = Tables.load(s, dir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.load(s, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("p_brand"), col("p_type"), col("p_size"))
+          .distinct()
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+            col("p_type").asc, col("p_size").asc)
+      },
+      Some("""WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           |SELECT p_brand, p_type, p_size,
+           |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM bridge JOIN part ON p_partkey = l_partkey
+           |WHERE NOT (p_brand = 'Brand#4' OR p_type = 'PROMO') AND p_size <= 10
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q20-style dominant-supplier detection (adapted: no partsupp
+    // availqty, so "excess" is a SHARE — a supplier is dominant in a part
+    // when it shipped >30% of that part's 1997 volume). Both the per-
+    // (part, supplier) quantities and the per-part totals are decimal-exact
+    // folds, so the share threshold is engine-exact; the name-filtered
+    // part cut broadcasts into the fact scan, the dominant-supplier set is
+    // a distinct over (suppkey) only, and the region-filtered supplier
+    // dimension joins it by broadcast.
+    QueryDef(
+      "q231_dominant_suppliers",
+      (s, dir) => {
+        val pkeys = Tables.load(s, dir, "part")
+          .where(col("p_name").contains("a")).select(col("p_partkey"))
+        val qty = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(Num.dsum38(col("l_quantity")).as("sq"))
+          // two consumers (per-part totals + share filter): one fact pass
+          .localCheckpoint()
+        val tot = qty.groupBy(col("l_partkey"))
+          .agg(Num.dsum38(col("sq")).as("tq"))
+        val dom = qty.join(tot, "l_partkey")
+          .where(col("sq") > lit(0.3) * col("tq"))
+          .select(col("l_suppkey")).distinct()
+        Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .join(broadcast(Tables.load(s, dir, "region")
+                  .where(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_name").asc)
+      },
+      Some(s"""WITH qty AS (
+           |  SELECT l_partkey, l_suppkey, ${Num.duckDsum38("l_quantity")} AS sq
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01'
+           |    AND p_name LIKE '%a%'
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT l_partkey, ${Num.duckDsum38("sq")} AS tq FROM qty GROUP BY 1),
+           |dom AS (
+           |  SELECT DISTINCT q.l_suppkey FROM qty q
+           |  JOIN tot t ON q.l_partkey = t.l_partkey
+           |  WHERE q.sq > 0.3 * t.tq)
+           |SELECT s_name, s_acctbal FROM supplier
+           |JOIN dom ON s_suppkey = l_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |ORDER BY s_name""".stripMargin))
   )
 }

@@ -1243,8 +1243,97 @@ object SimilarityQueries {
            |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64,
                 src = "brall", trainSrc = Some("brbase"))}
            |SELECT pc.vec_id, b.cluster, pc.sub, pc.code
-           |FROM pqcodes pc JOIN bassign b USING (vec_id)""".stripMargin))
+           |FROM pqcodes pc JOIN bassign b USING (vec_id)""".stripMargin)),
+
+    // Binary (1-bit) quantization codes: each 64-dim vector packs to 64
+    // BITS (two 32-bit words in non-negative longs), bit d set iff the
+    // coordinate exceeds the corpus per-dimension mean — the 16-byte
+    // serving representation that completes the quantization matrix
+    // (fp32 q61, SQ8 q131, PQ q94, binary here). The oracle re-derives the
+    // decimal-exact mean thresholds and every packed word.
+    QueryDef(
+      "q226_bq_codes",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val thr = graft.ops.BinaryQuant.thresholds(emb, col("embedding"))
+          .localCheckpoint()
+        graft.ops.BinaryQuant.encode(emb, col("vec_id"), col("embedding"), thr)
+          .select(col("vid").as("vec_id"), col("lo"), col("hi"),
+            (bit_count(col("lo")) + bit_count(col("hi"))).cast("long").as("nbits"))
+      },
+      Some(s"""WITH $duckBqCtes
+           |SELECT vec_id, lo, hi,
+           |  CAST(bit_count(lo) + bit_count(hi) AS BIGINT) AS nbits
+           |FROM bqc""".stripMargin)),
+
+    // Three-stage binary-quantized serving funnel: LSH buckets generate
+    // candidates (the q63 join), the 16-byte codes SCREEN them with integer
+    // Hamming distance (XOR+popcount — the index side of the join never
+    // carries floats), and only the top-20 screen survivors fetch raw
+    // vectors for the exact L2 rerank to top-5. Integer screen + ordered
+    // double fold + neighbor_id ties make the full two-rank chain
+    // engine-exact.
+    QueryDef(
+      "q227_bq_rerank_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.ops.BinaryQuant.lshHammingRerankTopK(emb, col("vec_id"),
+          col("embedding"), k = 5, screenR = 20, numPlanes = 8, numDims = 64)
+      },
+      Some(s"""WITH $duckBqCtes,
+           |b AS (SELECT vec_id, v, ${duckBucketExpr(0, 8)} AS bucket FROM e),
+           |cand AS (
+           |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+           |    CAST(bit_count(xor(qc.lo, nc.lo))
+           |      + bit_count(xor(qc.hi, nc.hi)) AS INTEGER) AS hamming
+           |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
+           |  JOIN bqc qc ON qc.vec_id = a.vec_id
+           |  JOIN bqc nc ON nc.vec_id = nb.vec_id),
+           |scr AS (
+           |  SELECT query_id, neighbor_id, hamming,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+           |  FROM cand),
+           |rr AS (
+           |  SELECT s.query_id, s.neighbor_id, s.hamming,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+           |      bqi -> (qv.v[bqi] - nv.v[bqi]) * (qv.v[bqi] - nv.v[bqi]))),
+           |      (x, y) -> x + y) AS l2_dist
+           |  FROM scr s
+           |  JOIN e qv ON qv.vec_id = s.query_id
+           |  JOIN e nv ON nv.vec_id = s.neighbor_id
+           |  WHERE s.hrank <= 20)
+           |SELECT query_id, neighbor_id, hamming, l2_dist, rank FROM (
+           |  SELECT query_id, neighbor_id, hamming, l2_dist,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+           |  FROM rr)
+           |WHERE rank <= 5""".stripMargin))
   )
+
+  /** DuckDB CTEs shared by the binary-quantization oracles: double-cast
+    * vectors `e`, per-dimension decimal-exact mean thresholds `mus` (one
+    * list row), and packed codes `bqc(vec_id, lo, hi)` — each word a static
+    * sum of 32 literal-weighted sign tests, the twin of
+    * `BinaryQuant.encode`.
+    */
+  private def duckBqCtes: String = {
+    def word(base: Int) = (0 until 32)
+      .map(d => s"(CASE WHEN v[${base + d + 1}] > mus[${base + d + 1}] THEN ${1L << d} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$duckEmb,
+       |muf AS (
+       |  SELECT i - 1 AS dim,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / COUNT(*) AS mu
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+       |  GROUP BY 1),
+       |mus AS (SELECT list(mu ORDER BY dim) AS mus FROM muf),
+       |bqc AS (
+       |  SELECT vec_id, CAST(${word(0)} AS BIGINT) AS lo,
+       |    CAST(${word(32)} AS BIGINT) AS hi
+       |  FROM e CROSS JOIN mus)""".stripMargin
+  }
 
   /** DuckDB CTEs shared by the SQ8 oracles: double-cast vectors and the
     * per-dimension (mins, spans) quantization ranges as one row.

@@ -533,4 +533,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         .exists(_ => p.contains("windowspecdefinition(row_number")),
       "no unpartitioned rank windows")
   }
+
+  test("q228/q230/q231 TPC-H breadth: dimensions broadcast; elections are group-limits; exclusions are anti/semi joins") {
+    // q228: part cut + EU supplier dimension broadcast into the fact agg;
+    // the per-part min-cost election must push partial group limits below
+    // the rank window (WindowGroupLimit), and no join may shuffle.
+    val p228 = plan(SparkEntry.queries("q228_min_cost_supplier")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p228).size >= 2,
+      s"q228: part cut and supplier dimension must broadcast:\n$p228")
+    assert(p228.contains("WindowGroupLimit"),
+      "q228: the rank-1 election must compile to WindowGroupLimit")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p228).isEmpty,
+      s"q228: no join may shuffle the fact rows:\n$p228")
+    // q230: the complaint-supplier exclusion is a broadcast ANTI join, the
+    // part-attribute cut a broadcast hash join.
+    val p230 = plan(SparkEntry.queries("q230_supplier_part_counts")(spark, sf))
+    assert("(?i)leftanti".r.findFirstIn(p230).isDefined,
+      s"q230: supplier exclusion must be a LEFT ANTI join:\n$p230")
+    assert(p230.contains("BroadcastHashJoin"), "q230: part cut must broadcast")
+    // q231: the dominant-supplier membership is a SEMI join; region-filtered
+    // nation broadcasts.
+    val p231 = plan(SparkEntry.queries("q231_dominant_suppliers")(spark, sf))
+    assert("(?i)leftsemi".r.findFirstIn(p231).isDefined,
+      s"q231: dominant membership must be a LEFT SEMI join:\n$p231")
+    assert(p231.contains("BroadcastHashJoin"), "q231: nation must broadcast")
+  }
+
+  test("q227 binary-quantization funnel: both ranks are WindowGroupLimits; candidates never cartesian") {
+    val p = plan(SparkEntry.queries("q227_bq_rerank_topk")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"q227: Hamming screen and L2 rerank must both push group limits:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q227: candidate generation must stay bucket-joined:\n$p")
+  }
 }
