@@ -532,4 +532,45 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Balanced training-shard assignment — the export-side final mile of the
+    * curation pipeline: every document gets a shard in 0..nShards−1 by
+    * LPT-style round-robin over the GLOBAL (tokens desc, id asc) order
+    * (largest documents deal out first, one per shard per round). For a
+    * descending deal the per-round spreads telescope, so
+    *
+    *   max(shard tokens) − min(shard tokens) ≤ max single-document tokens
+    *
+    * — near-perfect balance without bin-packing state (SamplingSpec pins
+    * the bound). The global order comes from [[globalRank]]'s two-phase
+    * range-partition + broadcast-offset cumsum, so no single-task window
+    * touches the corpus. Output: (doc_id, n_tok, rank, shard).
+    */
+  def shardAssign(df: DataFrame, id: Column, tokens: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    // globalRank orders ascending; negate for the descending deal
+    Sampling.globalRank(df.select(id.as("doc_id"), tokens.as("n_tok")),
+        -col("n_tok"), col("doc_id"))
+      .select(col("rid").as("doc_id"), (-col("v")).as("n_tok"), col("rank"),
+        pmod(col("rank") - 1, lit(nShards.toLong)).as("shard"))
+  }
+
+  /** Per-shard export MANIFEST over a [[shardAssign]] frame: document and
+    * token volume, size extremes, and an order-independent membership
+    * checksum (sum of per-doc `hash60 mod p` — additive, so the stored
+    * shards can be re-manifested after any rewrite and diffed against
+    * this). The table a consumer checks before trusting a corpus drop.
+    * Output: (shard, n_docs, n_tokens, max_doc_tokens, min_doc_tokens,
+    * checksum).
+    */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("n_tok")).as("max_doc_tokens"),
+        min(col("n_tok")).as("min_doc_tokens"),
+        sum(pmod(Hashing.hash60(col("doc_id").cast("string")),
+          lit(1000000007L))).as("checksum"))
+      .orderBy(col("shard").asc)
 }

@@ -1042,6 +1042,39 @@ object PipelineQueries {
              |UNION ALL
              |SELECT '40_budget', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
              |FROM c WHERE cum_tok <= 8000""".stripMargin)
-      })
+      }),
+
+    // Balanced training-shard export manifest — the final mile after q183's
+    // budget selection and q127's packing: every document deals into one of
+    // 16 shards by LPT round-robin over the global (tokens desc, id) order
+    // (imbalance provably ≤ one document's tokens; SamplingSpec pins it),
+    // and the manifest reports per-shard volume, size extremes, and an
+    // order-independent additive membership checksum — what a consumer
+    // diffs against re-manifested stored shards before trusting a drop.
+    // The global order is the two-phase distributed rank (no single-task
+    // window anywhere).
+    QueryDef(
+      "q232_shard_manifest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.shardManifest(Sampling.shardAssign(
+          docs, col("doc_id"), Text.wordCount(col("text")), nShards = 16))
+      },
+      Some(s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, n_tok,
+           |    row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS rank
+           |  FROM t)
+           |SELECT CAST((rank - 1) % 16 AS BIGINT) AS shard,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens,
+           |  CAST(MIN(n_tok) AS BIGINT) AS min_doc_tokens,
+           |  CAST(SUM(${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")}
+           |    % 1000000007) AS BIGINT) AS checksum
+           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

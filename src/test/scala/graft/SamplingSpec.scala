@@ -158,6 +158,35 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }, "chunk ids must be monotone in the (difficulty, id) order")
   }
 
+  test("shardAssign/shardManifest: every doc in exactly one shard; LPT imbalance bound; stored shards re-manifest identically") {
+    import graft.ops.Text
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val assigned = Sampling.shardAssign(docs, col("doc_id"),
+      Text.wordCount(col("text")), nShards = 16).localCheckpoint()
+    // partition of the corpus: every doc exactly once, shards in range
+    assert(assigned.count() == docs.count())
+    assert(assigned.select(col("doc_id")).distinct().count() == docs.count())
+    assert(assigned.where(col("shard") < 0 || col("shard") >= 16).count() == 0)
+    val manifest = Sampling.shardManifest(assigned).localCheckpoint()
+    assert(manifest.count() == 16)
+    // the LPT round-robin balance guarantee: spread <= one doc's tokens
+    val row = manifest.agg(
+      max(col("n_tokens")).as("mx"), min(col("n_tokens")).as("mn")).head()
+    val maxDoc = assigned.agg(max(col("n_tok").cast("long"))).head().getLong(0)
+    assert(row.getLong(0) - row.getLong(1) <= maxDoc,
+      s"shard spread ${row.getLong(0) - row.getLong(1)} exceeds max doc $maxDoc")
+    // export round-trip: write partitioned by shard, re-manifest the stored
+    // shards, diff against the pre-write manifest (the checksum's job)
+    val dir = tmpDir("shards")
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/out")
+    // partition-column type round-trips as int; re-widen before the diff
+    val stored = spark.read.parquet(s"$dir/out")
+      .withColumn("shard", col("shard").cast("long"))
+    val manifest2 = Sampling.shardManifest(stored)
+    assert(manifest2.exceptAll(manifest).isEmpty &&
+      manifest.exceptAll(manifest2).isEmpty)
+  }
+
   test("selectByBudget: exact greedy prefix, budget respected, selection monotone in budget") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
