@@ -135,4 +135,48 @@ object BinaryQuant {
       .select(col("query_id"), col("neighbor_id"), col("hamming"),
         col("l2_dist"), col("rank"))
   }
+
+  /** Recall audit of the [[lshHammingRerankTopK]] funnel against the EXACT
+    * L2 top-k (brute force — the quadratic ground truth, quarantined from
+    * the bench set like every other exact-baseline oracle): per query,
+    * count how many of the true top-k the funnel returned, then histogram
+    * queries by hit count. The table a curator reads before committing the
+    * binary-screen path to a production retrieval run — recall lost here is
+    * recall lost to EITHER the LSH candidate stage or the Hamming screen,
+    * and the audit sees their composition, exactly as serving would.
+    * Output: (n_hits 0..k, n_queries).
+    */
+  def recallAudit(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      screenR: Int,
+      numPlanes: Int,
+      numDims: Int): DataFrame = {
+    val approx = lshHammingRerankTopK(df, id, vec, k, screenR, numPlanes,
+        numDims)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("found"))
+    val base = df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    val exact = base.select(col("vid").as("query_id"), col("xd").as("q_v"))
+      .crossJoin(base.select(col("vid").as("neighbor_id"), col("xd").as("n_v")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("q_v"), col("n_v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("l2_dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("found"), lit(0))).cast("long").as("n_hits"))
+      .groupBy(col("n_hits"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("n_hits").asc)
+  }
 }

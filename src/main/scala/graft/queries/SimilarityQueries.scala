@@ -1308,8 +1308,91 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
            |  FROM rr)
-           |WHERE rank <= 5""".stripMargin))
+           |WHERE rank <= 5""".stripMargin)),
+
+    // Recall audit of the q227 funnel against the EXACT L2 top-5 (the q185
+    // discipline applied to the binary-quantized path), run at BOTH ends
+    // of the bucket-granularity dial: numPlanes=8 (q227's config — 2^8
+    // buckets, tight candidate sets, recall visibly sacrificed) and
+    // numPlanes=4 (2^4 buckets — wider candidates, recall recovered at
+    // screen cost). Per config, a histogram of queries by how many true
+    // top-5 neighbors the three-stage funnel returned — losses attribute
+    // to the LSH candidate stage and the Hamming screen COMPOSED, exactly
+    // as serving composes them; reading the two rows against each other is
+    // how a curator picks the operating point. Ground truth is the
+    // quadratic brute force, so the query is quarantined from the bench
+    // set like every other exact-baseline oracle.
+    QueryDef(
+      "q233_bq_recall_audit",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        def audit(planes: Int) =
+          graft.ops.BinaryQuant.recallAudit(emb, col("vec_id"),
+            col("embedding"), k = 5, screenR = 20, numPlanes = planes,
+            numDims = 64)
+            .select(lit(planes.toLong).as("num_planes"), col("n_hits"),
+              col("n_queries"))
+        audit(4).unionByName(audit(8))
+          .orderBy(col("num_planes").asc, col("n_hits").asc)
+      },
+      Some(Seq(4, 8).map(p =>
+        s"""SELECT CAST($p AS BIGINT) AS num_planes, n_hits, n_queries
+           |FROM (${duckBqRecallChain(p)}) pl$p""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY num_planes, n_hits")),
+      bench = false)
   )
+
+  /** One complete DuckDB statement (own WITH chain) replaying the q227
+    * funnel at `planes` hyperplanes and histogramming its recall against
+    * the exact L2 top-5 — the per-config unit of the q233 UNION.
+    */
+  private def duckBqRecallChain(planes: Int): String =
+    s"""WITH $duckBqCtes,
+       |b AS (SELECT vec_id, v, ${duckBucketExpr(0, planes)} AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |    bit_count(xor(qc.lo, nc.lo)) + bit_count(xor(qc.hi, nc.hi)) AS hamming
+       |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
+       |  JOIN bqc qc ON qc.vec_id = a.vec_id
+       |  JOIN bqc nc ON nc.vec_id = nb.vec_id),
+       |scr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+       |  FROM cand),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+       |      bqi -> (qv.v[bqi] - nv.v[bqi]) * (qv.v[bqi] - nv.v[bqi]))),
+       |      (x, y) -> x + y) AS l2_dist
+       |  FROM scr s
+       |  JOIN e qv ON qv.vec_id = s.query_id
+       |  JOIN e nv ON nv.vec_id = s.neighbor_id
+       |  WHERE s.hrank <= 20),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+       |    FROM rr)
+       |  WHERE rank <= 5),
+       |ex AS (
+       |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+       |        bqe -> (a.v[bqe] - nb.v[bqe]) * (a.v[bqe] - nb.v[bqe]))),
+       |        (x, y) -> x + y) ASC, nb.vec_id ASC) AS rk
+       |  FROM e a JOIN e nb ON a.vec_id <> nb.vec_id),
+       |hits AS (
+       |  SELECT x.query_id,
+       |    CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM (SELECT query_id, neighbor_id FROM ex WHERE rk <= 5) x
+       |  LEFT JOIN approx ap
+       |    ON ap.query_id = x.query_id AND ap.neighbor_id = x.neighbor_id
+       |  GROUP BY 1)
+       |SELECT n_hits, CAST(COUNT(*) AS BIGINT) AS n_queries
+       |FROM hits GROUP BY 1""".stripMargin
 
   /** DuckDB CTEs shared by the binary-quantization oracles: double-cast
     * vectors `e`, per-dimension decimal-exact mean thresholds `mus` (one
