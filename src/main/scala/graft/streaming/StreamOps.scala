@@ -229,6 +229,51 @@ object StreamOps {
       df.withColumn("dhash", graft.ops.Media.dhash(col(payloadCol))),
       "dhash", history, maxHamming, numBlocks, broadcastHistory)
 
+  /** Embedding ingest near-dup suppression: the [[suppressNearDuplicates]]
+    * contract for VECTOR payloads — each arriving embedding packs to its
+    * 64-bit binary code per row (sign vs the broadcast per-dimension
+    * thresholds, [[graft.ops.BinaryQuant]] — stateless arithmetic, no
+    * aggregation in the micro-batch) and is dropped when any history code
+    * sits within Hamming `maxHamming`. Blocking is the two-word 8×8-bit
+    * chunk pigeonhole ([[graft.ops.BinaryQuant.chunkKeys]]): recall-exact
+    * for maxHamming ≤ 7. `history` carries (lo, hi) of previously accepted
+    * embeddings — append the survivors' codes in the same foreachBatch
+    * that runs this gate. Catches re-embedded duplicates and
+    * trivially-perturbed vectors that an exact-id anti-join misses, at
+    * 16 bytes of history per vector.
+    */
+  def suppressNearDupEmbedding(
+      df: DataFrame,
+      vecCol: String,
+      thresholds: DataFrame,
+      history: DataFrame,
+      maxHamming: Int,
+      broadcastHistory: Boolean = true): DataFrame = {
+    import graft.ops.BinaryQuant
+    require(maxHamming <= 7,
+      "8-chunk pigeonhole guarantees recall only for maxHamming <= 7")
+    val withCode = df
+      .crossJoin(broadcast(thresholds))
+      .withColumn("__bq_lo", BinaryQuant.loWord(col(vecCol), col("mus")))
+      .withColumn("__bq_hi", BinaryQuant.hiWord(col(vecCol), col("mus")))
+      .drop("mus")
+    val hk = history
+      .select(col("lo").as("h_lo"), col("hi").as("h_hi"))
+      .select(col("h_lo"), col("h_hi"),
+        explode(BinaryQuant.chunkKeys(col("h_lo"), col("h_hi"))).as("bk"))
+    val hside = if (broadcastHistory) broadcast(hk) else hk
+    val matched = withCode
+      .select(col("__bq_lo"), col("__bq_hi"),
+        explode(BinaryQuant.chunkKeys(col("__bq_lo"), col("__bq_hi"))).as("bk"))
+      .join(hside, Seq("bk"))
+      .where(BinaryQuant.hamming(col("__bq_lo"), col("__bq_hi"),
+        col("h_lo"), col("h_hi")) <= maxHamming)
+      .select(col("__bq_lo"), col("__bq_hi"))
+      .distinct()
+    withCode.join(broadcast(matched), Seq("__bq_lo", "__bq_hi"), "left_anti")
+      .drop("__bq_lo", "__bq_hi")
+  }
+
   /** Stream-stream interval join: pair rows of two unbounded streams on an
     * equi-key within an event-time window of `maxDelay` (right side in
     * [left - maxDelay, left + maxDelay]). Both sides carry watermarks so the

@@ -172,6 +172,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       "edited and exact re-uploads suppressed; the genuinely new asset kept")
   }
 
+  test("embedding ingest near-dup gate: binary-code history suppression drops copies and near-vectors, keeps fresh ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.BinaryQuant
+
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val thr = BinaryQuant.thresholds(emb, col("embedding")).localCheckpoint()
+    val mus = thr.head().getSeq[Double](0)
+    // history: the code of ONE corpus vector — keeps every fixture distance
+    // exactly derivable (a full-corpus history could sit near the inverted
+    // fixture by accident)
+    val baseId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    val history = BinaryQuant.encode(emb.where(col("vec_id") === baseId),
+        col("vec_id"), col("embedding"), thr)
+      .select(col("lo"), col("hi")).localCheckpoint()
+    // fixtures derived from a real corpus vector so determinism is total:
+    // exact = a redelivered copy (Hamming 0); near = the same vector with
+    // dims 0 and 1 forced to the OTHER side of their thresholds (Hamming
+    // exactly the number of flipped sign bits <= 2); fresh = sign-flipped
+    // everywhere it matters (far outside the budget)
+    val baseVec = emb.where(col("vec_id") === baseId).head()
+      .getSeq[Float](emb.columns.indexOf("embedding")).toArray
+    def flipped(dims: Set[Int], invert: Boolean): Array[Float] =
+      baseVec.indices.map { d =>
+        val above = baseVec(d) > mus(d)
+        val wantAbove = if (dims.contains(d) || invert) !above else above
+        (if (wantAbove) mus(d) + 1.0 else mus(d) - 1.0).toFloat
+      }.toArray
+    // re-derive base as threshold-offset values so bits match baseVec's code
+    val baseSigns = flipped(Set.empty, invert = false)
+    val nearVec = flipped(Set(0, 1), invert = false)
+    val freshVec = flipped(Set.empty, invert = true)
+    val arriving = Seq(
+      (100L, baseVec.toSeq), // exact corpus copy
+      (101L, baseSigns.toSeq), // same sign pattern -> Hamming 0
+      (102L, nearVec.toSeq), // two flipped bits -> Hamming 2
+      (103L, freshVec.toSeq)) // all bits flipped -> Hamming 64
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val kept = StreamOps.suppressNearDupEmbedding(
+        arriving, "embedding", thr, history, maxHamming = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(103L),
+      s"exact copy, code-identical, and 2-bit-near vectors drop; fresh survives (kept=$kept)")
+  }
+
   test("incremental moment maintenance: per-micro-batch sum appends re-merge to the exact batch stats") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
