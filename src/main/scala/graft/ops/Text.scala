@@ -1132,6 +1132,37 @@ object Text {
         sum(length(col("w"))).cast("long").as("n_chars"),
         sum(col("nb")).as("n_bpe_tokens"))
 
+  /** Tokenizer application from a STORED vocabulary table — the frozen-
+    * tokenizer serving path (the q158 frozen-model discipline applied to
+    * BPE): new documents encode against the trained `(w, syms)` table
+    * as-is, with NO retraining, and out-of-vocabulary words fall back to
+    * one token per character (the byte-fallback contract every production
+    * tokenizer ships). Output: (doc_id, n_tokens, n_chars, n_bpe_tokens,
+    * n_oov) — n_bpe_tokens counts vocab words at their stored
+    * segmentation length and OOV words at their character count.
+    *
+    * Same dictionary-encode-then-broadcast-join shape as
+    * [[bpeEncodeByVocab]]; the LEFT join is what lets the stored table
+    * serve text the trainer never saw.
+    */
+  def bpeEncodeFromTable(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      vocabTable: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .where(length(col("w")) > 0)
+      .join(broadcast(vocabTable
+          .select(col("w"), size(col("syms")).cast("long").as("nb"))),
+        Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(coalesce(col("nb"), length(col("w")).cast("long")))
+          .as("n_bpe_tokens"),
+        sum(when(col("nb").isNull, 1L).otherwise(0L)).as("n_oov"))
+
   /** Retrieval evaluation: recall@k and NDCG@k per query, from a ranked
     * frame `(qid, doc_id, rank)` and a binary-relevance qrels frame
     * `(qid, doc_id)` — the eval stage every retrieval/training pipeline

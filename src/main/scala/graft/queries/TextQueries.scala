@@ -128,7 +128,7 @@ object TextQueries {
     * identical greedy left-fold via `list_reduce` over single-element lists.
     * Shared by q102 (merge table) and q111 (encoding).
     */
-  private def duckBpeCtes(numMerges: Int): String = {
+  private def duckBpeCtes(numMerges: Int, src: String = "documents"): String = {
     val steps = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -145,7 +145,7 @@ object TextQueries {
     }.mkString(",\n")
     s"""wc AS (
        |  SELECT w, COUNT(*) AS n FROM (
-       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM $src)
        |  WHERE length(w) > 0 GROUP BY 1),
        |v0 AS (
        |  SELECT w, n, list_transform(range(1, length(w) + 1), ci -> substr(w, ci, 1)) AS syms
@@ -1430,7 +1430,43 @@ object TextQueries {
         graft.ops.TextIndex.hybridFromTablesBatch(idx, vecs, qdf,
           dims = 32, k = 10, perList = 50)
       },
-      Some(duckHybridBatchOracle))
+      Some(duckHybridBatchOracle)),
+
+    // FROZEN-tokenizer serving from the stored vocab table (the q158
+    // frozen-model discipline applied to BPE): the tokenizer trains ONCE
+    // on the 6/7 id-prefix, its (word, segmentation) table is stored, and
+    // the unseen 1/7 delta encodes against the STORED table with NO
+    // retraining — out-of-vocabulary words fall back to one token per
+    // character (the byte-fallback contract), counted explicitly in n_oov.
+    // The oracle replays the identical base-corpus merge chain and the
+    // same LEFT join.
+    QueryDef(
+      "q234_bpe_table_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val (_, vocab) = Text.bpeTrain(base, col("text"), numMerges = 6)
+        Text.bpeEncodeFromTable(delta, col("doc_id"), col("text"),
+          vocab.localCheckpoint())
+      },
+      Some(s"""WITH base AS (
+           |  SELECT text FROM documents WHERE doc_id % 7 <> 0),
+           |${duckBpeCtes(6, "base")},
+           |docw AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |j AS (
+           |  SELECT d.doc_id, d.w,
+           |    COALESCE(len(v.syms), length(d.w)) AS nb,
+           |    CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM docw d LEFT JOIN v6 v ON v.w = d.w
+           |  WHERE length(d.w) > 0)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(SUM(oov) AS BIGINT) AS n_oov
+           |FROM j GROUP BY doc_id""".stripMargin))
   )
 
   // -------------------------------------------------------------------------

@@ -59,6 +59,26 @@ class TextIndexSpec extends AnyFunSuite with SparkSpec {
       s"query-term filter must push into the postings scan:\n$plan")
   }
 
+  test("BPE vocab table roundtrip: stored vocab serves the frozen tokenizer identically; OOV chars conserved") {
+    import graft.ops.Text
+    val base = docs.where(org.apache.spark.sql.functions.pmod(
+      col("doc_id"), org.apache.spark.sql.functions.lit(7)) =!= 0)
+    val delta = docs.where(org.apache.spark.sql.functions.pmod(
+      col("doc_id"), org.apache.spark.sql.functions.lit(7)) === 0)
+    val (_, vocab) = Text.bpeTrain(base, col("text"), numMerges = 6)
+    val live = Text.bpeEncodeFromTable(delta, col("doc_id"), col("text"),
+      vocab.localCheckpoint())
+    val dir = tmpDir("bpe-vocab")
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    val served = Text.bpeEncodeFromTable(delta, col("doc_id"), col("text"),
+      spark.read.parquet(s"$dir/vocab"))
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty)
+    // char-fallback conservation: a fully-OOV doc tokenizes to exactly its
+    // character count
+    val allOov = live.where(col("n_oov") === col("n_tokens"))
+    assert(allOov.where(col("n_bpe_tokens") =!= col("n_chars")).count() == 0)
+  }
+
   test("hybridFromTables == in-query hybridRrfTopK; served plan reads tables only") {
     val idx = TextIndex.build(docs, col("doc_id"), col("text"))
     val vecs = graft.ops.Text.hashingTrickEmbedding(
