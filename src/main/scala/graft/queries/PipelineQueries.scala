@@ -1075,6 +1075,52 @@ object PipelineQueries {
            |  CAST(MIN(n_tok) AS BIGINT) AS min_doc_tokens,
            |  CAST(SUM(${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")}
            |    % 1000000007) AS BIGINT) AS checksum
-           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
+           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Corpus SNAPSHOT DIFF — the dataset-versioning report between two
+    // corpus drops: per doc_id, 'removed' (in v1 only), 'added' (v2 only),
+    // or 'changed' (content md5 differs); unchanged docs emit nothing. The
+    // v2 snapshot is derived deterministically (1/13 deleted, 1/17
+    // revised, 1/29 re-added under fresh ids). Scale shape: each side
+    // reduces to (doc_id, md5) BEFORE the full-outer join, so the diff
+    // shuffles two longs + 32 hex chars per doc — never text; at 100 TB
+    // both snapshots bucket by doc_id and the join is co-located.
+    QueryDef(
+      "q235_snapshot_diff",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "documents")
+        val v2 = v1.where(pmod(col("doc_id"), lit(13)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+          .unionByName(v1.where(pmod(col("doc_id"), lit(29)) === 0)
+            .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text")))
+        val a = v1.select(col("doc_id").as("id_a"),
+          md5(col("text").cast("string")).as("m_a"))
+        val b = v2.select(col("doc_id").as("id_b"),
+          md5(col("text").cast("string")).as("m_b"))
+        a.join(b, col("id_a") === col("id_b"), "full_outer")
+          .where(col("id_b").isNull || col("id_a").isNull ||
+            col("m_a") =!= col("m_b"))
+          .select(coalesce(col("id_a"), col("id_b")).as("doc_id"),
+            when(col("id_b").isNull, "removed")
+              .when(col("id_a").isNull, "added")
+              .otherwise("changed").as("status"))
+      },
+      Some("""WITH v2 AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 29 = 0),
+           |a AS (SELECT doc_id, md5(text) AS m FROM documents),
+           |b AS (SELECT doc_id, md5(text) AS m FROM v2)
+           |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+           |       WHEN a.doc_id IS NULL THEN 'added'
+           |       ELSE 'changed' END AS status
+           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+           |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.m <> b.m""".stripMargin))
   )
 }

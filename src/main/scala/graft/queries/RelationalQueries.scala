@@ -1838,6 +1838,69 @@ object RelationalQueries {
            |JOIN nation ON s_nationkey = n_nationkey
            |JOIN region ON n_regionkey = r_regionkey
            |WHERE r_name = 'ASIA'
-           |ORDER BY s_name""".stripMargin))
+           |ORDER BY s_name""".stripMargin)),
+
+    // Clickstream PATH analysis: the top-20 3-step event-type sequences
+    // within visit sessions (q146's gaps-and-islands sessionization with
+    // a 6-hour silence gap — the daily-visit grain where multi-step paths
+    // exist; ties (ts, event_id)) — the "what do
+    // users actually do" table next to q145's fixed funnel. Per-session
+    // sequences assemble with the q106 sort_array(collect_list) n-gram
+    // pattern (keyed windows only, never global); the top-20 is a
+    // TakeOrdered over path counts with a path-string tiebreak.
+    QueryDef(
+      "q236_event_paths",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 21600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val seqs = sess.groupBy(col("user_id"), col("session_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")).as("t"))
+          .where(size(col("t")) >= 3)
+        seqs
+          .select(explode(sequence(lit(1), size(col("t")) - 2)).as("i"), col("t"))
+          .select(concat_ws(">", element_at(col("t"), col("i")),
+            element_at(col("t"), col("i") + 1),
+            element_at(col("t"), col("i") + 2)).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_id
+           |  FROM flagged),
+           |seqs AS (
+           |  SELECT user_id, session_id,
+           |    list(event_type ORDER BY ts, event_id) AS t
+           |  FROM sess GROUP BY 1, 2),
+           |tri AS (
+           |  SELECT t[i] || '>' || t[i + 1] || '>' || t[i + 2] AS path
+           |  FROM seqs, unnest(range(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 3)
+           |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM tri
+           |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
   )
 }
