@@ -1901,6 +1901,138 @@ object RelationalQueries {
            |  FROM seqs, unnest(range(1, len(t) - 1)) AS u(i)
            |  WHERE len(t) >= 3)
            |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM tri
-           |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
+           |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // Data-quality CONSTRAINT REPORT (the Deequ-style gate a warehouse
+    // runs before trusting a load): one row per declared constraint with
+    // its violation count and verdict — key uniqueness, referential
+    // integrity (lineitem→orders, lineitem→part, orders→customer),
+    // completeness, and domain ranges. Scale shape: each check is one
+    // narrow-column scan-aggregate; the FK checks are key-only anti joins
+    // (broadcast where the parent is dimension-sized, shuffled key join
+    // for orders at corpus scale); nothing carries payload columns.
+    QueryDef(
+      "q237_dq_report",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val orders = Tables.load(s, dir, "orders")
+        val part = Tables.load(s, dir, "part")
+        val customer = Tables.load(s, dir, "customer")
+        def check(name: String,
+            violations: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          violations.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"),
+              (col("n_violations") === 0L).as("pass"))
+        val dupOrders = orders.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        val orphanOrder = li.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+        val orphanPart = li.select(col("l_partkey"))
+          .join(broadcast(part.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_anti")
+        val orphanCust = orders.select(col("o_custkey"))
+          .join(broadcast(customer.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+        val badDiscount = li.where(col("l_discount") < 0.0 ||
+          col("l_discount") > 1.0)
+        val badQty = li.where(col("l_quantity").isNull ||
+          col("l_quantity") <= 0.0)
+        val nullDate = orders.where(col("o_orderdate").isNull)
+        check("orders.o_orderkey unique", dupOrders)
+          .unionByName(check("lineitem.l_orderkey in orders", orphanOrder))
+          .unionByName(check("lineitem.l_partkey in part", orphanPart))
+          .unionByName(check("orders.o_custkey in customer", orphanCust))
+          .unionByName(check("lineitem.l_discount in [0,1]", badDiscount))
+          .unionByName(check("lineitem.l_quantity positive", badQty))
+          .unionByName(check("orders.o_orderdate complete", nullDate))
+          .orderBy(col("check").asc)
+      },
+      Some("""SELECT 'orders.o_orderkey unique' AS "check",
+           |  CAST((SELECT COUNT(*) FROM (
+           |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+           |    AS BIGINT) AS n_violations,
+           |  (SELECT COUNT(*) FROM (
+           |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) = 0 AS pass
+           |UNION ALL
+           |SELECT 'lineitem.l_orderkey in orders',
+           |  (SELECT COUNT(*) FROM lineitem
+           |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           |  (SELECT COUNT(*) FROM lineitem
+           |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+           |UNION ALL
+           |SELECT 'lineitem.l_partkey in part',
+           |  (SELECT COUNT(*) FROM lineitem
+           |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+           |  (SELECT COUNT(*) FROM lineitem
+           |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+           |UNION ALL
+           |SELECT 'orders.o_custkey in customer',
+           |  (SELECT COUNT(*) FROM orders
+           |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           |  (SELECT COUNT(*) FROM orders
+           |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+           |UNION ALL
+           |SELECT 'lineitem.l_discount in [0,1]',
+           |  (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0),
+           |  (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0) = 0
+           |UNION ALL
+           |SELECT 'lineitem.l_quantity positive',
+           |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0.0),
+           |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0.0) = 0
+           |UNION ALL
+           |SELECT 'orders.o_orderdate complete',
+           |  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+           |  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) = 0
+           |ORDER BY "check"""".stripMargin)),
+
+    // Volume-anomaly detection on the event stream: hourly counts per
+    // event type scored against their own trailing 24-hour window (mean
+    // and variance from EXACT integer sums — the z arithmetic is a ratio
+    // of integer-derived doubles, engine-identical), flagging |z| ≥ 2.5
+    // after 12 hours of warm-up. The monitoring table an operator alerts
+    // on. Scale shape: the corpus reduces to (type, hour, count) in ONE
+    // aggregation — the analytic window runs over type-keyed hourly rows
+    // (dozens per type per day), never raw events.
+    QueryDef(
+      "q238_event_anomalies",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val hc = ev.groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rangeBetween(-24, -1)
+        val mean = col("s").cast("double") / col("c")
+        val variance = col("sq").cast("double") / col("c") - mean * mean
+        hc.withColumn("s", sum(col("n")).over(tw))
+          .withColumn("c", count(col("n")).over(tw))
+          .withColumn("sq", sum(col("n") * col("n")).over(tw))
+          .where(col("c") >= 12 && variance > 0.0)
+          .withColumn("z", (col("n").cast("double") - mean) / sqrt(variance))
+          .where(abs(col("z")) >= 2.5)
+          .select(col("event_type"), col("hr"), col("n"), col("z"))
+      },
+      Some("""WITH hc AS (
+           |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, hr, n,
+           |    SUM(n) OVER tw AS s, COUNT(n) OVER tw AS c, SUM(n * n) OVER tw AS sq
+           |  FROM hc
+           |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+           |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+           |SELECT event_type, hr, n,
+           |  (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+           |    / sqrt(CAST(sq AS DOUBLE) / c
+           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c)) AS z
+           |FROM w
+           |WHERE c >= 12
+           |  AND CAST(sq AS DOUBLE) / c
+           |    - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c) > 0
+           |  AND abs((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+           |    / sqrt(CAST(sq AS DOUBLE) / c
+           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin))
   )
 }
