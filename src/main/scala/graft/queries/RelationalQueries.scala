@@ -2033,6 +2033,114 @@ object RelationalQueries {
            |    - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c) > 0
            |  AND abs((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
            |    / sqrt(CAST(sq AS DOUBLE) / c
-           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin))
+           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin)),
+
+    // SCD TYPE-2 dimension build — validity-interval history from a change
+    // log (the warehouse pattern for slowly-changing attributes): each
+    // customer's order-priority timeline collapses to rows where the
+    // attribute CHANGES, with [valid_from, valid_to) from the change date
+    // to the next change (NULL = current). Ties (two same-day orders)
+    // break by o_orderkey in BOTH windows, so the interval chain is
+    // total-order deterministic. All windows are customer-keyed — never
+    // global.
+    QueryDef(
+      "q239_scd2_dimension",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val wC = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val ch = orders
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(wC))
+          .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("valid_from"), col("o_orderkey"))
+        val wS = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("valid_from"), col("o_orderkey"))
+        ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wS))
+          .select(col("o_custkey"), col("prio"), col("valid_from"),
+            col("valid_to"))
+      },
+      Some("""WITH ch AS (
+           |  SELECT o_custkey, o_orderpriority AS prio,
+           |    o_orderdate AS valid_from, o_orderkey
+           |  FROM (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           |          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+           |            ORDER BY o_orderdate, o_orderkey) AS prev
+           |        FROM orders)
+           |  WHERE prev IS NULL OR prev <> o_orderpriority)
+           |SELECT o_custkey, prio, valid_from,
+           |  lead(valid_from) OVER (PARTITION BY o_custkey
+           |    ORDER BY valid_from, o_orderkey) AS valid_to
+           |FROM ch""".stripMargin)),
+
+    // POINT-IN-TIME join against the q239 SCD2 dimension: revenue by the
+    // customer's priority AS OF each lineitem's SHIP date (which can be
+    // months after the order — the attribute may have changed in between;
+    // the lookup every feature-store backfill runs). [from, to) intervals
+    // partition each customer's timeline, so every fact row matches at
+    // most one dimension row; facts shipping before the customer's first
+    // change land in the explicit '0-NONE' bucket (LEFT join — row count
+    // conserved, no silent drops). The SCD table is changes-sized
+    // (≪ fact), so it broadcasts; lineitem→orders stays the one fact-fact
+    // shuffle.
+    QueryDef(
+      "q240_pit_revenue_by_priority",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val wC = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val ch = orders
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(wC))
+          .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .select(col("o_custkey").as("sc_custkey"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("valid_from"), col("o_orderkey"))
+        val wS = Window.partitionBy(col("sc_custkey"))
+          .orderBy(col("valid_from"), col("o_orderkey"))
+        val scd = ch.withColumn("valid_to", lead(col("valid_from"), 1).over(wS))
+          .select(col("sc_custkey"), col("prio"), col("valid_from"),
+            col("valid_to"))
+          .localCheckpoint()
+        val f = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .join(Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+        f.join(broadcast(scd),
+            col("o_custkey") === col("sc_custkey") &&
+              col("l_shipdate") >= col("valid_from") &&
+              (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+            "left_outer")
+          .groupBy(coalesce(col("prio"), lit("0-NONE")).as("prio_asof"),
+            year(col("l_shipdate")).as("yr"))
+          .agg(Num.dsum38(col("rev")).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""WITH ch AS (
+           |  SELECT o_custkey, o_orderpriority AS prio,
+           |    o_orderdate AS valid_from, o_orderkey
+           |  FROM (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           |          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+           |            ORDER BY o_orderdate, o_orderkey) AS prev
+           |        FROM orders)
+           |  WHERE prev IS NULL OR prev <> o_orderpriority),
+           |scd AS (
+           |  SELECT o_custkey AS sc_custkey, prio, valid_from,
+           |    lead(valid_from) OVER (PARTITION BY o_custkey
+           |      ORDER BY valid_from, o_orderkey) AS valid_to
+           |  FROM ch),
+           |f AS (
+           |  SELECT o_custkey, l_shipdate,
+           |    l_extendedprice * (1.0 - l_discount) AS rev
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+           |SELECT COALESCE(s.prio, '0-NONE') AS prio_asof,
+           |  CAST(EXTRACT(year FROM f.l_shipdate) AS INTEGER) AS yr,
+           |  ${Num.duckDsum38("f.rev")} AS revenue,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM f LEFT JOIN scd s ON s.sc_custkey = f.o_custkey
+           |  AND f.l_shipdate >= s.valid_from
+           |  AND (s.valid_to IS NULL OR f.l_shipdate < s.valid_to)
+           |GROUP BY 1, 2""".stripMargin))
   )
 }
