@@ -2141,6 +2141,66 @@ object RelationalQueries {
            |FROM f LEFT JOIN scd s ON s.sc_custkey = f.o_custkey
            |  AND f.l_shipdate >= s.valid_from
            |  AND (s.valid_to IS NULL OR f.l_shipdate < s.valid_to)
-           |GROUP BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // Market-basket co-occurrence mining: the top-20 part PAIRS most often
+    // ordered together, with lift (observed co-rate over the independence
+    // expectation — integer-derived doubles, engine-exact). Scale shape:
+    // ONE shuffle builds per-order sorted item sets (collect_set dedups
+    // in-aggregate — no separate distinct pass), the pair explode is LOCAL
+    // and bounded by basket size² (baskets are small — the classic a-priori
+    // argument), pair counts shuffle (pa, pb) pairs only, and the top-20
+    // is a TakeOrdered. Item counts and the basket total re-derive from
+    // the basket frame (no second corpus scan) and broadcast.
+    QueryDef(
+      "q241_market_basket",
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+          .localCheckpoint()
+        val pairCnt = baskets.where(size(col("items")) >= 2)
+          .select(posexplode(col("items")).as(Seq("i", "pa")), col("items"))
+          .select(col("pa"),
+            explode(slice(col("items"), col("i") + lit(2),
+              size(col("items")))).as("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("n_orders"))
+        val itemCnt = baskets
+          .select(explode(col("items")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+        pairCnt
+          .join(broadcast(itemCnt.select(col("pk").as("pa"), col("c").as("ca"))),
+            Seq("pa"))
+          .join(broadcast(itemCnt.select(col("pk").as("pb"), col("c").as("cb"))),
+            Seq("pb"))
+          .crossJoin(broadcast(nb))
+          .select(col("pa"), col("pb"), col("n_orders"),
+            (col("n_orders").cast("double") * col("n_baskets").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+          .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
+          .limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |pairs AS (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           |  FROM op a JOIN op b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |cnt AS (
+           |  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_orders
+           |  FROM pairs GROUP BY 1, 2),
+           |ic AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM op GROUP BY 1),
+           |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           |  FROM lineitem)
+           |SELECT pa, pb, n_orders,
+           |  CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+           |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+           |FROM cnt
+           |JOIN ic ca ON ca.pk = pa
+           |JOIN ic cb ON cb.pk = pb
+           |CROSS JOIN nb
+           |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin))
   )
 }
