@@ -45,6 +45,47 @@ object Graph {
     * next contribution join and the dangling sum — and 10 iterations of
     * unbroken lineage would replay the whole chain per action).
     */
+  /** Degree-oriented triangle census over an undirected edge set
+    * (id_a < id_b): one row (n_edges, n_wedges, n_triangles, clustering)
+    * where clustering is the global coefficient 3·triangles / wedges.
+    *
+    * Scale shape — the MPC triangle-counting standard (orient, wedge at
+    * the light apex, close): every edge directs from its (degree, id)-
+    * smaller endpoint, so wedges enumerate at each triangle's LIGHTEST
+    * vertex and the self-join fan-out is Σ d⁺(v)² with d⁺ ≤ √(2m) — the
+    * arboricity bound that keeps hub vertices from exploding the join.
+    * Closing is one semi-join back to the (id-ordered) edge set; counts
+    * and wedges are exact integers, so the single output row hash-matches
+    * an oracle that counts triangles the naive a<b<c way.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = ed.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = ed
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+      when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+      .localCheckpoint()
+    val closed = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+      .where(col("v") < col("w"))
+      .join(ed.select(least(col("id_a"), col("id_b")).as("v"),
+        greatest(col("id_a"), col("id_b")).as("w")), Seq("v", "w"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        ((col("n_triangles") * lit(3L)).cast("double") /
+          col("n_wedges").cast("double")).as("clustering"))
+  }
+
   def pageRank(
       nodes: DataFrame,
       edges: DataFrame,

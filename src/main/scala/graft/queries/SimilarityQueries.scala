@@ -274,6 +274,49 @@ object SimilarityQueries {
            |                AND r.neighbor_id = f.query_id)""".stripMargin),
       bench = false),
 
+    // Triangle census + global clustering coefficient over the mutual-kNN
+    // graph — the community-density read a curator takes before trusting
+    // near-dup clusters (high clustering = tight communities, low = hub
+    // artifacts). Engine side runs the DEGREE-ORIENTED count (wedges
+    // enumerate at each triangle's lightest vertex — the Σ d⁺² / arboricity
+    // bound that survives hubs at scale); the oracle counts the naive
+    // a<b<c way — same census, so the single row hash-matches. Ground
+    // truth edges are q148's quadratic exact kNN, hence bench=false.
+    QueryDef(
+      "q242_knn_triangles",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.triangleStats(graft.ops.Graph.mutualEdges(topk))
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |edges AS (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |deg AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT id_a AS id FROM edges
+           |    UNION ALL SELECT id_b FROM edges) GROUP BY 1),
+           |tri AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           |  FROM edges e1
+           |  JOIN edges e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+           |  JOIN edges e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+           |wd AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           |  FROM deg),
+           |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+           |SELECT n_edges, n_wedges, n_triangles,
+           |  CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           |    AS clustering
+           |FROM ne CROSS JOIN wd CROSS JOIN tri""".stripMargin),
+      bench = false),
+
     // PageRank centrality over the mutual-kNN graph: 10 damped iterations
     // with decimal-exact mass gathering and uniform dangling-mass
     // redistribution — the importance score a curator uses to pick cluster
