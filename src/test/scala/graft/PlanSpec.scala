@@ -559,6 +559,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p231.contains("BroadcastHashJoin"), "q231: nation must broadcast")
   }
 
+  test("q236/q239/q240/q241: analytic windows stay entity-keyed; SCD dimension broadcasts; basket counts broadcast") {
+    // q236/q239: every lag/lead/cumsum window partitions on its entity key
+    // — an unpartitioned window would single-task the corpus
+    Seq(("q236_event_paths", "user_id"),
+        ("q239_scd2_dimension", "o_custkey")).foreach { case (q, key) =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains(s"windowspecdefinition($key"),
+        s"$q: windows must partition by $key:\n$p")
+    }
+    // q240: the changes-sized SCD dimension must reach the facts by
+    // broadcast; lineitem→orders may shuffle once
+    val p240 = plan(SparkEntry.queries("q240_pit_revenue_by_priority")(spark, sf))
+    assert(p240.contains("BroadcastHashJoin"), "q240: SCD dimension must broadcast")
+    val shuffled240 = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p240).size
+    assert(shuffled240 <= 1,
+      s"q240: only lineitem→orders may shuffle, got $shuffled240:\n$p240")
+    // q241: item counts and the basket total ride broadcasts; the pair
+    // explode must not become a join
+    val p241 = plan(SparkEntry.queries("q241_market_basket")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p241).size >= 2,
+      s"q241: both item-count sides must broadcast:\n$p241")
+    assert(!p241.contains("CartesianProduct"),
+      "q241: no cartesian anywhere in the basket chain")
+  }
+
   test("q227 binary-quantization funnel: both ranks are WindowGroupLimits; candidates never cartesian") {
     val p = plan(SparkEntry.queries("q227_bq_rerank_topk")(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
