@@ -2201,6 +2201,47 @@ object RelationalQueries {
            |JOIN ic ca ON ca.pk = pa
            |JOIN ic cb ON cb.pk = pb
            |CROSS JOIN nb
-           |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin))
+           |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // LAST-TOUCH conversion attribution: each purchase credits the event
+    // immediately before it in the same visit session (q236's 6-hour
+    // sessionization; a purchase with no predecessor — session-opening —
+    // credits 'direct'). The attribution table a growth analyst reads next
+    // to q145's funnel. One keyed lag window over (user, ts, event_id)
+    // rows, one tiny group-by — nothing global, nothing payload-sized.
+    QueryDef(
+      "q243_purchase_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = ev.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 21600000000L, 1L)
+              .otherwise(0L))
+        flagged.where(col("event_type") === "purchase")
+          .select(when(col("new_session") === 1L, lit("direct"))
+            .otherwise(col("prev_type")).as("attributed_to"))
+          .groupBy(col("attributed_to"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy(col("n_purchases").desc, col("attributed_to").asc)
+      },
+      Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    lag(event_type) OVER w AS prev_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT CASE WHEN ns = 1 THEN 'direct' ELSE prev_type END
+           |    AS attributed_to,
+           |  CAST(COUNT(*) AS BIGINT) AS n_purchases
+           |FROM flagged WHERE event_type = 'purchase'
+           |GROUP BY 1 ORDER BY n_purchases DESC, attributed_to""".stripMargin))
   )
 }
