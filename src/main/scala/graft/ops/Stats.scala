@@ -113,6 +113,35 @@ object Stats {
     * localCheckpoint'd and the total is a sum over #groups rows, proving
     * the merge path the operator exists for).
     */
+  /** Trailing-window volume-anomaly flags over an hourly count frame
+    * (event_type, hr, n) — the scoring stage of q238, factored out so a
+    * STREAM-maintained count table (additive per-micro-batch appends,
+    * merged by plain re-summation) feeds the identical arithmetic: mean
+    * and variance from exact integer sums over the trailing `window`
+    * hours, z = (n − mean)/σ, flag |z| ≥ `zThresh` after `minHistory`
+    * hours of warm-up. The analytic window runs over type-keyed hourly
+    * rows — never raw events.
+    */
+  def volumeAnomalies(
+      hourCounts: DataFrame,
+      window: Int = 24,
+      minHistory: Int = 12,
+      zThresh: Double = 2.5): DataFrame = {
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-window.toLong, -1L)
+    val mean = col("s").cast("double") / col("c")
+    val variance = col("sq").cast("double") / col("c") - mean * mean
+    hourCounts
+      .withColumn("s", sum(col("n")).over(tw))
+      .withColumn("c", count(col("n")).over(tw))
+      .withColumn("sq", sum(col("n") * col("n")).over(tw))
+      .where(col("c") >= minHistory && variance > 0.0)
+      .withColumn("z", (col("n").cast("double") - mean) / sqrt(variance))
+      .where(abs(col("z")) >= zThresh)
+      .select(col("event_type"), col("hr"), col("n"), col("z"))
+  }
+
   def momentShards(df: DataFrame, value: Column, group: Column): DataFrame = {
     val shard = momentSums(df, value, group).localCheckpoint()
     val total = shard.agg(

@@ -2001,17 +2001,7 @@ object RelationalQueries {
         val hc = ev.groupBy(col("event_type"),
             expr("unix_micros(ts) div 3600000000").as("hr"))
           .agg(count(lit(1)).as("n"))
-        val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-          .rangeBetween(-24, -1)
-        val mean = col("s").cast("double") / col("c")
-        val variance = col("sq").cast("double") / col("c") - mean * mean
-        hc.withColumn("s", sum(col("n")).over(tw))
-          .withColumn("c", count(col("n")).over(tw))
-          .withColumn("sq", sum(col("n") * col("n")).over(tw))
-          .where(col("c") >= 12 && variance > 0.0)
-          .withColumn("z", (col("n").cast("double") - mean) / sqrt(variance))
-          .where(abs(col("z")) >= 2.5)
-          .select(col("event_type"), col("hr"), col("n"), col("z"))
+        graft.ops.Stats.volumeAnomalies(hc)
       },
       Some("""WITH hc AS (
            |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

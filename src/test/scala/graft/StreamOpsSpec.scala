@@ -252,6 +252,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       "decimal sums must merge EXACTLY across micro-batches (bit-equal mean/variance)")
   }
 
+  test("incremental hourly-count maintenance: micro-batch appends re-merge to batch counts; anomaly flags identical") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    import graft.ops.Stats
+
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(expr("unix_micros(ts)").as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def hourly(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), expr("us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val ms = MemoryStream[(Long, String)]
+    // the durable monitor table: one appended (type, hr, n) delta frame
+    // per micro-batch — counts are additive, so merge is plain re-summation
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("us", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += hourly(batch).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(ev.take(300)); q.processAllAvailable()
+      ms.addData(ev.slice(300, 700)); q.processAllAvailable()
+      ms.addData(ev.drop(700)); q.processAllAvailable()
+    } finally q.stop()
+    assert(stored.size == 3)
+    val merged = stored.reduce(_ unionByName _)
+      .groupBy(col("event_type"), col("hr"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
+    val direct = hourly(ev.toDF("us", "event_type"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "re-summed micro-batch count deltas must equal the direct batch counts")
+    // and the anomaly stage over the MAINTAINED table flags exactly what
+    // the batch query flags (q238's arithmetic via the shared op)
+    val fromStream = Stats.volumeAnomalies(merged, zThresh = 2.0)
+    val fromBatch = Stats.volumeAnomalies(direct, zThresh = 2.0)
+    assert(fromStream.exceptAll(fromBatch).isEmpty &&
+      fromBatch.exceptAll(fromStream).isEmpty)
+  }
+
   test("incremental sketch maintenance: per-micro-batch hourly theta appends union to the direct batch sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
