@@ -2232,6 +2232,61 @@ object RelationalQueries {
            |    AS attributed_to,
            |  CAST(COUNT(*) AS BIGINT) AS n_purchases
            |FROM flagged WHERE event_type = 'purchase'
-           |GROUP BY 1 ORDER BY n_purchases DESC, attributed_to""".stripMargin))
+           |GROUP BY 1 ORDER BY n_purchases DESC, attributed_to""".stripMargin)),
+
+    // Per-group closed-form OLS: extended price regressed on quantity per
+    // brand — slope, intercept, and R² from the five sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx², Σy²), each a decimal-exact fold, combined in
+    // one fixed double expression per group. The distributed-regression
+    // primitive (one aggregation pass, no iteration, no solver) that
+    // answers "price elasticity per product line" at any scale.
+    QueryDef(
+      "q244_brand_price_ols",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .join(broadcast(Tables.load(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        val stats = li.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            Num.dsum38(col("l_quantity")).as("sx"),
+            Num.dsum38(col("l_extendedprice")).as("sy"),
+            Num.dsum38(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+            Num.dsum38(col("l_quantity") * col("l_quantity")).as("sxx"),
+            Num.dsum38(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        val nD = col("n").cast("double")
+        val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+          (nD * col("sxx") - col("sx") * col("sx"))
+        val r2num = (nD * col("sxy") - col("sx") * col("sy")) *
+          (nD * col("sxy") - col("sx") * col("sy"))
+        val r2den = (nD * col("sxx") - col("sx") * col("sx")) *
+          (nD * col("syy") - col("sy") * col("sy"))
+        stats
+          .select(col("p_brand"), col("n"),
+            slope.as("slope"),
+            ((col("sy") - slope * col("sx")) / nD).as("intercept"),
+            (r2num / r2den).as("r2"))
+          .orderBy(col("p_brand").asc)
+      },
+      Some(s"""WITH st AS (
+           |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${Num.duckDsum38("l_quantity")} AS sx,
+           |    ${Num.duckDsum38("l_extendedprice")} AS sy,
+           |    ${Num.duckDsum38("l_quantity * l_extendedprice")} AS sxy,
+           |    ${Num.duckDsum38("l_quantity * l_quantity")} AS sxx,
+           |    ${Num.duckDsum38("l_extendedprice * l_extendedprice")} AS syy
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY 1)
+           |SELECT p_brand, n,
+           |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+           |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           |  (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+           |    / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+           |    / CAST(n AS DOUBLE) AS intercept,
+           |  ((CAST(n AS DOUBLE) * sxy - sx * sy)
+           |    * (CAST(n AS DOUBLE) * sxy - sx * sy))
+           |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+           |      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+           |FROM st ORDER BY p_brand""".stripMargin))
   )
 }
