@@ -82,12 +82,22 @@ object BinaryQuant {
     * hi = bits 32..63. Per-row arithmetic over the broadcast 1-row
     * thresholds — the encode never shuffles.
     */
-  def encode(df: DataFrame, id: Column, vec: Column, thr: DataFrame): DataFrame =
+  def encode(df: DataFrame, id: Column, vec: Column, thr: DataFrame): DataFrame = {
+    // a thresholds row built from an empty/truncated corpus would make every
+    // element_at NULL and silently code everything as 0 — fail loudly
+    // instead (the lshBucketComposed length-check discipline; the guard
+    // wraps ONE word so the codegen tree isn't replicated per bit)
+    val loGuarded = when(size(col("mus")) === Dims,
+      packWord(col("xv"), col("mus"), 0))
+      .otherwise(raise_error(concat(
+        lit(s"BinaryQuant.encode: expected $Dims thresholds, got "),
+        size(col("mus")).cast("string"))))
     df.select(id.as("vid"), vec.as("xv"))
       .crossJoin(broadcast(thr))
       .select(col("vid"),
-        packWord(col("xv"), col("mus"), 0).as("lo"),
+        loGuarded.as("lo"),
         packWord(col("xv"), col("mus"), 32).as("hi"))
+  }
 
   /** Integer Hamming distance between two packed codes. */
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =

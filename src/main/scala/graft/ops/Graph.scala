@@ -77,7 +77,9 @@ object Graph {
       .join(ed.select(least(col("id_a"), col("id_b")).as("v"),
         greatest(col("id_a"), col("id_b")).as("w")), Seq("v", "w"), "left_semi")
     val tri = closed.agg(count(lit(1)).as("n_triangles"))
-    val wedges = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    // empty edge set: SUM over zero rows is NULL — report 0 wedges, not null
+    val wedges = deg.agg(
+      coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"))
     ed.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(tri))
       .crossJoin(broadcast(wedges))
