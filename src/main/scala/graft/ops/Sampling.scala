@@ -563,6 +563,10 @@ object Sampling {
     * this). The table a consumer checks before trusting a corpus drop.
     * Output: (shard, n_docs, n_tokens, max_doc_tokens, min_doc_tokens,
     * checksum).
+    *
+    * Checksum headroom: each term is < 10⁹ (mod 1 000 000 007), so the
+    * long sum overflows only past ~9×10⁹ documents PER SHARD — raise
+    * nShards long before that.
     */
   def shardManifest(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard"))
