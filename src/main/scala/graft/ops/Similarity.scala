@@ -1105,6 +1105,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Cross-split SEMANTIC decontamination — the embedding-space member of
+    * the decontamination family (exact shingles q87, Bloom q105, span cut
+    * q177 are lexical; SemDeDup q120 is within-corpus): flag every TRAIN
+    * vector whose cosine to ANY eval vector reaches `threshold`, with hit
+    * count and worst similarity. Candidates come from the q64 multi-table
+    * hyperplane buckets, but CROSS-side: the eval split is benchmark-sized
+    * (≪ corpus), so its bucket table and vectors both broadcast — the
+    * train corpus never shuffles, exactly like the lexical decontamination
+    * paths. Output: (train_id, n_eval_hits, max_cosine).
+    */
+  def semanticDecontam(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      numPlanes: Int,
+      numDims: Int,
+      numTables: Int): DataFrame = {
+    val tr = withNorm(train, id, vec)
+    val ev = withNorm(eval, id, vec)
+    val cands = bucketIds(tr, numPlanes, numTables, numDims)
+      .select(col("tbl"), col("bucket"), col("vid").as("train_id"))
+      .join(broadcast(bucketIds(ev, numPlanes, numTables, numDims)
+        .select(col("tbl"), col("bucket"), col("vid").as("eval_id"))),
+        Seq("tbl", "bucket"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    cands
+      .join(tr.select(col("vid").as("train_id"), col("vec").as("va"),
+        col("nrm").as("na")), "train_id")
+      .join(broadcast(ev.select(col("vid").as("eval_id"), col("vec").as("vb"),
+        col("nrm").as("nb"))), "eval_id")
+      .withColumn("cosine",
+        cosine(Num.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   // -------------------------------------------------------------------------
   // SQ8 scalar quantization — the third member of the quantization family
   // beside raw vectors (q61-q68) and product quantization (q93-q95/q99):

@@ -941,6 +941,47 @@ object SimilarityQueries {
            |JOIN e eb ON eb.vec_id = id_b
            |WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.4""".stripMargin)),
 
+    // SEMANTIC decontamination across the train/eval split — the
+    // embedding-space member of the decontamination family (q87 exact
+    // shingles, q105 Bloom, q177 span cut are lexical): every train vector
+    // within cosine 0.4 of ANY eval vector (vec_id % 50) is flagged with
+    // its hit count and worst similarity. Candidates are the q64
+    // multi-table buckets CROSS-side; the benchmark-sized eval split
+    // broadcasts twice (bucket table + vectors) so the train corpus never
+    // shuffles.
+    QueryDef(
+      "q245_semantic_decontam",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.semanticDecontam(
+          emb.where(pmod(col("vec_id"), lit(50)) =!= 0),
+          emb.where(pmod(col("vec_id"), lit(50)) === 0),
+          col("vec_id"), col("embedding"), 0.4,
+          numPlanes = 6, numDims = 64, numTables = 2)
+      },
+      Some(
+        s"""WITH $duckEmb,
+           |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |ev AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+           |tb AS (
+           |  SELECT vec_id, 0 AS tbl, ${duckBucketExpr(0, 6)} AS bucket FROM tr
+           |  UNION ALL
+           |  SELECT vec_id, 1 AS tbl, ${duckBucketExpr(1, 6)} AS bucket FROM tr),
+           |eb AS (
+           |  SELECT vec_id, 0 AS tbl, ${duckBucketExpr(0, 6)} AS bucket FROM ev
+           |  UNION ALL
+           |  SELECT vec_id, 1 AS tbl, ${duckBucketExpr(1, 6)} AS bucket FROM ev),
+           |cands AS (
+           |  SELECT DISTINCT t.vec_id AS train_id, v.vec_id AS eval_id
+           |  FROM tb t JOIN eb v ON t.tbl = v.tbl AND t.bucket = v.bucket)
+           |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           |  MAX(list_dot_product(ta.v, ea.v) / (ta.nrm * ea.nrm)) AS max_cosine
+           |FROM cands
+           |JOIN tr ta ON ta.vec_id = train_id
+           |JOIN ev ea ON ea.vec_id = eval_id
+           |WHERE list_dot_product(ta.v, ea.v) / (ta.nrm * ea.nrm) >= 0.4
+           |GROUP BY 1""".stripMargin)),
+
     // Distributed PCA: one-pass decimal-exact covariance (upper-triangle
     // product rows, map-side partials) + 10 power-iteration steps on the
     // d-bounded matrix, every double sum an order-fixed fold. The oracle
