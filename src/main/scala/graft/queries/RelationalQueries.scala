@@ -2287,6 +2287,51 @@ object RelationalQueries {
            |    * (CAST(n AS DOUBLE) * sxy - sx * sy))
            |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
            |      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-           |FROM st ORDER BY p_brand""".stripMargin))
+           |FROM st ORDER BY p_brand""".stripMargin)),
+
+    // CDC MERGE-apply (the lakehouse MERGE INTO semantics as a query): a
+    // change log derived from orders — each order an upsert of its
+    // customer's balance, every 17th order a delete — applies to the
+    // customer snapshot with LATEST-WINS conflict resolution per key
+    // ((change ts, change id) descending, a keyed window — never global).
+    // Deletes drop the row; upserts override the balance; untouched
+    // customers keep theirs. Scale shape: one keyed window over the change
+    // log, one key equi-join to the snapshot — both sides shuffle once on
+    // the merge key (co-located under bucketing at scale).
+    QueryDef(
+      "q247_cdc_merge_apply",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("ts").desc, col("tie").desc)
+        val latest = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("key"),
+            when(pmod(col("o_orderkey"), lit(17)) === 0, "D").otherwise("U")
+              .as("op"),
+            col("o_totalprice").as("new_bal"),
+            col("o_orderdate").as("ts"), col("o_orderkey").as("tie"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("key"), col("op"), col("new_bal"))
+        cust.join(latest, col("c_custkey") === col("key"), "left_outer")
+          .where(col("op").isNull || col("op") =!= "D")
+          .select(col("c_custkey"),
+            when(col("op") === "U", col("new_bal")).otherwise(col("c_acctbal"))
+              .as("final_bal"),
+            when(col("op") === "U", "updated").otherwise("kept").as("status"))
+      },
+      Some("""WITH ch AS (
+           |  SELECT o_custkey AS key,
+           |    CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+           |    o_totalprice AS new_bal,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |  FROM orders),
+           |latest AS (SELECT key, op, new_bal FROM ch WHERE rn = 1)
+           |SELECT c_custkey,
+           |  CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS final_bal,
+           |  CASE WHEN op = 'U' THEN 'updated' ELSE 'kept' END AS status
+           |FROM customer LEFT JOIN latest ON c_custkey = key
+           |WHERE op IS NULL OR op <> 'D'""".stripMargin))
   )
 }

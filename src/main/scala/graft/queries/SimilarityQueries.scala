@@ -1423,7 +1423,31 @@ object SimilarityQueries {
         s"""SELECT CAST($p AS BIGINT) AS num_planes, n_hits, n_queries
            |FROM (${duckBqRecallChain(p)}) pl$p""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY num_planes, n_hits")),
-      bench = false)
+      bench = false),
+
+    // DURABLE binary-code table, maintenance path (the q212/q158 frozen-
+    // model discipline applied to BQ): thresholds train ONCE on the 6/7
+    // id-prefix and freeze; the unseen delta encodes per row against the
+    // FROZEN thresholds and appends — which must equal coding the union in
+    // one pass ROW FOR ROW, because the encode is strictly per-row (no
+    // corpus statistics touched after training). The oracle codes every
+    // vector against base-trained means.
+    QueryDef(
+      "q246_bq_index_append",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+        val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        val thr = graft.ops.BinaryQuant.thresholds(base, col("embedding"))
+          .localCheckpoint()
+        graft.ops.BinaryQuant.encode(base, col("vec_id"), col("embedding"), thr)
+          .unionByName(graft.ops.BinaryQuant.encode(delta, col("vec_id"),
+            col("embedding"), thr))
+          .select(col("vid").as("vec_id"), col("lo"), col("hi"))
+      },
+      Some(s"""WITH ${duckBqCtesFrom(
+             "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb")}
+           |SELECT vec_id, lo, hi FROM bqc""".stripMargin))
   )
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227
@@ -1484,7 +1508,12 @@ object SimilarityQueries {
     * sum of 32 literal-weighted sign tests, the twin of
     * `BinaryQuant.encode`.
     */
-  private def duckBqCtes: String = {
+  private def duckBqCtes: String = duckBqCtesFrom("embeddings")
+
+  /** Same chain with the mean thresholds trained on `musSrc` only — the
+    * frozen-model variant (q246 trains on the id-prefix, codes everything).
+    */
+  private def duckBqCtesFrom(musSrc: String): String = {
     def word(base: Int) = (0 until 32)
       .map(d => s"(CASE WHEN v[${base + d + 1}] > mus[${base + d + 1}] THEN ${1L << d} ELSE 0 END)")
       .mkString(" + ")
@@ -1493,7 +1522,7 @@ object SimilarityQueries {
        |  SELECT i - 1 AS dim,
        |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
        |      / COUNT(*) AS mu
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+       |  FROM $musSrc CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
        |  GROUP BY 1),
        |mus AS (SELECT list(mu ORDER BY dim) AS mus FROM muf),
        |bqc AS (

@@ -151,6 +151,19 @@ class AqeSpec extends AnyFunSuite with SparkSpec {
         s"serve final plan must not contain '$tok'"))
   }
 
+  test("binary-quantization funnel: both group-limit ranks survive AQE re-planning") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.ops.BinaryQuant.lshHammingRerankTopK(emb,
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      k = 5, screenR = 20, numPlanes = 8, numDims = 64)
+    val p = finalPlan(df)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"Hamming screen and L2 rerank group limits must survive AQE:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must stay bucket-joined under AQE")
+  }
+
   test("simhash serve-from-keys: probe key join stays broadcast after AQE; no corpus tokenization") {
     val docs = Tables.load(spark, sf, "documents")
     val hashes = graft.ops.SimHashIndex.build(docs, col("doc_id"), col("text"))
