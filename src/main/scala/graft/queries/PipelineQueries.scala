@@ -889,11 +889,17 @@ object PipelineQueries {
           when(pmod(col("doc_id"), lit(30)) === 0,
             concat(col("text"), lit(corrupted)))
             .otherwise(col("text")).as("text"))
+        // `fixed` feeds both the filter chain and the eval split, `deduped`
+        // feeds both the corpus cut and (in the funnel report) its own stat
+        // row — break the lineage so the repair pass and the md5 election
+        // run once instead of once per consumer
         val fixed = planted.withColumn("text", Text.fixMojibake(col("text")))
+          .localCheckpoint()
         val filtered = fixed
           .where(Text.langId(col("text")) === "en" &&
             Text.qualityScore(col("text")) >= 0.5)
         val deduped = Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+          .localCheckpoint()
         val evalSet = fixed.where(pmod(col("doc_id"), lit(40)) === 0)
         val corpus = deduped.where(pmod(col("doc_id"), lit(40)) =!= 0)
         val contaminated = Dedup.contaminationPairs(corpus, evalSet,
@@ -964,17 +970,26 @@ object PipelineQueries {
           when(pmod(col("doc_id"), lit(30)) === 0,
             concat(col("text"), lit(corrupted)))
             .otherwise(col("text")).as("text"))
+        // `fixed` feeds both the filter chain and the eval split, `deduped`
+        // feeds both the corpus cut and (in the funnel report) its own stat
+        // row — break the lineage so the repair pass and the md5 election
+        // run once instead of once per consumer
         val fixed = planted.withColumn("text", Text.fixMojibake(col("text")))
+          .localCheckpoint()
         val filtered = fixed
           .where(Text.langId(col("text")) === "en" &&
             Text.qualityScore(col("text")) >= 0.5)
         val deduped = Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+          .localCheckpoint()
         val evalSet = fixed.where(pmod(col("doc_id"), lit(40)) === 0)
         val corpus = deduped.where(pmod(col("doc_id"), lit(40)) =!= 0)
         val contaminated = Dedup.contaminationPairs(corpus, evalSet,
             col("doc_id"), col("text"), 3, 4)
           .select(col("doc_id")).distinct()
         val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          // two consumers (its stat row + the budget stage): the
+          // contamination shingle join must not replay
+          .localCheckpoint()
         val budget = Sampling.selectByBudget(clean, col("doc_id"),
           Text.qualityScore(col("text")), Text.wordCount(col("text")),
           budget = 8000L)
