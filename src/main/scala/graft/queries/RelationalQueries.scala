@@ -2332,6 +2332,84 @@ object RelationalQueries {
            |  CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS final_bal,
            |  CASE WHEN op = 'U' THEN 'updated' ELSE 'kept' END AS status
            |FROM customer LEFT JOIN latest ON c_custkey = key
-           |WHERE op IS NULL OR op <> 'D'""".stripMargin))
+           |WHERE op IS NULL OR op <> 'D'""".stripMargin)),
+
+    // EXACT weighted median per group: the smallest price whose cumulative
+    // quantity weight reaches half the group total — quantity-weighted
+    // "typical price" per return flag, the weighted complement of q153's
+    // unweighted exact percentiles. The cumulative weight is a
+    // decimal-exact fold (ties in the (x, wt) order can permute only
+    // within equal-x runs, so the min-crossing price is total-order
+    // deterministic). Catalog form uses the keyed analytic window; for
+    // low-cardinality groups at corpus scale the q183 two-phase
+    // range-partition cumsum is the drop-in replacement (the machinery is
+    // Sampling.globalCumsumBy).
+    QueryDef(
+      "q248_weighted_median",
+      (s, dir) => {
+        val w = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_extendedprice").as("x"), col("l_quantity").as("wt"))
+          .localCheckpoint()
+        val tot = w.groupBy(col("grp")).agg(Num.dsum38(col("wt")).as("tw"))
+        val cWin = Window.partitionBy(col("grp")).orderBy(col("x"), col("wt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w.withColumn("cw",
+            sum(col("wt").cast("decimal(38,18)")).over(cWin).cast("double"))
+          .join(broadcast(tot), Seq("grp"))
+          .where(col("cw") >= col("tw") / lit(2.0))
+          .groupBy(col("grp"))
+          .agg(min(col("x")).as("wmedian"))
+          .orderBy(col("grp").asc)
+      },
+      Some(s"""WITH w AS (
+           |  SELECT l_returnflag AS grp, l_extendedprice AS x, l_quantity AS wt
+           |  FROM lineitem),
+           |tot AS (SELECT grp, ${Num.duckDsum38("wt")} AS tw FROM w GROUP BY 1),
+           |c AS (
+           |  SELECT grp, x, wt,
+           |    CAST(SUM(CAST(wt AS DECIMAL(38,18))) OVER (PARTITION BY grp
+           |      ORDER BY x, wt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cw
+           |  FROM w)
+           |SELECT c.grp, MIN(c.x) AS wmedian
+           |FROM c JOIN tot ON tot.grp = c.grp
+           |WHERE c.cw >= tot.tw / 2.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Order fulfillment-time distribution: days from order date to the
+    // LAST line shipment, rolled up per priority — the operational SLA
+    // table (does urgent actually ship faster?). Two keyed aggregations
+    // (order grain → priority grain); day arithmetic is integer-exact and
+    // the mean is a decimal fold over integers, so every cell is
+    // engine-exact.
+    QueryDef(
+      "q249_fulfillment_by_priority",
+      (s, dir) => {
+        val fill = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("last_ship"))
+          .join(Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("last_ship"), col("o_orderdate")).as("fill_days"))
+        fill.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            (Num.dsum(col("fill_days"), 0) / count(lit(1))).as("avg_fill_days"),
+            max(col("fill_days")).cast("long").as("max_fill_days"))
+          .orderBy(col("o_orderpriority").asc)
+      },
+      Some(s"""WITH fill AS (
+           |  SELECT o_orderpriority,
+           |    date_diff('day', o_orderdate, ls.last_ship) AS fill_days
+           |  FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+           |        FROM lineitem GROUP BY 1) ls
+           |  JOIN orders ON o_orderkey = ls.l_orderkey)
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CAST(fill_days AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+           |    AS avg_fill_days,
+           |  CAST(MAX(fill_days) AS BIGINT) AS max_fill_days
+           |FROM fill GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
