@@ -149,4 +149,85 @@ object Stats {
       .select(lit("__total__").as("scope"), col("n"), col("s1"), col("s2"))
     finalizeMoments(shard).unionByName(finalizeMoments(total))
   }
+
+  /** Exact ROC-AUC of a real-valued score against a boolean label, via the
+    * tie-corrected Mann-Whitney rank statistic — the classifier-quality
+    * metric for every scoring gate in the curation stack (NB filter,
+    * quality score, LM perplexity): AUC = P(score_pos > score_neg)
+    * + 0.5 P(score_pos = score_neg).
+    *
+    * Shape: the corpus reduces in ONE aggregation to the per-distinct-score
+    * frame (s, npos, nneg); the prefix count of negatives below each score
+    * is the two-phase exact global cumsum (range-partition on s, ROWS-frame
+    * partition-local window, #partitions-row offset table broadcast back —
+    * the globalCumsumBy discipline, with zero-weight rows legal because the
+    * range partitioning keys on s rather than a positive weight). No global
+    * window, nothing corpus-sized past the first aggregation.
+    *
+    * Exactness: the doubled statistic u2 = Σ_s npos(s)·(2·negBelow(s) +
+    * nneg(s)) is pure integer arithmetic (the ×2 absorbs the half-credit
+    * tie term), so the single final division u2 / (2·n_pos·n_neg) is the
+    * ONLY float op — bit-identical cross-engine. Degenerate one-class
+    * inputs yield auc = NULL, not NaN.
+    *
+    * Output: one row (n_pos, n_neg, u2, auc).
+    */
+  def rocAuc(df: DataFrame, score: Column, isPos: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(score.as("s"), isPos.cast("long").as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("npos"), sum(lit(1L) - col("p")).as("nneg"))
+    val parts = byScore.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = W.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wOff = W.orderBy(col("pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offTable = parts.groupBy(col("pid"))
+      .agg(sum(col("nneg")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    parts
+      .withColumn("cneg_end", sum(col("nneg")).over(wLocal))
+      .join(broadcast(offTable), "pid")
+      .withColumn("neg_below", col("offset") + col("cneg_end") - col("nneg"))
+      .agg(
+        sum(col("npos")).as("n_pos"),
+        sum(col("nneg")).as("n_neg"),
+        sum(col("npos") * (lit(2L) * col("neg_below") + col("nneg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Reliability diagram for a score in [0, 1] against a boolean outcome:
+    * fixed-width bins (score 1.0 folds into the top bin), per-bin support,
+    * positive rate, mean score, and the |mean score − positive rate|
+    * calibration gap whose support-weighted sum is ECE.
+    *
+    * Shape: one keyed aggregation — bins are the only key, so partial
+    * aggregation combines map-side and nothing corpus-sized shuffles. The
+    * mean score folds decimal(38,18) (Num.dsum38) so the per-bin average is
+    * partition-order independent; rates are exact-integer ratios with one
+    * final double division each.
+    */
+  def calibrationBins(df: DataFrame, score: Column, isPos: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two calibration bins")
+    df.select(score.as("s"), isPos.cast("long").as("p"))
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("p")).as("n_pos"),
+        Num.dsum38(col("s")).as("sum_s"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs")).as("pos_rate"),
+        (col("sum_s") / col("n_docs")).as("avg_score"))
+      .withColumn("gap", abs(col("avg_score") - col("pos_rate")))
+  }
 }

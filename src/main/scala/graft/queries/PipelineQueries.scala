@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Hashing, Media, Sampling, Select, Text}
+import graft.ops.{Dedup, Hashing, Media, Num, Sampling, Select, Stats, Text}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation queries: deterministic splits, per-group sampling,
@@ -1136,6 +1136,68 @@ object PipelineQueries {
            |       WHEN a.doc_id IS NULL THEN 'added'
            |       ELSE 'changed' END AS status
            |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-           |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.m <> b.m""".stripMargin))
+           |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.m <> b.m""".stripMargin)),
+
+    // Exact ROC-AUC of the composite quality score as a detector for
+    // English documents — the classifier-evaluation primitive every scoring
+    // gate needs (does the cheap score actually separate the target
+    // class?). Tie-corrected Mann-Whitney over the per-distinct-score
+    // frame; u2 is pure integer arithmetic so the one final division is the
+    // only float op (bit-identical cross-engine). The oracle replays the
+    // identical doubled statistic with a plain window cumsum.
+    QueryDef(
+      "q250_quality_auc",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.rocAuc(docs, Text.qualityScore(col("text")), col("lang") === "en")
+      },
+      Some(s"""WITH q AS (
+           |  SELECT ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |g AS (
+           |  SELECT s, CAST(SUM(p) AS BIGINT) AS npos,
+           |    CAST(SUM(1 - p) AS BIGINT) AS nneg
+           |  FROM q GROUP BY 1),
+           |c AS (
+           |  SELECT s, npos, nneg,
+           |    CAST(COALESCE(SUM(nneg) OVER (ORDER BY s ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS neg_below
+           |  FROM g)
+           |SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+           |  CAST(SUM(nneg) AS BIGINT) AS n_neg,
+           |  CAST(SUM(npos * (2 * neg_below + nneg)) AS BIGINT) AS u2,
+           |  CASE WHEN SUM(npos) = 0 OR SUM(nneg) = 0 THEN NULL
+           |    ELSE CAST(SUM(npos * (2 * neg_below + nneg)) AS DOUBLE)
+           |      / (2.0 * SUM(npos) * SUM(nneg)) END AS auc
+           |FROM c""".stripMargin)),
+
+    // Reliability diagram of the quality score against the same
+    // English-document outcome: per fixed-width bin, support, positive
+    // rate, decimal-exact mean score, and the calibration gap whose
+    // support-weighted sum is ECE. One keyed aggregation — the evaluation
+    // companion to q250's ranking view.
+    QueryDef(
+      "q251_quality_calibration",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.calibrationBins(docs, Text.qualityScore(col("text")),
+          col("lang") === "en", bins = 10)
+      },
+      Some(s"""WITH q AS (
+           |  SELECT ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |b AS (
+           |  SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin,
+           |    COUNT(*) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pos,
+           |    ${Num.duckDsum38("s")} AS sum_s
+           |  FROM q GROUP BY 1)
+           |SELECT bin, n_docs, n_pos,
+           |  CAST(n_pos AS DOUBLE) / n_docs AS pos_rate,
+           |  sum_s / n_docs AS avg_score,
+           |  ABS(sum_s / n_docs - CAST(n_pos AS DOUBLE) / n_docs) AS gap
+           |FROM b""".stripMargin))
   )
 }
