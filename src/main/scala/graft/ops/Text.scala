@@ -1560,6 +1560,41 @@ object Text {
     per.unionByName(union)
   }
 
+  /** The MAINTAINED variant of [[shingleHllReport]]: the per-group shingle
+    * sketches are built per id-shard ([[HllIndex.build]] on each
+    * `pmod(id, shards)` slice — the micro-batch / daily-drop shape) and
+    * folded through [[HllIndex.merge]], so the distinct-count table never
+    * rescans absorbed rows. HLL union is a register-wise max, so the merged
+    * table answers EXACTLY like a from-scratch rebuild (HllIndexSpec pins
+    * estimate equality; here the q125 discipline keeps the query
+    * hash-checkable: exact counts + within_bound verdicts, with n_rows the
+    * exact shingle-row count riding along as a second checkable surface).
+    *
+    * Output: (scope, n_rows, exact_distinct, within_bound) per group plus
+    * the `__union__` row folded from stored sketches alone.
+    */
+  def shingleHllMaintainedReport(df: DataFrame, id: Column, text: Column,
+      group: Column, n: Int, shards: Int = 3, lgK: Int = 12,
+      relErr: Double = 0.05): DataFrame = {
+    require(shards >= 2, "a maintained table needs at least two shards")
+    val rows = Dedup.spreadBy(df, id)
+      .select(pmod(id, lit(shards)).as("shard"), group.as("grp"),
+        explode(shingles(text, n)).as("sh"))
+      .localCheckpoint()
+    val tables = (0 until shards).map(i =>
+      HllIndex.build(rows.where(col("shard") === i), col("grp"), col("sh"), lgK))
+    val est = HllIndex.estimates(HllIndex.merge(tables))
+    val exactPer = rows.groupBy(col("grp").cast("string").as("scope"))
+      .agg(count_distinct(col("sh")).as("exact_distinct"))
+    val exactUnion = rows
+      .agg(count_distinct(col("sh")).as("exact_distinct"))
+      .select(lit("__union__").as("scope"), col("exact_distinct"))
+    est.join(exactPer.unionByName(exactUnion), "scope")
+      .select(col("scope"), col("n_rows"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct").cast("double")) <=
+          lit(relErr) * col("exact_distinct").cast("double")).as("within_bound"))
+  }
+
   // -------------------------------------------------------------------------
   // Line hygiene (C4-style rules + within-document line dedup)
   // -------------------------------------------------------------------------
@@ -1779,4 +1814,140 @@ object Text {
     MojibakePairs.foldLeft(e) { case (acc, (m, f)) =>
       s"replace($acc, ${duckChr(m)}, ${duckChr(f)})"
     }
+
+  /** Per-document token-distribution Shannon entropy — the
+    * information-density member of the quality family (a gibberish doc that
+    * repeats one token scores ~0; templated boilerplate scores low; natural
+    * prose scores near ln(distinct)). H = ln(N) − (Σ n·ln n)/N from exact
+    * integer token counts; norm_entropy = H/ln(D) (0 when D = 1, so
+    * single-token docs read "zero diversity", not NULL).
+    *
+    * Shape: one explode + one (doc_id, token) aggregation + one doc_id
+    * aggregation — tokens cross the shuffle once, with map-side combine on
+    * both. The Σ n·ln n fold is decimal(38,18) (Num.dsum38) so the per-doc
+    * sum is partition-order independent; every other float op is a fixed
+    * per-row expression written identically in the oracle. Docs with zero
+    * (length-filtered) tokens emit nothing in either engine.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(filter(tokens(text),
+      w => length(w) > 0)).as("w"))
+    toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        Num.dsum38(col("n").cast("double") * log(col("n").cast("double")))
+          .as("sum_nlnn"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        (log(col("n_tok").cast("double")) - col("sum_nlnn") / col("n_tok"))
+          .as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1L,
+          col("entropy") / log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB twin of [[tokenEntropy]] over table `tbl(idCol, textCol)`. */
+  def duckTokenEntropy(tbl: String, idCol: String, textCol: String): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id, unnest(list_filter(
+       |    string_split_regex($textCol, '\\s+'), w -> length(w) > 0)) AS w
+       |  FROM $tbl),
+       |cnt AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+       |    COUNT(*) AS n_distinct,
+       |    ${Num.duckDsum38("CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))")}
+       |      AS sum_nlnn
+       |  FROM cnt GROUP BY 1)
+       |SELECT doc_id, n_tok, n_distinct,
+       |  ln(CAST(n_tok AS DOUBLE)) - sum_nlnn / n_tok AS entropy,
+       |  CASE WHEN n_distinct > 1
+       |    THEN (ln(CAST(n_tok AS DOUBLE)) - sum_nlnn / n_tok)
+       |      / ln(CAST(n_distinct AS DOUBLE))
+       |    ELSE 0.0 END AS norm_entropy
+       |FROM agg""".stripMargin
+
+  /** Skip-gram PMI pairs — the word2vec-era co-occurrence statistic that
+    * seeds embedding vocabularies and collocation dictionaries: for ordered
+    * token pairs within a ±`window` skip-gram, pmi = ln P(a,b) − ln P(a)
+    * − ln P(b) with P(a,b) = c_ab/T over pair emissions and P(·) = c/N over
+    * token occurrences.
+    *
+    * Shape: pair EMISSION is a pure per-row HOF (positions i, i+d inside
+    * each doc's own token array — no positional self-join, no shuffle
+    * before the count), so pair volume is ≤ window·N rows of two tokens
+    * each. Unigram and total frames are vocab-sized / 1-row; totals ride
+    * in as 1-row broadcast crossJoins and the two unigram attaches are
+    * vocab-keyed joins. Top-k is orderBy+limit (TakeOrderedAndProject, no
+    * global sort). All counts are exact longs; pmi is ONE fixed-order
+    * expression over their logs, written identically in the oracle (whose
+    * replay is the relational positional join over the same positions).
+    */
+  def skipgramPmiPairs(df: DataFrame, id: Column, text: Column,
+      window: Int = 2, minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(window >= 1, "skip-gram window must be at least 1")
+    val t = filter(tokens(text), w => length(w) > 0)
+    val base = df.select(id.as("doc_id"), t.as("t")).localCheckpoint()
+    val pairsCol = flatten(transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => transform(
+        sequence(lit(1), least(lit(window), size(col("t")) - i)),
+        d => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + d).as("b")))))
+    val pairs = base.where(size(col("t")) >= 2)
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val tPairs = pairs.agg(sum(col("c_ab")).as("t_pairs"))
+    pairs.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(tPairs))
+      .select(col("a"), col("b"), col("c_ab"),
+        (log(col("c_ab").cast("double")) - log(col("t_pairs").cast("double"))
+          - log(col("c_a").cast("double")) - log(col("c_b").cast("double"))
+          + lit(2.0) * log(col("n_tok").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[skipgramPmiPairs]]: the relational positional-join
+    * replay of the per-row pair emission (same (i, i+d) pairs, d in
+    * [1, window]).
+    */
+  def duckSkipgramPmiPairs(tbl: String, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 5L, topK: Int = 50): String =
+    s"""WITH t0 AS (
+       |  SELECT $idCol AS doc_id, list_filter(
+       |    string_split_regex($textCol, '\\s+'), w -> length(w) > 0) AS t
+       |  FROM $tbl),
+       |pos AS (
+       |  SELECT doc_id, i, t[i] AS w
+       |  FROM t0, UNNEST(range(1, len(t) + 1)) AS r(i)),
+       |pairs AS (
+       |  SELECT p1.w AS a, p2.w AS b, COUNT(*) AS c_ab
+       |  FROM pos p1 JOIN pos p2
+       |    ON p1.doc_id = p2.doc_id AND p2.i - p1.i BETWEEN 1 AND $window
+       |  GROUP BY 1, 2),
+       |uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+       |tp AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS t_pairs FROM pairs)
+       |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       |  ln(CAST(c_ab AS DOUBLE)) - ln(CAST(t_pairs AS DOUBLE))
+       |    - ln(CAST(ua.c AS DOUBLE)) - ln(CAST(ub.c AS DOUBLE))
+       |    + 2.0 * ln(CAST(n_tok AS DOUBLE)) AS pmi
+       |FROM pairs
+       |JOIN uni ua ON ua.w = a JOIN uni ub ON ub.w = b
+       |CROSS JOIN nt CROSS JOIN tp
+       |WHERE c_ab >= $minCount
+       |ORDER BY pmi DESC, a ASC, b ASC
+       |LIMIT $topK""".stripMargin
 }

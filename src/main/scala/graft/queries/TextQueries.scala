@@ -1466,7 +1466,64 @@ object TextQueries {
            |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
            |  CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
            |  CAST(SUM(oov) AS BIGINT) AS n_oov
-           |FROM j GROUP BY doc_id""".stripMargin))
+           |FROM j GROUP BY doc_id""".stripMargin)),
+
+    // Per-document token-distribution entropy: the information-density
+    // quality signal (repetitive/templated docs score low regardless of
+    // length — a dimension the ratio-based q41 score can't see). Exact
+    // integer counts; the Σ n·ln n fold is decimal-exact, so the per-doc
+    // entropy is partition-order independent and bit-identical cross-engine.
+    QueryDef(
+      "q252_token_entropy",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.tokenEntropy(docs, col("doc_id"), col("text"))
+      },
+      Some(Text.duckTokenEntropy("documents", "doc_id", "text"))),
+
+    // Skip-gram PMI collocations: top-50 ordered token pairs within a ±2
+    // window by pointwise mutual information — the co-occurrence statistic
+    // that seeds embedding vocabularies and collocation dictionaries. Pair
+    // emission is a pure per-row HOF over each doc's own token array (no
+    // positional self-join); the oracle replays it as the relational
+    // positional join over the same (i, i+d) positions.
+    QueryDef(
+      "q253_pmi_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.skipgramPmiPairs(docs, col("doc_id"), col("text"))
+      },
+      Some(Text.duckSkipgramPmiPairs("documents", "doc_id", "text"))),
+
+    // MAINTAINED HLL sketch table: the q125 per-source distinct-count
+    // sketches built per id-shard (the micro-batch shape) and folded
+    // through HllIndex.merge — register-wise max, so the maintained table
+    // answers exactly like a rebuild (estimate equality spec-pinned) and
+    // absorbed rows are never rescanned. The q125 discipline keeps it
+    // hash-checkable: exact counts + within_bound verdicts, with the exact
+    // shingle-row count as a second checkable surface.
+    QueryDef(
+      "q255_hll_table_merge",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.shingleHllMaintainedReport(docs, col("doc_id"), col("text"),
+          col("source"), n = 3, shards = 3)
+      },
+      Some("""WITH sr AS (
+           |  SELECT scope, unnest(shingles) AS sh FROM (
+           |    SELECT source AS scope,
+           |      CASE WHEN len(toks) >= 3
+           |           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+           |                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           |           ELSE [] END AS shingles
+           |    FROM (SELECT source, string_split_regex(text, '\s+') AS toks FROM documents)))
+           |SELECT scope, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS exact_distinct,
+           |  TRUE AS within_bound
+           |FROM sr GROUP BY scope
+           |UNION ALL
+           |SELECT '__union__', CAST(COUNT(*) AS BIGINT),
+           |  CAST(COUNT(DISTINCT sh) AS BIGINT), TRUE FROM sr""".stripMargin))
   )
 
   // -------------------------------------------------------------------------
