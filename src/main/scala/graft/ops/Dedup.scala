@@ -1382,4 +1382,61 @@ object Dedup {
         (abs(est - coalesce(col("n_unique"), lit(0L)).cast("double")) <= bound)
           .as("within_bound"))
   }
+
+  /** Content-defined chunking (the rolling-hash boundary idea behind
+    * rsync/LBFS/FastCDC, here with the repo's content hash as the window
+    * fingerprint): a cut lands BEFORE every position whose `w`-char window
+    * hashes to 0 mod `mask`, so chunk boundaries are a pure function of
+    * LOCAL content — insert a paragraph and only the chunks it touches
+    * change, while a fixed-width grid would shift every later chunk (the
+    * property that makes chunk-level dedup robust to edits; the q141
+    * fixed-frame fingerprints are the contrast case).
+    *
+    * Per-doc work is a pure per-row HOF chain (positions → cut filter →
+    * span assembly), one hash per position — no shuffle until the chunk
+    * rows explode. Output: (doc_id, idx, st, chunk_len, chunk_md5), one row
+    * per chunk; a doc shorter than `w`+1 chars is one whole-doc chunk.
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column, w: Int = 8,
+      mask: Int = 64): DataFrame = {
+    require(w >= 2 && mask >= 2, "window and mask must be at least 2")
+    val t = text.cast("string")
+    val len = length(t)
+    // cut positions: i in [2, len-w+1] with hash60(window at i) % mask == 0
+    // (i = 1 is excluded so the first chunk is never empty)
+    val cuts = when(len >= w + 1,
+      filter(sequence(lit(2), len - (w - 1)), i =>
+        pmod(Hashing.hash60(t.substr(i, lit(w))), lit(mask.toLong)) === 0L))
+      .otherwise(array().cast("array<int>"))
+    val base = df.select(id.as("doc_id"), t.as("text"), cuts.as("cuts"))
+    val starts = concat(array(lit(1)), col("cuts"))
+    val ends = concat(transform(col("cuts"), c => c - 1),
+      array(length(col("text"))))
+    base
+      .select(col("doc_id"), col("text"),
+        posexplode(zip_with(starts, ends, (s, e) => struct(s.as("st"), e.as("en")))))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"),
+        col("col.st").as("st"),
+        (col("col.en") - col("col.st") + 1).cast("long").as("chunk_len"),
+        md5(col("text").substr(col("col.st"),
+          col("col.en") - col("col.st") + 1)).as("chunk_md5"))
+  }
+
+  /** Cross-document duplicate-chunk report over [[cdcChunks]]: the storage
+    * dedup ledger — for every chunk content seen more than once, its
+    * occurrence count, distinct-document spread, length, and the bytes a
+    * content-addressed store would save. One (chunk_md5)-keyed aggregation
+    * (32-hex keys + two longs through the shuffle, never chunk text); top-k
+    * is TakeOrderedAndProject. md5 collisions merge ledger lines at
+    * ~2^-64/pair — the q124 stance.
+    */
+  def cdcDupReport(chunks: DataFrame, topK: Int = 100): DataFrame =
+    chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"))
+      .where(col("n_occ") >= 2)
+      .withColumn("bytes_saved", (col("n_occ") - 1) * col("chunk_len"))
+      .orderBy(col("n_occ").desc, col("chunk_md5").asc)
+      .limit(topK)
 }

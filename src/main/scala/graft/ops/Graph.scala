@@ -125,4 +125,48 @@ object Graph {
     }
     r
   }
+
+  /** k-core decomposition (bounded peel): repeatedly delete vertices of
+    * degree < k until none remain; what survives is the maximal subgraph
+    * with minimum degree ≥ k — the standard "dense cohesive core" filter
+    * that strips kNN-graph tendrils before community analysis.
+    *
+    * The peel is a driver loop of `maxRounds` BOUNDED iterations: each
+    * round is one (id)-keyed degree aggregation + two semi joins, frames
+    * carry bare id pairs, and every round localCheckpoints (the PageRank
+    * pacing). The fixpoint is reached when a round deletes nothing; extra
+    * rounds past the fixpoint are no-ops, so a `maxRounds` large enough to
+    * converge (GraphSpec pins convergence on the catalog graph; peel depth
+    * is bounded by the graph's degeneracy ordering length, tiny for kNN
+    * graphs whose degree is capped by the k of the kNN) makes the result
+    * the true k-core regardless of the exact count. Early-exits when a
+    * round leaves the edge count unchanged.
+    *
+    * Input: undirected edges (id_a, id_b), one row per edge. Output:
+    * (id, deg) for core members, deg = degree WITHIN the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be positive")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    var nEdges = e.count()
+    var done = nEdges == 0L
+    var round = 0
+    while (!done && round < maxRounds) {
+      val alive = degrees(e).where(col("deg") >= k).select(col("id"))
+        .localCheckpoint()
+      e = e
+        .join(alive.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(alive.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val n = e.count()
+      done = n == nEdges || n == 0L
+      nEdges = n
+      round += 1
+    }
+    degrees(e)
+  }
 }

@@ -577,4 +577,39 @@ object Sampling {
         sum(pmod(Hashing.hash60(col("doc_id").cast("string")),
           lit(1000000007L))).as("checksum"))
       .orderBy(col("shard").asc)
+
+  /** DURABLE per-key sample table — [[perGroupSample]] as a maintained
+    * artifact: each key keeps its k members with the smallest (hash, id)
+    * priority. "k smallest by a fixed total order" is a SEMILATTICE merge
+    * (idempotent, commutative, associative: union any shard tables and
+    * re-elect), so the table maintains incrementally with no ordering
+    * contract and no rescan of absorbed rows — new docs compete against the
+    * k stored rows per key, never against history. Re-absorbing a shard is
+    * a no-op (the at-least-once property, like [[HllIndex]] — and unlike
+    * additive count tables, where double-absorption double-counts).
+    *
+    * Output: (key, doc_id, h). Shards are id-disjoint in normal operation;
+    * merge is correct regardless because the election dedups nothing — a
+    * duplicated (key, doc_id) row would elect once only if exact-duplicate
+    * rows are first dropped, which id-disjoint shards make unnecessary.
+    */
+  def sampleTable(df: DataFrame, key: Column, id: Column, k: Int,
+      salt: String = "sample"): DataFrame = {
+    val h = Hashing.hash60(concat(lit(salt + "-"), id.cast("string")))
+    electTopK(df.select(key.as("key"), id.as("doc_id"), h.as("h")), k)
+  }
+
+  /** Merge sample-table shards: union + re-election. */
+  def sampleTableMerge(shards: Seq[DataFrame], k: Int): DataFrame = {
+    require(shards.nonEmpty, "merge needs at least one sample shard")
+    electTopK(shards.reduce(_ unionByName _), k)
+  }
+
+  private def electTopK(t: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc, col("doc_id").asc)
+    t.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

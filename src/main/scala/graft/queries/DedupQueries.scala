@@ -1411,7 +1411,54 @@ object DedupQueries {
            |FROM inter
            |JOIN sizes sa ON sa.id = id_a
            |JOIN sizes sb ON sb.id = id_b
-           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6""".stripMargin))
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6""".stripMargin)),
+
+    // Content-defined chunk dedup: rolling-window cut points (hash of each
+    // 8-char window, cut where ≡ 0 mod 64 — boundaries are a pure function
+    // of LOCAL content, so an edit only re-chunks its neighborhood) and the
+    // cross-document duplicate-chunk ledger a content-addressed store would
+    // dedupe on. Cut detection is a per-row HOF chain, one hash per
+    // position; only (md5, longs) rows shuffle. The oracle replays the
+    // identical positions relationally (md5 computed once per position via
+    // the fold-hex-col fast path).
+    QueryDef(
+      "q254_cdc_chunk_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.cdcDupReport(
+          Dedup.cdcChunks(docs, col("doc_id"), col("text"), w = 8, mask = 64))
+      },
+      Some(s"""WITH d AS (
+           |  SELECT doc_id, text, length(text) AS l FROM documents),
+           |pos AS (
+           |  SELECT doc_id, i, md5(substr(text, i, 8)) AS m
+           |  FROM d, unnest(range(2, GREATEST(l - 6, 2))) AS r(i)),
+           |cuts AS (
+           |  SELECT doc_id, i FROM pos
+           |  WHERE ${Hashing.duckFoldHexCol("m")} % 64 = 0),
+           |starts AS (
+           |  SELECT doc_id, 1 AS st FROM d
+           |  UNION ALL SELECT doc_id, i FROM cuts),
+           |spans AS (
+           |  SELECT doc_id, st,
+           |    LEAD(st) OVER (PARTITION BY doc_id ORDER BY st) - 1 AS en
+           |  FROM starts),
+           |chunks AS (
+           |  SELECT sp.doc_id,
+           |    CAST(COALESCE(sp.en, dd.l) - sp.st + 1 AS BIGINT) AS chunk_len,
+           |    md5(substr(dd.text, sp.st, COALESCE(sp.en, dd.l) - sp.st + 1))
+           |      AS chunk_md5
+           |  FROM spans sp JOIN d dd USING (doc_id)),
+           |rep AS (
+           |  SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |    CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+           |  FROM chunks GROUP BY 1)
+           |SELECT chunk_md5, n_occ, n_docs, chunk_len,
+           |  (n_occ - 1) * chunk_len AS bytes_saved
+           |FROM rep WHERE n_occ >= 2
+           |ORDER BY n_occ DESC, chunk_md5 ASC
+           |LIMIT 100""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

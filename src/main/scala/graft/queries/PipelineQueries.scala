@@ -1138,6 +1138,31 @@ object PipelineQueries {
            |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
            |WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.m <> b.m""".stripMargin)),
 
+    // DURABLE per-key sample table, maintenance path: the per-source
+    // k-smallest-(hash, id) sample built on three id-shards separately and
+    // merged (union + re-election — a semilattice, so merge == rebuild
+    // exactly and re-absorbing a shard is a no-op). The oracle is the
+    // one-shot election over the whole corpus: hash-match proves the
+    // incrementally-maintained sample IS the full sample.
+    QueryDef(
+      "q256_sample_table_merge",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val shards = (0 until 3).map(i =>
+          Sampling.sampleTable(docs.where(pmod(col("doc_id"), lit(3)) === i),
+            col("source"), col("doc_id"), k = 10))
+        Sampling.sampleTableMerge(shards, k = 10)
+      },
+      Some {
+        val h = Hashing.duckHash60("('sample-' || CAST(doc_id AS VARCHAR))")
+        s"""SELECT key, doc_id, h FROM (
+           |  SELECT source AS key, doc_id, $h AS h,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY $h ASC, doc_id ASC) AS rn
+           |  FROM documents)
+           |WHERE rn <= 10""".stripMargin
+      }),
+
     // Exact ROC-AUC of the composite quality score as a detector for
     // English documents — the classifier-evaluation primitive every scoring
     // gate needs (does the cheap score actually separate the target

@@ -2410,6 +2410,131 @@ object RelationalQueries {
            |  CAST(SUM(CAST(fill_days AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
            |    AS avg_fill_days,
            |  CAST(MAX(fill_days) AS BIGINT) AS max_fill_days
-           |FROM fill GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM fill GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Revenue concentration per nation: the exact Gini coefficient of
+    // customer revenue — the inequality statistic for a mixture curator
+    // ("is this market three whales or a thousand minnows?"). Per-customer
+    // revenue folds decimal-exact; the rank is a nation-keyed window (never
+    // global) with the custkey tiebreak making it total; Σ rank·revenue
+    // stays decimal until the one fixed-form double expression. Formula:
+    // G = 2·Σ(rn·x) / (n·Σx) − (n+1)/n over ascending ranks.
+    QueryDef(
+      "q257_nation_revenue_gini",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("rev"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nation = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val base = rev
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("c_custkey").as("ck"),
+            col("rev"))
+        val w = Window.partitionBy(col("nation"))
+          .orderBy(col("rev").asc, col("ck").asc)
+        base.withColumn("rn", row_number().over(w))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev")).as("s"),
+            sum(col("rn") * col("rev")).as("wsum"))
+          .select(col("nation"), col("n_customers"),
+            col("s").cast("double").as("total_rev"),
+            ((lit(2.0) * col("wsum").cast("double")) /
+              (col("n_customers").cast("double") * col("s").cast("double")) -
+              (col("n_customers") + 1).cast("double") /
+                col("n_customers").cast("double")).as("gini"))
+          .orderBy(col("nation").asc)
+      },
+      Some("""WITH rev AS (
+           |  SELECT o_custkey,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           |      AS rev
+           |  FROM orders GROUP BY 1),
+           |base AS (
+           |  SELECT n_name AS nation, c_custkey AS ck, rev
+           |  FROM rev
+           |  JOIN customer ON c_custkey = o_custkey
+           |  JOIN nation ON n_nationkey = c_nationkey),
+           |r AS (
+           |  SELECT nation, rev,
+           |    row_number() OVER (PARTITION BY nation
+           |      ORDER BY rev ASC, ck ASC) AS rn
+           |  FROM base)
+           |SELECT nation, COUNT(*) AS n_customers,
+           |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           |  (2.0 * CAST(SUM(rn * rev) AS DOUBLE))
+           |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+           |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS gini
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Winsorized robust mean: per-brand part price clipped at the exact
+    // nearest-rank p05/p95 (klo = ⌈n/20⌉, khi = ⌈19n/20⌉ — the q153 ceil
+    // convention) then decimal-mean'd — the outlier-robust location
+    // estimate beside q33's dispersion stats. Ranks are brand-keyed
+    // windows; the cut values come from one conditional aggregation (the
+    // rank-klo row), never a sort-and-collect.
+    QueryDef(
+      "q258_winsorized_price",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+          .select(col("p_brand").as("brand"), col("p_partkey").as("pk"),
+            col("p_retailprice").cast("decimal(15,2)").as("x"))
+        val wr = Window.partitionBy(col("brand"))
+          .orderBy(col("x").asc, col("pk").asc)
+        val wn = Window.partitionBy(col("brand"))
+        val ranked = p
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(wn))
+          .localCheckpoint()
+        val bounds = ranked.groupBy(col("brand"))
+          .agg(
+            min(when(col("rn") === floor((col("n") + lit(19)) / lit(20.0)),
+              col("x"))).as("lo"),
+            min(when(col("rn") === floor((col("n") * 19 + lit(19)) / lit(20.0)),
+              col("x"))).as("hi"))
+        ranked.join(broadcast(bounds), "brand")
+          .withColumn("cx",
+            when(col("x") < col("lo"), col("lo"))
+              .when(col("x") > col("hi"), col("hi"))
+              .otherwise(col("x")))
+          .groupBy(col("brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+            (Num.dsum(col("cx"), 2) / count(lit(1))).as("wins_mean"),
+            (Num.dsum(col("x"), 2) / count(lit(1))).as("raw_mean"))
+          .orderBy(col("brand").asc)
+      },
+      Some(s"""WITH p AS (
+           |  SELECT p_brand AS brand, p_partkey AS pk,
+           |    CAST(p_retailprice AS DECIMAL(15,2)) AS x
+           |  FROM part),
+           |r AS (
+           |  SELECT brand, x,
+           |    row_number() OVER (PARTITION BY brand ORDER BY x ASC, pk ASC)
+           |      AS rn,
+           |    COUNT(*) OVER (PARTITION BY brand) AS n
+           |  FROM p),
+           |b AS (
+           |  SELECT brand,
+           |    MIN(CASE WHEN rn = FLOOR((n + 19) / 20.0) THEN x END) AS lo,
+           |    MIN(CASE WHEN rn = FLOOR((n * 19 + 19) / 20.0) THEN x END) AS hi
+           |  FROM r GROUP BY 1),
+           |c AS (
+           |  SELECT r.brand,
+           |    CASE WHEN r.x < b.lo THEN b.lo
+           |         WHEN r.x > b.hi THEN b.hi
+           |         ELSE r.x END AS cx,
+           |    r.x, b.lo, b.hi
+           |  FROM r JOIN b ON b.brand = r.brand)
+           |SELECT brand, COUNT(*) AS n_parts, MIN(lo) AS lo, MIN(hi) AS hi,
+           |  ${Num.duckDsum("cx", 2)} / COUNT(*) AS wins_mean,
+           |  ${Num.duckDsum("x", 2)} / COUNT(*) AS raw_mean
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

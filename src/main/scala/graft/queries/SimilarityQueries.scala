@@ -317,6 +317,52 @@ object SimilarityQueries {
            |FROM ne CROSS JOIN wd CROSS JOIN tri""".stripMargin),
       bench = false),
 
+    // 2-core of the mutual-kNN graph: the dense-cohesion filter that
+    // strips tendrils (degree-1 chains) before community analysis —
+    // survivors have ≥ 2 in-core neighbors. BOTH engines run the
+    // identical 12-round bounded peel (engine rounds == oracle's unrolled
+    // CTE rounds), so the hash-match is unconditional; at the catalog SFs
+    // the peel reaches its fixpoint well inside 12 rounds (GraphSpec pins
+    // convergence with closed-form planted graphs), making the residue
+    // the true 2-core. Ground truth edges are q148's quadratic exact kNN,
+    // hence bench=false.
+    QueryDef(
+      "q259_knn_kcore",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.kCore(graft.ops.Graph.mutualEdges(topk), k = 2,
+          maxRounds = 12)
+      },
+      Some {
+        val rounds = (1 to 12).map { r =>
+          s"""d$r AS MATERIALIZED (
+             |  SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT id_a AS id FROM e${r - 1}
+             |    UNION ALL SELECT id_b FROM e${r - 1}) s$r GROUP BY 1),
+             |a$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 2),
+             |e$r AS MATERIALIZED (
+             |  SELECT id_a, id_b FROM e${r - 1}
+             |  WHERE id_a IN (SELECT id FROM a$r)
+             |    AND id_b IN (SELECT id FROM a$r))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |e0 AS MATERIALIZED (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |$rounds
+           |SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |  SELECT id_a AS id FROM e12
+           |  UNION ALL SELECT id_b FROM e12) fin GROUP BY 1""".stripMargin
+      },
+      bench = false),
+
     // PageRank centrality over the mutual-kNN graph: 10 damped iterations
     // with decimal-exact mass gathering and uniform dangling-mass
     // redistribution — the importance score a curator uses to pick cluster

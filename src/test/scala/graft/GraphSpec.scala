@@ -41,4 +41,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
     assert(stats(g) == ((4L, 5L, 1L, 0.6)))
   }
+
+  // --------------------------------------------------------------------
+  // k-core peel — closed-form fixtures
+  // --------------------------------------------------------------------
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 12): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("id_a", "id_b"), k, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("2-core of a path is empty (peels one vertex per end per round)") {
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(core(path, 2) == Map.empty[Long, Long])
+  }
+
+  test("2-core of a cycle is the cycle itself") {
+    val cycle = (0L until 5L).map(i => (i, (i + 1) % 5))
+    assert(core(cycle, 2) == (0L until 5L).map(_ -> 2L).toMap)
+  }
+
+  test("cycle + tendril: the tendril strips, the cycle stays") {
+    val cycle = (0L until 4L).map(i => (i, (i + 1) % 4))
+    val tendril = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val got = core(cycle ++ tendril, 2)
+    assert(got.keySet == (0L until 4L).toSet)
+    assert(got(1L) == 2L && got(0L) == 2L,
+      "in-core degree must not count the stripped tendril edge")
+  }
+
+  test("3-core: K4 survives, K4 + pendant triangle loses the triangle") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(core(k4, 3) == (0L to 3L).map(_ -> 3L).toMap)
+    // glue a triangle (3,10,11) onto vertex 3: its members have degree 2
+    // inside the triangle, so the 3-core is still just K4
+    val glued = k4 ++ Seq((3L, 10L), (3L, 11L), (10L, 11L))
+    assert(core(glued, 3) == (0L to 3L).map(_ -> 3L).toMap)
+  }
+
+  test("bounded peel converges: extra rounds are no-ops (fixpoint)") {
+    // a 20-path needs 10 rounds; at 12 rounds the result is the fixpoint
+    // and matches a much deeper peel exactly
+    val path = (0L until 20L).map(i => (i, i + 1))
+    val mixed = path ++ (100L until 105L).map(i => (i, if (i == 104L) 100L else i + 1))
+    assert(core(mixed, 2, rounds = 12) == core(mixed, 2, rounds = 30))
+  }
 }
