@@ -150,6 +150,65 @@ object Stats {
     finalizeMoments(shard).unionByName(finalizeMoments(total))
   }
 
+  /** Welch's two-sample t statistic for every group PAIR, from the same
+    * exact decimal moment sums the shard tables store — the
+    * experimentation read ("do these two sources really differ in X?")
+    * computed without ever co-shuffling the two groups' rows: the corpus
+    * reduces to #groups moment rows in ONE aggregation, and the pairing is
+    * a #groups² nested-loop join over that tiny frame (the 1-row
+    * stats-join discipline, squared). Sample variance, t, and the
+    * Welch–Satterthwaite df are fixed-form double expressions over the
+    * exact sums, written identically in the oracle. Groups need n ≥ 2.
+    *
+    * Output: (scope_a, scope_b, n_a, n_b, mean_a, mean_b, t, df),
+    * scope_a < scope_b.
+    */
+  def welchPairs(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val m = momentSums(df, value, group).where(col("n") > 1).localCheckpoint()
+    def side(sfx: String) = m.select(col("scope").as("scope_" + sfx),
+      col("n").as("n_" + sfx),
+      col("s1").cast("double").as("s1_" + sfx),
+      col("s2").cast("double").as("s2_" + sfx))
+    def mean(s: String) = col("s1_" + s) / col("n_" + s).cast("double")
+    def sv(s: String) =
+      (col("s2_" + s) - col("s1_" + s) * col("s1_" + s) /
+        col("n_" + s).cast("double")) / (col("n_" + s) - 1).cast("double")
+    val sa = sv("a") / col("n_a").cast("double")
+    val sb = sv("b") / col("n_b").cast("double")
+    val se2 = sa + sb
+    side("a").join(side("b"), col("scope_a") < col("scope_b"))
+      .select(col("scope_a"), col("scope_b"), col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        ((mean("a") - mean("b")) / sqrt(se2)).as("t"),
+        ((se2 * se2) / (sa * sa / (col("n_a") - 1).cast("double") +
+          sb * sb / (col("n_b") - 1).cast("double"))).as("df"))
+  }
+
+  /** Seasonal (hour-of-day) volume anomalies — the calendar-profile
+    * complement of [[volumeAnomalies]]' trailing window: each (type, day,
+    * hour-of-day) cell scores against the SAME hour on other days, so a
+    * nightly batch spike reads as normal at 02:00 and anomalous at 14:00.
+    * Input is the pre-aggregated (event_type, day, hod, n) cell frame (one
+    * keyed aggregation upstream — raw events never enter); the profile is
+    * #types × 24 rows of exact integer sums, broadcast back onto the
+    * cells. z arithmetic is the q238 fixed-form expression.
+    *
+    * Output: flagged cells (event_type, day, hod, n, z).
+    */
+  def seasonalAnomalies(cells: DataFrame, minDays: Int = 3,
+      zThresh: Double = 2.5): DataFrame = {
+    val prof = cells.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("sq"))
+    val mean = col("s").cast("double") / col("c")
+    val variance = col("sq").cast("double") / col("c") - mean * mean
+    cells.join(broadcast(prof), Seq("event_type", "hod"))
+      .where(col("c") >= minDays && variance > 0.0)
+      .withColumn("z", (col("n").cast("double") - mean) / sqrt(variance))
+      .where(abs(col("z")) >= zThresh)
+      .select(col("event_type"), col("day"), col("hod"), col("n"), col("z"))
+  }
+
   /** Exact ROC-AUC of a real-valued score against a boolean label, via the
     * tie-corrected Mann-Whitney rank statistic — the classifier-quality
     * metric for every scoring gate in the curation stack (NB filter,
@@ -201,6 +260,45 @@ object Stats {
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
           .otherwise(col("u2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Population Stability Index between a reference and a current sample
+    * over fixed-width score bins — the drift monitor a scoring gate runs
+    * before trusting last month's thresholds on this month's corpus
+    * (industry folklore: PSI < 0.1 stable, > 0.25 shifted). Laplace
+    * smoothing (+1 per observed bin) keeps every log finite without an
+    * epsilon hack; per-bin contributions are fixed-form double expressions
+    * over exact integer counts, and the total row folds them
+    * decimal-exactly. One keyed aggregation + a 1-row totals broadcast —
+    * the calibrationBins shuffle shape.
+    *
+    * Output: per-bin (bin, n_ref, n_cur, p_ref, p_cur, contrib) plus a
+    * bin = −1 total row whose contrib IS the PSI (p columns are 1.0
+    * placeholders there).
+    */
+  def psiBins(df: DataFrame, score: Column, isCur: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two PSI bins")
+    val b = df.select(
+      least(floor(score * bins), lit(bins - 1L)).cast("int").as("bin"),
+      isCur.cast("int").as("cur"))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
+      .localCheckpoint()
+    val tot = b.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pr = (col("n_ref") + 1).cast("double") / (col("tr") + bins).cast("double")
+    val pc = (col("n_cur") + 1).cast("double") / (col("tc") + bins).cast("double")
+    val withP = b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        pr.as("p_ref"), pc.as("p_cur"),
+        ((pc - pr) * log(pc / pr)).as("contrib"))
+      .localCheckpoint()
+    val total = withP
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        Num.dsum38(col("contrib")).as("contrib"))
+      .select(lit(-1).as("bin"), col("n_ref"), col("n_cur"),
+        lit(1.0).as("p_ref"), lit(1.0).as("p_cur"), col("contrib"))
+    withP.unionByName(total)
   }
 
   /** Reliability diagram for a score in [0, 1] against a boolean outcome:

@@ -1198,6 +1198,89 @@ object PipelineQueries {
            |      / (2.0 * SUM(npos) * SUM(nneg)) END AS auc
            |FROM c""".stripMargin)),
 
+    // Welch two-sample t for every SOURCE pair on document length — the
+    // experimentation read over the corpus mixture, computed from the same
+    // exact decimal moment sums the q144 shard tables store: the corpus
+    // reduces once to #sources moment rows; pairing is a nested loop over
+    // that tiny frame. t and the Welch–Satterthwaite df are fixed-form
+    // double expressions written identically in the oracle.
+    QueryDef(
+      "q261_source_welch_t",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.welchPairs(docs, Text.wordCount(col("text")), col("source"))
+      },
+      Some("""WITH m AS (
+           |  SELECT source AS scope, COUNT(*) AS n,
+           |    SUM(CAST(v AS DECIMAL(38,18))) AS s1,
+           |    SUM(CAST(v * v AS DECIMAL(38,18))) AS s2
+           |  FROM (SELECT source,
+           |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS v
+           |    FROM documents)
+           |  GROUP BY 1),
+           |p AS (
+           |  SELECT a.scope AS scope_a, b.scope AS scope_b,
+           |    a.n AS n_a, b.n AS n_b,
+           |    CAST(a.s1 AS DOUBLE) AS s1_a, CAST(a.s2 AS DOUBLE) AS s2_a,
+           |    CAST(b.s1 AS DOUBLE) AS s1_b, CAST(b.s2 AS DOUBLE) AS s2_b
+           |  FROM m a JOIN m b ON a.scope < b.scope
+           |  WHERE a.n > 1 AND b.n > 1),
+           |x AS (
+           |  SELECT scope_a, scope_b, n_a, n_b,
+           |    s1_a / CAST(n_a AS DOUBLE) AS mean_a,
+           |    s1_b / CAST(n_b AS DOUBLE) AS mean_b,
+           |    ((s2_a - s1_a * s1_a / CAST(n_a AS DOUBLE))
+           |      / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE) AS sa,
+           |    ((s2_b - s1_b * s1_b / CAST(n_b AS DOUBLE))
+           |      / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE) AS sb
+           |  FROM p)
+           |SELECT scope_a, scope_b, n_a, n_b, mean_a, mean_b,
+           |  (mean_a - mean_b) / sqrt(sa + sb) AS t,
+           |  ((sa + sb) * (sa + sb))
+           |    / (sa * sa / CAST(n_a - 1 AS DOUBLE)
+           |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
+           |FROM x""".stripMargin)),
+
+    // PSI drift between the even-id (reference) and odd-id (current)
+    // corpus halves over quality-score deciles — the scoring-gate drift
+    // monitor (PSI < 0.1 stable / > 0.25 shifted), Laplace-smoothed so
+    // every log is finite. Per-bin contributions are double expressions
+    // over exact counts; the bin = -1 total row folds them decimal-exactly
+    // into the PSI itself.
+    QueryDef(
+      "q263_quality_psi_drift",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.psiBins(docs, Text.qualityScore(col("text")),
+          pmod(col("doc_id"), lit(2)) === 1, bins = 10)
+      },
+      Some(s"""WITH q AS (
+           |  SELECT CAST(LEAST(FLOOR(${Text.duckQualityScore("text")} * 10), 9)
+           |      AS INT) AS bin,
+           |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS cur
+           |  FROM documents),
+           |b AS (
+           |  SELECT bin, CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+           |    CAST(SUM(cur) AS BIGINT) AS n_cur
+           |  FROM q GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+           |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM b),
+           |w AS (
+           |  SELECT bin, n_ref, n_cur,
+           |    CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p_ref,
+           |    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS p_cur
+           |  FROM b CROSS JOIN tot),
+           |c AS (
+           |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           |    (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+           |  FROM w)
+           |SELECT bin, n_ref, n_cur, p_ref, p_cur, contrib FROM c
+           |UNION ALL
+           |SELECT -1, CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+           |  1.0, 1.0, ${Num.duckDsum38("contrib")}
+           |FROM c""".stripMargin)),
+
     // Reliability diagram of the quality score against the same
     // English-document outcome: per fixed-width bin, support, positive
     // rate, decimal-exact mean score, and the calibration gap whose

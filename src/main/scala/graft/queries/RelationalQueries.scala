@@ -2025,6 +2025,44 @@ object RelationalQueries {
            |    / sqrt(CAST(sq AS DOUBLE) / c
            |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin)),
 
+    // Seasonal (hour-of-day) volume anomalies: each (type, day, hour) cell
+    // scores against the SAME hour on other days — the calendar-profile
+    // complement of q238's trailing-window z (a nightly batch spike is
+    // normal at 02:00, anomalous at 14:00). Day/hour keys are pure integer
+    // arithmetic on epoch micros (no timezone functions); the profile is
+    // #types × 24 rows of exact sums broadcast back onto the cells.
+    QueryDef(
+      "q262_seasonal_anomalies",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Stats.seasonalAnomalies(cells)
+      },
+      Some("""WITH cells AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2, 3),
+           |prof AS (
+           |  SELECT event_type, hod, COUNT(*) AS c,
+           |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS sq
+           |  FROM cells GROUP BY 1, 2)
+           |SELECT cells.event_type, day, cells.hod, n,
+           |  (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+           |    / sqrt(CAST(sq AS DOUBLE) / c
+           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c)) AS z
+           |FROM cells JOIN prof
+           |  ON prof.event_type = cells.event_type AND prof.hod = cells.hod
+           |WHERE c >= 3
+           |  AND CAST(sq AS DOUBLE) / c
+           |    - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c) > 0
+           |  AND abs((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+           |    / sqrt(CAST(sq AS DOUBLE) / c
+           |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin)),
+
     // SCD TYPE-2 dimension build — validity-interval history from a change
     // log (the warehouse pattern for slowly-changing attributes): each
     // customer's order-priority timeline collapses to rows where the
@@ -2535,6 +2573,57 @@ object RelationalQueries {
            |SELECT brand, COUNT(*) AS n_parts, MIN(lo) AS lo, MIN(hi) AS hi,
            |  ${Num.duckDsum("cx", 2)} / COUNT(*) AS wins_mean,
            |  ${Num.duckDsum("x", 2)} / COUNT(*) AS raw_mean
-           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DURABLE equi-width histogram table: per-returnflag price counters
+    // over a domain FROZEN on the base shard (the frozen-model
+    // discipline), built per shard and merged additively (the CMS
+    // maintenance class), then p50/p90 served from stored counters alone —
+    // quantiles with no rescan and no sort, at bin-width resolution.
+    // The oracle replays domain → bins → counters → cumulative pick
+    // relationally; MIN/MAX are deterministic, so the replayed doubles are
+    // bit-identical to the engine's frozen literals.
+    QueryDef(
+      "q260_hist_table_quantiles",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+            col("l_extendedprice").as("x"))
+        val base = li.where(pmod(col("ok"), lit(2)) === 0)
+        val delta = li.where(pmod(col("ok"), lit(2)) =!= 0)
+        val (lo, hi) = graft.ops.HistIndex.domain(base, col("x"))
+        val merged = graft.ops.HistIndex.merge(Seq(
+          graft.ops.HistIndex.build(base, col("rf"), col("x"), lo, hi, 32),
+          graft.ops.HistIndex.build(delta, col("rf"), col("x"), lo, hi, 32)))
+        graft.ops.HistIndex.quantiles(merged, lo, hi, 32, Seq(0.5, 0.9))
+      },
+      Some(s"""WITH li AS (
+           |  SELECT l_returnflag AS key, l_orderkey AS ok, l_extendedprice AS x
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT MIN(CAST(x AS DOUBLE)) AS lo,
+           |    (MAX(CAST(x AS DOUBLE)) - MIN(CAST(x AS DOUBLE))) / 32 AS width
+           |  FROM li WHERE ok % 2 = 0),
+           |h AS (
+           |  SELECT key,
+           |    ${graft.ops.HistIndex.duckBinOf("x", "b.lo", "b.width", 32)}
+           |      AS bin,
+           |    COUNT(*) AS cnt
+           |  FROM li CROSS JOIN b GROUP BY 1, 2),
+           |c AS (
+           |  SELECT key, bin, cnt,
+           |    CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum,
+           |    CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+           |  FROM h),
+           |qs(q) AS (VALUES (0.5), (0.9)),
+           |sel AS (
+           |  SELECT key, CAST(q AS DOUBLE) AS q, n, MIN(bin) AS bin
+           |  FROM c CROSS JOIN qs
+           |  WHERE cum >= CEIL(CAST(q AS DOUBLE) * n)
+           |  GROUP BY 1, 2, 3)
+           |SELECT key, q, n, b.lo + (bin + 1) * b.width AS est
+           |FROM sel CROSS JOIN b""".stripMargin))
   )
 }
