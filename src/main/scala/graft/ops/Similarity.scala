@@ -266,6 +266,40 @@ object Similarity {
     * never the vectors — and min_by aggregates with map-side combine, so the
     * exchange sees ~n rows. Output: (vid, cluster, d2).
     */
+  /** Centroid-silhouette audit of a trained quantizer — the clustering-
+    * quality read before trusting an IVF layout: per vector, a = distance
+    * to its own (nearest) centroid, b = distance to the runner-up, and
+    * silhouette = (b − a) / max(a, b) ∈ [0, 1] here since a ≤ b by
+    * construction (near 0 ⇒ the vector sits on a cluster boundary and
+    * nprobe=1 search will miss its neighbors; the k-dial diagnostic).
+    *
+    * Shape: the n×k distance rows carry (vid, clabel, d2) only — never
+    * vectors (centroids broadcast); the rank window is per-vid over k rows.
+    * Per-cluster means fold decimal-exactly. Output: (cluster, n,
+    * mean_sil).
+    */
+  def centroidSilhouette(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = df.select(id.as("vid"), vec.as("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vid"), col("clabel"), l2sq(col("vec"), col("carr")).as("d2"))
+    val w = W.partitionBy(col("vid")).orderBy(col("d2").asc, col("clabel").asc)
+    val per = d.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .groupBy(col("vid"))
+      .agg(min(when(col("rn") === 1, col("clabel"))).as("cluster"),
+        min(when(col("rn") === 1, col("d2"))).as("a2"),
+        min(when(col("rn") === 2, col("d2"))).as("b2"))
+    val sa = sqrt(col("a2"))
+    val sb = sqrt(col("b2"))
+    val sil = when(greatest(sa, sb) === 0.0, lit(0.0))
+      .otherwise((sb - sa) / greatest(sa, sb))
+    per.select(col("cluster"), sil.as("sil"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (Num.dsum38(col("sil")) / count(lit(1))).as("mean_sil"))
+  }
+
   def ivfAssign(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame =
     df.select(id.as("vid"), vec.as("vec"))
       .crossJoin(broadcast(centroids))

@@ -1458,7 +1458,77 @@ object DedupQueries {
            |  (n_occ - 1) * chunk_len AS bytes_saved
            |FROM rep WHERE n_occ >= 2
            |ORDER BY n_occ DESC, chunk_md5 ASC
-           |LIMIT 100""".stripMargin))
+           |LIMIT 100""".stripMargin)),
+
+    // Near-dup DETECTOR AGREEMENT matrix: the ensemble audit between the
+    // MinHash-LSH candidate pairs (q54, Jaccard-family recall) and the
+    // blocked SimHash pairs (q56, Hamming-family recall) — the operator a
+    // curator runs before trusting one detector alone, since the two
+    // families miss DIFFERENT near-dups (token-set overlap vs weighted-
+    // vector proximity). Both pair frames are already bucket-bounded; the
+    // agreement join keys on bare id pairs and the matrix reduces to ≤ 3
+    // rows. The oracle replays both chains side by side (simhash CTEs
+    // renamed to avoid colliding with the shingle chain).
+    QueryDef(
+      "q264_detector_agreement",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val mh = Dedup.lshCandidatePairs(
+          Dedup.lshBands(
+            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4),
+          maxBucket = Some(100))
+          .select(col("id_a"), col("id_b"), lit(true).as("in_minhash"))
+        val sh = Dedup.simhashNearDupBlocked(
+          Dedup.simhash(docs, col("doc_id"), col("text")), 3, numBlocks = 6)
+          .select(col("id_a"), col("id_b"), lit(true).as("in_simhash"))
+        mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+          .select(coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
+            coalesce(col("in_simhash"), lit(false)).as("in_simhash"))
+          .groupBy(col("in_minhash"), col("in_simhash"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2),
+           |ok_buckets AS (
+           |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+           |  HAVING COUNT(*) BETWEEN 2 AND 100),
+           |mpairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN bands b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig
+           |      AND a.doc_id < b.doc_id
+           |  JOIN ok_buckets ob
+           |    ON ob.band = a.band AND ob.band_sig = a.band_sig),
+           |stoks AS (
+           |  SELECT doc_id, ${Hashing.duckFoldHexCol("m")} AS th
+           |  FROM (SELECT doc_id, md5(tok) AS m FROM
+           |        (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents))),
+           |svotes AS (
+           |  SELECT doc_id, k,
+           |    SUM(CASE WHEN (th // (CAST(1 AS BIGINT) << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM stoks CROSS JOIN generate_series(0, 59) AS g(k)
+           |  GROUP BY 1, 2),
+           |ssh AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM svotes GROUP BY 1),
+           |spairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |agr AS (
+           |  SELECT COALESCE(m.in_m, FALSE) AS in_minhash,
+           |    COALESCE(sp.in_s, FALSE) AS in_simhash
+           |  FROM (SELECT id_a, id_b, TRUE AS in_m FROM mpairs) m
+           |  FULL OUTER JOIN (SELECT id_a, id_b, TRUE AS in_s FROM spairs) sp
+           |    ON sp.id_a = m.id_a AND sp.id_b = m.id_b)
+           |SELECT in_minhash, in_simhash, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |FROM agr GROUP BY 1, 2""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

@@ -363,6 +363,49 @@ object SimilarityQueries {
       },
       bench = false),
 
+    // Centroid-silhouette audit of the q67 k-means quantizer: per cluster,
+    // the mean (runner-up − own) / max margin — near-0 clusters sit on
+    // boundaries and will leak neighbors under nprobe=1 (the k-dial
+    // diagnostic a curator reads before freezing an IVF layout). Distance
+    // rows carry (vid, clabel, d2) only; the rank window is per-vid over k
+    // rows; per-cluster means fold decimal-exactly.
+    QueryDef(
+      "q265_kmeans_silhouette",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"),
+            k = 8, iters = 2)))
+        Similarity.centroidSilhouette(emb, col("vec_id"), col("embedding"), cents)
+      },
+      Some(s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 8, iters = 2)},
+           |sdist AS (
+           |  SELECT vec_id, clabel,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+           |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y) AS d2
+           |  FROM e CROSS JOIN cent2),
+           |two AS (
+           |  SELECT vec_id, clabel, d2,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2 ASC, clabel ASC) AS rn
+           |  FROM sdist),
+           |per AS (
+           |  SELECT vec_id,
+           |    MIN(CASE WHEN rn = 1 THEN clabel END) AS cluster,
+           |    MIN(CASE WHEN rn = 1 THEN d2 END) AS a2,
+           |    MIN(CASE WHEN rn = 2 THEN d2 END) AS b2
+           |  FROM two WHERE rn <= 2 GROUP BY 1),
+           |sil AS (
+           |  SELECT cluster,
+           |    CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+           |         ELSE (sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2))
+           |    END AS sil
+           |  FROM per)
+           |SELECT cluster, COUNT(*) AS n,
+           |  ${Num.duckDsum38("sil")} / COUNT(*) AS mean_sil
+           |FROM sil GROUP BY 1""".stripMargin)),
+
     // PageRank centrality over the mutual-kNN graph: 10 damped iterations
     // with decimal-exact mass gathering and uniform dangling-mass
     // redistribution — the importance score a curator uses to pick cluster
