@@ -295,6 +295,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       fromBatch.exceptAll(fromStream).isEmpty)
   }
 
+  test("incremental histogram maintenance: micro-batch counter deltas merge to the batch table; quantiles identical") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.HistIndex
+
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val liDf = li.toDF("rf", "x")
+    // domain freezes BEFORE streaming starts (the frozen-model discipline)
+    val (lo, hi) = HistIndex.domain(liDf, col("x"))
+    val ms = MemoryStream[(String, Double)]
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("rf", "x")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += HistIndex.build(batch, col("rf"), col("x"), lo, hi, 16)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(li.take(400)); q.processAllAvailable()
+      ms.addData(li.slice(400, 900)); q.processAllAvailable()
+      ms.addData(li.drop(900)); q.processAllAvailable()
+    } finally q.stop()
+    assert(stored.size == 3)
+    val merged = HistIndex.merge(stored.toSeq)
+    val direct = HistIndex.build(liDf, col("rf"), col("x"), lo, hi, 16)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "re-summed micro-batch histogram deltas must equal the direct batch counters")
+    val qs = Seq(0.5, 0.9)
+    val a = HistIndex.quantiles(merged, lo, hi, 16, qs)
+    val b = HistIndex.quantiles(direct, lo, hi, 16, qs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "quantiles served from the maintained table must match the batch table")
+  }
+
   test("incremental sketch maintenance: per-micro-batch hourly theta appends union to the direct batch sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
