@@ -1190,6 +1190,7 @@ object Text {
     marked.groupBy(col("qid"))
       .agg(
         sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
         array_sort(collect_list(struct(col("rank"), col("rel")))).as("rs"))
       .withColumn("dcg", aggregate(col("rs"), lit(0.0),
         (acc, x) => acc + x.getField("rel").cast("double")
@@ -1202,7 +1203,9 @@ object Text {
         lit(0.0), (acc, v) => acc + v))
       .select(col("qid"), col("n_rel"), col("hits"),
         (col("hits").cast("double") / col("n_rel").cast("double")).as("recall_k"),
-        (col("dcg") / col("idcg")).as("ndcg_k"))
+        (col("dcg") / col("idcg")).as("ndcg_k"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("rr_k"))
   }
 
   // -------------------------------------------------------------------------

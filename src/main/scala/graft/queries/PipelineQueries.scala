@@ -1198,6 +1198,38 @@ object PipelineQueries {
            |      / (2.0 * SUM(npos) * SUM(nneg)) END AS auc
            |FROM c""".stripMargin)),
 
+    // Padding-waste audit for length-bucketed batching: documents rounded
+    // up to 128-token buckets, per bucket the real vs padded token volume
+    // and the waste fraction — the inference/training throughput read that
+    // decides whether sequence packing (q89) is worth running. Pure
+    // integer bucket arithmetic + one keyed aggregation.
+    QueryDef(
+      "q266_padding_waste",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(Text.wordCount(col("text")).cast("long").as("n_tok"))
+          .select(expr("((n_tok + 127) div 128) * 128").as("bucket"),
+            col("n_tok"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"))
+          .select(col("bucket"), col("n_docs"), col("real_tokens"),
+            (col("bucket") * col("n_docs")).as("padded_tokens"),
+            ((col("bucket") * col("n_docs") - col("real_tokens")).cast("double")
+              / (col("bucket") * col("n_docs")).cast("double")).as("waste_frac"))
+      },
+      Some("""WITH t AS (
+           |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |b AS (
+           |  SELECT ((n_tok + 127) // 128) * 128 AS bucket,
+           |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+           |  FROM t GROUP BY 1)
+           |SELECT bucket, n_docs, real_tokens,
+           |  bucket * n_docs AS padded_tokens,
+           |  CAST(bucket * n_docs - real_tokens AS DOUBLE)
+           |    / CAST(bucket * n_docs AS DOUBLE) AS waste_frac
+           |FROM b""".stripMargin)),
+
     // Welch two-sample t for every SOURCE pair on document length — the
     // experimentation read over the corpus mixture, computed from the same
     // exact decimal moment sums the q144 shard tables store: the corpus

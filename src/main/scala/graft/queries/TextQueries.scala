@@ -768,6 +768,7 @@ object TextQueries {
            |  FROM ranked r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
            |aggd AS (
            |  SELECT qid, CAST(SUM(rel) AS BIGINT) AS hits,
+           |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            |      list(CAST(rel AS DOUBLE) / ln(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE))
            |        ORDER BY rank)),
@@ -778,8 +779,43 @@ object TextQueries {
            |  a.dcg / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            |    list_transform(range(1, CAST(LEAST(20, n.n_rel) AS INTEGER) + 1),
            |      ndi -> CAST(1.0 AS DOUBLE) / ln(CAST(ndi AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
-           |    (a2, x2) -> a2 + x2) AS ndcg_k
+           |    (a2, x2) -> a2 + x2) AS ndcg_k,
+           |  COALESCE(CAST(1.0 AS DOUBLE) / CAST(a.first_rel AS DOUBLE), 0.0)
+           |    AS rr_k
            |FROM aggd a JOIN nrel n ON n.qid = a.qid""".stripMargin
+      }),
+
+    // DPR-style BM25 negative mining: for each training query, the top-20
+    // lexically-confusable documents that are NOT relevant — the standard
+    // hard-negative set for contrastive retriever training. One anti join
+    // on (qid, doc_id) over the already-ranked frame; the qrel side is the
+    // q101 deterministic relevance hash.
+    QueryDef(
+      "q267_bm25_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        val ranked = Text.bm25TopKBatch(docs, col("doc_id"), col("text"), qdf, k = 20)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val qrels = qdf.select(col("qid")).crossJoin(docs.select(col("doc_id")))
+          .where(pmod(Hashing.hash60(concat(
+            lit("rel-"), col("qid").cast("string"),
+            lit("-"), col("doc_id").cast("string"))), lit(5L)) === 0)
+        ranked.join(qrels, Seq("qid", "doc_id"), "left_anti")
+      },
+      Some {
+        val relHash = Hashing.duckHash60(
+          "('rel-' || CAST(qid AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH ${duckBm25BatchCtes(BatchQueries)},
+           |ranked AS (SELECT qid, doc_id, rank FROM bmb WHERE rank <= 20),
+           |qr AS (
+           |  SELECT qq.qid, d.doc_id
+           |  FROM (SELECT DISTINCT qid FROM q) qq CROSS JOIN documents d
+           |  WHERE $relHash % 5 = 0)
+           |SELECT CAST(r.qid AS BIGINT) AS qid, r.doc_id, r.rank
+           |FROM ranked r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+           |WHERE qr.doc_id IS NULL""".stripMargin
       }),
 
     // PII/link redaction: emails, URLs and long digit runs replaced with
