@@ -714,6 +714,99 @@ object Media {
       }.toDF("media_id", "payload")
   }
 
+  // -------------------------------------------------------------------------
+  // REAL animated-GIF decode. The JDK's ImageIO reads AND writes GIF
+  // natively (unlike video, where only MJPEG's JPEG frames have a codec),
+  // so the GIF path is fully round-trippable: palette frames are 2-level
+  // grayscale, which the GIF color table holds exactly — encoding is
+  // LOSSLESS and decoded frame dHashes equal the source frame dHashes bit
+  // for bit (MediaSpec pins the round trip; contrast the JPEG path, where
+  // only the uniform-8×8-cell design keeps dHash stable under loss).
+  // -------------------------------------------------------------------------
+
+  /** Animated GIF bytes from frames (ImageIO write sequence). */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "a GIF needs at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL GIF decode: every animation frame through ImageIO → real pixel
+    * dHash — the identical bit layout every other media operator uses, so
+    * GIF frame codes feed [[frameOverlapPairs]] and the q220 modality-
+    * agnostic index unchanged. One row per decodable frame: (media_id,
+    * frame_idx, dhash); non-GIF payloads and broken tails contribute the
+    * frames that decode completely and nothing after (the q170 truncation
+    * stance). Iterator-per-partition, one asset's frames in memory at a
+    * time; output rows carry two longs and an int, never pixels.
+    */
+  def decodeGifFrames(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              var i = 0
+              var more = true
+              while (more) {
+                try {
+                  val img = r.read(i)
+                  out += ((m.media_id, i, dhashOf(img)))
+                  i += 1
+                } catch {
+                  case _: IndexOutOfBoundsException => more = false
+                  case _: java.io.IOException => more = false
+                }
+              }
+            } finally r.dispose()
+          }
+          iis.close()
+        } catch { case _: java.io.IOException => () }
+        out.iterator
+      }
+    }.toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Synthetic animated-GIF assets from (media_id, start, n_frames) rows —
+    * the GIF twin of [[syntheticMjpegAvi]], same palette arithmetic, so
+    * the same id-derived oracle predicts frame sets.
+    */
+  def syntheticGif(ids: DataFrame, id: Column, start: Column, n: Column): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(id.cast("long").as("media_id"), start.cast("int").as("s"),
+        n.cast("int").as("n")).as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        lazy val palette: IndexedSeq[java.awt.image.BufferedImage] =
+          (0 until VideoPalette).map(paletteFrame)
+        it.map { case (mid, s, nf) =>
+          val frames = (0 until nf).map(j =>
+            palette(((s + j) % VideoPalette + VideoPalette) % VideoPalette))
+          (mid, gifBytes(frames))
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** Feature extraction: a fixed-width vector per asset, emitted as flat
     * (media_id, feat_idx, feat_val) rows. The stub features are exact
     * rationals of the decoded dimensions (a real deployment runs its

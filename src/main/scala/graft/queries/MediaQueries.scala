@@ -492,6 +492,54 @@ object MediaQueries {
            |  bit_count(xor(p.dhash, c.dhash)) AS hamming
            |FROM dcode p JOIN dcode c
            |  ON p.media_id >= 10000000 AND c.media_id < 10000000
-           |  AND bit_count(xor(p.dhash, c.dhash)) <= 3""".stripMargin))
+           |  AND bit_count(xor(p.dhash, c.dhash)) <= 3""".stripMargin)),
+
+    // REAL animated-GIF dedup: the q170 planted-clip design in a second
+    // container the JDK can both WRITE and READ (ImageIO GIF codec) —
+    // every 50th document becomes a 7-frame animation plus a 4-frame
+    // clipped re-upload under media_id + 3·10^7. Unlike the JPEG path,
+    // GIF's palette encoding is LOSSLESS on 2-level frames, so decoded
+    // dHashes equal the source frame dHashes bit for bit (MediaSpec pins
+    // the round trip); the oracle again predicts the pair structure from
+    // palette-index arithmetic alone — any sequence-walk or decode defect
+    // changes the counts and fails the hash.
+    QueryDef(
+      "q268_gif_frame_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(50)) === 0)
+        val gifs = docs.select(col("doc_id").as("id"),
+          pmod(col("doc_id") * 29, lit(64)).cast("int").as("s"), lit(7).as("n"))
+        val clips = docs.select((col("doc_id") + lit(30000000L)).as("id"),
+          pmod(col("doc_id") * 29, lit(64)).cast("int").as("s"), lit(4).as("n"))
+        val media = Media.syntheticGif(gifs.unionByName(clips),
+            col("id"), col("s"), col("n"))
+          .select(col("media_id"), lit("image/gif").as("declared_mime"), col("payload"))
+          .as[MediaRecord]
+        val frames = Media.decodeGifFrames(media)
+          .select(col("media_id"), col("dhash").as("frame_hash"))
+        Media.frameOverlapPairs(frames, minShared = 2, minContainment = 0.5)
+      },
+      Some(s"""WITH vids AS (
+           |  SELECT doc_id AS media_id, (doc_id * 29) % 64 AS s, 7 AS n
+           |  FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 30000000 AS media_id, (doc_id * 29) % 64 AS s, 4 AS n
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |fr AS (
+           |  SELECT DISTINCT media_id, (s + t.j) % 64 AS ph
+           |  FROM vids, unnest(range(0, n)) AS t(j)),
+           |sizes AS (SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY 1),
+           |p AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+           |  FROM fr a JOIN fr b ON a.ph = b.ph AND a.media_id < b.media_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(sa.nf AS BIGINT) AS nf_a, CAST(sb.nf AS BIGINT) AS nf_b,
+           |  CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) AS containment
+           |FROM p JOIN sizes sa ON sa.media_id = p.id_a
+           |JOIN sizes sb ON sb.media_id = p.id_b
+           |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.nf, sb.nf) AS DOUBLE) >= 0.5""".stripMargin))
   )
 }

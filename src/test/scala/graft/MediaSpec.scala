@@ -243,4 +243,41 @@ class MediaSpec extends AnyFunSuite with SparkSpec {
     }.toMap
     assert(got == want, s"relational and JVM fingerprints must be bit-identical; got $got")
   }
+
+  test("GIF round trip: animated palette frames decode to the SOURCE dHashes bit for bit (lossless)") {
+    import spark.implicits._
+    val starts = Seq(0, 17, 55) // 55 wraps the palette (55..61 mod 64)
+    val media = starts.zipWithIndex.map { case (s, i) =>
+      val frames = (0 until 7).map(j => Media.paletteFrame((s + j) % Media.VideoPalette))
+      MediaRecord(i.toLong, "image/gif", Media.gifBytes(frames))
+    }.toDS()
+    val got = Media.decodeGifFrames(media)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = starts.zipWithIndex.flatMap { case (s, i) =>
+      (0 until 7).map(j => (i.toLong, j) ->
+        Media.dhashOf(Media.paletteFrame((s + j) % Media.VideoPalette)))
+    }.toMap
+    assert(got == want,
+      "GIF palette encoding is lossless on 2-level frames — decoded dHashes must equal source dHashes")
+  }
+
+  test("GIF truncation and junk: complete leading frames decode, nothing after; non-GIF yields no rows") {
+    import spark.implicits._
+    val frames = (0 until 5).map(Media.paletteFrame)
+    val full = Media.gifBytes(frames)
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+    val media = Seq(
+      MediaRecord(1L, "image/gif", full),
+      MediaRecord(2L, "image/gif", cut),
+      MediaRecord(3L, "image/gif", Array.fill[Byte](64)(0x7f))).toDS()
+    val byId = Media.decodeGifFrames(media)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(byId(1L).length == 5, "full animation decodes every frame")
+    val cutN = byId.getOrElse(2L, Array.empty).length
+    assert(cutN < 5, "a truncated payload must not produce all frames")
+    assert(byId.getOrElse(2L, Array.empty).map(_._2).sorted.sameElements(0 until cutN),
+      "truncation keeps a clean frame-index prefix")
+    assert(!byId.contains(3L), "junk bytes decode to nothing, not an error")
+  }
 }
