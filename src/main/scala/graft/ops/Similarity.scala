@@ -266,6 +266,63 @@ object Similarity {
     * never the vectors — and min_by aggregates with map-side combine, so the
     * exchange sees ~n rows. Output: (vid, cluster, d2).
     */
+  /** RobustScaler model for an embedding column: per-dimension exact
+    * nearest-rank q25/median/q75 and the IQR — the outlier-insensitive
+    * normalization statistics (min/max scaling breaks on one corrupt
+    * vector; mean/std on heavy tails). Output is the d-row MODEL table
+    * (dim, q1, median, q3, iqr) a transform step broadcasts.
+    *
+    * Shape: one posexplode (n×d narrow rows) + dim-keyed rank windows —
+    * EXACT, the q153 discipline applied per dimension. At 100 TB a
+    * dim-keyed window funnels corpus/d rows through single tasks; the
+    * documented drop-in there is [[HistIndex]] quantiles per dim (q260's
+    * stored counters, one bin-width of error) — at catalog scale exact is
+    * right and hash-checkable.
+    */
+  def robustScalerModel(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val flat = df.select(id.as("vid"), posexplode(vec).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"), col("vid"))
+    val w = W.partitionBy(col("dim")).orderBy(col("v").asc, col("vid").asc)
+    val wn = W.partitionBy(col("dim"))
+    flat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("dim"))
+      .agg(
+        min(when(col("rn") === floor((col("n") + lit(3)) / lit(4.0)), col("v")))
+          .as("q1"),
+        min(when(col("rn") === floor((col("n") + lit(1)) / lit(2.0)), col("v")))
+          .as("median"),
+        min(when(col("rn") === floor((col("n") * 3 + lit(3)) / lit(4.0)), col("v")))
+          .as("q3"))
+      .select(col("dim"), col("q1"), col("median"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"))
+  }
+
+  /** Source-centroid cosine matrix: the embedding-space answer to "which
+    * sources cover the same content" (the semantic complement of q133's
+    * lexical shingle containment) — per-group mean vectors from
+    * decimal-exact per-dim sums, then pairwise cosine over the #groups²
+    * tiny centroid frame (the welchPairs pairing discipline). Zero-norm
+    * centroids score 0, not NaN.
+    */
+  def sourceCentroidCosine(df: DataFrame, vec: Column, group: Column): DataFrame = {
+    val flat = df.select(group.as("src"), posexplode(vec).as(Seq("dim", "v")))
+    val means = flat.groupBy(col("src"), col("dim"))
+      .agg((Num.dsum38(col("v").cast("double")) / count(lit(1))).as("m"))
+    val cents = means.groupBy(col("src"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("c"))
+      .localCheckpoint()
+    val a = cents.select(col("src").as("src_a"), col("c").as("ca"))
+    val b = cents.select(col("src").as("src_b"), col("c").as("cb"))
+    val nn = Num.norm(col("ca")) * Num.norm(col("cb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(nn === 0.0, lit(0.0))
+          .otherwise(Num.dot(col("ca"), col("cb")) / nn).as("cosine"))
+  }
+
   /** Centroid-silhouette audit of a trained quantizer — the clustering-
     * quality read before trusting an IVF layout: per vector, a = distance
     * to its own (nearest) centroid, b = distance to the runner-up, and

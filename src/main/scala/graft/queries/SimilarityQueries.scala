@@ -363,6 +363,60 @@ object SimilarityQueries {
       },
       bench = false),
 
+    // RobustScaler model: per-dimension exact nearest-rank q25/median/q75
+    // + IQR over the embedding corpus — the outlier-insensitive
+    // normalization statistics, as a d-row model table a transform step
+    // broadcasts. Exact per-dim rank windows (the q153 discipline); the
+    // documented 100 TB drop-in is q260's stored-histogram quantiles.
+    QueryDef(
+      "q269_robust_scaler",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.robustScalerModel(emb, col("vec_id"), col("embedding"))
+      },
+      Some("""WITH f AS (
+           |  SELECT vec_id, d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS v
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(d)),
+           |rk AS (
+           |  SELECT dim, v,
+           |    row_number() OVER (PARTITION BY dim ORDER BY v ASC, vec_id ASC)
+           |      AS rn,
+           |    COUNT(*) OVER (PARTITION BY dim) AS n
+           |  FROM f),
+           |a AS (
+           |  SELECT dim,
+           |    MIN(CASE WHEN rn = FLOOR((n + 3) / 4.0) THEN v END) AS q1,
+           |    MIN(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN v END) AS median,
+           |    MIN(CASE WHEN rn = FLOOR((n * 3 + 3) / 4.0) THEN v END) AS q3
+           |  FROM rk GROUP BY 1)
+           |SELECT dim, q1, median, q3, q3 - q1 AS iqr FROM a""".stripMargin)),
+
+    // Source-centroid cosine matrix: which sources cover the same content
+    // in EMBEDDING space — the semantic complement of q133's lexical
+    // shingle containment, and the mixture-design read before upweighting
+    // a "new" source that is really a mirror. Decimal-exact per-dim means;
+    // pairwise cosine over the #labels² centroid frame.
+    QueryDef(
+      "q270_source_centroid_cosine",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.sourceCentroidCosine(emb, col("embedding"), col("label"))
+      },
+      Some {
+        val nn = s"${Num.duckNorm("a.c")} * ${Num.duckNorm("b.c")}"
+        s"""WITH f AS (
+           |  SELECT label AS src, d, CAST(embedding[d] AS DOUBLE) AS v
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(d)),
+           |m AS (
+           |  SELECT src, d, ${Num.duckDsum38("v")} / COUNT(*) AS m
+           |  FROM f GROUP BY 1, 2),
+           |c AS (SELECT src, list(m ORDER BY d) AS c FROM m GROUP BY 1)
+           |SELECT a.src AS src_a, b.src AS src_b,
+           |  CASE WHEN $nn = 0 THEN 0.0
+           |       ELSE ${Num.duckDot("a.c", "b.c")} / ($nn) END AS cosine
+           |FROM c a JOIN c b ON a.src < b.src""".stripMargin
+      }),
+
     // Centroid-silhouette audit of the q67 k-means quantizer: per cluster,
     // the mean (runner-up − own) / max margin — near-0 clusters sit on
     // boundaries and will leak neighbors under nprobe=1 (the k-dial
