@@ -299,6 +299,26 @@ object Similarity {
         (col("q3") - col("q1")).as("iqr"))
   }
 
+  /** Apply a [[robustScalerModel]]: per vector, the count of dimensions
+    * whose value sits more than `k`×IQR from that dimension's median —
+    * the model-driven outlier flag (the robust twin of q114's PC1
+    * outliers). Zero-IQR dimensions (constant at the quartiles) can't
+    * witness an outlier and are skipped. The d-row model broadcasts; only
+    * vectors with at least one outlier dimension are reported.
+    *
+    * Output: (vec_id, n_outlier_dims).
+    */
+  def robustOutliers(df: DataFrame, id: Column, vec: Column, model: DataFrame,
+      k: Double = 3.0): DataFrame = {
+    val flat = df.select(id.as("vid"), posexplode(vec).as(Seq("dim", "v")))
+      .select(col("vid"), col("dim"), col("v").cast("double").as("v"))
+    flat.join(broadcast(model.select(col("dim"), col("median"), col("iqr"))), "dim")
+      .where(col("iqr") > 0.0 &&
+        abs(col("v") - col("median")) > lit(k) * col("iqr"))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_outlier_dims"))
+  }
+
   /** Source-centroid cosine matrix: the embedding-space answer to "which
     * sources cover the same content" (the semantic complement of q133's
     * lexical shingle containment) — per-group mean vectors from

@@ -209,6 +209,41 @@ object Stats {
       .select(col("event_type"), col("day"), col("hod"), col("n"), col("z"))
   }
 
+  /** CUSUM change-point statistic per key over an ordered count series —
+    * the drift detector that catches SLOW shifts a per-point z-score
+    * (q238/q262) never flags: S_k = Σ_{j≤k} n_j − k·mean accumulates any
+    * sustained deviation, and the maximum |S_k| marks the most likely
+    * change point. The cumulative count is an exact integer keyed-window
+    * sum; mean = total/points is one double division, so the statistic is
+    * a fixed-form expression over exact integers (k·total/points written
+    * identically in the oracle). Argmax day ties break to the earliest.
+    *
+    * Input: (event_type, day, n) cells. Output per key: (event_type,
+    * n_days, max_cusum, change_day).
+    */
+  def cusumChangePoint(cells: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wn = W.partitionBy(col("event_type"))
+    val withS = cells
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("k", row_number().over(
+        W.partitionBy(col("event_type")).orderBy(col("day").asc)))
+      .withColumn("tot", sum(col("n")).over(wn))
+      .withColumn("nd", count(lit(1)).over(wn))
+      .withColumn("s", abs(col("cum").cast("double") -
+        col("k") * col("tot").cast("double") / col("nd")))
+      .localCheckpoint()
+    val mx = withS.groupBy(col("event_type"))
+      .agg(max(col("nd")).as("n_days"), max(col("s")).as("max_cusum"))
+    withS.join(mx.withColumnRenamed("max_cusum", "mc"), "event_type")
+      .where(col("s") === col("mc"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nd")).as("n_days"), max(col("s")).as("max_cusum"),
+        min(col("day")).as("change_day"))
+  }
+
   /** Exact ROC-AUC of a real-valued score against a boolean label, via the
     * tie-corrected Mann-Whitney rank statistic — the classifier-quality
     * metric for every scoring gate in the curation stack (NB filter,

@@ -2063,6 +2063,46 @@ object RelationalQueries {
            |    / sqrt(CAST(sq AS DOUBLE) / c
            |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin)),
 
+    // CUSUM change-point detection per event type over the daily count
+    // series: cumulative deviation from the series mean accumulates slow
+    // sustained shifts that the per-point z monitors (q238/q262) never
+    // flag; the max |S_k| day is the most likely change point (earliest
+    // day on ties). Exact integer cumulative sums; one double division.
+    QueryDef(
+      "q272_cusum_change_point",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Stats.cusumChangePoint(cells)
+      },
+      Some("""WITH cells AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, day,
+           |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+           |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+           |  FROM cells),
+           |sst AS (
+           |  SELECT event_type, day, nd,
+           |    ABS(CAST(cum AS DOUBLE) - k * CAST(tot AS DOUBLE) / nd) AS s
+           |  FROM w),
+           |mx AS (
+           |  SELECT event_type, MAX(nd) AS n_days, MAX(s) AS max_cusum
+           |  FROM sst GROUP BY 1)
+           |SELECT sst.event_type, MAX(sst.nd) AS n_days,
+           |  MAX(sst.s) AS max_cusum, MIN(sst.day) AS change_day
+           |FROM sst JOIN mx ON mx.event_type = sst.event_type
+           |  AND sst.s = mx.max_cusum
+           |GROUP BY 1""".stripMargin)),
+
     // SCD TYPE-2 dimension build — validity-interval history from a change
     // log (the warehouse pattern for slowly-changing attributes): each
     // customer's order-priority timeline collapses to rows where the

@@ -417,6 +417,53 @@ object SimilarityQueries {
            |FROM c a JOIN c b ON a.src < b.src""".stripMargin
       }),
 
+    // RobustScaler TRANSFORM: vectors with any dimension more than 3×IQR
+    // from its median, per the q269 model — the model-driven outlier flag
+    // (robust twin of q114's PC1 outliers). The d-row model broadcasts;
+    // zero-IQR dims are skipped as unable to witness.
+    QueryDef(
+      "q271_robust_outliers",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        // plant corruption: every 97th vector gets +10 on dim (vec_id % 64)
+        // — unit-scale synthetic embeddings have no natural 3×IQR outliers,
+        // so the planted fixture is what proves the flag actually fires
+        val planted = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(col("vec_id"), lit(97)) === 0 &&
+              i === pmod(col("vec_id"), lit(64)).cast("int"),
+              x + lit(10.0f)).otherwise(x)).as("embedding"))
+        val model = Similarity.robustScalerModel(planted, col("vec_id"),
+          col("embedding")).localCheckpoint()
+        Similarity.robustOutliers(planted, col("vec_id"), col("embedding"), model)
+      },
+      Some("""WITH pl AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, (x, i) ->
+           |      CASE WHEN vec_id % 97 = 0 AND i - 1 = vec_id % 64
+           |           THEN x + CAST(10.0 AS FLOAT) ELSE x END) AS embedding
+           |  FROM embeddings),
+           |f AS (
+           |  SELECT vec_id, d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS v
+           |  FROM pl, unnest(range(1, len(embedding) + 1)) AS r(d)),
+           |rk AS (
+           |  SELECT dim, v, vec_id,
+           |    row_number() OVER (PARTITION BY dim ORDER BY v ASC, vec_id ASC)
+           |      AS rn,
+           |    COUNT(*) OVER (PARTITION BY dim) AS n
+           |  FROM f),
+           |model AS (
+           |  SELECT dim,
+           |    MIN(CASE WHEN rn = FLOOR((n + 3) / 4.0) THEN v END) AS q1,
+           |    MIN(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN v END) AS median,
+           |    MIN(CASE WHEN rn = FLOOR((n * 3 + 3) / 4.0) THEN v END) AS q3
+           |  FROM rk GROUP BY 1)
+           |SELECT f.vec_id AS vid, COUNT(*) AS n_outlier_dims
+           |FROM f JOIN model ON model.dim = f.dim
+           |WHERE model.q3 - model.q1 > 0
+           |  AND ABS(f.v - model.median) > 3.0 * (model.q3 - model.q1)
+           |GROUP BY 1""".stripMargin)),
+
     // Centroid-silhouette audit of the q67 k-means quantizer: per cluster,
     // the mean (runner-up − own) / max margin — near-0 clusters sit on
     // boundaries and will leak neighbors under nprobe=1 (the k-dial

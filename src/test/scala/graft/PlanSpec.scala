@@ -591,4 +591,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"q227: candidate generation must stay bucket-joined:\n$p")
   }
+
+  test("session plan pins: AUC two-phase, PMI top-k, winsorize broadcast, silhouette broadcast") {
+    // q250: the ROC-AUC tail past the checkpointed range-partitioned frame
+    // must attach the #partitions-row offset table by BROADCAST (the
+    // two-phase discipline's visible half — the range exchange itself sits
+    // behind the localCheckpoint lineage break), and no corpus-sized
+    // window may appear
+    val p250 = plan(SparkEntry.queries("q250_quality_auc")(spark, sf))
+    assert(p250.contains("BroadcastHashJoin"),
+      s"q250: offset table must broadcast onto the partials:\n${p250.take(2000)}")
+    assert(!p250.contains("SortMergeJoin"),
+      s"q250: nothing may sort-merge in the AUC tail:\n${p250.take(2000)}")
+    // q253: the PMI top-k is a TakeOrderedAndProject (no global sort), and
+    // the total frames ride in as broadcasts
+    val p253 = plan(SparkEntry.queries("q253_pmi_pairs")(spark, sf))
+    assert(p253.contains("TakeOrderedAndProject"),
+      s"q253: top-k must be TakeOrdered:\n${p253.take(2000)}")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p253).nonEmpty,
+      "q253: 1-row totals must broadcast")
+    // q258: the per-brand winsorize bounds (a #brands-row frame) must
+    // reach the clip join by broadcast, not a shuffle
+    val p258 = plan(SparkEntry.queries("q258_winsorized_price")(spark, sf))
+    assert(p258.contains("BroadcastHashJoin"),
+      s"q258: bounds join must broadcast:\n${p258.take(2000)}")
+    // q265: centroids reach the distance rows by broadcast; the rank
+    // window is a per-vid group limit candidate (rn <= 2 pushes down)
+    val p265 = plan(SparkEntry.queries("q265_kmeans_silhouette")(spark, sf))
+    assert(p265.contains("BroadcastNestedLoopJoin") || p265.contains("BroadcastExchange"),
+      s"q265: centroid side must broadcast:\n${p265.take(2000)}")
+    assert(p265.contains("WindowGroupLimit"),
+      s"q265: rn <= 2 must push a group limit:\n${p265.take(2000)}")
+  }
 }
