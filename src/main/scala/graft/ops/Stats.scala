@@ -266,27 +266,44 @@ object Stats {
     *
     * Output: one row (n_pos, n_neg, u2, auc).
     */
-  def rocAuc(df: DataFrame, score: Column, isPos: Column): DataFrame = {
+  /** Two-phase exact prefix sums over a (small-ish, already-reduced) frame:
+    * range-partition on `order` (ascending), per-partition ROWS-frame
+    * cumsums of every column in `weights`, then a #partitions-row offset
+    * table broadcast back — the globalCumsumBy discipline generalized to
+    * MULTIPLE weight columns (zero weights legal because the partitioning
+    * keys on `order`, not a positive weight). Adds `cum_<w>` (inclusive
+    * prefix sum) per weight column. Shared by [[rocAuc]] and
+    * [[precisionOperatingPoint]].
+    */
+  private def prefixSums(frame: DataFrame, order: Column,
+      weights: Seq[String]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val parts = frame.repartitionByRange(order)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = W.partitionBy(col("pid")).orderBy(order)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wOff = W.orderBy(col("pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ptCols = weights.map(w => sum(col(w)).as(s"pt_$w"))
+    val offTable = parts.groupBy(col("pid"))
+      .agg(ptCols.head, ptCols.tail: _*)
+      .select(col("pid") +: weights.map(w =>
+        coalesce(sum(col(s"pt_$w")).over(wOff), lit(0L)).as(s"off_$w")): _*)
+    weights.foldLeft(
+      parts.join(broadcast(offTable), "pid")) { (acc, w) =>
+      acc.withColumn(s"cum_$w",
+        col(s"off_$w") + sum(col(w)).over(wLocal))
+    }
+  }
+
+  def rocAuc(df: DataFrame, score: Column, isPos: Column): DataFrame = {
     val byScore = df
       .select(score.as("s"), isPos.cast("long").as("p"))
       .groupBy(col("s"))
       .agg(sum(col("p")).as("npos"), sum(lit(1L) - col("p")).as("nneg"))
-    val parts = byScore.repartitionByRange(col("s"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val wLocal = W.partitionBy(col("pid")).orderBy(col("s"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val wOff = W.orderBy(col("pid"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offTable = parts.groupBy(col("pid"))
-      .agg(sum(col("nneg")).as("ptotal"))
-      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
-      .select(col("pid"), col("offset"))
-    parts
-      .withColumn("cneg_end", sum(col("nneg")).over(wLocal))
-      .join(broadcast(offTable), "pid")
-      .withColumn("neg_below", col("offset") + col("cneg_end") - col("nneg"))
+    prefixSums(byScore, col("s"), Seq("nneg"))
+      .withColumn("neg_below", col("cum_nneg") - col("nneg"))
       .agg(
         sum(col("npos")).as("n_pos"),
         sum(col("nneg")).as("n_neg"),
@@ -334,6 +351,40 @@ object Stats {
       .select(lit(-1).as("bin"), col("n_ref"), col("n_cur"),
         lit(1.0).as("p_ref"), lit(1.0).as("p_cur"), col("contrib"))
     withP.unionByName(total)
+  }
+
+  /** Gate-tuning operating point: the LOWEST score threshold whose
+    * flag-everything-at-or-above rule still meets `targetPrecision` —
+    * i.e. the most permissive (highest-recall) gate that keeps precision,
+    * which is exactly how a curation-classifier threshold is chosen in
+    * practice. Suffix counts derive from the same per-distinct-score
+    * frame + two-phase prefix sums as [[rocAuc]] (here with TWO weight
+    * columns); precision/recall are single divisions over exact integers.
+    * Empty output when no threshold reaches the target (an explicit
+    * "this gate cannot run at that precision" answer).
+    *
+    * Output: one row (threshold, n_flagged, tp, prec, rec).
+    */
+  def precisionOperatingPoint(df: DataFrame, score: Column, isPos: Column,
+      targetPrecision: Double): DataFrame = {
+    val byScore = df.select(score.as("s"), isPos.cast("long").as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("npos"), count(lit(1)).as("nall"))
+      .localCheckpoint()
+    val tot = byScore.agg(sum(col("npos")).as("tp_tot"),
+      sum(col("nall")).as("n_tot"))
+    val curve = prefixSums(byScore, col("s"), Seq("npos", "nall"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pos_ge", col("tp_tot") - col("cum_npos") + col("npos"))
+      .withColumn("all_ge", col("n_tot") - col("cum_nall") + col("nall"))
+      .withColumn("prec", col("pos_ge").cast("double") / col("all_ge"))
+      .withColumn("rec", col("pos_ge").cast("double") / col("tp_tot"))
+      .localCheckpoint()
+    val pick = curve.where(col("prec") >= targetPrecision)
+      .agg(min(col("s")).as("s"))
+    curve.join(broadcast(pick), "s")
+      .select(col("s").as("threshold"), col("all_ge").as("n_flagged"),
+        col("pos_ge").as("tp"), col("prec"), col("rec"))
   }
 
   /** Reliability diagram for a score in [0, 1] against a boolean outcome:

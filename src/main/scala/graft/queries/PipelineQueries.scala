@@ -1273,6 +1273,51 @@ object PipelineQueries {
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
 
+    // Gate tuning: the most permissive quality-score threshold whose
+    // flag-at-or-above rule still hits 60% precision on English docs —
+    // how a curation-gate cutoff is actually chosen (max recall subject
+    // to a precision floor). The q250 per-distinct-score machinery with
+    // two prefix-sum columns; one output row, or none if the gate cannot
+    // run at that precision.
+    QueryDef(
+      "q273_gate_threshold",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.precisionOperatingPoint(docs, Text.qualityScore(col("text")),
+          col("lang") === "en", targetPrecision = 0.6)
+      },
+      Some(s"""WITH q AS (
+           |  SELECT ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |g AS (
+           |  SELECT s, CAST(SUM(p) AS BIGINT) AS npos, COUNT(*) AS nall
+           |  FROM q GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(SUM(npos) AS BIGINT) AS tp_tot,
+           |    CAST(SUM(nall) AS BIGINT) AS n_tot FROM g),
+           |c AS (
+           |  SELECT s, npos, nall,
+           |    CAST(SUM(npos) OVER (ORDER BY s ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_p,
+           |    CAST(SUM(nall) OVER (ORDER BY s ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_a
+           |  FROM g),
+           |x AS (
+           |  SELECT s, tp_tot - cum_p + npos AS pos_ge,
+           |    n_tot - cum_a + nall AS all_ge, tp_tot
+           |  FROM c CROSS JOIN tot),
+           |y AS (
+           |  SELECT s, all_ge AS n_flagged, pos_ge AS tp,
+           |    CAST(pos_ge AS DOUBLE) / all_ge AS prec,
+           |    CAST(pos_ge AS DOUBLE) / tp_tot AS rec
+           |  FROM x),
+           |pick AS (SELECT MIN(s) AS s FROM y WHERE prec >= 0.6)
+           |SELECT y.s AS threshold, n_flagged, tp, prec, rec
+           |FROM y JOIN pick ON pick.s = y.s""".stripMargin)),
+
     // PSI drift between the even-id (reference) and odd-id (current)
     // corpus halves over quality-score deciles — the scoring-gate drift
     // monitor (PSI < 0.1 stable / > 0.25 shifted), Laplace-smoothed so

@@ -2063,6 +2063,32 @@ object RelationalQueries {
            |    / sqrt(CAST(sq AS DOUBLE) / c
            |      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))) >= 2.5""".stripMargin)),
 
+    // k-ANONYMITY audit: quasi-identifier combinations (nation, market
+    // segment, account-balance band) held by fewer than k=5 customers —
+    // each violating row is a re-identification risk a release must
+    // suppress or generalize. One keyed aggregation + a HAVING; the
+    // governance twin of the PII redaction pass (q100 scrubs direct
+    // identifiers; this catches identifying COMBINATIONS).
+    QueryDef(
+      "q274_k_anonymity",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        // band on exact integer cents, shifted positive so truncating and
+        // floor integer division agree cross-engine on negative balances
+        c.groupBy(col("c_nationkey"),
+            col("c_mktsegment"),
+            expr("(CAST(c_acctbal * 100 AS BIGINT) + 10000000) div 100000")
+              .as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") < 5)
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+           |  (CAST(c_acctbal * 100 AS BIGINT) + 10000000) // 100000 AS bal_band,
+           |  COUNT(*) AS n
+           |FROM customer
+           |GROUP BY 1, 2, 3
+           |HAVING COUNT(*) < 5""".stripMargin)),
+
     // CUSUM change-point detection per event type over the daily count
     // series: cumulative deviation from the series mean accumulates slow
     // sustained shifts that the per-point z monitors (q238/q262) never
