@@ -1460,6 +1460,54 @@ object DedupQueries {
            |ORDER BY n_occ DESC, chunk_md5 ASC
            |LIMIT 100""".stripMargin)),
 
+    // Source-level BOILERPLATE detection: paragraphs repeated across ≥3
+    // documents and ≥1% of a source's docs — the per-site template/nav/
+    // footer profile a curator removes BEFORE near-dup detection (q181
+    // cuts later copies corpus-wide; this names what is boilerplate per
+    // source, with its penetration). Paragraph text reduces to md5 before
+    // the (source, hash) aggregation; source doc counts broadcast.
+    QueryDef(
+      "q275_boilerplate_paragraphs",
+      (s, dir) => {
+        val raw = Tables.load(s, dir, "documents")
+        // planted fixture: every 3rd doc carries its source's footer line —
+        // the corpus ships single-line docs, so the per-source template is
+        // what gives the detector real boilerplate to name (q214 stance)
+        val docs = raw.select(col("source"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit("\nFOOTER-"), col("source")))
+            .otherwise(col("text")).as("text"))
+        val paras = docs.select(col("source"), col("doc_id"),
+            explode(split(col("text"), "\n")).as("para"))
+          .where(length(col("para")) > 0)
+        val pf = paras.groupBy(col("source"), md5(col("para")).as("pmd5"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+        val sd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        pf.join(broadcast(sd), "source")
+          .where(col("df") >= 3 &&
+            col("df").cast("double") / col("n_docs") >= 0.01)
+          .select(col("source"), col("pmd5"), col("df"), col("n_docs"),
+            (col("df").cast("double") / col("n_docs")).as("penetration"))
+      },
+      Some("""WITH pl AS (
+           |  SELECT source, doc_id,
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN text || chr(10) || 'FOOTER-' || source
+           |         ELSE text END AS text
+           |  FROM documents),
+           |paras AS (
+           |  SELECT source, doc_id, unnest(string_split(text, chr(10))) AS para
+           |  FROM pl),
+           |pf AS (
+           |  SELECT source, md5(para) AS pmd5,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM paras WHERE length(para) > 0 GROUP BY 1, 2),
+           |sd AS (SELECT source, COUNT(*) AS n_docs FROM pl GROUP BY 1)
+           |SELECT pf.source, pmd5, df, n_docs,
+           |  CAST(df AS DOUBLE) / n_docs AS penetration
+           |FROM pf JOIN sd ON sd.source = pf.source
+           |WHERE df >= 3 AND CAST(df AS DOUBLE) / n_docs >= 0.01""".stripMargin)),
+
     // Near-dup DETECTOR AGREEMENT matrix: the ensemble audit between the
     // MinHash-LSH candidate pairs (q54, Jaccard-family recall) and the
     // blocked SimHash pairs (q56, Hamming-family recall) — the operator a

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Hashing, Num, Text}
+import graft.ops.{Hashing, Num, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis extension queries over `documents` (language-ID heuristic,
@@ -211,17 +211,18 @@ object TextQueries {
     * reduction order is identical. Also defines `q(qid, ti, tok)` and
     * `toks`, reused by q97/q98's embedding and coverage CTEs.
     */
-  private def duckBm25BatchCtes(qs: Seq[(Long, Seq[String])]): String = {
+  private def duckBm25BatchCtes(qs: Seq[(Long, Seq[String])],
+      src: String = "documents"): String = {
     val qvals = qs.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, i) => s"($qid, $i, '$t')" }
     }.mkString(", ")
     val allTerms = qs.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
     s"""q(qid, ti, tok) AS (VALUES $qvals),
        |toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM $src),
        |dl AS (
        |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM $src),
        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
        |tf AS (
        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
@@ -784,6 +785,61 @@ object TextQueries {
            |    AS rr_k
            |FROM aggd a JOIN nrel n ON n.qid = a.qid""".stripMargin
       }),
+
+    // BM25-MaxP long-document retrieval: score the q110 overlapping
+    // passages, rank each document by its BEST passage (Dai & Callan's
+    // MaxP — long docs stop being penalized for off-topic tails), top-10
+    // docs per query from the top-100 passages. The passage cut keeps the
+    // aggregation bounded at any corpus size; the doc rollup is one keyed
+    // max + a per-query rank window.
+    QueryDef(
+      "q276_bm25_maxp",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qdf = BatchQueries.toDF("qid", "terms")
+        val ch = Sampling.chunkWithOverlap(docs, col("doc_id"), col("text"),
+            chunkSize = 64, stride = 48)
+          .select((col("doc_id") * 10000 + col("chunk_id")).as("pid"),
+            col("chunk_text"))
+        val ranked = Text.bm25TopKBatch(ch, col("pid"), col("chunk_text"),
+          qdf, k = 100)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+        ranked
+          .select(col("qid"), expr("doc_id div 10000").as("doc_id"),
+            col("score"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(max(col("score")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+      },
+      Some(s"""WITH ptoks AS (
+           |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+           |pbase AS (
+           |  SELECT doc_id, t, len(t) AS n,
+           |    1 + CASE WHEN len(t) > 64 THEN (len(t) - 64 + 48 - 1) // 48
+           |        ELSE 0 END AS nchunks
+           |  FROM ptoks WHERE len(t) >= 1),
+           |pch AS (
+           |  SELECT doc_id, t, n, unnest(range(0, nchunks)) AS cid FROM pbase),
+           |passages AS (
+           |  SELECT doc_id * 10000 + cid AS doc_id,
+           |    array_to_string(list_slice(t, CAST(cid * 48 + 1 AS INTEGER),
+           |      CAST(LEAST(cid * 48 + 64, n) AS INTEGER)), ' ') AS text
+           |  FROM pch),
+           |${duckBm25BatchCtes(BatchQueries, "passages")},
+           |mp AS (
+           |  SELECT qid, doc_id // 10000 AS doc_id, MAX(score) AS score
+           |  FROM bmb WHERE rank <= 100 GROUP BY 1, 2),
+           |r AS (
+           |  SELECT qid, doc_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM mp)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           |  score, rank
+           |FROM r WHERE rank <= 10""".stripMargin)),
 
     // DPR-style BM25 negative mining: for each training query, the top-20
     // lexically-confusable documents that are NOT relevant — the standard
