@@ -51,6 +51,33 @@ object LmIndex {
         .agg(sum(col("c2")).as("c2")))
   }
 
+  /** Retract documents: count the removed docs alone and SUBTRACT per
+    * key, dropping keys that reach zero — additivity works in both
+    * directions, so the decremented table equals a rebuild on the
+    * remaining corpus EXACTLY (q278 hash-proves it through the scoring
+    * surface). With [[MinHashIndex.delete]]'s per-doc row filter this
+    * closes the right-to-be-forgotten story for every durable-table
+    * class: per-doc-local tables delete by key filter, additive count
+    * tables by subtraction — no retrain either way. (Sketch tables are
+    * the exception by design: HLL/theta registers are max-folds and
+    * cannot unabsorb — deletion there means rebuild, documented at
+    * [[HllIndex]].)
+    */
+  def retract(tbl: LmTables, removed: DataFrame, id: Column,
+      text: Column): LmTables = {
+    val d = build(removed, id, text)
+    val uni = tbl.uni
+      .join(d.uni.withColumnRenamed("c1", "dc"), Seq("w"), "left_outer")
+      .select(col("w"), (col("c1") - coalesce(col("dc"), lit(0L))).as("c1"))
+      .where(col("c1") > 0)
+    val big = tbl.big
+      .join(d.big.withColumnRenamed("c2", "dc"), Seq("w1", "w2"), "left_outer")
+      .select(col("w1"), col("w2"),
+        (col("c2") - coalesce(col("dc"), lit(0L))).as("c2"))
+      .where(col("c2") > 0)
+    LmTables(uni, big)
+  }
+
   /** Persist both tables under `path` (uni/, big/). */
   def write(tbl: LmTables, path: String): Unit = {
     tbl.uni.write.mode("overwrite").parquet(s"$path/uni")

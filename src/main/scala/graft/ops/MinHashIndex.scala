@@ -56,6 +56,17 @@ object MinHashIndex {
   def bandTable(sigs: DataFrame, rowsPerBand: Int): DataFrame =
     Dedup.lshBands(sigs, rowsPerBand)
 
+  /** Delete documents from a stored per-doc table (signatures OR bands —
+    * anything keyed by doc_id): signatures are strictly per-document, so
+    * deletion is an exact key-filter with no neighbor re-signing — the
+    * same locality argument that makes append exact (q207) makes delete
+    * exact (q277 hash-proves the post-delete serve against a
+    * never-indexed-them rebuild). The right-to-be-forgotten path for
+    * every per-doc-local index family (minhash/simhash/winnow/paragraph).
+    */
+  def delete(tbl: DataFrame, removedIds: DataFrame): DataFrame =
+    tbl.join(removedIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** Persist signatures + bands under `path`, each partitioned for
     * serve-side pruning.
     */

@@ -1229,6 +1229,56 @@ object DedupQueries {
            |GROUP BY 1, 2
            |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin)),
 
+    // Minhash index DELETE — the right-to-be-forgotten path: signatures
+    // and band keys are strictly per-document, so removing a doc is an
+    // exact key-filter on the stored tables (the locality argument that
+    // makes append exact makes delete exact; no neighbor re-signing, no
+    // rebuild). The oracle serves the q208 probe set against an index
+    // that NEVER SAW the removed docs — hash-match proves the filtered
+    // table is indistinguishable from the never-indexed rebuild, bucket
+    // guard included (the guard re-derives from post-delete occupancy).
+    QueryDef(
+      "q277_minhash_index_delete",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+          .select(col("doc_id"))
+        val sigs = graft.ops.MinHashIndex.build(docs, col("doc_id"), col("text"), 3, 16)
+        val bands = graft.ops.MinHashIndex.bandTable(sigs, 4)
+        val sigsKept = graft.ops.MinHashIndex.delete(sigs, removed)
+        val bandsKept = graft.ops.MinHashIndex.delete(bands, removed)
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.MinHashIndex.matches(bandsKept, sigsKept, probes,
+          col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4,
+          minEstimate = 0.75, maxBucket = Some(100))
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckMshChain("kept", "i")},
+           |${duckMshChain("probes", "p")},
+           |ok AS (
+           |  SELECT band, band_sig FROM ibands GROUP BY 1, 2
+           |  HAVING COUNT(*) <= 100),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS doc_id
+           |  FROM pbands p
+           |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig
+           |  JOIN ok ON ok.band = p.band AND ok.band_sig = p.band_sig)
+           |SELECT cand.probe_id, cand.doc_id,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  COUNT(*) AS n_hashes,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+           |FROM cand
+           |JOIN pmh pm ON pm.doc_id = cand.probe_id
+           |JOIN imh im ON im.doc_id = cand.doc_id AND im.seed = pm.seed
+           |GROUP BY 1, 2
+           |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin)),
+
     // Minhash BUCKET-SIZE side table maintenance (the q173 df-merge
     // discipline): the (band, band_sig, df) table the serve-path mega-bucket
     // guard consumes is ADDITIVE under append — appended docs carry new

@@ -1368,6 +1368,29 @@ object TextQueries {
       Some(s"""WITH $duckLmScoreCtes
            |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
 
+    // LM count-table RETRACTION — right-to-be-forgotten for additive
+    // models: count the removed docs alone, SUBTRACT per key, drop
+    // zeroed keys. Additivity works in both directions, so the
+    // decremented tables score every document exactly as a model that
+    // never trained on the removed docs (the oracle trains on the
+    // filtered split). With q277's key-filter delete this closes the
+    // deletion story for both durable-table classes; sketch tables
+    // (register max-folds) are the documented rebuild-only exception.
+    QueryDef(
+      "q278_lm_table_retract",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val trainPred = pmod(Hashing.hash60(
+          concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0
+        val train = docs.where(trainPred)
+        val tbl = graft.ops.LmIndex.build(train, col("doc_id"), col("text"))
+        val removed = train.where(pmod(col("doc_id"), lit(11)) === 0)
+        val cut = graft.ops.LmIndex.retract(tbl, removed, col("doc_id"), col("text"))
+        graft.ops.LmIndex.score(cut, docs, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH ${duckLmScoreCtes(" AND doc_id % 11 <> 0")}
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
     // Zipf rank-frequency slope over the top-100 tokens: ~ -1 for natural
     // text, ~ 0 for uniform synthetic vocabularies — a one-row corpus
     // health check. Rank ties break by token, the top-k cut is
@@ -1668,12 +1691,18 @@ object TextQueries {
     * ending in `lmscores(doc_id, n_bigrams, nll, backoff_frac)` — shared by
     * q108 and the curriculum packing oracle (q139).
     */
-  def duckLmScoreCtes: String = {
+  def duckLmScoreCtes: String = duckLmScoreCtes("")
+
+  /** Variant with an extra SQL predicate on the TRAIN split — the seam the
+    * retraction proof (q278) uses to express "trained on everyone except
+    * the removed docs" without copying the chain.
+    */
+  def duckLmScoreCtes(extraTrainPred: String): String = {
     val splitHash = Hashing.duckHash60("('lm-' || CAST(doc_id AS VARCHAR))")
     s"""alldocs AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
        |train AS (
-       |  SELECT doc_id, t FROM alldocs WHERE $splitHash % 2 = 0),
+       |  SELECT doc_id, t FROM alldocs WHERE $splitHash % 2 = 0 $extraTrainPred),
        |uni AS (
        |  SELECT w, COUNT(*) AS c1
        |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
