@@ -274,6 +274,56 @@ object Select {
     * class, token counts keyed "class w", class token mass N_c, kept
     * vocabulary as a set, V).
     */
+  /** Decision-stump feature ranking: for each candidate token (the
+    * `maxCandidates` highest-document-frequency tokens), the information
+    * gain of splitting the corpus on "document contains token" against a
+    * boolean target — the interpretable-filter trainer (a one-rule
+    * classifier a curator can read, audit, and hand-tune, where the NB
+    * model (q130) is a black box of log-ratios). Entropies are fixed-form
+    * double expressions over exact integer contingency counts; 0·ln 0
+    * terms are explicit zeros. Output: top-`topK` tokens by gain
+    * (ties → token asc): (tok, df, n11, n10, gain).
+    *
+    * Shape: one distinct-token explode (the q59 df machinery), candidate
+    * set cut by TakeOrdered to `maxCandidates` rows and broadcast back;
+    * the contingency table is one keyed aggregation over doc×candidate
+    * hits. Nothing corpus-sized past the explode.
+    */
+  def stumpGains(df: DataFrame, id: Column, text: Column, isPos: Column,
+      maxCandidates: Int = 50, topK: Int = 10): DataFrame = {
+    val base = df.select(id.as("doc_id"), isPos.cast("long").as("y"),
+      cleanTokens(text).as("t")).localCheckpoint()
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val docTok = base.select(col("doc_id"), col("y"),
+      explode(array_distinct(col("t"))).as("tok"))
+    val cand = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(maxCandidates)
+    def hB(p: Column, n: Column): Column = {
+      // binary entropy of p/n in nats, with explicit 0 ln 0 = 0
+      val q = p.cast("double") / n.cast("double")
+      val term = (x: Column) => when(x === 0.0, lit(0.0)).otherwise(-x * log(x))
+      term(q) + term(lit(1.0) - q)
+    }
+    val cont = docTok.join(broadcast(cand), "tok")
+      .groupBy(col("tok"), col("df"))
+      .agg(sum(col("y")).as("n11"), sum(lit(1L) - col("y")).as("n10"))
+      .crossJoin(broadcast(tot))
+    val nHas = col("n11") + col("n10")
+    val nAbs = col("n") - nHas
+    val parent = hB(col("np"), col("n"))
+    val childHas = hB(col("n11"), nHas)
+    val childAbs = hB(col("np") - col("n11"), nAbs)
+    cont
+      .select(col("tok"), col("df"), col("n11"), col("n10"),
+        when(nAbs === 0L, lit(0.0))
+          .otherwise(parent -
+            (nHas.cast("double") / col("n").cast("double")) * childHas -
+            (nAbs.cast("double") / col("n").cast("double")) * childAbs)
+          .as("gain"))
+      .orderBy(col("gain").desc, col("tok").asc)
+      .limit(topK)
+  }
+
   def nbModel(
       train: DataFrame,
       id: Column,

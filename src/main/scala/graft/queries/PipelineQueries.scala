@@ -1273,6 +1273,87 @@ object PipelineQueries {
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
 
+    // Decision-stump feature ranking: the top-10 tokens by information
+    // gain on the "is English" target — the interpretable-filter trainer
+    // (a one-rule classifier a curator can read and hand-tune, where
+    // q130's NB is a black box of log-ratios). Exact contingency counts;
+    // entropies are fixed-form expressions with explicit 0·ln0 = 0.
+    QueryDef(
+      "q279_stump_gains",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Select.stumpGains(docs, col("doc_id"), col("text"),
+          col("lang") === "en", maxCandidates = 50, topK = 10)
+      },
+      Some("""WITH base AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    list_distinct(list_filter(string_split_regex(text, '\s+'),
+           |      w -> length(w) > 0)) AS t
+           |  FROM documents),
+           |tot AS (
+           |  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np FROM base),
+           |dt AS (SELECT doc_id, y, unnest(t) AS tok FROM base),
+           |cand AS (
+           |  SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1
+           |  ORDER BY df DESC, tok ASC LIMIT 50),
+           |cont AS (
+           |  SELECT dt.tok, cand.df, CAST(SUM(dt.y) AS BIGINT) AS n11,
+           |    CAST(SUM(1 - dt.y) AS BIGINT) AS n10
+           |  FROM dt JOIN cand ON cand.tok = dt.tok
+           |  GROUP BY 1, 2),
+           |g AS (
+           |  SELECT tok, df, n11, n10,
+           |    CASE WHEN n - (n11 + n10) = 0 THEN 0.0 ELSE
+           |      ((CASE WHEN CAST(np AS DOUBLE) / n = 0 THEN 0.0
+           |             ELSE -(CAST(np AS DOUBLE) / n) * ln(CAST(np AS DOUBLE) / n) END)
+           |       + (CASE WHEN 1.0 - CAST(np AS DOUBLE) / n = 0 THEN 0.0
+           |             ELSE -(1.0 - CAST(np AS DOUBLE) / n) * ln(1.0 - CAST(np AS DOUBLE) / n) END))
+           |      - (CAST(n11 + n10 AS DOUBLE) / n) *
+           |        ((CASE WHEN CAST(n11 AS DOUBLE) / (n11 + n10) = 0 THEN 0.0
+           |             ELSE -(CAST(n11 AS DOUBLE) / (n11 + n10)) * ln(CAST(n11 AS DOUBLE) / (n11 + n10)) END)
+           |         + (CASE WHEN 1.0 - CAST(n11 AS DOUBLE) / (n11 + n10) = 0 THEN 0.0
+           |             ELSE -(1.0 - CAST(n11 AS DOUBLE) / (n11 + n10)) * ln(1.0 - CAST(n11 AS DOUBLE) / (n11 + n10)) END))
+           |      - (CAST(n - (n11 + n10) AS DOUBLE) / n) *
+           |        ((CASE WHEN CAST(np - n11 AS DOUBLE) / (n - (n11 + n10)) = 0 THEN 0.0
+           |             ELSE -(CAST(np - n11 AS DOUBLE) / (n - (n11 + n10))) * ln(CAST(np - n11 AS DOUBLE) / (n - (n11 + n10))) END)
+           |         + (CASE WHEN 1.0 - CAST(np - n11 AS DOUBLE) / (n - (n11 + n10)) = 0 THEN 0.0
+           |             ELSE -(1.0 - CAST(np - n11 AS DOUBLE) / (n - (n11 + n10))) * ln(1.0 - CAST(np - n11 AS DOUBLE) / (n - (n11 + n10))) END))
+           |    END AS gain
+           |  FROM cont CROSS JOIN tot)
+           |SELECT tok, df, n11, n10, gain FROM g
+           |ORDER BY gain DESC, tok ASC LIMIT 10""".stripMargin)),
+
+    // Slice-based evaluation: held-out NB accuracy PER SOURCE — the
+    // "does the filter work for everyone" fairness read (aggregate
+    // accuracy hides a source the model fails on; mixture decisions made
+    // on a broken slice propagate the break into the trained corpus).
+    // Reuses q130's prediction surface verbatim, one group-by deeper.
+    QueryDef(
+      "q280_accuracy_by_slice",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nb = Select.nbTrainScore(docs, col("doc_id"), col("text"),
+          col("lang"), pmod(Hashing.hash60(concat(lit("nb-"),
+            col("doc_id").cast("string"))), lit(4L)) < 3,
+          maxVocab = Some(60))
+        nb.where(!col("is_train"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("correct").cast("long")).as("n_correct"))
+          .withColumn("accuracy",
+            col("n_correct").cast("double") / col("n_docs"))
+      },
+      Some(s"""WITH nb AS ($duckNbOracle)
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN nb.correct THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  CAST(SUM(CASE WHEN nb.correct THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS accuracy
+           |FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+           |WHERE NOT nb.is_train
+           |GROUP BY 1""".stripMargin)),
+
     // Gate tuning: the most permissive quality-score threshold whose
     // flag-at-or-above rule still hits 60% precision on English docs —
     // how a curation-gate cutoff is actually chosen (max recall subject
