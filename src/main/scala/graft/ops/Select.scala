@@ -211,6 +211,28 @@ object Select {
     nbScoreWithCounts(base, tables._1, tables._2, maxVocab)
   }
 
+  /** Retract a removed-docs delta from stored NB count tables — the
+    * [[LmIndex.retract]] law applied to the classifier: count the removed
+    * docs alone, subtract per key, drop zeroed keys. The decremented
+    * tables score every document exactly as a model that never trained on
+    * them (q282 proves it through the prediction surface), completing the
+    * retraction story for the additive-table class: LM (q278), NB (q282),
+    * and by the same algebra CMS/bucket-df counts.
+    */
+  def nbRetractCounts(full: (DataFrame, DataFrame),
+      removed: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val cls = full._1
+      .join(removed._1.withColumnRenamed("ndocs", "dn"), Seq("lbl"), "left_outer")
+      .select(col("lbl"), (col("ndocs") - coalesce(col("dn"), lit(0L))).as("ndocs"))
+      .where(col("ndocs") > 0)
+    val cwc = full._2
+      .join(removed._2.withColumnRenamed("cwc", "dn"), Seq("lbl", "w"), "left_outer")
+      .select(col("lbl"), col("w"),
+        (col("cwc") - coalesce(col("dn"), lit(0L))).as("cwc"))
+      .where(col("cwc") > 0)
+    (cls, cwc)
+  }
+
   /** Shared NB scoring tail over explicit count frames. `base` carries
     * every document to score ((doc_id, lbl, is_tr, t)); `cls`/`cwcAll`
     * carry the training statistics (however they were built or merged).

@@ -15,10 +15,16 @@ object PipelineQueries {
     * q221 (merged durable count tables): count additivity means both
     * engines' prediction surfaces are the SAME relational replay.
     */
-  private lazy val duckNbOracle: String = {
+  private lazy val duckNbOracle: String = duckNbOracleWith("")
+
+  /** Variant with an extra SQL predicate on the TRAIN membership — the
+    * seam the NB retraction proof (q282) uses for "trained on everyone
+    * except the removed docs" without copying the chain.
+    */
+  private def duckNbOracleWith(extraTrainPred: String): String = {
         val splitHash = Hashing.duckHash60("('nb-' || CAST(doc_id AS VARCHAR))")
         s"""WITH docs0 AS (
-           |  SELECT doc_id, lang AS lbl, $splitHash % 4 < 3 AS is_tr,
+           |  SELECT doc_id, lang AS lbl, ($splitHash % 4 < 3 $extraTrainPred) AS is_tr,
            |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS t
            |  FROM documents),
            |cwcall AS (
@@ -1272,6 +1278,77 @@ object PipelineQueries {
            |    / (sa * sa / CAST(n_a - 1 AS DOUBLE)
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
+
+    // NB count-table RETRACTION — q278's law applied to the classifier:
+    // subtract the removed docs' own counts per key, drop zeroed keys,
+    // and the decremented tables predict bit-identically to a model that
+    // never trained on them (oracle trains on the filtered split). The
+    // additive-table retraction story is now proved on both model
+    // families.
+    QueryDef(
+      "q282_nb_table_retract",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val baseTr = pmod(Hashing.hash60(
+          concat(lit("nb-"), col("doc_id").cast("string"))), lit(4L)) < 3
+        val keptTr = baseTr && pmod(col("doc_id"), lit(11)) =!= 0
+        val full = Select.nbCountTables(docs.where(baseTr),
+          col("doc_id"), col("text"), col("lang"))
+        val removed = Select.nbCountTables(
+          docs.where(baseTr && pmod(col("doc_id"), lit(11)) === 0),
+          col("doc_id"), col("text"), col("lang"))
+        Select.nbScoreFromTables(Select.nbRetractCounts(full, removed),
+          docs, col("doc_id"), col("text"), col("lang"), keptTr,
+          maxVocab = Some(60))
+      },
+      Some(duckNbOracleWith("AND doc_id % 11 <> 0"))),
+
+    // CMS SELF-JOIN size / F2 estimation (Alon-Matias-Szegedy by way of
+    // Count-Min): the join-cardinality estimator a planner consults
+    // before committing to a shuffle — est = min over depth rows of the
+    // counter dot product, which never undercounts Σ c(u)² (row
+    // collisions only add). Verified q26-style: exact second moment +
+    // verdict columns ride along; the 4×256-long sketch is the ONLY
+    // corpus-reduction state.
+    QueryDef(
+      "q281_cms_selfjoin_size",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id").cast("string").as("k"))
+        val sk = ev.agg(graft.ops.Text.countMinSketch(col("k"), 4, 256).as("sk"))
+        val ests = (0 until 4).map(r =>
+          aggregate(
+            transform(slice(col("sk"), r * 256 + 1, 256),
+              x => (x * x).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)"), (a, v) => a + v))
+        val est = sk.select(least(ests: _*).cast("long").as("est"))
+        val exact = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).cast("long")
+            .as("exact"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est"), col("exact"),
+            (col("est") >= col("exact")).as("no_undercount"),
+            (col("est").cast("double") / col("exact")).as("ratio"))
+      },
+      Some {
+        val h = Hashing.duckHash60(
+          "('cm' || CAST(r AS VARCHAR) || '-' || CAST(user_id AS VARCHAR))")
+        s"""WITH cells AS (
+           |  SELECT r, $h % 256 AS j, COUNT(*) AS c
+           |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+           |  GROUP BY 1, 2),
+           |dots AS (
+           |  SELECT r, CAST(SUM(c * c) AS BIGINT) AS dot
+           |  FROM cells GROUP BY 1),
+           |est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est FROM dots),
+           |ex AS (
+           |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact FROM (
+           |    SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+           |SELECT est, exact, est >= exact AS no_undercount,
+           |  CAST(est AS DOUBLE) / exact AS ratio
+           |FROM est CROSS JOIN ex""".stripMargin
+      }),
 
     // Decision-stump feature ranking: the top-10 tokens by information
     // gain on the "is English" target — the interpretable-filter trainer
