@@ -353,6 +353,36 @@ object Stats {
     withP.unionByName(total)
   }
 
+  /** Binned AUC from mergeable histogram state — the ONLINE form of
+    * [[rocAuc]]: two per-bin counters (positives, negatives) are all the
+    * state needed, and counters are ADDITIVE, so a stream maintains them
+    * per micro-batch ([[HistIndex]]'s maintenance class) and the monitor
+    * reads AUC from stored counts with no rescan. The estimate treats
+    * within-bin score order as ties (half credit) — exactly [[rocAuc]]'s
+    * tie rule at bin granularity — so binned AUC IS the exact AUC of the
+    * binned score, and its gap to the exact AUC is bounded by the
+    * cross-pair mass inside bins. Both values and the gap are
+    * deterministic, so the whole row hash-checks with no tolerance
+    * verdict.
+    *
+    * Output: one row (n_pos, n_neg, auc_exact, auc_binned, abs_err).
+    */
+  def binnedAuc(df: DataFrame, score: Column, isPos: Column,
+      bins: Int = 10): DataFrame = {
+    val scored = df.select(score.as("s"), isPos.cast("long").as("p"))
+      .localCheckpoint()
+    val exact = rocAuc(scored, col("s"), col("p") === 1L)
+      .select(col("n_pos"), col("n_neg"), col("auc").as("auc_exact"))
+    val binned = rocAuc(
+      scored.select(
+        least(floor(col("s") * bins), lit(bins - 1L)).cast("int").as("b"),
+        col("p")),
+      col("b"), col("p") === 1L)
+      .select(col("auc").as("auc_binned"))
+    exact.crossJoin(broadcast(binned))
+      .withColumn("abs_err", abs(col("auc_exact") - col("auc_binned")))
+  }
+
   /** Gate-tuning operating point: the LOWEST score threshold whose
     * flag-everything-at-or-above rule still meets `targetPrecision` —
     * i.e. the most permissive (highest-recall) gate that keeps precision,

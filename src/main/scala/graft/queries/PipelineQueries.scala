@@ -1279,6 +1279,176 @@ object PipelineQueries {
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
 
+    // ONLINE AUC monitoring from mergeable state: AUC computed twice —
+    // exactly, and from 10-bin score counters (the only state a stream
+    // has to maintain; counters are additive, so micro-batches merge per
+    // the q260/q264 law). The binned value treats within-bin order as
+    // ties — exactly the AUC tie rule at bin grain — so estimate, exact,
+    // and their gap are all deterministic and the row hash-checks with no
+    // tolerance verdict.
+    QueryDef(
+      "q283_binned_auc",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.binnedAuc(docs, Text.qualityScore(col("text")),
+          col("lang") === "en", bins = 10)
+      },
+      Some {
+        def aucChain(scoreExpr: String, pfx: String): String =
+          s"""${pfx}g AS (
+             |  SELECT $scoreExpr AS s, CAST(SUM(p) AS BIGINT) AS npos,
+             |    CAST(SUM(1 - p) AS BIGINT) AS nneg
+             |  FROM q GROUP BY 1),
+             |${pfx}c AS (
+             |  SELECT s, npos, nneg,
+             |    CAST(COALESCE(SUM(nneg) OVER (ORDER BY s ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS neg_below
+             |  FROM ${pfx}g),
+             |${pfx}a AS (
+             |  SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+             |    CAST(SUM(nneg) AS BIGINT) AS n_neg,
+             |    CASE WHEN SUM(npos) = 0 OR SUM(nneg) = 0 THEN NULL
+             |      ELSE CAST(SUM(npos * (2 * neg_below + nneg)) AS DOUBLE)
+             |        / (2.0 * SUM(npos) * SUM(nneg)) END AS auc
+             |  FROM ${pfx}c)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |${aucChain("s", "e")},
+           |${aucChain("CAST(LEAST(FLOOR(s * 10), 9) AS INT)", "b")}
+           |SELECT e.n_pos, e.n_neg, e.auc AS auc_exact, b.auc AS auc_binned,
+           |  ABS(e.auc - b.auc) AS abs_err
+           |FROM ea e CROSS JOIN ba b""".stripMargin
+      }),
+
+    // Per-document curation PROVENANCE manifest — the audit trail behind
+    // q222's survivors: every input document gets one row of stage flags
+    // (repaired? passed the filters? won its dup election? eval split?
+    // decontaminated away? inside the token budget?) and a status naming
+    // the FIRST stage that ended its run. "Why did doc X drop" becomes a
+    // point lookup instead of a re-run; same stage predicates as q222,
+    // assembled by LEFT joins on bare ids.
+    QueryDef(
+      "q284_curation_provenance",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(30)) === 0,
+            concat(col("text"), lit(corrupted)))
+            .otherwise(col("text")).as("raw"))
+        val fx = planted
+          .select(col("doc_id"), col("raw"),
+            Text.fixMojibake(col("raw")).as("text"))
+          .localCheckpoint()
+        val base = fx.select(col("doc_id"), col("text"),
+          (col("text") =!= col("raw")).as("repaired"),
+          (Text.langId(col("text")) === "en" &&
+            Text.qualityScore(col("text")) >= 0.5).as("filter_ok"),
+          (pmod(col("doc_id"), lit(40)) === 0).as("is_eval"))
+          .localCheckpoint()
+        val filtered = base.where(col("filter_ok"))
+          .select(col("doc_id"), col("text"))
+        val elected = Dedup.exactByKey(filtered, col("text"), col("doc_id"))
+          .select(col("doc_id"), lit(true).as("won"))
+          .localCheckpoint()
+        val evalSet = fx.where(pmod(col("doc_id"), lit(40)) === 0)
+          .select(col("doc_id"), col("text"))
+        val corpus = filtered.join(elected.select(col("doc_id")), "doc_id")
+          .where(pmod(col("doc_id"), lit(40)) =!= 0)
+        val contaminated = Dedup.contaminationPairs(corpus, evalSet,
+            col("doc_id"), col("text"), 3, 4)
+          .select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit(true).as("leaked"))
+        val clean = corpus
+          .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val selected = Sampling.selectByBudget(clean, col("doc_id"),
+            Text.qualityScore(col("text")), Text.wordCount(col("text")),
+            budget = 8000L)
+          .select(col("doc_id"), lit(true).as("sel"))
+        base.drop("text")
+          .join(elected, Seq("doc_id"), "left_outer")
+          .join(contaminated, Seq("doc_id"), "left_outer")
+          .join(selected, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("repaired"), col("filter_ok"),
+            coalesce(col("won"), lit(false)).as("dup_winner"),
+            col("is_eval"),
+            coalesce(col("leaked"), lit(false)).as("leaked"),
+            coalesce(col("sel"), lit(false)).as("selected"),
+            when(!col("filter_ok"), "filtered")
+              .when(!coalesce(col("won"), lit(false)), "dup_loser")
+              .when(col("is_eval"), "eval_split")
+              .when(coalesce(col("leaked"), lit(false)), "decontaminated")
+              .when(!coalesce(col("sel"), lit(false)), "over_budget")
+              .otherwise("selected").as("status"))
+      }, {
+        val corrupted = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u0153quoted\u00e2\u20ac\u00a6"
+        Some(s"""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 30 = 0 THEN text || ${Text.duckChr(corrupted)}
+             |         ELSE text END AS raw
+             |  FROM documents),
+             |fx AS (
+             |  SELECT doc_id, raw, ${Text.duckFixMojibake("raw")} AS text
+             |  FROM planted),
+             |base AS (
+             |  SELECT doc_id, text, text <> raw AS repaired,
+             |    (${Text.duckLangId("text")} = 'en'
+             |      AND ${Text.duckQualityScore("text")} >= 0.5) AS filter_ok,
+             |    doc_id % 40 = 0 AS is_eval
+             |  FROM fx),
+             |filtered AS (SELECT doc_id, text FROM base WHERE filter_ok),
+             |elected AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+             |    FROM filtered)
+             |  WHERE doc_id = m),
+             |evl AS (
+             |  SELECT doc_id AS eval_id, unnest(${Text.duckShingles("text", 3)}) AS sh
+             |  FROM fx WHERE doc_id % 40 = 0),
+             |cp AS (
+             |  SELECT f.doc_id, f.text, unnest(${Text.duckShingles("f.text", 3)}) AS sh
+             |  FROM filtered f JOIN elected e ON e.doc_id = f.doc_id
+             |  WHERE f.doc_id % 40 <> 0),
+             |contam AS (
+             |  SELECT doc_id FROM (
+             |    SELECT cp.doc_id, evl.eval_id, COUNT(*) AS ns
+             |    FROM cp JOIN evl USING (sh) GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+             |  GROUP BY doc_id),
+             |clean AS (
+             |  SELECT f.doc_id, f.text
+             |  FROM filtered f JOIN elected e ON e.doc_id = f.doc_id
+             |  WHERE f.doc_id % 40 <> 0
+             |    AND f.doc_id NOT IN (SELECT doc_id FROM contam)),
+             |cq AS (
+             |  SELECT doc_id, ${Text.duckQualityScore("text")} AS score,
+             |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+             |  FROM clean),
+             |cc AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tok
+             |  FROM cq),
+             |sel AS (SELECT doc_id FROM cc WHERE cum_tok <= 8000)
+             |SELECT b.doc_id, b.repaired, b.filter_ok,
+             |  e.doc_id IS NOT NULL AS dup_winner, b.is_eval,
+             |  c.doc_id IS NOT NULL AS leaked,
+             |  s.doc_id IS NOT NULL AS selected,
+             |  CASE WHEN NOT b.filter_ok THEN 'filtered'
+             |       WHEN e.doc_id IS NULL THEN 'dup_loser'
+             |       WHEN b.is_eval THEN 'eval_split'
+             |       WHEN c.doc_id IS NOT NULL THEN 'decontaminated'
+             |       WHEN s.doc_id IS NULL THEN 'over_budget'
+             |       ELSE 'selected' END AS status
+             |FROM base b
+             |LEFT JOIN elected e ON e.doc_id = b.doc_id
+             |LEFT JOIN contam c ON c.doc_id = b.doc_id
+             |LEFT JOIN sel s ON s.doc_id = b.doc_id""".stripMargin)
+      }),
+
     // NB count-table RETRACTION — q278's law applied to the classifier:
     // subtract the removed docs' own counts per key, drop zeroed keys,
     // and the decremented tables predict bit-identically to a model that
