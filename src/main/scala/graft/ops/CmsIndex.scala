@@ -42,6 +42,23 @@ object CmsIndex {
           .otherwise(zip_with(col("sk_a"), col("sk_b"), (x, y) => x + y))
           .as("sk"))
 
+  /** Retract rows: sketch the removed rows alone and SUBTRACT counters
+    * elementwise — CMS linearity works in both directions (unlike the
+    * HLL/theta register max-folds, which cannot unabsorb), so the
+    * decremented table equals a never-absorbed-them rebuild counter for
+    * counter (CmsIndexSpec pins it). Keys whose counters all reach zero
+    * drop. The q277/q278/q282 right-to-be-forgotten family's sketch
+    * member.
+    */
+  def retract(full: DataFrame, removed: DataFrame): DataFrame =
+    full.select(col("key"), col("sk").as("sk_a"))
+      .join(removed.select(col("key"), col("sk").as("sk_b")), Seq("key"), "left_outer")
+      .select(col("key"),
+        when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(zip_with(col("sk_a"), col("sk_b"), (x, y) => x - y))
+          .as("sk"))
+      .where(exists(col("sk"), x => x > 0L))
+
   /** Persist the sketch table. No partitioning: rows are one fixed
     * depth×width array per key — the table is #keys rows regardless of
     * corpus size (that is the point of the sketch).

@@ -61,8 +61,14 @@ object MinHashIndex {
     * deletion is an exact key-filter with no neighbor re-signing — the
     * same locality argument that makes append exact (q207) makes delete
     * exact (q277 hash-proves the post-delete serve against a
-    * never-indexed-them rebuild). The right-to-be-forgotten path for
-    * every per-doc-local index family (minhash/simhash/winnow/paragraph).
+    * never-indexed-them rebuild). The right-to-be-forgotten path for the
+    * per-doc-local index families (minhash/simhash/winnow — every stored
+    * row derives from its own doc alone). NOT valid for ELECTED tables
+    * like [[ParaIndex]], whose stored row is the corpus-wide first
+    * occurrence: deleting a winner cannot restore the suppressed later
+    * occurrences, so election tables delete by re-election over the
+    * remaining corpus (or accept the documented under-suppression of
+    * future ingests for the deleted winners' paragraphs).
     */
   def delete(tbl: DataFrame, removedIds: DataFrame): DataFrame =
     tbl.join(removedIds.select(col("doc_id")), Seq("doc_id"), "left_anti")

@@ -41,6 +41,17 @@ class CmsIndexSpec extends AnyFunSuite with SparkSpec {
     assert(merged == full, "disjoint-key merge must pass both sides through")
   }
 
+  test("retract == never-absorbed rebuild, counter for counter (linearity both directions)") {
+    val keep = ev.where(pmod(col("event_id"), lit(7)) =!= 0)
+    val gone = ev.where(pmod(col("event_id"), lit(7)) === 0)
+    val full = CmsIndex.build(ev, col("event_type"), col("u"), 4, 256)
+    val retracted = CmsIndex.retract(full,
+      CmsIndex.build(gone, col("event_type"), col("u"), 4, 256))
+    val rebuilt = CmsIndex.build(keep, col("event_type"), col("u"), 4, 256)
+    assert(counters(retracted) == counters(rebuilt),
+      "subtracting the removed rows' own sketch must equal the never-saw-them rebuild")
+  }
+
   test("streaming maintenance: per-micro-batch sketches fold into the table == direct batch sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

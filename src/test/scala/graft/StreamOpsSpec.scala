@@ -333,6 +333,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       "quantiles served from the maintained table must match the batch table")
   }
 
+  test("incremental AUC-counter maintenance: micro-batch (bin, pos, neg) deltas re-sum to the batch counters") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, floor, lit, sum}
+    import graft.ops.Text
+
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("text"), (col("lang") === "en").as("y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    def binCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(floor(Text.qualityScore(col("text")) * 10), lit(9L))
+          .cast("int").as("bin"),
+        col("y").cast("long").as("p"))
+      .groupBy(col("bin"))
+      .agg(sum(col("p")).as("npos"), sum(lit(1L) - col("p")).as("nneg"))
+    val ms = MemoryStream[(String, Boolean)]
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("text", "y")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += binCounts(batch).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(docs.take(150)); q.processAllAvailable()
+      ms.addData(docs.slice(150, 350)); q.processAllAvailable()
+      ms.addData(docs.drop(350)); q.processAllAvailable()
+    } finally q.stop()
+    assert(stored.size == 3)
+    val merged = stored.reduce(_ unionByName _)
+      .groupBy(col("bin"))
+      .agg(sum(col("npos")).as("npos"), sum(col("nneg")).as("nneg"))
+    val direct = binCounts(docs.toDF("text", "y"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "additive AUC counters: stream-maintained == batch, hence identical binned AUC (q283)")
+  }
+
   test("incremental sketch maintenance: per-micro-batch hourly theta appends union to the direct batch sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
