@@ -353,6 +353,39 @@ object Stats {
     withP.unionByName(total)
   }
 
+  /** Theil–Sen robust trend per key over a (key, day, n) count series:
+    * the median of all pairwise slopes (n_j − n_i)/(day_j − day_i) — the
+    * trend estimate one corrupted day cannot move (OLS, q244's tool,
+    * breaks down at a single outlier; Theil–Sen tolerates ~29%). The
+    * per-key pair fan-out is bounded by days² — a CALENDAR bound, not a
+    * data-volume bound, so the shape survives any corpus scale. Median is
+    * the exact nearest-rank ceil with a (slope, d1, d2) total order;
+    * slopes are single divisions of exact integers.
+    *
+    * Output per key: (event_type, n_days, n_pairs, trend).
+    */
+  def theilSenTrend(cells: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val a = cells.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val b = cells.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("n2") - col("n1")).cast("double") /
+          (col("d2") - col("d1"))).as("sl"))
+    val nd = cells.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val w = W.partitionBy(col("event_type"))
+      .orderBy(col("sl").asc, col("d1").asc, col("d2").asc)
+    val wn = W.partitionBy(col("event_type"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wn))
+      .where(col("rn") === floor((col("np") + lit(1)) / lit(2.0)))
+      .join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("sl").as("trend"))
+  }
+
   /** Binned AUC from mergeable histogram state — the ONLINE form of
     * [[rocAuc]]: two per-bin counters (positives, negatives) are all the
     * state needed, and counters are ADDITIVE, so a stream maintains them

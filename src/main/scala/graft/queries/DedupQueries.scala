@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Hashing, Text}
+import graft.ops.{Dedup, Hashing, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension queries over `documents`: exact, n-gram Jaccard,
@@ -1509,6 +1509,63 @@ object DedupQueries {
            |FROM rep WHERE n_occ >= 2
            |ORDER BY n_occ DESC, chunk_md5 ASC
            |LIMIT 100""".stripMargin)),
+
+    // Train/test SPLIT-LEAKAGE audit: near-dup candidate pairs that cross
+    // the deterministic 80/10/10 split — the evaluation-integrity check
+    // every benchmark should run (a test doc with a train-side near-dup
+    // inflates every metric; exact-dup decontamination misses
+    // paraphrases). The q54 pair frame joins the q46 split assignment on
+    // bare ids and reduces to the split×split leakage matrix.
+    QueryDef(
+      "q285_split_leakage",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(
+            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4),
+          maxBucket = Some(100))
+        val split = Sampling.withSplit(docs, col("doc_id"),
+            trainPct = 80, valPct = 10)
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .where(col("split_a") =!= col("split_b"))
+          .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+            greatest(col("split_a"), col("split_b")).as("split_hi"))
+          .agg(count(lit(1)).as("n_leaked_pairs"))
+      },
+      Some(s"""WITH $duckShingleCte,
+           |$duckMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, seed // 4 AS band,
+           |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+           |  FROM mh GROUP BY 1, 2),
+           |ok_buckets AS (
+           |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+           |  HAVING COUNT(*) BETWEEN 2 AND 100),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN bands b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig
+           |      AND a.doc_id < b.doc_id
+           |  JOIN ok_buckets ob
+           |    ON ob.band = a.band AND ob.band_sig = a.band_sig),
+           |sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, ${Sampling.duckHashBucket("doc_id")} AS b
+           |        FROM documents))
+           |SELECT LEAST(sa.split, sb.split) AS split_lo,
+           |  GREATEST(sa.split, sb.split) AS split_hi,
+           |  CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+           |FROM pairs
+           |JOIN sp sa ON sa.doc_id = pairs.id_a
+           |JOIN sp sb ON sb.doc_id = pairs.id_b
+           |WHERE sa.split <> sb.split
+           |GROUP BY 1, 2""".stripMargin)),
 
     // Source-level BOILERPLATE detection: paragraphs repeated across ≥3
     // documents and ≥1% of a source's docs — the per-site template/nav/

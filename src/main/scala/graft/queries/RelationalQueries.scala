@@ -2089,6 +2089,41 @@ object RelationalQueries {
            |GROUP BY 1, 2, 3
            |HAVING COUNT(*) < 5""".stripMargin)),
 
+    // Theil–Sen robust trend per event type over daily counts: the
+    // median of all pairwise slopes — the trend one corrupted day cannot
+    // move (q244's OLS breaks at a single outlier). Pair fan-out is
+    // days² — a calendar bound, not a data bound; the median is exact
+    // nearest-rank over a total order.
+    QueryDef(
+      "q286_theil_sen_trend",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Stats.theilSenTrend(cells)
+      },
+      Some("""WITH cells AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |nd AS (SELECT event_type, COUNT(*) AS n_days FROM cells GROUP BY 1),
+           |sl AS (
+           |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+           |    CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS sl
+           |  FROM cells a JOIN cells b
+           |    ON b.event_type = a.event_type AND b.day > a.day),
+           |rk AS (
+           |  SELECT event_type, sl,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY sl ASC, d1 ASC, d2 ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS np
+           |  FROM sl)
+           |SELECT rk.event_type, nd.n_days, CAST(np AS BIGINT) AS n_pairs,
+           |  sl AS trend
+           |FROM rk JOIN nd ON nd.event_type = rk.event_type
+           |WHERE rn = FLOOR((np + 1) / 2.0)""".stripMargin)),
+
     // CUSUM change-point detection per event type over the daily count
     // series: cumulative deviation from the series mean accumulates slow
     // sustained shifts that the per-point z monitors (q238/q262) never
