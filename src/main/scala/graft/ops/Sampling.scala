@@ -578,6 +578,25 @@ object Sampling {
           lit(1000000007L))).as("checksum"))
       .orderBy(col("shard").asc)
 
+  /** Rendezvous (highest-random-weight) shard assignment: shard = argmax
+    * over shards of hash(salt-shard-id) — the consistent-assignment
+    * scheme whose REBALANCE law is provable row by row: growing from N to
+    * N+1 shards, an id moves iff the new shard's hash beats its old
+    * maximum, so every move lands ON the new shard and the expected moved
+    * fraction is 1/(N+1) (mod-N hashing would reshuffle ~N/(N+1) of the
+    * corpus). Ties (a 60-bit hash collision between two shard scores of
+    * the same id, ~2⁻⁶¹ per pair) break to the larger shard index —
+    * pinned, and mirrored in the oracle's (h DESC, sh DESC) rank.
+    */
+  def rendezvousShard(id: Column, nShards: Int, salt: String = "hrw"): Column = {
+    require(nShards >= 1, "need at least one shard")
+    val scored = (0 until nShards).map(sh =>
+      struct(
+        Hashing.hash60(concat(lit(s"$salt-$sh-"), id.cast("string"))).as("h"),
+        lit(sh).as("sh")))
+    array_max(array(scored: _*)).getField("sh")
+  }
+
   /** DURABLE per-key sample table — [[perGroupSample]] as a maintained
     * artifact: each key keeps its k members with the smallest (hash, id)
     * priority. "k smallest by a fixed total order" is a SEMILATTICE merge

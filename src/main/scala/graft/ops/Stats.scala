@@ -353,6 +353,65 @@ object Stats {
     withP.unionByName(total)
   }
 
+  /** [[rocAuc]] PER KEY — the ranking-fairness slice view (q280 slices
+    * accuracy; this slices discrimination): does the score separate the
+    * classes equally well inside every source? Same doubled tie-corrected
+    * statistic, with the prefix count of negatives from a KEY-PARTITIONED
+    * window over each key's per-distinct-score frame (a per-key series
+    * window, the q248/q262 class — never global). One-class keys report
+    * auc NULL, explicitly present.
+    *
+    * Output per key: (key, n_pos, n_neg, auc).
+    */
+  def rocAucByKey(df: DataFrame, key: Column, score: Column,
+      isPos: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(key.as("key"), score.as("s"), isPos.cast("long").as("p"))
+      .groupBy(col("key"), col("s"))
+      .agg(sum(col("p")).as("npos"), sum(lit(1L) - col("p")).as("nneg"))
+    val w = W.partitionBy(col("key")).orderBy(col("s").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("nneg")).over(w), lit(0L)))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("npos")).as("n_pos"),
+        sum(col("nneg")).as("n_neg"),
+        sum(col("npos") * (lit(2L) * col("neg_below") + col("nneg"))).as("u2"))
+      .select(col("key"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Two-proportion pooled z-test of each key's success rate against the
+    * REST of the corpus — "is this slice's accuracy drop significant, or
+    * small-n noise?", the inferential companion of the q280 slice report.
+    * Rest-counts derive by subtraction from 1-row broadcast totals, so
+    * nothing joins per-key against per-key; z is the standard pooled
+    * statistic, a fixed-form expression over exact integers.
+    *
+    * Input: (key, n, k) success counts. Output: (key, n, k, rate,
+    * rest_rate, z) — z NULL when either side is empty or the pooled
+    * variance is 0 (all successes / all failures everywhere).
+    */
+  def twoProportionZ(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+    val n1 = col("n").cast("double")
+    val n2 = (col("tn") - col("n")).cast("double")
+    val p1 = col("k").cast("double") / n1
+    val p2 = (col("tk") - col("k")).cast("double") / n2
+    val pp = col("tk").cast("double") / col("tn").cast("double")
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"), col("k"),
+        p1.as("rate"), p2.as("rest_rate"),
+        when(col("n") === 0L || col("tn") === col("n") || se2 <= 0.0,
+          lit(null).cast("double"))
+          .otherwise((p1 - p2) / sqrt(se2)).as("z"))
+  }
+
   /** Theil–Sen robust trend per key over a (key, day, n) count series:
     * the median of all pairwise slopes (n_j − n_i)/(day_j − day_i) — the
     * trend estimate one corrupted day cannot move (OLS, q244's tool,

@@ -1279,6 +1279,130 @@ object PipelineQueries {
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
 
+    // Per-source AUC — the ranking-fairness slice view (q280 slices
+    // accuracy; this slices DISCRIMINATION): the same doubled
+    // tie-corrected statistic with a key-partitioned prefix window.
+    // One-class sources report auc NULL, explicitly present.
+    QueryDef(
+      "q287_source_auc",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.rocAucByKey(docs, col("source"), Text.qualityScore(col("text")),
+          col("lang") === "en")
+      },
+      Some(s"""WITH q AS (
+           |  SELECT source AS key, ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |g AS (
+           |  SELECT key, s, CAST(SUM(p) AS BIGINT) AS npos,
+           |    CAST(SUM(1 - p) AS BIGINT) AS nneg
+           |  FROM q GROUP BY 1, 2),
+           |c AS (
+           |  SELECT key, npos, nneg,
+           |    CAST(COALESCE(SUM(nneg) OVER (PARTITION BY key ORDER BY s ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS neg_below
+           |  FROM g)
+           |SELECT key, CAST(SUM(npos) AS BIGINT) AS n_pos,
+           |  CAST(SUM(nneg) AS BIGINT) AS n_neg,
+           |  CASE WHEN SUM(npos) = 0 OR SUM(nneg) = 0 THEN NULL
+           |    ELSE CAST(SUM(npos * (2 * neg_below + nneg)) AS DOUBLE)
+           |      / (2.0 * SUM(npos) * SUM(nneg)) END AS auc
+           |FROM c GROUP BY 1""".stripMargin)),
+
+    // Slice significance: pooled two-proportion z of each source's
+    // held-out NB accuracy against the rest of the corpus — "is that
+    // slice's drop real or small-n noise?", the inferential companion of
+    // q280's point estimates. Rest-counts derive by subtraction from
+    // 1-row broadcast totals.
+    QueryDef(
+      "q288_slice_significance",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nb = Select.nbTrainScore(docs, col("doc_id"), col("text"),
+          col("lang"), pmod(Hashing.hash60(concat(lit("nb-"),
+            col("doc_id").cast("string"))), lit(4L)) < 3,
+          maxVocab = Some(60))
+        val counts = nb.where(!col("is_train"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source").as("key"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("correct").cast("long")).as("k"))
+        Stats.twoProportionZ(counts)
+      },
+      Some(s"""WITH nb AS ($duckNbOracle),
+           |counts AS (
+           |  SELECT d.source AS key, COUNT(*) AS n,
+           |    CAST(SUM(CASE WHEN nb.correct THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+           |  WHERE NOT nb.is_train GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(k) AS BIGINT) AS tk
+           |  FROM counts)
+           |SELECT key, n, k,
+           |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           |  CAST(tk - k AS DOUBLE) / CAST(tn - n AS DOUBLE) AS rest_rate,
+           |  CASE WHEN n = 0 OR tn = n
+           |      OR (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |        * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |        * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tn - n AS DOUBLE)) <= 0
+           |    THEN NULL
+           |    ELSE (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |        - CAST(tk - k AS DOUBLE) / CAST(tn - n AS DOUBLE))
+           |      / sqrt((CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |        * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |        * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tn - n AS DOUBLE)))
+           |  END AS z
+           |FROM counts CROSS JOIN tot""".stripMargin)),
+
+    // Rendezvous-hash shard REBALANCE audit: growing 8 → 9 shards, an id
+    // moves iff the new shard's score beats its old maximum — so every
+    // move lands ON the new shard (bad_moves is exactly 0, a law the
+    // hash gate checks, not a probability) and the moved fraction
+    // concentrates near 1/9, vs ~8/9 under mod-N hashing. The per-doc
+    // argmax is a pure row expression over 2×9 hash evaluations.
+    QueryDef(
+      "q289_rendezvous_rebalance",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val a = docs.select(
+          Sampling.rendezvousShard(col("doc_id"), 8).as("s8"),
+          Sampling.rendezvousShard(col("doc_id"), 9).as("s9"))
+        a.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"),
+            sum(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1L)
+              .otherwise(0L)).as("bad_moves"))
+          .withColumn("frac_moved",
+            col("n_moved").cast("double") / col("n_docs"))
+      },
+      Some {
+        val h = Hashing.duckHash60(
+          "('hrw-' || CAST(sh AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR))")
+        s"""WITH sc AS (
+           |  SELECT doc_id, sh, $h AS h
+           |  FROM documents, unnest(range(0, 9)) AS r(sh)),
+           |r8 AS (
+           |  SELECT doc_id, sh AS s8 FROM (
+           |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY h DESC, sh DESC) AS rn
+           |    FROM sc WHERE sh < 8) WHERE rn = 1),
+           |r9 AS (
+           |  SELECT doc_id, sh AS s9 FROM (
+           |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY h DESC, sh DESC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |j AS (SELECT s8, s9 FROM r8 JOIN r9 USING (doc_id))
+           |SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved,
+           |  CAST(SUM(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS bad_moves,
+           |  CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS frac_moved
+           |FROM j""".stripMargin
+      }),
+
     // ONLINE AUC monitoring from mergeable state: AUC computed twice —
     // exactly, and from 10-bin score counters (the only state a stream
     // has to maintain; counters are additive, so micro-batches merge per
