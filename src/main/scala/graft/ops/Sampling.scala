@@ -578,6 +578,52 @@ object Sampling {
           lit(1000000007L))).as("checksum"))
       .orderBy(col("shard").asc)
 
+  /** Water-filling mixture allocation: given per-source token counts and
+    * a total budget, the unique fair cap c where every source keeps
+    * min(tokens, c) and the budget is met exactly — the anti-domination
+    * allocator for mixture design (a proportional cut hands the largest
+    * crawl most of the budget; water-filling funds small sources fully
+    * and splits the rest evenly among the big ones). Exact integer
+    * arithmetic: sources sort ascending, a source is fully funded iff
+    * funding EVERYONE remaining at its size still fits, and the capped
+    * remainder divides as base = rem div m with the first rem mod m
+    * capped sources (ascending order) taking +1 — Σ alloc ==
+    * min(budget, total) exactly, no float water level.
+    *
+    * The frame is #sources rows; the ordered window over it is the
+    * bounded-small-frame class (the offset-table discipline), never
+    * data-sized. Output: (src, tok, alloc, capped).
+    */
+  def waterFillAllocation(counts: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("tok").asc, col("src").asc)
+    val ranked = counts.select(col("src"), col("tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prefix", sum(col("tok")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("nsrc", count(lit(1)).over(W.partitionBy()))
+      .localCheckpoint()
+    // fully funded iff even giving every remaining source this much fits
+    val funded = ranked.withColumn("full",
+      col("tok") * (col("nsrc") - col("rn") + 1) <=
+        lit(budget) - (col("prefix") - col("tok")))
+    val caps = funded.agg(
+      sum(when(col("full"), col("tok")).otherwise(0L)).as("p"),
+      sum(when(col("full"), 0L).otherwise(1L)).as("m"),
+      min(when(!col("full"), col("rn"))).as("first_capped"))
+    funded.crossJoin(broadcast(caps))
+      .select(col("src"), col("tok"),
+        when(col("full"), col("tok"))
+          .otherwise(
+            floor((lit(budget) - col("p")).cast("double") / col("m"))
+              .cast("long") +
+              when(col("rn") - col("first_capped") <
+                pmod(lit(budget) - col("p"), col("m")), 1L).otherwise(0L))
+          .as("alloc"),
+        (!col("full")).as("capped"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: shard = argmax
     * over shards of hash(salt-shard-id) — the consistent-assignment
     * scheme whose REBALANCE law is provable row by row: growing from N to

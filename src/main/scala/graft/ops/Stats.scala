@@ -275,7 +275,7 @@ object Stats {
     * prefix sum) per weight column. Shared by [[rocAuc]] and
     * [[precisionOperatingPoint]].
     */
-  private def prefixSums(frame: DataFrame, order: Column,
+  private[ops] def prefixSums(frame: DataFrame, order: Column,
       weights: Seq[String]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val parts = frame.repartitionByRange(order)

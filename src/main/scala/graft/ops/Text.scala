@@ -1818,6 +1818,48 @@ object Text {
       s"replace($acc, ${duckChr(m)}, ${duckChr(f)})"
     }
 
+  /** Heaps'-law vocabulary-growth exponent: regress ln(distinct tokens so
+    * far) on ln(tokens so far) over the doc-id-ordered corpus prefix —
+    * V(N) ≈ K·N^β with β ≈ 0.5 for natural text; β near 1 means the
+    * vocabulary never saturates (OCR noise, random ids), β near 0 a
+    * closed template vocabulary. The companion of q194's Zipf slope (the
+    * two laws are duals) and the empirical basis for every "vocab-sized ≪
+    * corpus" table argument in this repo.
+    *
+    * Shape: a token's FIRST-SEEN doc is min(doc_id) over one (w)-keyed
+    * aggregation; per-doc (n_tok, n_novel) then take the TWO-column
+    * two-phase prefix sum (Stats.prefixSums — no global window), and the
+    * regression folds decimal(38,18) over #docs points. Output: one row
+    * (n_docs, total_tokens, vocab, beta).
+    */
+  def heapsExponent(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val perDoc = df.select(id.as("doc_id"),
+      size(filter(tokens(text), w => length(w) > 0)).cast("long").as("n_tok"))
+    val novel = Dedup.spreadBy(df, id)
+      .select(id.as("doc_id"), explode(filter(tokens(text),
+        w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val joined = perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .localCheckpoint()
+    val tot = joined.agg(sum(col("n_tok")).as("total_tokens"),
+      sum(col("n_novel")).as("vocab"))
+    val cum = Stats.prefixSums(joined, col("doc_id"), Seq("n_tok", "n_novel"))
+      .where(col("cum_n_tok") > 0L && col("cum_n_novel") > 0L)
+      .select(log(col("cum_n_tok").cast("double")).as("x"),
+        log(col("cum_n_novel").cast("double")).as("y"))
+    cum.agg(count(lit(1)).as("n_docs"),
+        Num.dsum38(col("x")).as("sx"), Num.dsum38(col("y")).as("sy"),
+        Num.dsum38(col("x") * col("y")).as("sxy"),
+        Num.dsum38(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("total_tokens"), col("vocab"),
+        ((col("n_docs") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_docs") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+  }
+
   /** Per-document token-distribution Shannon entropy — the
     * information-density member of the quality family (a gibberish doc that
     * repeats one token scores ~0; templated boilerplate scores low; natural

@@ -1279,6 +1279,58 @@ object PipelineQueries {
            |      + sb * sb / CAST(n_b - 1 AS DOUBLE)) AS df
            |FROM x""".stripMargin)),
 
+    // Water-filling mixture allocation: the fair token cap across
+    // sources for an 18k budget — small sources keep everything, the
+    // budget remainder splits evenly among the big ones (+1s to the
+    // first ascending capped sources make Σ alloc == budget EXACTLY,
+    // integer arithmetic end to end; no float water level). The
+    // anti-domination allocator beside q113's temperature weights.
+    QueryDef(
+      "q290_waterfill_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy(col("source").as("src"))
+          .agg(sum(Text.wordCount(col("text")).cast("long")).as("tok"))
+          .localCheckpoint()
+        // budget = 95% of the corpus (integer-exact, the bounded
+        // model-parameter transfer class) — scale-adaptive, so the
+        // fully-funded and capped branches both exercise at every SF
+        val total = counts.agg(sum(col("tok"))).head().getLong(0)
+        Sampling.waterFillAllocation(counts, budget = total * 95L / 100L)
+      },
+      Some("""WITH counts AS (
+           |  SELECT source AS src,
+           |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tok
+           |  FROM documents GROUP BY 1),
+           |b AS (
+           |  SELECT CAST((SUM(tok) * 95) // 100 AS BIGINT) AS budget
+           |  FROM counts),
+           |r AS (
+           |  SELECT src, tok,
+           |    row_number() OVER (ORDER BY tok ASC, src ASC) AS rn,
+           |    CAST(SUM(tok) OVER (ORDER BY tok ASC, src ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS prefix,
+           |    COUNT(*) OVER () AS nsrc
+           |  FROM counts),
+           |f AS (
+           |  SELECT r.*, b.budget,
+           |    tok * (nsrc - rn + 1) <= b.budget - (prefix - tok) AS is_full
+           |  FROM r CROSS JOIN b),
+           |caps AS (
+           |  SELECT CAST(SUM(CASE WHEN is_full THEN tok ELSE 0 END) AS BIGINT)
+           |      AS p,
+           |    CAST(SUM(CASE WHEN is_full THEN 0 ELSE 1 END) AS BIGINT) AS m,
+           |    MIN(CASE WHEN NOT is_full THEN rn END) AS fc
+           |  FROM f)
+           |SELECT src, tok,
+           |  CASE WHEN is_full THEN tok
+           |       ELSE CAST(FLOOR(CAST(budget - p AS DOUBLE) / m) AS BIGINT)
+           |         + CASE WHEN rn - fc < (budget - p) % m THEN 1 ELSE 0 END
+           |  END AS alloc,
+           |  NOT is_full AS capped
+           |FROM f CROSS JOIN caps""".stripMargin)),
+
     // Per-source AUC — the ranking-fairness slice view (q280 slices
     // accuracy; this slices DISCRIMINATION): the same doubled
     // tie-corrected statistic with a key-partitioned prefix window.

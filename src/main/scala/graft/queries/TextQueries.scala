@@ -1368,6 +1368,56 @@ object TextQueries {
       Some(s"""WITH $duckLmScoreCtes
            |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
 
+    // Heaps'-law vocabulary-growth exponent: V(N) ~ K·N^beta over the
+    // doc-ordered corpus prefix — the dual of q194's Zipf slope and the
+    // empirical basis for every "vocab-sized << corpus" durable-table
+    // argument in this repo. First-seen docs from one keyed aggregation;
+    // the cumulative series is the two-column two-phase prefix sum (no
+    // global window); regression folds are decimal-exact.
+    QueryDef(
+      "q291_heaps_exponent",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.heapsExponent(docs, col("doc_id"), col("text"))
+      },
+      Some("""WITH perdoc AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+           |      w -> length(w) > 0)) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |fs AS (
+           |  SELECT w, MIN(doc_id) AS doc_id FROM (
+           |    SELECT doc_id, unnest(list_filter(
+           |      string_split_regex(text, '\s+'), w -> length(w) > 0)) AS w
+           |    FROM documents) GROUP BY 1),
+           |nv AS (SELECT doc_id, COUNT(*) AS n_novel FROM fs GROUP BY 1),
+           |j AS (
+           |  SELECT p.doc_id, p.n_tok,
+           |    CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+           |  FROM perdoc p LEFT JOIN nv USING (doc_id)),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(n_tok) OVER wo AS BIGINT) AS ct,
+           |    CAST(SUM(n_novel) OVER wo AS BIGINT) AS cv
+           |  FROM j WINDOW wo AS (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |pts AS (
+           |  SELECT ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+           |  FROM c WHERE ct > 0 AND cv > 0),
+           |tot AS (
+           |  SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           |    CAST(SUM(n_novel) AS BIGINT) AS vocab FROM j),
+           |ag AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+           |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+           |  FROM pts)
+           |SELECT n_docs, total_tokens, vocab,
+           |  (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx) AS beta
+           |FROM ag CROSS JOIN tot""".stripMargin)),
+
     // LM count-table RETRACTION — right-to-be-forgotten for additive
     // models: count the removed docs alone, SUBTRACT per key, drop
     // zeroed keys. Additivity works in both directions, so the
