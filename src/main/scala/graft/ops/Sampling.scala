@@ -677,4 +677,60 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Poisson(1) bootstrap weight for replicate `b` of row `id` — THE
+    * confidence-interval method that works at corpus scale (resampling n
+    * rows with replacement is a global shuffle; per-row independent
+    * Poisson(1) weights approximate it to O(1/n) and need one pass).
+    * Deterministic: the weight is a pure function of (id, b) through the
+    * cross-engine hash; thresholds are the Poisson(1) CDF at 10⁻⁴
+    * resolution (e⁻¹ ≈ 0.3679, cumulative ×10⁴, weights ≥ 5 lumped —
+    * P(W ≥ 5) ≈ 0.37%).
+    */
+  def poissonWeight(id: Column, b: Column, salt: String = "pb"): Column = {
+    val u = pmod(Hashing.hash60(
+      concat(id.cast("string"), lit("#" + salt), b.cast("string"))), lit(10000L))
+    when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
+      .when(u < 9810, 3L).when(u < 9963, 4L).otherwise(5L)
+  }
+
+  /** DuckDB twin of [[poissonWeight]]; `idExpr`/`bExpr` are SQL expressions
+    * (the id must cast to the same string Spark produces).
+    */
+  def duckPoissonWeight(idExpr: String, bExpr: String,
+      salt: String = "pb"): String = {
+    val u = s"(${Hashing.duckHash60(
+      s"(CAST($idExpr AS VARCHAR) || '#$salt' || CAST($bExpr AS VARCHAR))")} % 10000)"
+    s"""CASE WHEN $u < 3679 THEN 0 WHEN $u < 7358 THEN 1
+       |  WHEN $u < 9197 THEN 2 WHEN $u < 9810 THEN 3
+       |  WHEN $u < 9963 THEN 4 ELSE 5 END""".stripMargin
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean of an exact integer
+    * metric (e.g. price cents): B replicate means, each Σw·x / Σw with the
+    * weighted sums folded in decimal(38,0) (exact at any scale), then
+    * nearest-rank order statistics of the B-row means frame (rank 2 and
+    * B−1 for B=32 ≈ a 94% interval). One corpus pass over B×n narrow rows;
+    * the only post-reduction state is the B-row frame.
+    */
+  def poissonBootstrapMean(df: DataFrame, id: Column, x: Column,
+      b: Int = 32): DataFrame = {
+    require(b >= 4, "need at least 4 bootstrap replicates")
+    val reps = df.select(id.cast("string").as("k"), x.as("x"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", poissonWeight(col("k"), col("b")))
+    val means = reps.groupBy(col("b"))
+      .agg(sum(col("w") * col("x").cast("decimal(38,0)")).as("swx"),
+        sum(col("w")).as("sw"))
+      .select(col("b"), (col("swx").cast("double") / col("sw")).as("m"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("m").asc, col("b").asc)))
+    val ci = ranked.agg(
+      min(when(col("rn") === 2, col("m"))).as("boot_lo"),
+      min(when(col("rn") === b - 1, col("m"))).as("boot_hi"))
+    df.agg(count(lit(1)).as("n"),
+        (sum(x.cast("decimal(38,0)")).cast("double") / count(lit(1))).as("mean_x"))
+      .crossJoin(broadcast(ci))
+      .withColumn("n_boot", lit(b))
+  }
 }

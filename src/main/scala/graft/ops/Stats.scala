@@ -536,4 +536,259 @@ object Stats {
         (col("sum_s") / col("n_docs")).as("avg_score"))
       .withColumn("gap", abs(col("avg_score") - col("pos_rate")))
   }
+
+  /** Kaplan–Meier survival estimate over right-censored durations.
+    *
+    * Input: one row per subject, columns `t` (integer duration, e.g. days)
+    * and `ev` (1 = event observed, 0 = censored at t). Output: one row per
+    * distinct duration with the at-risk count, event/censor counts and the
+    * product-limit survival estimate S(t) = Π_{t_i ≤ t} (1 − d_i / n_i).
+    *
+    * Scale shape: the corpus reduces FIRST to the per-duration cell frame
+    * (one keyed aggregation), which is calendar-bounded (≤ observation-window
+    * days), so the single-partition analytic windows below run over at most a
+    * few thousand rows regardless of subject count — the q286/q272 envelope.
+    * The product is exp(Σ ln(1 − d/n)); a step where d = n (everyone at risk
+    * dies) pins survival to exactly 0.0 from that step on, because Spark's
+    * `ln(0)` is NULL while DuckDB's is −inf — the flag keeps both engines on
+    * the same fixed-form arithmetic.
+    */
+  def kaplanMeier(subjects: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = subjects.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val total = cells.agg(sum(col("d") + col("c")).as("n_total"))
+    val wPrior = W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, -1)
+    val wCum = W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("term", when(col("d") < col("n_risk"),
+        log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("term")).over(wCum))).as("surv"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: D = sup_v |F_A(v) − F_B(v)|.
+    *
+    * Exact until the final division: per distinct value the cumulative counts
+    * come from the two-phase prefix sum (no global window over the
+    * value-distinct frame, which at corpus scale is as large as the data),
+    * and the sup is a max over |cum_A·n_B − cum_B·n_A| held in decimal(38,0)
+    * (the cross products overflow int64 once both samples pass ~3·10⁹ rows).
+    * `ks_z` is D scaled by sqrt(n_A·n_B/(n_A+n_B)) — compare to the
+    * Kolmogorov quantile (1.358 at α=0.05).
+    */
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val cells = df.select(value.as("v"), isA.cast("long").as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+    val cum = prefixSums(cells, col("v"), Seq("na", "nb"))
+    val tot = cells.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum_na").cast("decimal(38,0)") * col("n2") -
+          col("cum_nb").cast("decimal(38,0)") * col("n1")).as("num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("mnum"))
+      .select(col("n1"), col("n2"),
+        (col("mnum").cast("double") /
+          (col("n1").cast("double") * col("n2"))).as("d_stat"))
+      .withColumn("ks_z", col("d_stat") *
+        sqrt(col("n1").cast("double") * col("n2") / (col("n1") + col("n2"))))
+  }
+
+  /** Mann–Kendall trend test per key over (day, n) cells — the significance
+    * twin of the Theil–Sen slope (q286): S = Σ_{i<j} sign(n_j − n_i) stays
+    * exact-integer, the variance carries the standard tie correction
+    * (Σ t(t−1)(2t+5) over tied-value groups), and z applies the ±1
+    * continuity correction. Pair fan-out is days² per key — a CALENDAR
+    * bound, not a data bound (the q286 envelope).
+    */
+  def mannKendall(cells: DataFrame): DataFrame = {
+    val a = cells.select(col("key"), col("day").as("d1"), col("n").as("n1"))
+    val b = cells.select(col("key").as("k2"), col("day").as("d2"), col("n").as("n2"))
+    val s = a.join(b, col("key") === col("k2") && col("d2") > col("d1"))
+      .groupBy(col("key"))
+      .agg(sum(signum((col("n2") - col("n1")).cast("double")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val nd = cells.groupBy(col("key")).agg(count(lit(1)).as("nd"))
+    val ties = cells.groupBy(col("key"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("key"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    s.join(nd, "key").join(ties, "key")
+      .withColumn("var_s",
+        (col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) - col("tsum"))
+          .cast("double") / 18.0)
+      .withColumn("z",
+        when(col("var_s") <= 0.0, lit(null).cast("double"))
+          .when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .select(col("key"), col("nd").as("n_days"), col("s"), col("var_s"), col("z"))
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13).
+    *
+    * Input: one row per unit with `arm` (variant label), `x` (pre-period
+    * covariate) and `y` (experiment metric), both already deterministic
+    * doubles (exact decimal sums cast back — the Num discipline). θ is the
+    * POOLED cov(x,y)/var(x); each arm's adjusted mean is
+    * mean_y − θ·(mean_x_arm − mean_x_all). The corpus reduces in ONE
+    * aggregation to five exact decimal moments (+ one per-arm aggregation);
+    * everything after is fixed-form double arithmetic on a #arms-row frame.
+    */
+  def cupedAdjust(per: DataFrame): DataFrame = {
+    val g = per.agg(
+      count(lit(1)).as("n"),
+      Num.dsum38(col("x")).as("sx"), Num.dsum38(col("y")).as("sy"),
+      Num.dsum38(col("x") * col("x")).as("sxx"),
+      Num.dsum38(col("x") * col("y")).as("sxy"))
+    val theta = g.select(col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+      (col("sx") / col("n")).as("mean_x_all"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"),
+        Num.dsum38(col("x")).as("asx"), Num.dsum38(col("y")).as("asy"))
+      .crossJoin(broadcast(theta))
+      .select(col("arm"), col("n_arm"),
+        (col("asy") / col("n_arm")).as("mean_y"),
+        (col("asy") / col("n_arm") -
+          col("theta") * (col("asx") / col("n_arm") - col("mean_x_all")))
+          .as("mean_y_cuped"),
+        col("theta"))
+  }
+
+  /** First-order Markov transition matrix over per-entity ordered state
+    * sequences. Input: (u, o1, o2, cur) — entity, two order columns (the
+    * second a deterministic tiebreak) and the state label. Output:
+    * (cur, nxt, n, p) with p the row-stochastic transition probability.
+    * The lag is a per-entity window (each user's events co-locate); the
+    * matrix is #states²-bounded.
+    */
+  def markovTransitions(steps: DataFrame): DataFrame =
+    markovFromCounts(markovCountTable(steps))
+
+  /** The DURABLE form of the transition matrix: raw (cur, nxt, n) counts.
+    * Counts are ADDITIVE, so shard tables built per entity-disjoint slice
+    * (users never straddle id-shards, and the lag window is per-entity —
+    * the locality argument that makes shard-local lags equal global lags)
+    * merge by plain summation: merge == one-shot rebuild count-for-count,
+    * and deletion retracts by subtraction (the q278 law).
+    */
+  def markovCountTable(steps: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("u")).orderBy(col("o1").asc, col("o2").asc)
+    steps.withColumn("nxt", lead(col("cur"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge transition-count shards: union + per-key sum. */
+  def markovMergeCounts(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "merge needs at least one count shard")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("cur"), col("nxt")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Row-stochastic probabilities served from stored counts. */
+  def markovFromCounts(counts: DataFrame): DataFrame = {
+    val rowTot = counts.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(rowTot), "cur")
+      .select(col("cur"), col("nxt"), col("n").cast("long").as("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+  }
+
+  /** Stationary distribution of a transition matrix by `iters` unrolled
+    * power-iteration rounds from the uniform start. Each round is one
+    * broadcast join + one keyed aggregation over a #states²-bounded frame;
+    * per-state mass sums fold in decimal(38,18) so the (tiny) reduction is
+    * order-independent and the oracle's unrolled CTEs replay it exactly.
+    * Assumes every `nxt` state also appears as a `cur` row (a proper,
+    * non-absorbing chain) — true for any strongly connected click graph.
+    */
+  def markovStationary(trans: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one power-iteration round")
+    val t = trans.select(col("cur"), col("nxt"), col("p").as("tp")).localCheckpoint()
+    val states = t.select(col("cur").as("state")).distinct().localCheckpoint()
+    // bounded model-parameter transfer: #states, not data
+    val k = states.count()
+    var dist = states.withColumn("p", lit(1.0 / k))
+    for (_ <- 1 to iters) {
+      dist = t.join(broadcast(dist.withColumnRenamed("p", "dp")),
+          col("cur") === col("state"))
+        .groupBy(col("nxt"))
+        .agg(Num.dsum38(col("dp") * col("tp")).as("p"))
+        .select(col("nxt").as("state"), col("p"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Benford first-significant-digit audit: observed vs expected
+    * log10(1 + 1/d) digit frequencies with the χ² distance — the
+    * fabricated-data smell test for any monetary column. One keyed
+    * aggregation to a 9-row frame; the χ² fold is decimal-exact over the 9
+    * contributions. `amount` must be a positive integer column (derive
+    * cents via an exact decimal(15,2) cast, never a double truncation).
+    */
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    val digits = df.select(substring(amount.cast("string"), 1, 1).as("digit"))
+      .where(col("digit").between("1", "9"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val withExp = digits.crossJoin(broadcast(tot))
+      .withColumn("exp_n",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * col("n_total"))
+      .withColumn("contrib",
+        pow(col("n_obs") - col("exp_n"), 2) / col("exp_n"))
+    val chi2 = withExp.agg(Num.dsum38(col("contrib")).as("chi2"))
+    withExp.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), col("exp_n"), col("contrib"), col("chi2"))
+  }
+
+  /** Two-group LOG-RANK test over right-censored durations — "do the two
+    * cohorts have the same survival curve?", the hypothesis test beside
+    * the q292 Kaplan–Meier estimate. Input: one row per subject with `t`
+    * (integer duration), `ev` (1 observed / 0 censored) and `g` (cohort,
+    * 1 or 0). At each event time the group-1 expectation e1 = d·n1/n and
+    * the hypergeometric variance accumulate; z = (O1−E1)/sqrt(V),
+    * chi2 = z². Same envelope as [[kaplanMeier]]: the corpus reduces to a
+    * calendar-bounded cell frame before any window; double folds are
+    * decimal-exact so the tiny reduction is partition-order independent.
+    */
+  def logRankTest(subjects: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = subjects.groupBy(col("t")).agg(
+      sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 1, lit(1L) - col("ev")).otherwise(0L)).as("c1"),
+      sum(when(col("g") === 0, col("ev")).otherwise(0L)).as("d0"),
+      sum(when(col("g") === 0, lit(1L) - col("ev")).otherwise(0L)).as("c0"))
+    val tot = cells.agg(sum(col("d1") + col("c1")).as("tn1"),
+      sum(col("d0") + col("c0")).as("tn0"))
+    val wPrior = W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, -1)
+    val r = cells.crossJoin(broadcast(tot))
+      .withColumn("n1",
+        col("tn1") - coalesce(sum(col("d1") + col("c1")).over(wPrior), lit(0L)))
+      .withColumn("n0",
+        col("tn0") - coalesce(sum(col("d0") + col("c0")).over(wPrior), lit(0L)))
+      .withColumn("dj", col("d1") + col("d0"))
+      .withColumn("nj", col("n1") + col("n0"))
+      .where(col("dj") > 0)
+      .withColumn("e1", col("dj").cast("double") * col("n1") / col("nj"))
+      .withColumn("v", when(col("nj") > 1,
+        col("dj").cast("double") * col("n1") * col("n0") * (col("nj") - col("dj"))
+          / (col("nj").cast("double") * col("nj") * (col("nj") - 1)))
+        .otherwise(lit(0.0)))
+    r.agg(sum(col("d1")).as("o1"), Num.dsum38(col("e1")).as("e1"),
+        Num.dsum38(col("v")).as("var_lr"))
+      .withColumn("z", when(col("var_lr") > 0,
+        (col("o1") - col("e1")) / sqrt(col("var_lr"))))
+      .withColumn("chi2", when(col("var_lr") > 0, pow(col("z"), 2)))
+  }
 }

@@ -2725,6 +2725,596 @@ object RelationalQueries {
            |  WHERE cum >= CEIL(CAST(q AS DOUBLE) * n)
            |  GROUP BY 1, 2, 3)
            |SELECT key, q, n, b.lo + (bin + 1) * b.width AS est
-           |FROM sel CROSS JOIN b""".stripMargin))
+           |FROM sel CROSS JOIN b""".stripMargin)),
+
+    // KAPLAN–MEIER user-retention curve: per-user lifetime = first→last
+    // event; users still active in the final 7 days are right-CENSORED
+    // (their true lifetime is longer than observed) — the estimator that
+    // makes retention curves honest about users who haven't churned yet.
+    // The corpus reduces to per-user rows, then to a days-bounded duration
+    // frame; the product-limit accumulation runs over that tiny frame.
+    QueryDef(
+      "q292_kaplan_meier",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val per = ev.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("fts"), max(col("ts")).as("lts"))
+        val mx = ev.agg(max(col("ts")).as("mx"))
+        val subj = per.crossJoin(broadcast(mx))
+          .select(
+            expr("(unix_micros(lts) - unix_micros(fts)) div 86400000000").as("t"),
+            when(expr("unix_micros(lts)") <= expr("unix_micros(mx)") - lit(604800000000L),
+              1L).otherwise(0L).as("ev"))
+        graft.ops.Stats.kaplanMeier(subj)
+      },
+      Some("""WITH per AS (
+           |  SELECT user_id, MIN(ts) AS fts, MAX(ts) AS lts FROM events GROUP BY 1),
+           |mx AS (SELECT MAX(ts) AS m FROM events),
+           |subj AS (
+           |  SELECT (epoch_us(lts) - epoch_us(fts)) // 86400000000 AS t,
+           |    CASE WHEN epoch_us(lts) <= epoch_us(m) - 604800000000
+           |      THEN 1 ELSE 0 END AS ev
+           |  FROM per CROSS JOIN mx),
+           |cells AS (
+           |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+           |    CAST(SUM(1 - ev) AS BIGINT) AS c
+           |  FROM subj GROUP BY 1),
+           |w AS (
+           |  SELECT t, d, c,
+           |    CAST(SUM(d + c) OVER () AS BIGINT)
+           |      - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS BIGINT) AS n_risk
+           |  FROM cells),
+           |s AS (
+           |  SELECT t, n_risk, d, c,
+           |    SUM(CASE WHEN d < n_risk
+           |        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+           |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS ls,
+           |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS dead
+           |  FROM w)
+           |SELECT t, n_risk, d, c,
+           |  CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END AS surv
+           |FROM s""".stripMargin)),
+
+    // CUPED variance-reduced A/B readout (Deng et al.): pre-period spend
+    // as the covariate, experiment-period spend as the metric, arms from
+    // the deterministic user-id parity. θ = pooled cov(x,y)/var(x); the
+    // adjusted means answer "what would the arms look like with pre-period
+    // noise removed" — the standard trick that cuts experiment runtimes.
+    QueryDef(
+      "q293_cuped_adjustment",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val lo = ev.agg(min(expr("unix_micros(ts) div 86400000000")).as("d0"))
+        val per = ev.crossJoin(broadcast(lo))
+          .groupBy(col("user_id"))
+          .agg(
+            Num.dsum38(when(expr("unix_micros(ts) div 86400000000") - col("d0") < 15,
+              col("value")).otherwise(lit(0.0))).as("x"),
+            Num.dsum38(when(expr("unix_micros(ts) div 86400000000") - col("d0") >= 15,
+              col("value")).otherwise(lit(0.0))).as("y"))
+          .select(pmod(col("user_id"), lit(2)).as("arm"), col("x"), col("y"))
+        graft.ops.Stats.cupedAdjust(per)
+      },
+      Some(s"""WITH d0 AS (
+           |  SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+           |per AS (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 - d0 < 15
+           |      THEN CAST(value AS DECIMAL(38,18))
+           |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE) AS x,
+           |    CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 - d0 >= 15
+           |      THEN CAST(value AS DECIMAL(38,18))
+           |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE) AS y
+           |  FROM events CROSS JOIN d0 GROUP BY 1),
+           |g AS (
+           |  SELECT COUNT(*) AS n,
+           |    ${Num.duckDsum38("x")} AS sx, ${Num.duckDsum38("y")} AS sy,
+           |    ${Num.duckDsum38("x * x")} AS sxx,
+           |    ${Num.duckDsum38("x * y")} AS sxy
+           |  FROM per),
+           |th AS (
+           |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           |    sx / n AS mean_x_all
+           |  FROM g),
+           |a AS (
+           |  SELECT user_id % 2 AS arm, COUNT(*) AS n_arm,
+           |    ${Num.duckDsum38("x")} AS asx, ${Num.duckDsum38("y")} AS asy
+           |  FROM per GROUP BY 1)
+           |SELECT arm, n_arm, asy / n_arm AS mean_y,
+           |  asy / n_arm - theta * (asx / n_arm - mean_x_all) AS mean_y_cuped,
+           |  theta
+           |FROM a CROSS JOIN th""".stripMargin)),
+
+    // BENFORD first-digit audit on order totals: observed digit counts vs
+    // the log10(1+1/d) law with the χ² distance — the classic
+    // fabricated-numbers smell test for any monetary column (synthetic
+    // uniform-ish prices FAIL Benford loudly; the χ² says by how much).
+    // Cents derive through an exact decimal cast, never double truncation.
+    QueryDef(
+      "q294_benford_audit",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        graft.ops.Stats.benfordAudit(o,
+          (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"))
+      },
+      Some(s"""WITH cents AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+           |    AS a
+           |  FROM orders),
+           |d AS (
+           |  SELECT substring(CAST(a AS VARCHAR), 1, 1) AS digit,
+           |    COUNT(*) AS n_obs
+           |  FROM cents
+           |  WHERE substring(CAST(a AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM d),
+           |e AS (
+           |  SELECT digit, n_obs,
+           |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n_total AS exp_n
+           |  FROM d CROSS JOIN t),
+           |x AS (
+           |  SELECT digit, n_obs, exp_n,
+           |    POWER(n_obs - exp_n, 2) / exp_n AS contrib
+           |  FROM e),
+           |c AS (SELECT ${Num.duckDsum38("contrib")} AS chi2 FROM x)
+           |SELECT digit, n_obs, exp_n, contrib, chi2
+           |FROM x CROSS JOIN c""".stripMargin)),
+
+    // Two-sample KOLMOGOROV–SMIRNOV test: does `value` follow the same
+    // distribution for purchases as for clicks? D = sup |F₁−F₂| stays
+    // exact-integer (decimal cross products through the two-phase prefix
+    // sum) until one final division; ks_z scales D for the Kolmogorov
+    // quantile (reject equality at 1.358 for α=0.05). The distribution-free
+    // drift test beside PSI's binned one (q263).
+    QueryDef(
+      "q295_ks_test",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val two = ev.where(col("event_type").isin("purchase", "click"))
+        graft.ops.Stats.ksTest(two, col("value"), col("event_type") === "purchase")
+      },
+      Some("""WITH cells AS (
+           |  SELECT value AS v,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS na,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS nb
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |  GROUP BY 1),
+           |c AS (
+           |  SELECT
+           |    CAST(SUM(na) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cna,
+           |    CAST(SUM(nb) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cnb
+           |  FROM cells),
+           |t AS (
+           |  SELECT CAST(SUM(na) AS BIGINT) AS n1,
+           |    CAST(SUM(nb) AS BIGINT) AS n2
+           |  FROM cells),
+           |m AS (
+           |  SELECT n1, n2,
+           |    MAX(ABS(CAST(cna AS DECIMAL(38,0)) * n2
+           |      - CAST(cnb AS DECIMAL(38,0)) * n1)) AS mnum
+           |  FROM c CROSS JOIN t GROUP BY 1, 2)
+           |SELECT n1, n2,
+           |  CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d_stat,
+           |  CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+           |    * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS ks_z
+           |FROM m""".stripMargin)),
+
+    // First-order MARKOV transition matrix over each user's event sequence:
+    // P(next event type | current) from one per-user lag window + one keyed
+    // aggregation — the behavioral model behind "what do users do after an
+    // error?". The matrix is #states²-bounded regardless of corpus size.
+    QueryDef(
+      "q296_markov_transitions",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.ops.Stats.markovTransitions(ev.select(col("user_id").as("u"),
+          col("ts").as("o1"), col("event_id").as("o2"),
+          col("event_type").as("cur")))
+      },
+      Some("""WITH nx AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |counts AS (
+           |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1)
+           |SELECT c.cur, c.nxt, c.n, CAST(c.n AS DOUBLE) / tot AS p
+           |FROM counts c JOIN tot USING (cur)""".stripMargin)),
+
+    // STATIONARY distribution of the q296 chain by 8 unrolled power-iteration
+    // rounds from the uniform start — "where do user sessions spend their
+    // time in the long run". Each round is one broadcast join + one keyed
+    // aggregation over the #states²-bounded matrix; mass sums fold in
+    // decimal so the oracle's unrolled CTEs replay bit-for-bit.
+    QueryDef(
+      "q297_markov_stationary",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val trans = graft.ops.Stats.markovTransitions(ev.select(
+          col("user_id").as("u"), col("ts").as("o1"),
+          col("event_id").as("o2"), col("event_type").as("cur")))
+        graft.ops.Stats.markovStationary(trans, iters = 8)
+      },
+      Some {
+        val rounds = (1 to 8).map { i =>
+          s"""s$i AS (
+             |  SELECT t.nxt AS state, ${Num.duckDsum38(s"s${i - 1}.p * t.tp")} AS p
+             |  FROM t JOIN s${i - 1} ON s${i - 1}.state = t.cur GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH nx AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |counts AS (
+           |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1),
+           |t AS (
+           |  SELECT c.cur, c.nxt, CAST(c.n AS DOUBLE) / tot.tot AS tp
+           |  FROM counts c JOIN tot ON tot.cur = c.cur),
+           |k AS (SELECT COUNT(DISTINCT cur) AS k FROM t),
+           |s0 AS (SELECT DISTINCT cur AS state, 1.0 / k AS p FROM t CROSS JOIN k),
+           |$rounds
+           |SELECT state, p FROM s8""".stripMargin
+      }),
+
+    // MANN–KENDALL trend test per event type over the daily count series —
+    // the significance twin of the Theil–Sen slope (q286): S counts
+    // concordant-minus-discordant day pairs exactly, the variance carries
+    // the standard tie correction, z applies the ±1 continuity correction.
+    // Pair fan-out is days² — a calendar bound, not a data bound.
+    QueryDef(
+      "q298_mann_kendall_trend",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type").as("key"), col("day"), col("n"))
+        graft.ops.Stats.mannKendall(cells)
+      },
+      Some("""WITH cells AS (
+           |  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a.key,
+           |    CAST(SUM(CASE WHEN b.n > a.n THEN 1
+           |      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+           |  FROM cells a JOIN cells b ON b.key = a.key AND b.day > a.day
+           |  GROUP BY 1),
+           |nd AS (SELECT key, COUNT(*) AS nd FROM cells GROUP BY 1),
+           |ties AS (
+           |  SELECT key, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+           |  FROM (SELECT key, n, COUNT(*) AS t FROM cells GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT p.key, nd.nd AS n_days, p.s,
+           |    CAST(nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - ties.tsum AS DOUBLE)
+           |      / 18.0 AS var_s
+           |  FROM p JOIN nd ON nd.key = p.key JOIN ties ON ties.key = p.key)
+           |SELECT key, n_days, s, var_s,
+           |  CASE WHEN var_s <= 0.0 THEN NULL
+           |       WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+           |       WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+           |       ELSE 0.0 END AS z
+           |FROM f""".stripMargin)),
+
+    // POISSON-BOOTSTRAP confidence interval for mean order value: per-row
+    // independent Poisson(1) weights from the cross-engine hash approximate
+    // with-replacement resampling in ONE pass (the method that makes CIs
+    // tractable at corpus scale — a true resample is a global shuffle per
+    // replicate); 32 replicate means → nearest-rank ~94% interval.
+    QueryDef(
+      "q299_poisson_bootstrap",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        graft.ops.Sampling.poissonBootstrapMean(o, col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"), 32)
+      },
+      Some(s"""WITH o AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+           |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS x
+           |  FROM orders),
+           |r AS (
+           |  SELECT k, x, b
+           |  FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+           |w AS (
+           |  SELECT x, b, ${graft.ops.Sampling.duckPoissonWeight("k", "b")} AS w
+           |  FROM r),
+           |m AS (
+           |  SELECT b,
+           |    CAST(SUM(w * CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+           |      / CAST(SUM(w) AS BIGINT) AS m
+           |  FROM w GROUP BY 1),
+           |rk AS (
+           |  SELECT b, m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn
+           |  FROM m),
+           |ci AS (
+           |  SELECT MIN(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+           |    MIN(CASE WHEN rn = 31 THEN m END) AS boot_hi
+           |  FROM rk),
+           |base AS (
+           |  SELECT COUNT(*) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+           |      AS mean_x
+           |  FROM o)
+           |SELECT n, mean_x, boot_lo, boot_hi, 32 AS n_boot
+           |FROM base CROSS JOIN ci""".stripMargin)),
+
+    // DURABLE Markov transition-count table: counts built per user-id
+    // shard (users never straddle shards and the lag window is per-user,
+    // so shard-local lags ARE the global lags — the locality argument),
+    // merged by plain summation, and the stationary distribution served
+    // from the MERGED table. The oracle is the never-saw-shards one-shot
+    // rebuild (q297's verbatim SQL): merge == rebuild proved through the
+    // model surface, the q221/q246 additive-table discipline.
+    QueryDef(
+      "q302_markov_table_merge",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val steps = ev.select(col("user_id").as("u"), col("ts").as("o1"),
+          col("event_id").as("o2"), col("event_type").as("cur"))
+        val shards = (0 to 2).map(i =>
+          graft.ops.Stats.markovCountTable(
+            steps.where(pmod(col("u"), lit(3)) === i)))
+        val merged = graft.ops.Stats.markovMergeCounts(shards)
+        graft.ops.Stats.markovStationary(
+          graft.ops.Stats.markovFromCounts(merged), iters = 8)
+      },
+      Some {
+        val rounds = (1 to 8).map { i =>
+          s"""s$i AS (
+             |  SELECT t.nxt AS state, ${Num.duckDsum38(s"s${i - 1}.p * t.tp")} AS p
+             |  FROM t JOIN s${i - 1} ON s${i - 1}.state = t.cur GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH nx AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |counts AS (
+           |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1),
+           |t AS (
+           |  SELECT c.cur, c.nxt, CAST(c.n AS DOUBLE) / tot.tot AS tp
+           |  FROM counts c JOIN tot ON tot.cur = c.cur),
+           |k AS (SELECT COUNT(DISTINCT cur) AS k FROM t),
+           |s0 AS (SELECT DISTINCT cur AS state, 1.0 / k AS p FROM t CROSS JOIN k),
+           |$rounds
+           |SELECT state, p FROM s8""".stripMargin
+      }),
+
+    // LOG-RANK test: do purchasers and non-purchasers share a retention
+    // curve? The hypothesis test beside q292's Kaplan–Meier estimate —
+    // at each event time group-1's observed deaths compare against the
+    // hypergeometric expectation under H0, and the standardized sum is
+    // asymptotically N(0,1). Same calendar-bounded envelope as q292.
+    QueryDef(
+      "q303_logrank_test",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cohort = ev.groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("g"),
+          min(col("ts")).as("fts"), max(col("ts")).as("lts"))
+        val mx = ev.agg(max(col("ts")).as("mx"))
+        val subj = cohort.crossJoin(broadcast(mx))
+          .select(
+            expr("(unix_micros(lts) - unix_micros(fts)) div 86400000000").as("t"),
+            when(expr("unix_micros(lts)") <= expr("unix_micros(mx)") - lit(604800000000L),
+              1L).otherwise(0L).as("ev"),
+            col("g"))
+        graft.ops.Stats.logRankTest(subj)
+      },
+      Some("""WITH cohort AS (
+           |  SELECT user_id,
+           |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g,
+           |    MIN(ts) AS fts, MAX(ts) AS lts
+           |  FROM events GROUP BY 1),
+           |mx AS (SELECT MAX(ts) AS m FROM events),
+           |subj AS (
+           |  SELECT (epoch_us(lts) - epoch_us(fts)) // 86400000000 AS t,
+           |    CASE WHEN epoch_us(lts) <= epoch_us(m) - 604800000000
+           |      THEN 1 ELSE 0 END AS ev,
+           |    g
+           |  FROM cohort CROSS JOIN mx),
+           |cells AS (
+           |  SELECT t,
+           |    CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+           |    CAST(SUM(CASE WHEN g = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(SUM(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+           |    CAST(SUM(CASE WHEN g = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c0
+           |  FROM subj GROUP BY 1),
+           |tt AS (
+           |  SELECT CAST(SUM(d1 + c1) AS BIGINT) AS tn1,
+           |    CAST(SUM(d0 + c0) AS BIGINT) AS tn0
+           |  FROM cells),
+           |w AS (
+           |  SELECT t, d1, d0,
+           |    tn1 - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS n1,
+           |    tn0 - CAST(COALESCE(SUM(d0 + c0) OVER (ORDER BY t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS n0
+           |  FROM cells CROSS JOIN tt),
+           |e AS (
+           |  SELECT t, d1, n1, n0, d1 + d0 AS dj, n1 + n0 AS nj
+           |  FROM w WHERE d1 + d0 > 0),
+           |v AS (
+           |  SELECT d1,
+           |    CAST(dj AS DOUBLE) * n1 / nj AS e1,
+           |    CASE WHEN nj > 1
+           |      THEN CAST(dj AS DOUBLE) * n1 * n0 * (nj - dj)
+           |        / (CAST(nj AS DOUBLE) * nj * (nj - 1))
+           |      ELSE 0.0 END AS v
+           |  FROM e),
+           |f AS (
+           |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           |    CAST(SUM(CAST(e1 AS DECIMAL(38,18))) AS DOUBLE) AS e1,
+           |    CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS var_lr
+           |  FROM v)
+           |SELECT o1, e1, var_lr,
+           |  CASE WHEN var_lr > 0 THEN (o1 - e1) / sqrt(var_lr) END AS z,
+           |  CASE WHEN var_lr > 0
+           |    THEN POWER((o1 - e1) / sqrt(var_lr), 2) END AS chi2
+           |FROM f""".stripMargin)),
+
+    // Closed-form RIDGE regression (λ=1000, intercept unpenalized):
+    // order total ~ (line count, total quantity). Every moment is an
+    // EXACT decimal sum of integer-valued products — one corpus
+    // aggregation to nine numbers, then fixed-form double arithmetic on
+    // the centered 2×2 normal equations (Cramer). The regularized sibling
+    // of q244's per-group OLS; coefficients are deterministic at any
+    // partitioning because nothing double-valued is ever shuffled.
+    QueryDef(
+      "q304_ridge_regression",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val per = li.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("x1"),
+          sum(col("l_quantity").cast("long")).as("x2"))
+        val j = o.join(per, col("o_orderkey") === col("l_orderkey"))
+          .select(col("x1"), col("x2"),
+            (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").as("y"))
+        val m = j.agg(count(lit(1)).as("n"),
+          sum(col("x1").cast("decimal(38,0)")).as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).as("s2"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+          sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+          sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+          sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+          sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        val d = m.select(col("n").cast("double").as("n"),
+          col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
+          col("sy").cast("double").as("sy"), col("s11").cast("double").as("s11"),
+          col("s22").cast("double").as("s22"), col("s12").cast("double").as("s12"),
+          col("s1y").cast("double").as("s1y"), col("s2y").cast("double").as("s2y"),
+          col("syy").cast("double").as("syy"))
+        val c = d.select(col("n"), col("s1"), col("s2"), col("sy"),
+          (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+          (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+          (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
+          (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+          (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"))
+        val lam = lit(1000.0)
+        c.select(col("n").cast("long").as("n"),
+            (((col("c22") + lam) * col("c1y") - col("c12") * col("c2y")) /
+              ((col("c11") + lam) * (col("c22") + lam) - col("c12") * col("c12")))
+              .as("b1"),
+            (((col("c11") + lam) * col("c2y") - col("c12") * col("c1y")) /
+              ((col("c11") + lam) * (col("c22") + lam) - col("c12") * col("c12")))
+              .as("b2"),
+            col("s1"), col("s2"), col("sy"), col("c1y"), col("c2y"), col("cyy"))
+          .select(col("n"), col("b1"), col("b2"),
+            (col("sy") / col("n") - col("b1") * (col("s1") / col("n"))
+              - col("b2") * (col("s2") / col("n"))).as("intercept"),
+            ((col("b1") * col("c1y") + col("b2") * col("c2y")) / col("cyy"))
+              .as("r2"))
+      },
+      Some("""WITH per AS (
+           |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT x1, x2,
+           |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+           |  FROM orders JOIN per ON per.l_orderkey = orders.o_orderkey),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |    CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           |    CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+           |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+           |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+           |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+           |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+           |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+           |  FROM j),
+           |c AS (
+           |  SELECT n, s1, s2, sy,
+           |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+           |    s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+           |    s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+           |  FROM m),
+           |b AS (
+           |  SELECT n, s1, s2, sy, c1y, c2y, cyy,
+           |    ((c22 + 1000.0) * c1y - c12 * c2y)
+           |      / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b1,
+           |    ((c11 + 1000.0) * c2y - c12 * c1y)
+           |      / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b2
+           |  FROM c)
+           |SELECT CAST(n AS BIGINT) AS n, b1, b2,
+           |  sy / n - b1 * (s1 / n) - b2 * (s2 / n) AS intercept,
+           |  (b1 * c1y + b2 * c2y) / cyy AS r2
+           |FROM b""".stripMargin)),
+
+    // KISH effective sample size of the temperature mixture: the q113
+    // acceptance rates define a weighted sample; ESS = (Σw)²/Σw² and the
+    // design effect n·Σw²/(Σw)² quantify how much the mixture's
+    // re-weighting costs in statistical efficiency — the "is my mixture
+    // too peaked" audit a curator reads before freezing rates. Everything
+    // reduces through the #sources-row weight frame.
+    QueryDef(
+      "q305_effective_sample_size",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = graft.ops.Sampling.temperatureMixWeights(docs, col("source"),
+          graft.ops.Text.wordCount(col("text")), budget = 50000L)
+        w.agg(
+            sum(col("n_docs")).as("n"),
+            Num.dsum38(col("n_docs") * col("acceptance_rate")).as("sw"),
+            Num.dsum38(col("n_docs") * col("acceptance_rate")
+              * col("acceptance_rate")).as("sw2"))
+          .select(col("n"), col("sw"), col("sw2"),
+            (col("sw") * col("sw") / col("sw2")).as("ess"),
+            (col("n") * col("sw2") / (col("sw") * col("sw")))
+              .as("design_effect"))
+      },
+      Some(s"""WITH per AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+           |      AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |z AS (
+           |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+           |    (a, b) -> a + b) AS z
+           |  FROM per),
+           |rates AS (
+           |  SELECT n_docs, LEAST(CAST(1 AS DOUBLE),
+           |    sqrt(CAST(n_tokens AS DOUBLE)) / z * 50000
+           |      / CAST(n_tokens AS DOUBLE)) AS rate
+           |  FROM per CROSS JOIN z),
+           |g AS (
+           |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+           |    ${Num.duckDsum38("n_docs * rate")} AS sw,
+           |    ${Num.duckDsum38("n_docs * rate * rate")} AS sw2
+           |  FROM rates)
+           |SELECT n, sw, sw2, sw * sw / sw2 AS ess,
+           |  n * sw2 / (sw * sw) AS design_effect
+           |FROM g""".stripMargin))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.{Hashing, Num, Sampling, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis extension queries over `documents` (language-ID heuristic,
@@ -1688,7 +1689,180 @@ object TextQueries {
            |FROM sr GROUP BY scope
            |UNION ALL
            |SELECT '__union__', CAST(COUNT(*) AS BIGINT),
-           |  CAST(COUNT(DISTINCT sh) AS BIGINT), TRUE FROM sr""".stripMargin))
+           |  CAST(COUNT(DISTINCT sh) AS BIGINT), TRUE FROM sr""".stripMargin)),
+
+    // TYPO-normalization candidates: rare tokens within edit distance 2 of
+    // a high-df vocabulary word — the spelling-consolidation map a cleaning
+    // pipeline applies before token statistics. Thresholds are RELATIVE
+    // (rare ≤ 0.5% of docs, head ≥ 5%) so the query is scale-invariant; the
+    // head vocabulary is Zipf-bounded and BROADCAST, so the corpus-scale
+    // rare side never shuffles for the join. Planted misspellings
+    // ("tabel", "haash", "windoq") on a sparse doc-id schedule guarantee
+    // known hits at every SF; levenshtein() agrees across engines.
+    QueryDef(
+      "q300_typo_candidates",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(251)) === 0,
+            concat(col("text"), lit(" tabel haash windoq")))
+            .otherwise(col("text")).as("text"))
+        val toks = planted
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) >= 4)
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nd = planted.agg(count(lit(1)).as("n_docs"))
+        val t = toks.crossJoin(broadcast(nd))
+        val rare = t.where(col("df") <= expr("(n_docs + 199) div 200"))
+          .select(col("tok").as("typo"), col("df").as("df_typo"))
+        val head = t.where(col("df") * 20 >= col("n_docs"))
+          .select(col("tok").as("fix"), col("df").as("df_fix"))
+        val cand = rare.join(broadcast(head),
+            abs(length(col("typo")) - length(col("fix"))) <= 1 &&
+              levenshtein(col("typo"), col("fix")) <= 2 &&
+              col("typo") =!= col("fix"))
+          .withColumn("lev", levenshtein(col("typo"), col("fix")))
+        val w = Window.partitionBy(col("typo"))
+          .orderBy(col("lev").asc, col("df_fix").desc, col("fix").asc)
+        cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("typo"), col("fix"), col("lev"),
+            col("df_typo"), col("df_fix"))
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 251 = 0 THEN text || ' tabel haash windoq'
+           |         ELSE text END AS text
+           |  FROM documents),
+           |toks AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM (
+           |    SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+           |    FROM planted)
+           |  WHERE len(tok) >= 4 GROUP BY 1),
+           |nd AS (SELECT COUNT(*) AS n_docs FROM planted),
+           |rare AS (
+           |  SELECT tok AS typo, df AS df_typo FROM toks CROSS JOIN nd
+           |  WHERE df <= (n_docs + 199) // 200),
+           |head AS (
+           |  SELECT tok AS fix, df AS df_fix FROM toks CROSS JOIN nd
+           |  WHERE df * 20 >= n_docs),
+           |cand AS (
+           |  SELECT typo, fix, levenshtein(typo, fix) AS lev, df_typo, df_fix
+           |  FROM rare JOIN head
+           |    ON abs(len(typo) - len(fix)) <= 1
+           |    AND levenshtein(typo, fix) <= 2 AND typo <> fix),
+           |rk AS (
+           |  SELECT typo, fix, lev, df_typo, df_fix,
+           |    row_number() OVER (PARTITION BY typo
+           |      ORDER BY lev ASC, df_fix DESC, fix ASC) AS rn
+           |  FROM cand)
+           |SELECT typo, fix, lev, df_typo, df_fix FROM rk WHERE rn = 1"""
+        .stripMargin)),
+
+    // MIXED-SCRIPT / homoglyph audit: tokens containing BOTH Latin and
+    // Cyrillic letters are the confusable-spoofing signature (Cyrillic
+    // "а" inside a Latin word) that poisons dedup keys and search
+    // indexes; pure-Cyrillic tokens in a Latin corpus are a separate
+    // language-contamination signal. Pure per-row regex work, one keyed
+    // aggregation; planted homoglyph fixtures on the doc_id % 97 schedule
+    // (with pure-Cyrillic and pure-Latin negative controls in the same
+    // appended text) prove the classifier separates the three cases.
+    QueryDef(
+      "q301_mixed_script_audit",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(97)) === 0,
+            concat(col("text"), lit(" pаypal привет secure")))
+            .otherwise(col("text")).as("text"))
+        val flags = planted
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            col("tok").rlike("\\p{IsLatin}").cast("long").as("lat"),
+            col("tok").rlike("\\p{IsCyrillic}").cast("long").as("cyr"))
+        flags.groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("lat") === 1 && col("cyr") === 1, 1L).otherwise(0L))
+              .as("n_mixed"),
+            sum(col("cyr")).as("n_cyr"),
+            min(when(col("lat") === 1 && col("cyr") === 1, col("tok")))
+              .as("sample_tok"))
+          .where(col("n_cyr") > 0)
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 97 = 0
+           |      THEN text || ' pаypal привет secure'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |flags AS (
+           |  SELECT doc_id, tok,
+           |    CASE WHEN regexp_matches(tok, '\\p{Latin}') THEN 1 ELSE 0 END
+           |      AS lat,
+           |    CASE WHEN regexp_matches(tok, '\\p{Cyrillic}') THEN 1 ELSE 0 END
+           |      AS cyr
+           |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+           |        FROM planted)),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN lat = 1 AND cyr = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_mixed,
+           |    CAST(SUM(cyr) AS BIGINT) AS n_cyr,
+           |    MIN(CASE WHEN lat = 1 AND cyr = 1 THEN tok END) AS sample_tok
+           |  FROM flags GROUP BY 1)
+           |SELECT doc_id, n_mixed, n_cyr, sample_tok FROM agg
+           |WHERE n_cyr > 0""".stripMargin)),
+
+    // Per-source TOKENIZER COMPRESSION RATIO from the frozen BPE table
+    // (q234's stored vocabulary): chars-per-BPE-token and OOV rate per
+    // source — the fertility audit that tells a curator which sources the
+    // tokenizer serves poorly (low compression = wasted context window;
+    // high OOV = vocabulary mismatch). The whole corpus encodes against
+    // the broadcast stored table; one keyed aggregation per source.
+    QueryDef(
+      "q306_bpe_compression_ratio",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val (_, vocab) = Text.bpeTrain(base, col("text"), numMerges = 6)
+        val enc = Text.bpeEncodeFromTable(docs, col("doc_id"), col("text"),
+          vocab.localCheckpoint())
+        enc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_words"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_bpe_tokens")).as("n_bpe"),
+            sum(col("n_oov")).as("n_oov"))
+          .select(col("source"), col("n_docs"), col("n_chars"), col("n_bpe"),
+            (col("n_chars").cast("double") / col("n_bpe")).as("chars_per_token"),
+            (col("n_oov").cast("double") / col("n_words")).as("oov_rate"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT text FROM documents WHERE doc_id % 7 <> 0),
+           |${duckBpeCtes(6, "base")},
+           |docw AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+           |  FROM documents),
+           |j AS (
+           |  SELECT d.doc_id, d.w,
+           |    COALESCE(len(v.syms), length(d.w)) AS nb,
+           |    CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM docw d LEFT JOIN v6 v ON v.w = d.w
+           |  WHERE length(d.w) > 0),
+           |per AS (
+           |  SELECT doc_id, COUNT(*) AS nw, SUM(length(w)) AS nc,
+           |    SUM(nb) AS nb, SUM(oov) AS oov
+           |  FROM j GROUP BY 1),
+           |src AS (
+           |  SELECT d.source, p.nw, p.nc, p.nb, p.oov
+           |  FROM per p JOIN documents d USING (doc_id))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nb) AS BIGINT) AS n_bpe,
+           |  CAST(SUM(nc) AS DOUBLE) / SUM(nb) AS chars_per_token,
+           |  CAST(SUM(oov) AS DOUBLE) / SUM(nw) AS oov_rate
+           |FROM src GROUP BY 1""".stripMargin))
   )
 
   // -------------------------------------------------------------------------

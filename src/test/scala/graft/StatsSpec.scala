@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Sampling, Stats}
+
+/** Closed-form fixtures for the statistics operators added in round 9:
+  * Kaplan–Meier, Kolmogorov–Smirnov, Mann–Kendall, CUPED, Markov chains,
+  * Benford and the Poisson bootstrap. Each test pins the operator to a
+  * hand-computed expected value, independent of the DuckDB oracle.
+  */
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  private val eps = 1e-9
+
+  test("kaplanMeier: textbook product-limit table, censoring and the S=0 endpoint") {
+    import spark.implicits._
+    // (duration, event): 1 death@1, death+censor@2, death@3, censor@4, death@5
+    val subj = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+      .toDF("t", "ev")
+    val km = Stats.kaplanMeier(subj)
+      .select(col("t").as[Long], col("n_risk").as[Long], col("d").as[Long],
+        col("c").as[Long], col("surv").as[Double])
+      .collect().sortBy(_._1)
+    assert(km.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 6L, 1L, 0L), (2L, 5L, 1L, 1L), (3L, 3L, 1L, 0L),
+        (4L, 2L, 0L, 1L), (5L, 1L, 1L, 0L)))
+    val surv = km.map(_._5)
+    assert(math.abs(surv(0) - 5.0 / 6) < eps)
+    assert(math.abs(surv(1) - 2.0 / 3) < eps)
+    assert(math.abs(surv(2) - 4.0 / 9) < eps)
+    assert(math.abs(surv(3) - 4.0 / 9) < eps, "censor-only step leaves S unchanged")
+    assert(surv(4) == 0.0, "d = n_risk pins survival to exactly 0")
+  }
+
+  test("ksTest: identical samples D=0; disjoint D=1; half-overlap D=0.5") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double]): (Double, Long, Long) = {
+      val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+      val r = Stats.ksTest(df, col("v"), col("isa"))
+        .select(col("d_stat").as[Double], col("n1").as[Long], col("n2").as[Long])
+        .head()
+      r
+    }
+    assert(ks(Seq(1, 2, 3, 4), Seq(1, 2, 3, 4))._1 == 0.0)
+    val (d1, n1, n2) = ks(Seq(1, 2), Seq(3, 4))
+    assert(d1 == 1.0 && n1 == 2 && n2 == 2)
+    assert(math.abs(ks(Seq(1, 3), Seq(2, 3))._1 - 0.5) < eps)
+  }
+
+  test("mannKendall: monotone series gives maximal S; constant series gives var 0 and null z") {
+    import spark.implicits._
+    val cells = ((1 to 5).map(d => ("up", d.toLong, d.toLong)) ++
+      (1 to 5).map(d => ("flat", d.toLong, 7L))).toDF("key", "day", "n")
+    val r = Stats.mannKendall(cells).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val up = r("up")
+    assert(up.getLong(2) == 10L, "S = n(n-1)/2 for a strictly increasing series")
+    val varS = 5.0 * 4 * 15 / 18
+    assert(math.abs(up.getDouble(3) - varS) < eps)
+    assert(math.abs(up.getDouble(4) - 9.0 / math.sqrt(varS)) < eps)
+    val flat = r("flat")
+    assert(flat.getLong(2) == 0L && flat.getDouble(3) == 0.0 && flat.isNullAt(4),
+      "all-tied series: S=0, tie-corrected variance 0, z undefined (null)")
+  }
+
+  test("cupedAdjust: theta matches the pooled closed form; adjustment recenters on the covariate") {
+    import spark.implicits._
+    val per = Seq((0L, 1.0, 3.0), (0L, 2.0, 5.0), (1L, 3.0, 8.0), (1L, 4.0, 9.0))
+      .toDF("arm", "x", "y")
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ys = Seq(3.0, 5.0, 8.0, 9.0)
+    val n = 4.0
+    val theta = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+    val mxAll = xs.sum / n
+    val out = Stats.cupedAdjust(per).collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(0L).getDouble(4) - theta) < eps)
+    assert(math.abs(out(0L).getDouble(3) - (4.0 - theta * (1.5 - mxAll))) < eps)
+    assert(math.abs(out(1L).getDouble(3) - (8.5 - theta * (3.5 - mxAll))) < eps)
+  }
+
+  test("markov: transition counts are exact and the stationary fixpoint matches hand iteration") {
+    import spark.implicits._
+    // user 1: A B A B A  — A→B ×2, B→A ×2; user 2: A A B — A→A, A→B
+    val steps = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"), (1L, 5L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "B"))
+      .toDF("u", "o1", "cur").withColumn("o2", col("o1"))
+    val trans = Stats.markovTransitions(steps)
+    val tm = trans.select(col("cur").as[String], col("nxt").as[String],
+      col("n").as[Long], col("p").as[Double]).collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(tm(("A", "B"))._1 == 3L && tm(("A", "A"))._1 == 1L && tm(("B", "A"))._1 == 2L)
+    assert(math.abs(tm(("A", "B"))._2 - 0.75) < eps)
+    assert(math.abs(tm(("B", "A"))._2 - 1.0) < eps)
+    // hand power iteration of P = [[.25,.75],[1,0]] from (.5,.5), 8 rounds
+    var pa = 0.5; var pb = 0.5
+    for (_ <- 1 to 8) { val na = pa * 0.25 + pb * 1.0; val nb = pa * 0.75; pa = na; pb = nb }
+    val st = Stats.markovStationary(trans, 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(st("A") - pa) < 1e-12 && math.abs(st("B") - pb) < 1e-12)
+  }
+
+  test("logRankTest: identical cohorts give z=0; fully separated cohorts give the hand-computed z") {
+    import spark.implicits._
+    val same = Seq((1L, 1L, 1L), (2L, 0L, 1L), (1L, 1L, 0L), (2L, 0L, 0L))
+      .toDF("t", "ev", "g")
+    val r0 = Stats.logRankTest(same).head()
+    assert(r0.getLong(0) == 1L && math.abs(r0.getDouble(1) - 1.0) < eps)
+    assert(math.abs(r0.getDouble(3)) < eps, "identical cohorts: z = 0")
+    // g1 dies at t=1 (×2); g0 dies/censors at t=5: O1=2, E1=1, V=1/3
+    val sep = Seq((1L, 1L, 1L), (1L, 1L, 1L), (5L, 1L, 0L), (5L, 0L, 0L))
+      .toDF("t", "ev", "g")
+    val r1 = Stats.logRankTest(sep).head()
+    assert(r1.getLong(0) == 2L && math.abs(r1.getDouble(1) - 1.0) < eps)
+    assert(math.abs(r1.getDouble(2) - 1.0 / 3) < eps)
+    assert(math.abs(r1.getDouble(3) - math.sqrt(3.0)) < eps)
+    assert(math.abs(r1.getDouble(4) - 3.0) < eps)
+  }
+
+  test("markovCountTable: entity-disjoint shards merge to exactly the one-shot counts") {
+    import spark.implicits._
+    val steps = (1L to 40L).flatMap { u =>
+      (1L to 5L).map(i => (u, i, if ((u + i) % 3 == 0) "A" else if (i % 2 == 0) "B" else "C"))
+    }.toDF("u", "o1", "cur").withColumn("o2", col("o1"))
+    val oneShot = Stats.markovCountTable(steps)
+      .as[(String, String, Long)].collect().toSet
+    val shards = (0 to 3).map(i => Stats.markovCountTable(steps.where(pmod(col("u"), lit(4)) === i)))
+    val merged = Stats.markovMergeCounts(shards)
+      .select(col("cur"), col("nxt"), col("n").cast("long"))
+      .as[(String, String, Long)].collect().toSet
+    assert(merged == oneShot, "merge == rebuild count-for-count")
+  }
+
+  test("benfordAudit: digit counts exact, expectations follow log10(1+1/d), chi2 is their fold") {
+    import spark.implicits._
+    // 4 amounts starting with 1, 2 with 2, 1 with 9
+    val df = Seq(10L, 150L, 1999L, 12L, 25L, 2L, 900L).toDF("a")
+    val out = Stats.benfordAudit(df, col("a")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("1").getLong(1) == 4L && out("2").getLong(1) == 2L &&
+      out("9").getLong(1) == 1L && out.size == 3)
+    val exp1 = math.log10(2.0) * 7
+    assert(math.abs(out("1").getDouble(2) - exp1) < eps)
+    val chi2 = out.values.map { r =>
+      math.pow(r.getLong(1) - r.getDouble(2), 2) / r.getDouble(2)
+    }.sum
+    assert(math.abs(out("1").getDouble(4) - chi2) < 1e-6)
+  }
+
+  test("poissonWeight: deterministic, Poisson(1)-shaped over 10k ids, replicates decorrelated") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    def counts(b: Int): Map[Long, Long] = ids
+      .select(Sampling.poissonWeight(col("id"), lit(b)).as("w"))
+      .groupBy("w").count()
+      .select(col("w").as[Long], col("count").as[Long]).collect().toMap
+    val c0 = counts(0)
+    // CDF thresholds at 1e-4 resolution: expected shares 36.79/36.79/18.39/6.13%
+    assert(math.abs(c0(0L) - 3679) < 200 && math.abs(c0(1L) - 3679) < 200)
+    assert(math.abs(c0(2L) - 1839) < 150 && math.abs(c0.getOrElse(3L, 0L) - 613) < 100)
+    val mean0 = c0.map { case (w, n) => w * n }.sum.toDouble / 10000
+    assert(math.abs(mean0 - 1.0) < 0.05, s"mean weight ~1 (got $mean0)")
+    assert(counts(0) == counts(0), "pure function of (id, b)")
+    val c1 = counts(1)
+    assert(c1 != c0, "different replicates draw different weights")
+  }
+
+  test("poissonBootstrapMean: interval brackets the point estimate and is deterministic") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, 100L + (i % 7) * 10)).toDF("id", "x")
+    val r = Sampling.poissonBootstrapMean(df, col("id"), col("x"), 32)
+      .select(col("n").as[Long], col("mean_x").as[Double],
+        col("boot_lo").as[Double], col("boot_hi").as[Double]).head()
+    assert(r._1 == 2000L)
+    assert(r._3 < r._2 && r._2 < r._4, s"CI brackets the mean: $r")
+    assert(r._4 - r._3 < 5.0, "interval width is sane for n=2000")
+    val r2 = Sampling.poissonBootstrapMean(df, col("id"), col("x"), 32)
+      .select(col("boot_lo").as[Double], col("boot_hi").as[Double]).head()
+    assert(r2 == ((r._3, r._4)), "bootstrap is fully deterministic")
+  }
+}
