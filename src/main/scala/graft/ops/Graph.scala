@@ -169,4 +169,41 @@ object Graph {
     }
     degrees(e)
   }
+
+  /** Synchronous LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007), determinized: labels start as node ids; each round every node
+    * adopts its neighbors' most frequent label, ties broken by MIN label.
+    * A FIXED round count (no early exit) keeps engine and oracle on the
+    * same unrolled computation, so the hash-match is unconditional —
+    * converged or mid-oscillation (synchronous LPA can 2-cycle on
+    * bipartite structures; a fixed round count makes even that
+    * deterministic).
+    *
+    * Scale shape: each round is one (adjacency ⋈ labels) join on bare ids
+    * + one keyed count + one per-node argmax window — the connected-
+    * components envelope (id,label)-only shuffles, localCheckpoint-paced.
+    * Round counts stay small (LPA converges in a handful of sweeps on
+    * community-structured graphs).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var lab = adj.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    val W = org.apache.spark.sql.expressions.Window
+    for (_ <- 1 to rounds) {
+      lab = adj.join(lab.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("src")).orderBy(col("c").desc, col("lbl").asc)))
+        .where(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
 }

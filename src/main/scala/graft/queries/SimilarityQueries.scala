@@ -363,6 +363,52 @@ object SimilarityQueries {
       },
       bench = false),
 
+    // LABEL-PROPAGATION communities on the mutual-kNN graph: 4 synchronous
+    // sweeps, most-frequent-neighbor-label with MIN tie-break — the
+    // community structure between q83's connected components (too coarse:
+    // one bridge merges everything) and q259's k-core (no assignment for
+    // the periphery). Engine rounds == oracle's unrolled CTE rounds, so
+    // the hash-match is unconditional, converged or not. Ground truth
+    // edges are q148's quadratic exact kNN, hence bench=false.
+    QueryDef(
+      "q307_label_propagation",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.labelPropagation(graft.ops.Graph.mutualEdges(topk),
+          rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""c$r AS MATERIALIZED (
+             |  SELECT adj.src, l.lbl, COUNT(*) AS c
+             |  FROM adj JOIN l${r - 1} l ON l.id = adj.dst
+             |  GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (
+             |  SELECT src AS id, lbl FROM (
+             |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+             |      ORDER BY c DESC, lbl ASC) AS rn
+             |    FROM c$r) q$r WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |e0 AS MATERIALIZED (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |adj AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM e0
+           |  UNION ALL SELECT id_b, id_a FROM e0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM adj),
+           |$rounds
+           |SELECT id, lbl FROM l4""".stripMargin
+      },
+      bench = false),
+
     // RobustScaler model: per-dimension exact nearest-rank q25/median/q75
     // + IQR over the embedding corpus — the outlier-insensitive
     // normalization statistics, as a d-row model table a transform step

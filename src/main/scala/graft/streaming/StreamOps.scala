@@ -82,6 +82,39 @@ object StreamOps {
       }
   }
 
+  /** Streaming MARKOV transition extraction with cross-batch state: per
+    * entity the last-seen (order, state) persists in keyed state, so the
+    * transition that STRADDLES a micro-batch boundary is emitted exactly
+    * once — the maintenance path of the q302 durable transition-count
+    * table (counts are additive, so per-batch transition deltas merge by
+    * plain summation into the stored table; a per-batch lag window would
+    * silently drop every boundary-crossing transition). Input rows are
+    * (entity, order1, order2, state); rows within a batch sort in memory
+    * per entity (bounded by per-entity batch volume), and the SOURCE must
+    * deliver each entity's rows in order across batches (the Kinesis
+    * per-partition-key ordering contract). State: one (long, long, string)
+    * per entity. Emits one (cur, nxt) row per transition.
+    */
+  def transitionDeltas(
+      steps: Dataset[(Long, Long, Long, String)]): Dataset[(String, String)] = {
+    val spark = steps.sparkSession
+    import spark.implicits._
+    steps.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val states = state.getOption.map(_._3).toVector ++ sorted.map(_._4)
+            val last = sorted.last
+            state.update((last._2, last._3, last._4))
+            states.iterator.sliding(2).withPartial(false)
+              .map(w => (w.head, w(1)))
+          }
+      }
+  }
+
   /** Streaming per-author quota on the Spark 4 `transformWithState` API
     * (arbitrary-state v2: explicit `ValueState` via the processor handle,
     * RocksDB-backed — the successor to mapGroupsWithState): emits only each

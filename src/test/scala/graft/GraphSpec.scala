@@ -88,4 +88,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val mixed = path ++ (100L until 105L).map(i => (i, if (i == 104L) 100L else i + 1))
     assert(core(mixed, 2, rounds = 12) == core(mixed, 2, rounds = 30))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("id_a", "id_b"), rounds)
+      .select(col("id").as[Long], col("lbl").as[Long]).collect().toMap
+  }
+
+  test("labelPropagation: disjoint cliques each converge to one community") {
+    val twoK3 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val l = lpa(twoK3, 4)
+    assert(Set(1L, 2L, 3L).map(l) == Set(l(1L)), "first clique is one community")
+    assert(Set(10L, 11L, 12L).map(l) == Set(l(10L)), "second clique is one community")
+    assert(l(1L) != l(10L), "cliques stay separate communities")
+  }
+
+  test("labelPropagation: two cliques with one bridge keep distinct communities") {
+    val bridged = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val l = lpa(bridged, 4)
+    assert(l(1L) == l(2L) && l(2L) == l(3L))
+    assert(l(10L) == l(11L) && l(11L) == l(12L))
+    assert(l(1L) != l(10L),
+      "a single bridge must not merge two dense communities (unlike CC)")
+  }
+
+  test("labelPropagation: extra rounds after convergence are no-ops") {
+    val twoK3 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    assert(lpa(twoK3, 4) == lpa(twoK3, 8))
+  }
 }

@@ -919,4 +919,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(metric("pii_scrub").getAs[Long]("n_email") == 1L)
     } finally q.stop()
   }
+
+  test("transitionDeltas: cross-batch transitions exact — stream deltas == batch one-shot counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.transitionDeltas(ms.toDS()).toDF("cur", "nxt")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // user 1: A B A B A; user 2: C A C A B — split MID-SEQUENCE across
+    // three batches, so 4 of the 8 transitions straddle batch boundaries
+    // (a per-batch lag window would silently drop them)
+    val all = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (2L, 1L, 1L, "C"),
+      (2L, 2L, 2L, "A"), (1L, 3L, 3L, "A"), (2L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "B"), (1L, 5L, 5L, "A"), (2L, 4L, 4L, "A"),
+      (2L, 5L, 5L, "B"))
+    try {
+      ms.addData(all.take(4)); q.processAllAvailable()
+      ms.addData(all.slice(4, 6)); q.processAllAvailable()
+      ms.addData(all.drop(6)); q.processAllAvailable()
+      val streamed = spark.table("trans_out").groupBy("cur", "nxt").count()
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.ops.Stats.markovCountTable(
+          all.toDF("u", "o1", "o2", "cur"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed.toSeq.map(_._3).sum == 8L,
+        "all 8 transitions emitted, including the 4 boundary-crossing ones")
+      assert(streamed == batch,
+        "stream-maintained deltas aggregate to exactly the batch counts")
+    } finally q.stop()
+  }
 }
