@@ -1683,7 +1683,103 @@ object DedupQueries {
            |  FULL OUTER JOIN (SELECT id_a, id_b, TRUE AS in_s FROM spairs) sp
            |    ON sp.id_a = m.id_a AND sp.id_b = m.id_b)
            |SELECT in_minhash, in_simhash, CAST(COUNT(*) AS BIGINT) AS n_pairs
-           |FROM agr GROUP BY 1, 2""".stripMargin))
+           |FROM agr GROUP BY 1, 2""".stripMargin)),
+
+    // MinHash BAND-DIAL tuning table: the SAME 16-hash signature frame
+    // banded three ways (r = 2/4/8 rows per band) against the same exact
+    // ground truth — the (bands × rows) S-curve a dedup operator reads
+    // BEFORE freezing its layout (more bands = higher recall AND more
+    // candidates; this emits both sides of that trade as measured numbers,
+    // not theory). One signature pass and one exact-pairs pass, shared via
+    // localCheckpoint across all three layouts; q185's planted prefix-copy
+    // fixture guarantees true pairs at every SF.
+    QueryDef(
+      "q308_minhash_band_dial",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = Text.tokens(col("text"))
+        val nKeep = ((size(toks) * (pmod(col("doc_id"), lit(6)) + lit(4)))
+          .cast("double") / lit(10.0))
+        val copies = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), floor(nKeep).cast("int"))).as("text"))
+        val all = docs.select(col("doc_id"), col("text")).unionByName(copies)
+        val exact = Dedup.ngramJaccardPairs(all, col("doc_id"), col("text"), 3,
+            0.3, maxShingleDf = Some(100))
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val sigs = Dedup.minhashSignatures(all, col("doc_id"), col("text"), 3, 16)
+          .localCheckpoint()
+        Seq(2, 4, 8).map { r =>
+          val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, r),
+              maxBucket = Some(100))
+            .select(col("id_a"), col("id_b")).localCheckpoint()
+          exact.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+            .crossJoin(broadcast(
+              exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+                .agg(count(lit(1)).as("n_hit"))))
+            .select(lit(r).as("rows_per_band"), lit(16 / r).as("n_bands"),
+              col("n_exact"), col("n_cand"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val layouts = Seq(2, 4, 8).map { r =>
+          s"""bands$r AS (
+             |  SELECT doc_id, seed // $r AS band,
+             |    CAST(SUM((mh * ${Hashing.BandC1} + (seed + 1) * ${Hashing.BandC2}) % ${Hashing.FamilyP}) AS BIGINT) AS band_sig
+             |  FROM mh GROUP BY 1, 2),
+             |okb$r AS (
+             |  SELECT band, band_sig FROM bands$r GROUP BY 1, 2
+             |  HAVING COUNT(*) BETWEEN 2 AND 100),
+             |cand$r AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands$r a
+             |  JOIN bands$r b
+             |    ON a.band = b.band AND a.band_sig = b.band_sig
+             |    AND a.doc_id < b.doc_id
+             |  JOIN okb$r ob
+             |    ON ob.band = a.band AND ob.band_sig = a.band_sig)""".stripMargin
+        }.mkString(",\n")
+        val selects = Seq(2, 4, 8).map { r =>
+          s"""SELECT $r AS rows_per_band, ${16 / r} AS n_bands,
+             |  (SELECT COUNT(*) FROM ex) AS n_exact,
+             |  (SELECT COUNT(*) FROM cand$r) AS n_cand,
+             |  (SELECT COUNT(*) FROM ex e JOIN cand$r c
+             |     ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_hit,
+             |  CAST((SELECT COUNT(*) FROM ex e JOIN cand$r c
+             |     ON c.id_a = e.id_a AND c.id_b = e.id_b) AS DOUBLE)
+             |    / (SELECT COUNT(*) FROM ex) AS recall""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(toks, 1,
+           |      CAST(floor(CAST(len(toks) * (doc_id % 6 + 4) AS DOUBLE) / 10.0) AS INTEGER)), ' ') AS text
+           |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           |        FROM documents WHERE doc_id % 25 = 0)),
+           |sh AS (
+           |  SELECT doc_id AS id, unnest(${Text.duckShingles("text", 3)}) AS sh
+           |  FROM all_docs),
+           |$duckMinhashCtes,
+           |shc AS (
+           |  SELECT id, sh FROM sh
+           |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |ex AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN sizes sa ON sa.id = id_a
+           |  JOIN sizes sb ON sb.id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
+           |$layouts
+           |$selects""".stripMargin
+      })
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`

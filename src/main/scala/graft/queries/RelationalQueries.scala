@@ -3315,6 +3315,174 @@ object RelationalQueries {
            |  FROM rates)
            |SELECT n, sw, sw2, sw * sw / sw2 AS ess,
            |  n * sw2 / (sw * sw) AS design_effect
-           |FROM g""".stripMargin))
+           |FROM g""".stripMargin)),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles from
+    // EXACT global ranks — the classic CRM cut, computed scale-safely: each
+    // metric ranks through the two-phase prefix machinery (globalRank —
+    // range partition + local window + offset broadcast, never one global
+    // window over all customers), and quintile = ((rank−1)·5) div n + 1 is
+    // pure integer arithmetic. Quintile 1 = lowest metric value; low
+    // recency_days (recent buyers) therefore means r_q = 1.
+    QueryDef(
+      "q309_rfm_segments",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val day = datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date"))
+        val per = o.groupBy(col("o_custkey").as("cust"))
+          .agg(max(day).as("last_day"), count(lit(1)).as("frequency"),
+            sum((col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+              .cast("decimal(38,0)")).as("m"))
+        val mx = o.agg(max(day).as("mxd"))
+        val base = per.crossJoin(broadcast(mx))
+          .select(col("cust"), (col("mxd") - col("last_day")).cast("long").as("recency_days"),
+            col("frequency"), col("m").cast("long").as("monetary_cents"))
+          .localCheckpoint()
+        val tot = base.agg(count(lit(1)).as("n"))
+        def rk(c: String) = graft.ops.Sampling.globalRank(base, col(c), col("cust"))
+          .select(col("rid").as("cust"), col("rank").as(s"${c}_rank"))
+        base.join(rk("recency_days"), "cust")
+          .join(rk("frequency"), "cust")
+          .join(rk("monetary_cents"), "cust")
+          .crossJoin(broadcast(tot))
+          .select(col("cust"), col("recency_days"), col("frequency"),
+            col("monetary_cents"),
+            expr("(recency_days_rank - 1) * 5 div n + 1").as("r_q"),
+            expr("(frequency_rank - 1) * 5 div n + 1").as("f_q"),
+            expr("(monetary_cents_rank - 1) * 5 div n + 1").as("m_q"))
+          .withColumn("segment", concat_ws("-", col("r_q"), col("f_q"), col("m_q")))
+      },
+      Some("""WITH per AS (
+           |  SELECT o_custkey AS cust,
+           |    MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           |      AS last_day,
+           |    COUNT(*) AS frequency,
+           |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+           |      AS BIGINT) AS monetary_cents
+           |  FROM orders GROUP BY 1),
+           |mx AS (
+           |  SELECT MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           |    AS mxd
+           |  FROM orders),
+           |base AS (
+           |  SELECT cust, CAST(mxd - last_day AS BIGINT) AS recency_days,
+           |    frequency, monetary_cents
+           |  FROM per CROSS JOIN mx),
+           |nn AS (SELECT COUNT(*) AS n FROM base),
+           |r AS (
+           |  SELECT cust,
+           |    row_number() OVER (ORDER BY recency_days, cust) AS rr,
+           |    row_number() OVER (ORDER BY frequency, cust) AS fr,
+           |    row_number() OVER (ORDER BY monetary_cents, cust) AS mr
+           |  FROM base)
+           |SELECT b.cust, b.recency_days, b.frequency, b.monetary_cents,
+           |  (rr - 1) * 5 // n + 1 AS r_q,
+           |  (fr - 1) * 5 // n + 1 AS f_q,
+           |  (mr - 1) * 5 // n + 1 AS m_q,
+           |  CAST((rr - 1) * 5 // n + 1 AS VARCHAR) || '-'
+           |    || CAST((fr - 1) * 5 // n + 1 AS VARCHAR) || '-'
+           |    || CAST((mr - 1) * 5 // n + 1 AS VARCHAR) AS segment
+           |FROM base b JOIN r USING (cust) CROSS JOIN nn""".stripMargin)),
+
+    // COHORT retention triangle: users grouped by first-seen week, activity
+    // tracked by week offset — the (cohort × age) matrix every product
+    // review reads. Two keyed aggregations + one id-join + one broadcast of
+    // the #weeks-bounded cohort sizes; the matrix itself is weeks²-bounded
+    // (a calendar bound, not a data bound).
+    QueryDef(
+      "q310_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val days = ev.select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+        val uw = days.join(first, "user_id")
+          .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+            expr("(day div 7) - (d0 div 7)").as("week_offset"))
+          .distinct()
+        val sizes = first.groupBy(expr("d0 div 7").as("cohort_week"))
+          .agg(count(lit(1)).as("n_cohort"))
+        uw.groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort")).as("rate"))
+      },
+      Some("""WITH days AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+           |fst AS (SELECT user_id, MIN(day) AS d0 FROM days GROUP BY 1),
+           |uw AS (
+           |  SELECT DISTINCT d.user_id, f.d0 // 7 AS cohort_week,
+           |    d.day // 7 - f.d0 // 7 AS week_offset
+           |  FROM days d JOIN fst f USING (user_id)),
+           |sizes AS (
+           |  SELECT d0 // 7 AS cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           |  FROM fst GROUP BY 1),
+           |a AS (
+           |  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+           |  FROM uw GROUP BY 1, 2)
+           |SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
+           |  CAST(a.n_active AS DOUBLE) / s.n_cohort AS rate
+           |FROM a JOIN sizes s USING (cohort_week)""".stripMargin)),
+
+    // χ² INDEPENDENCE test with Cramér's V: is document language
+    // independent of source? The full contingency grid INCLUDES
+    // zero-observed cells (margins cross-joined, observed LEFT-joined —
+    // omitting empty cells understates χ²); expected counts and the χ²
+    // fold are fixed-form over exact integers, decimal-summed over the
+    // #sources×#langs-bounded grid. V normalizes χ² to [0,1] for an
+    // effect-size read independent of corpus size.
+    QueryDef(
+      "q311_chi2_independence",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val obs = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+        val rowT = obs.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+        val colT = obs.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+        val nTot = obs.agg(sum(col("o")).as("n"),
+          countDistinct(col("source")).as("nr"),
+          countDistinct(col("lang")).as("nc"))
+        val grid = rowT.crossJoin(colT)
+          .join(obs, Seq("source", "lang"), "left_outer")
+          .select(coalesce(col("o"), lit(0L)).as("o"), col("rt"), col("ct"))
+        grid.crossJoin(broadcast(nTot))
+          .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+          .withColumn("contrib", pow(col("o") - col("e"), 2) / col("e"))
+          .agg(max(col("n")).as("n"), max(col("nr")).as("n_rows"),
+            max(col("nc")).as("n_cols"), Num.dsum38(col("contrib")).as("chi2"))
+          .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+            ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+            sqrt(col("chi2") /
+              (col("n") * least(col("n_rows") - 1, col("n_cols") - 1)))
+              .as("cramers_v"))
+      },
+      Some("""WITH obs AS (
+           |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+           |  FROM documents GROUP BY 1, 2),
+           |rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+           |ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+           |nt AS (
+           |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+           |    CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+           |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+           |  FROM obs),
+           |grid AS (
+           |  SELECT COALESCE(o.o, 0) AS o, rt.rt, ct.ct
+           |  FROM rt CROSS JOIN ct
+           |  LEFT JOIN obs o ON o.source = rt.source AND o.lang = ct.lang),
+           |cells AS (
+           |  SELECT o, CAST(rt AS DOUBLE) * ct / n AS e, n, nr, nc
+           |  FROM grid CROSS JOIN nt),
+           |f AS (
+           |  SELECT MAX(n) AS n, MAX(nr) AS n_rows, MAX(nc) AS n_cols,
+           |    CAST(SUM(CAST(POWER(o - e, 2) / e AS DECIMAL(38,18))) AS DOUBLE)
+           |      AS chi2
+           |  FROM cells)
+           |SELECT n, n_rows, n_cols, chi2,
+           |  (n_rows - 1) * (n_cols - 1) AS dof,
+           |  sqrt(chi2 / (n * LEAST(n_rows - 1, n_cols - 1))) AS cramers_v
+           |FROM f""".stripMargin))
   )
 }

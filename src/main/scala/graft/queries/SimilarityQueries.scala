@@ -409,6 +409,92 @@ object SimilarityQueries {
       },
       bench = false),
 
+    // Newman MODULARITY of the q307 labeling: Q = Σ_c [L_c/m − (D_c/2m)²]
+    // — the single number that says whether the LPA communities beat a
+    // random cut of the same degree sequence (Q > 0.3 is conventionally
+    // "real structure"). Exact integer edge/degree counts; the Q fold is
+    // decimal-summed over the #communities-bounded frame. Ground truth
+    // edges are the quadratic exact kNN, hence bench=false.
+    QueryDef(
+      "q312_community_modularity",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val edges = graft.ops.Graph.mutualEdges(topk).localCheckpoint()
+        val lab = graft.ops.Graph.labelPropagation(edges, rounds = 4)
+          .localCheckpoint()
+        val el = edges
+          .join(lab.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
+          .join(lab.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
+        val m = edges.agg(count(lit(1)).as("m"))
+        val intra = el.where(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("lc"))
+        val degs = edges
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .join(lab, "id")
+          .groupBy(col("lbl")).agg(count(lit(1)).as("dc"))
+        degs.join(intra, Seq("lbl"), "left_outer")
+          .select(col("lbl"), coalesce(col("lc"), lit(0L)).as("lc"), col("dc"))
+          .crossJoin(broadcast(m))
+          .withColumn("q", col("lc").cast("double") / col("m")
+            - pow(col("dc").cast("double") / (lit(2) * col("m")), 2))
+          .agg(count(lit(1)).as("n_communities"), max(col("m")).as("n_edges"),
+            Num.dsum38(col("q")).as("modularity"))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""c$r AS MATERIALIZED (
+             |  SELECT adj.src, l.lbl, COUNT(*) AS c
+             |  FROM adj JOIN l${r - 1} l ON l.id = adj.dst
+             |  GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (
+             |  SELECT src AS id, lbl FROM (
+             |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+             |      ORDER BY c DESC, lbl ASC) AS rn
+             |    FROM c$r) q$r WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |e0 AS MATERIALIZED (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |adj AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM e0
+           |  UNION ALL SELECT id_b, id_a FROM e0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM adj),
+           |$rounds,
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+           |el AS (
+           |  SELECT la.lbl AS la, lb.lbl AS lb
+           |  FROM e0
+           |  JOIN l4 la ON la.id = e0.id_a
+           |  JOIN l4 lb ON lb.id = e0.id_b),
+           |intra AS (
+           |  SELECT la AS lbl, CAST(COUNT(*) AS BIGINT) AS lc
+           |  FROM el WHERE la = lb GROUP BY 1),
+           |degs AS (
+           |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS dc
+           |  FROM (SELECT id_a AS id FROM e0 UNION ALL SELECT id_b FROM e0) d
+           |  JOIN l4 l ON l.id = d.id GROUP BY 1),
+           |per AS (
+           |  SELECT degs.lbl, COALESCE(intra.lc, 0) AS lc, degs.dc, m.m
+           |  FROM degs LEFT JOIN intra ON intra.lbl = degs.lbl CROSS JOIN m),
+           |qq AS (
+           |  SELECT CAST(lc AS DOUBLE) / m
+           |    - POWER(CAST(dc AS DOUBLE) / (2 * m), 2) AS q, m
+           |  FROM per)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           |  MAX(m) AS n_edges,
+           |  CAST(SUM(CAST(q AS DECIMAL(38,18))) AS DOUBLE) AS modularity
+           |FROM qq""".stripMargin
+      },
+      bench = false),
+
     // RobustScaler model: per-dimension exact nearest-rank q25/median/q75
     // + IQR over the embedding corpus — the outlier-insensitive
     // normalization statistics, as a d-row model table a transform step
