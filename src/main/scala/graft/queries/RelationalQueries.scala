@@ -3483,6 +3483,214 @@ object RelationalQueries {
            |SELECT n, n_rows, n_cols, chi2,
            |  (n_rows - 1) * (n_cols - 1) AS dof,
            |  sqrt(chi2 / (n * LEAST(n_rows - 1, n_cols - 1))) AS cramers_v
-           |FROM f""".stripMargin))
+           |FROM f""".stripMargin)),
+
+    // SPEARMAN rank correlation between account balance and total spend:
+    // ranks come from the two-phase globalRank machinery (never a global
+    // window), ties broken deterministically by customer id (the house
+    // total-order discipline — both engines rank the identical
+    // permutation, so ρ = 1 − 6Σd²/(n(n²−1)) is EXACT); Σd² and n(n²−1)
+    // stay in decimal(38,0) — n³ overflows int64 past ~2M rows.
+    QueryDef(
+      "q313_spearman_correlation",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val spend = o.groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+            .cast("decimal(38,0)")).as("sp"))
+        val base = c.join(spend, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey").as("cust"),
+            (col("c_acctbal").cast("decimal(15,2)") * 100).cast("long").as("x"),
+            coalesce(col("sp").cast("long"), lit(0L)).as("y"))
+          .localCheckpoint()
+        val rx = graft.ops.Sampling.globalRank(base, col("x"), col("cust"))
+          .select(col("rid").as("cust"), col("rank").as("rx"))
+        val ry = graft.ops.Sampling.globalRank(base, col("y"), col("cust"))
+          .select(col("rid").as("cust"), col("rank").as("ry"))
+        rx.join(ry, "cust")
+          .select(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+            .cast("decimal(38,0)").as("d2"))
+          .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+          .select(col("n"), col("sd2").cast("double").as("sum_d2"),
+            (lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+              (col("n").cast("decimal(38,0)") *
+                (col("n").cast("decimal(38,0)") * col("n") - 1)).cast("double"))
+              .as("rho"))
+      },
+      Some("""WITH spend AS (
+           |  SELECT o_custkey,
+           |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+           |      AS BIGINT) AS sp
+           |  FROM orders GROUP BY 1),
+           |base AS (
+           |  SELECT c_custkey AS cust,
+           |    CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS x,
+           |    COALESCE(sp, 0) AS y
+           |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+           |r AS (
+           |  SELECT cust,
+           |    row_number() OVER (ORDER BY x, cust) AS rx,
+           |    row_number() OVER (ORDER BY y, cust) AS ry
+           |  FROM base),
+           |d AS (
+           |  SELECT CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0)) AS d2 FROM r),
+           |f AS (
+           |  SELECT COUNT(*) AS n, SUM(d2) AS sd2 FROM d)
+           |SELECT n, CAST(sd2 AS DOUBLE) AS sum_d2,
+           |  1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+           |    / CAST(CAST(n AS DECIMAL(38,0))
+           |        * (CAST(n AS DECIMAL(38,0)) * n - 1) AS DOUBLE) AS rho
+           |FROM f""".stripMargin)),
+
+    // AUTOCORRELATION function (lags 1–7) per event type over the daily
+    // count series: ACF_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² — the
+    // weekly-seasonality read (lag-7 spikes) beside q262's profile
+    // deviations. All windows are per-key over the calendar-bounded day
+    // frame; products fold in decimal.
+    QueryDef(
+      "q314_autocorrelation",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type").as("key"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val m = cells.groupBy(col("key")).agg(
+          (sum(col("n").cast("decimal(38,0)")).cast("double") / count(lit(1)))
+            .as("mean"),
+          count(lit(1)).as("nd"))
+        val cm = cells.join(broadcast(m), "key")
+        val ss = cm.groupBy(col("key"))
+          .agg(Num.dsum38((col("n") - col("mean")) * (col("n") - col("mean")))
+            .as("ss"))
+        val base = cm.join(broadcast(ss), "key").localCheckpoint()
+        val wk = Window.partitionBy(col("key")).orderBy(col("day").asc)
+        (1 to 7).map { k =>
+          base.withColumn("nk", lead(col("n"), k).over(wk))
+            .where(col("nk").isNotNull)
+            .groupBy(col("key"))
+            .agg(max(col("nd")).as("n_days"), max(col("ss")).as("ss"),
+              Num.dsum38((col("n") - col("mean")) * (col("nk") - col("mean")))
+                .as("num"),
+              count(lit(1)).as("n_terms"))
+            .select(col("key"), lit(k).as("lag"), col("n_days"), col("n_terms"),
+              (col("num") / col("ss")).as("acf"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val sels = (1 to 7).map { k =>
+          s"""SELECT key, $k AS lag, MAX(nd) AS n_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |  CAST(SUM(CAST((n - mean) * (n$k - mean) AS DECIMAL(38,18)))
+             |    AS DOUBLE) / MAX(ss) AS acf
+             |FROM l WHERE n$k IS NOT NULL GROUP BY key""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val leads = (1 to 7).map(k => s"lead(n, $k) OVER w AS n$k").mkString(",\n    ")
+        s"""WITH cells AS (
+           |  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  SELECT key,
+           |    CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean,
+           |    COUNT(*) AS nd
+           |  FROM cells GROUP BY 1),
+           |cm AS (SELECT c.*, m.mean, m.nd FROM cells c JOIN m ON m.key = c.key),
+           |ss AS (
+           |  SELECT key,
+           |    CAST(SUM(CAST((n - mean) * (n - mean) AS DECIMAL(38,18)))
+           |      AS DOUBLE) AS ss
+           |  FROM cm GROUP BY 1),
+           |base AS (SELECT cm.*, ss.ss FROM cm JOIN ss ON ss.key = cm.key),
+           |l AS (
+           |  SELECT key, day, n, mean, nd, ss,
+           |    $leads
+           |  FROM base WINDOW w AS (PARTITION BY key ORDER BY day ASC))
+           |$sels""".stripMargin
+      }),
+
+    // Frequent clickstream TRIGRAMS: each user's ordered event-type
+    // 3-grams (two per-user lead windows — no positional self-join),
+    // counted and cut to the global top-20 — the path-pattern miner
+    // between q236's linear paths and q296's memoryless transitions
+    // (a trigram sees what a first-order chain cannot).
+    QueryDef(
+      "q315_path_trigrams",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("e1"))
+          .withColumn("e2", lead(col("e1"), 1).over(w))
+          .withColumn("e3", lead(col("e1"), 2).over(w))
+          .where(col("e3").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+          .limit(20)
+      },
+      Some("""WITH g AS (
+           |  SELECT event_type AS e1,
+           |    lead(event_type, 1) OVER w AS e2,
+           |    lead(event_type, 2) OVER w AS e3
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           |c AS (
+           |  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM g WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+           |SELECT e1, e2, e3, n FROM c
+           |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin)),
+
+    // INTER-ARRIVAL time percentiles: seconds between a user's consecutive
+    // events of the same type, exact nearest-rank p50/p90 per type — the
+    // cadence profile behind rate-limit and bot-detection thresholds. Gap
+    // extraction is a per-(user,type) window (co-located, scale-safe); the
+    // per-type rank window is the q153 discipline (corpus/#types rows per
+    // partition; the documented 100 TB drop-in is q260's stored-histogram
+    // quantiles).
+    QueryDef(
+      "q316_interarrival_percentiles",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wu = Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        val gaps = ev
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("nxt", lead(col("us"), 1).over(wu))
+          .where(col("nxt").isNotNull)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            expr("(nxt - us) div 1000000").as("gap_s"))
+        val wr = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap_s").asc, col("user_id").asc, col("event_id").asc)
+        gaps.withColumn("rn", row_number().over(wr))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("nn")).as("n_gaps"),
+            min(when(col("rn") === ceil(col("nn") * 0.5), col("gap_s"))).as("p50_s"),
+            min(when(col("rn") === ceil(col("nn") * 0.9), col("gap_s"))).as("p90_s"),
+            (sum(col("gap_s").cast("decimal(38,0)")).cast("double") / count(lit(1)))
+              .as("mean_s"))
+      },
+      Some("""WITH gaps AS (
+           |  SELECT event_type, user_id, event_id,
+           |    (lead(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+           |       ORDER BY ts ASC, event_id ASC) - epoch_us(ts)) // 1000000
+           |      AS gap_s
+           |  FROM events),
+           |g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+           |r AS (
+           |  SELECT event_type, gap_s,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY gap_s ASC, user_id ASC, event_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+           |  FROM g)
+           |SELECT event_type, MAX(nn) AS n_gaps,
+           |  MIN(CASE WHEN rn = CEIL(nn * 0.5) THEN gap_s END) AS p50_s,
+           |  MIN(CASE WHEN rn = CEIL(nn * 0.9) THEN gap_s END) AS p90_s,
+           |  CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+           |    AS mean_s
+           |FROM r GROUP BY 1""".stripMargin))
   )
 }
