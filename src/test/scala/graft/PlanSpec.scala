@@ -623,4 +623,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p265.contains("WindowGroupLimit"),
       s"q265: rn <= 2 must push a group limit:\n${p265.take(2000)}")
   }
+
+  test("round-9 stats queries: broadcast totals, no global sort, no cartesian blowup") {
+    // q295 KS: the cumulative counts must come from the range-partitioned
+    // two-phase prefix sum — no single-partition global window over the
+    // value-distinct frame
+    // (the range partition itself sits behind prefixSums' localCheckpoint,
+    // so the visible evidence is the pid-keyed window — NOT an unkeyed
+    // single-partition global window)
+    val p295 = plan(SparkEntry.queries("q295_ks_test")(spark, sf))
+    assert(p295.contains("windowspecdefinition(pid"),
+      s"q295: cumulative window must be pid-keyed (two-phase):\n${p295.take(1500)}")
+    // q299 bootstrap: replicate fan-out is a per-row explode (Generate),
+    // and the only joins are 1-row broadcast CI/base fusions
+    val p299 = plan(SparkEntry.queries("q299_poisson_bootstrap")(spark, sf))
+    assert(p299.contains("Generate"), "q299: B replicates come from explode")
+    assert(!p299.contains("CartesianProduct"),
+      s"q299: no cartesian product allowed:\n${p299.take(1500)}")
+    // q300: the head vocabulary must reach the typo join by broadcast —
+    // the corpus-scale rare side never shuffles for the join
+    val p300 = plan(SparkEntry.queries("q300_typo_candidates")(spark, sf))
+    assert(p300.contains("BroadcastNestedLoopJoin") || p300.contains("BroadcastHashJoin"),
+      s"q300: head vocab must broadcast:\n${p300.take(1500)}")
+    // q309 RFM: ranks come from globalRank's range partition + broadcast
+    // offsets — no single global Sort over all customers feeding a window
+    val p309 = plan(SparkEntry.queries("q309_rfm_segments")(spark, sf))
+    assert(p309.contains("windowspecdefinition(pid"),
+      s"q309: rank windows must be pid-keyed (two-phase globalRank):\n${p309.take(1500)}")
+    // q302's serve seam (the full query plan hides behind the stationary
+    // loop's localCheckpoints): markovFromCounts must broadcast the
+    // #states-row totals into the probability join
+    val ev = Tables.load(spark, sf, "events")
+    val pMk = plan(graft.ops.Stats.markovFromCounts(
+      graft.ops.Stats.markovCountTable(ev.select(col("user_id").as("u"),
+        col("ts").as("o1"), col("event_id").as("o2"),
+        col("event_type").as("cur")))))
+    assert(pMk.contains("BroadcastHashJoin"),
+      s"markovFromCounts: row totals must broadcast:\n${pMk.take(1500)}")
+  }
 }
