@@ -1349,4 +1349,51 @@ object Similarity {
       .withColumn("rank", row_number().over(win))
       .where(col("rank") <= k)
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein '98) —
+    * the diversified top-k every RAG stack wants: greedily pick the
+    * candidate maximizing wRel·rel − wDiv·max_{s∈selected} sim(c, s), so
+    * near-duplicate hits stop crowding the context window. The greedy is
+    * inherently sequential in k, so the k rounds UNROLL (the q297/q259
+    * discipline — engine rounds == oracle CTE rounds, hash-match
+    * unconditional); each round is one anti join + one bounded join
+    * against the already-selected set + one per-query argmax window.
+    *
+    * Inputs: `cand` (query_id, neighbor_id, rel) — per-query candidate
+    * lists already cut to a bounded size; `psim` (query_id, a, b, sim) —
+    * candidate-pair similarities (per-query candidates², bounded by the
+    * candidate cut, NOT the corpus). Weights are passed separately
+    * (wDiv = 0.3, not 1−0.7) so both engines evaluate the identical
+    * double literals. Ties break by neighbor_id. Output: (query_id,
+    * neighbor_id, round), round 1..k.
+    */
+  def mmrRerank(cand: DataFrame, psim: DataFrame, k: Int,
+      wRel: Double, wDiv: Double): DataFrame = {
+    require(k >= 1, "need at least one MMR round")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    var sel = cand.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(W))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("round"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = cand
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(psim.select(col("query_id"), col("a").as("neighbor_id"),
+          col("b"), col("sim")), Seq("query_id", "neighbor_id"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("score", lit(wRel) * col("rel") - lit(wDiv) * col("msim"))
+        .withColumn("rn", row_number().over(W))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(r).as("round"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel
+  }
 }

@@ -409,6 +409,96 @@ object SimilarityQueries {
       },
       bench = false),
 
+    // MMR diversified re-ranking: relevance-ranked top-20 candidates per
+    // probe, greedily re-cut to 5 that maximize wRel·rel − wDiv·max-sim-
+    // to-selected — the context-window dedup every RAG stack runs between
+    // retrieval and generation. Candidate lists and the per-query pair-sim
+    // matrix are both bounded by the candidate cut (20² per probe), so the
+    // sequential-in-k greedy costs k bounded joins, not corpus passes.
+    // Probe side broadcast; bench=false (relevance ground truth is the
+    // exact probe × corpus scan).
+    QueryDef(
+      "q317_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val probes = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+        val a = Similarity.withNorm(probes, col("vec_id"), col("embedding"))
+          .select(col("vid").as("query_id"), col("vec").as("va"), col("nrm").as("na"))
+        val b = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+          .select(col("vid").as("neighbor_id"), col("vec").as("vb"), col("nrm").as("nb"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("neighbor_id").asc)
+        val cand = b.crossJoin(broadcast(a))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (Num.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("rel"))
+          .withColumn("rank", row_number().over(wq))
+          .where(col("rank") <= 20).drop("rank")
+          .localCheckpoint()
+        val vecs = b.select(col("neighbor_id"), col("vb"), col("nb"))
+        val c1 = cand.select(col("query_id"), col("neighbor_id").as("a"))
+          .join(vecs.select(col("neighbor_id").as("a"), col("vb").as("v1"),
+            col("nb").as("n1")), "a")
+        val c2 = cand.select(col("query_id"), col("neighbor_id").as("b"))
+          .join(vecs.select(col("neighbor_id").as("b"), col("vb").as("v2"),
+            col("nb").as("n2")), "b")
+        val psim = c1.join(c2, "query_id").where(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            (Num.dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+          .localCheckpoint()
+        Similarity.mmrRerank(cand, psim, k = 5, wRel = 0.7, wDiv = 0.3)
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""sc$r AS (
+             |  SELECT c.query_id, c.neighbor_id, c.rel, MAX(ps.sim) AS msim
+             |  FROM cand c
+             |  JOIN s${r - 1} sl ON sl.query_id = c.query_id
+             |  JOIN psim ps ON ps.query_id = c.query_id
+             |    AND ps.a = c.neighbor_id AND ps.b = sl.neighbor_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} x
+             |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+             |  GROUP BY 1, 2, 3),
+             |p$r AS (
+             |  SELECT query_id, neighbor_id, $r AS round FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY 0.7 * rel - 0.3 * msim DESC, neighbor_id ASC) AS rn
+             |    FROM sc$r) z$r WHERE rn = 1),
+             |s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |probes AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+           |cand AS (
+           |  SELECT query_id, neighbor_id, rel FROM (
+           |    SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      list_dot_product(p.v, b.v) / (p.nrm * b.nrm) AS rel,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY list_dot_product(p.v, b.v) / (p.nrm * b.nrm) DESC,
+           |          b.vec_id ASC) AS rank
+           |    FROM probes p JOIN e b ON b.vec_id <> p.vec_id) rk
+           |  WHERE rank <= 20),
+           |psim AS (
+           |  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+           |    list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS sim
+           |  FROM cand c1
+           |  JOIN cand c2 ON c2.query_id = c1.query_id
+           |    AND c2.neighbor_id <> c1.neighbor_id
+           |  JOIN e ea ON ea.vec_id = c1.neighbor_id
+           |  JOIN e eb ON eb.vec_id = c2.neighbor_id),
+           |s1 AS (
+           |  SELECT query_id, neighbor_id, 1 AS round FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rel DESC, neighbor_id ASC) AS rn
+           |    FROM cand) z1 WHERE rn = 1),
+           |$rounds
+           |SELECT query_id, neighbor_id, round FROM s5""".stripMargin
+      },
+      bench = false),
+
     // Newman MODULARITY of the q307 labeling: Q = Σ_c [L_c/m − (D_c/2m)²]
     // — the single number that says whether the LPA communities beat a
     // random cut of the same degree sequence (Q > 0.3 is conventionally
