@@ -3691,6 +3691,176 @@ object RelationalQueries {
            |  MIN(CASE WHEN rn = CEIL(nn * 0.9) THEN gap_s END) AS p90_s,
            |  CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
            |    AS mean_s
-           |FROM r GROUP BY 1""".stripMargin))
+           |FROM r GROUP BY 1""".stripMargin)),
+
+    // PARETO frontier per brand (skyline query): parts no other same-brand
+    // part dominates on (price ↓, size ↑). Dominance tests are two
+    // per-brand analytic windows — a RANGE frame (max size at strictly
+    // lower price) and a same-price partition max — never a self-join, so
+    // the skyline costs one sort per brand regardless of part count.
+    QueryDef(
+      "q318_pareto_frontier",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val base = p.select(col("p_brand").as("brand"), col("p_partkey").as("pk"),
+          (col("p_retailprice").cast("decimal(15,2)") * 100).cast("long").as("price"),
+          col("p_size").cast("long").as("size"))
+        val wLower = Window.partitionBy(col("brand")).orderBy(col("price").asc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSame = Window.partitionBy(col("brand"), col("price"))
+        base
+          .withColumn("m_lower", max(col("size")).over(wLower))
+          .withColumn("m_same", max(col("size")).over(wSame))
+          .where(coalesce(col("m_lower"), lit(Long.MinValue)) < col("size") &&
+            col("m_same") <= col("size"))
+          .select(col("brand"), col("pk"), col("price"), col("size"))
+      },
+      Some("""WITH base AS (
+           |  SELECT p_brand AS brand, p_partkey AS pk,
+           |    CAST(CAST(p_retailprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+           |      AS price,
+           |    CAST(p_size AS BIGINT) AS size
+           |  FROM part),
+           |w AS (
+           |  SELECT brand, pk, price, size,
+           |    MAX(size) OVER (PARTITION BY brand ORDER BY price
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lower,
+           |    MAX(size) OVER (PARTITION BY brand, price) AS m_same
+           |  FROM base)
+           |SELECT brand, pk, price, size FROM w
+           |WHERE COALESCE(m_lower, -9223372036854775808) < size
+           |  AND m_same <= size""".stripMargin)),
+
+    // Median-absolute-deviation robust z (Iglewicz–Hoaglin): per-brand
+    // exact nearest-rank median, MAD from a second rank pass over
+    // |x − med|, outliers at |0.6745·(x−med)/MAD| > 3.5 — the outlier
+    // flag a single corrupted price cannot move (unlike q237's σ-based
+    // checks). All windows brand-partitioned; cents stay integer until
+    // the one z division.
+    QueryDef(
+      "q319_mad_robust_z",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val base = p.select(col("p_brand").as("brand"), col("p_partkey").as("pk"),
+          (col("p_retailprice").cast("decimal(15,2)") * 100).cast("long").as("x"))
+        val w1 = Window.partitionBy(col("brand"))
+          .orderBy(col("x").asc, col("pk").asc)
+        val med = base
+          .withColumn("rn", row_number().over(w1))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("brand"))))
+          .groupBy(col("brand"))
+          .agg(max(col("nn")).as("n"),
+            min(when(col("rn") === ceil(col("nn") * 0.5), col("x"))).as("med"))
+        val dev = base.join(broadcast(med), "brand")
+          .withColumn("d", abs(col("x") - col("med")))
+        val w2 = Window.partitionBy(col("brand"))
+          .orderBy(col("d").asc, col("pk").asc)
+        val mad = dev
+          .withColumn("rn", row_number().over(w2))
+          .groupBy(col("brand"))
+          .agg(min(when(col("rn") === ceil(col("n") * 0.5), col("d"))).as("mad"))
+        dev.join(broadcast(mad), "brand")
+          .groupBy(col("brand"))
+          .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("mad") > 0 &&
+              abs(lit(0.6745) * (col("x") - col("med")).cast("double") / col("mad"))
+                > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH base AS (
+           |  SELECT p_brand AS brand, p_partkey AS pk,
+           |    CAST(CAST(p_retailprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS x
+           |  FROM part),
+           |r1 AS (
+           |  SELECT brand, pk, x,
+           |    row_number() OVER (PARTITION BY brand ORDER BY x ASC, pk ASC)
+           |      AS rn,
+           |    COUNT(*) OVER (PARTITION BY brand) AS nn
+           |  FROM base),
+           |med AS (
+           |  SELECT brand, MAX(nn) AS n,
+           |    MIN(CASE WHEN rn = CEIL(nn * 0.5) THEN x END) AS med
+           |  FROM r1 GROUP BY 1),
+           |dev AS (
+           |  SELECT b.brand, b.pk, b.x, m.n, m.med, ABS(b.x - m.med) AS d
+           |  FROM base b JOIN med m ON m.brand = b.brand),
+           |r2 AS (
+           |  SELECT brand, d, n,
+           |    row_number() OVER (PARTITION BY brand ORDER BY d ASC, pk ASC)
+           |      AS rn
+           |  FROM dev),
+           |mad AS (
+           |  SELECT brand, MIN(CASE WHEN rn = CEIL(n * 0.5) THEN d END) AS mad
+           |  FROM r2 GROUP BY 1)
+           |SELECT dev.brand, MAX(dev.n) AS n, MAX(dev.med) AS med,
+           |  MAX(mad.mad) AS mad,
+           |  CAST(SUM(CASE WHEN mad.mad > 0 AND
+           |    ABS(0.6745 * CAST(dev.x - dev.med AS DOUBLE) / mad.mad) > 3.5
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM dev JOIN mad ON mad.brand = dev.brand
+           |GROUP BY 1""".stripMargin)),
+
+    // NEYMAN optimal stratified allocation: sample budget 1000 split
+    // n_h ∝ N_h·S_h (stratum size × stratum std dev) — minimum-variance
+    // stratified sampling, with the largest-remainder rounding making
+    // Σ n_h == budget EXACTLY (the q290 integer-distribution discipline:
+    // floor shares, then +1 to the largest fractional remainders, ties by
+    // stratum key). Variances come from one exact decimal moment
+    // aggregation; everything after runs on the #strata-row frame.
+    QueryDef(
+      "q320_neyman_allocation",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val budget = 1000L
+        val m = li.groupBy(col("l_returnflag").as("stratum"))
+          .agg(count(lit(1)).as("nh"),
+            sum((col("l_extendedprice").cast("decimal(15,2)") * 100).cast("long")
+              .cast("decimal(38,0)")).as("s1"),
+            sum(((col("l_extendedprice").cast("decimal(15,2)") * 100).cast("long")
+              * (col("l_extendedprice").cast("decimal(15,2)") * 100).cast("long"))
+              .cast("decimal(38,0)")).as("s2"))
+          .select(col("stratum"), col("nh"),
+            sqrt((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("nh"))
+              / col("nh")).as("sd"))
+        val z = m.agg(Num.dsum38(col("nh") * col("sd")).as("z"))
+        val shares = m.crossJoin(broadcast(z))
+          .withColumn("share", col("nh") * col("sd") / col("z") * budget)
+          .withColumn("fl", floor(col("share")))
+          .withColumn("frac", col("share") - col("fl"))
+        val rem = shares.agg((lit(budget) - sum(col("fl"))).as("rem"))
+        val wf = Window.orderBy(col("frac").desc, col("stratum").asc)
+        shares.crossJoin(broadcast(rem))
+          .withColumn("rk", row_number().over(wf))
+          .select(col("stratum"), col("nh"), col("sd"),
+            (col("fl") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+              .as("alloc"))
+      },
+      Some("""WITH m AS (
+           |  SELECT l_returnflag AS stratum, COUNT(*) AS nh,
+           |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+           |      AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+           |      AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+           |      AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+           |  FROM lineitem GROUP BY 1),
+           |sdv AS (
+           |  SELECT stratum, nh, sqrt((s2 - s1 * s1 / nh) / nh) AS sd FROM m),
+           |z AS (
+           |  SELECT CAST(SUM(CAST(nh * sd AS DECIMAL(38,18))) AS DOUBLE) AS z
+           |  FROM sdv),
+           |shares AS (
+           |  SELECT stratum, nh, sd, nh * sd / z * 1000 AS share,
+           |    FLOOR(nh * sd / z * 1000) AS fl,
+           |    nh * sd / z * 1000 - FLOOR(nh * sd / z * 1000) AS frac
+           |  FROM sdv CROSS JOIN z),
+           |rem AS (SELECT 1000 - CAST(SUM(fl) AS BIGINT) AS rem FROM shares),
+           |rk AS (
+           |  SELECT stratum, nh, sd, fl,
+           |    row_number() OVER (ORDER BY frac DESC, stratum ASC) AS rk
+           |  FROM shares)
+           |SELECT stratum, nh, sd,
+           |  CAST(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           |FROM rk CROSS JOIN rem""".stripMargin))
   )
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulPr
   */
 final case class AuthorStats(author: String, n_articles: Long, total_words: Long)
 
+/** Completed session emitted by [[StreamOps.sessionizeByGap]]. */
+final case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long)
+
 /** StatefulProcessor backing [[StreamOps.limitPerAuthor]]: one ValueState
   * counter per author; rows beyond the quota are dropped.
   */
@@ -111,6 +115,55 @@ object StreamOps {
             state.update((last._2, last._3, last._4))
             states.iterator.sliding(2).withPartial(false)
               .map(w => (w.head, w(1)))
+          }
+      }
+  }
+
+  /** Gap-based SESSIONIZATION with event-time TIMERS: a session closes
+    * either inline (a same-user event arrives more than `gapUs` later) or
+    * on the watermark timer (no event ever arrives — the case a pure lag
+    * window can never close). The stateful twin of the built-in
+    * `session_window` aggregation (q07), exposed because production
+    * sessionizers carry custom per-session payloads (counts, first/last,
+    * funnel flags) the built-in aggregate cannot. State: one
+    * (start, end, n) triple per user; the timeout timestamp re-arms at
+    * end + gap after every batch. Input: (user_id, ts) rows that ALREADY
+    * carry an event-time watermark on `ts` (required by
+    * EventTimeTimeout). Emits completed sessions only (append mode).
+    */
+  def sessionizeByGap(events: DataFrame, gapUs: Long): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (u, rows, state) =>
+          def us(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+          if (state.hasTimedOut) {
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator.single(SessionRow(u, st, en, n))
+          } else {
+            val sorted = rows.map(r => us(r._2)).toVector.sorted
+            var out = Vector.empty[SessionRow]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case None => cur = Some((t, t, 1L))
+                case Some((st, en, n)) =>
+                  if (t - en <= gapUs) cur = Some((st, math.max(en, t), n + 1))
+                  else { out :+= SessionRow(u, st, en, n); cur = Some((t, t, 1L)) }
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // timer in ms, strictly after the session's close boundary
+              state.setTimeoutTimestamp((c._2 + gapUs) / 1000 + 1)
+            }
+            out.iterator
           }
       }
   }

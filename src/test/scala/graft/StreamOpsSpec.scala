@@ -949,4 +949,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         "stream-maintained deltas aggregate to exactly the batch counts")
     } finally q.stop()
   }
+
+  test("sessionizeByGap: inline close on a late gap, timer close on watermark silence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Timestamp)]
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val sess = graft.streaming.StreamOps.sessionizeByGap(
+      ms.toDF().toDF("user_id", "ts").withWatermark("ts", "1 second"),
+      gapUs = 10000000L) // 10 s gap
+    val q = sess.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: events at 100 s and 105 s (one session), then 200 s (a
+      // new session — the arrival inline-closes [100, 105]); times sit
+      // well above the initial watermark (epoch 0 itself would be "late")
+      ms.addData(Seq((1L, t(100)), (1L, t(105)), (1L, t(200))))
+      q.processAllAvailable()
+      // silence: a different user far in the future advances the
+      // watermark past 210 s, so user 1's open [200, 200] session can
+      // only close via the EVENT-TIME TIMER
+      ms.addData(Seq((99L, t(1000))))
+      q.processAllAvailable()
+      ms.addData(Seq((99L, t(1001))))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(rows.contains((1L, 100000000L, 105000000L, 2L)),
+        s"inline close of the first session: $rows")
+      assert(rows.contains((1L, 200000000L, 200000000L, 1L)),
+        s"timer close of the silent session: $rows")
+    } finally q.stop()
+  }
 }
