@@ -3861,6 +3861,149 @@ object RelationalQueries {
            |  FROM shares)
            |SELECT stratum, nh, sd,
            |  CAST(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
-           |FROM rk CROSS JOIN rem""".stripMargin))
+           |FROM rk CROSS JOIN rem""".stripMargin)),
+
+    // ITEM-ITEM collaborative filtering: cosine similarity over order
+    // co-occurrence (sim = c_ij/√(c_i·c_j)), top-3 recommendations per
+    // part — the q241 basket machinery pointed at recommendation instead
+    // of association. Pair emission stays LOCAL and basket-size²-bounded;
+    // the symmetric direction is a projection of the same pair frame, not
+    // a second scan; item counts broadcast.
+    QueryDef(
+      "q321_item_item_cf",
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+          .localCheckpoint()
+        val pairCnt = baskets.where(size(col("items")) >= 2)
+          .select(posexplode(col("items")).as(Seq("i", "pa")), col("items"))
+          .select(col("pa"),
+            explode(slice(col("items"), col("i") + lit(2),
+              size(col("items")))).as("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("n_co"))
+          .where(col("n_co") >= 2)
+        val sym = pairCnt.unionByName(pairCnt.select(col("pb").as("pa"),
+          col("pa").as("pb"), col("n_co")))
+        val itemCnt = baskets
+          .select(explode(col("items")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("pa"))
+          .orderBy(col("cosine").desc, col("pb").asc)
+        sym
+          .join(broadcast(itemCnt.select(col("pk").as("pa"), col("c").as("ca"))),
+            Seq("pa"))
+          .join(broadcast(itemCnt.select(col("pk").as("pb"), col("c").as("cb"))),
+            Seq("pb"))
+          .withColumn("cosine", col("n_co").cast("double") /
+            sqrt(col("ca").cast("double") * col("cb")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("pa"), col("pb"), col("n_co"), col("cosine"), col("rank"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |pairs AS (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           |  FROM op a JOIN op b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |cnt AS (
+           |  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_co
+           |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |ic AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM op GROUP BY 1),
+           |sc AS (
+           |  SELECT pa, pb, n_co,
+           |    CAST(n_co AS DOUBLE)
+           |      / sqrt(CAST(ca.c AS DOUBLE) * cb.c) AS cosine
+           |  FROM cnt JOIN ic ca ON ca.pk = pa JOIN ic cb ON cb.pk = pb),
+           |rk AS (
+           |  SELECT pa, pb, n_co, cosine,
+           |    row_number() OVER (PARTITION BY pa
+           |      ORDER BY cosine DESC, pb ASC) AS rank
+           |  FROM sc)
+           |SELECT pa, pb, n_co, cosine, rank FROM rk WHERE rank <= 3"""
+        .stripMargin)),
+
+    // SEASONAL-NAIVE forecast backtest: predict each day's count with the
+    // count 7 days earlier, score MAE/MAPE/SMAPE per event type — the
+    // baseline every forecasting effort must beat, and the honest way to
+    // quantify weekly structure (cf. q314's lag-7 ACF). One per-key lag
+    // window over the calendar-bounded day frame; error folds are
+    // decimal-exact.
+    QueryDef(
+      "q322_seasonal_naive_backtest",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cells = ev.groupBy(col("event_type").as("key"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wk = Window.partitionBy(col("key")).orderBy(col("day").asc)
+        cells.withColumn("pred", lag(col("n"), 7).over(wk))
+          .where(col("pred").isNotNull)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_days_eval"),
+            (Num.dsum38(abs(col("n") - col("pred")).cast("double"))
+              / count(lit(1))).as("mae"),
+            (Num.dsum38(abs(col("n") - col("pred")).cast("double") / col("n"))
+              / count(lit(1))).as("mape"),
+            (Num.dsum38(lit(2.0) * abs(col("n") - col("pred")).cast("double")
+              / (col("n") + col("pred"))) / count(lit(1))).as("smape"))
+      },
+      Some("""WITH cells AS (
+           |  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |l AS (
+           |  SELECT key, day, n,
+           |    lag(n, 7) OVER (PARTITION BY key ORDER BY day ASC) AS pred
+           |  FROM cells)
+           |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+           |  CAST(SUM(CAST(CAST(ABS(n - pred) AS DOUBLE) AS DECIMAL(38,18)))
+           |    AS DOUBLE) / COUNT(*) AS mae,
+           |  CAST(SUM(CAST(CAST(ABS(n - pred) AS DOUBLE) / n AS DECIMAL(38,18)))
+           |    AS DOUBLE) / COUNT(*) AS mape,
+           |  CAST(SUM(CAST(2.0 * CAST(ABS(n - pred) AS DOUBLE) / (n + pred)
+           |    AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS smape
+           |FROM l WHERE pred IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // Differentially-private histogram RELEASE (ε = 0.1): per-type counts
+    // + Laplace(b=10) noise via the inverse CDF over a hash-derived
+    // uniform — the governance release path beside q274's k-anonymity
+    // audit. The hash seed makes the release DETERMINISTIC (testable
+    // cross-engine); a production release swaps the seeded uniform for a
+    // real RNG — the sensitivity/ε accounting and the release shape are
+    // what this operator pins. p is bounded away from {0,1} by
+    // construction, so ln never sees 0 in either engine.
+    QueryDef(
+      "q323_dp_histogram",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val u = (pmod(graft.ops.Hashing.hash60(
+          concat(lit("dp-"), col("event_type"))), lit(999999L)).cast("double")
+          + 0.5) / 1000000.0
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("true_n"))
+          .withColumn("p", u)
+          .withColumn("noise",
+            lit(-10.0) * signum(col("p") - 0.5) *
+              log(lit(1.0) - lit(2.0) * abs(col("p") - 0.5)))
+          .select(col("event_type"), col("true_n"),
+            (col("true_n") + col("noise")).as("released"),
+            lit(0.1).as("epsilon"))
+      },
+      Some(s"""WITH c AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+           |  FROM events GROUP BY 1),
+           |p AS (
+           |  SELECT event_type, true_n,
+           |    (CAST(${graft.ops.Hashing.duckHash60("('dp-' || event_type)")}
+           |      % 999999 AS DOUBLE) + 0.5) / 1000000.0 AS p
+           |  FROM c)
+           |SELECT event_type, true_n,
+           |  true_n + (-10.0 * SIGN(p - 0.5) * ln(1.0 - 2.0 * ABS(p - 0.5)))
+           |    AS released,
+           |  CAST(0.1 AS DOUBLE) AS epsilon
+           |FROM p""".stripMargin))
   )
 }
