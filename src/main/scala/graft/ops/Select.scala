@@ -386,4 +386,30 @@ object Select {
       mass: Map[String, Long],
       vocab: Set[String],
       v: Long)
+
+  /** One closed-form rank-2 ridge solve per entity — the alternating-least-
+    * squares HALF STEP: given the opposite side's factors (g1, g2) on each
+    * rating row, every entity's 2×2 regularized normal equations
+    * (A = Σ g gᵀ + λI, b = Σ r·g) solve by Cramer in fixed-form double
+    * arithmetic. The five sufficient statistics fold in decimal(38,18)
+    * (order-independent), so factors are deterministic at any partitioning
+    * and the oracle replays them textually. ONE keyed aggregation per
+    * half-step — ALS at corpus scale without a solver library.
+    */
+  def rank2Solve(df: DataFrame, ent: Column, g1: Column, g2: Column,
+      r: Column, lambda: Double): DataFrame =
+    df.select(ent.as("ent"), g1.as("g1"), g2.as("g2"), r.cast("double").as("r"))
+      .groupBy(col("ent"))
+      .agg(Num.dsum38(col("g1") * col("g1")).as("s11"),
+        Num.dsum38(col("g1") * col("g2")).as("s12"),
+        Num.dsum38(col("g2") * col("g2")).as("s22"),
+        Num.dsum38(col("r") * col("g1")).as("b1"),
+        Num.dsum38(col("r") * col("g2")).as("b2"))
+      .select(col("ent"),
+        (((col("s22") + lambda) * col("b1") - col("s12") * col("b2")) /
+          ((col("s11") + lambda) * (col("s22") + lambda)
+            - col("s12") * col("s12"))).as("f1"),
+        (((col("s11") + lambda) * col("b2") - col("s12") * col("b1")) /
+          ((col("s11") + lambda) * (col("s22") + lambda)
+            - col("s12") * col("s12"))).as("f2"))
 }

@@ -4004,6 +4004,101 @@ object RelationalQueries {
            |  true_n + (-10.0 * SIGN(p - 0.5) * ln(1.0 - 2.0 * ABS(p - 0.5)))
            |    AS released,
            |  CAST(0.1 AS DOUBLE) AS epsilon
-           |FROM p""".stripMargin))
+           |FROM p""".stripMargin)),
+
+    // Rank-2 ALS matrix factorization, ONE alternating round, closed form:
+    // item factors init deterministically from the cross-engine hash, the
+    // user half-step solves every user's 2×2 ridge normal equations by
+    // Cramer (one keyed aggregation — no solver library, no gradient
+    // loop), the item half-step re-solves items against those users, and
+    // the fit reports training RMSE. Every sufficient statistic folds in
+    // decimal; factors and RMSE are deterministic at any partitioning.
+    // The recommender-TRAINING complement of q321's neighborhood CF.
+    QueryDef(
+      "q324_als_rank2",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val ratings = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .agg(sum(col("l_quantity").cast("long")).as("r"))
+          .localCheckpoint()
+        val g0 = ratings.select(col("i")).distinct()
+          .withColumn("g1", lit(1.0))
+          .withColumn("g2",
+            pmod(graft.ops.Hashing.hash60(concat(lit("als-"), col("i"))),
+              lit(1000L)).cast("double") / 1000.0 - 0.5)
+        val users = graft.ops.Select.rank2Solve(ratings.join(g0, "i"),
+            col("u"), col("g1"), col("g2"), col("r"), 0.1)
+          .select(col("ent").as("u"), col("f1").as("u1"), col("f2").as("u2"))
+          .localCheckpoint()
+        val items = graft.ops.Select.rank2Solve(ratings.join(users, "u"),
+            col("i"), col("u1"), col("u2"), col("r"), 0.1)
+          .select(col("ent").as("i"), col("f1").as("g1n"), col("f2").as("g2n"))
+          .localCheckpoint()
+        ratings.join(users, "u").join(items, "i")
+          .select(col("u"), col("i"),
+            (col("r").cast("double")
+              - (col("u1") * col("g1n") + col("u2") * col("g2n"))).as("e"))
+          .agg(count(lit(1)).as("n_ratings"),
+            countDistinct(col("u")).as("n_users"),
+            countDistinct(col("i")).as("n_items"),
+            sqrt(Num.dsum38(col("e") * col("e")) / count(lit(1))).as("rmse"))
+      },
+      Some(s"""WITH ratings AS (
+           |  SELECT o_custkey AS u, l_partkey AS i,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |g0 AS (
+           |  SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS g1,
+           |    CAST(${graft.ops.Hashing.duckHash60("('als-' || CAST(i AS VARCHAR))")}
+           |      % 1000 AS DOUBLE) / 1000.0 - 0.5 AS g2
+           |  FROM ratings),
+           |uj AS (
+           |  SELECT r.u, CAST(r.r AS DOUBLE) AS r, g.g1, g.g2
+           |  FROM ratings r JOIN g0 g USING (i)),
+           |us AS (
+           |  SELECT u,
+           |    ${Num.duckDsum38("g1 * g1")} AS s11,
+           |    ${Num.duckDsum38("g1 * g2")} AS s12,
+           |    ${Num.duckDsum38("g2 * g2")} AS s22,
+           |    ${Num.duckDsum38("r * g1")} AS b1,
+           |    ${Num.duckDsum38("r * g2")} AS b2
+           |  FROM uj GROUP BY 1),
+           |uf AS (
+           |  SELECT u,
+           |    ((s22 + 0.1) * b1 - s12 * b2)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS u1,
+           |    ((s11 + 0.1) * b2 - s12 * b1)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS u2
+           |  FROM us),
+           |ij AS (
+           |  SELECT r.i, CAST(r.r AS DOUBLE) AS r, f.u1 AS g1, f.u2 AS g2
+           |  FROM ratings r JOIN uf f USING (u)),
+           |it AS (
+           |  SELECT i,
+           |    ${Num.duckDsum38("g1 * g1")} AS s11,
+           |    ${Num.duckDsum38("g1 * g2")} AS s12,
+           |    ${Num.duckDsum38("g2 * g2")} AS s22,
+           |    ${Num.duckDsum38("r * g1")} AS b1,
+           |    ${Num.duckDsum38("r * g2")} AS b2
+           |  FROM ij GROUP BY 1),
+           |if2 AS (
+           |  SELECT i,
+           |    ((s22 + 0.1) * b1 - s12 * b2)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS g1n,
+           |    ((s11 + 0.1) * b2 - s12 * b1)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS g2n
+           |  FROM it),
+           |e AS (
+           |  SELECT r.u, r.i,
+           |    CAST(r.r AS DOUBLE) - (f.u1 * g.g1n + f.u2 * g.g2n) AS e
+           |  FROM ratings r JOIN uf f USING (u) JOIN if2 g USING (i))
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+           |  CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items,
+           |  sqrt(${Num.duckDsum38("e * e")} / COUNT(*)) AS rmse
+           |FROM e""".stripMargin))
   )
 }

@@ -166,6 +166,29 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c1 != c0, "different replicates draw different weights")
   }
 
+  test("rank2Solve: exactly rank-2 ratings are recovered to ~zero residual") {
+    import spark.implicits._
+    // true user factors; item factors = the q324 hash-init formula
+    val userTrue = Map(1L -> (2.0, 1.0), 2L -> (0.5, -1.5), 3L -> (3.0, 0.25))
+    val items = (100L to 120L).map { i =>
+      val g2 = (graft.ops.Hashing.hash60JVM(s"als-$i") % 1000).toDouble / 1000.0 - 0.5
+      (i, 1.0, g2)
+    }
+    val ratings = for {
+      (u, (u1, u2)) <- userTrue.toSeq
+      (i, g1, g2) <- items
+    } yield (u, i, u1 * g1 + u2 * g2)
+    val df = ratings.toDF("u", "i", "r")
+    val g0 = items.toDF("i", "g1", "g2")
+    val users = graft.ops.Select.rank2Solve(df.join(g0, "i"),
+      col("u"), col("g1"), col("g2"), col("r"), lambda = 1e-9)
+    val got = users.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    userTrue.foreach { case (u, (t1, t2)) =>
+      assert(math.abs(got(u)._1 - t1) < 1e-6 && math.abs(got(u)._2 - t2) < 1e-6,
+        s"user $u factors ${got(u)} != ($t1, $t2)")
+    }
+  }
+
   test("poissonBootstrapMean: interval brackets the point estimate and is deterministic") {
     import spark.implicits._
     val df = (1L to 2000L).map(i => (i, 100L + (i % 7) * 10)).toDF("id", "x")
