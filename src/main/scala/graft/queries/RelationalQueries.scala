@@ -4099,6 +4099,113 @@ object RelationalQueries {
            |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
            |  CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items,
            |  sqrt(${Num.duckDsum38("e * e")} / COUNT(*)) AS rmse
-           |FROM e""".stripMargin))
+           |FROM e""".stripMargin)),
+
+    // ALS RECOMMENDATION serve: per-user top-3 unseen items from the q324
+    // factors, scored only against the top-50-popular candidate HEAD —
+    // the standard industry cut that turns an intractable user×catalog
+    // cross into users × 50 with the candidate set BROADCAST (at rank 2
+    // the exact argmax also lives on the item-factor convex hull, but the
+    // popularity head is what production serving actually does). Bought
+    // pairs anti-join out; ties break by item id.
+    QueryDef(
+      "q325_als_recommend",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val ratings = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .agg(sum(col("l_quantity").cast("long")).as("r"))
+          .localCheckpoint()
+        val g0 = ratings.select(col("i")).distinct()
+          .withColumn("g1", lit(1.0))
+          .withColumn("g2",
+            pmod(graft.ops.Hashing.hash60(concat(lit("als-"), col("i"))),
+              lit(1000L)).cast("double") / 1000.0 - 0.5)
+        val users = graft.ops.Select.rank2Solve(ratings.join(g0, "i"),
+            col("u"), col("g1"), col("g2"), col("r"), 0.1)
+          .select(col("ent").as("u"), col("f1").as("u1"), col("f2").as("u2"))
+          .localCheckpoint()
+        val items = graft.ops.Select.rank2Solve(ratings.join(users, "u"),
+            col("i"), col("u1"), col("u2"), col("r"), 0.1)
+          .select(col("ent").as("i"), col("f1").as("g1n"), col("f2").as("g2n"))
+          .localCheckpoint()
+        val head = ratings.groupBy(col("i")).agg(count(lit(1)).as("pop"))
+          .orderBy(col("pop").desc, col("i").asc).limit(50)
+          .join(items, "i")
+          .select(col("i"), col("g1n"), col("g2n"))
+        val w = Window.partitionBy(col("u"))
+          .orderBy(col("score").desc, col("i").asc)
+        users.crossJoin(broadcast(head))
+          .join(ratings.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+          .withColumn("score",
+            col("u1") * col("g1n") + col("u2") * col("g2n"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("u"), col("i"), col("score"), col("rank"))
+      },
+      Some(s"""WITH ratings AS (
+           |  SELECT o_custkey AS u, l_partkey AS i,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |g0 AS (
+           |  SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS g1,
+           |    CAST(${graft.ops.Hashing.duckHash60("('als-' || CAST(i AS VARCHAR))")}
+           |      % 1000 AS DOUBLE) / 1000.0 - 0.5 AS g2
+           |  FROM ratings),
+           |uj AS (
+           |  SELECT r.u, CAST(r.r AS DOUBLE) AS r, g.g1, g.g2
+           |  FROM ratings r JOIN g0 g USING (i)),
+           |us AS (
+           |  SELECT u,
+           |    ${Num.duckDsum38("g1 * g1")} AS s11,
+           |    ${Num.duckDsum38("g1 * g2")} AS s12,
+           |    ${Num.duckDsum38("g2 * g2")} AS s22,
+           |    ${Num.duckDsum38("r * g1")} AS b1,
+           |    ${Num.duckDsum38("r * g2")} AS b2
+           |  FROM uj GROUP BY 1),
+           |uf AS (
+           |  SELECT u,
+           |    ((s22 + 0.1) * b1 - s12 * b2)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS u1,
+           |    ((s11 + 0.1) * b2 - s12 * b1)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS u2
+           |  FROM us),
+           |ij AS (
+           |  SELECT r.i, CAST(r.r AS DOUBLE) AS r, f.u1 AS g1, f.u2 AS g2
+           |  FROM ratings r JOIN uf f USING (u)),
+           |it AS (
+           |  SELECT i,
+           |    ${Num.duckDsum38("g1 * g1")} AS s11,
+           |    ${Num.duckDsum38("g1 * g2")} AS s12,
+           |    ${Num.duckDsum38("g2 * g2")} AS s22,
+           |    ${Num.duckDsum38("r * g1")} AS b1,
+           |    ${Num.duckDsum38("r * g2")} AS b2
+           |  FROM ij GROUP BY 1),
+           |if2 AS (
+           |  SELECT i,
+           |    ((s22 + 0.1) * b1 - s12 * b2)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS g1n,
+           |    ((s11 + 0.1) * b2 - s12 * b1)
+           |      / ((s11 + 0.1) * (s22 + 0.1) - s12 * s12) AS g2n
+           |  FROM it),
+           |head AS (
+           |  SELECT p.i, if2.g1n, if2.g2n FROM (
+           |    SELECT i FROM (
+           |      SELECT i, COUNT(*) AS pop FROM ratings GROUP BY 1) pp
+           |    ORDER BY pop DESC, i ASC LIMIT 50) p
+           |  JOIN if2 ON if2.i = p.i),
+           |sc AS (
+           |  SELECT f.u, h.i, f.u1 * h.g1n + f.u2 * h.g2n AS score
+           |  FROM uf f CROSS JOIN head h
+           |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+           |    WHERE r.u = f.u AND r.i = h.i)),
+           |rk AS (
+           |  SELECT u, i, score,
+           |    row_number() OVER (PARTITION BY u
+           |      ORDER BY score DESC, i ASC) AS rank
+           |  FROM sc)
+           |SELECT u, i, score, rank FROM rk WHERE rank <= 3""".stripMargin))
   )
 }
