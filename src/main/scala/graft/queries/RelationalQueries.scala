@@ -4206,6 +4206,141 @@ object RelationalQueries {
            |    row_number() OVER (PARTITION BY u
            |      ORDER BY score DESC, i ASC) AS rank
            |  FROM sc)
-           |SELECT u, i, score, rank FROM rk WHERE rank <= 3""".stripMargin))
+           |SELECT u, i, score, rank FROM rk WHERE rank <= 3""".stripMargin)),
+
+    // TIME-TO-CONVERT: first signup → first subsequent purchase per user,
+    // conversion rate + exact nearest-rank p50/p90 of the delay — the
+    // activation metric product teams steer by. Per-user reductions first;
+    // the converting-user delay ranks through the two-phase globalRank
+    // machinery (never a global window over users).
+    QueryDef(
+      "q326_time_to_convert",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val su = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts)")).as("su"))
+        val pu = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
+          .join(su, "user_id")
+          .where(col("pt") >= col("su"))
+          .groupBy(col("user_id"))
+          .agg(min(col("pt")).as("pu"), min(col("su")).as("su2"))
+        val delays = pu
+          .select(col("user_id"), expr("(pu - su2) div 1000000").as("delta_s"))
+          .localCheckpoint()
+        val ranked = graft.ops.Sampling.globalRank(delays, col("delta_s"),
+          col("user_id"))
+        val nConv = delays.agg(count(lit(1)).as("nc"))
+        val nSign = su.agg(count(lit(1)).as("ns"))
+        ranked.crossJoin(broadcast(nConv))
+          .agg(
+            min(when(col("rank") === ceil(col("nc") * 0.5), col("v"))).as("p50_s"),
+            min(when(col("rank") === ceil(col("nc") * 0.9), col("v"))).as("p90_s"),
+            max(col("nc")).as("n_converted"))
+          .crossJoin(broadcast(nSign))
+          .select(col("ns").as("n_signup_users"), col("n_converted"),
+            (col("n_converted").cast("double") / col("ns")).as("conv_rate"),
+            col("p50_s"), col("p90_s"))
+      },
+      Some("""WITH su AS (
+           |  SELECT user_id, MIN(epoch_us(ts)) AS su FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |pu AS (
+           |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu, MIN(su.su) AS su2
+           |  FROM events e JOIN su ON su.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su
+           |  GROUP BY 1),
+           |delays AS (
+           |  SELECT user_id, (pu - su2) // 1000000 AS delta_s FROM pu),
+           |r AS (
+           |  SELECT delta_s,
+           |    row_number() OVER (ORDER BY delta_s ASC, user_id ASC) AS rn,
+           |    COUNT(*) OVER () AS nc
+           |  FROM delays),
+           |f AS (
+           |  SELECT MIN(CASE WHEN rn = CEIL(nc * 0.5) THEN delta_s END) AS p50_s,
+           |    MIN(CASE WHEN rn = CEIL(nc * 0.9) THEN delta_s END) AS p90_s,
+           |    MAX(nc) AS n_converted
+           |  FROM r),
+           |ns AS (SELECT COUNT(*) AS ns FROM su)
+           |SELECT ns AS n_signup_users, CAST(n_converted AS BIGINT) AS n_converted,
+           |  CAST(n_converted AS DOUBLE) / ns AS conv_rate, p50_s, p90_s
+           |FROM f CROSS JOIN ns""".stripMargin)),
+
+    // Rolling 7-day ACTIVE USERS (WAU) per day + same-day DAU: each
+    // distinct (day, user) activity row projects onto the 7 report days it
+    // supports (one bounded explode — no range self-join), then one
+    // count-distinct per report day. The DAU/WAU pair is the stickiness
+    // read; report days past the observation window are cut by the
+    // broadcast max-day.
+    QueryDef(
+      "q327_rolling_wau",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val du = ev.select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id")).distinct().localCheckpoint()
+        val mx = du.agg(max(col("day")).as("mxd"))
+        val wau = du
+          .withColumn("report_day",
+            explode(sequence(col("day"), col("day") + 6)))
+          .crossJoin(broadcast(mx))
+          .where(col("report_day") <= col("mxd"))
+          .groupBy(col("report_day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        val dau = du.groupBy(col("day").as("report_day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        wau.join(dau, Seq("report_day"), "left_outer")
+          .select(col("report_day"), coalesce(col("dau"), lit(0L)).as("dau"),
+            col("wau"),
+            (coalesce(col("dau"), lit(0L)).cast("double") / col("wau"))
+              .as("stickiness"))
+      },
+      Some("""WITH du AS (
+           |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           |  FROM events),
+           |mx AS (SELECT MAX(day) AS mxd FROM du),
+           |w AS (
+           |  SELECT day + o AS report_day, user_id
+           |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+           |wau AS (
+           |  SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+           |  FROM w CROSS JOIN mx WHERE report_day <= mxd GROUP BY 1),
+           |dau AS (
+           |  SELECT day AS report_day,
+           |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+           |  FROM du GROUP BY 1)
+           |SELECT w.report_day, COALESCE(d.dau, 0) AS dau, w.wau,
+           |  CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau AS stickiness
+           |FROM wau w LEFT JOIN dau d ON d.report_day = w.report_day"""
+        .stripMargin)),
+
+    // CSV + JSON sink/source ROUND-TRIP proof: the same aggregate written
+    // as headered CSV and as JSON lines, read back through explicit
+    // schemas, and unioned — grouping on EVERY column must find exactly 2
+    // sources per row (a single lossy format — precision, quoting, type
+    // coercion — splits its rows and breaks the count against the
+    // direct-SQL oracle). The source/sink breadth check beyond parquet.
+    QueryDef(
+      "q328_csv_json_roundtrip",
+      (s, dir) => {
+        val agg = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+        agg.write.mode("overwrite").option("header", "true").csv(tmp + "/csv")
+        agg.write.mode("overwrite").json(tmp + "/json")
+        val schema = "rf STRING, n BIGINT, qty BIGINT"
+        val csv = s.read.option("header", "true").schema(schema).csv(tmp + "/csv")
+        val js = s.read.schema(schema).json(tmp + "/json")
+        csv.unionByName(js)
+          .groupBy(col("rf"), col("n"), col("qty"))
+          .agg(count(lit(1)).as("n_sources"))
+      },
+      Some("""SELECT l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           |  CAST(2 AS BIGINT) AS n_sources
+           |FROM lineitem GROUP BY 1""".stripMargin))
   )
 }
