@@ -1887,6 +1887,75 @@ object PipelineQueries {
            |  CAST(n_pos AS DOUBLE) / n_docs AS pos_rate,
            |  sum_s / n_docs AS avg_score,
            |  ABS(sum_s / n_docs - CAST(n_pos AS DOUBLE) / n_docs) AS gap
-           |FROM b""".stripMargin))
+           |FROM b""".stripMargin)),
+
+    // GAINS TABLE / cumulative lift by score decile: rank every document
+    // by quality score through the two-phase globalRank (exact deciles,
+    // never a global window over the corpus), then read cumulative
+    // positive-capture and lift best-decile-first — the "how deep do I
+    // cut" curve a curator reads where ROC (q250) answers "is the score
+    // any good". Decile 1 = best scores; cumulative windows run over the
+    // 10-row decile frame only.
+    QueryDef(
+      "q329_gains_table",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+            Text.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").cast("long").as("pos"))
+          .localCheckpoint()
+        val ranked = Sampling.globalRank(base, col("score"), col("doc_id"))
+        val tot = base.agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        val dec = ranked
+          .join(base.select(col("doc_id").as("rid"), col("pos")), "rid")
+          .crossJoin(broadcast(tot))
+          .select(expr("10 - ((rank - 1) * 10 div n)").as("decile"),
+            col("pos"), col("n"), col("npos"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+            max(col("n")).as("n"), max(col("npos")).as("npos"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        dec
+          .withColumn("cum_pos", sum(col("n_pos")).over(wd))
+          .withColumn("cum_docs", sum(col("n_docs")).over(wd))
+          .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+            (col("cum_pos").cast("double") / col("npos")).as("gain"),
+            ((col("cum_pos").cast("double") / col("cum_docs")) /
+              (col("npos").cast("double") / col("n"))).as("lift"))
+      },
+      Some(s"""WITH q AS (
+           |  SELECT doc_id, ${Text.duckQualityScore("text")} AS score,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, pos,
+           |    row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rank,
+           |    COUNT(*) OVER () AS n,
+           |    CAST(SUM(pos) OVER () AS BIGINT) AS npos
+           |  FROM q),
+           |d AS (
+           |  SELECT 10 - ((rank - 1) * 10 // n) AS decile, pos, n, npos FROM r),
+           |g AS (
+           |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(pos) AS BIGINT) AS n_pos, MAX(n) AS n, MAX(npos) AS npos
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT decile, n_docs, n_pos,
+           |    CAST(SUM(n_pos) OVER (ORDER BY decile ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_pos,
+           |    CAST(SUM(n_docs) OVER (ORDER BY decile ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_docs,
+           |    n, npos
+           |  FROM g)
+           |SELECT decile, n_docs, n_pos, cum_pos,
+           |  CAST(cum_pos AS DOUBLE) / npos AS gain,
+           |  (CAST(cum_pos AS DOUBLE) / cum_docs)
+           |    / (CAST(npos AS DOUBLE) / n) AS lift
+           |FROM c""".stripMargin))
   )
 }

@@ -4341,6 +4341,90 @@ object RelationalQueries {
       Some("""SELECT l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
            |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
            |  CAST(2 AS BIGINT) AS n_sources
-           |FROM lineitem GROUP BY 1""".stripMargin))
+           |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // LINEAR multi-touch attribution: every session event preceding a
+    // purchase shares the credit equally (1/k each; a purchase opening its
+    // session credits 'direct') — the fairness counterpoint to q243's
+    // last-touch, over the SAME 6-hour gap sessionization. The
+    // purchase×predecessor join is SESSION-bounded (the q285 bounded-pair
+    // discipline); fractional credits fold in decimal so the per-type
+    // totals are partition-order independent.
+    QueryDef(
+      "q330_linear_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("ns",
+            when(lag(col("ts"), 1).over(wUser).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser))
+                > 21600000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("ns")).over(wUser))
+          .localCheckpoint()
+        val p = sess.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("sess"),
+            unix_micros(col("ts")).as("pts"), col("event_id").as("pid"))
+        val e = sess.select(col("user_id"), col("sess"), col("event_type"),
+          unix_micros(col("ts")).as("ets"), col("event_id").as("eid"))
+        val pre = p.join(e, Seq("user_id", "sess"))
+          .where(col("ets") < col("pts") ||
+            (col("ets") === col("pts") && col("eid") < col("pid")))
+          .localCheckpoint()
+        val k = pre.groupBy(col("user_id"), col("sess"), col("pid"))
+          .agg(count(lit(1)).as("k"))
+        val credits = pre.join(k, Seq("user_id", "sess", "pid"))
+          .select(col("event_type"), (lit(1.0) / col("k")).as("credit"))
+        val direct = p.join(
+            pre.select(col("user_id"), col("sess"), col("pid")).distinct(),
+            Seq("user_id", "sess", "pid"), "left_anti")
+          .select(lit("direct").as("event_type"), lit(1.0).as("credit"))
+        credits.unionByName(direct)
+          .groupBy(col("event_type"))
+          .agg(Num.dsum38(col("credit")).as("credit"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH f AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS sess
+           |  FROM f),
+           |p AS (
+           |  SELECT user_id, sess, epoch_us(ts) AS pts, event_id AS pid
+           |  FROM sess WHERE event_type = 'purchase'),
+           |e AS (
+           |  SELECT user_id, sess, event_type, epoch_us(ts) AS ets,
+           |    event_id AS eid
+           |  FROM sess),
+           |pre AS (
+           |  SELECT p.user_id, p.sess, p.pid, e.event_type
+           |  FROM p JOIN e ON e.user_id = p.user_id AND e.sess = p.sess
+           |    AND (e.ets < p.pts OR (e.ets = p.pts AND e.eid < p.pid))),
+           |k AS (
+           |  SELECT user_id, sess, pid, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM pre GROUP BY 1, 2, 3),
+           |credits AS (
+           |  SELECT pre.event_type, CAST(1.0 AS DOUBLE) / k.k AS credit
+           |  FROM pre JOIN k USING (user_id, sess, pid)),
+           |direct AS (
+           |  SELECT 'direct' AS event_type, CAST(1.0 AS DOUBLE) AS credit
+           |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pre
+           |    WHERE pre.user_id = p.user_id AND pre.sess = p.sess
+           |      AND pre.pid = p.pid)),
+           |u AS (SELECT * FROM credits UNION ALL SELECT * FROM direct)
+           |SELECT event_type,
+           |  CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE) AS credit,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows
+           |FROM u GROUP BY 1""".stripMargin))
   )
 }
