@@ -537,6 +537,55 @@ object Stats {
       .withColumn("gap", abs(col("avg_score") - col("pos_rate")))
   }
 
+  /** Isotonic (PAV) calibration over fixed-width score bins: the
+    * nondecreasing bin→rate map that minimizes weighted squared error,
+    * computed via the exact minimax identity
+    * `iso(i) = max_{j<=i} min_{k>=i} rate(j..k)` where `rate(j..k)` is the
+    * POOLED positive rate of bins j..k — provably equal to the
+    * pool-adjacent-violators fit, but expressible as bounded relational
+    * algebra instead of a sequential stack walk.
+    *
+    * Scale shape: the corpus collapses FIRST to ≤ `bins` cells (one
+    * map-side-combinable aggregation); everything after — prefix sums, the
+    * j≤k pair frame, the j≤i≤k triple frame — is O(bins³) rows of integer
+    * prefix-sum arithmetic, constant-bounded and broadcast-joined, never
+    * corpus-sized. Pooled rates divide exact BIGINT sums in double
+    * (deterministic cross-engine); min/max only compare those doubles.
+    */
+  def isotonicBins(df: DataFrame, score: Column, isPos: Column,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 64, "bins must be in [2, 64]")
+    val b = df.select(score.as("s"), isPos.cast("long").as("p"))
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
+      .localCheckpoint()
+    val W = org.apache.spark.sql.expressions.Window
+    val wo = W.orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val pref = b
+      .withColumn("cn", sum(col("n")).over(wo))
+      .withColumn("cp", sum(col("pos")).over(wo))
+    val jf = pref.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("nj0"), (col("cp") - col("pos")).as("pj0"))
+    val kf = pref.select(col("bin").as("k"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val pairs = jf.join(kf, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("pj0")).cast("double") /
+          (col("cnk") - col("nj0")).cast("double")).as("a"))
+    val iFrame = b.select(col("bin").as("i"))
+    val iso = pairs
+      .join(broadcast(iFrame), col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("a")).as("mja"))
+      .groupBy(col("i")).agg(max(col("mja")).as("iso_rate"))
+    b.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n").as("n_docs"), col("pos").as("n_pos"),
+        (col("pos").cast("double") / col("n")).as("pos_rate"),
+        col("iso_rate"))
+  }
+
   /** Kaplan–Meier survival estimate over right-censored durations.
     *
     * Input: one row per subject, columns `t` (integer duration, e.g. days)

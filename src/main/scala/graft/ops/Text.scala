@@ -43,6 +43,68 @@ object Text {
   def wordCount(text: Column): Column = size(tokens(text))
 
   // -------------------------------------------------------------------------
+  // Readability (Flesch reading ease over heuristic syllables).
+  //
+  // A corpus-scale readability profile needs a dictionary-free, deterministic
+  // syllable count: one syllable per maximal [aeiouy] run in the lowercased
+  // text (the classic approximation — over-counts hiatus, misses silent-e
+  // subtleties, but is stable and engine-portable). Sentences are terminator
+  // RUNS ("..." and "?!" count once), floored at 1 so headline-like texts
+  // divide cleanly. All three counts ride the native RegexpMatchCount
+  // codegen expression — no per-match array materialization on the hot path.
+  // -------------------------------------------------------------------------
+
+  /** Native Jaro-Winkler similarity (graft.plans.JaroWinklerSimilarity):
+    * the short-string record-linkage scorer Spark lacks (`levenshtein` is
+    * built in; the Jaro family is not). Bit-exact to DuckDB's
+    * `jaro_winkler_similarity` — see the expression scaladoc for the pinned
+    * semantics (0.7 boost threshold, 0.1 scaling, prefix cap 4, empty → 0).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.JaroWinklerSimilarity(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a.cast("string")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b.cast("string"))))
+
+  /** One syllable per maximal vowel run (lowercased input). */
+  val SyllableRegex = "[aeiouy]+"
+
+  /** One sentence per terminator run. */
+  val SentenceRegex = "[.!?]+"
+
+  private def matchCount(text: Column, pattern: String): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.RegexpMatchCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          text.cast("string")), pattern))
+
+  def syllableCount(text: Column): Column = matchCount(lower(text), SyllableRegex)
+
+  def sentenceCount(text: Column): Column =
+    greatest(matchCount(text, SentenceRegex), lit(1))
+
+  /** Flesch reading ease = 206.835 - 1.015*(words/sentences)
+    * - 84.6*(syllables/words), word count floored at 1 (zero-division
+    * guard). Literal and operation order mirror [[duckFleschScore]] exactly,
+    * so both engines produce bit-identical doubles (only +,-,*,/ — no
+    * transcendentals).
+    */
+  def fleschScore(text: Column): Column = {
+    val w = greatest(wordCount(text), lit(1)).cast("double")
+    val sct = sentenceCount(text).cast("double")
+    val syl = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (w / sct) - lit(84.6) * (syl / w)
+  }
+
+  /** DuckDB twin of [[fleschScore]] (same shape, same order). */
+  def duckFleschScore(e: String): String = {
+    val w = s"CAST(GREATEST(len(string_split_regex($e, '\\s+')), 1) AS DOUBLE)"
+    val sct = s"CAST(GREATEST(len(regexp_extract_all($e, '[.!?]+')), 1) AS DOUBLE)"
+    val syl = s"CAST(len(regexp_extract_all(lower($e), '[aeiouy]+')) AS DOUBLE)"
+    s"(206.835 - 1.015 * ($w / $sct) - 84.6 * ($syl / $w))"
+  }
+
+  // -------------------------------------------------------------------------
   // Script-aware (CJK) segmentation.
   //
   // CJK text has no spaces, so every whitespace-tokenized operator silently

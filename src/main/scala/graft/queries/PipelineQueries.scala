@@ -1956,6 +1956,51 @@ object PipelineQueries {
            |  CAST(cum_pos AS DOUBLE) / npos AS gain,
            |  (CAST(cum_pos AS DOUBLE) / cum_docs)
            |    / (CAST(npos AS DOUBLE) / n) AS lift
-           |FROM c""".stripMargin))
+           |FROM c""".stripMargin)),
+
+    // ISOTONIC (PAV) calibration of the quality score: the nondecreasing
+    // bin→rate map that q251's reliability diagram only DESCRIBES — the fit
+    // a curator actually deploys to turn raw scores into calibrated
+    // probabilities. Computed via the exact minimax identity
+    // iso(i) = max_{j<=i} min_{k>=i} pooledRate(j..k) (provably the PAV
+    // solution) so the whole fit is bounded relational algebra: after the
+    // corpus collapses to 20 bins, the triple frame is O(bins^3) integer
+    // prefix-sum rows. Violations of monotonicity in the raw rates pool;
+    // iso_rate is nondecreasing in bin by construction (spec-pinned).
+    QueryDef(
+      "q334_isotonic_calibration",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Stats.isotonicBins(docs, Text.qualityScore(col("text")),
+          col("lang") === "en", bins = 20)
+      },
+      Some(s"""WITH q AS (
+           |  SELECT ${Text.duckQualityScore("text")} AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           |  FROM documents),
+           |b AS (
+           |  SELECT CAST(LEAST(FLOOR(s * 20), 19) AS INT) AS bin,
+           |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS pos
+           |  FROM q GROUP BY 1),
+           |pref AS (
+           |  SELECT bin, n, pos,
+           |    SUM(n) OVER (ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           |    SUM(pos) OVER (ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+           |  FROM b),
+           |pairs AS (
+           |  SELECT j.bin AS j, k.bin AS k,
+           |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+           |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+           |  FROM pref j JOIN pref k ON j.bin <= k.bin),
+           |m AS (
+           |  SELECT i.bin AS i, p.j, MIN(p.a) AS mja
+           |  FROM pairs p JOIN b i ON p.j <= i.bin AND i.bin <= p.k
+           |  GROUP BY 1, 2),
+           |iso AS (SELECT i, MAX(mja) AS iso_rate FROM m GROUP BY 1)
+           |SELECT b.bin, b.n AS n_docs, b.pos AS n_pos,
+           |  CAST(b.pos AS DOUBLE) / b.n AS pos_rate, iso.iso_rate
+           |FROM b JOIN iso ON iso.i = b.bin""".stripMargin))
   )
 }

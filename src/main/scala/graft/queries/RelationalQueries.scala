@@ -4425,6 +4425,239 @@ object RelationalQueries {
            |SELECT event_type,
            |  CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE) AS credit,
            |  CAST(COUNT(*) AS BIGINT) AS n_rows
+           |FROM u GROUP BY 1""".stripMargin)),
+
+    // EWMA ANOMALY MONITOR on the daily event series: each day's count is
+    // compared against a truncated exponentially-weighted baseline of the
+    // 15 prior days (decay 0.1 — weight 10^-(k-1) at lag k). Every weight is
+    // a power of ten, so numerator and denominator fold EXACTLY in
+    // decimal(38,0) and the spike/drop verdicts are CROSS-MULTIPLIED decimal
+    // comparisons (cnt*den vs 3*num) — no floating point anywhere except the
+    // final display division. The baseline is built with the q327 bounded
+    // explode (each day projects onto the 15 report days it supports), never
+    // a range self-join; the whole query is two map-side-combinable aggs and
+    // one equi-join on day. Missing days self-normalize: den sums only the
+    // weights of OBSERVED lags.
+    QueryDef(
+      "q331_ewma_anomaly",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val daily = ev
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val base = daily
+          .withColumn("k", explode(sequence(lit(1), lit(15))))
+          .select((col("day") + col("k")).as("report_day"),
+            pow(lit(10.0), (lit(15) - col("k")).cast("double")).cast("long").as("w"),
+            col("cnt"))
+          .groupBy(col("report_day"))
+          .agg(sum((col("cnt") * col("w")).cast("decimal(38,0)")).as("num"),
+            sum(col("w").cast("decimal(38,0)")).as("den"))
+        daily.join(base, col("day") === col("report_day"))
+          .select(col("day"), col("cnt"),
+            (col("num").cast("double") / col("den").cast("double")).as("ewma"),
+            (col("cnt").cast("decimal(38,0)") * col("den") >
+              col("num") * lit(3)).as("is_spike"),
+            (col("cnt").cast("decimal(38,0)") * col("den") * lit(3) <
+              col("num")).as("is_drop"))
+      },
+      Some("""WITH daily AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1),
+           |c AS (
+           |  SELECT day + k AS report_day,
+           |    CAST(POWER(10, 15 - k) AS BIGINT) AS w, cnt
+           |  FROM daily CROSS JOIN (SELECT unnest(range(1, 16)) AS k)),
+           |b AS (
+           |  SELECT report_day,
+           |    SUM(CAST(cnt AS HUGEINT) * w) AS num,
+           |    SUM(CAST(w AS HUGEINT)) AS den
+           |  FROM c GROUP BY 1)
+           |SELECT d.day, d.cnt,
+           |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma,
+           |  CAST(d.cnt AS HUGEINT) * den > num * 3 AS is_spike,
+           |  CAST(d.cnt AS HUGEINT) * den * 3 < num AS is_drop
+           |FROM daily d JOIN b ON b.report_day = d.day""".stripMargin)),
+
+    // INTERVAL GAPS-AND-ISLANDS: merge each customer's overlapping order
+    // fulfillment intervals [orderdate, last shipdate] into maximal
+    // "active episodes" (touching days merge; a gap of >= 1 full day opens a
+    // new island). The classic island detector — running MAX of interval end
+    // over PRECEDING rows inside the customer partition, island++ whenever a
+    // start clears it — is entirely per-customer windows over integer days
+    // (exact arithmetic, no fp). Scale: one fact-fact equi-join on orderkey,
+    // one interval agg, then customer-keyed analytic windows — partitions
+    // are single customers, never global sorts.
+    QueryDef(
+      "q332_interval_islands",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val iv = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"), col("o_orderkey"))
+          // orderdate/shipdate land as TIMESTAMP_NTZ (isAdjustedToUTC=false
+          // parquet); sessions pin UTC, so the cast is a pure re-tag of the
+          // same microsecond value (the Tables.load events convention).
+          .agg(min(expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+            .as("start_d"),
+            max(expr(
+              "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+            .as("raw_end"))
+          .select(col("o_custkey"), col("o_orderkey"), col("start_d"),
+            greatest(col("raw_end"), col("start_d")).as("end_d"))
+        val wOrd = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("start_d"), col("end_d"), col("o_orderkey"))
+        val isl = iv
+          .withColumn("prev_max_end",
+            max(col("end_d")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_end").isNull ||
+              col("start_d") > col("prev_max_end"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("new_island"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        isl.groupBy(col("o_custkey"), col("island"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("start_d")).as("i_start"), max(col("end_d")).as("i_end"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            count(lit(1)).as("n_episodes"),
+            sum(col("i_end") - col("i_start") + 1).as("covered_days"))
+      },
+      Some("""WITH iv AS (
+           |  SELECT o_custkey, o_orderkey,
+           |    MIN(epoch_us(o_orderdate) // 86400000000) AS start_d,
+           |    GREATEST(MAX(epoch_us(l_shipdate) // 86400000000),
+           |      MIN(epoch_us(o_orderdate) // 86400000000)) AS end_d
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |m AS (
+           |  SELECT o_custkey, start_d, end_d,
+           |    MAX(end_d) OVER (PARTITION BY o_custkey
+           |      ORDER BY start_d, end_d, o_orderkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS prev_max_end
+           |  FROM iv),
+           |f AS (
+           |  SELECT o_custkey, start_d, end_d,
+           |    CASE WHEN prev_max_end IS NULL OR start_d > prev_max_end
+           |         THEN 1 ELSE 0 END AS new_island
+           |  FROM m),
+           |g AS (
+           |  SELECT o_custkey, start_d, end_d,
+           |    SUM(new_island) OVER (PARTITION BY o_custkey
+           |      ORDER BY start_d, end_d
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM f),
+           |isl AS (
+           |  SELECT o_custkey, island, COUNT(*) AS n_orders,
+           |    MIN(start_d) AS i_start, MAX(end_d) AS i_end
+           |  FROM g GROUP BY 1, 2)
+           |SELECT o_custkey, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           |  CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           |  CAST(SUM(i_end - i_start + 1) AS BIGINT) AS covered_days
+           |FROM isl GROUP BY 1""".stripMargin)),
+
+    // POSITION-BASED (U-shaped) multi-touch attribution: 40% of each
+    // purchase's credit to the FIRST touch in its session, 40% to the LAST
+    // pre-purchase touch, the remaining 20% split evenly across the middle
+    // (k=1 -> 1.0, k=2 -> 0.5/0.5) — the recency-plus-introduction
+    // counterpoint to q330's uniform split and q243's winner-take-all, over
+    // the SAME 6-hour gap sessionization so the three models are directly
+    // comparable. Same bounded session-pair join; per-purchase position via
+    // one analytic window; fractional credits fold in decimal.
+    QueryDef(
+      "q333_position_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("ns",
+            when(lag(col("ts"), 1).over(wUser).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser))
+                > 21600000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("ns")).over(wUser))
+          .localCheckpoint()
+        val p = sess.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("sess"),
+            unix_micros(col("ts")).as("pts"), col("event_id").as("pid"))
+        val e = sess.select(col("user_id"), col("sess"), col("event_type"),
+          unix_micros(col("ts")).as("ets"), col("event_id").as("eid"))
+        val pre = p.join(e, Seq("user_id", "sess"))
+          .where(col("ets") < col("pts") ||
+            (col("ets") === col("pts") && col("eid") < col("pid")))
+          .localCheckpoint()
+        val wPos = Window.partitionBy(col("user_id"), col("sess"), col("pid"))
+          .orderBy(col("ets"), col("eid"))
+        val wAll = Window.partitionBy(col("user_id"), col("sess"), col("pid"))
+        val credits = pre
+          .withColumn("rn", row_number().over(wPos))
+          .withColumn("k", count(lit(1)).over(wAll))
+          .select(col("event_type"),
+            when(col("k") === 1, lit(1.0))
+              .when(col("k") === 2, lit(0.5))
+              .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+              .otherwise(lit(0.2) / (col("k") - lit(2)).cast("double"))
+              .as("credit"))
+        val direct = p.join(
+            pre.select(col("user_id"), col("sess"), col("pid")).distinct(),
+            Seq("user_id", "sess", "pid"), "left_anti")
+          .select(lit("direct").as("event_type"), lit(1.0).as("credit"))
+        credits.unionByName(direct)
+          .groupBy(col("event_type"))
+          .agg(Num.dsum38(col("credit")).as("credit"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH f AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS sess
+           |  FROM f),
+           |p AS (
+           |  SELECT user_id, sess, epoch_us(ts) AS pts, event_id AS pid
+           |  FROM sess WHERE event_type = 'purchase'),
+           |e AS (
+           |  SELECT user_id, sess, event_type, epoch_us(ts) AS ets,
+           |    event_id AS eid
+           |  FROM sess),
+           |pre AS (
+           |  SELECT p.user_id, p.sess, p.pid, e.event_type, e.ets, e.eid
+           |  FROM p JOIN e ON e.user_id = p.user_id AND e.sess = p.sess
+           |    AND (e.ets < p.pts OR (e.ets = p.pts AND e.eid < p.pid))),
+           |rk AS (
+           |  SELECT event_type,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, sess, pid
+           |      ORDER BY ets, eid) AS rn,
+           |    COUNT(*) OVER (PARTITION BY user_id, sess, pid) AS k
+           |  FROM pre),
+           |credits AS (
+           |  SELECT event_type,
+           |    CASE WHEN k = 1 THEN 1.0
+           |         WHEN k = 2 THEN 0.5
+           |         WHEN rn = 1 OR rn = k THEN 0.4
+           |         ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS credit
+           |  FROM rk),
+           |direct AS (
+           |  SELECT 'direct' AS event_type, CAST(1.0 AS DOUBLE) AS credit
+           |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pre
+           |    WHERE pre.user_id = p.user_id AND pre.sess = p.sess
+           |      AND pre.pid = p.pid)),
+           |u AS (SELECT * FROM credits UNION ALL SELECT * FROM direct)
+           |SELECT event_type,
+           |  CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE) AS credit,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows
            |FROM u GROUP BY 1""".stripMargin))
   )
 }

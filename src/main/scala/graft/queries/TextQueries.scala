@@ -1862,7 +1862,111 @@ object TextQueries {
            |  CAST(SUM(nb) AS BIGINT) AS n_bpe,
            |  CAST(SUM(nc) AS DOUBLE) / SUM(nb) AS chars_per_token,
            |  CAST(SUM(oov) AS DOUBLE) / SUM(nw) AS oov_rate
-           |FROM src GROUP BY 1""".stripMargin))
+           |FROM src GROUP BY 1""".stripMargin)),
+
+    // FLESCH READING EASE profile per source: heuristic vowel-run syllables
+    // + terminator-run sentences (Text.fleschScore — native match-count
+    // codegen, no per-match arrays), bucketed into 10-point bands. The
+    // readability axis of the quality stack (q41 ratios, q108 LM score give
+    // "is it clean / is it fluent"; this gives "how hard is it to read" —
+    // the curriculum signal for difficulty-ordered training mixes, q139).
+    // Scale: one scan, three counters per row, map-side-combinable agg on
+    // (source, band) — no joins, no windows.
+    QueryDef(
+      "q335_flesch_readability",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("source"), Text.fleschScore(col("text")).as("f"))
+          .select(col("source"), col("f"),
+            floor(col("f") / 10).cast("int").as("band"))
+          .groupBy(col("source"), col("band"))
+          .agg(count(lit(1)).as("n_docs"), Num.dsum38(col("f")).as("sum_f"))
+          .select(col("source"), col("band"), col("n_docs"),
+            (col("sum_f") / col("n_docs")).as("avg_flesch"))
+      },
+      Some(s"""WITH f AS (
+           |  SELECT source, ${Text.duckFleschScore("text")} AS f
+           |  FROM documents),
+           |b AS (
+           |  SELECT source, CAST(FLOOR(f / 10) AS INT) AS band, f FROM f)
+           |SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  ${Num.duckDsum38("f")} / COUNT(*) AS avg_flesch
+           |FROM b GROUP BY 1, 2""".stripMargin)),
+
+    // JARO-WINKLER typo linking: q300's rare-token → head-token map rescored
+    // with the native JW expression instead of Levenshtein — JW weights the
+    // shared PREFIX, which is where real typos preserve signal ("tabel" →
+    // "table" is lev-2 but JW 0.95), so the candidate gate is a similarity
+    // floor (>= 0.88) rather than an edit budget. Same planted typos, same
+    // vocabulary funnel: rare side stays distributed, head side broadcasts,
+    // JW runs only on blocked (first char, |len diff| <= 2) vocabulary
+    // pairs — never on corpus rows. Cross-engine the scores are BIT-equal
+    // (the expression is pinned to DuckDB's jaro_winkler_similarity), so
+    // ranking by score is deterministic.
+    QueryDef(
+      "q336_jw_typo_links",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(251)) === 0,
+            concat(col("text"), lit(" tabel haash windoq")))
+            .otherwise(col("text")).as("text"))
+        val toks = planted
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) >= 4)
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nd = planted.agg(count(lit(1)).as("n_docs"))
+        val t = toks.crossJoin(broadcast(nd)).localCheckpoint()
+        val rare = t.where(col("df") <= expr("(n_docs + 199) div 200"))
+          .select(col("tok").as("typo"), col("df").as("df_typo"))
+        val head = t.where(col("df") * 20 >= col("n_docs"))
+          .select(col("tok").as("fix"), col("df").as("df_fix"))
+        val cand = rare.join(broadcast(head),
+            expr("substring(typo, 1, 1)") === expr("substring(fix, 1, 1)") &&
+              abs(length(col("typo")) - length(col("fix"))) <= 2 &&
+              col("typo") =!= col("fix"))
+          .withColumn("jw", Text.jaroWinkler(col("typo"), col("fix")))
+          .where(col("jw") >= 0.88)
+        val w = Window.partitionBy(col("typo"))
+          .orderBy(col("jw").desc, col("df_fix").desc, col("fix").asc)
+        cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("typo"), col("fix"), col("jw"),
+            col("df_typo"), col("df_fix"))
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 251 = 0
+           |      THEN text || ' tabel haash windoq' ELSE text END AS text
+           |  FROM documents),
+           |toks AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+           |        FROM planted)
+           |  WHERE length(tok) >= 4 GROUP BY 1),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM planted),
+           |t AS (SELECT * FROM toks CROSS JOIN nd),
+           |rare AS (
+           |  SELECT tok AS typo, df AS df_typo FROM t
+           |  WHERE df <= (n_docs + 199) // 200),
+           |head AS (
+           |  SELECT tok AS fix, df AS df_fix FROM t
+           |  WHERE df * 20 >= n_docs),
+           |cand AS (
+           |  SELECT r.typo, r.df_typo, h.fix, h.df_fix,
+           |    jaro_winkler_similarity(r.typo, h.fix) AS jw
+           |  FROM rare r JOIN head h
+           |    ON substr(r.typo, 1, 1) = substr(h.fix, 1, 1)
+           |    AND abs(length(r.typo) - length(h.fix)) <= 2
+           |    AND r.typo <> h.fix
+           |  WHERE jaro_winkler_similarity(r.typo, h.fix) >= 0.88),
+           |rk AS (
+           |  SELECT typo, fix, jw, df_typo, df_fix,
+           |    ROW_NUMBER() OVER (PARTITION BY typo
+           |      ORDER BY jw DESC, df_fix DESC, fix ASC) AS rn
+           |  FROM cand)
+           |SELECT typo, fix, jw, df_typo, df_fix FROM rk WHERE rn = 1"""
+        .stripMargin))
   )
 
   // -------------------------------------------------------------------------

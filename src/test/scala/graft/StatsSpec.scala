@@ -202,4 +202,46 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .select(col("boot_lo").as[Double], col("boot_hi").as[Double]).head()
     assert(r2 == ((r._3, r._4)), "bootstrap is fully deterministic")
   }
+
+  test("isotonicBins: minimax fit equals the hand-computed PAV pools and is nondecreasing") {
+    import spark.implicits._
+    // 5 bins (bins=5, scores at bin centers), 10 rows each with positive
+    // counts (1, 3, 2, 6, 5) -> raw rates (.1, .3, .2, .6, .5). PAV pools
+    // the two violating adjacent pairs: (.3,.2) -> .25 and (.6,.5) -> .55.
+    val rows = for {
+      (bin, pos) <- Seq(0 -> 1, 1 -> 3, 2 -> 2, 3 -> 6, 4 -> 5)
+      i <- 0 until 10
+    } yield ((bin + 0.5) / 5.0, i < pos)
+    val df = rows.toDF("s", "p")
+    val fit = Stats.isotonicBins(df, col("s"), col("p"), bins = 5)
+      .select(col("bin").as[Int], col("pos_rate").as[Double],
+        col("iso_rate").as[Double])
+      .collect().sortBy(_._1)
+    assert(fit.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    val expected = Seq(0.1, 0.25, 0.25, 0.55, 0.55)
+    fit.zip(expected).foreach { case ((b, _, iso), e) =>
+      assert(math.abs(iso - e) < eps, s"bin $b: iso=$iso expected=$e")
+    }
+    assert(fit.sliding(2).forall(w => w(0)._3 <= w(1)._3 + eps),
+      "isotonic fit must be nondecreasing")
+    // Weighted mean is preserved (PAV is a projection): sum n*iso == sum n*y.
+    val lhs = fit.map(_._3 * 10).sum
+    val rhs = fit.map(_._2 * 10).sum
+    assert(math.abs(lhs - rhs) < 1e-6, "PAV preserves the weighted total")
+  }
+
+  test("isotonicBins: already-monotone rates are returned unchanged") {
+    import spark.implicits._
+    val rows = for {
+      (bin, pos) <- Seq(0 -> 2, 1 -> 4, 2 -> 7)
+      i <- 0 until 10
+    } yield ((bin + 0.5) / 3.0, i < pos)
+    val fit = Stats.isotonicBins(rows.toDF("s", "p"), col("s"), col("p"), bins = 3)
+      .select(col("bin").as[Int], col("pos_rate").as[Double],
+        col("iso_rate").as[Double])
+      .collect().sortBy(_._1)
+    fit.foreach { case (b, raw, iso) =>
+      assert(math.abs(raw - iso) < eps, s"bin $b: monotone input must be a fixed point")
+    }
+  }
 }
