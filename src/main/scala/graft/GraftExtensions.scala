@@ -109,6 +109,10 @@ object GraftExtensions {
       require(ch.size == 2, "l2sq takes exactly two array arguments")
       graft.plans.L2Sq(ch(0), ch(1))
     },
+    entry("jaro_winkler", classOf[graft.plans.JaroWinklerSimilarity]) { ch =>
+      require(ch.size == 2, "jaro_winkler takes exactly two string arguments")
+      graft.plans.JaroWinklerSimilarity(ch(0), ch(1))
+    },
     entry("freq_items_sketch", classOf[graft.plans.FreqItemsSketch]) { ch =>
       require(ch.size == 2, "freq_items_sketch takes (col, capacity)")
       val cap = ch(1) match {

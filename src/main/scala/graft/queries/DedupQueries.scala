@@ -1779,7 +1779,109 @@ object DedupQueries {
            |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
            |$layouts
            |$selects""".stripMargin
-      })
+      }),
+
+    // RECORD LINKAGE against a master registry with the native Jaro-Winkler
+    // scorer: each part record is deterministically dirtied by its key
+    // (variant 0 drops the last char, 1 swaps chars 2/3 — the classic typo,
+    // 2 doubles the first char, 3 is untouched), then matched back to the
+    // clean name vocabulary through blocking (same first char, |len diff|
+    // <= 2) + best-JW election. The per-variant report reads match rate and
+    // ACCURACY (did the elected master equal the true origin name).
+    // Scale shape: JW is scored on DISTINCT (dirty, master) name pairs only
+    // — the record table never enters the similarity join; the master
+    // vocabulary broadcasts; per-variant rollups are map-side combinable.
+    // At 100 TB the blocking key grows (first char × length band × df cap),
+    // the topology doesn't.
+    QueryDef(
+      "q337_record_linkage",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val rec = p.select(col("p_partkey").as("key"), col("p_name").as("name"),
+          pmod(col("p_partkey"), lit(4)).cast("int").as("variant"))
+        val dirty = rec.withColumn("dirty",
+          when(col("variant") === 0, expr("substring(name, 1, length(name) - 1)"))
+            .when(col("variant") === 1, concat(expr("substring(name, 1, 1)"),
+              expr("substring(name, 3, 1)"), expr("substring(name, 2, 1)"),
+              expr("substring(name, 4)")))
+            .when(col("variant") === 2, concat(expr("substring(name, 1, 1)"),
+              col("name")))
+            .otherwise(col("name")))
+        val groups = dirty
+          .groupBy(col("name"), col("variant"), col("dirty"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val master = p.select(col("p_name").as("master")).distinct()
+        val cand = groups.join(broadcast(master),
+            expr("substring(dirty, 1, 1)") === expr("substring(master, 1, 1)") &&
+              abs(length(col("dirty")) - length(col("master"))) <= 2)
+          .withColumn("jw", Text.jaroWinkler(col("dirty"), col("master")))
+          .where(col("jw") >= 0.85)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name"), col("variant"), col("dirty"))
+          .orderBy(col("jw").desc, col("master").asc)
+        val best = cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("name").as("bn"), col("variant").as("bv"),
+            col("dirty").as("bd"), col("master"))
+        groups.join(best,
+            col("name") === col("bn") && col("variant") === col("bv") &&
+              col("dirty") === col("bd"), "left_outer")
+          .groupBy(col("variant"))
+          .agg(sum(col("cnt")).as("n_records"),
+            sum(when(col("master").isNotNull, col("cnt")).otherwise(0L))
+              .as("n_matched"),
+            sum(when(col("master") === col("name"), col("cnt")).otherwise(0L))
+              .as("n_correct"))
+          .select(col("variant"), col("n_records"), col("n_matched"),
+            col("n_correct"),
+            (col("n_matched").cast("double") / col("n_records")).as("match_rate"),
+            (col("n_correct").cast("double") / col("n_records")).as("accuracy"))
+      },
+      Some("""WITH rec AS (
+           |  SELECT p_partkey AS key, p_name AS name,
+           |    CAST(p_partkey % 4 AS INT) AS variant
+           |  FROM part),
+           |dirty AS (
+           |  SELECT name, variant,
+           |    CASE variant
+           |      WHEN 0 THEN substr(name, 1, length(name) - 1)
+           |      WHEN 1 THEN substr(name, 1, 1) || substr(name, 3, 1)
+           |        || substr(name, 2, 1) || substr(name, 4)
+           |      WHEN 2 THEN substr(name, 1, 1) || name
+           |      ELSE name END AS dirty
+           |  FROM rec),
+           |groups AS (
+           |  SELECT name, variant, dirty, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM dirty GROUP BY 1, 2, 3),
+           |master AS (SELECT DISTINCT p_name AS master FROM part),
+           |cand AS (
+           |  SELECT g.name, g.variant, g.dirty,
+           |    m.master, jaro_winkler_similarity(g.dirty, m.master) AS jw
+           |  FROM groups g JOIN master m
+           |    ON substr(g.dirty, 1, 1) = substr(m.master, 1, 1)
+           |    AND abs(length(g.dirty) - length(m.master)) <= 2
+           |  WHERE jaro_winkler_similarity(g.dirty, m.master) >= 0.85),
+           |best AS (
+           |  SELECT name, variant, dirty, master,
+           |    ROW_NUMBER() OVER (PARTITION BY name, variant, dirty
+           |      ORDER BY jw DESC, master ASC) AS rn
+           |  FROM cand),
+           |linked AS (
+           |  SELECT g.name, g.variant, g.cnt, b.master
+           |  FROM groups g LEFT JOIN best b
+           |    ON b.name = g.name AND b.variant = g.variant
+           |    AND b.dirty = g.dirty AND b.rn = 1)
+           |SELECT variant, CAST(SUM(cnt) AS BIGINT) AS n_records,
+           |  CAST(SUM(CASE WHEN master IS NOT NULL THEN cnt ELSE 0 END)
+           |    AS BIGINT) AS n_matched,
+           |  CAST(SUM(CASE WHEN master = name THEN cnt ELSE 0 END)
+           |    AS BIGINT) AS n_correct,
+           |  CAST(SUM(CASE WHEN master IS NOT NULL THEN cnt ELSE 0 END)
+           |    AS DOUBLE) / SUM(cnt) AS match_rate,
+           |  CAST(SUM(CASE WHEN master = name THEN cnt ELSE 0 END)
+           |    AS DOUBLE) / SUM(cnt) AS accuracy
+           |FROM linked GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`
