@@ -4481,6 +4481,62 @@ object RelationalQueries {
            |  CAST(d.cnt AS HUGEINT) * den * 3 < num AS is_drop
            |FROM daily d JOIN b ON b.report_day = d.day""".stripMargin)),
 
+    // USER BURSTINESS (Fano factor): variance-to-mean ratio of each user's
+    // daily event counts over their OWN active span [first day, last day] —
+    // zero days inside the span count (they contribute 0 to Σc and Σc², so
+    // only the span length m enters the formula), which is what separates a
+    // clockwork user (F→0) from a binge user (F≫1) at equal volume. The
+    // q326/q327 behavioral-read companion. All sums are exact integers from
+    // ONE user+day aggregation; mean and variance are two deterministic
+    // double divisions (var = Σc²/m − mean², same op order both engines).
+    QueryDef(
+      "q339_user_burstiness",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val ud = ev.groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        ud.groupBy(col("user_id"))
+          .agg(
+            (max(col("day")) - min(col("day")) + 1).as("span_days"),
+            count(lit(1)).as("active_days"),
+            sum(col("c")).as("n_events"),
+            sum(col("c") * col("c")).as("ss"))
+          .select(col("user_id"), col("span_days"), col("active_days"),
+            col("n_events"),
+            (col("n_events").cast("double") / col("span_days")).as("mean_daily"),
+            ((col("ss").cast("double") / col("span_days")) -
+              (col("n_events").cast("double") / col("span_days")) *
+                (col("n_events").cast("double") / col("span_days")))
+              .as("var_daily"))
+          .withColumn("fano",
+            when(col("n_events") > 0,
+              col("var_daily") / col("mean_daily")).otherwise(lit(0.0)))
+      },
+      Some("""WITH ud AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |u AS (
+           |  SELECT user_id,
+           |    MAX(day) - MIN(day) + 1 AS span_days,
+           |    CAST(COUNT(*) AS BIGINT) AS active_days,
+           |    CAST(SUM(c) AS BIGINT) AS n_events,
+           |    CAST(SUM(c * c) AS BIGINT) AS ss
+           |  FROM ud GROUP BY 1)
+           |SELECT user_id, span_days, active_days, n_events,
+           |  CAST(n_events AS DOUBLE) / span_days AS mean_daily,
+           |  (CAST(ss AS DOUBLE) / span_days)
+           |    - (CAST(n_events AS DOUBLE) / span_days)
+           |      * (CAST(n_events AS DOUBLE) / span_days) AS var_daily,
+           |  CASE WHEN n_events > 0 THEN
+           |    ((CAST(ss AS DOUBLE) / span_days)
+           |      - (CAST(n_events AS DOUBLE) / span_days)
+           |        * (CAST(n_events AS DOUBLE) / span_days))
+           |    / (CAST(n_events AS DOUBLE) / span_days)
+           |  ELSE 0.0 END AS fano
+           |FROM u""".stripMargin)),
+
     // INTERVAL GAPS-AND-ISLANDS: merge each customer's overlapping order
     // fulfillment intervals [orderdate, last shipdate] into maximal
     // "active episodes" (touching days merge; a gap of >= 1 full day opens a

@@ -1859,7 +1859,73 @@ object SimilarityQueries {
       },
       Some(s"""WITH ${duckBqCtesFrom(
              "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb")}
-           |SELECT vec_id, lo, hi FROM bqc""".stripMargin))
+           |SELECT vec_id, lo, hi FROM bqc""".stripMargin)),
+
+    // DAVIES-BOULDIN cluster-quality index over the given labels — the
+    // centroid-based partner of q265's silhouette: per cluster, the mean
+    // member→centroid distance s_i (cohesion); per cluster pair, the ratio
+    // (s_i + s_j) / ||c_i − c_j|| (separation); D_i = worst ratio against
+    // any other cluster; the index = mean D_i (LOWER is better). Unlike
+    // silhouette it never looks at member pairs, so the corpus-sized work
+    // is ONE member→own-centroid distance pass (native l2sq codegen fold);
+    // everything after runs on the k-row centroid frame (k=10), broadcast
+    // and crossJoined at constant size. Means fold decimal-exactly; sqrt
+    // and the ratio are IEEE-identical cross-engine.
+    QueryDef(
+      "q338_davies_bouldin",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.labelCentroidsFlat(emb, col("embedding"), col("label"))))
+        val si = emb.select(col("label").as("clabel"), col("embedding").as("v"))
+          .join(broadcast(cents), "clabel")
+          .select(col("clabel"), sqrt(Similarity.l2sq(col("v"), col("carr"))).as("dd"))
+          .groupBy(col("clabel"))
+          .agg(count(lit(1)).as("n"),
+            (Num.dsum38(col("dd")) / count(lit(1))).as("s"))
+          .join(cents, "clabel")
+          .localCheckpoint()
+        val a = si.select(col("clabel").as("i"), col("n"), col("s").as("si"),
+          col("carr").as("ci"))
+        val b = si.select(col("clabel").as("j"), col("s").as("sj"),
+          col("carr").as("cj"))
+        val ratios = a.join(broadcast(b), col("i") =!= col("j"))
+          .select(col("i"), col("n"), col("si"),
+            ((col("si") + col("sj")) /
+              sqrt(Similarity.l2sq(col("ci"), col("cj")))).as("rij"))
+        val di = ratios.groupBy(col("i"), col("n"), col("si"))
+          .agg(max(col("rij")).as("d_i"))
+        val idx = di.agg((Num.dsum38(col("d_i")) / count(lit(1))).as("db_index"))
+        di.crossJoin(broadcast(idx))
+          .select(col("i").as("cluster"), col("n"), col("si").as("mean_dist"),
+            col("d_i").as("worst_ratio"), col("db_index"))
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |own AS (
+           |  SELECT em.label AS clabel, sqrt(d.d2) AS dd
+           |  FROM dist d JOIN embeddings em
+           |    ON em.vec_id = d.vec_id AND em.label = d.clabel),
+           |si AS (
+           |  SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${Num.duckDsum38("dd")} / COUNT(*) AS s
+           |  FROM own GROUP BY 1),
+           |md AS (
+           |  SELECT a.clabel AS i, b.clabel AS j,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, len(a.carr) + 1),
+           |        dbi -> (a.carr[dbi] - b.carr[dbi]) * (a.carr[dbi] - b.carr[dbi]))),
+           |      (x, y) -> x + y)) AS m
+           |  FROM cent a JOIN cent b ON a.clabel <> b.clabel),
+           |r AS (
+           |  SELECT md.i, sa.n, sa.s AS si, MAX((sa.s + sb.s) / md.m) AS d_i
+           |  FROM md JOIN si sa ON sa.clabel = md.i
+           |          JOIN si sb ON sb.clabel = md.j
+           |  GROUP BY 1, 2, 3),
+           |idx AS (SELECT ${Num.duckDsum38("d_i")} / COUNT(*) AS db_index FROM r)
+           |SELECT r.i AS cluster, r.n, r.si AS mean_dist,
+           |  r.d_i AS worst_ratio, idx.db_index
+           |FROM r CROSS JOIN idx""".stripMargin))
   )
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227

@@ -661,4 +661,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(pMk.contains("BroadcastHashJoin"),
       s"markovFromCounts: row totals must broadcast:\n${pMk.take(1500)}")
   }
+
+  test("q331-q339 session pins: bounded explode, entity-keyed windows, broadcast vocab/master/centroids") {
+    // q331 EWMA: the 15-lag baseline is a per-row explode (Generate) joined
+    // back on day — no range self-join, no cartesian
+    val p331 = plan(SparkEntry.queries("q331_ewma_anomaly")(spark, sf))
+    assert(p331.contains("Generate"), "q331: lag projection must be an explode")
+    assert(!p331.contains("CartesianProduct"),
+      s"q331: no cartesian:\n${p331.take(1500)}")
+    // q332 islands: every analytic window is keyed on the customer — no
+    // unkeyed (single-partition) window over the interval frame
+    val p332 = plan(SparkEntry.queries("q332_interval_islands")(spark, sf))
+    assert(p332.contains("windowspecdefinition(o_custkey"),
+      s"q332: windows must be customer-keyed:\n${p332.take(1500)}")
+    assert(!p332.contains("windowspecdefinition()"),
+      "q332: no global unkeyed window")
+    // q336/q337: the similarity join's small side (head vocab / master
+    // names) must broadcast — corpus/record rows never shuffle for it
+    val p336 = plan(SparkEntry.queries("q336_jw_typo_links")(spark, sf))
+    assert(p336.contains("BroadcastNestedLoopJoin") || p336.contains("BroadcastHashJoin"),
+      s"q336: head vocab must broadcast:\n${p336.take(1500)}")
+    val p337 = plan(SparkEntry.queries("q337_record_linkage")(spark, sf))
+    assert(p337.contains("BroadcastNestedLoopJoin") || p337.contains("BroadcastHashJoin"),
+      s"q337: master vocabulary must broadcast:\n${p337.take(1500)}")
+    assert(!p337.contains("CartesianProduct"), "q337: blocking must not degrade to cartesian")
+    // q338 Davies-Bouldin: the corpus-sized pass joins members to BROADCAST
+    // centroids; the pairwise-ratio stage runs on the k-row frame only
+    val p338 = plan(SparkEntry.queries("q338_davies_bouldin")(spark, sf))
+    assert(p338.contains("BroadcastHashJoin") || p338.contains("BroadcastNestedLoopJoin"),
+      s"q338: centroids must broadcast into the member pass:\n${p338.take(1500)}")
+    // q339 burstiness: two keyed aggregations, nothing else — no windows,
+    // no joins
+    val p339 = plan(SparkEntry.queries("q339_user_burstiness")(spark, sf))
+    assert(!p339.contains("windowspecdefinition"), "q339: no analytic windows needed")
+    assert(!p339.toLowerCase.contains("join"), s"q339: no joins:\n${p339.take(1000)}")
+  }
 }
