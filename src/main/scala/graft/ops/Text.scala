@@ -66,6 +66,45 @@ object Text {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a.cast("string")),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b.cast("string"))))
 
+  /** SQL-style Soundex phonetic code, composed from built-ins with an
+    * IDENTICAL recipe on both engines (translate → per-digit run collapse →
+    * drop the first coded run → strip separators → pad):
+    *
+    *   - letters map A..Z → "01230120022455012623010202" (vowels AND H/W/Y
+    *     → 0 — the simplified "SQL" variant; strict American Soundex treats
+    *     H/W as transparent, which needs backreferences RE2 doesn't have,
+    *     and is also what Spark's built-in `soundex()` implements — NOT
+    *     used here precisely because the oracle side couldn't replicate it);
+    *   - adjacent equal digits collapse BEFORE the first run is dropped, so
+    *     "Pfister" → P236 (the F folds into P's run);
+    *   - non-alpha chars are stripped first; an all-non-alpha token codes
+    *     as "0000".
+    *
+    * Fixture-pinned in TextAndHashSpec (Robert→R163, Tymczak→T522,
+    * Pfister→P236, Ashcraft→A226 under this variant).
+    */
+  def soundexSql(tok: Column): Column = {
+    val clean = regexp_replace(upper(tok), "[^A-Z]", "")
+    val d = translate(clean,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val c = (1 to 6).foldLeft(d)((acc, k) =>
+      regexp_replace(acc, s"$k$k+", s"$k"))
+    val tail = translate(substring(c, 2, Int.MaxValue), "0", "")
+    when(length(clean) === 0, lit("0000"))
+      .otherwise(concat(substring(clean, 1, 1), rpad(substring(tail, 1, 3), 3, "0")))
+  }
+
+  /** DuckDB twin of [[soundexSql]] — the same recipe, step for step. */
+  def duckSoundexSql(e: String): String = {
+    val clean = s"regexp_replace(upper($e), '[^A-Z]', '', 'g')"
+    val d = s"translate($clean, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    val c = (1 to 6).foldLeft(d)((acc, k) =>
+      s"regexp_replace($acc, '$k$k+', '$k', 'g')")
+    val tail = s"translate(substr($c, 2), '0', '')"
+    s"(CASE WHEN length($clean) = 0 THEN '0000' " +
+      s"ELSE substr($clean, 1, 1) || rpad(substr($tail, 1, 3), 3, '0') END)"
+  }
+
   /** One syllable per maximal vowel run (lowercased input). */
   val SyllableRegex = "[aeiouy]+"
 

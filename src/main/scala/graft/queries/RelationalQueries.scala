@@ -4714,6 +4714,214 @@ object RelationalQueries {
            |SELECT event_type,
            |  CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE) AS credit,
            |  CAST(COUNT(*) AS BIGINT) AS n_rows
-           |FROM u GROUP BY 1""".stripMargin))
+           |FROM u GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q4-style order-priority checking, adapted to this schema (no
+    // l_commitdate/l_receiptdate): an order is "late" when SOME lineitem
+    // shipped more than 90 days after the order date. The plan shape is the
+    // point — a LEFT SEMI join (EXISTS) from the window-filtered orders into
+    // lineitem, keyed on l_orderkey with the non-equi lateness condition
+    // evaluated inside the semi join; each order counts ONCE no matter how
+    // many late lines it has (the dedup a plain inner join + distinct would
+    // pay a shuffle for). Both sides shuffle on orderkey only; the
+    // #priorities-row result needs no further exchange discipline.
+    QueryDef(
+      "q341_order_priority_check",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-07-01") &&
+            col("o_orderdate") < lit("1996-10-01"))
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        orders
+          .join(lineitem,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           |  AND o_orderdate < TIMESTAMP '1996-10-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |    WHERE l_orderkey = o_orderkey
+           |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q13-style customer order-count distribution: how many customers
+    // placed exactly k orders (zero included — the reason this MUST be a
+    // LEFT OUTER join from customer, not an inner join)? The priority filter
+    // stands in for Q13's comment NOT LIKE. Two aggregations: the first
+    // shuffles on custkey (outer join + count share the exchange), the
+    // second reduces the #customers frame to the #distinct-counts frame —
+    // tiny at any scale.
+    QueryDef(
+      "q342_customer_order_dist",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer").select(col("c_custkey"))
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey"))
+        customer
+          .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""WITH co AS (
+           |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           |  FROM customer
+           |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           |    AND o_orderpriority <> '4-NOT SPECIFIED'
+           |  GROUP BY 1)
+           |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+           |FROM co GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q17-style small-quantity-order revenue: yearly revenue lost if
+    // orders below 20% of a part's average quantity stopped shipping, for
+    // one brand. The brand's partkeys broadcast into lineitem FIRST (the
+    // per-part stats are identical computed before or after the part filter
+    // — grouping is per part — so the stats pass runs over the 1/25
+    // brand slice, not the corpus). The avg comparison is cross-multiplied
+    // to stay in exact-integer doubles (5·qty·cnt < Σqty — quantities are
+    // integral, so no engine-specific avg rounding can flip the boundary);
+    // the stats self-join is partkey-keyed over the already-filtered slice.
+    QueryDef(
+      "q343_small_qty_revenue",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+          .where(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+          .localCheckpoint()
+        val stats = li.groupBy(col("l_partkey").as("sp"))
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+        li.join(stats, col("l_partkey") === col("sp"))
+          .where(col("l_quantity") * lit(5.0) * col("cnt") < col("sq"))
+          .agg((Num.dsum38(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""WITH li AS (
+           |  SELECT l_partkey, l_quantity, l_extendedprice
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_brand = 'Brand#4'),
+           |stats AS (
+           |  SELECT l_partkey AS sp, SUM(l_quantity) AS sq,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM li GROUP BY 1)
+           |SELECT ${Num.duckDsum38("l_extendedprice")} / 7.0 AS avg_yearly,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM li JOIN stats ON l_partkey = sp
+           |WHERE l_quantity * 5.0 * cnt < sq""".stripMargin)),
+
+    // TPC-H Q21-style suppliers who kept orders waiting, adapted (no
+    // receipt/commit dates): over finished ('F') orders, count the rows of
+    // the supplier who shipped >30 days after the order date on a
+    // multi-supplier order AND after every other supplier's last line
+    // (strictly last to ship — ties exclude both, exactly Q21's "no other
+    // late supplier" NOT EXISTS narrowing). The plan is the point: one
+    // fact-fact shuffle (lineitem⋈orders on orderkey), then a LEFT SEMI and
+    // a LEFT ANTI against the raw lineitem, both keyed on l_orderkey with
+    // the suppkey/shipdate disqualifiers as join residuals — Q21's
+    // EXISTS/NOT EXISTS pair as native join types, no distinct, no window.
+    QueryDef(
+      "q344_waiting_suppliers",
+      (s, dir) => {
+        val l1 = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.load(s, dir, "orders")
+              .where(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        val l2 = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+            col("l_shipdate").as("d3"))
+        l1
+          .join(l2, col("l_orderkey") === col("k2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") &&
+            col("l_suppkey") =!= col("s3") &&
+            col("d3") >= col("l_shipdate"), "left_anti")
+          .join(broadcast(Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey").asc)
+          .limit(10)
+      },
+      Some("""WITH lo AS (
+           |  SELECT l_orderkey, l_suppkey, l_shipdate
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderstatus = 'F'
+           |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+           |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+           |FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           |WHERE EXISTS (SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_shipdate >= l1.l_shipdate)
+           |GROUP BY 1, 2
+           |ORDER BY numwait DESC, s_suppkey ASC
+           |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q22-style global sales opportunity, adapted (no c_phone — the
+    // nation set plays the country-code IN list): per selected nation, the
+    // count and held balance of customers with above-average positive
+    // balance with no RECENT order (none since 2000 — Q22's dormancy
+    // window; "never ordered at all" is empty at this generator's 10
+    // orders/customer density). The shape: the corpus-wide scalar
+    // aggregate collapses to ONE broadcast row (Σbal as exact decimal +
+    // count), the above-average test is the cross-multiplied
+    // bal·n > Σbal (identical IEEE doubles both engines, no division), and
+    // never-ordered is a LEFT ANTI join against orders keyed on custkey —
+    // Q22's NOT EXISTS as a native join type. Customer shuffles once (the
+    // anti join); orders project to the key column only.
+    QueryDef(
+      "q345_sales_opportunity",
+      (s, dir) => {
+        val nats = Seq(1, 4, 9, 13, 21)
+        val cust = Tables.load(s, dir, "customer")
+          .where(col("c_nationkey").isin(nats: _*))
+        val pos = cust.where(col("c_acctbal") > 0.0)
+          .agg(Num.dsum38(col("c_acctbal")).as("sbal"),
+            count(lit(1)).as("npos"))
+        cust
+          .crossJoin(broadcast(pos))
+          .where(col("c_acctbal") * col("npos") > col("sbal"))
+          .join(Tables.load(s, dir, "orders")
+              .where(col("o_orderdate") >= lit("2000-01-01"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            Num.dsum38(col("c_acctbal")).as("totacctbal"))
+      },
+      Some(s"""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+           |  WHERE c_nationkey IN (1, 4, 9, 13, 21)),
+           |pos AS (
+           |  SELECT ${Num.duckDsum38("c_acctbal")} AS sbal,
+           |    CAST(COUNT(*) AS BIGINT) AS npos
+           |  FROM cust WHERE c_acctbal > 0.0)
+           |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           |  ${Num.duckDsum38("c_acctbal")} AS totacctbal
+           |FROM cust, pos
+           |WHERE c_acctbal * npos > sbal
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+           |GROUP BY 1""".stripMargin))
   )
 }

@@ -1966,6 +1966,79 @@ object TextQueries {
            |      ORDER BY jw DESC, df_fix DESC, fix ASC) AS rn
            |  FROM cand)
            |SELECT typo, fix, jw, df_typo, df_fix FROM rk WHERE rn = 1"""
+        .stripMargin)),
+
+    // PHONETIC typo linking: the q336 funnel with SOUNDEX-equality blocking
+    // instead of (first char, length band) — sound-alike misspellings
+    // ("haash"→"hash") collide on the phonetic key even when the edit
+    // pattern defeats prefix blocking, and JW only RANKS within the block.
+    // The composed soundexSql recipe is identical on both engines
+    // (translate → run collapse → drop-first-run → strip), so the blocking
+    // keys — and hence the candidate sets — match exactly. Same scale
+    // shape: keys are computed on the token VOCABULARY, the head side
+    // broadcasts, corpus rows never enter the similarity join. An
+    // equality-key block also beats q336's at scale: it hash-joins instead
+    // of range-probing.
+    QueryDef(
+      "q340_phonetic_typo_links",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(251)) === 0,
+            concat(col("text"), lit(" tabel haash windoq")))
+            .otherwise(col("text")).as("text"))
+        val toks = planted
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) >= 4)
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nd = planted.agg(count(lit(1)).as("n_docs"))
+        val t = toks.crossJoin(broadcast(nd)).localCheckpoint()
+        val rare = t.where(col("df") <= expr("(n_docs + 199) div 200"))
+          .select(col("tok").as("typo"), col("df").as("df_typo"),
+            Text.soundexSql(col("tok")).as("sx"))
+        val head = t.where(col("df") * 20 >= col("n_docs"))
+          .select(col("tok").as("fix"), col("df").as("df_fix"),
+            Text.soundexSql(col("tok")).as("sx"))
+        val cand = rare.join(broadcast(head), Seq("sx"))
+          .where(col("typo") =!= col("fix"))
+          .withColumn("jw", Text.jaroWinkler(col("typo"), col("fix")))
+        val w = Window.partitionBy(col("typo"))
+          .orderBy(col("jw").desc, col("df_fix").desc, col("fix").asc)
+        cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("typo"), col("sx"), col("fix"), col("jw"),
+            col("df_typo"), col("df_fix"))
+      },
+      Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 251 = 0
+           |      THEN text || ' tabel haash windoq' ELSE text END AS text
+           |  FROM documents),
+           |toks AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+           |        FROM planted)
+           |  WHERE length(tok) >= 4 GROUP BY 1),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM planted),
+           |t AS (SELECT * FROM toks CROSS JOIN nd),
+           |rare AS (
+           |  SELECT tok AS typo, df AS df_typo,
+           |    ${Text.duckSoundexSql("tok")} AS sx
+           |  FROM t WHERE df <= (n_docs + 199) // 200),
+           |head AS (
+           |  SELECT tok AS fix, df AS df_fix,
+           |    ${Text.duckSoundexSql("tok")} AS sx
+           |  FROM t WHERE df * 20 >= n_docs),
+           |cand AS (
+           |  SELECT r.typo, r.sx, r.df_typo, h.fix, h.df_fix,
+           |    jaro_winkler_similarity(r.typo, h.fix) AS jw
+           |  FROM rare r JOIN head h ON h.sx = r.sx AND r.typo <> h.fix),
+           |rk AS (
+           |  SELECT typo, sx, fix, jw, df_typo, df_fix,
+           |    ROW_NUMBER() OVER (PARTITION BY typo
+           |      ORDER BY jw DESC, df_fix DESC, fix ASC) AS rn
+           |  FROM cand)
+           |SELECT typo, sx, fix, jw, df_typo, df_fix FROM rk WHERE rn = 1"""
         .stripMargin))
   )
 

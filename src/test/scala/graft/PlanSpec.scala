@@ -696,4 +696,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p339.contains("windowspecdefinition"), "q339: no analytic windows needed")
     assert(!p339.toLowerCase.contains("join"), s"q339: no joins:\n${p339.take(1000)}")
   }
+
+  test("q340-q345 session pins: phonetic-block broadcast; semi/anti joins stay native join types") {
+    // q340 soundex blocking: the head side broadcasts; the blocking join is
+    // an equality hash join (the upgrade over q336's range-probe block)
+    val p340 = plan(SparkEntry.queries("q340_phonetic_typo_links")(spark, sf))
+    assert(p340.contains("BroadcastHashJoin"),
+      s"q340: soundex block must be an equality broadcast hash join:\n${p340.take(1500)}")
+    assert(!p340.contains("CartesianProduct"), "q340: no cartesian")
+    // q341 Q4-style: EXISTS must plan as a LeftSemi join (one row per order,
+    // no distinct-dedup shuffle), with the lateness condition as a residual
+    val p341 = plan(SparkEntry.queries("q341_order_priority_check")(spark, sf))
+    assert(p341.contains("LeftSemi"),
+      s"q341: EXISTS must be a semi join:\n${p341.take(1500)}")
+    // q342 Q13-style: the zero-order customers only exist under an OUTER join
+    val p342 = plan(SparkEntry.queries("q342_customer_order_dist")(spark, sf))
+    assert(p342.contains("LeftOuter"),
+      s"q342: customer→orders must be left outer:\n${p342.take(1500)}")
+    // q343 Q17-style: the visible plan starts AFTER the eager localCheckpoint
+    // (the brand-partkey broadcast lives on the checkpointed side), so pin
+    // what remains: the stats self-join is partkey-keyed with the
+    // cross-multiplied avg test as a residual — never a cartesian
+    val p343 = plan(SparkEntry.queries("q343_small_qty_revenue")(spark, sf))
+    assert("(?i)join \\[l_partkey".r.findFirstIn(p343).isDefined,
+      s"q343: stats self-join must key on l_partkey:\n${p343.take(1500)}")
+    assert(!p343.contains("CartesianProduct"), "q343: no cartesian")
+    // q344 Q21-style: EXISTS and NOT EXISTS must be native LeftSemi/LeftAnti
+    // join types (never a distinct+outer-join emulation), supplier broadcast
+    val p344 = plan(SparkEntry.queries("q344_waiting_suppliers")(spark, sf))
+    assert(p344.contains("LeftSemi"), s"q344: EXISTS → semi join:\n${p344.take(1500)}")
+    assert(p344.contains("LeftAnti"), s"q344: NOT EXISTS → anti join:\n${p344.take(1500)}")
+    assert(p344.contains("BroadcastHashJoin"),
+      s"q344: supplier dim must broadcast:\n${p344.take(1500)}")
+    // q345 Q22-style: the scalar aggregate is a 1-row broadcast (never a
+    // shuffle), dormancy is a native anti join
+    val p345 = plan(SparkEntry.queries("q345_sales_opportunity")(spark, sf))
+    assert(p345.contains("BroadcastNestedLoopJoin") || p345.contains("BroadcastHashJoin"),
+      s"q345: the Σbal scalar must broadcast:\n${p345.take(1500)}")
+    assert(p345.contains("LeftAnti"), s"q345: NOT EXISTS → anti join:\n${p345.take(1500)}")
+  }
 }

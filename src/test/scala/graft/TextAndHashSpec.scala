@@ -296,4 +296,22 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
     assert(rows(want) == want, "repaired text is a fixed point (idempotent)")
     assert(rows(clean) == clean, "clean text passes byte-identical")
   }
+
+  test("soundexSql: classic fixtures under the documented SQL variant; typo pairs collide; edge inputs") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Tymczak" -> "T522",
+      "Pfister" -> "P236", // F folds into P's run (collapse-before-drop)
+      "Ashcraft" -> "A226", // strict soundex says A261; H/W-as-separator variant pinned
+      "hash" -> "H200", "haash" -> "H200", // planted q340 typo collides
+      "tabel" -> "T140", "table" -> "T140",
+      "windoq" -> "W532", "window" -> "W530", // the miss the variant accepts
+      "" -> "0000", "123" -> "0000", "a.b!c" -> "A120")
+    val got = fixtures.map(_._1).toDF("t")
+      .select(col("t"), graft.ops.Text.soundexSql(col("t")).as("sx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (w, exp) =>
+      assert(got(w) == exp, s"soundex('$w') = ${got(w)}, expected $exp")
+    }
+  }
 }
