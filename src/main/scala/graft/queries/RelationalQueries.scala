@@ -4922,6 +4922,190 @@ object RelationalQueries {
            |  AND NOT EXISTS (SELECT 1 FROM orders
            |    WHERE o_custkey = c_custkey
            |      AND o_orderdate >= TIMESTAMP '2000-01-01')
-           |GROUP BY 1""".stripMargin))
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q12-style late-shipment priority mix, adapted (no l_shipmode /
+    // l_commitdate): among lines shipped >60 days after their order date,
+    // how many belong to critical-priority orders vs not, per return flag.
+    // One orderkey-keyed fact-fact shuffle, then a conditional aggregation
+    // (SUM of CASE — the map-side-combinable form of Q12's two counts).
+    QueryDef(
+      "q346_late_priority_mix",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+           |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q14-style promo revenue share: the percentage of one month's
+    // discounted revenue earned by PROMO-type parts. Part (2 columns)
+    // broadcasts into the date-pruned lineitem scan; both the promo and
+    // total revenue fold decimal(38,18) in the SAME single aggregation, and
+    // the final percentage is one double division of two deterministic
+    // doubles — identical IEEE result both engines.
+    QueryDef(
+      "q347_promo_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-03-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+        val part = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) *
+              Num.dsum38(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .otherwise(lit(0.0))) /
+              Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("promo_revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT 100.0 *
+           |    ${Num.duckDsum38("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")}
+           |    AS promo_revenue,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
+    // TPC-H Q15-style top supplier: the supplier(s) whose quarterly revenue
+    // equals the maximum. Revenue per supplier is one suppkey-keyed
+    // aggregation (decimal fold → deterministic double); the max collapses
+    // to a 1-row broadcast and the equality join back is exact because both
+    // sides are the SAME deterministic doubles (Q15's view + scalar
+    // subquery without recomputing the view twice — localCheckpoint shares
+    // the revenue frame between max and filter). Supplier dim broadcasts.
+    QueryDef(
+      "q348_top_supplier",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+          .localCheckpoint()
+        val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        rev.crossJoin(broadcast(mx))
+          .where(col("total_revenue") === col("max_revenue"))
+          .join(broadcast(Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some(s"""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")}
+           |      AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin)),
+
+    // TPC-H Q19-style discounted revenue under an OR-of-ANDs predicate:
+    // three (brand, size-band, quantity-band) arms. The point is predicate
+    // shape — the composite condition rides the broadcast hash join as one
+    // residual (brand/size prune the 2000-row part side BEFORE broadcast;
+    // quantity arms evaluate on fact rows), never a union of three scans.
+    QueryDef(
+      "q349_banded_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val part = Tables.load(s, dir, "part")
+          .where((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50)))
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+            ((col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30))))
+          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT
+           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           |    AND l_quantity BETWEEN 1 AND 11)
+           |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           |    AND l_quantity BETWEEN 10 AND 20)
+           |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q20-style dominant bolt suppliers, adapted (no partsupp): the
+    // suppliers in one nation who shipped MORE THAN TWICE the per-supplier
+    // average of some '%bolt' part in 1996. The semi-join chain: bolt
+    // partkeys broadcast into the year-pruned lineitem; per-(part,supplier)
+    // quantities aggregate once; the per-part mean test is cross-multiplied
+    // into exact-integer doubles (qty_sp·n_sup > 2·Σqty_p); the surviving
+    // suppkeys reach supplier as a LEFT SEMI (Q20's IN-subquery as a native
+    // join type, no distinct pass).
+    QueryDef(
+      "q350_dominant_bolt_suppliers",
+      (s, dir) => {
+        val bolts = Tables.load(s, dir, "part")
+          .where(col("p_name").endsWith(" bolt"))
+          .select(col("p_partkey"))
+        val sp = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("qty_sp"))
+          .localCheckpoint()
+        val pt = sp.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty_sp")).as("tot"), count(lit(1)).as("n_sup"))
+        val heavy = sp.join(pt, col("l_partkey") === col("pk"))
+          .where(col("qty_sp") * col("n_sup") > lit(2.0) * col("tot"))
+          .select(col("l_suppkey"))
+        Tables.load(s, dir, "supplier")
+          .where(col("s_nationkey") === 7)
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      },
+      Some("""WITH sp AS (
+           |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_sp
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_name LIKE '% bolt'
+           |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  GROUP BY 1, 2),
+           |pt AS (
+           |  SELECT l_partkey AS pk, SUM(qty_sp) AS tot,
+           |    CAST(COUNT(*) AS BIGINT) AS n_sup
+           |  FROM sp GROUP BY 1),
+           |heavy AS (
+           |  SELECT l_suppkey FROM sp JOIN pt ON l_partkey = pk
+           |  WHERE qty_sp * n_sup > 2.0 * tot)
+           |SELECT s_suppkey, s_name, s_acctbal
+           |FROM supplier
+           |WHERE s_nationkey = 7
+           |  AND EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)""".stripMargin))
   )
 }

@@ -735,4 +735,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q345: the Σbal scalar must broadcast:\n${p345.take(1500)}")
     assert(p345.contains("LeftAnti"), s"q345: NOT EXISTS → anti join:\n${p345.take(1500)}")
   }
+
+  test("q346-q350 session pins: broadcast dims, composite residuals, native semi chain") {
+    // q347 Q14-style: the 2-column part dim broadcasts; promo share is ONE
+    // aggregation (both folds in the same HashAggregate, not two passes)
+    val p347 = plan(SparkEntry.queries("q347_promo_revenue")(spark, sf))
+    assert(p347.contains("BroadcastHashJoin"),
+      s"q347: part dim must broadcast:\n${p347.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p347).size <= 4, // partial+final, 1 agg
+      s"q347: promo + total must fold in ONE aggregation:\n${p347.take(1500)}")
+    // q348 Q15-style: the max collapses to a 1-row broadcast against the
+    // checkpointed revenue frame — no shuffle of rev for the scalar
+    val p348 = plan(SparkEntry.queries("q348_top_supplier")(spark, sf))
+    assert(p348.contains("BroadcastNestedLoopJoin") || p348.contains("BroadcastHashJoin"),
+      s"q348: max scalar must broadcast:\n${p348.take(1500)}")
+    // q349 Q19-style: the OR-of-ANDs stays a residual on ONE broadcast join —
+    // never a union of three scans or a cartesian
+    val p349 = plan(SparkEntry.queries("q349_banded_revenue")(spark, sf))
+    assert(p349.contains("BroadcastHashJoin"),
+      s"q349: pruned part side must broadcast:\n${p349.take(1500)}")
+    assert(!p349.contains("Union"), "q349: one scan, not an arm-per-scan union")
+    assert(!p349.contains("CartesianProduct"), "q349: no cartesian")
+    // q350 Q20-style: the IN-subquery end of the chain must be a native
+    // LeftSemi into supplier
+    val p350 = plan(SparkEntry.queries("q350_dominant_bolt_suppliers")(spark, sf))
+    assert(p350.contains("LeftSemi"),
+      s"q350: heavy-supplier filter must be a semi join:\n${p350.take(1500)}")
+  }
 }
