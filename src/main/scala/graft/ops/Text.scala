@@ -2096,4 +2096,304 @@ object Text {
        |WHERE c_ab >= $minCount
        |ORDER BY pmi DESC, a ASC, b ASC
        |LIMIT $topK""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Stylometry: Burrows' Delta, Jensen-Shannon source divergence, Yule's K,
+  // RAKE keyword extraction. All single-corpus-pass operators whose working
+  // frames collapse to (sources × topN) / (vocabulary) rows before any join.
+  // -------------------------------------------------------------------------
+
+  /** Burrows' Delta authorship distance between sources: z-score each
+    * source's relative frequency of the corpus' top-`topN` tokens (the
+    * "function words" — in classic stylometry the most frequent words carry
+    * the authorial signal), then Delta(a,b) = mean |z_a − z_b| over those
+    * tokens. Zero-variance tokens (identical relative frequency everywhere)
+    * are excluded — their z is undefined and they carry no signal.
+    *
+    * Exactness: relative frequencies are single divisions of exact integer
+    * counts (deterministic doubles); μ/σ and the final mean fold
+    * decimal(38,18), so every number is partition-order independent and the
+    * DuckDB twin replays the identical arithmetic.
+    *
+    * Scale: ONE corpus tokenization/aggregation; the top-N cut is
+    * TakeOrdered; every later frame is (sources × topN) ≤ a few thousand
+    * rows. Output: (source_a, source_b, delta, n_terms), a < b.
+    */
+  def burrowsDelta(df: org.apache.spark.sql.DataFrame, source: Column,
+      text: Column, topN: Int = 30): org.apache.spark.sql.DataFrame = {
+    val sc = df.select(source.as("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val tot = sc.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val top = sc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_c"))
+      .orderBy(col("c_c").desc, col("tok").asc)
+      .limit(topN)
+      .select(col("tok"))
+    val f = broadcast(top).crossJoin(broadcast(tot))
+      .join(sc, Seq("source", "tok"), "left_outer")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c_st"), lit(0L)).cast("double") /
+          col("t_s").cast("double")).as("f"))
+      .localCheckpoint()
+    val stats = f.groupBy(col("tok")).agg(
+        (Num.dsum38(col("f")) / count(lit(1))).as("mu"),
+        (Num.dsum38(col("f") * col("f")) / count(lit(1))).as("m2"))
+      .select(col("tok"), col("mu"),
+        (col("m2") - col("mu") * col("mu")).as("v"))
+      .where(col("v") > 0.0)
+      .select(col("tok"), col("mu"), sqrt(col("v")).as("sd"))
+    val z = f.join(broadcast(stats), "tok")
+      .select(col("source"), col("tok"),
+        ((col("f") - col("mu")) / col("sd")).as("z"))
+    z.select(col("source").as("source_a"), col("tok"), col("z").as("za"))
+      .join(z.select(col("source").as("source_b"), col("tok"),
+        col("z").as("zb")), "tok")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((Num.dsum38(abs(col("za") - col("zb"))) / count(lit(1))).as("delta"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB twin of [[burrowsDelta]] — the same chain, step for step. */
+  def duckBurrowsDelta(tbl: String, srcCol: String, textCol: String,
+      topN: Int = 30): String =
+    s"""WITH sc AS (
+       |  SELECT $srcCol AS source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+       |  FROM (SELECT $srcCol, unnest(string_split_regex($textCol, '\\s+')) AS tok
+       |        FROM $tbl)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM sc GROUP BY 1),
+       |top AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, SUM(c_st) AS c_c FROM sc GROUP BY 1
+       |    ORDER BY c_c DESC, tok ASC LIMIT $topN)),
+       |f AS (
+       |  SELECT tot.source, top.tok,
+       |    CAST(COALESCE(sc.c_st, 0) AS DOUBLE) / CAST(tot.t_s AS DOUBLE) AS f
+       |  FROM top CROSS JOIN tot
+       |  LEFT OUTER JOIN sc ON sc.source = tot.source AND sc.tok = top.tok),
+       |stats AS (
+       |  SELECT tok, mu, sqrt(v) AS sd FROM (
+       |    SELECT tok,
+       |      ${Num.duckDsum38("f")} / COUNT(*) AS mu,
+       |      ${Num.duckDsum38("f * f")} / COUNT(*) -
+       |        (${Num.duckDsum38("f")} / COUNT(*)) *
+       |        (${Num.duckDsum38("f")} / COUNT(*)) AS v
+       |    FROM f GROUP BY 1)
+       |  WHERE v > 0.0),
+       |z AS (
+       |  SELECT f.source, f.tok, (f.f - stats.mu) / stats.sd AS z
+       |  FROM f JOIN stats ON f.tok = stats.tok)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  ${Num.duckDsum38("abs(a.z - b.z)")} / COUNT(*) AS delta,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms
+       |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions, over the corpus' top-`topV` tokens (distributions are
+    * renormalized WITHIN that vocabulary, so each sums to 1 over the grid —
+    * the cap is what bounds the pair frame at corpus scale and is part of
+    * the metric's definition here, mirrored in the oracle).
+    *
+    * JS(P,Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, with the 0·ln0
+    * terms dropped explicitly (p=0 contributes nothing). Symmetric, finite,
+    * ∈ [0, ln 2] — unlike the one-sided KL (q193) it never blows up on a
+    * token one source lacks.
+    *
+    * Scale: one corpus aggregation → (sources × topV) grid; the pair join
+    * is (sources² × topV) — bounded by parameters, not data.
+    */
+  def sourceTokenJS(df: org.apache.spark.sql.DataFrame, source: Column,
+      text: Column, topV: Int = 200): org.apache.spark.sql.DataFrame = {
+    val sc = df.select(source.as("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val top = sc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_c"))
+      .orderBy(col("c_c").desc, col("tok").asc)
+      .limit(topV)
+      .select(col("tok"))
+    val rc = sc.join(broadcast(top), "tok").localCheckpoint()
+    val tot = rc.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val p = broadcast(top).crossJoin(broadcast(tot))
+      .join(rc, Seq("source", "tok"), "left_outer")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c_st"), lit(0L)).cast("double") /
+          col("t_s").cast("double")).as("p"))
+    val a = p.select(col("source").as("source_a"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("tok"), col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    val term =
+      when(col("pa") > 0.0, col("pa") * log(col("pa") / m)).otherwise(lit(0.0)) +
+      when(col("pb") > 0.0, col("pb") * log(col("pb") / m)).otherwise(lit(0.0))
+    a.join(b, "tok")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((Num.dsum38(term) * lit(0.5)).as("js_divergence"),
+        count(lit(1)).as("n_token_types"))
+  }
+
+  /** DuckDB twin of [[sourceTokenJS]]. */
+  def duckSourceTokenJS(tbl: String, srcCol: String, textCol: String,
+      topV: Int = 200): String =
+    s"""WITH sc AS (
+       |  SELECT $srcCol AS source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+       |  FROM (SELECT $srcCol, unnest(string_split_regex($textCol, '\\s+')) AS tok
+       |        FROM $tbl)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, SUM(c_st) AS c_c FROM sc GROUP BY 1
+       |    ORDER BY c_c DESC, tok ASC LIMIT $topV)),
+       |rc AS (SELECT sc.* FROM sc JOIN top ON sc.tok = top.tok),
+       |tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM rc GROUP BY 1),
+       |p AS (
+       |  SELECT tot.source, top.tok,
+       |    CAST(COALESCE(rc.c_st, 0) AS DOUBLE) / CAST(tot.t_s AS DOUBLE) AS p
+       |  FROM top CROSS JOIN tot
+       |  LEFT OUTER JOIN rc ON rc.source = tot.source AND rc.tok = top.tok)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  ${Num.duckDsum38(
+      "(CASE WHEN a.p > 0.0 THEN a.p * ln(a.p / ((a.p + b.p) / 2.0)) ELSE 0.0 END " +
+      "+ CASE WHEN b.p > 0.0 THEN b.p * ln(b.p / ((a.p + b.p) / 2.0)) ELSE 0.0 END)")} * 0.5
+       |    AS js_divergence,
+       |  CAST(COUNT(*) AS BIGINT) AS n_token_types
+       |FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Yule's K vocabulary-richness characteristic per group:
+    * K = 10⁴·(Σ_t m_t² − N)/N², N = token count, m_t = occurrences of type
+    * t. Repetition-heavy text scores high; rich vocabulary scores low; K is
+    * (asymptotically) length-invariant — the reason stylometry prefers it
+    * over raw type/token ratio, which collapses as documents grow.
+    *
+    * Σm² folds decimal(38,0): a 100 TB source can put m_t near 10¹², whose
+    * square overflows int64 — the decimal ladder is load-bearing, not
+    * pedantry. The two divisions at the end are deterministic doubles.
+    */
+  def yuleK(df: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(group.as("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("sm2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (lit(10000.0) *
+          (col("sm2").cast("double") - col("n_tokens").cast("double")) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+
+  /** DuckDB twin of [[yuleK]]. */
+  def duckYuleK(tbl: String, grpCol: String, textCol: String): String =
+    s"""WITH m AS (
+       |  SELECT $grpCol AS source, tok, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM (SELECT $grpCol, unnest(string_split_regex($textCol, '\\s+')) AS tok
+       |        FROM $tbl)
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(SUM(m) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  10000.0 * (CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DOUBLE)
+       |    - CAST(SUM(m) AS DOUBLE))
+       |    / (CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)) AS yule_k
+       |FROM m GROUP BY 1""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al.): candidate phrases are maximal
+    * runs of non-stopword tokens; word score = deg(w)/freq(w) where freq
+    * counts candidate occurrences and deg sums the lengths of the phrases
+    * containing each occurrence; phrase score = Σ word scores. Returns the
+    * global top-`k` phrases by (score, occurrences) with deterministic
+    * tie-breaks.
+    *
+    * The run segmentation is ONE per-document analytic window (stop-flag
+    * prefix sum — documents co-locate, so the window never crosses
+    * partitions); phrase assembly sorts by position INSIDE the group
+    * (sort_array of (pos, tok) structs — collect_list order is not a
+    * contract). Word scores are single divisions of exact integers; the
+    * per-phrase score folds decimal(38,18), so identical phrase texts score
+    * identically and the MAX over instances is exact. Top-k is TakeOrdered.
+    */
+  def rakeKeywords(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, stopwords: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val pos = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin(stopwords: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val runs = pos
+      .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L)).over(w))
+      .where(!col("stop"))
+    val phrases = runs.groupBy(col("doc_id"), col("run"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .localCheckpoint()
+    val words = phrases.select(col("doc_id"), col("run"), col("phrase"),
+      col("plen"), explode(split(col("phrase"), " ")).as("tok"))
+    val wstats = words.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+    words.join(broadcast(wstats), "tok")
+      .groupBy(col("doc_id"), col("run"))
+      .agg(max(col("phrase")).as("phrase"), // all equal within the group
+        Num.dsum38(col("wscore")).as("pscore"))
+      .groupBy(col("phrase"))
+      .agg(max(col("pscore")).as("score"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("score").desc, col("n_occurrences").desc, col("phrase").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[rakeKeywords]] — identical run segmentation and
+    * scoring chain. */
+  def duckRakeKeywords(tbl: String, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int = 20): String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT $idCol AS doc_id, string_split_regex($textCol, '\\s+') AS t
+       |  FROM $tbl),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS tok
+       |  FROM t0, UNNEST(range(1, len(t) + 1)) AS r(i)),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok, tok IN ($stopList) AS stop FROM pos),
+       |runs AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run,
+       |    stop
+       |  FROM flagged),
+       |phrases AS (
+       |  SELECT doc_id, run,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    CAST(COUNT(*) AS BIGINT) AS plen
+       |  FROM runs WHERE NOT stop GROUP BY 1, 2),
+       |words AS (
+       |  SELECT doc_id, run, plen, unnest(string_split(phrase, ' ')) AS tok
+       |  FROM phrases),
+       |wstats AS (
+       |  SELECT tok,
+       |    CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wscore
+       |  FROM words GROUP BY 1),
+       |pscore AS (
+       |  SELECT doc_id, run, MAX(phrase) AS phrase,
+       |    ${Num.duckDsum38("wscore")} AS pscore
+       |  FROM (SELECT w.doc_id, w.run, p.phrase, s.wscore
+       |        FROM words w
+       |        JOIN phrases p ON p.doc_id = w.doc_id AND p.run = w.run
+       |        JOIN wstats s ON s.tok = w.tok)
+       |  GROUP BY 1, 2)
+       |SELECT phrase, MAX(pscore) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |FROM pscore GROUP BY 1
+       |ORDER BY score DESC, n_occurrences DESC, phrase ASC
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -2039,7 +2039,58 @@ object TextQueries {
            |      ORDER BY jw DESC, df_fix DESC, fix ASC) AS rn
            |  FROM cand)
            |SELECT typo, sx, fix, jw, df_typo, df_fix FROM rk WHERE rn = 1"""
-        .stripMargin))
+        .stripMargin)),
+
+    // BURROWS' DELTA: the classic stylometric authorship distance between
+    // sources — z-scored relative frequencies of the corpus' 30 most
+    // frequent tokens, mean |Δz| per source pair. The operator every
+    // "which sources write alike / did this source change writers" audit
+    // starts from. One corpus pass; every later frame is (sources × 30).
+    QueryDef(
+      "q351_burrows_delta",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.burrowsDelta(docs, col("source"), col("text"), topN = 30)
+      },
+      Some(Text.duckBurrowsDelta("documents", "source", "text", topN = 30))),
+
+    // JENSEN-SHANNON source divergence: the symmetric, finite counterpart
+    // of q193's one-sided KL — pairwise JS between source unigram
+    // distributions over the top-200 vocabulary (renormalized within it).
+    // The "which pairs of sources are interchangeable for mixing" matrix.
+    QueryDef(
+      "q352_source_js_divergence",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.sourceTokenJS(docs, col("source"), col("text"), topV = 200)
+      },
+      Some(Text.duckSourceTokenJS("documents", "source", "text", topV = 200))),
+
+    // RAKE keyword extraction: maximal non-stopword runs as candidate
+    // phrases, deg/freq word scores, top-20 phrases. The unsupervised
+    // keyword baseline beside TF-IDF (q59: per-document ranking; RAKE:
+    // corpus-level multi-word phrases).
+    QueryDef(
+      "q353_rake_keywords",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.rakeKeywords(docs, col("doc_id"), col("text"),
+          stopwords = Seq("a", "the"), k = 20)
+      },
+      Some(Text.duckRakeKeywords("documents", "doc_id", "text",
+        stopwords = Seq("a", "the"), k = 20))),
+
+    // YULE'S K vocabulary richness per source: the length-invariant
+    // repetitiveness characteristic (high K = repetitive templates, low K =
+    // rich vocabulary) — the stylometric complement of q291's Heaps-law
+    // growth exponent, from the SAME (source, token, m) frame family.
+    QueryDef(
+      "q354_yule_k",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.yuleK(docs, col("source"), col("text"))
+      },
+      Some(Text.duckYuleK("documents", "source", "text")))
   )
 
   // -------------------------------------------------------------------------

@@ -762,4 +762,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p350.contains("LeftSemi"),
       s"q350: heavy-supplier filter must be a semi join:\n${p350.take(1500)}")
   }
+
+  test("q353/q354 stylometry pins: doc-keyed RAKE window; join-free Yule's K") {
+    // q353 RAKE: the visible plan starts after the phrase checkpoint (the
+    // doc-keyed run window lives on the checkpointed side); pin what
+    // remains — word scores broadcast into the phrase-instance frame, and
+    // the global top-k is TakeOrdered (no full sort materializes)
+    val p353 = plan(SparkEntry.queries("q353_rake_keywords")(spark, sf))
+    assert(p353.contains("BroadcastHashJoin"),
+      s"q353: wstats must broadcast:\n${p353.take(1500)}")
+    assert(p353.contains("TakeOrderedAndProject"),
+      s"q353: top-k must be TakeOrdered:\n${p353.take(1500)}")
+    // q354 Yule's K: two keyed aggregations, no joins, no windows
+    val p354 = plan(SparkEntry.queries("q354_yule_k")(spark, sf))
+    assert(!p354.toLowerCase.contains("join"), s"q354: no joins:\n${p354.take(1000)}")
+    assert(!p354.contains("windowspecdefinition"), "q354: no analytic windows")
+  }
 }

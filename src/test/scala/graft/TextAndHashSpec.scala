@@ -314,4 +314,45 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
       assert(got(w) == exp, s"soundex('$w') = ${got(w)}, expected $exp")
     }
   }
+
+  test("stylometry closed forms: Yule's K, RAKE scores, Burrows' Delta, JS divergence") {
+    import spark.implicits._
+    // Yule's K: "x x x y" → N=4, Σm² = 9+1 = 10, K = 10⁴·(10−4)/16 = 3750
+    val yk = graft.ops.Text.yuleK(
+      Seq(("s", "x x x y")).toDF("src", "text"), col("src"), col("text"))
+      .collect().head
+    assert(yk.getAs[Long]("n_tokens") == 4L && yk.getAs[Long]("n_types") == 2L)
+    assert(math.abs(yk.getAs[Double]("yule_k") - 3750.0) < 1e-9)
+
+    // RAKE: "red apple the red apple the juice", stop={the}:
+    // phrases "red apple"×2, "juice"; deg/freq: red 4/2, apple 4/2,
+    // juice 1/1 → scores: "red apple" = 4.0, "juice" = 1.0
+    val rake = graft.ops.Text.rakeKeywords(
+      Seq((1L, "red apple the red apple the juice")).toDF("id", "text"),
+      col("id"), col("text"), Seq("the"), k = 10)
+      .collect().map(r => (r.getAs[String]("phrase"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_occurrences")))
+    assert(rake.toSeq == Seq(("red apple", 4.0, 2L), ("juice", 1.0, 1L)),
+      s"got ${rake.toSeq}")
+
+    // Burrows' Delta on s1="x x y", s2="x y y", s3="x y": f_x are
+    // {2/3, 1/3, 1/2} → μ=1/2, σ²=1/54, so z_x = {+√6/2, −√6/2, 0}
+    // (y mirrors): delta(s1,s2) = √6, delta(s1,s3) = delta(s2,s3) = √6/2
+    val bd = graft.ops.Text.burrowsDelta(
+      Seq(("s1", "x x y"), ("s2", "x y y"), ("s3", "x y")).toDF("src", "text"),
+      col("src"), col("text"), topN = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("delta"))).toMap
+    assert(math.abs(bd(("s1", "s2")) - math.sqrt(6)) < 1e-9)
+    assert(math.abs(bd(("s1", "s3")) - math.sqrt(6) / 2) < 1e-9)
+    assert(math.abs(bd(("s2", "s3")) - math.sqrt(6) / 2) < 1e-9)
+
+    // JS divergence: disjoint unigram distributions → ln 2; the diagonal is
+    // excluded by a<b so only the cross pair appears
+    val js = graft.ops.Text.sourceTokenJS(
+      Seq(("a", "x x"), ("b", "y y")).toDF("src", "text"),
+      col("src"), col("text"), topV = 10)
+      .collect().map(r => r.getAs[Double]("js_divergence"))
+    assert(js.length == 1 && math.abs(js.head - math.log(2.0)) < 1e-12)
+  }
 }
