@@ -1119,6 +1119,76 @@ object Similarity {
     pcaOrderedSum(cov.where(col("j") === col("k")).groupBy(), "j", col("c"))
       .select(pcaFoldT(col("arr")).as("tr"))
 
+  /** Calinski-Harabasz variance-ratio index of a labeled embedding set:
+    * B = Σ_k n_k·‖c_k − g‖², W = Σ_i ‖x_i − c_label(i)‖²,
+    * CH = (B/(k−1))/(W/(n−k)). One corpus pass (own-centroid distances via
+    * broadcast centroids); the global mean g derives from the WEIGHTED
+    * centroids — a k-row frame, never a second corpus scan. All folds
+    * decimal(38,18). Returns one row per cluster: (cluster, n, w_k, b_k,
+    * ch_index), ch_index repeated (the q338 presentation discipline).
+    */
+  def calinskiHarabasz(df: DataFrame, vec: Column, label: Column): DataFrame = {
+    val cents = materializeCentroids(centroidArrays(
+      labelCentroidsFlat(df, vec, label)))
+    val within = df
+      .select(label.as("clabel"), vec.as("v"))
+      .join(broadcast(cents), "clabel")
+      .groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n"),
+        Num.dsum38(l2sq(col("v"), col("carr"))).as("w_k"))
+      .join(cents, "clabel")
+      .localCheckpoint()
+    val gm = within
+      .select(col("n"), posexplode(col("carr")).as(Seq("dim", "cd")))
+      .groupBy(col("dim"))
+      .agg((Num.dsum38(col("cd") * col("n").cast("double")) /
+        sum(col("n")).cast("double")).as("g"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("g")))),
+        x => x.getField("g")).as("garr"))
+    val perCluster = within.crossJoin(broadcast(gm))
+      .select(col("clabel").as("cluster"), col("n"), col("w_k"),
+        (col("n").cast("double") *
+          l2sqComposed(col("carr"), col("garr"))).as("b_k"))
+      .localCheckpoint()
+    val tot = perCluster.agg(
+      Num.dsum38(col("b_k")).as("b"), Num.dsum38(col("w_k")).as("w"),
+      sum(col("n")).as("n_total"), count(lit(1)).as("k"))
+    perCluster.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n"), col("w_k"), col("b_k"),
+        ((col("b") / (col("k") - 1).cast("double")) /
+          (col("w") / (col("n_total") - col("k")).cast("double")))
+          .as("ch_index"))
+  }
+
+  /** Participation ratio of the covariance spectrum — the intrinsic
+    * dimensionality of the embedding cloud WITHOUT an eigendecomposition:
+    * PR = (Σλ)²/Σλ² = tr(C)²/‖C‖²_F, since tr(C) = Σλ and the squared
+    * Frobenius norm of a symmetric matrix is Σλ². PR = d for isotropic
+    * clouds, → 1 when one direction dominates (embeddings collapsing to a
+    * line — the anisotropy failure mode PR catches long before a top-k
+    * eigensolve would). `dim_fraction` = PR/d is the scale-free readout.
+    *
+    * Exactness: reuses the one-pass decimal covariance (pcaCovariance);
+    * trace and Frobenius fold decimal(38,18) over the d²-bounded cov frame,
+    * so both scalars — and the two final divisions — are partition-order
+    * deterministic and replay identically in DuckDB.
+    *
+    * Scale: ONE corpus pass (the covariance explode); everything after is
+    * d²-row arithmetic.
+    */
+  def participationRatio(df: DataFrame, id: Column, vec: Column,
+      dims: Int): DataFrame = {
+    val (_, cov) = pcaCovariance(df, id, vec, dims)
+    val tr = cov.where(col("j") === col("k"))
+      .agg(Num.dsum38(col("c")).as("trace"))
+    val fr = cov.agg(Num.dsum38(col("c") * col("c")).as("frob2"))
+    tr.crossJoin(broadcast(fr))
+      .select(col("trace"), col("frob2"),
+        (col("trace") * col("trace") / col("frob2")).as("participation_ratio"),
+        (col("trace") * col("trace") / col("frob2") / lit(dims.toDouble))
+          .as("dim_fraction"))
+  }
+
   /** (vec_id, proj): every vector's dim-ascending-fold dot product with the
     * trained first principal component (broadcast as one d-element array).
     */

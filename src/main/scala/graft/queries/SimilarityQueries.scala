@@ -1925,7 +1925,95 @@ object SimilarityQueries {
            |idx AS (SELECT ${Num.duckDsum38("d_i")} / COUNT(*) AS db_index FROM r)
            |SELECT r.i AS cluster, r.n, r.si AS mean_dist,
            |  r.d_i AS worst_ratio, idx.db_index
-           |FROM r CROSS JOIN idx""".stripMargin))
+           |FROM r CROSS JOIN idx""".stripMargin)),
+
+    // CALINSKI-HARABASZ index (variance-ratio criterion): the third
+    // cluster-quality lens beside silhouette (q265, per-point) and
+    // Davies-Bouldin (q338, worst-pair) — CH is the global
+    // between/within variance ratio, the one that rewards well-separated
+    // AND tight clusterings symmetrically. B = Σ n_k·‖c_k − g‖²,
+    // W = Σᵢ ‖xᵢ − c_label(i)‖², CH = (B/(k−1))/(W/(n−k)). ONE corpus pass
+    // (the own-centroid distances through broadcast centroids — q338's
+    // shape); the global mean derives from the WEIGHTED centroids (a k-row
+    // frame), never a second corpus scan. All folds decimal(38,18).
+    QueryDef(
+      "q355_calinski_harabasz",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.calinskiHarabasz(emb, col("embedding"), col("label"))
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckIvfCtes,
+           |own AS (
+           |  SELECT em.label AS clabel, d.d2
+           |  FROM dist d JOIN embeddings em
+           |    ON em.vec_id = d.vec_id AND em.label = d.clabel),
+           |wk AS (
+           |  SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${Num.duckDsum38("d2")} AS w_k
+           |  FROM own GROUP BY 1),
+           |wc AS (
+           |  SELECT wk.clabel, wk.n, wk.w_k, cent.carr
+           |  FROM wk JOIN cent ON cent.clabel = wk.clabel),
+           |gm AS (
+           |  SELECT list(g ORDER BY dim) AS garr FROM (
+           |    SELECT dim,
+           |      ${Num.duckDsum38("cd * CAST(n AS DOUBLE)")} /
+           |        CAST(SUM(n) AS DOUBLE) AS g
+           |    FROM (SELECT n, i - 1 AS dim, carr[i] AS cd
+           |          FROM wc, unnest(range(1, len(carr) + 1)) AS r(i))
+           |    GROUP BY 1)),
+           |pc AS (
+           |  SELECT wc.clabel AS cluster, wc.n, wc.w_k,
+           |    CAST(wc.n AS DOUBLE) * list_reduce(
+           |      list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(range(1, len(wc.carr) + 1),
+           |          chd -> (wc.carr[chd] - gm.garr[chd]) *
+           |                 (wc.carr[chd] - gm.garr[chd]))),
+           |      (x, y) -> x + y) AS b_k
+           |  FROM wc CROSS JOIN gm),
+           |tot AS (
+           |  SELECT ${Num.duckDsum38("b_k")} AS b, ${Num.duckDsum38("w_k")} AS w,
+           |    CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM pc)
+           |SELECT pc.cluster, pc.n, pc.w_k, pc.b_k,
+           |  (tot.b / CAST(tot.k - 1 AS DOUBLE)) /
+           |    (tot.w / CAST(tot.n_total - tot.k AS DOUBLE)) AS ch_index
+           |FROM pc CROSS JOIN tot""".stripMargin)),
+
+    // PARTICIPATION RATIO: intrinsic dimensionality of the embedding cloud
+    // from trace/Frobenius identities alone — no eigensolve (see the
+    // operator scaladoc). The anisotropy audit run BEFORE trusting cosine
+    // similarity at corpus scale: a dim_fraction near 1/d means every
+    // cosine is dominated by one direction and the ANN index family
+    // (q60–q69, q157) is ranking noise.
+    QueryDef(
+      "q356_participation_ratio",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.participationRatio(emb, col("vec_id"), col("embedding"), 64)
+      },
+      Some(s"""WITH e AS (SELECT embedding AS v FROM embeddings),
+           |tri AS (
+           |  SELECT j, k,
+           |    ${Num.duckDsum38("CAST(v[j] AS DOUBLE) * CAST(v[k] AS DOUBLE)")} AS s,
+           |    COUNT(*) AS cnt
+           |  FROM e, unnest(range(1, 65)) AS tj(j), unnest(range(1, 65)) AS tk(k)
+           |  WHERE k >= j GROUP BY 1, 2),
+           |mu AS (
+           |  SELECT j, ${Num.duckDsum38("CAST(v[j] AS DOUBLE)")} / COUNT(*) AS mu
+           |  FROM e, unnest(range(1, 65)) AS tj(j) GROUP BY 1),
+           |covu AS (
+           |  SELECT t.j, t.k, t.s / t.cnt - mj.mu * mk.mu AS c
+           |  FROM tri t JOIN mu mj ON mj.j = t.j JOIN mu mk ON mk.j = t.k),
+           |cov AS (SELECT j, k, c FROM covu
+           |        UNION ALL SELECT k AS j, j AS k, c FROM covu WHERE j <> k),
+           |tr AS (SELECT ${Num.duckDsum38("c")} AS trace FROM cov WHERE j = k),
+           |fr AS (SELECT ${Num.duckDsum38("c * c")} AS frob2 FROM cov)
+           |SELECT tr.trace, fr.frob2,
+           |  tr.trace * tr.trace / fr.frob2 AS participation_ratio,
+           |  tr.trace * tr.trace / fr.frob2 / 64.0 AS dim_fraction
+           |FROM tr CROSS JOIN fr""".stripMargin))
   )
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227

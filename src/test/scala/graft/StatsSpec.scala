@@ -244,4 +244,40 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(raw - iso) < eps, s"bin $b: monotone input must be a fixed point")
     }
   }
+
+  test("calinskiHarabasz: hand-computed two-cluster closed form") {
+    import spark.implicits._
+    // A: (0,0),(2,0); B: (10,0),(12,0) → centroids (1,0),(11,0), g=(6,0),
+    // W = 4, B = 2·25 + 2·25 = 100, CH = (100/1)/(4/2) = 50
+    val df = Seq(
+      (Array(0f, 0f), 0), (Array(2f, 0f), 0),
+      (Array(10f, 0f), 1), (Array(12f, 0f), 1)).toDF("embedding", "label")
+    val rows = graft.ops.Similarity
+      .calinskiHarabasz(df, col("embedding"), col("label"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ch_index") - 50.0) < eps)
+      assert(math.abs(r.getAs[Double]("w_k") - 2.0) < eps)
+      assert(math.abs(r.getAs[Double]("b_k") - 50.0) < eps)
+    }
+  }
+
+  test("participationRatio: rank-1 cloud → PR 1; isotropic 2-D cloud → PR 2") {
+    import spark.implicits._
+    val rank1 = Seq((1L, Array(0f, 0f)), (2L, Array(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ops.Similarity
+      .participationRatio(rank1, col("vec_id"), col("embedding"), 2)
+      .collect().head
+    assert(math.abs(r1.getAs[Double]("participation_ratio") - 1.0) < eps)
+    assert(math.abs(r1.getAs[Double]("trace") - 1.0) < eps)
+    val iso = Seq((1L, Array(0f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 2f)), (4L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val r2 = graft.ops.Similarity
+      .participationRatio(iso, col("vec_id"), col("embedding"), 2)
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("participation_ratio") - 2.0) < eps)
+    assert(math.abs(r2.getAs[Double]("dim_fraction") - 1.0) < eps)
+  }
 }
