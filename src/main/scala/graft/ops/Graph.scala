@@ -62,20 +62,7 @@ object Graph {
     val ed = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     val deg = ed.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = ed
-      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
-      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("id_a") < col("id_b"))
-    val oriented = withDeg.select(
-      when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
-      when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
-      .localCheckpoint()
-    val closed = oriented.select(col("src"), col("dst").as("v"))
-      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
-      .where(col("v") < col("w"))
-      .join(ed.select(least(col("id_a"), col("id_b")).as("v"),
-        greatest(col("id_a"), col("id_b")).as("w")), Seq("v", "w"), "left_semi")
+    val closed = orientedClosedTriangles(ed, deg)
     val tri = closed.agg(count(lit(1)).as("n_triangles"))
     // empty edge set: SUM over zero rows is NULL — report 0 wedges, not null
     val wedges = deg.agg(
@@ -86,6 +73,84 @@ object Graph {
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         ((col("n_triangles") * lit(3L)).cast("double") /
           col("n_wedges").cast("double")).as("clustering"))
+  }
+
+  /** The degree-oriented triangle enumeration shared by [[triangleStats]]
+    * and [[localClustering]]: edges direct from their (degree, id)-smaller
+    * endpoint, wedges open at the light apex, and a semi-join back to the
+    * id-ordered edge set closes them. Returns one row per triangle with all
+    * three members as (src, v, w), v < w.
+    */
+  private def orientedClosedTriangles(ed: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = ed
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+      when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+      .localCheckpoint()
+    oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+      .where(col("v") < col("w"))
+      .join(ed.select(least(col("id_a"), col("id_b")).as("v"),
+        greatest(col("id_a"), col("id_b")).as("w")), Seq("v", "w"), "left_semi")
+  }
+
+  /** Per-node clustering coefficient: lcc(i) = 2·t_i / (deg_i·(deg_i−1))
+    * where t_i counts triangles through i. Same degree-oriented enumeration
+    * as [[triangleStats]] (each closed triangle explodes to its 3 members —
+    * a 3× constant, not a data-sized blow-up); nodes of degree < 2 have no
+    * defined coefficient and are excluded. Exact integers until the one
+    * division. Output: (id, deg, n_triangles, lcc).
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = ed.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tn = orientedClosedTriangles(ed, deg)
+      .select(explode(array(col("src"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("deg") >= 2)
+      .join(tn, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((coalesce(col("n_triangles"), lit(0L)) * lit(2L)).cast("double") /
+          (col("deg") * (col("deg") - lit(1L))).cast("double")).as("lcc"))
+  }
+
+  /** Adamic-Adar link prediction over an undirected edge set (id_a < id_b):
+    * for each NON-adjacent pair (a, b) sharing at least one neighbor,
+    * score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbors weighted
+    * inversely by their hubness. The link-prediction read over the
+    * mutual-kNN graph: "which near-dup clusters are one edge away from
+    * merging". Returns the top-`k` pairs.
+    *
+    * Scale shape: wedge enumeration through each center z costs Σ deg(z)²
+    * — bounded on kNN graphs (deg ≤ k by construction); a wedge center
+    * always has deg ≥ 2, so ln(deg) > 0 and the weight is finite. The
+    * existing-edge exclusion is a native LeftAnti; the per-pair fold is
+    * decimal(38,18); top-k is TakeOrdered with full tie-breaks.
+    */
+  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+    val ed = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val adj = ed.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(ed.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val cand = adj.select(col("nbr").as("a"), col("id").as("z"))
+      .join(adj.select(col("id").as("z"), col("nbr").as("b")), "z")
+      .where(col("a") < col("b"))
+    cand.join(deg.select(col("id").as("z"), col("deg")), "z")
+      .groupBy(col("a"), col("b"))
+      .agg(Num.dsum38(lit(1.0) / log(col("deg").cast("double"))).as("aa_score"),
+        count(lit(1)).as("n_common"))
+      .join(ed.select(col("id_a").as("a"), col("id_b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("aa_score"), col("n_common"))
+      .orderBy(col("aa_score").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
   }
 
   def pageRank(

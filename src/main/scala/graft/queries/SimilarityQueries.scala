@@ -2013,7 +2013,93 @@ object SimilarityQueries {
            |SELECT tr.trace, fr.frob2,
            |  tr.trace * tr.trace / fr.frob2 AS participation_ratio,
            |  tr.trace * tr.trace / fr.frob2 / 64.0 AS dim_fraction
-           |FROM tr CROSS JOIN fr""".stripMargin))
+           |FROM tr CROSS JOIN fr""".stripMargin)),
+
+    // ADAMIC-ADAR link prediction over the mutual-kNN graph: top-20
+    // non-adjacent pairs by Σ 1/ln(deg) over common neighbors — "which
+    // near-dup clusters are one edge away from merging". Engine runs the
+    // degree-bounded wedge enumeration + LeftAnti exclusion (Graph
+    // scaladoc); the oracle replays it the naive relational way. Ground
+    // truth edges are q148's quadratic exact kNN, hence bench=false.
+    QueryDef(
+      "q357_knn_adamic_adar",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.adamicAdar(graft.ops.Graph.mutualEdges(topk), k = 20)
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |edges AS (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |adj AS (
+           |  SELECT id_a AS id, id_b AS nbr FROM edges
+           |  UNION ALL SELECT id_b, id_a FROM edges),
+           |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+           |cand AS (
+           |  SELECT w1.nbr AS a, w1.id AS z, w2.nbr AS b
+           |  FROM adj w1 JOIN adj w2 ON w2.id = w1.id AND w1.nbr < w2.nbr),
+           |scored AS (
+           |  SELECT a, b,
+           |    ${Num.duckDsum38("1.0 / ln(CAST(deg AS DOUBLE))")} AS aa_score,
+           |    CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM cand JOIN deg ON deg.id = cand.z
+           |  GROUP BY 1, 2)
+           |SELECT a AS id_a, b AS id_b, aa_score, n_common
+           |FROM scored
+           |WHERE NOT EXISTS (SELECT 1 FROM edges
+           |  WHERE id_a = scored.a AND id_b = scored.b)
+           |ORDER BY aa_score DESC, id_a ASC, id_b ASC
+           |LIMIT 20""".stripMargin),
+      bench = false),
+
+    // LOCAL clustering coefficient per node of the mutual-kNN graph — the
+    // per-node refinement of q242's single global coefficient: which
+    // vectors sit in tight near-dup communities (lcc → 1) vs hub spokes
+    // (lcc → 0). Engine: degree-oriented triangle enumeration exploded to
+    // members; oracle: naive a<b<c census. bench=false (exact-kNN truth).
+    QueryDef(
+      "q358_knn_local_clustering",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), 3)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.localClustering(graft.ops.Graph.mutualEdges(topk))
+      },
+      Some(s"""WITH $duckEmb,
+           |$duckTop3Cte,
+           |edges AS (
+           |  SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+           |  FROM topf f
+           |  WHERE f.query_id < f.neighbor_id
+           |    AND EXISTS (SELECT 1 FROM topf r
+           |                WHERE r.query_id = f.neighbor_id
+           |                  AND r.neighbor_id = f.query_id)),
+           |deg AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT id_a AS id FROM edges
+           |    UNION ALL SELECT id_b FROM edges) GROUP BY 1),
+           |tris AS (
+           |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+           |  FROM edges e1
+           |  JOIN edges e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+           |  JOIN edges e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+           |tn AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+           |    SELECT unnest([a, b, c]) AS id FROM tris) GROUP BY 1)
+           |SELECT deg.id, deg.deg,
+           |  COALESCE(tn.n_triangles, 0) AS n_triangles,
+           |  CAST(COALESCE(tn.n_triangles, 0) * 2 AS DOUBLE) /
+           |    CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS lcc
+           |FROM deg LEFT OUTER JOIN tn ON tn.id = deg.id
+           |WHERE deg.deg >= 2""".stripMargin),
+      bench = false)
   )
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227

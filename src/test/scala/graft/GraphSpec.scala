@@ -119,4 +119,34 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       (10L, 11L), (10L, 12L), (11L, 12L))
     assert(lpa(twoK3, 4) == lpa(twoK3, 8))
   }
+
+  test("localClustering: K4 nodes are fully clustered; a pendant halves its anchor; deg-1 excluded") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant edge (4,5): lcc(1..3)=1 (3 triangles,
+    // deg 3); lcc(4) = 2·3/(4·3) = 0.5; node 5 (deg 1) must not appear
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val m = Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L), s"got ${m.keySet}")
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(m(i) == ((3L, 3L, 1.0)), s"node $i: ${m(i)}")
+    }
+    assert(m(4L) == ((4L, 3L, 0.5)), s"node 4: ${m(4L)}")
+  }
+
+  test("adamicAdar: square's diagonals score 2/ln 2; adjacent pairs excluded") {
+    import spark.implicits._
+    // C4 cycle 1-2-3-4-1: non-adjacent (1,3) and (2,4) each share two
+    // degree-2 neighbors → score 2/ln 2; every adjacent pair is excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val rows = Graph.adamicAdar(edges, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+    assert(rows.map(_._1).toSet == Set((1L, 3L), (2L, 4L)), s"got ${rows.toSeq}")
+    rows.foreach { case (p, (s, n)) =>
+      assert(n == 2L && math.abs(s - 2.0 / math.log(2.0)) < 1e-12,
+        s"pair $p: ($s, $n)")
+    }
+  }
 }
