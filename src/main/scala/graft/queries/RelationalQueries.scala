@@ -5106,6 +5106,102 @@ object RelationalQueries {
            |SELECT s_suppkey, s_name, s_acctbal
            |FROM supplier
            |WHERE s_nationkey = 7
-           |  AND EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)""".stripMargin))
+           |  AND EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)""".stripMargin)),
+
+    // L-DIVERSITY audit: q274's k-anonymity counts how many people share a
+    // quasi-identifier signature; this asks the follow-up homogeneity
+    // question — do those people also share the SENSITIVE value? A group
+    // can be 1000-anonymous and still leak everything if all 1000 rows
+    // carry one segment. Quasi-identifiers (nationkey, balance band, the
+    // q274 integer-exact banding), sensitive = market segment; the FULL
+    // audit table is emitted with a fails_l3 flag (a violations-only cut
+    // degenerates to zero rows once groups outgrow the threshold — at
+    // sf0.1 every group already holds all 5 segments). One aggregation.
+    QueryDef(
+      "q359_l_diversity",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        c.groupBy(col("c_nationkey"),
+            expr("(CAST(c_acctbal * 100 AS BIGINT) + 10000000) div 100000")
+              .as("bal_band"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("c_mktsegment")).as("l_distinct"))
+          .select(col("c_nationkey"), col("bal_band"), col("n"),
+            col("l_distinct"), (col("l_distinct") < 3).as("fails_l3"))
+      },
+      Some("""SELECT c_nationkey,
+           |  (CAST(c_acctbal * 100 AS BIGINT) + 10000000) // 100000 AS bal_band,
+           |  COUNT(*) AS n,
+           |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           |  COUNT(DISTINCT c_mktsegment) < 3 AS fails_l3
+           |FROM customer
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // T-CLOSENESS audit: the distributional refinement of q359 — a group
+    // can be 3-diverse yet still skewed (99% one segment). Per quasi-group,
+    // the total-variation distance ½·Σ|p_group − p_corpus| over the segment
+    // alphabet, emitted for EVERY group with a fails_t (t = 0.5) flag
+    // (q359's full-table rationale). The grid is (groups × 5
+    // segments) with ABSENT segments present as p=0 rows (a left join from
+    // the segment alphabet — dropping them understates the distance); the
+    // corpus distribution is a 5-row broadcast; folds decimal(38,18).
+    QueryDef(
+      "q360_t_closeness",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"),
+            expr("(CAST(c_acctbal * 100 AS BIGINT) + 10000000) div 100000")
+              .as("bal_band"),
+            col("c_mktsegment"))
+          .localCheckpoint()
+        val corpus = c.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("c_seg"))
+        val nTot = c.agg(count(lit(1)).as("n_tot"))
+        val groups = c.groupBy(col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("n_g"))
+        val cells = c.groupBy(col("c_nationkey"), col("bal_band"),
+            col("c_mktsegment"))
+          .agg(count(lit(1)).as("c_gs"))
+        val grid = groups
+          .crossJoin(broadcast(corpus.crossJoin(nTot)))
+          .join(cells, Seq("c_nationkey", "bal_band", "c_mktsegment"),
+            "left_outer")
+          .select(col("c_nationkey"), col("bal_band"), col("n_g"),
+            (coalesce(col("c_gs"), lit(0L)).cast("double") /
+              col("n_g").cast("double")).as("pg"),
+            (col("c_seg").cast("double") / col("n_tot").cast("double")).as("pc"))
+        grid.groupBy(col("c_nationkey"), col("bal_band"), col("n_g"))
+          .agg((Num.dsum38(abs(col("pg") - col("pc"))) * lit(0.5)).as("tvd"))
+          .select(col("c_nationkey"), col("bal_band"), col("n_g"), col("tvd"),
+            (col("tvd") > 0.5).as("fails_t"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT c_nationkey,
+           |    (CAST(c_acctbal * 100 AS BIGINT) + 10000000) // 100000 AS bal_band,
+           |    c_mktsegment
+           |  FROM customer),
+           |corpus AS (
+           |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c_seg FROM base
+           |  GROUP BY 1),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM base),
+           |groups AS (
+           |  SELECT c_nationkey, bal_band, CAST(COUNT(*) AS BIGINT) AS n_g
+           |  FROM base GROUP BY 1, 2),
+           |cells AS (
+           |  SELECT c_nationkey, bal_band, c_mktsegment,
+           |    CAST(COUNT(*) AS BIGINT) AS c_gs
+           |  FROM base GROUP BY 1, 2, 3),
+           |grid AS (
+           |  SELECT g.c_nationkey, g.bal_band, g.n_g,
+           |    CAST(COALESCE(ce.c_gs, 0) AS DOUBLE) / CAST(g.n_g AS DOUBLE) AS pg,
+           |    CAST(co.c_seg AS DOUBLE) / CAST(nt.n_tot AS DOUBLE) AS pc
+           |  FROM groups g CROSS JOIN corpus co CROSS JOIN nt
+           |  LEFT OUTER JOIN cells ce ON ce.c_nationkey = g.c_nationkey
+           |    AND ce.bal_band = g.bal_band AND ce.c_mktsegment = co.c_mktsegment)
+           |SELECT c_nationkey, bal_band, n_g,
+           |  ${Num.duckDsum38("abs(pg - pc)")} * 0.5 AS tvd,
+           |  ${Num.duckDsum38("abs(pg - pc)")} * 0.5 > 0.5 AS fails_t
+           |FROM grid
+           |GROUP BY 1, 2, 3""".stripMargin))
   )
 }
