@@ -2098,6 +2098,197 @@ object Text {
        |LIMIT $topK""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Unigram language-model tokenizer (SentencePiece-style, Viterbi-EM).
+  //
+  // The OTHER industry-standard subword tokenizer beside BPE (bpeTrain):
+  // instead of greedy merges, a piece VOCABULARY with probabilities and a
+  // Viterbi segmentation maximizing Σ log p(piece). One hard-EM round,
+  // fully deterministic and replayed step-for-step by the DuckDB twin:
+  //
+  //  1. seed candidates = every substring (length ≤ maxPieceLen) of every
+  //     distinct word, weighted by word frequency; keep ALL single
+  //     characters (completeness — every position stays reachable) plus the
+  //     top-`topV` multi-char pieces (freq DESC, piece ASC);
+  //  2. seed log-probs lp = ln(freq / Σ freq) over the kept set;
+  //  3. E-step: per distinct WORD (never per corpus row), the Viterbi DP
+  //     dp[i] = max_k dp[i−k] + lp(w[i−k+1..i]), k ≤ maxPieceLen, with the
+  //     SMALLEST k winning ties (strictly-greater update, k ascending —
+  //     the tie-break both engines replay identically);
+  //  4. M-step: piece counts over the Viterbi segmentations, weighted by
+  //     word frequency → re-estimated probabilities.
+  //
+  // Exactness: lp values are ln of single divisions of exact integers; the
+  // DP adds ≤ maxWordLen doubles in the fixed recurrence order, so every
+  // score — and therefore every argmax under the shared tie-break — is
+  // bit-identical cross-engine. Words longer than `maxWordLen` are excluded
+  // in BOTH engines (the DP unroll bound is part of the operator contract).
+  //
+  // Scale: one corpus tokenization; everything after runs on the DISTINCT
+  // word vocabulary (Heaps-sublinear) with parameter-bounded piece lists
+  // carried as two broadcast arrays — no driver collect, no per-row joins.
+  // -------------------------------------------------------------------------
+
+  /** E-step: (w, n, seg) — every distinct word with its Viterbi
+    * segmentation under the seed piece model. See the section comment.
+    */
+  def unigramSegmentWords(df: org.apache.spark.sql.DataFrame, text: Column,
+      maxPieceLen: Int = 4, topV: Int = 40,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1 && topV >= 1 && maxWordLen >= 1)
+    val words = df.select(explode(tokens(text)).as("w"))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cand = words.select(col("n"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("freq"))
+      .localCheckpoint()
+    val chars = cand.where(length(col("piece")) === 1)
+    val multi = cand.where(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece").asc).limit(topV)
+    val kept = chars.unionByName(multi)
+    val tot = kept.agg(sum(col("freq")).as("t"))
+    val pieces = kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        log(col("freq").cast("double") / col("t").cast("double")).as("lp"))
+    // the model rides every word row as two piece-ordered broadcast arrays
+    val lists = pieces.agg(
+      transform(sort_array(collect_list(struct(col("piece"), col("lp")))),
+        s => s.getField("piece")).as("pk"),
+      transform(sort_array(collect_list(struct(col("piece"), col("lp")))),
+        s => s.getField("lp")).as("pv"))
+    val NEG = -1.0e18
+    def lp(p: Column): Column = {
+      val pos = array_position(col("pk"), p)
+      when(pos > 0, element_at(col("pv"), pos.cast("int"))).otherwise(lit(NEG))
+    }
+    val dpExpr = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(struct(lit(0.0).as("s"), lit(0).as("k"))),
+      (acc, i) => {
+        val best = (1 to maxPieceLen).foldLeft(
+          struct(lit(NEG).as("s"), lit(0).as("k"))) { (cur, k) =>
+          val sc = element_at(acc, (i - lit(k) + 1).cast("int")).getField("s") +
+            lp(col("w").substr(i - lit(k) + 1, lit(k)))
+          when(lit(k) <= i && sc > cur.getField("s"),
+            struct(sc.as("s"), lit(k).as("k"))).otherwise(cur)
+        }
+        concat(acc, array(best))
+      })
+    // backtrack: maxWordLen folds suffice (each consumes ≥ 1 char); pos
+    // derives from chars already consumed, pieces PREPEND so seg reads
+    // left-to-right
+    val segExpr = aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(length(col("w")).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val k = element_at(col("dp"), (pos + 1).cast("int")).getField("k")
+        when(pos > 0,
+          struct((pos - k).as("pos"),
+            concat(array(col("w").substr(pos - k + 1, k)),
+              st.getField("ps")).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+    words.crossJoin(broadcast(lists))
+      .withColumn("dp", dpExpr)
+      .select(col("w"), col("n"), segExpr.as("seg"))
+  }
+
+  /** M-step over [[unigramSegmentWords]]: re-estimated piece statistics
+    * (piece, cnt, prob), cnt weighted by word frequency.
+    */
+  def unigramPieceStats(segmented: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = segmented.select(col("n"), explode(col("seg")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("cnt")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("double") / col("t").cast("double")).as("prob"))
+  }
+
+  /** DuckDB twin of [[unigramSegmentWords]] — CTE chain ending in
+    * `segw(w, n, seg)`. The DP and backtrack are fully UNROLLED as
+    * `maxWordLen` plain CTE steps (the BPE oracle discipline) instead of
+    * list_reduce folds: DuckDB 1.0 lambdas that capture outer columns
+    * (here `w`/`dp`) returned OTHER ROWS' values in some vectorized batch
+    * paths during development (a q362-with-LIMIT run was right while the
+    * same CTE without it segmented "customer" with pieces from a different
+    * word), so no lambda in this chain captures anything.
+    */
+  def duckUnigramCtes(src: String, textCol: String, maxPieceLen: Int = 4,
+      topV: Int = 40, maxWordLen: Int = 12): String = {
+    val NEG = "-1.0e18"
+    def lpOf(piece: String): String =
+      s"COALESCE(pv[list_position(pk, $piece)], $NEG)"
+    // DP step K: append best(position K) — nested strictly-greater CASE,
+    // k ascending, so the SMALLEST k wins ties (the engine's tie-break)
+    val dpSteps = (1 to maxWordLen).map { bigK =>
+      val best = (1 to math.min(maxPieceLen, bigK)).foldLeft(
+        s"{'s': CAST($NEG AS DOUBLE), 'k': 0}") { (cur, k) =>
+        val sc = s"(dp[${bigK - k + 1}].s + ${lpOf(s"substr(w, ${bigK - k + 1}, $k)")})"
+        s"""CASE WHEN $sc > ($cur).s
+           | THEN {'s': $sc, 'k': $k} ELSE $cur END""".stripMargin
+      }
+      s"""udp$bigK AS (
+         |  SELECT w, n, pk, pv,
+         |    CASE WHEN length(w) >= $bigK THEN list_append(dp, $best)
+         |         ELSE dp END AS dp
+         |  FROM udp${bigK - 1})""".stripMargin
+    }.mkString(",\n")
+    // backtrack step J: consume one piece while the cursor is open
+    val btSteps = (1 to maxWordLen).map { j =>
+      s"""ubt$j AS (
+         |  SELECT w, n, dp,
+         |    CASE WHEN pos > 0 THEN pos - dp[pos + 1].k ELSE pos END AS pos,
+         |    CASE WHEN pos > 0
+         |      THEN list_prepend(
+         |        substr(w, pos - dp[pos + 1].k + 1, dp[pos + 1].k), ps)
+         |      ELSE ps END AS ps
+         |  FROM ubt${j - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""uw AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split_regex($textCol, '\\s+')) AS w FROM $src)
+       |  WHERE length(w) BETWEEN 1 AND $maxWordLen GROUP BY 1),
+       |ucand AS (
+       |  SELECT substr(w, ci, cl) AS piece, CAST(SUM(n) AS BIGINT) AS freq
+       |  FROM uw,
+       |    unnest(range(1, length(w) + 1)) AS t1(ci),
+       |    unnest(range(1, least($maxPieceLen, length(w) - ci + 1) + 1)) AS t2(cl)
+       |  GROUP BY 1),
+       |ukept AS (
+       |  SELECT piece, freq FROM ucand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM ucand WHERE length(piece) > 1
+       |    ORDER BY freq DESC, piece ASC LIMIT $topV)),
+       |utot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM ukept),
+       |upieces AS (
+       |  SELECT piece, freq,
+       |    ln(CAST(freq AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+       |  FROM ukept CROSS JOIN utot),
+       |plists AS (
+       |  SELECT list(piece ORDER BY piece) AS pk, list(lp ORDER BY piece) AS pv
+       |  FROM upieces),
+       |udp0 AS (
+       |  SELECT w, n, pk, pv, [{'s': CAST(0.0 AS DOUBLE), 'k': 0}] AS dp
+       |  FROM uw CROSS JOIN plists),
+       |$dpSteps,
+       |ubt0 AS (
+       |  SELECT w, n, dp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps
+       |  FROM udp$maxWordLen),
+       |$btSteps,
+       |segw AS (SELECT w, n, ps AS seg FROM ubt$maxWordLen)""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Stylometry: Burrows' Delta, Jensen-Shannon source divergence, Yule's K,
   // RAKE keyword extraction. All single-corpus-pass operators whose working
   // frames collapse to (sources × topN) / (vocabulary) rows before any join.

@@ -2080,6 +2080,52 @@ object TextQueries {
       Some(Text.duckRakeKeywords("documents", "doc_id", "text",
         stopwords = Seq("a", "the"), k = 20))),
 
+    // UNIGRAM-LM TOKENIZER (SentencePiece-style), piece statistics after
+    // one Viterbi-EM round — the OTHER industry tokenizer beside the BPE
+    // family (q89/q102/q111/q234/q306): substring-seeded piece vocabulary,
+    // Viterbi segmentation of the distinct-word frame, frequency-weighted
+    // M-step recount. Top-30 pieces by re-estimated count.
+    QueryDef(
+      "q361_unigram_pieces",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.unigramPieceStats(Text.unigramSegmentWords(docs, col("text")))
+          .orderBy(col("cnt").desc, col("piece").asc)
+          .limit(30)
+      },
+      Some(s"""WITH ${Text.duckUnigramCtes("documents", "text")},
+           |counts AS (
+           |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+           |  FROM (SELECT n, unnest(seg) AS piece FROM segw)
+           |  GROUP BY 1),
+           |ctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts)
+           |SELECT piece, cnt,
+           |  CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS prob
+           |FROM counts CROSS JOIN ctot
+           |ORDER BY cnt DESC, piece ASC
+           |LIMIT 30""".stripMargin)),
+
+    // The unigram tokenizer's SEGMENTATIONS for the 20 most frequent
+    // words — the inspection surface for q361's model ("how does it cut
+    // the head of the vocabulary"), and the serve-path proof that the
+    // engine's Viterbi (smallest-k tie-break) matches the oracle's
+    // replayed DP argmax exactly, piece boundaries and all.
+    QueryDef(
+      "q362_unigram_segmentations",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Text.unigramSegmentWords(docs, col("text"))
+          .select(col("w"), col("n"),
+            array_join(col("seg"), " ").as("seg_str"))
+          .orderBy(col("n").desc, col("w").asc)
+          .limit(20)
+      },
+      Some(s"""WITH ${Text.duckUnigramCtes("documents", "text")}
+           |SELECT w, n, array_to_string(seg, ' ') AS seg_str
+           |FROM segw
+           |ORDER BY n DESC, w ASC
+           |LIMIT 20""".stripMargin)),
+
     // YULE'S K vocabulary richness per source: the length-invariant
     // repetitiveness characteristic (high K = repetitive templates, low K =
     // rich vocabulary) — the stylometric complement of q291's Heaps-law

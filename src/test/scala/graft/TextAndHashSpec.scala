@@ -355,4 +355,25 @@ class TextAndHashSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Double]("js_divergence"))
     assert(js.length == 1 && math.abs(js.head - math.log(2.0)) < 1e-12)
   }
+
+  test("unigram tokenizer: Viterbi picks the higher-likelihood split; M-step recounts") {
+    import spark.implicits._
+    // corpus "ab ab b": pieces a(2) b(3) ab(2), total 7; segmenting "ab" as
+    // the single piece (ln 2/7) beats a+b (ln 2/7 + ln 3/7) → seg ['ab']
+    val segs = graft.ops.Text.unigramSegmentWords(
+      Seq("ab ab b").toDF("text"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[String](2).mkString("|")).toMap
+    assert(segs == Map("ab" -> "ab", "b" -> "b"), s"got $segs")
+    val stats = graft.ops.Text.unigramPieceStats(
+      graft.ops.Text.unigramSegmentWords(Seq("ab ab b").toDF("text"), col("text")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stats("ab") == ((2L, 2.0 / 3)) && stats("b") == ((1L, 1.0 / 3)),
+      s"got $stats")
+    // corpus "aa": a(2) aa(1), total 3; a|a = 2·ln(2/3) beats aa = ln(1/3)
+    val s2 = graft.ops.Text.unigramSegmentWords(
+      Seq("aa").toDF("text"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).mkString("|")).toMap
+    assert(s2 == Map("aa" -> "a|a"), s"got $s2")
+  }
 }
