@@ -5202,6 +5202,71 @@ object RelationalQueries {
            |  ${Num.duckDsum38("abs(pg - pc)")} * 0.5 AS tvd,
            |  ${Num.duckDsum38("abs(pg - pc)")} * 0.5 > 0.5 AS fails_t
            |FROM grid
-           |GROUP BY 1, 2, 3""".stripMargin))
+           |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // WILSON-INTERVAL daily conversion rate: of the users who VIEWED that
+    // day, how many also PURCHASED the same day — a true binomial
+    // proportion (converters ⊆ viewers, unlike raw event-count ratios
+    // where clicks can exceed views), with the 95% Wilson score interval:
+    // the small-sample-correct way to rank days (a 1/1 day must not
+    // outrank a 95/100 day; the raw rate says it does, the Wilson lower
+    // bound says it doesn't). Two keyed aggregations — (day, user) flags,
+    // then day cells; the interval is closed-form arithmetic evaluated as
+    // the IDENTICAL formula text in both engines, so sqrt/divisions are
+    // bit-equal.
+    QueryDef(
+      "q364_conversion_wilson",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val du = ev
+          .where(col("event_type").isin("view", "purchase"))
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+          .where(col("v") === 1L)
+        val cells = du.groupBy(col("day"))
+          .agg(count(lit(1)).as("viewers"), sum(col("p")).as("converters"))
+        val z = lit(1.96)
+        val n = col("viewers").cast("double")
+        val p = col("converters").cast("double") / n
+        val denom = lit(1.0) + z * z / n
+        val center = p + z * z / (lit(2.0) * n)
+        val spread = z * sqrt(p * (lit(1.0) - p) / n +
+          z * z / (lit(4.0) * n * n))
+        cells.select(col("day"), col("viewers"), col("converters"),
+          p.as("rate"),
+          ((center - spread) / denom).as("wilson_lo"),
+          ((center + spread) / denom).as("wilson_hi"))
+      },
+      Some(s"""WITH du AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+           |  FROM ${Tables.duckEvents} ev
+           |  WHERE event_type IN ('view', 'purchase')
+           |  GROUP BY 1, 2
+           |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+           |cells AS (
+           |  SELECT day, CAST(COUNT(*) AS BIGINT) AS viewers,
+           |    CAST(SUM(p) AS BIGINT) AS converters
+           |  FROM du GROUP BY 1)
+           |SELECT day, viewers, converters,
+           |  CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE) AS rate,
+           |  ((CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE)
+           |      + 1.96 * 1.96 / (2.0 * CAST(viewers AS DOUBLE)))
+           |    - 1.96 * sqrt(CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE)
+           |        * (1.0 - CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE))
+           |        / CAST(viewers AS DOUBLE)
+           |      + 1.96 * 1.96 / (4.0 * CAST(viewers AS DOUBLE) * CAST(viewers AS DOUBLE))))
+           |  / (1.0 + 1.96 * 1.96 / CAST(viewers AS DOUBLE)) AS wilson_lo,
+           |  ((CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE)
+           |      + 1.96 * 1.96 / (2.0 * CAST(viewers AS DOUBLE)))
+           |    + 1.96 * sqrt(CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE)
+           |        * (1.0 - CAST(converters AS DOUBLE) / CAST(viewers AS DOUBLE))
+           |        / CAST(viewers AS DOUBLE)
+           |      + 1.96 * 1.96 / (4.0 * CAST(viewers AS DOUBLE) * CAST(viewers AS DOUBLE))))
+           |  / (1.0 + 1.96 * 1.96 / CAST(viewers AS DOUBLE)) AS wilson_hi
+           |FROM cells""".stripMargin))
   )
 }

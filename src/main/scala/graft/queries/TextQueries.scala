@@ -2126,6 +2126,63 @@ object TextQueries {
            |ORDER BY n DESC, w ASC
            |LIMIT 20""".stripMargin)),
 
+    // UNIGRAM tokenizer SERVE path + fertility audit — the q306 discipline
+    // applied to q361's model: train on a held-in split (doc_id % 7 ≠ 0),
+    // apply to the WHOLE corpus by joining doc words to the trained
+    // segmentations (vocabulary-sized, broadcast), per-source
+    // chars-per-piece and OOV rate. OOV words (unseen in training OR beyond
+    // the maxWordLen bound) fall back to one piece per char — the
+    // byte-fallback contract, counted explicitly.
+    QueryDef(
+      "q363_unigram_fertility",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        val segw = Text.unigramSegmentWords(base, col("text"))
+          .select(col("w"), size(col("seg")).as("np"))
+        val words = docs
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+          .where(length(col("w")) > 0)
+        words
+          .join(broadcast(segw), Seq("w"), "left_outer")
+          .select(col("doc_id"), length(col("w")).as("nc"),
+            coalesce(col("np"), length(col("w"))).as("pieces"),
+            when(col("np").isNull, 1L).otherwise(0L).as("oov"))
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("pieces")).as("n_pieces"),
+            sum(col("oov")).as("n_oov"))
+          .select(col("source"), col("n_words"), col("n_chars"), col("n_pieces"),
+            (col("n_chars").cast("double") / col("n_pieces"))
+              .as("chars_per_piece"),
+            (col("n_oov").cast("double") / col("n_words")).as("oov_rate"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT text FROM documents WHERE doc_id % 7 <> 0),
+           |${Text.duckUnigramCtes("base", "text")},
+           |docw AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+           |  FROM documents),
+           |j AS (
+           |  SELECT d.doc_id, length(d.w) AS nc,
+           |    COALESCE(len(sv.seg), length(d.w)) AS pieces,
+           |    CASE WHEN sv.w IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM docw d LEFT JOIN segw sv ON sv.w = d.w
+           |  WHERE length(d.w) > 0),
+           |src AS (
+           |  SELECT dd.source, j.nc, j.pieces, j.oov
+           |  FROM j JOIN documents dd USING (doc_id))
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+           |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+           |  CAST(SUM(nc) AS DOUBLE) / SUM(pieces) AS chars_per_piece,
+           |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+           |FROM src GROUP BY 1""".stripMargin)),
+
     // YULE'S K vocabulary richness per source: the length-invariant
     // repetitiveness characteristic (high K = repetitive templates, low K =
     // rich vocabulary) — the stylometric complement of q291's Heaps-law
