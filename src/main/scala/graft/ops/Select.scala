@@ -412,4 +412,154 @@ object Select {
         (((col("s11") + lambda) * col("b2") - col("s12") * col("b1")) /
           ((col("s11") + lambda) * (col("s22") + lambda)
             - col("s12") * col("s12"))).as("f2"))
+
+  /** EXACT optimal length-bucket boundaries for padded batching: the k
+    * bucket end-lengths minimizing total padding Σ (bucket_end − doc_len)
+    * when every document pads to its bucket's end — the OPTIMIZATION
+    * counterpart of the q266 waste AUDIT (fixed 128-multiples there;
+    * provably-minimal data-driven boundaries here, the knob a serving
+    * stack turns when padding waste is the bill).
+    *
+    * The classic interval DP, run entirely on the CAPPED length histogram:
+    * cost(a..b] = l_b·(pc_b − pc_a) − (ps_b − ps_a) from prefix sums, then
+    * dp_j[i] = min_m dp_{j−1}[m] + cost(m..i] with ties broken by the
+    * SMALLEST split m (row_number over (cost, m) — both engines replay
+    * it). All integers until the final waste fraction.
+    *
+    * Scale: ONE corpus pass builds the histogram; the DP frames are
+    * ≤ `cap` rows (bounded by the parameter, not the data), so the
+    * single-partition windows and the m<i join are constant-size. Output:
+    * one row per bucket (rank, end_len, n_docs, real/padded tokens) with
+    * total_padding repeated.
+    */
+  def optimalLengthBuckets(df: DataFrame, len: Column, k: Int = 4,
+      cap: Int = 128): DataFrame = {
+    require(k >= 1 && cap >= k, "need at least k distinct cappable lengths")
+    import org.apache.spark.sql.expressions.Window
+    val bins = df.select(least(len.cast("long"), lit(cap.toLong)).as("l"))
+      .groupBy(col("l")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("l").asc)
+    val pref = bins
+      .withColumn("i", row_number().over(w))
+      .withColumn("pc", sum(col("cnt")).over(w))
+      .withColumn("ps", sum(col("cnt") * col("l")).over(w))
+      .localCheckpoint()
+    // dp_1: one bucket ending at i covers everything below — prev = 0
+    var dps = List(pref.select(col("i"), col("l"),
+      (col("l") * col("pc") - col("ps")).as("cost"), lit(0).as("prev")))
+    for (_ <- 2 to k) {
+      val prevDp = dps.head.select(col("i").as("m"), col("cost").as("pcost"))
+      val mSide = prevDp.join(
+        pref.select(col("i").as("m"), col("pc").as("pcm"), col("ps").as("psm")),
+        "m")
+      val cand = pref.select(col("i"), col("l"), col("pc"), col("ps"))
+        .join(mSide, col("m") < col("i"))
+        .select(col("i"), col("l"), col("m"),
+          (col("pcost") + col("l") * (col("pc") - col("pcm"))
+            - (col("ps") - col("psm"))).as("cost"))
+      val wj = Window.partitionBy(col("i"))
+        .orderBy(col("cost").asc, col("m").asc)
+      dps = cand.withColumn("rn", row_number().over(wj)).where(col("rn") === 1)
+        .select(col("i"), col("l"), col("cost"), col("m").as("prev"))
+        .localCheckpoint() :: dps
+    }
+    // backtrack: the last bucket ends at the top bin; each dp level's prev
+    // is the previous bucket's end index — k single-row broadcast joins
+    val top = pref.agg(max(col("i")).as("i"))
+    var ends = dps.head.join(broadcast(top), "i")
+      .select(lit(k).as("bucket"), col("i"), col("l"), col("cost"), col("prev"))
+    var chain = ends
+    for (j <- (1 until k).reverse) {
+      val dpj = dps(k - j) // dps is newest-first: dps(k-j) is level j
+      chain = dpj.join(
+        broadcast(chain.select(col("prev").as("i"))), "i")
+        .select(lit(j).as("bucket"), col("i"), col("l"), col("cost"), col("prev"))
+      ends = ends.unionByName(chain)
+    }
+    val bounds = ends.select(col("bucket"), col("i"), col("l"), col("cost"))
+      .localCheckpoint()
+    // assign every bin to its bucket (smallest boundary >= l) and report
+    val assigned = pref
+      .join(broadcast(bounds.select(col("bucket"), col("l").as("end_len"))),
+        col("l") <= col("end_len"))
+      .groupBy(col("l"), col("cnt"))
+      .agg(min(struct(col("end_len"), col("bucket"))).as("b"))
+      .select(col("l"), col("cnt"), col("b.bucket").as("bucket"),
+        col("b.end_len").as("end_len"))
+    val total = bounds.join(broadcast(top.select((col("i")).as("ti"))),
+        col("i") === col("ti"))
+      .agg(max(col("cost")).as("total_padding"))
+    assigned.groupBy(col("bucket"), col("end_len"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("cnt") * col("l")).as("real_tokens"))
+      .select(col("bucket"), col("end_len"), col("n_docs"), col("real_tokens"),
+        (col("end_len") * col("n_docs")).as("padded_tokens"))
+      .crossJoin(broadcast(total))
+  }
+
+  /** DuckDB twin of [[optimalLengthBuckets]] — the identical histogram,
+    * prefix, k-level DP (same (cost, m) tie-break), backtrack, and bucket
+    * assignment, unrolled as plain CTEs.
+    */
+  def duckOptimalLengthBuckets(tbl: String, lenExpr: String, k: Int = 4,
+      cap: Int = 128): String = {
+    val dpSteps = (2 to k).map { j =>
+      s"""dpc$j AS (
+         |  SELECT a.i, a.l, m.m,
+         |    m.pcost + a.l * (a.pc - m.pcm) - (a.ps - m.psm) AS cost,
+         |    row_number() OVER (PARTITION BY a.i
+         |      ORDER BY m.pcost + a.l * (a.pc - m.pcm) - (a.ps - m.psm) ASC,
+         |               m.m ASC) AS rn
+         |  FROM pref a
+         |  JOIN (SELECT d.i AS m, d.cost AS pcost, p.pc AS pcm, p.ps AS psm
+         |        FROM dp${j - 1} d JOIN pref p ON p.i = d.i) m
+         |    ON m.m < a.i),
+         |dp$j AS (
+         |  SELECT i, l, cost, m AS prev FROM dpc$j WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val btSteps = (1 until k).reverse.map { j =>
+      s"""bk$j AS (
+         |  SELECT $j AS bucket, d.i, d.l, d.cost, d.prev
+         |  FROM dp$j d JOIN bk${j + 1} up ON d.i = up.prev)""".stripMargin
+    }.mkString(",\n")
+    val allBk = (1 to k).map(j => s"SELECT * FROM bk$j").mkString(" UNION ALL ")
+    s"""hist AS (
+       |  SELECT LEAST($lenExpr, $cap) AS l, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM $tbl GROUP BY 1),
+       |pref AS (
+       |  SELECT l, cnt,
+       |    CAST(row_number() OVER (ORDER BY l ASC) AS INTEGER) AS i,
+       |    CAST(SUM(cnt) OVER (ORDER BY l ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pc,
+       |    CAST(SUM(cnt * l) OVER (ORDER BY l ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ps
+       |  FROM hist),
+       |dp1 AS (
+       |  SELECT i, l, l * pc - ps AS cost, 0 AS prev FROM pref),
+       |$dpSteps,
+       |topi AS (SELECT MAX(i) AS i FROM pref),
+       |bk$k AS (
+       |  SELECT $k AS bucket, d.i, d.l, d.cost, d.prev
+       |  FROM dp$k d JOIN topi t ON d.i = t.i),
+       |$btSteps,
+       |bounds AS ($allBk),
+       |assigned AS (
+       |  SELECT l, cnt, bucket, end_len FROM (
+       |    SELECT p.l, p.cnt, b.bucket, b.l AS end_len,
+       |      row_number() OVER (PARTITION BY p.l
+       |        ORDER BY b.l ASC, b.bucket ASC) AS rn
+       |    FROM pref p JOIN bounds b ON p.l <= b.l)
+       |  WHERE rn = 1),
+       |tot AS (
+       |  SELECT MAX(b.cost) AS total_padding
+       |  FROM bounds b JOIN topi t ON b.i = t.i)
+       |SELECT bucket, end_len,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       |  CAST(SUM(cnt * l) AS BIGINT) AS real_tokens,
+       |  CAST(end_len * SUM(cnt) AS BIGINT) AS padded_tokens,
+       |  CAST(MAX(tot.total_padding) AS BIGINT) AS total_padding
+       |FROM assigned CROSS JOIN tot
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -1236,6 +1236,22 @@ object PipelineQueries {
            |    / CAST(bucket * n_docs AS DOUBLE) AS waste_frac
            |FROM b""".stripMargin)),
 
+    // OPTIMAL length-bucket boundaries (q266's optimization counterpart):
+    // the exact interval DP picking the 4 bucket end-lengths that minimize
+    // total padding over the capped length histogram — see the operator
+    // scaladoc (Select.optimalLengthBuckets) for the recurrence, tie-break,
+    // and the cap-bounded (not data-bounded) frame argument.
+    QueryDef(
+      "q365_optimal_length_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.Select.optimalLengthBuckets(
+          docs, Text.wordCount(col("text")), k = 4, cap = 128)
+      },
+      Some("WITH t AS (SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok FROM documents),\n" +
+        graft.ops.Select.duckOptimalLengthBuckets("t", "n_tok", k = 4, cap = 128)),
+      bench = true),
+
     // Welch two-sample t for every SOURCE pair on document length — the
     // experimentation read over the corpus mixture, computed from the same
     // exact decimal moment sums the q144 shard tables store: the corpus

@@ -263,6 +263,27 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("optimalLengthBuckets: exact DP beats the greedy split and zeroes out separable histograms") {
+    import spark.implicits._
+    // lengths {1,2,10}, k=2: {1,2}+{10} pads 1; {1}+{2,10} pads 8 — the DP
+    // must pick boundaries (2, 10) with total padding 1
+    val df = Seq(1L, 2L, 10L).toDF("len")
+    val rows = graft.ops.Select
+      .optimalLengthBuckets(df, col("len"), k = 2, cap = 128)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("end_len"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_padding")))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, 2L, 2L), (2, 10L, 1L)), s"got ${rows.toSeq}")
+    assert(rows.forall(_._4 == 1L), s"total padding must be 1: ${rows.toSeq}")
+    // two point masses, two buckets → zero padding
+    val df2 = Seq(3L, 3L, 7L, 7L, 7L).toDF("len")
+    val r2 = graft.ops.Select
+      .optimalLengthBuckets(df2, col("len"), k = 2, cap = 128)
+      .collect().map(r => r.getAs[Long]("total_padding"))
+    assert(r2.forall(_ == 0L), s"separable histogram must pad 0: ${r2.toSeq}")
+  }
+
   test("participationRatio: rank-1 cloud → PR 1; isotropic 2-D cloud → PR 2") {
     import spark.implicits._
     val rank1 = Seq((1L, Array(0f, 0f)), (2L, Array(2f, 0f)))
