@@ -2099,6 +2099,123 @@ object SimilarityQueries {
            |    CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS lcc
            |FROM deg LEFT OUTER JOIN tn ON tn.id = deg.id
            |WHERE deg.deg >= 2""".stripMargin),
+      bench = false),
+
+    // DBSCAN over the embedding set — the density clustering that needs no
+    // k: core points have ≥ minPts neighbors within ε (self included),
+    // clusters are connected components of the core-core ε-graph (the q83
+    // machinery), borders attach to their MINIMUM-labeled core neighbor
+    // (classic DBSCAN is scan-order-dependent for borders; the min-label
+    // rule determinizes it identically in both engines), the rest is
+    // noise. ε² = 1.33 / minPts = 4 sit below the percolation threshold on
+    // this corpus (measured: 1.45 merges 482 cores into ONE component;
+    // 1.33 keeps ~99 cores over ~89 core edges — a real multi-cluster
+    // structure with all three roles populated). The all-pairs
+    // distance frame is the exact-truth oracle discipline → bench=false;
+    // at scale the neighbor frame comes from the LSH/IVF bucket joins.
+    QueryDef(
+      "q366_dbscan_embeddings",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val eps2 = 1.33
+        val minPts = 4
+        val v = emb.select(col("vec_id"), col("embedding"))
+        val d2 = aggregate(
+          zip_with(col("va"), col("vb"), (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, t) => acc + t)
+        val neigh = v.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            col("id_a") < col("id_b"))
+          .where(d2 <= lit(eps2))
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val sym = neigh.unionByName(
+          neigh.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        // left_outer keeps isolated points (0 matches → deg 1, the self
+        // neighbor): |N_eps(v)| = 1 + matched rows, DBSCAN's self-inclusive
+        // count
+        val deg = v.select(col("vec_id").as("id"))
+          .join(sym.select(col("id_a").as("id"), col("id_b").as("nb")),
+            Seq("id"), "left_outer")
+          .groupBy(col("id"))
+          .agg((count(col("nb")) + lit(1L)).as("deg"))
+        val core = deg.where(col("deg") >= minPts).select(col("id"))
+          .localCheckpoint()
+        val coreEdges = neigh
+          .join(core.select(col("id").as("id_a")), "id_a", "left_semi")
+          .join(core.select(col("id").as("id_b")), "id_b", "left_semi")
+        val labels = graft.ops.Dedup.connectedComponents(coreEdges, "id_a", "id_b")
+        val coreOut = core
+          .join(labels, Seq("id"), "left_outer")
+          .select(col("id").as("vec_id"), lit("core").as("role"),
+            coalesce(col("cluster_id"), col("id")).as("cluster"))
+          .localCheckpoint()
+        val borderOut = sym
+          .join(core.select(col("id").as("id_b")), "id_b", "left_semi")
+          .join(core.select(col("id").as("id_a")), "id_a", "left_anti")
+          .join(coreOut.select(col("vec_id").as("id_b"),
+            col("cluster").as("c")), "id_b")
+          .groupBy(col("id_a"))
+          .agg(min(col("c")).as("cluster"))
+          .select(col("id_a").as("vec_id"), lit("border").as("role"),
+            col("cluster"))
+        val noiseOut = v.select(col("vec_id"))
+          .join(coreOut.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(borderOut.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), lit("noise").as("role"),
+            lit(null).cast("long").as("cluster"))
+        coreOut.unionByName(borderOut).unionByName(noiseOut)
+      },
+      Some(s"""WITH RECURSIVE $duckEmb,
+           |dpair AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, len(a.v) + 1),
+           |        dbv -> (a.v[dbv] - b.v[dbv]) * (a.v[dbv] - b.v[dbv]))),
+           |      (x, y) -> x + y) <= 1.33),
+           |sym AS (
+           |  SELECT id_a, id_b FROM dpair
+           |  UNION ALL SELECT id_b, id_a FROM dpair),
+           |deg AS (
+           |  SELECT e.vec_id AS id,
+           |    CAST(1 + COUNT(sym.id_b) AS BIGINT) AS deg
+           |  FROM e LEFT OUTER JOIN sym ON sym.id_a = e.vec_id
+           |  GROUP BY 1),
+           |core AS (SELECT id FROM deg WHERE deg >= 4),
+           |ce AS (
+           |  SELECT id_a, id_b FROM dpair
+           |  WHERE id_a IN (SELECT id FROM core)
+           |    AND id_b IN (SELECT id FROM core)),
+           |cedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM ce
+           |  UNION SELECT id_b, id_a FROM ce),
+           |reach(id, r) AS (
+           |  SELECT src, dst FROM cedges
+           |  UNION
+           |  SELECT reach.id, e2.dst FROM reach JOIN cedges e2 ON e2.src = reach.r),
+           |clabels AS (
+           |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+           |coreout AS (
+           |  SELECT core.id AS vec_id, 'core' AS role,
+           |    COALESCE(clabels.cluster_id, core.id) AS cluster
+           |  FROM core LEFT OUTER JOIN clabels ON clabels.id = core.id),
+           |borderout AS (
+           |  SELECT s.id_a AS vec_id, 'border' AS role, MIN(co.cluster) AS cluster
+           |  FROM sym s
+           |  JOIN coreout co ON co.vec_id = s.id_b
+           |  WHERE s.id_a NOT IN (SELECT id FROM core)
+           |  GROUP BY 1),
+           |noiseout AS (
+           |  SELECT e.vec_id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+           |  FROM e
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM coreout)
+           |    AND e.vec_id NOT IN (SELECT vec_id FROM borderout))
+           |SELECT * FROM coreout
+           |UNION ALL SELECT * FROM borderout
+           |UNION ALL SELECT * FROM noiseout""".stripMargin),
       bench = false)
   )
 
