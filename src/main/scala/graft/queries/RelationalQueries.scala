@@ -3177,6 +3177,309 @@ object RelationalQueries {
            |    THEN POWER((o1 - e1) / sqrt(var_lr), 2) END AS chi2
            |FROM f""".stripMargin)),
 
+    // 5-FOLD cross-validated ridge — q304's missing evaluation story, via
+    // LEAVE-ONE-OUT MOMENT ALGEBRA: ONE corpus aggregation produces the
+    // ten exact decimal moments PER FOLD (fold = orderkey mod 5); each
+    // fold's training moments are total − fold (integer-exact decimal
+    // subtraction), so all five models train from one pass, and the test
+    // RMSE expands entirely in the held-out fold's own moments
+    // (Σr² = Σy² + b1²Σx1² + … — no second data pass, no per-row scoring).
+    // Every double derives from the same fixed formula text as the oracle.
+    QueryDef(
+      "q367_ridge_cv",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val per = li.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("x1"),
+          sum(col("l_quantity").cast("long")).as("x2"))
+        val j = o.join(per, col("o_orderkey") === col("l_orderkey"))
+          .select(pmod(col("o_orderkey"), lit(5)).as("fold"),
+            col("x1"), col("x2"),
+            (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").as("y"))
+        val mf = j.groupBy(col("fold")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("fn"),
+          sum(col("x1").cast("decimal(38,0)")).as("f1"),
+          sum(col("x2").cast("decimal(38,0)")).as("f2"),
+          sum(col("y").cast("decimal(38,0)")).as("fy"),
+          sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("f11"),
+          sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("f22"),
+          sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("f12"),
+          sum((col("x1") * col("y")).cast("decimal(38,0)")).as("f1y"),
+          sum((col("x2") * col("y")).cast("decimal(38,0)")).as("f2y"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("fyy"))
+          .localCheckpoint()
+        val tot = mf.agg(sum(col("fn")).as("tn"), sum(col("f1")).as("t1"),
+          sum(col("f2")).as("t2"), sum(col("fy")).as("ty"),
+          sum(col("f11")).as("t11"), sum(col("f22")).as("t22"),
+          sum(col("f12")).as("t12"), sum(col("f1y")).as("t1y"),
+          sum(col("f2y")).as("t2y"), sum(col("fyy")).as("tyy"))
+        // train = total − fold, all still exact decimals; THEN to double
+        val tr = mf.crossJoin(broadcast(tot)).select(col("fold"),
+          col("fn").cast("double").as("hn"), col("f1").cast("double").as("h1"),
+          col("f2").cast("double").as("h2"), col("fy").cast("double").as("hy"),
+          col("f11").cast("double").as("h11"), col("f22").cast("double").as("h22"),
+          col("f12").cast("double").as("h12"), col("f1y").cast("double").as("h1y"),
+          col("f2y").cast("double").as("h2y"), col("fyy").cast("double").as("hyy"),
+          (col("tn") - col("fn")).cast("double").as("n"),
+          (col("t1") - col("f1")).cast("double").as("s1"),
+          (col("t2") - col("f2")).cast("double").as("s2"),
+          (col("ty") - col("fy")).cast("double").as("sy"),
+          (col("t11") - col("f11")).cast("double").as("s11"),
+          (col("t22") - col("f22")).cast("double").as("s22"),
+          (col("t12") - col("f12")).cast("double").as("s12"),
+          (col("t1y") - col("f1y")).cast("double").as("s1y"),
+          (col("t2y") - col("f2y")).cast("double").as("s2y"))
+        val c = tr.select(col("fold"), col("hn"), col("h1"), col("h2"),
+          col("hy"), col("h11"), col("h22"), col("h12"), col("h1y"),
+          col("h2y"), col("hyy"), col("n"), col("s1"), col("s2"), col("sy"),
+          (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+          (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+          (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
+          (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+          (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"))
+        val lam = lit(1000.0)
+        val den = (col("c11") + lam) * (col("c22") + lam) -
+          col("c12") * col("c12")
+        val b = c.select(col("fold"), col("hn"), col("h1"), col("h2"),
+          col("hy"), col("h11"), col("h22"), col("h12"), col("h1y"),
+          col("h2y"), col("hyy"), col("n"), col("s1"), col("s2"), col("sy"),
+          (((col("c22") + lam) * col("c1y") - col("c12") * col("c2y")) / den)
+            .as("b1"),
+          (((col("c11") + lam) * col("c2y") - col("c12") * col("c1y")) / den)
+            .as("b2"))
+          .withColumn("a", col("sy") / col("n")
+            - col("b1") * (col("s1") / col("n"))
+            - col("b2") * (col("s2") / col("n")))
+        b.select(col("fold"), col("n").cast("long").as("n_train"),
+          col("hn").cast("long").as("n_test"),
+          col("b1"), col("b2"), col("a").as("intercept"),
+          sqrt((col("hyy")
+            + col("b1") * col("b1") * col("h11")
+            + col("b2") * col("b2") * col("h22")
+            + col("hn") * col("a") * col("a")
+            + lit(2.0) * col("b1") * col("b2") * col("h12")
+            - lit(2.0) * col("b1") * col("h1y")
+            - lit(2.0) * col("b2") * col("h2y")
+            + lit(2.0) * col("a") * col("b1") * col("h1")
+            + lit(2.0) * col("a") * col("b2") * col("h2")
+            - lit(2.0) * col("a") * col("hy")) / col("hn")).as("rmse_cents"))
+      },
+      Some("""WITH per AS (
+           |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o_orderkey % 5 AS fold, x1, x2,
+           |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+           |  FROM orders JOIN per ON per.l_orderkey = orders.o_orderkey),
+           |mf AS (
+           |  SELECT fold,
+           |    CAST(COUNT(*) AS DECIMAL(38,0)) AS fn,
+           |    SUM(CAST(x1 AS DECIMAL(38,0))) AS f1,
+           |    SUM(CAST(x2 AS DECIMAL(38,0))) AS f2,
+           |    SUM(CAST(y AS DECIMAL(38,0))) AS fy,
+           |    SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS f11,
+           |    SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS f22,
+           |    SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS f12,
+           |    SUM(CAST(x1 * y AS DECIMAL(38,0))) AS f1y,
+           |    SUM(CAST(x2 * y AS DECIMAL(38,0))) AS f2y,
+           |    SUM(CAST(y * y AS DECIMAL(38,0))) AS fyy
+           |  FROM j GROUP BY 1),
+           |tot AS (
+           |  SELECT SUM(fn) AS tn, SUM(f1) AS t1, SUM(f2) AS t2,
+           |    SUM(fy) AS ty, SUM(f11) AS t11, SUM(f22) AS t22,
+           |    SUM(f12) AS t12, SUM(f1y) AS t1y, SUM(f2y) AS t2y,
+           |    SUM(fyy) AS tyy
+           |  FROM mf),
+           |tr AS (
+           |  SELECT fold,
+           |    CAST(fn AS DOUBLE) AS hn, CAST(f1 AS DOUBLE) AS h1,
+           |    CAST(f2 AS DOUBLE) AS h2, CAST(fy AS DOUBLE) AS hy,
+           |    CAST(f11 AS DOUBLE) AS h11, CAST(f22 AS DOUBLE) AS h22,
+           |    CAST(f12 AS DOUBLE) AS h12, CAST(f1y AS DOUBLE) AS h1y,
+           |    CAST(f2y AS DOUBLE) AS h2y, CAST(fyy AS DOUBLE) AS hyy,
+           |    CAST(tn - fn AS DOUBLE) AS n, CAST(t1 - f1 AS DOUBLE) AS s1,
+           |    CAST(t2 - f2 AS DOUBLE) AS s2, CAST(ty - fy AS DOUBLE) AS sy,
+           |    CAST(t11 - f11 AS DOUBLE) AS s11,
+           |    CAST(t22 - f22 AS DOUBLE) AS s22,
+           |    CAST(t12 - f12 AS DOUBLE) AS s12,
+           |    CAST(t1y - f1y AS DOUBLE) AS s1y,
+           |    CAST(t2y - f2y AS DOUBLE) AS s2y
+           |  FROM mf CROSS JOIN tot),
+           |c AS (
+           |  SELECT fold, hn, h1, h2, hy, h11, h22, h12, h1y, h2y, hyy,
+           |    n, s1, s2, sy,
+           |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+           |    s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+           |    s2y - s2 * sy / n AS c2y
+           |  FROM tr),
+           |b AS (
+           |  SELECT fold, hn, h1, h2, hy, h11, h22, h12, h1y, h2y, hyy,
+           |    n, s1, s2, sy,
+           |    ((c22 + 1000.0) * c1y - c12 * c2y)
+           |      / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b1,
+           |    ((c11 + 1000.0) * c2y - c12 * c1y)
+           |      / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b2
+           |  FROM c),
+           |ba AS (
+           |  SELECT *, sy / n - b1 * (s1 / n) - b2 * (s2 / n) AS a FROM b)
+           |SELECT fold, CAST(n AS BIGINT) AS n_train,
+           |  CAST(hn AS BIGINT) AS n_test, b1, b2, a AS intercept,
+           |  sqrt((hyy
+           |    + b1 * b1 * h11
+           |    + b2 * b2 * h22
+           |    + hn * a * a
+           |    + 2.0 * b1 * b2 * h12
+           |    - 2.0 * b1 * h1y
+           |    - 2.0 * b2 * h2y
+           |    + 2.0 * a * b1 * h1
+           |    + 2.0 * a * b2 * h2
+           |    - 2.0 * a * hy) / hn) AS rmse_cents
+           |FROM ba""".stripMargin)),
+
+    // SPLIT-CONFORMAL prediction interval around the ridge model — the
+    // distribution-free "how wide must the error bar be for 90% coverage"
+    // guarantee: train on folds {0,1,2}, q̂ = the ⌈(n_cal+1)·0.9⌉-th
+    // smallest |residual| on the calibration fold (EXACT nearest-rank via
+    // the two-phase globalRank — never a global window), then the
+    // empirical coverage of ŷ ± q̂ on the untouched test fold (≈ 0.9 is
+    // the conformal promise). Model and q̂ are 1-row broadcasts; residuals
+    // are fixed-formula doubles identical in both engines.
+    QueryDef(
+      "q368_conformal_interval",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val per = li.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("x1"),
+          sum(col("l_quantity").cast("long")).as("x2"))
+        val j = o.join(per, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("oid"),
+            pmod(col("o_orderkey"), lit(5)).as("fold"),
+            col("x1"), col("x2"),
+            (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").as("y"))
+          .localCheckpoint()
+        val m = j.where(col("fold") <= 2).agg(
+          count(lit(1)).as("nt"),
+          sum(col("x1").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).cast("double").as("s2"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x1") * col("x1")).cast("decimal(38,0)")).cast("double").as("s11"),
+          sum((col("x2") * col("x2")).cast("decimal(38,0)")).cast("double").as("s22"),
+          sum((col("x1") * col("x2")).cast("decimal(38,0)")).cast("double").as("s12"),
+          sum((col("x1") * col("y")).cast("decimal(38,0)")).cast("double").as("s1y"),
+          sum((col("x2") * col("y")).cast("decimal(38,0)")).cast("double").as("s2y"))
+        val lam = lit(1000.0)
+        val n = col("nt").cast("double")
+        val c11 = col("s11") - col("s1") * col("s1") / n
+        val c22 = col("s22") - col("s2") * col("s2") / n
+        val c12 = col("s12") - col("s1") * col("s2") / n
+        val c1y = col("s1y") - col("s1") * col("sy") / n
+        val c2y = col("s2y") - col("s2") * col("sy") / n
+        val den = (c11 + lam) * (c22 + lam) - c12 * c12
+        val model = m.select(col("nt"),
+            (((c22 + lam) * c1y - c12 * c2y) / den).as("b1"),
+            (((c11 + lam) * c2y - c12 * c1y) / den).as("b2"),
+            col("s1"), col("s2"), col("sy"), n.as("n"))
+          .select(col("nt"), col("b1"), col("b2"),
+            (col("sy") / col("n") - col("b1") * (col("s1") / col("n"))
+              - col("b2") * (col("s2") / col("n"))).as("a"))
+          .localCheckpoint()
+        def resid: org.apache.spark.sql.Column = abs(col("y").cast("double") -
+          (col("a") + col("b1") * col("x1").cast("double")
+            + col("b2") * col("x2").cast("double")))
+        val calRes = j.where(col("fold") === 3)
+          .crossJoin(broadcast(model))
+          .select(col("oid"), resid.as("r"))
+        val ranked = graft.ops.Sampling.globalRank(calRes, col("r"), col("oid"))
+          .localCheckpoint()
+        val nc = ranked.agg(count(lit(1)).as("n_cal"))
+        val qhat = ranked.crossJoin(broadcast(nc))
+          .where(col("rank") ===
+            least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+          .select(col("v").as("qhat"), col("n_cal"))
+        val test = j.where(col("fold") === 4)
+          .crossJoin(broadcast(model))
+          .select(resid.as("r"))
+        test.crossJoin(broadcast(qhat))
+          .crossJoin(broadcast(model.select(col("nt"), col("b1"), col("b2"),
+            col("a"))))
+          .agg(max(col("nt")).as("n_train"), max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_test"),
+            max(col("b1")).as("b1"), max(col("b2")).as("b2"),
+            max(col("a")).as("intercept"),
+            max(col("qhat")).as("qhat_cents"),
+            (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double")).as("coverage"))
+      },
+      Some("""WITH per AS (
+           |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o_orderkey AS oid, o_orderkey % 5 AS fold, x1, x2,
+           |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+           |  FROM orders JOIN per ON per.l_orderkey = orders.o_orderkey),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+           |    CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           |    CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+           |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+           |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+           |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+           |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y
+           |  FROM j WHERE fold <= 2),
+           |model AS (
+           |  SELECT nt, b1, b2,
+           |    sy / n - b1 * (s1 / n) - b2 * (s2 / n) AS a
+           |  FROM (
+           |    SELECT nt, s1, s2, sy, CAST(nt AS DOUBLE) AS n,
+           |      ((s22 - s2 * s2 / CAST(nt AS DOUBLE) + 1000.0)
+           |          * (s1y - s1 * sy / CAST(nt AS DOUBLE))
+           |        - (s12 - s1 * s2 / CAST(nt AS DOUBLE))
+           |          * (s2y - s2 * sy / CAST(nt AS DOUBLE)))
+           |      / ((s11 - s1 * s1 / CAST(nt AS DOUBLE) + 1000.0)
+           |          * (s22 - s2 * s2 / CAST(nt AS DOUBLE) + 1000.0)
+           |        - (s12 - s1 * s2 / CAST(nt AS DOUBLE))
+           |          * (s12 - s1 * s2 / CAST(nt AS DOUBLE))) AS b1,
+           |      ((s11 - s1 * s1 / CAST(nt AS DOUBLE) + 1000.0)
+           |          * (s2y - s2 * sy / CAST(nt AS DOUBLE))
+           |        - (s12 - s1 * s2 / CAST(nt AS DOUBLE))
+           |          * (s1y - s1 * sy / CAST(nt AS DOUBLE)))
+           |      / ((s11 - s1 * s1 / CAST(nt AS DOUBLE) + 1000.0)
+           |          * (s22 - s2 * s2 / CAST(nt AS DOUBLE) + 1000.0)
+           |        - (s12 - s1 * s2 / CAST(nt AS DOUBLE))
+           |          * (s12 - s1 * s2 / CAST(nt AS DOUBLE))) AS b2
+           |    FROM m)),
+           |calres AS (
+           |  SELECT j.oid,
+           |    abs(CAST(j.y AS DOUBLE) - (model.a
+           |      + model.b1 * CAST(j.x1 AS DOUBLE)
+           |      + model.b2 * CAST(j.x2 AS DOUBLE))) AS r
+           |  FROM j CROSS JOIN model WHERE j.fold = 3),
+           |ranked AS (
+           |  SELECT r, row_number() OVER (ORDER BY r, oid) AS rank FROM calres),
+           |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM ranked),
+           |qh AS (
+           |  SELECT ranked.r AS qhat, nc.n_cal
+           |  FROM ranked CROSS JOIN nc
+           |  WHERE ranked.rank = LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+           |test AS (
+           |  SELECT abs(CAST(j.y AS DOUBLE) - (model.a
+           |      + model.b1 * CAST(j.x1 AS DOUBLE)
+           |      + model.b2 * CAST(j.x2 AS DOUBLE))) AS r
+           |  FROM j CROSS JOIN model WHERE j.fold = 4)
+           |SELECT MAX(model.nt) AS n_train, MAX(qh.n_cal) AS n_cal,
+           |  CAST(COUNT(*) AS BIGINT) AS n_test,
+           |  MAX(model.b1) AS b1, MAX(model.b2) AS b2,
+           |  MAX(model.a) AS intercept, MAX(qh.qhat) AS qhat_cents,
+           |  CAST(SUM(CASE WHEN test.r <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+           |FROM test CROSS JOIN qh CROSS JOIN model""".stripMargin)),
+
     // Closed-form RIDGE regression (λ=1000, intercept unpenalized):
     // order total ~ (line count, total quantity). Every moment is an
     // EXACT decimal sum of integer-valued products — one corpus
