@@ -2216,7 +2216,54 @@ object SimilarityQueries {
            |SELECT * FROM coreout
            |UNION ALL SELECT * FROM borderout
            |UNION ALL SELECT * FROM noiseout""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // K-MEANS ELBOW curve: total inertia (Σ min-centroid d²) after the
+    // SAME deterministic 2-iteration Lloyd training at k ∈ {2, 4, 8} — the
+    // "choose k" audit that precedes every quality index the catalog
+    // already has for a GIVEN labeling (silhouette q265, Davies-Bouldin
+    // q338, Calinski-Harabasz q355). Each training is the q68 machinery
+    // verbatim (salted-hash seeds, min_by assignment, decimal centroid
+    // recompute); inertia folds decimal(38,18) over per-vector min d².
+    // Scale: per k, two Lloyd passes + one assignment pass, centroids
+    // always broadcast — n·k distance rows, never n².
+    QueryDef(
+      "q369_kmeans_elbow",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Seq(2, 4, 8).map { k =>
+          val cent = Similarity.materializeCentroids(Similarity.centroidArrays(
+            Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"),
+              k, iters = 2)))
+          Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), cent)
+            .agg(Num.dsum38(col("d2")).as("inertia"),
+              count(lit(1)).as("n_vectors"))
+            .select(lit(k).as("k"), col("inertia"), col("n_vectors"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val l2 =
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+            |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y)""".stripMargin
+        val arms = Seq(2, 4, 8).map { k =>
+          s"""ine$k AS (
+             |  SELECT $k AS k, ${Num.duckDsum38("mind2")} AS inertia,
+             |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+             |  FROM (
+             |    SELECT vec_id, MIN(d2) AS mind2 FROM (
+             |      SELECT vec_id, clabel, $l2 AS d2
+             |      FROM e CROSS JOIN el${k}_cent2)
+             |    GROUP BY 1))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 2, iters = 2, prefix = "el2_")},
+           |${duckKmeansCtes(k = 4, iters = 2, prefix = "el4_")},
+           |${duckKmeansCtes(k = 8, iters = 2, prefix = "el8_")},
+           |$arms
+           |SELECT * FROM ine2
+           |UNION ALL SELECT * FROM ine4
+           |UNION ALL SELECT * FROM ine8""".stripMargin
+      })
   )
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227
