@@ -5019,119 +5019,18 @@ object RelationalQueries {
            |  CAST(COUNT(*) AS BIGINT) AS n_rows
            |FROM u GROUP BY 1""".stripMargin)),
 
-    // TPC-H Q4-style order-priority checking, adapted to this schema (no
-    // l_commitdate/l_receiptdate): an order is "late" when SOME lineitem
-    // shipped more than 90 days after the order date. The plan shape is the
-    // point — a LEFT SEMI join (EXISTS) from the window-filtered orders into
-    // lineitem, keyed on l_orderkey with the non-equi lateness condition
-    // evaluated inside the semi join; each order counts ONCE no matter how
-    // many late lines it has (the dedup a plain inner join + distinct would
-    // pay a shuffle for). Both sides shuffle on orderkey only; the
-    // #priorities-row result needs no further exchange discipline.
-    QueryDef(
-      "q341_order_priority_check",
-      (s, dir) => {
-        val orders = Tables.load(s, dir, "orders")
-          .where(col("o_orderdate") >= lit("1996-07-01") &&
-            col("o_orderdate") < lit("1996-10-01"))
-        val lineitem = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_shipdate"))
-        orders
-          .join(lineitem,
-            col("o_orderkey") === col("l_orderkey") &&
-              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-            "left_semi")
-          .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("order_count"))
-      },
-      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-           |FROM orders
-           |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-           |  AND o_orderdate < TIMESTAMP '1996-10-01'
-           |  AND EXISTS (SELECT 1 FROM lineitem
-           |    WHERE l_orderkey = o_orderkey
-           |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
-           |GROUP BY 1""".stripMargin)),
-
-    // TPC-H Q13-style customer order-count distribution: how many customers
-    // placed exactly k orders (zero included — the reason this MUST be a
-    // LEFT OUTER join from customer, not an inner join)? The priority filter
-    // stands in for Q13's comment NOT LIKE. Two aggregations: the first
-    // shuffles on custkey (outer join + count share the exchange), the
-    // second reduces the #customers frame to the #distinct-counts frame —
-    // tiny at any scale.
-    QueryDef(
-      "q342_customer_order_dist",
-      (s, dir) => {
-        val customer = Tables.load(s, dir, "customer").select(col("c_custkey"))
-        val orders = Tables.load(s, dir, "orders")
-          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-          .select(col("o_custkey"), col("o_orderkey"))
-        customer
-          .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy(col("c_count"))
-          .agg(count(lit(1)).as("custdist"))
-      },
-      Some("""WITH co AS (
-           |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
-           |  FROM customer
-           |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
-           |    AND o_orderpriority <> '4-NOT SPECIFIED'
-           |  GROUP BY 1)
-           |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-           |FROM co GROUP BY 1""".stripMargin)),
-
-    // TPC-H Q17-style small-quantity-order revenue: yearly revenue lost if
-    // orders below 20% of a part's average quantity stopped shipping, for
-    // one brand. The brand's partkeys broadcast into lineitem FIRST (the
-    // per-part stats are identical computed before or after the part filter
-    // — grouping is per part — so the stats pass runs over the 1/25
-    // brand slice, not the corpus). The avg comparison is cross-multiplied
-    // to stay in exact-integer doubles (5·qty·cnt < Σqty — quantities are
-    // integral, so no engine-specific avg rounding can flip the boundary);
-    // the stats self-join is partkey-keyed over the already-filtered slice.
-    QueryDef(
-      "q343_small_qty_revenue",
-      (s, dir) => {
-        val parts = Tables.load(s, dir, "part")
-          .where(col("p_brand") === "Brand#4")
-          .select(col("p_partkey"))
-        val li = Tables.load(s, dir, "lineitem")
-          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-          .localCheckpoint()
-        val stats = li.groupBy(col("l_partkey").as("sp"))
-          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
-        li.join(stats, col("l_partkey") === col("sp"))
-          .where(col("l_quantity") * lit(5.0) * col("cnt") < col("sq"))
-          .agg((Num.dsum38(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
-            count(lit(1)).as("n_lines"))
-      },
-      Some(s"""WITH li AS (
-           |  SELECT l_partkey, l_quantity, l_extendedprice
-           |  FROM lineitem JOIN part ON l_partkey = p_partkey
-           |  WHERE p_brand = 'Brand#4'),
-           |stats AS (
-           |  SELECT l_partkey AS sp, SUM(l_quantity) AS sq,
-           |    CAST(COUNT(*) AS BIGINT) AS cnt
-           |  FROM li GROUP BY 1)
-           |SELECT ${Num.duckDsum38("l_extendedprice")} / 7.0 AS avg_yearly,
-           |  CAST(COUNT(*) AS BIGINT) AS n_lines
-           |FROM li JOIN stats ON l_partkey = sp
-           |WHERE l_quantity * 5.0 * cnt < sq""".stripMargin)),
-
-    // TPC-H Q21-style suppliers who kept orders waiting, adapted (no
-    // receipt/commit dates): over finished ('F') orders, count the rows of
-    // the supplier who shipped >30 days after the order date on a
-    // multi-supplier order AND after every other supplier's last line
-    // (strictly last to ship — ties exclude both, exactly Q21's "no other
-    // late supplier" NOT EXISTS narrowing). The plan is the point: one
-    // fact-fact shuffle (lineitem⋈orders on orderkey), then a LEFT SEMI and
-    // a LEFT ANTI against the raw lineitem, both keyed on l_orderkey with
-    // the suppkey/shipdate disqualifiers as join residuals — Q21's
-    // EXISTS/NOT EXISTS pair as native join types, no distinct, no window.
+    // TPC-H Q21 pattern, the NATIVE-JOIN-TYPES formulation — the
+    // deliberate counterpart of q205, which solves the same pattern by
+    // collapsing to order grain with countDistinct aggregations and never
+    // materializes a semi/anti join. Here the EXISTS/NOT EXISTS pair runs
+    // as what Catalyst plans them to be: over finished ('F') orders, rows
+    // of the supplier who shipped >30 days late on a multi-supplier order
+    // AND strictly after every other supplier's last line (ties exclude
+    // both) — one fact-fact shuffle (lineitem⋈orders on orderkey), then a
+    // LEFT SEMI and a LEFT ANTI against raw lineitem, both keyed on
+    // l_orderkey with the suppkey/shipdate disqualifiers as join
+    // residuals; no distinct, no window. The ONLY anti join in the catalog
+    // whose residual carries an inequality across both sides.
     QueryDef(
       "q344_waiting_suppliers",
       (s, dir) => {
@@ -5178,238 +5077,6 @@ object RelationalQueries {
            |GROUP BY 1, 2
            |ORDER BY numwait DESC, s_suppkey ASC
            |LIMIT 10""".stripMargin)),
-
-    // TPC-H Q22-style global sales opportunity, adapted (no c_phone — the
-    // nation set plays the country-code IN list): per selected nation, the
-    // count and held balance of customers with above-average positive
-    // balance with no RECENT order (none since 2000 — Q22's dormancy
-    // window; "never ordered at all" is empty at this generator's 10
-    // orders/customer density). The shape: the corpus-wide scalar
-    // aggregate collapses to ONE broadcast row (Σbal as exact decimal +
-    // count), the above-average test is the cross-multiplied
-    // bal·n > Σbal (identical IEEE doubles both engines, no division), and
-    // never-ordered is a LEFT ANTI join against orders keyed on custkey —
-    // Q22's NOT EXISTS as a native join type. Customer shuffles once (the
-    // anti join); orders project to the key column only.
-    QueryDef(
-      "q345_sales_opportunity",
-      (s, dir) => {
-        val nats = Seq(1, 4, 9, 13, 21)
-        val cust = Tables.load(s, dir, "customer")
-          .where(col("c_nationkey").isin(nats: _*))
-        val pos = cust.where(col("c_acctbal") > 0.0)
-          .agg(Num.dsum38(col("c_acctbal")).as("sbal"),
-            count(lit(1)).as("npos"))
-        cust
-          .crossJoin(broadcast(pos))
-          .where(col("c_acctbal") * col("npos") > col("sbal"))
-          .join(Tables.load(s, dir, "orders")
-              .where(col("o_orderdate") >= lit("2000-01-01"))
-              .select(col("o_custkey")),
-            col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy(col("c_nationkey"))
-          .agg(count(lit(1)).as("numcust"),
-            Num.dsum38(col("c_acctbal")).as("totacctbal"))
-      },
-      Some(s"""WITH cust AS (
-           |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-           |  WHERE c_nationkey IN (1, 4, 9, 13, 21)),
-           |pos AS (
-           |  SELECT ${Num.duckDsum38("c_acctbal")} AS sbal,
-           |    CAST(COUNT(*) AS BIGINT) AS npos
-           |  FROM cust WHERE c_acctbal > 0.0)
-           |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-           |  ${Num.duckDsum38("c_acctbal")} AS totacctbal
-           |FROM cust, pos
-           |WHERE c_acctbal * npos > sbal
-           |  AND NOT EXISTS (SELECT 1 FROM orders
-           |    WHERE o_custkey = c_custkey
-           |      AND o_orderdate >= TIMESTAMP '2000-01-01')
-           |GROUP BY 1""".stripMargin)),
-
-    // TPC-H Q12-style late-shipment priority mix, adapted (no l_shipmode /
-    // l_commitdate): among lines shipped >60 days after their order date,
-    // how many belong to critical-priority orders vs not, per return flag.
-    // One orderkey-keyed fact-fact shuffle, then a conditional aggregation
-    // (SUM of CASE — the map-side-combinable form of Q12's two counts).
-    QueryDef(
-      "q346_late_priority_mix",
-      (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
-        val ord = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .groupBy(col("l_returnflag"))
-          .agg(
-            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L)).as("high_line_count"),
-            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
-              .otherwise(1L)).as("low_line_count"))
-      },
-      Some("""SELECT l_returnflag,
-           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-           |GROUP BY 1""".stripMargin)),
-
-    // TPC-H Q14-style promo revenue share: the percentage of one month's
-    // discounted revenue earned by PROMO-type parts. Part (2 columns)
-    // broadcasts into the date-pruned lineitem scan; both the promo and
-    // total revenue fold decimal(38,18) in the SAME single aggregation, and
-    // the final percentage is one double division of two deterministic
-    // doubles — identical IEEE result both engines.
-    QueryDef(
-      "q347_promo_revenue",
-      (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .where(col("l_shipdate") >= lit("1997-03-01") &&
-            col("l_shipdate") < lit("1997-04-01"))
-        val part = Tables.load(s, dir, "part")
-          .select(col("p_partkey"), col("p_type"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .agg(
-            (lit(100.0) *
-              Num.dsum38(when(col("p_type") === "PROMO",
-                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-                .otherwise(lit(0.0))) /
-              Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-              .as("promo_revenue"),
-            count(lit(1)).as("n_lines"))
-      },
-      Some(s"""SELECT 100.0 *
-           |    ${Num.duckDsum38("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
-           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")}
-           |    AS promo_revenue,
-           |  CAST(COUNT(*) AS BIGINT) AS n_lines
-           |FROM lineitem JOIN part ON l_partkey = p_partkey
-           |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-           |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
-
-    // TPC-H Q15-style top supplier: the supplier(s) whose quarterly revenue
-    // equals the maximum. Revenue per supplier is one suppkey-keyed
-    // aggregation (decimal fold → deterministic double); the max collapses
-    // to a 1-row broadcast and the equality join back is exact because both
-    // sides are the SAME deterministic doubles (Q15's view + scalar
-    // subquery without recomputing the view twice — localCheckpoint shares
-    // the revenue frame between max and filter). Supplier dim broadcasts.
-    QueryDef(
-      "q348_top_supplier",
-      (s, dir) => {
-        val rev = Tables.load(s, dir, "lineitem")
-          .where(col("l_shipdate") >= lit("1996-01-01") &&
-            col("l_shipdate") < lit("1996-04-01"))
-          .groupBy(col("l_suppkey"))
-          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("total_revenue"))
-          .localCheckpoint()
-        val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
-        rev.crossJoin(broadcast(mx))
-          .where(col("total_revenue") === col("max_revenue"))
-          .join(broadcast(Tables.load(s, dir, "supplier")
-            .select(col("s_suppkey"), col("s_name"))),
-            col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-      },
-      Some(s"""WITH rev AS (
-           |  SELECT l_suppkey,
-           |    ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")}
-           |      AS total_revenue
-           |  FROM lineitem
-           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           |    AND l_shipdate < TIMESTAMP '1996-04-01'
-           |  GROUP BY 1)
-           |SELECT s_suppkey, s_name, total_revenue
-           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-           |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin)),
-
-    // TPC-H Q19-style discounted revenue under an OR-of-ANDs predicate:
-    // three (brand, size-band, quantity-band) arms. The point is predicate
-    // shape — the composite condition rides the broadcast hash join as one
-    // residual (brand/size prune the 2000-row part side BEFORE broadcast;
-    // quantity arms evaluate on fact rows), never a union of three scans.
-    QueryDef(
-      "q349_banded_revenue",
-      (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"))
-        val part = Tables.load(s, dir, "part")
-          .where((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
-            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)) ||
-            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50)))
-          .select(col("p_partkey"), col("p_brand"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey") &&
-            ((col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
-              (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
-              (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30))))
-          .agg(Num.dsum38(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"), count(lit(1)).as("n_lines"))
-      },
-      Some(s"""SELECT
-           |  ${Num.duckDsum38("l_extendedprice * (1.0 - l_discount)")} AS revenue,
-           |  CAST(COUNT(*) AS BIGINT) AS n_lines
-           |FROM lineitem JOIN part ON l_partkey = p_partkey
-           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-           |    AND l_quantity BETWEEN 1 AND 11)
-           |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
-           |    AND l_quantity BETWEEN 10 AND 20)
-           |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
-           |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
-
-    // TPC-H Q20-style dominant bolt suppliers, adapted (no partsupp): the
-    // suppliers in one nation who shipped MORE THAN TWICE the per-supplier
-    // average of some '%bolt' part in 1996. The semi-join chain: bolt
-    // partkeys broadcast into the year-pruned lineitem; per-(part,supplier)
-    // quantities aggregate once; the per-part mean test is cross-multiplied
-    // into exact-integer doubles (qty_sp·n_sup > 2·Σqty_p); the surviving
-    // suppkeys reach supplier as a LEFT SEMI (Q20's IN-subquery as a native
-    // join type, no distinct pass).
-    QueryDef(
-      "q350_dominant_bolt_suppliers",
-      (s, dir) => {
-        val bolts = Tables.load(s, dir, "part")
-          .where(col("p_name").endsWith(" bolt"))
-          .select(col("p_partkey"))
-        val sp = Tables.load(s, dir, "lineitem")
-          .where(col("l_shipdate") >= lit("1996-01-01") &&
-            col("l_shipdate") < lit("1997-01-01"))
-          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(col("l_quantity")).as("qty_sp"))
-          .localCheckpoint()
-        val pt = sp.groupBy(col("l_partkey").as("pk"))
-          .agg(sum(col("qty_sp")).as("tot"), count(lit(1)).as("n_sup"))
-        val heavy = sp.join(pt, col("l_partkey") === col("pk"))
-          .where(col("qty_sp") * col("n_sup") > lit(2.0) * col("tot"))
-          .select(col("l_suppkey"))
-        Tables.load(s, dir, "supplier")
-          .where(col("s_nationkey") === 7)
-          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
-          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-      },
-      Some("""WITH sp AS (
-           |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_sp
-           |  FROM lineitem JOIN part ON l_partkey = p_partkey
-           |  WHERE p_name LIKE '% bolt'
-           |    AND l_shipdate >= TIMESTAMP '1996-01-01'
-           |    AND l_shipdate < TIMESTAMP '1997-01-01'
-           |  GROUP BY 1, 2),
-           |pt AS (
-           |  SELECT l_partkey AS pk, SUM(qty_sp) AS tot,
-           |    CAST(COUNT(*) AS BIGINT) AS n_sup
-           |  FROM sp GROUP BY 1),
-           |heavy AS (
-           |  SELECT l_suppkey FROM sp JOIN pt ON l_partkey = pk
-           |  WHERE qty_sp * n_sup > 2.0 * tot)
-           |SELECT s_suppkey, s_name, s_acctbal
-           |FROM supplier
-           |WHERE s_nationkey = 7
-           |  AND EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)""".stripMargin)),
 
     // L-DIVERSITY audit: q274's k-anonymity counts how many people share a
     // quasi-identifier signature; this asks the follow-up homogeneity

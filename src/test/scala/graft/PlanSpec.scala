@@ -697,70 +697,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p339.toLowerCase.contains("join"), s"q339: no joins:\n${p339.take(1000)}")
   }
 
-  test("q340-q345 session pins: phonetic-block broadcast; semi/anti joins stay native join types") {
+  test("q340/q344 session pins: phonetic-block broadcast; Q21 as native semi+anti join types") {
     // q340 soundex blocking: the head side broadcasts; the blocking join is
     // an equality hash join (the upgrade over q336's range-probe block)
     val p340 = plan(SparkEntry.queries("q340_phonetic_typo_links")(spark, sf))
     assert(p340.contains("BroadcastHashJoin"),
       s"q340: soundex block must be an equality broadcast hash join:\n${p340.take(1500)}")
     assert(!p340.contains("CartesianProduct"), "q340: no cartesian")
-    // q341 Q4-style: EXISTS must plan as a LeftSemi join (one row per order,
-    // no distinct-dedup shuffle), with the lateness condition as a residual
-    val p341 = plan(SparkEntry.queries("q341_order_priority_check")(spark, sf))
-    assert(p341.contains("LeftSemi"),
-      s"q341: EXISTS must be a semi join:\n${p341.take(1500)}")
-    // q342 Q13-style: the zero-order customers only exist under an OUTER join
-    val p342 = plan(SparkEntry.queries("q342_customer_order_dist")(spark, sf))
-    assert(p342.contains("LeftOuter"),
-      s"q342: customer→orders must be left outer:\n${p342.take(1500)}")
-    // q343 Q17-style: the visible plan starts AFTER the eager localCheckpoint
-    // (the brand-partkey broadcast lives on the checkpointed side), so pin
-    // what remains: the stats self-join is partkey-keyed with the
-    // cross-multiplied avg test as a residual — never a cartesian
-    val p343 = plan(SparkEntry.queries("q343_small_qty_revenue")(spark, sf))
-    assert("(?i)join \\[l_partkey".r.findFirstIn(p343).isDefined,
-      s"q343: stats self-join must key on l_partkey:\n${p343.take(1500)}")
-    assert(!p343.contains("CartesianProduct"), "q343: no cartesian")
-    // q344 Q21-style: EXISTS and NOT EXISTS must be native LeftSemi/LeftAnti
-    // join types (never a distinct+outer-join emulation), supplier broadcast
+    // q344 (q205's native-join-types counterpart): EXISTS and NOT EXISTS
+    // must be native LeftSemi/LeftAnti join types (never a
+    // distinct+outer-join emulation), supplier broadcast
     val p344 = plan(SparkEntry.queries("q344_waiting_suppliers")(spark, sf))
     assert(p344.contains("LeftSemi"), s"q344: EXISTS → semi join:\n${p344.take(1500)}")
     assert(p344.contains("LeftAnti"), s"q344: NOT EXISTS → anti join:\n${p344.take(1500)}")
     assert(p344.contains("BroadcastHashJoin"),
       s"q344: supplier dim must broadcast:\n${p344.take(1500)}")
-    // q345 Q22-style: the scalar aggregate is a 1-row broadcast (never a
-    // shuffle), dormancy is a native anti join
-    val p345 = plan(SparkEntry.queries("q345_sales_opportunity")(spark, sf))
-    assert(p345.contains("BroadcastNestedLoopJoin") || p345.contains("BroadcastHashJoin"),
-      s"q345: the Σbal scalar must broadcast:\n${p345.take(1500)}")
-    assert(p345.contains("LeftAnti"), s"q345: NOT EXISTS → anti join:\n${p345.take(1500)}")
-  }
-
-  test("q346-q350 session pins: broadcast dims, composite residuals, native semi chain") {
-    // q347 Q14-style: the 2-column part dim broadcasts; promo share is ONE
-    // aggregation (both folds in the same HashAggregate, not two passes)
-    val p347 = plan(SparkEntry.queries("q347_promo_revenue")(spark, sf))
-    assert(p347.contains("BroadcastHashJoin"),
-      s"q347: part dim must broadcast:\n${p347.take(1500)}")
-    assert("HashAggregate".r.findAllIn(p347).size <= 4, // partial+final, 1 agg
-      s"q347: promo + total must fold in ONE aggregation:\n${p347.take(1500)}")
-    // q348 Q15-style: the max collapses to a 1-row broadcast against the
-    // checkpointed revenue frame — no shuffle of rev for the scalar
-    val p348 = plan(SparkEntry.queries("q348_top_supplier")(spark, sf))
-    assert(p348.contains("BroadcastNestedLoopJoin") || p348.contains("BroadcastHashJoin"),
-      s"q348: max scalar must broadcast:\n${p348.take(1500)}")
-    // q349 Q19-style: the OR-of-ANDs stays a residual on ONE broadcast join —
-    // never a union of three scans or a cartesian
-    val p349 = plan(SparkEntry.queries("q349_banded_revenue")(spark, sf))
-    assert(p349.contains("BroadcastHashJoin"),
-      s"q349: pruned part side must broadcast:\n${p349.take(1500)}")
-    assert(!p349.contains("Union"), "q349: one scan, not an arm-per-scan union")
-    assert(!p349.contains("CartesianProduct"), "q349: no cartesian")
-    // q350 Q20-style: the IN-subquery end of the chain must be a native
-    // LeftSemi into supplier
-    val p350 = plan(SparkEntry.queries("q350_dominant_bolt_suppliers")(spark, sf))
-    assert(p350.contains("LeftSemi"),
-      s"q350: heavy-supplier filter must be a semi join:\n${p350.take(1500)}")
   }
 
   test("q353/q354 stylometry pins: doc-keyed RAKE window; join-free Yule's K") {
