@@ -4653,6 +4653,138 @@ object RelationalQueries {
     // purchase×predecessor join is SESSION-bounded (the q285 bounded-pair
     // discipline); fractional credits fold in decimal so the per-type
     // totals are partition-order independent.
+    // EXACT SHAPLEY-VALUE attribution — the game-theoretic completion of
+    // the attribution family (linear q330, U-shaped q333, direct): each
+    // channel's credit is its average marginal contribution over ALL
+    // orderings, computed EXACTLY over the 4-channel power set (16
+    // coalitions — bounded by the channel alphabet, never the data). Per
+    // converting session, the coalition is the bit_or of channels touched
+    // before the FIRST purchase; v(S) = conversions whose coalition ⊆ S
+    // (a 16×16 subset-sum join); φ_c = Σ_{S∌c} |S|!·(3−|S|)!·[v(S∪c)−v(S)]
+    // / 4! with the factorial weights kept as INTEGERS {6,2,2,6} so the
+    // whole computation is exact until the single division by 24. Efficiency
+    // axiom Σφ = v(full) holds by construction and is emitted as a column.
+    // One sessionization pass; everything after runs on ≤16-row frames.
+    QueryDef(
+      "q370_shapley_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("ns",
+            when(lag(col("ts"), 1).over(wUser).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser))
+                > 21600000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("ns")).over(wUser))
+          .localCheckpoint()
+        // first purchase per session (total order: ts, then event_id)
+        val fp = sess.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("sess"),
+            unix_micros(col("ts")).as("ets"), col("event_id").as("eid"))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(struct(col("ets"), col("eid"))).as("f"))
+          .select(col("user_id"), col("sess"),
+            col("f.ets").as("pts"), col("f.eid").as("pid"))
+        val bit = when(col("event_type") === "click", 1)
+          .when(col("event_type") === "error", 2)
+          .when(col("event_type") === "signup", 4)
+          .when(col("event_type") === "view", 8)
+        val masks = sess
+          .join(fp, Seq("user_id", "sess"))
+          .where(col("event_type") =!= "purchase" &&
+            (unix_micros(col("ts")) < col("pts") ||
+              (unix_micros(col("ts")) === col("pts") &&
+                col("event_id") < col("pid"))))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(bit_or(bit).as("mask"))
+        val cnt = masks.groupBy(col("mask"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val totals = fp.agg(count(lit(1)).as("n_conversions"))
+          .crossJoin(broadcast(cnt.agg(sum(col("cnt")).as("n_attributed"))))
+        val subsets = s.range(16).select(col("id").cast("int").as("coal"))
+        val v = subsets.join(broadcast(cnt),
+            col("mask").bitwiseAND(col("coal")) === col("mask"), "left_outer")
+          .groupBy(col("coal"))
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+          .localCheckpoint()
+        val channels = s.createDataFrame(Seq(
+          (1, "click"), (2, "error"), (4, "signup"), (8, "view")))
+          .toDF("cbit", "channel")
+        val wInt = when(bit_count(col("coal")) === 0, 6L)
+          .when(bit_count(col("coal")) === 1, 2L)
+          .when(bit_count(col("coal")) === 2, 2L)
+          .otherwise(6L)
+        broadcast(channels)
+          .join(v.select(col("coal"), col("v").as("v_s")),
+            col("coal").bitwiseAND(col("cbit")) === 0)
+          .join(broadcast(v.select(col("coal").as("coal2"), col("v").as("v_sc"))),
+            col("coal2") === col("coal").bitwiseOR(col("cbit")))
+          .groupBy(col("channel"))
+          .agg(sum(wInt * (col("v_sc") - col("v_s"))).as("num24"))
+          .select(col("channel"),
+            (col("num24").cast("double") / lit(24.0)).as("shapley"),
+            col("num24"))
+          .crossJoin(broadcast(totals))
+      },
+      Some("""WITH f AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS sess
+           |  FROM f),
+           |fpe AS (
+           |  SELECT user_id, sess, pts, pid FROM (
+           |    SELECT user_id, sess, epoch_us(ts) AS pts, event_id AS pid,
+           |      row_number() OVER (PARTITION BY user_id, sess
+           |        ORDER BY ts, event_id) AS rn
+           |    FROM sess WHERE event_type = 'purchase')
+           |  WHERE rn = 1),
+           |masks AS (
+           |  SELECT s.user_id, s.sess,
+           |    BIT_OR(CASE s.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+           |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END) AS mask
+           |  FROM sess s JOIN fpe ON fpe.user_id = s.user_id
+           |    AND fpe.sess = s.sess
+           |  WHERE s.event_type <> 'purchase'
+           |    AND (epoch_us(s.ts) < fpe.pts
+           |      OR (epoch_us(s.ts) = fpe.pts AND s.event_id < fpe.pid))
+           |  GROUP BY 1, 2),
+           |cnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM masks GROUP BY 1),
+           |totals AS (
+           |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fpe) AS n_conversions,
+           |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM cnt) AS n_attributed),
+           |v AS (
+           |  SELECT t.coal, CAST(COALESCE(SUM(cnt.cnt), 0) AS BIGINT) AS v
+           |  FROM (SELECT unnest(range(0, 16)) AS coal) t
+           |  LEFT OUTER JOIN cnt ON (cnt.mask & t.coal) = cnt.mask
+           |  GROUP BY 1),
+           |ch AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+           |  (4, 'signup'), (8, 'view')) AS t(cbit, channel)),
+           |marg AS (
+           |  SELECT ch.channel,
+           |    CASE bit_count(vs.coal) WHEN 0 THEN 6 WHEN 1 THEN 2
+           |      WHEN 2 THEN 2 ELSE 6 END * (vsc.v - vs.v) AS contrib
+           |  FROM ch
+           |  JOIN v vs ON (vs.coal & ch.cbit) = 0
+           |  JOIN v vsc ON vsc.coal = (vs.coal | ch.cbit))
+           |SELECT channel,
+           |  CAST(SUM(contrib) AS DOUBLE) / 24.0 AS shapley,
+           |  CAST(SUM(contrib) AS BIGINT) AS num24,
+           |  totals.n_conversions, totals.n_attributed
+           |FROM marg CROSS JOIN totals
+           |GROUP BY 1, totals.n_conversions, totals.n_attributed""".stripMargin)),
+
     QueryDef(
       "q330_linear_attribution",
       (s, dir) => {
