@@ -2183,6 +2183,68 @@ object TextQueries {
            |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
            |FROM src GROUP BY 1""".stripMargin)),
 
+    // QUANTILE NORMALIZATION across sources — the batch-effect correction
+    // that maps every source's score distribution EXACTLY onto the pooled
+    // distribution (RobustScaler q269 shifts/scales; this matches the whole
+    // CDF): doc score = word count; within-source rank r (a source-keyed
+    // window — sources co-locate) maps to the pooled order statistic at
+    // index ⌈(2r−1)·N / (2·n_s)⌉ (the midpoint quantile, all integer
+    // arithmetic), served from the two-phase globalRank frame — never a
+    // global window. Per-source report: n, mean original vs mean mapped
+    // (decimal-exact) — harmonized sources agree on the mapped mean.
+    QueryDef(
+      "q371_quantile_normalization",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.wordCount(col("text")).cast("long").as("score"))
+          .localCheckpoint()
+        val pooled = graft.ops.Sampling.globalRank(docs, col("score"), col("doc_id"))
+          .select(col("rank").as("pidx"), col("v").as("pooled_score"))
+          .localCheckpoint()
+        val n = pooled.agg(count(lit(1)).as("n_pool"))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("score"), col("doc_id"))
+        val ranked = docs
+          .withColumn("r", row_number().over(wSrc))
+          .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+        val mapped = ranked.crossJoin(broadcast(n))
+          .withColumn("pidx",
+            expr("((2 * r - 1) * n_pool + (2 * n_s - 1)) div (2 * n_s)"))
+          .join(pooled, "pidx")
+        mapped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            (Num.dsum38(col("score").cast("double")) / count(lit(1)))
+              .as("mean_original"),
+            (Num.dsum38(col("pooled_score").cast("double")) / count(lit(1)))
+              .as("mean_mapped"))
+      },
+      Some(s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS score
+           |  FROM documents),
+           |pooled AS (
+           |  SELECT row_number() OVER (ORDER BY score, doc_id) AS pidx,
+           |    score AS pooled_score
+           |  FROM d),
+           |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pool FROM d),
+           |ranked AS (
+           |  SELECT doc_id, source, score,
+           |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+           |      AS r,
+           |    COUNT(*) OVER (PARTITION BY source) AS n_s
+           |  FROM d),
+           |mapped AS (
+           |  SELECT ranked.source, ranked.score, pooled.pooled_score
+           |  FROM ranked CROSS JOIN np
+           |  JOIN pooled
+           |    ON pooled.pidx = ((2 * r - 1) * n_pool + (2 * n_s - 1)) // (2 * n_s))
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  ${Num.duckDsum38("CAST(score AS DOUBLE)")} / COUNT(*) AS mean_original,
+           |  ${Num.duckDsum38("CAST(pooled_score AS DOUBLE)")} / COUNT(*)
+           |    AS mean_mapped
+           |FROM mapped GROUP BY 1""".stripMargin)),
+
     // YULE'S K vocabulary richness per source: the length-invariant
     // repetitiveness characteristic (high K = repetitive templates, low K =
     // rich vocabulary) — the stylometric complement of q291's Heaps-law
