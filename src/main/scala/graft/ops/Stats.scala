@@ -385,6 +385,111 @@ object Stats {
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Mann-Whitney U rank-sum test of group A vs group B on a real-valued
+    * score — the nonparametric two-sample test completing the suite beside
+    * Welch's t (q261, means), Kolmogorov-Smirnov (q295, whole CDFs), and
+    * the log-rank (q303, survival): MWU asks "does one group STOCHASTICALLY
+    * dominate?", exactly the question when distributions are skewed and a
+    * mean comparison misleads. The U statistic is [[rocAuc]]'s u2 with a
+    * group indicator for the label (AUC = U/(n_a·n_b) — same machinery,
+    * different inferential readout): here the full test ships — midrank
+    * tie handling, the tie-corrected normal variance
+    * n_a·n_b/12·[(N+1) − Σ(t³−t)/(N(N−1))], and z. Explicit NULL z on zero
+    * variance (everything tied), never NaN.
+    *
+    * Exactness: 2·R_a folds as Σ n_a(v)·(2·below(v) + n(v) + 1) in
+    * decimal(38,0) — the n_a·below product overflows int64 past ~3·10⁹
+    * rows/side (the q295 lesson), and Σ(t³−t) likewise; the z formula is
+    * fixed double text both engines.
+    *
+    * Shape: ONE corpus aggregation to the per-distinct-score frame, the
+    * two-phase [[prefixSums]] for below-counts, then a 1-row reduction.
+    */
+  def mannWhitney(df: DataFrame, score: Column, isA: Column): DataFrame = {
+    val cells = df.select(score.as("s"), isA.cast("long").as("a"))
+      .groupBy(col("s"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+    val n = col("na") + col("nb")
+    val agg = prefixSums(cells, col("s"), Seq("na", "nb"))
+      .withColumn("below", col("cum_na") + col("cum_nb") - n)
+      .agg(
+        sum(col("na")).as("n_a"),
+        sum(col("nb")).as("n_b"),
+        sum(col("na").cast("decimal(38,0)") *
+          (lit(2L) * col("below") + n + lit(1L)).cast("decimal(38,0)"))
+          .as("r2a"),
+        sum((n.cast("decimal(38,0)") * n.cast("decimal(38,0)") *
+          n.cast("decimal(38,0)") - n.cast("decimal(38,0)")).cast("decimal(38,0)"))
+          .as("ties3"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val ua = (col("r2a").cast("double") -
+      naD * (naD + lit(1.0))) / lit(2.0)
+    val varU = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("ties3").cast("double") / (nD * (nD - lit(1.0))))
+    agg.select(col("n_a"), col("n_b"),
+        ua.as("u_a"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(ua / (naD * nbD)).as("auc_effect"),
+        varU.as("var_u"),
+        when(varU > 0.0, (ua - naD * nbD / lit(2.0)) / sqrt(varU))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** DuckDB twin of [[mannWhitney]] — same per-value frame, prefix, and
+    * formula text; `scoreExpr` is evaluated against `tbl`, `isAExpr` must
+    * be 0/1. */
+  def duckMannWhitney(tbl: String, scoreExpr: String, isAExpr: String): String =
+    s"""WITH cells AS (
+       |  SELECT $scoreExpr AS s,
+       |    CAST(SUM($isAExpr) AS BIGINT) AS na,
+       |    CAST(SUM(1 - ($isAExpr)) AS BIGINT) AS nb
+       |  FROM $tbl GROUP BY 1),
+       |pre AS (
+       |  SELECT na, nb, na + nb AS n,
+       |    CAST(COALESCE(SUM(na + nb) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below
+       |  FROM cells),
+       |agg AS (
+       |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+       |    CAST(SUM(nb) AS BIGINT) AS n_b,
+       |    SUM(CAST(na AS DECIMAL(38,0)) *
+       |      CAST(2 * below + n + 1 AS DECIMAL(38,0))) AS r2a,
+       |    SUM(CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) *
+       |      CAST(n AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0))) AS ties3
+       |  FROM pre)
+       |SELECT n_a, n_b,
+       |  (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+       |    * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS u_a,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+       |      * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+       |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS auc_effect,
+       |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+       |    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+       |      - CAST(ties3 AS DOUBLE)
+       |        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+       |    AS var_u,
+       |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+       |    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+       |      - CAST(ties3 AS DOUBLE)
+       |        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0.0
+       |  THEN ((CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+       |      * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+       |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+       |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+       |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+       |        - CAST(ties3 AS DOUBLE)
+       |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+       |  ELSE NULL END AS z
+       |FROM agg""".stripMargin
+
   /** Two-proportion pooled z-test of each key's success rate against the
     * REST of the corpus — "is this slice's accuracy drop significant, or
     * small-n noise?", the inferential companion of the q280 slice report.

@@ -2245,6 +2245,26 @@ object TextQueries {
            |    AS mean_mapped
            |FROM mapped GROUP BY 1""".stripMargin)),
 
+    // MANN-WHITNEY U rank-sum test: does src1 stochastically dominate src3
+    // on document length? The nonparametric member completing the
+    // two-sample suite (Welch t q261 = means, KS q295 = whole CDFs,
+    // log-rank q303 = survival) — the right test when length distributions
+    // are skewed and a mean comparison misleads. Midrank ties,
+    // tie-corrected variance, decimal(38,0) rank folds (operator scaladoc).
+    QueryDef(
+      "q372_mann_whitney",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("source").isin("src1", "src3"))
+        graft.ops.Stats.mannWhitney(docs,
+          Text.wordCount(col("text")).cast("long"),
+          (col("source") === "src1").cast("long"))
+      },
+      Some(graft.ops.Stats.duckMannWhitney(
+        "(SELECT * FROM documents WHERE source IN ('src1', 'src3'))",
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)",
+        "CASE WHEN source = 'src1' THEN 1 ELSE 0 END"))),
+
     // YULE'S K vocabulary richness per source: the length-invariant
     // repetitiveness characteristic (high K = repetitive templates, low K =
     // rich vocabulary) — the stylometric complement of q291's Heaps-law

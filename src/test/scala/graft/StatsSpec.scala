@@ -284,6 +284,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.forall(_ == 0L), s"separable histogram must pad 0: ${r2.toSeq}")
   }
 
+  test("mannWhitney: separated groups hit effect {0,1}; all-tied variance is NULL z") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) = graft.ops.Stats
+      .mannWhitney(rows.toDF("s", "a"), col("s"), col("a"))
+      .collect().head
+    // A={1,2} entirely below B={3,4}: U_a = 0, effect 0
+    val lo = run(Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)))
+    assert(lo.getAs[Double]("u_a") == 0.0 && lo.getAs[Double]("auc_effect") == 0.0)
+    // A above B: U_a = n_a·n_b = 4, effect 1
+    val hi = run(Seq((3L, 1L), (4L, 1L), (1L, 0L), (2L, 0L)))
+    assert(hi.getAs[Double]("u_a") == 4.0 && hi.getAs[Double]("auc_effect") == 1.0)
+    // everything tied: variance 0 → z must be NULL, never NaN
+    val tied = run(Seq((5L, 1L), (5L, 0L)))
+    assert(tied.isNullAt(tied.fieldIndex("z")), s"tied z must be NULL: $tied")
+    assert(tied.getAs[Double]("auc_effect") == 0.5, "ties give half credit")
+  }
+
   test("participationRatio: rank-1 cloud → PR 1; isotropic 2-D cloud → PR 2") {
     import spark.implicits._
     val rank1 = Seq((1L, Array(0f, 0f)), (2L, Array(2f, 0f)))
