@@ -490,6 +490,112 @@ object Stats {
        |  ELSE NULL END AS z
        |FROM agg""".stripMargin
 
+  /** Kruskal-Wallis H test — [[mannWhitney]]'s k-group generalization (the
+    * nonparametric one-way ANOVA): do ANY of the groups' score
+    * distributions differ? H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1), divided by
+    * the tie correction 1 − Σ(t³−t)/(N³−N); under H₀, H ~ χ²(k−1).
+    *
+    * Exactness: midranks stay doubled — 2·R_j folds as
+    * Σ n_jv·(2·below(v) + n(v) + 1) in decimal(38,0) per group (same
+    * int64-overflow argument as [[mannWhitney]]); H's arithmetic is then
+    * fixed double text over the #groups-row frame. Output: one row per
+    * group (group, n, mean_rank) with (h, h_corrected, df) repeated — the
+    * per-group mean ranks ARE the effect readout the omnibus H points at.
+    *
+    * Shape: one corpus aggregation to the (score, group) frame, the
+    * two-phase [[prefixSums]] over the per-score totals, one group-keyed
+    * decimal fold, then #groups-row arithmetic.
+    */
+  def kruskalWallis(df: DataFrame, score: Column, group: Column): DataFrame = {
+    val cells = df.select(score.as("s"), group.as("g"))
+      .groupBy(col("s"), col("g"))
+      .agg(count(lit(1)).as("njv"))
+      .localCheckpoint()
+    val perScore = cells.groupBy(col("s")).agg(sum(col("njv")).as("nv"))
+    val pre = prefixSums(perScore, col("s"), Seq("nv"))
+      .withColumn("below", col("cum_nv") - col("nv"))
+      .select(col("s"), col("nv"), col("below"))
+    val rj = cells.join(pre, "s")
+      .groupBy(col("g"))
+      .agg(sum(col("njv")).as("n_j"),
+        sum(col("njv").cast("decimal(38,0)") *
+          (lit(2L) * col("below") + col("nv") + lit(1L)).cast("decimal(38,0)"))
+          .as("r2j"))
+      .localCheckpoint()
+    val ties = pre.agg(
+      sum((col("nv").cast("decimal(38,0)") * col("nv").cast("decimal(38,0)") *
+        col("nv").cast("decimal(38,0)") - col("nv").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("ties3"))
+    val tot = rj.agg(sum(col("n_j")).as("n_total"), count(lit(1)).as("k"))
+    // Σ R_j²/n_j from the doubled folds: (r2j/2)²/n_j = r2j²/(4·n_j)
+    val nD = col("n_total").cast("double")
+    val sumR = rj.crossJoin(broadcast(tot))
+      .select((col("r2j").cast("double") * col("r2j").cast("double") /
+        (lit(4.0) * col("n_j").cast("double"))).as("rterm"))
+      .agg(Num.dsum38(col("rterm")).as("sum_r2n"))
+    val stats = tot.crossJoin(broadcast(sumR)).crossJoin(broadcast(ties))
+      .select(col("n_total"), col("k"),
+        (lit(12.0) / (nD * (nD + lit(1.0))) * col("sum_r2n") -
+          lit(3.0) * (nD + lit(1.0))).as("h"),
+        (lit(1.0) - col("ties3").cast("double") /
+          (nD * nD * nD - nD)).as("tie_corr"))
+      .select(col("n_total"), (col("k") - 1L).as("df"), col("h"),
+        when(col("tie_corr") > 0.0, col("h") / col("tie_corr"))
+          .otherwise(lit(null).cast("double")).as("h_corrected"))
+    rj.select(col("g").as("group"), col("n_j"),
+        (col("r2j").cast("double") / (lit(2.0) * col("n_j").cast("double")))
+          .as("mean_rank"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** DuckDB twin of [[kruskalWallis]] — same frames and formula text;
+    * the per-score prefix runs over the value-distinct frame. */
+  def duckKruskalWallis(tbl: String, scoreExpr: String, groupExpr: String): String =
+    s"""WITH cells AS (
+       |  SELECT $scoreExpr AS s, $groupExpr AS g,
+       |    CAST(COUNT(*) AS BIGINT) AS njv
+       |  FROM $tbl GROUP BY 1, 2),
+       |ps AS (
+       |  SELECT s, CAST(SUM(njv) AS BIGINT) AS nv FROM cells GROUP BY 1),
+       |pre AS (
+       |  SELECT s, nv,
+       |    CAST(COALESCE(SUM(nv) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below
+       |  FROM ps),
+       |rj AS (
+       |  SELECT g, CAST(SUM(njv) AS BIGINT) AS n_j,
+       |    SUM(CAST(njv AS DECIMAL(38,0)) *
+       |      CAST(2 * below + nv + 1 AS DECIMAL(38,0))) AS r2j
+       |  FROM cells JOIN pre USING (s) GROUP BY 1),
+       |ties AS (
+       |  SELECT SUM(CAST(CAST(nv AS DECIMAL(38,0)) * CAST(nv AS DECIMAL(38,0)) *
+       |    CAST(nv AS DECIMAL(38,0)) - CAST(nv AS DECIMAL(38,0))
+       |    AS DECIMAL(38,0))) AS ties3
+       |  FROM pre),
+       |tot AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n_total,
+       |  CAST(COUNT(*) AS BIGINT) AS k FROM rj),
+       |sr AS (
+       |  SELECT CAST(SUM(CAST(
+       |    CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+       |      / (4.0 * CAST(n_j AS DOUBLE))
+       |    AS DECIMAL(38,18))) AS DOUBLE) AS sum_r2n
+       |  FROM rj),
+       |stats AS (
+       |  SELECT n_total, k - 1 AS df,
+       |    12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+       |      * sum_r2n - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+       |    1.0 - CAST(ties3 AS DOUBLE)
+       |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+       |        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) AS tie_corr
+       |  FROM tot CROSS JOIN sr CROSS JOIN ties)
+       |SELECT rj.g AS "group", rj.n_j,
+       |  CAST(rj.r2j AS DOUBLE) / (2.0 * CAST(rj.n_j AS DOUBLE)) AS mean_rank,
+       |  stats.n_total, stats.df, stats.h,
+       |  CASE WHEN stats.tie_corr > 0.0 THEN stats.h / stats.tie_corr
+       |    ELSE NULL END AS h_corrected
+       |FROM rj CROSS JOIN stats""".stripMargin
+
   /** Two-proportion pooled z-test of each key's success rate against the
     * REST of the corpus — "is this slice's accuracy drop significant, or
     * small-n noise?", the inferential companion of the q280 slice report.

@@ -2265,6 +2265,21 @@ object TextQueries {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)",
         "CASE WHEN source = 'src1' THEN 1 ELSE 0 END"))),
 
+    // KRUSKAL-WALLIS H: do ANY of the 20 sources differ in document-length
+    // distribution? The omnibus k-group rank test (q372's Mann-Whitney
+    // generalized — nonparametric one-way ANOVA), with per-source mean
+    // ranks as the effect readout beside the single H. Tie-corrected,
+    // decimal-exact rank folds (operator scaladoc).
+    QueryDef(
+      "q373_kruskal_wallis",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.Stats.kruskalWallis(docs,
+          Text.wordCount(col("text")).cast("long"), col("source"))
+      },
+      Some(graft.ops.Stats.duckKruskalWallis("documents",
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)", "source"))),
+
     // YULE'S K vocabulary richness per source: the length-invariant
     // repetitiveness characteristic (high K = repetitive templates, low K =
     // rich vocabulary) — the stylometric complement of q291's Heaps-law

@@ -301,6 +301,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(tied.getAs[Double]("auc_effect") == 0.5, "ties give half credit")
   }
 
+  test("kruskalWallis: textbook separated H = 2.4; identical groups → H = 0") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) = graft.ops.Stats
+      .kruskalWallis(rows.toDF("s", "g"), col("s"), col("g"))
+      .collect()
+    // groups {1,2} vs {3,4}: R = 3, 7 → H = 0.6·(4.5+24.5) − 15 = 2.4
+    val sep = run(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")))
+    assert(math.abs(sep.head.getAs[Double]("h") - 2.4) < eps, s"got ${sep.head}")
+    assert(math.abs(sep.head.getAs[Double]("h_corrected") - 2.4) < eps,
+      "no ties → correction is identity")
+    // identical distributions: midranks coincide → H = 0 exactly
+    val same = run(Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")))
+    assert(math.abs(same.head.getAs[Double]("h")) < eps, s"got ${same.head}")
+  }
+
   test("participationRatio: rank-1 cloud → PR 1; isotropic 2-D cloud → PR 2") {
     import spark.implicits._
     val rank1 = Seq((1L, Array(0f, 0f)), (2L, Array(2f, 0f)))
