@@ -31,6 +31,17 @@ object Num {
   def duckDsum38(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
 
+  /** Wide-range variant for magnitude-heavy terms (squared rank sums,
+    * third-moment folds): 6 fractional digits still dominates the double's
+    * own ulp once terms exceed ~1e10, while the 32 integer digits of
+    * headroom keep a term like n_j·(2N+1)²/4 in range past N = 1e10 rows —
+    * where the (38,18) fold would overflow to NULL and Spark's non-ANSI SUM
+    * would silently drop it. */
+  def dsumWide(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  def duckDsumWide(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
   def duckDavg(e: String, scale: Int = 2): String =
     s"(${duckDsum(e, scale)} / COUNT($e))"
 

@@ -533,6 +533,57 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic WEIGHTED sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006): each row
+    * draws u ∈ (0, 1] from the salted id hash and scores
+    * key = ln(u)/w (the monotone log form of u^(1/w)); the k LARGEST keys
+    * per group are exactly a weight-proportional sample without
+    * replacement. Replaces the driver-side reservoir with one
+    * WindowGroupLimit: the per-group top-k never materializes more than k
+    * rows per group past the exchange, and u is a pure row expression, so
+    * the sample is identical on any partitioning AND under appends that
+    * don't displace winners (the same property [[perGroupSample]] has for
+    * the uniform case; this is its weighted generalization).
+    *
+    * u = (hash60 + 1)/2^60 ∈ (2^-60, 1] — never 0, so ln(u) is finite;
+    * w must be ≥ 1 (callers clamp), keeping key = ln(u)/w in [−42, 0].
+    * Output: group, id, w, es_key, rank.
+    */
+  def weightedSampleTopK(df: DataFrame, group: Column, id: Column,
+      weight: Column, k: Int, salt: String = "wsamp"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val u = (Hashing.hash60(concat(lit(salt + "-"), id.cast("string")))
+      .cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val scored = df.select(group.as("group"), id.as("id"), w.as("w"),
+      (log(u) / w).as("es_key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("es_key").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[weightedSampleTopK]] — same hash-uniform, same log
+    * form, same (es_key DESC, id ASC) rank. `tbl` must expose the group,
+    * id, and weight expressions by those SQL names.
+    */
+  def duckWeightedSampleTopK(tbl: String, groupExpr: String, idExpr: String,
+      weightExpr: String, k: Int, salt: String = "wsamp"): String = {
+    val h = Hashing.duckHash60(s"('$salt-' || CAST($idExpr AS VARCHAR))")
+    s"""SELECT "group", id, w, es_key, rank FROM (
+       |  SELECT "group", id, w, es_key,
+       |    CAST(row_number() OVER (PARTITION BY "group"
+       |      ORDER BY es_key DESC, id ASC) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT $groupExpr AS "group", $idExpr AS id,
+       |      GREATEST(CAST($weightExpr AS DOUBLE), 1.0) AS w,
+       |      ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+       |        / GREATEST(CAST($weightExpr AS DOUBLE), 1.0) AS es_key
+       |    FROM $tbl))
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Balanced training-shard assignment — the export-side final mile of the
     * curation pipeline: every document gets a shard in 0..nShards−1 by
     * LPT-style round-robin over the GLOBAL (tokens desc, id asc) order

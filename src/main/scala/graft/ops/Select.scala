@@ -439,6 +439,14 @@ object Select {
     val bins = df.select(least(len.cast("long"), lit(cap.toLong)).as("l"))
       .groupBy(col("l")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // The DP needs >= k distinct capped lengths: with fewer, dp_k's m<i
+    // join is empty and the query would silently return ZERO rows. The
+    // histogram is already materialized and <= cap rows, so this count is
+    // a bounded driver-side check, not a corpus action.
+    val nBins = bins.count()
+    require(nBins >= k,
+      s"optimalLengthBuckets: only $nBins distinct capped lengths but k=$k " +
+        "buckets requested — lower k or raise cap")
     val w = Window.orderBy(col("l").asc)
     val pref = bins
       .withColumn("i", row_number().over(w))

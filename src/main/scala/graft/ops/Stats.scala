@@ -527,12 +527,16 @@ object Stats {
         col("nv").cast("decimal(38,0)") - col("nv").cast("decimal(38,0)"))
         .cast("decimal(38,0)")).as("ties3"))
     val tot = rj.agg(sum(col("n_j")).as("n_total"), count(lit(1)).as("k"))
-    // Σ R_j²/n_j from the doubled folds: (r2j/2)²/n_j = r2j²/(4·n_j)
+    // Σ R_j²/n_j from the doubled folds: (r2j/2)²/n_j = r2j²/(4·n_j).
+    // rterm ~ n_j·(2N+1)²/4 — fold at the wide (38,6) scale: the (38,18)
+    // fold's ~1e20 integer capacity overflows once a group holds a few
+    // million rows, and Spark's non-ANSI cast would NULL-drop the dominant
+    // term silently while DuckDB errors (cross-engine divergence).
     val nD = col("n_total").cast("double")
     val sumR = rj.crossJoin(broadcast(tot))
       .select((col("r2j").cast("double") * col("r2j").cast("double") /
         (lit(4.0) * col("n_j").cast("double"))).as("rterm"))
-      .agg(Num.dsum38(col("rterm")).as("sum_r2n"))
+      .agg(Num.dsumWide(col("rterm")).as("sum_r2n"))
     val stats = tot.crossJoin(broadcast(sumR)).crossJoin(broadcast(ties))
       .select(col("n_total"), col("k"),
         (lit(12.0) / (nD * (nD + lit(1.0))) * col("sum_r2n") -
@@ -579,7 +583,7 @@ object Stats {
        |  SELECT CAST(SUM(CAST(
        |    CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
        |      / (4.0 * CAST(n_j AS DOUBLE))
-       |    AS DECIMAL(38,18))) AS DOUBLE) AS sum_r2n
+       |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_r2n
        |  FROM rj),
        |stats AS (
        |  SELECT n_total, k - 1 AS df,
@@ -623,6 +627,74 @@ object Stats {
           .otherwise((p1 - p2) / sqrt(se2)).as("z"))
   }
 
+  /** Standard normal upper-tail density·polynomial form used by
+    * [[bhFdr]]: the Abramowitz–Stegun 26.2.17 approximation
+    * 1 − Φ(x) ≈ φ(x)·t·(b₁ + t(b₂ + t(b₃ + t(b₄ + t·b₅)))) with
+    * t = 1/(1 + 0.2316419·x), |ε| < 7.5e−8 — written as the SAME Horner
+    * chain in both engines ([[duckNormUpperTail]]), so the only
+    * cross-engine divergence is libm's exp at ≤1 ulp, far below the 6dp
+    * canonicalization. Evaluates the upper tail DIRECTLY (no 1 − Φ
+    * cancellation), which is exactly the form a two-sided p-value needs.
+    * Input must be non-negative (callers pass |z|).
+    */
+  def normUpperTail(ax: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+      (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    exp(lit(-0.5) * ax * ax) * lit(0.3989422804014327) * poly
+  }
+
+  /** DuckDB twin of [[normUpperTail]] — identical literal-for-literal
+    * Horner text over a precomputed non-negative column `ax` and
+    * t-column `tt` (pass expressions; keep them simple columns from a
+    * prior CTE so the text stays readable).
+    */
+  def duckNormUpperTail(ax: String, tt: String): String =
+    s"exp(-0.5 * $ax * $ax) * 0.3989422804014327 * " +
+      s"($tt * (0.319381530 + $tt * (-0.356563782 + $tt * " +
+      s"(1.781477937 + $tt * (-1.821255978 + $tt * 1.330274429)))))"
+
+  /** The t = 1/(1 + 0.2316419·x) helper for [[duckNormUpperTail]]. */
+  def duckNormT(ax: String): String = s"1.0 / (1.0 + 0.2316419 * $ax)"
+
+  /** BENJAMINI–HOCHBERG step-up FDR control over a frame of per-key z
+    * statistics (the output shape of [[twoProportionZ]]) — the
+    * multiple-testing correction that turns "87 slices, 9 nominally
+    * significant" into a defensible discovery list: sort two-sided
+    * p-values ascending, find the largest rank i with
+    * p_(i) ≤ α·i/m, reject ranks 1..i. Two-sided p = 2·(1 − Φ(|z|)) via
+    * [[normUpperTail]].
+    *
+    * Determinism: the p-rank breaks ties by key; i* derives from a global
+    * max over the ≤-criterion rows, so the rejected set is a pure
+    * function of the inputs in both engines. Null-z keys (empty slices,
+    * degenerate pooled variance) carry no testable hypothesis and are
+    * EXCLUDED — m counts real tests only, as BH requires.
+    *
+    * Scale: the frame entering the rank window is one row per KEY — an
+    * alphabet-bounded frame (slices, channels, sources), never the
+    * corpus — so the single-partition window is constant-size by
+    * construction (the q318/q365 bounded-frame discipline).
+    */
+  def bhFdr(tests: DataFrame, alpha: Double): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val withP = tests.where(col("z").isNotNull)
+      .withColumn("p", lit(2.0) * normUpperTail(abs(col("z"))))
+    val m = withP.agg(count(lit(1)).as("m"))
+    val w = W.orderBy(col("p").asc, col("key").asc)
+    val ranked = withP.crossJoin(broadcast(m))
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      .withColumn("bh_crit",
+        lit(alpha) * col("p_rank").cast("double") / col("m").cast("double"))
+      .localCheckpoint()
+    val istar = ranked.where(col("p") <= col("bh_crit"))
+      .agg(coalesce(max(col("p_rank")), lit(0L)).as("istar"))
+    ranked.crossJoin(broadcast(istar))
+      .select(col("key"), col("n"), col("k"), col("z"), col("p"),
+        col("p_rank"), col("m").as("m_tests"), col("bh_crit"),
+        (col("p_rank") <= col("istar")).as("rejected"))
+  }
+
   /** Theil–Sen robust trend per key over a (key, day, n) count series:
     * the median of all pairwise slopes (n_j − n_i)/(day_j − day_i) — the
     * trend estimate one corrupted day cannot move (OLS, q244's tool,
@@ -654,6 +726,121 @@ object Stats {
       .join(broadcast(nd), "event_type")
       .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
         col("sl").as("trend"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection / leakage-audit statistic beside q311's chi²
+    * (chi² answers "dependent at all?"; MI answers "how many nats does
+    * knowing X tell you about Y?"). MI = Σ (c/n)·ln(c·n/(c_x·c_y)) over
+    * the joint contingency cells, with marginal entropies
+    * H(X) = −Σ (c_x/n)·ln(c_x/n) and the symmetric normalization
+    * NMI = MI/sqrt(H(X)·H(Y)) (0 when either marginal is degenerate).
+    *
+    * Exactness: all counts are exact integers from ONE joint aggregation
+    * (marginals derive from the joint frame, never a second corpus scan);
+    * the per-cell ln terms are fixed double expressions folded in
+    * decimal(38,18) — order-independent, bit-identical cross-engine.
+    * Output: one row (n, cells, mi, h_x, h_y, nmi).
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val joint = df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mx = joint.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = joint.agg(sum(col("c")).as("n"), count(lit(1)).as("cells"))
+    val nd = col("n").cast("double")
+    val mi = joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .select(((col("c").cast("double") / nd) *
+        log(col("c").cast("double") * nd /
+          (col("cx").cast("double") * col("cy").cast("double")))).as("t"))
+      .agg(Num.dsum38(col("t")).as("mi"))
+    def entropy(cc: String): Column =
+      Num.dsum38(-(col(cc).cast("double") / nd) *
+        log(col(cc).cast("double") / nd))
+    val hx = mx.crossJoin(broadcast(n)).agg(entropy("cx").as("h_x"))
+    val hy = my.crossJoin(broadcast(n)).agg(entropy("cy").as("h_y"))
+    n.crossJoin(broadcast(mi)).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("cells"), col("mi"), col("h_x"), col("h_y"),
+        when(col("h_x") * col("h_y") > 0.0,
+          col("mi") / sqrt(col("h_x") * col("h_y")))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
+  /** DuckDB twin of [[mutualInformation]]. */
+  def duckMutualInformation(tbl: String, xExpr: String, yExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT CAST($xExpr AS VARCHAR) AS x, CAST($yExpr AS VARCHAR) AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM $tbl GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS cells FROM joint),
+       |mi AS (
+       |  SELECT ${Num.duckDsum38(
+            "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / " +
+            "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))")} AS mi
+       |  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt),
+       |hx AS (
+       |  SELECT ${Num.duckDsum38(
+            "-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_x
+       |  FROM mx CROSS JOIN nt),
+       |hy AS (
+       |  SELECT ${Num.duckDsum38(
+            "-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_y
+       |  FROM my CROSS JOIN nt)
+       |SELECT n, cells, mi, h_x, h_y,
+       |  CASE WHEN h_x * h_y > 0.0 THEN mi / sqrt(h_x * h_y)
+       |       ELSE 0.0 END AS nmi
+       |FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
+  /** COARSENED EXACT MATCHING ATT (Iacus–King–Porro 2012) — the
+    * matching-based causal estimate beside q293's CUPED (variance
+    * reduction) and q261's Welch test (no adjustment at all): bin the
+    * covariates (the caller passes already-coarsened stratum columns),
+    * keep only strata where BOTH treated and control appear, and average
+    * the within-stratum treated−control outcome gaps weighted by treated
+    * counts:
+    *
+    *   ATT = Σ_s n_t(s)·(ȳ_t(s) − ȳ_c(s)) / Σ_s n_t(s)
+    *
+    * Exactness: outcome means fold decimal (Num.dsum discipline); the
+    * weighted combination runs over the STRATA frame (alphabet-bounded),
+    * so the corpus is touched exactly once by the stratum aggregation.
+    * Output: one row per matched stratum (stratum, n_treated, n_control,
+    * mean_treated, mean_control, gap) + the global (att, n_matched_t,
+    * n_dropped_t) repeated — the q258 report shape.
+    */
+  def cemAtt(df: DataFrame, stratum: Column, treated: Column,
+      outcome: Column, scale: Int = 2): DataFrame = {
+    val cells = df.select(stratum.cast("string").as("stratum"),
+        treated.cast("boolean").as("t"), outcome.cast("double").as("y"))
+      .groupBy(col("stratum"), col("t"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("y"), scale).as("sy"))
+    val wide = cells.groupBy(col("stratum"))
+      .agg(
+        coalesce(sum(when(col("t"), col("n"))), lit(0L)).as("n_treated"),
+        coalesce(sum(when(!col("t"), col("n"))), lit(0L)).as("n_control"),
+        coalesce(sum(when(col("t"), col("sy"))), lit(0.0)).as("syt"),
+        coalesce(sum(when(!col("t"), col("sy"))), lit(0.0)).as("syc"))
+      .localCheckpoint()
+    val matched = wide.where(col("n_treated") > 0L && col("n_control") > 0L)
+      .select(col("stratum"), col("n_treated"), col("n_control"),
+        (col("syt") / col("n_treated").cast("double")).as("mean_treated"),
+        (col("syc") / col("n_control").cast("double")).as("mean_control"))
+      .withColumn("gap", col("mean_treated") - col("mean_control"))
+    val att = matched.agg(
+      (Num.dsum38(col("n_treated").cast("double") * col("gap")) /
+        sum(col("n_treated")).cast("double")).as("att"),
+      sum(col("n_treated")).as("n_matched_t"))
+    val dropped = wide.where(col("n_control") === 0L)
+      .agg(coalesce(sum(col("n_treated")), lit(0L)).as("n_dropped_t"))
+    matched.crossJoin(broadcast(att)).crossJoin(broadcast(dropped))
   }
 
   /** Binned AUC from mergeable histogram state — the ONLINE form of

@@ -2644,7 +2644,8 @@ object RelationalQueries {
               .otherwise(col("x")))
           .groupBy(col("brand"))
           .agg(count(lit(1)).as("n_parts"),
-            min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+            min(col("lo")).cast("double").as("lo"),
+            min(col("hi")).cast("double").as("hi"),
             (Num.dsum(col("cx"), 2) / count(lit(1))).as("wins_mean"),
             (Num.dsum(col("x"), 2) / count(lit(1))).as("raw_mean"))
           .orderBy(col("brand").asc)
@@ -2671,7 +2672,8 @@ object RelationalQueries {
            |         ELSE r.x END AS cx,
            |    r.x, b.lo, b.hi
            |  FROM r JOIN b ON b.brand = r.brand)
-           |SELECT brand, COUNT(*) AS n_parts, MIN(lo) AS lo, MIN(hi) AS hi,
+           |SELECT brand, COUNT(*) AS n_parts,
+           |  CAST(MIN(lo) AS DOUBLE) AS lo, CAST(MIN(hi) AS DOUBLE) AS hi,
            |  ${Num.duckDsum("cx", 2)} / COUNT(*) AS wins_mean,
            |  ${Num.duckDsum("x", 2)} / COUNT(*) AS raw_mean
            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -5025,21 +5027,21 @@ object RelationalQueries {
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
            |  GROUP BY 1, 2),
            |m AS (
-           |  SELECT o_custkey, start_d, end_d,
+           |  SELECT o_custkey, o_orderkey, start_d, end_d,
            |    MAX(end_d) OVER (PARTITION BY o_custkey
            |      ORDER BY start_d, end_d, o_orderkey
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            |      AS prev_max_end
            |  FROM iv),
            |f AS (
-           |  SELECT o_custkey, start_d, end_d,
+           |  SELECT o_custkey, o_orderkey, start_d, end_d,
            |    CASE WHEN prev_max_end IS NULL OR start_d > prev_max_end
            |         THEN 1 ELSE 0 END AS new_island
            |  FROM m),
            |g AS (
            |  SELECT o_custkey, start_d, end_d,
            |    SUM(new_island) OVER (PARTITION BY o_custkey
-           |      ORDER BY start_d, end_d
+           |      ORDER BY start_d, end_d, o_orderkey
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
            |  FROM f),
            |isl AS (
@@ -5369,6 +5371,146 @@ object RelationalQueries {
            |        / CAST(viewers AS DOUBLE)
            |      + 1.96 * 1.96 / (4.0 * CAST(viewers AS DOUBLE) * CAST(viewers AS DOUBLE))))
            |  / (1.0 + 1.96 * 1.96 / CAST(viewers AS DOUBLE)) AS wilson_hi
-           |FROM cells""".stripMargin))
+           |FROM cells""".stripMargin)),
+
+    // BENJAMINI-HOCHBERG FDR over ~100 props-k slices: each slice's
+    // purchase rate gets the q288 pooled two-proportion z against the
+    // rest, two-sided p via the A&S 26.2.17 normal tail (identical Horner
+    // text both engines), then the BH step-up at alpha=0.10 turns the
+    // nominal-significance list into a FDR-controlled discovery list —
+    // on this null corpus the honest answer is (near-)zero rejections,
+    // and the machinery proves it rather than asserting it. The rank
+    // window runs on the ~100-row slice frame (alphabet-bounded, the
+    // q318 discipline); the corpus is touched once by the counting agg.
+    QueryDef(
+      "q374_slice_bh_fdr",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val counts = ev
+          .select(get_json_object(col("props"), "$.k").cast("long").as("key"),
+            col("event_type"))
+          .where(col("key").isNotNull)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("k"))
+        graft.ops.Stats.bhFdr(
+          graft.ops.Stats.twoProportionZ(counts), alpha = 0.10)
+      },
+      Some {
+        import graft.ops.Stats.{duckNormT, duckNormUpperTail}
+        s"""WITH counts AS (
+           |  SELECT CAST(props->>'k' AS BIGINT) AS key,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM events WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+           |  CAST(SUM(k) AS BIGINT) AS tk FROM counts),
+           |tz AS (
+           |  SELECT key, n, k,
+           |    CASE WHEN n = 0 OR tn = n
+           |        OR (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |          * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |          * (1.0 / CAST(n AS DOUBLE)
+           |            + 1.0 / CAST(tn - n AS DOUBLE)) <= 0
+           |      THEN NULL
+           |      ELSE (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |          - CAST(tk - k AS DOUBLE) / CAST(tn - n AS DOUBLE))
+           |        / sqrt((CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |          * (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+           |          * (1.0 / CAST(n AS DOUBLE)
+           |            + 1.0 / CAST(tn - n AS DOUBLE)))
+           |    END AS z
+           |  FROM counts CROSS JOIN tot),
+           |pz AS (
+           |  SELECT key, n, k, z, abs(z) AS ax, ${duckNormT("abs(z)")} AS tt
+           |  FROM tz WHERE z IS NOT NULL),
+           |pp AS (
+           |  SELECT key, n, k, z,
+           |    2.0 * ${duckNormUpperTail("ax", "tt")} AS p
+           |  FROM pz),
+           |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+           |rk AS (
+           |  SELECT key, n, k, z, p,
+           |    CAST(row_number() OVER (ORDER BY p ASC, key ASC) AS BIGINT)
+           |      AS p_rank,
+           |    m AS m_tests
+           |  FROM pp CROSS JOIN mt),
+           |rc AS (
+           |  SELECT key, n, k, z, p, p_rank, m_tests,
+           |    CAST(0.10 AS DOUBLE) * CAST(p_rank AS DOUBLE)
+           |      / CAST(m_tests AS DOUBLE) AS bh_crit
+           |  FROM rk),
+           |ist AS (
+           |  SELECT COALESCE(MAX(CASE WHEN p <= bh_crit THEN p_rank END),
+           |    CAST(0 AS BIGINT)) AS istar
+           |  FROM rc)
+           |SELECT key, n, k, z, p, p_rank, m_tests, bh_crit,
+           |  p_rank <= istar AS rejected
+           |FROM rc CROSS JOIN ist""".stripMargin
+      }),
+
+    // COARSENED EXACT MATCHING ATT: does URGENT order priority "cause"
+    // higher order value, after matching away customer composition? The
+    // matching-based member of the causal family (CUPED q293 adjusts
+    // variance; Welch q261 tests raw means; CEM balances covariates
+    // EXACTLY): strata = (mktsegment x nation) — already categorical, the
+    // coarsening a practitioner would pick — treated = 1-URGENT orders,
+    // outcome = o_totalprice. Only strata with BOTH groups contribute;
+    // ATT weights stratum gaps by treated counts. One fact-dimension
+    // broadcast join + one stratum aggregation; everything after runs on
+    // the 125-stratum frame.
+    QueryDef(
+      "q376_cem_att",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        val base = o.join(c, col("o_custkey") === col("c_custkey"))
+        graft.ops.Stats.cemAtt(base,
+          concat_ws("|", col("c_mktsegment"), col("c_nationkey")),
+          col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
+           |      AS stratum,
+           |    (o_orderpriority = '1-URGENT') AS t,
+           |    CAST(o_totalprice AS DOUBLE) AS y
+           |  FROM orders JOIN customer ON c_custkey = o_custkey),
+           |cells AS (
+           |  SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${Num.duckDsum("y", 2)} AS sy
+           |  FROM base GROUP BY 1, 2),
+           |wide AS (
+           |  SELECT stratum,
+           |    COALESCE(CAST(SUM(CASE WHEN t THEN n END) AS BIGINT),
+           |      CAST(0 AS BIGINT)) AS n_treated,
+           |    COALESCE(CAST(SUM(CASE WHEN NOT t THEN n END) AS BIGINT),
+           |      CAST(0 AS BIGINT)) AS n_control,
+           |    COALESCE(SUM(CASE WHEN t THEN sy END), 0.0) AS syt,
+           |    COALESCE(SUM(CASE WHEN NOT t THEN sy END), 0.0) AS syc
+           |  FROM cells GROUP BY 1),
+           |matched AS (
+           |  SELECT stratum, n_treated, n_control,
+           |    syt / CAST(n_treated AS DOUBLE) AS mean_treated,
+           |    syc / CAST(n_control AS DOUBLE) AS mean_control,
+           |    syt / CAST(n_treated AS DOUBLE)
+           |      - syc / CAST(n_control AS DOUBLE) AS gap
+           |  FROM wide WHERE n_treated > 0 AND n_control > 0),
+           |att AS (
+           |  SELECT ${Num.duckDsum38("CAST(n_treated AS DOUBLE) * gap")}
+           |      / CAST(SUM(n_treated) AS DOUBLE) AS att,
+           |    CAST(SUM(n_treated) AS BIGINT) AS n_matched_t
+           |  FROM matched),
+           |dropped AS (
+           |  SELECT COALESCE(CAST(SUM(n_treated) AS BIGINT),
+           |    CAST(0 AS BIGINT)) AS n_dropped_t
+           |  FROM wide WHERE n_control = 0)
+           |SELECT stratum, n_treated, n_control, mean_treated, mean_control,
+           |  gap, att, n_matched_t, n_dropped_t
+           |FROM matched CROSS JOIN att CROSS JOIN dropped""".stripMargin))
   )
 }

@@ -1913,8 +1913,8 @@ object SimilarityQueries {
            |md AS (
            |  SELECT a.clabel AS i, b.clabel AS j,
            |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list_transform(range(1, len(a.carr) + 1),
-           |        dbi -> (a.carr[dbi] - b.carr[dbi]) * (a.carr[dbi] - b.carr[dbi]))),
+           |      list_transform(list_zip(a.carr, b.carr),
+           |        dbi -> (dbi[1] - dbi[2]) * (dbi[1] - dbi[2]))),
            |      (x, y) -> x + y)) AS m
            |  FROM cent a JOIN cent b ON a.clabel <> b.clabel),
            |r AS (
@@ -1967,9 +1967,8 @@ object SimilarityQueries {
            |  SELECT wc.clabel AS cluster, wc.n, wc.w_k,
            |    CAST(wc.n AS DOUBLE) * list_reduce(
            |      list_prepend(CAST(0.0 AS DOUBLE),
-           |        list_transform(range(1, len(wc.carr) + 1),
-           |          chd -> (wc.carr[chd] - gm.garr[chd]) *
-           |                 (wc.carr[chd] - gm.garr[chd]))),
+           |        list_transform(list_zip(wc.carr, gm.garr),
+           |          chd -> (chd[1] - chd[2]) * (chd[1] - chd[2]))),
            |      (x, y) -> x + y) AS b_k
            |  FROM wc CROSS JOIN gm),
            |tot AS (
@@ -2173,8 +2172,8 @@ object SimilarityQueries {
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
            |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list_transform(range(1, len(a.v) + 1),
-           |        dbv -> (a.v[dbv] - b.v[dbv]) * (a.v[dbv] - b.v[dbv]))),
+           |      list_transform(list_zip(a.v, b.v),
+           |        dbv -> (dbv[1] - dbv[2]) * (dbv[1] - dbv[2]))),
            |      (x, y) -> x + y) <= 1.33),
            |sym AS (
            |  SELECT id_a, id_b FROM dpair
@@ -2242,9 +2241,12 @@ object SimilarityQueries {
         }.reduce(_.unionByName(_))
       },
       Some {
+        // list_zip keeps the lambda body capture-free (only its own
+        // parameter) — the duckUnigramCtes misaligned-capture hazard
+        // never applies — while preserving the engine's sequential fold.
         val l2 =
-          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v) + 1),
-            |      ivd -> (v[ivd] - carr[ivd]) * (v[ivd] - carr[ivd]))), (x, y) -> x + y)""".stripMargin
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(v, carr),
+            |      ivd -> (ivd[1] - ivd[2]) * (ivd[1] - ivd[2]))), (x, y) -> x + y)""".stripMargin
         val arms = Seq(2, 4, 8).map { k =>
           s"""ine$k AS (
              |  SELECT $k AS k, ${Num.duckDsum38("mind2")} AS inertia,

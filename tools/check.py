@@ -56,7 +56,13 @@ def main():
             fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            # Read engine output via pyarrow/pandas (NOT DuckDB): the driver
+            # does the same, so decimal columns stay Decimal objects and a
+            # decimal-vs-double mismatch against the oracle is caught here.
+            import glob as _glob
+            parts = sorted(_glob.glob(f"{outdir}/{name}/*.parquet"))
+            got = pd.concat([pd.read_parquet(p) for p in parts],
+                            ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: engine output missing: {e}")
             fail += 1
