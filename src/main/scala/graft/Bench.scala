@@ -62,6 +62,16 @@ object Bench {
         // while a fresh session reproduces the committed numbers. One
         // explicit collection per query returns the session to a known
         // state; the cost is outside the timed window.
+        //
+        // Round-11 addition: localCheckpoint() blocks from earlier queries
+        // also pile up in the block manager across the ~350-query session
+        // (the GC alone cannot reclaim blocks the context still references)
+        // and distorted late-session tails — q225 read 7.0 s in-session vs
+        // 2.6 s isolated in round 10. Every checkpoint RDD is dead once its
+        // query's runs finish, so sweep them before the collection; both
+        // steps run outside the timed window.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         val cold = once()
         // steady-state = min of two warm runs (min is the robust estimator

@@ -545,9 +545,11 @@ object Sampling {
     * don't displace winners (the same property [[perGroupSample]] has for
     * the uniform case; this is its weighted generalization).
     *
-    * u = (hash60 + 1)/2^60 ∈ (2^-60, 1] — never 0, so ln(u) is finite;
-    * w must be ≥ 1 (callers clamp), keeping key = ln(u)/w in [−42, 0].
-    * Output: group, id, w, es_key, rank.
+    * u = (hash60 + 1)/2^60 ∈ (2^-60, 1] — never 0, so ln(u) is finite.
+    * Weights below 1 are CLAMPED TO 1.0 by this function (keeping
+    * key = ln(u)/w in [−42, 0]); sub-1 weights therefore lose their
+    * relative proportionality — rescale weights to ≥ 1 first if ratios
+    * among small weights matter. Output: group, id, w, es_key, rank.
     */
   def weightedSampleTopK(df: DataFrame, group: Column, id: Column,
       weight: Column, k: Int, salt: String = "wsamp"): DataFrame = {

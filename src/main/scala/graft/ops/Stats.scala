@@ -667,27 +667,36 @@ object Stats {
     *
     * Determinism: the p-rank breaks ties by key; i* derives from a global
     * max over the ≤-criterion rows, so the rejected set is a pure
-    * function of the inputs in both engines. Null-z keys (empty slices,
-    * degenerate pooled variance) carry no testable hypothesis and are
-    * EXCLUDED — m counts real tests only, as BH requires.
+    * function of the inputs in both engines. The boundary decision
+    * compares p ROUNDED TO 12DP against the (libm-free, hence
+    * bit-identical) α·i/m criterion — a 1-ulp exp() divergence between
+    * JVM and DuckDB libm can therefore never flip i* unless the true p
+    * sits within 1 ulp of an exact 12dp half-boundary (measure-zero of
+    * measure-zero; both engines round positive halves up). Null-z keys
+    * (empty slices, degenerate pooled variance) carry no testable
+    * hypothesis and are EXCLUDED — m counts real tests only, as BH
+    * requires.
     *
     * Scale: the frame entering the rank window is one row per KEY — an
     * alphabet-bounded frame (slices, channels, sources), never the
     * corpus — so the single-partition window is constant-size by
     * construction (the q318/q365 bounded-frame discipline).
     */
-  def bhFdr(tests: DataFrame, alpha: Double): DataFrame = {
+  def bhFdr(tests: DataFrame, alpha: Double,
+      checkpoint: Boolean = true): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val withP = tests.where(col("z").isNotNull)
       .withColumn("p", lit(2.0) * normUpperTail(abs(col("z"))))
     val m = withP.agg(count(lit(1)).as("m"))
     val w = W.orderBy(col("p").asc, col("key").asc)
-    val ranked = withP.crossJoin(broadcast(m))
+    val ranked0 = withP.crossJoin(broadcast(m))
       .withColumn("p_rank", row_number().over(w).cast("long"))
       .withColumn("bh_crit",
         lit(alpha) * col("p_rank").cast("double") / col("m").cast("double"))
-      .localCheckpoint()
-    val istar = ranked.where(col("p") <= col("bh_crit"))
+    // checkpoint=false exposes the full lineage so PlanSpec can pin the
+    // rank window's input as the post-aggregation slice frame
+    val ranked = if (checkpoint) ranked0.localCheckpoint() else ranked0
+    val istar = ranked.where(round(col("p"), 12) <= col("bh_crit"))
       .agg(coalesce(max(col("p_rank")), lit(0L)).as("istar"))
     ranked.crossJoin(broadcast(istar))
       .select(col("key"), col("n"), col("k"), col("z"), col("p"),
@@ -817,18 +826,21 @@ object Stats {
     * n_dropped_t) repeated — the q258 report shape.
     */
   def cemAtt(df: DataFrame, stratum: Column, treated: Column,
-      outcome: Column, scale: Int = 2): DataFrame = {
+      outcome: Column, scale: Int = 2,
+      checkpoint: Boolean = true): DataFrame = {
     val cells = df.select(stratum.cast("string").as("stratum"),
         treated.cast("boolean").as("t"), outcome.cast("double").as("y"))
       .groupBy(col("stratum"), col("t"))
       .agg(count(lit(1)).as("n"), Num.dsum(col("y"), scale).as("sy"))
-    val wide = cells.groupBy(col("stratum"))
+    val wide0 = cells.groupBy(col("stratum"))
       .agg(
         coalesce(sum(when(col("t"), col("n"))), lit(0L)).as("n_treated"),
         coalesce(sum(when(!col("t"), col("n"))), lit(0L)).as("n_control"),
         coalesce(sum(when(col("t"), col("sy"))), lit(0.0)).as("syt"),
         coalesce(sum(when(!col("t"), col("sy"))), lit(0.0)).as("syc"))
-      .localCheckpoint()
+    // checkpoint=false exposes the full lineage so PlanSpec can pin the
+    // post-aggregation stratum frame (the checkpoint otherwise hides it)
+    val wide = if (checkpoint) wide0.localCheckpoint() else wide0
     val matched = wide.where(col("n_treated") > 0L && col("n_control") > 0L)
       .select(col("stratum"), col("n_treated"), col("n_control"),
         (col("syt") / col("n_treated").cast("double")).as("mean_treated"),
@@ -1238,4 +1250,456 @@ object Stats {
         (col("o1") - col("e1")) / sqrt(col("var_lr"))))
       .withColumn("chi2", when(col("var_lr") > 0, pow(col("z"), 2)))
   }
+
+  /** EPOCH DRIFT SCORES — the batch/oracle twin of
+    * [[graft.streaming.StreamOps.sliceDriftGate]]'s arithmetic: score a
+    * LIVE epoch's per-slice success counts against a REFERENCE epoch's
+    * rates. Per matched slice, the live successes are Binomial(n_live, p0)
+    * under no-drift, so z = (k_live − n_live·p0)/√(n_live·p0(1−p0)); the
+    * global row folds expected and variance across matched slices — the
+    * EXACT expression the streaming gate's observe() emits, so a
+    * hash-green run of this query IS the cross-engine proof of the gate's
+    * math. Slices with no reference row score NULL and are tallied in
+    * n_unknown (new slices are themselves a drift signal).
+    *
+    * Input: two (key, n, k) count frames. Both are slice-alphabet-bounded,
+    * so every join/fold below runs on tiny frames; the corpus is only
+    * touched by whatever aggregation built the counts. Reference rates
+    * broadcast. Decimal folds keep the global sums order-independent.
+    */
+  def sliceDriftScores(reference: DataFrame, live: DataFrame): DataFrame = {
+    val ref = reference.select(col("key").as("rkey"),
+      col("n").as("n_ref"), col("k").as("k_ref"),
+      (col("k").cast("double") / col("n").cast("double")).as("p0"))
+    val j = live.join(broadcast(ref), col("key") === col("rkey"), "left")
+      .select(col("key"), col("n_ref"), col("k_ref"), col("p0"),
+        col("n").as("n_live"), col("k").as("k_live"))
+      .localCheckpoint()
+    val known = col("p0").isNotNull
+    val glob = j.agg(
+      count(when(!known, 1)).as("n_unknown"),
+      Num.dsum38(when(known, col("n_live").cast("double") * col("p0"))
+        .otherwise(0.0)).as("expected_total"),
+      Num.dsum38(when(known,
+        col("n_live").cast("double") * col("p0") * (lit(1.0) - col("p0")))
+        .otherwise(0.0)).as("variance_total"),
+      sum(when(known, col("k_live")).otherwise(0L)).cast("double").as("actual_total"))
+    val ex = col("n_live").cast("double") * col("p0")
+    val vr = ex * (lit(1.0) - col("p0"))
+    j.withColumn("z", when(known && vr > 0.0,
+        (col("k_live").cast("double") - ex) / sqrt(vr)))
+      .crossJoin(broadcast(glob.withColumn("drift_z",
+        when(col("variance_total") > 0.0,
+          (col("actual_total") - col("expected_total")) /
+            sqrt(col("variance_total"))))))
+  }
+
+  /** DuckDB twin of [[sliceDriftScores]]: `refSql` and `liveSql` are
+    * subqueries/CTE names yielding (key, n, k); `prelude` optionally
+    * prepends caller CTEs (e.g. the epoch split) to the WITH chain.
+    */
+  def duckSliceDriftScores(refSql: String, liveSql: String,
+      prelude: String = ""): String =
+    s"""WITH ${if (prelude.isEmpty) "" else prelude + ",\n"}refc AS (SELECT key AS rkey, n AS n_ref, k AS k_ref,
+       |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p0 FROM $refSql),
+       |j AS (
+       |  SELECT l.key, r.n_ref, r.k_ref, r.p0, l.n AS n_live, l.k AS k_live
+       |  FROM $liveSql l LEFT JOIN refc r ON l.key = r.rkey),
+       |gtot AS (
+       |  SELECT
+       |    CAST(COUNT(CASE WHEN p0 IS NULL THEN 1 END) AS BIGINT) AS n_unknown,
+       |    ${Num.duckDsum38(
+            "CASE WHEN p0 IS NOT NULL THEN CAST(n_live AS DOUBLE) * p0 " +
+            "ELSE 0.0 END")} AS expected_total,
+       |    ${Num.duckDsum38(
+            "CASE WHEN p0 IS NOT NULL THEN CAST(n_live AS DOUBLE) * p0 * " +
+            "(1.0 - p0) ELSE 0.0 END")} AS variance_total,
+       |    CAST(CAST(SUM(CASE WHEN p0 IS NOT NULL THEN k_live ELSE 0 END)
+       |      AS BIGINT) AS DOUBLE) AS actual_total
+       |  FROM j)
+       |SELECT key, n_ref, k_ref, p0, n_live, k_live,
+       |  CASE WHEN p0 IS NOT NULL
+       |      AND CAST(n_live AS DOUBLE) * p0 * (1.0 - p0) > 0.0
+       |    THEN (CAST(k_live AS DOUBLE) - CAST(n_live AS DOUBLE) * p0)
+       |      / sqrt(CAST(n_live AS DOUBLE) * p0 * (1.0 - p0))
+       |  END AS z,
+       |  n_unknown, expected_total, variance_total, actual_total,
+       |  CASE WHEN variance_total > 0.0
+       |    THEN (actual_total - expected_total) / sqrt(variance_total)
+       |  END AS drift_z
+       |FROM j CROSS JOIN gtot""".stripMargin
+
+  /** COCHRAN–ARMITAGE TREND TEST over ordered (score, n, k) proportion
+    * groups — the ORDERED alternative the q311 chi² cannot see: chi²
+    * treats "rate rises monotonically with the score" and "rates jump
+    * around" identically; CA weights each group's success surplus by its
+    * score, so only a TREND moves the statistic. T = Σ sᵢ(kᵢ − nᵢ·p̄)
+    * with p̄ = K/N; Var(T) = p̄(1−p̄)·(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N);
+    * z = T/√Var, NULL when degenerate (p̄ ∈ {0,1} or one group).
+    *
+    * Exactness: with integer scores every sum here is exact integer
+    * arithmetic folded as decimal; the only doubles are the final p̄, T,
+    * Var, z expressions — fixed-form, bit-identical cross-engine. The
+    * whole test runs on the #groups frame (alphabet-bounded); the corpus
+    * is touched once by the counting aggregation that built the input.
+    * Output: one row (n_groups, n_total, k_total, t_stat, var_t, z).
+    */
+  def cochranArmitage(counts: DataFrame): DataFrame = {
+    val agg = counts.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n")).as("n_total"),
+      sum(col("k")).as("k_total"),
+      sum(col("s") * col("n")).as("sn"),
+      sum(col("s") * col("s") * col("n")).as("ssn"),
+      sum(col("s") * col("k")).as("sk"))
+    val nT = col("n_total").cast("double")
+    val pbar = col("k_total").cast("double") / nT
+    val t = col("sk").cast("double") - col("sn").cast("double") * pbar
+    val varT = pbar * (lit(1.0) - pbar) *
+      (col("ssn").cast("double") -
+        col("sn").cast("double") * col("sn").cast("double") / nT)
+    agg.select(col("n_groups"), col("n_total"), col("k_total"),
+      t.as("t_stat"), varT.as("var_t"),
+      when(varT > 0.0, t / sqrt(varT)).as("z"))
+  }
+
+  /** DuckDB twin of [[cochranArmitage]]; `countsSql` yields (s, n, k). */
+  def duckCochranArmitage(countsSql: String): String =
+    s"""WITH a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    CAST(SUM(n) AS BIGINT) AS n_total,
+       |    CAST(SUM(k) AS BIGINT) AS k_total,
+       |    CAST(SUM(s * n) AS BIGINT) AS sn,
+       |    CAST(SUM(s * s * n) AS BIGINT) AS ssn,
+       |    CAST(SUM(s * k) AS BIGINT) AS sk
+       |  FROM $countsSql)
+       |SELECT n_groups, n_total, k_total,
+       |  CAST(sk AS DOUBLE) - CAST(sn AS DOUBLE)
+       |    * (CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS t_stat,
+       |  (CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |    * (1.0 - CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |    * (CAST(ssn AS DOUBLE)
+       |      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+       |        / CAST(n_total AS DOUBLE)) AS var_t,
+       |  CASE WHEN (CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |      * (1.0 - CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |      * (CAST(ssn AS DOUBLE)
+       |        - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+       |          / CAST(n_total AS DOUBLE)) > 0.0
+       |    THEN (CAST(sk AS DOUBLE) - CAST(sn AS DOUBLE)
+       |        * (CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |      / sqrt((CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |        * (1.0 - CAST(k_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |        * (CAST(ssn AS DOUBLE)
+       |          - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+       |            / CAST(n_total AS DOUBLE)))
+       |  END AS z
+       |FROM a""".stripMargin
+
+  /** CRAMÉR'S V — the EFFECT SIZE the q311/q377 dependence family lacks:
+    * chi² says "dependent" (scales with n), MI says "how many nats", V
+    * says "how strong on a fixed 0..1 scale" — comparable across tables
+    * of any size. χ² = Σ (O−E)²/E with E = cx·cy/n from the joint
+    * contingency cells (absent cells contribute E, handled by summing
+    * E-complement algebra: Σ over PRESENT cells of (O−E)²/E, plus
+    * Σ over ABSENT cells of E, which equals n − Σ_present E);
+    * V = √(χ²/(n·(min(r,c)−1))), plus the Bergsma bias-corrected Ṽ
+    * (φ̃² = max(0, φ² − (r−1)(c−1)/(n−1)), r̃ = r − (r−1)²/(n−1)).
+    *
+    * Shape: ONE joint aggregation touches the corpus; marginals derive
+    * from the joint frame; everything else is (r×c)-frame arithmetic with
+    * decimal folds. Output: one row (n, r, c, chi2, phi2, v, v_corrected).
+    */
+  def cramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val joint = df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val mx = joint.groupBy(col("x")).agg(sum(col("o")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("o")).as("cy"))
+    val nrc = joint.agg(sum(col("o")).as("n")).crossJoin(
+        broadcast(mx.agg(count(lit(1)).as("r")))).crossJoin(
+        broadcast(my.agg(count(lit(1)).as("c"))))
+    val nd = col("n").cast("double")
+    val e = col("cx").cast("double") * col("cy").cast("double") / nd
+    // present cells: (O−E)²/E − E telescopes the absent-cell mass: the
+    // full χ² is Σ_present((O−E)²/E) + (n − Σ_present E)
+    val present = joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(nrc.select(col("n"))))
+      .agg(Num.dsum38((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("chi_present"),
+        Num.dsum38(e).as("e_present"))
+    nrc.crossJoin(broadcast(present))
+      .withColumn("chi2", col("chi_present") + (nd - col("e_present")))
+      .withColumn("phi2", col("chi2") / nd)
+      .withColumn("kmin",
+        when(col("r") <= col("c"), col("r")).otherwise(col("c")).cast("double"))
+      .withColumn("v",
+        when(col("kmin") > 1.0, sqrt(col("phi2") / (col("kmin") - 1.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("phi2c", greatest(lit(0.0),
+        col("phi2") - (col("r") - 1).cast("double") * (col("c") - 1).cast("double")
+          / (nd - 1.0)))
+      .withColumn("rc", col("r").cast("double") -
+        pow((col("r") - 1).cast("double"), 2) / (nd - 1.0))
+      .withColumn("cc", col("c").cast("double") -
+        pow((col("c") - 1).cast("double"), 2) / (nd - 1.0))
+      .withColumn("kminc",
+        when(col("rc") <= col("cc"), col("rc")).otherwise(col("cc")))
+      .withColumn("v_corrected",
+        when(col("kminc") > 1.0, sqrt(col("phi2c") / (col("kminc") - 1.0)))
+          .otherwise(lit(0.0)))
+      .select(col("n"), col("r"), col("c"), col("chi2"), col("phi2"),
+        col("v"), col("v_corrected"))
+  }
+
+  /** DuckDB twin of [[cramersV]]. */
+  def duckCramersV(tbl: String, xExpr: String, yExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT CAST($xExpr AS VARCHAR) AS x, CAST($yExpr AS VARCHAR) AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM $tbl GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(o) AS BIGINT) AS cx FROM joint GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(o) AS BIGINT) AS cy FROM joint GROUP BY 1),
+       |nrc AS (SELECT
+       |  (SELECT CAST(SUM(o) AS BIGINT) FROM joint) AS n,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c),
+       |pres AS (
+       |  SELECT
+       |    ${Num.duckDsum38(
+            "(CAST(o AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) " +
+            "/ CAST(n AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(cx AS DOUBLE) " +
+            "* CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "/ (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))")}
+       |      AS chi_present,
+       |    ${Num.duckDsum38(
+            "CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |      AS e_present
+       |  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nrc),
+       |base AS (
+       |  SELECT n, r, c,
+       |    chi_present + (CAST(n AS DOUBLE) - e_present) AS chi2,
+       |    (chi_present + (CAST(n AS DOUBLE) - e_present))
+       |      / CAST(n AS DOUBLE) AS phi2,
+       |    CAST(LEAST(r, c) AS DOUBLE) AS kmin,
+       |    GREATEST(0.0, (chi_present + (CAST(n AS DOUBLE) - e_present))
+       |        / CAST(n AS DOUBLE)
+       |      - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) - 1.0)) AS phi2c,
+       |    CAST(r AS DOUBLE) - CAST(r - 1 AS DOUBLE) * CAST(r - 1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) - 1.0) AS rc,
+       |    CAST(c AS DOUBLE) - CAST(c - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) - 1.0) AS cc
+       |  FROM nrc CROSS JOIN pres)
+       |SELECT n, r, c, chi2, phi2,
+       |  CASE WHEN kmin > 1.0 THEN sqrt(phi2 / (kmin - 1.0)) ELSE 0.0 END AS v,
+       |  CASE WHEN LEAST(rc, cc) > 1.0
+       |    THEN sqrt(phi2c / (LEAST(rc, cc) - 1.0)) ELSE 0.0
+       |  END AS v_corrected
+       |FROM base""".stripMargin
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two categorical
+    * labelings of the same rows (heuristic classifier vs stored truth,
+    * two annotation passes, two gate versions): κ = (p_o − p_e)/(1 − p_e)
+    * with observed agreement p_o = Σ diag/n and chance agreement
+    * p_e = Σ_l (c_a(l)/n)(c_b(l)/n). The statistic accuracy alone can't
+    * give — a majority-class guesser scores high accuracy but κ ≈ 0.
+    *
+    * ONE joint aggregation touches the corpus; marginals and the diagonal
+    * derive from the (label×label) joint frame; decimal fold for p_e.
+    * κ is NULL when p_e = 1 (both labelings constant — agreement is
+    * vacuous, and the 0/0 must not leak a NaN).
+    * Output: one row (n, n_agree, p_o, p_e, kappa).
+    */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val joint = df.select(a.cast("string").as("la"), b.cast("string").as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = joint.agg(sum(col("c")).as("n"),
+      sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("n_agree"))
+    val ma = joint.groupBy(col("la")).agg(sum(col("c")).as("ca"))
+    val mb = joint.groupBy(col("lb")).agg(sum(col("c")).as("cb"))
+    val pe = ma.join(mb, col("la") === col("lb"))
+      .crossJoin(broadcast(n.select(col("n").as("nn"))))
+      .agg(coalesce(Num.dsum38(
+        col("ca").cast("double") / col("nn").cast("double") *
+          (col("cb").cast("double") / col("nn").cast("double"))),
+        lit(0.0)).as("p_e"))
+    n.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("p_o"),
+        col("p_e"),
+        when(col("p_e") < 1.0,
+          (col("n_agree").cast("double") / col("n").cast("double") - col("p_e"))
+            / (lit(1.0) - col("p_e"))).as("kappa"))
+  }
+
+  /** DuckDB twin of [[cohensKappa]]. */
+  def duckCohensKappa(tbl: String, aExpr: String, bExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT CAST($aExpr AS VARCHAR) AS la, CAST($bExpr AS VARCHAR) AS lb,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM $tbl GROUP BY 1, 2),
+       |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(COALESCE(SUM(CASE WHEN la = lb THEN c END), 0) AS BIGINT)
+       |    AS n_agree FROM joint),
+       |ma AS (SELECT la, CAST(SUM(c) AS BIGINT) AS ca FROM joint GROUP BY 1),
+       |mb AS (SELECT lb, CAST(SUM(c) AS BIGINT) AS cb FROM joint GROUP BY 1),
+       |pe AS (
+       |  SELECT COALESCE(${Num.duckDsum38(
+            "CAST(ca AS DOUBLE) / CAST(n AS DOUBLE) " +
+            "* (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))")}, 0.0) AS p_e
+       |  FROM ma JOIN mb ON ma.la = mb.lb CROSS JOIN nt)
+       |SELECT n, n_agree,
+       |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o, p_e,
+       |  CASE WHEN p_e < 1.0
+       |    THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) - p_e)
+       |      / (1.0 - p_e)
+       |  END AS kappa
+       |FROM nt CROSS JOIN pe""".stripMargin
+
+  /** McNEMAR TEST on paired binary outcomes — "do two gates disagree
+    * ASYMMETRICALLY on the same rows?", the question an unpaired
+    * two-proportion z (q374's tool) answers wrongly because it ignores
+    * the pairing. Only the discordant counts matter: b = (A pass, B fail),
+    * c = (A fail, B pass); continuity-corrected χ² = (|b−c|−1)²/(b+c)
+    * (df 1), NULL when b + c = 0 (no disagreement — nothing to test).
+    *
+    * ONE corpus aggregation producing four integers; everything else is
+    * 1-row arithmetic. Output: (n, n_both, n_a_only, n_b_only, n_neither,
+    * chi2_cc).
+    */
+  def mcnemarTest(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ab = a.cast("boolean")
+    val bb = b.cast("boolean")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(ab && bb, 1L).otherwise(0L)).as("n_both"),
+      sum(when(ab && !bb, 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!ab && bb, 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!ab && !bb, 1L).otherwise(0L)).as("n_neither"))
+    val d = (col("n_a_only") + col("n_b_only")).cast("double")
+    val diff = abs(col("n_a_only") - col("n_b_only")).cast("double")
+    agg.withColumn("chi2_cc",
+      when(d > 0.0, pow(greatest(diff - 1.0, lit(0.0)), 2) / d))
+  }
+
+  /** DuckDB twin of [[mcnemarTest]]; aExpr/bExpr are boolean SQL. */
+  def duckMcnemarTest(tbl: String, aExpr: String, bExpr: String): String =
+    s"""WITH agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both,
+       |    CAST(SUM(CASE WHEN ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_a_only,
+       |    CAST(SUM(CASE WHEN NOT ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_b_only,
+       |    CAST(SUM(CASE WHEN NOT ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_neither
+       |  FROM $tbl)
+       |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       |  CASE WHEN n_a_only + n_b_only > 0
+       |    THEN POWER(GREATEST(CAST(abs(n_a_only - n_b_only) AS DOUBLE) - 1.0,
+       |        0.0), 2)
+       |      / CAST(n_a_only + n_b_only AS DOUBLE)
+       |  END AS chi2_cc
+       |FROM agg""".stripMargin
+
+  /** BROWN–FORSYTHE TEST (median-based Levene) — variance-homogeneity
+    * across groups, the assumption check the q261 Welch test deliberately
+    * avoids and classic pooled ANOVA silently requires: transform each
+    * value to its absolute deviation from the GROUP MEDIAN (the robust
+    * center — Levene's mean version is itself wrecked by the skew it
+    * tests for), then one-way ANOVA F on the deviations:
+    * F = [(N−g)/(g−1)] · Σnⱼ(z̄ⱼ−z̄)² / ΣΣ(zᵢⱼ−z̄ⱼ)².
+    *
+    * Median = exact lower nearest-rank (ceil(n/2)-th, the q319
+    * discipline) per group via a group-keyed window; deviations fold as
+    * decimal through the variance identity Σ(z−z̄ⱼ)² = Σz² − nⱼz̄ⱼ²
+    * (exact decimal sums, deterministic final doubles). Two corpus
+    * passes (median, then deviations — unavoidable for a median-centred
+    * statistic); group count bounds every later frame. F is NULL when
+    * within-variance is 0 or g < 2.
+    * Output: one row (n_groups, n_total, f_stat, df1, df2).
+    */
+  def brownForsythe(df: DataFrame, group: Column, value: Column,
+      scale: Int = 6): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val v = df.select(group.cast("string").as("g"), value.cast("double").as("y"))
+    val wRank = W.partitionBy(col("g")).orderBy(col("y").asc)
+    val med = v.withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("g"))))
+      .where(col("rn") === ceil(col("cnt").cast("double") / 2.0))
+      .select(col("g"), col("y").as("med"))
+    val z = v.join(broadcast(med), "g")
+      .select(col("g"), abs(col("y") - col("med")).as("z"))
+    val perG = z.groupBy(col("g")).agg(
+      count(lit(1)).as("nj"),
+      Num.dsum(col("z"), scale).as("sz"),
+      Num.dsum(col("z") * col("z"), scale).as("szz"))
+    val tot = perG.agg(count(lit(1)).as("g_cnt"), sum(col("nj")).as("n_tot"),
+      Num.dsum38(col("sz")).as("sz_tot"))
+    val zbarj = col("sz") / col("nj").cast("double")
+    val res = perG.crossJoin(broadcast(tot))
+      .withColumn("zbar", col("sz_tot") / col("n_tot").cast("double"))
+      .agg(
+        max(col("g_cnt")).as("n_groups"), max(col("n_tot")).as("n_total"),
+        Num.dsum38(col("nj").cast("double") *
+          (zbarj - col("zbar")) * (zbarj - col("zbar"))).as("between"),
+        Num.dsum38(col("szz") - col("nj").cast("double") * zbarj * zbarj)
+          .as("within"))
+    res.select(col("n_groups"), col("n_total"),
+      when(col("n_groups") > 1 && col("within") > 0.0,
+        (col("n_total") - col("n_groups")).cast("double") /
+          (col("n_groups") - 1).cast("double") *
+          col("between") / col("within")).as("f_stat"),
+      (col("n_groups") - 1).as("df1"),
+      (col("n_total") - col("n_groups")).as("df2"))
+  }
+
+  /** DuckDB twin of [[brownForsythe]]; `tbl` exposes g (varchar), y
+    * (double) via the passed expressions.
+    */
+  def duckBrownForsythe(tbl: String, gExpr: String, yExpr: String,
+      scale: Int = 6): String =
+    s"""WITH v AS (
+       |  SELECT CAST($gExpr AS VARCHAR) AS g, CAST($yExpr AS DOUBLE) AS y
+       |  FROM $tbl),
+       |rk AS (
+       |  SELECT g, y,
+       |    row_number() OVER (PARTITION BY g ORDER BY y ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY g) AS cnt
+       |  FROM v),
+       |med AS (
+       |  SELECT g, y AS med FROM rk
+       |  WHERE rn = CAST(ceil(CAST(cnt AS DOUBLE) / 2.0) AS BIGINT)),
+       |z AS (
+       |  SELECT v.g, abs(v.y - med.med) AS z FROM v JOIN med ON v.g = med.g),
+       |perg AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+       |    ${Num.duckDsum("z", scale)} AS sz,
+       |    ${Num.duckDsum("z * z", scale)} AS szz
+       |  FROM z GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS g_cnt,
+       |    CAST(SUM(nj) AS BIGINT) AS n_tot,
+       |    ${Num.duckDsum38("sz")} AS sz_tot
+       |  FROM perg),
+       |res AS (
+       |  SELECT MAX(g_cnt) AS n_groups, MAX(n_tot) AS n_total,
+       |    ${Num.duckDsum38(
+            "CAST(nj AS DOUBLE) * (sz / CAST(nj AS DOUBLE) " +
+            "- sz_tot / CAST(n_tot AS DOUBLE)) * (sz / CAST(nj AS DOUBLE) " +
+            "- sz_tot / CAST(n_tot AS DOUBLE))")} AS between_ss,
+       |    ${Num.duckDsum38(
+            "szz - CAST(nj AS DOUBLE) * (sz / CAST(nj AS DOUBLE)) " +
+            "* (sz / CAST(nj AS DOUBLE))")} AS within_ss
+       |  FROM perg CROSS JOIN tot)
+       |SELECT n_groups, n_total,
+       |  CASE WHEN n_groups > 1 AND within_ss > 0.0
+       |    THEN CAST(n_total - n_groups AS DOUBLE)
+       |      / CAST(n_groups - 1 AS DOUBLE) * between_ss / within_ss
+       |  END AS f_stat,
+       |  n_groups - 1 AS df1, n_total - n_groups AS df2
+       |FROM res""".stripMargin
 }

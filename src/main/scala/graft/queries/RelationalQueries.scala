@@ -5444,7 +5444,8 @@ object RelationalQueries {
            |      / CAST(m_tests AS DOUBLE) AS bh_crit
            |  FROM rk),
            |ist AS (
-           |  SELECT COALESCE(MAX(CASE WHEN p <= bh_crit THEN p_rank END),
+           |  SELECT COALESCE(
+           |    MAX(CASE WHEN round(p, 12) <= bh_crit THEN p_rank END),
            |    CAST(0 AS BIGINT)) AS istar
            |  FROM rc)
            |SELECT key, n, k, z, p, p_rank, m_tests, bh_crit,
@@ -5511,6 +5512,206 @@ object RelationalQueries {
            |  FROM wide WHERE n_control = 0)
            |SELECT stratum, n_treated, n_control, mean_treated, mean_control,
            |  gap, att, n_matched_t, n_dropped_t
-           |FROM matched CROSS JOIN att CROSS JOIN dropped""".stripMargin))
+           |FROM matched CROSS JOIN att CROSS JOIN dropped""".stripMargin)),
+
+    // MUTUAL INFORMATION between market segment and nation — the
+    // feature-selection statistic beside q311's chi²: chi² answers
+    // "dependent at all?", MI answers "how many nats does knowing the
+    // segment tell you about the nation?" (here: ~0 — TPC-H assigns them
+    // independently, and the NMI quantifies exactly how close to 0).
+    // One joint contingency aggregation touches the corpus; marginals,
+    // entropies, and the normalization all derive from the ≤125-cell
+    // joint frame (alphabet-bounded, the q318 discipline), folded in
+    // decimal(38,18) so the sums are order-independent cross-engine.
+    QueryDef(
+      "q377_segment_nation_mi",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        graft.ops.Stats.mutualInformation(
+          c, col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some(graft.ops.Stats.duckMutualInformation(
+        "customer", "c_mktsegment", "c_nationkey"))),
+
+    // WEIGHTED SAMPLE WITHOUT REPLACEMENT, k per language — the
+    // quality-weighted variant of q47's uniform per-group sample: longer
+    // documents (weight = n_chars) are proportionally more likely to make
+    // the per-language top-k, via the Efraimidis–Spirakis A-Res key
+    // ln(u)/w with u drawn from the salted doc_id hash. Deterministic on
+    // any partitioning; one WindowGroupLimit top-k per group means no
+    // more than k rows per language survive the exchange — the
+    // curation-pipeline "keep the best-weighted n per bucket" primitive
+    // at corpus scale.
+    QueryDef(
+      "q378_weighted_lang_sample",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Sampling.weightedSampleTopK(
+          d, col("lang"), col("doc_id"), col("n_chars"), k = 10)
+      },
+      Some(graft.ops.Sampling.duckWeightedSampleTopK(
+        "documents", "lang", "doc_id", "n_chars", k = 10))),
+
+    // NMI LEAKAGE AUDIT: does a document's source predict its length
+    // band? The q377 operator composed with a derived quality band —
+    // the audit a training-data pipeline runs before using length as a
+    // quality signal (a high NMI would mean "length" is really "source",
+    // and dedup/balancing by one silently skews the other). Same shape
+    // as q377: corpus touched once by the joint count, everything else
+    // on the (source × band) frame.
+    QueryDef(
+      "q379_source_band_nmi",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val band = when(col("n_chars") < 150, "xs")
+          .when(col("n_chars") < 250, "s")
+          .when(col("n_chars") < 400, "m")
+          .otherwise("l")
+        graft.ops.Stats.mutualInformation(d, col("source"), band)
+      },
+      Some(graft.ops.Stats.duckMutualInformation(
+        "documents", "source",
+        "CASE WHEN n_chars < 150 THEN 'xs' WHEN n_chars < 250 THEN 's' " +
+          "WHEN n_chars < 400 THEN 'm' ELSE 'l' END"))),
+
+    // EPOCH DRIFT SCORES: split the event stream at its time midpoint and
+    // score the later epoch's per-slice purchase counts against the
+    // earlier epoch's rates — the batch/oracle face of
+    // StreamOps.sliceDriftGate, so this hash-green entry IS the
+    // cross-engine proof of the gate's expected/variance math. Per-slice
+    // binomial z + the gate's global drift_z; slices born after the
+    // cutoff land in n_unknown. Corpus touched twice (once per epoch's
+    // counting agg over the checkpointed projection); every later frame
+    // is the ~100-slice alphabet.
+    QueryDef(
+      "q380_epoch_drift",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val base = ev.select(
+            get_json_object(col("props"), "$.k").cast("long").as("key"),
+            (col("event_type") === "purchase").as("succ"),
+            unix_micros(col("ts")).as("us"))
+          .where(col("key").isNotNull)
+          .localCheckpoint()
+        val cut = base.agg(expr("(min(us) + max(us)) div 2").as("cutoff"))
+        val withCut = base.crossJoin(broadcast(cut))
+        def counts(cond: org.apache.spark.sql.Column) =
+          withCut.where(cond).groupBy(col("key"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("succ"), 1L).otherwise(0L)).as("k"))
+        graft.ops.Stats.sliceDriftScores(
+          counts(col("us") <= col("cutoff")),
+          counts(col("us") > col("cutoff")))
+      },
+      Some(graft.ops.Stats.duckSliceDriftScores(
+        "refcounts", "livecounts",
+        prelude = s"""ev AS (
+           |  SELECT CAST(props->>'k' AS BIGINT) AS key,
+           |    (event_type = 'purchase') AS succ, epoch_us(ts) AS us
+           |  FROM ${Tables.duckEvents}
+           |  WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL),
+           |cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cutoff FROM ev),
+           |refcounts AS (
+           |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM ev CROSS JOIN cut WHERE us <= cutoff GROUP BY 1),
+           |livecounts AS (
+           |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM ev CROSS JOIN cut WHERE us > cutoff GROUP BY 1)""".stripMargin))),
+
+    // COCHRAN-ARMITAGE TREND: does purchase rate rise monotonically with
+    // the slice decile? The ORDERED alternative q311's chi² is blind to
+    // — chi² scores any deviation, CA weights each group's success
+    // surplus by its ordinal score so only a trend moves it. Scores =
+    // key-deciles (0..9), success = purchase; on this synthetic corpus
+    // the honest answer is z ~ 0, and the machinery proves it. One
+    // counting aggregation; the test itself is 1-row arithmetic over the
+    // 10-group frame.
+    QueryDef(
+      "q381_ca_trend",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val counts = ev.select(
+            get_json_object(col("props"), "$.k").cast("long").as("key"),
+            (col("event_type") === "purchase").as("succ"))
+          .where(col("key").isNotNull)
+          .select(expr("key div 10").as("s"), col("succ"))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("succ"), 1L).otherwise(0L)).as("k"))
+        graft.ops.Stats.cochranArmitage(counts)
+      },
+      Some(graft.ops.Stats.duckCochranArmitage(
+        """(SELECT CAST(props->>'k' AS BIGINT) // 10 AS s,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS k
+          |  FROM events WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+          |  GROUP BY 1)""".stripMargin))),
+
+    // CRAMÉR'S V: the effect size for q377's segment×nation table —
+    // q311-style chi² says "dependent?", q377's MI says "how many nats?",
+    // V answers "how strong on a fixed 0..1 scale" (comparable across
+    // tables of any size), plus the Bergsma bias-corrected Ṽ that doesn't
+    // inflate on many-celled tables. Same shape as q377: one joint
+    // aggregation, then (5×25)-frame arithmetic.
+    QueryDef(
+      "q382_cramers_v",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        graft.ops.Stats.cramersV(c, col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some(graft.ops.Stats.duckCramersV(
+        "customer", "c_mktsegment", "c_nationkey"))),
+
+    // COHEN'S KAPPA: chance-corrected agreement between the stored lang
+    // label and the marker-based language-ID heuristic (q44's classifier)
+    // — the metric accuracy can't give: a majority-class guesser scores
+    // high accuracy on an en-heavy corpus but κ ≈ 0. One corpus pass
+    // (the classifier is a pure codegen expression), one joint (lang ×
+    // pred) aggregation, 1-row arithmetic after.
+    QueryDef(
+      "q383_lang_id_kappa",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Stats.cohensKappa(
+          d, col("lang"), graft.ops.Text.langId(col("text")))
+      },
+      Some(graft.ops.Stats.duckCohensKappa(
+        "documents", "lang", graft.ops.Text.duckLangId("text")))),
+
+    // McNEMAR: do the length gate (n_chars >= 200) and the token-count
+    // gate (>= 40 tokens) disagree ASYMMETRICALLY on the same documents?
+    // The paired question an unpaired two-proportion z answers wrongly —
+    // only the discordant cells b, c matter; continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c). One corpus aggregation to four integers.
+    QueryDef(
+      "q384_gate_mcnemar",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Stats.mcnemarTest(d,
+          col("n_chars") >= 200,
+          size(graft.ops.Text.tokens(col("text"))) >= 40)
+      },
+      Some(graft.ops.Stats.duckMcnemarTest("documents",
+        "n_chars >= 200",
+        "len(string_split_regex(text, '\\s+')) >= 40"))),
+
+    // BROWN-FORSYTHE: is order-value spread the same across order
+    // priorities? The variance-homogeneity check q261's Welch test
+    // deliberately avoids and pooled ANOVA silently assumes — median-
+    // centred (Levene's mean version is wrecked by the very skew it
+    // tests), F over |y − median_g|. Two corpus passes (group medians,
+    // then deviations); the F is 5-group-frame arithmetic.
+    QueryDef(
+      "q385_price_spread_bf",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        graft.ops.Stats.brownForsythe(
+          o, col("o_orderpriority"), col("o_totalprice"))
+      },
+      Some(graft.ops.Stats.duckBrownForsythe(
+        "orders", "o_orderpriority", "o_totalprice")))
   )
 }

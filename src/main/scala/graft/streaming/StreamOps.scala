@@ -743,4 +743,51 @@ object StreamOps {
         count(when(!keep, 1)).as("n_class_dropped"))
       .where(keep)
   }
+
+  /** Ingest-time SLICE-DRIFT monitor — the streaming twin of q374's BH-FDR
+    * slice audit: score each micro-batch's success mass against a BROADCAST
+    * reference table of historical per-slice counts (key, n, k) and emit
+    * the exact one-number drift statistic per batch through observe().
+    * Under the reference rates p₀ = k/n, the batch's known-slice successes
+    * have mean Σ p₀(row) and variance Σ p₀(1−p₀) (independent Bernoulli),
+    * so drift_z = (actual − expected)/√variance is the normal-approximate
+    * batch drift score — the monitor that says WHEN to re-run the q374
+    * offline correction, not a per-slice verdict (per-slice BH needs the
+    * whole history; a micro-batch only has its own rows).
+    *
+    * Stateless per batch: one stream-static broadcast join attaches p₀
+    * per row; all metrics are aggregate expressions over that frame, and
+    * the decimal(38,18) folds make expected/variance order-independent —
+    * the batch twin on the same rows matches BIT FOR BIT. Rows pass
+    * through unchanged (a monitor, not a filter); keys absent from the
+    * reference are counted as `n_unknown_slice` (new slices are
+    * themselves a drift signal) and excluded from the z.
+    */
+  def sliceDriftGate(
+      stream: DataFrame,
+      key: Column,
+      success: Column,
+      reference: DataFrame): DataFrame = {
+    import graft.ops.Num
+    val ref = broadcast(reference.select(
+      col("key").cast("string").as("__sd_key"),
+      (col("k").cast("double") / col("n").cast("double")).as("__sd_p0")))
+    val known = col("__sd_p0").isNotNull
+    val expected = Num.dsum38(when(known, col("__sd_p0")).otherwise(0.0))
+    val variance = Num.dsum38(
+      when(known, col("__sd_p0") * (lit(1.0) - col("__sd_p0"))).otherwise(0.0))
+    val actual = count(when(known && success, 1)).cast("double")
+    stream
+      .withColumn("__sd_k", key.cast("string"))
+      .join(ref, col("__sd_k") === col("__sd_key"), "left")
+      .observe("slice_drift",
+        count(lit(1)).as("n_rows"),
+        count(when(!known, 1)).as("n_unknown_slice"),
+        count(when(known && success, 1)).as("n_success_known"),
+        expected.as("expected_success"),
+        variance.as("variance_success"),
+        when(variance > 0.0, (actual - expected) / sqrt(variance))
+          .as("drift_z"))
+      .drop("__sd_key", "__sd_p0", "__sd_k")
+  }
 }

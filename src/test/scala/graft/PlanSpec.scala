@@ -729,4 +729,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p354.toLowerCase.contains("join"), s"q354: no joins:\n${p354.take(1000)}")
     assert(!p354.contains("windowspecdefinition"), "q354: no analytic windows")
   }
+
+  test("q374/q376 bounded-frame pins: rank/stratum frames are post-aggregation, never the corpus") {
+    // q374 BH-FDR (checkpoint=false exposes the full lineage): the
+    // single-partition p-rank window must sit ABOVE the per-slice counting
+    // aggregation — the corpus reaches one HashAggregate and only the
+    // alphabet-bounded slice frame enters the SinglePartition exchange
+    val ev = Tables.load(spark, sf, "events")
+    val counts = ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("key"),
+        col("event_type"))
+      .where(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+    val p374 = plan(graft.ops.Stats.bhFdr(
+      graft.ops.Stats.twoProportionZ(counts), 0.10, checkpoint = false))
+    val iWin = p374.indexOf("windowspecdefinition")
+    val iSingle = p374.indexOf("Exchange SinglePartition")
+    val iAgg = p374.indexOf("HashAggregate(keys=[key")
+    assert(iWin >= 0 && iSingle >= 0 && iAgg >= 0,
+      s"q374: expected window + single-partition exchange + slice agg:\n${p374.take(2000)}")
+    assert(iWin < iSingle && iSingle < iAgg,
+      s"q374: the p-rank window must consume the POST-aggregation frame " +
+        s"(plan order window@$iWin < single@$iSingle < agg@$iAgg):\n${p374.take(2000)}")
+    assert(!p374.contains("CartesianProduct"),
+      "q374: m/istar fusions must be 1-row broadcasts, never cartesian")
+    // q376 CEM ATT: customer dim broadcasts into the fact join; the
+    // att/dropped fusions are 1-row broadcast joins over the stratum frame
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val p376 = plan(graft.ops.Stats.cemAtt(
+      o.join(c, col("o_custkey") === col("c_custkey")),
+      concat_ws("|", col("c_mktsegment"), col("c_nationkey")),
+      col("o_orderpriority") === "1-URGENT",
+      col("o_totalprice"), checkpoint = false))
+    assert(p376.contains("BroadcastHashJoin"),
+      s"q376: customer dim must broadcast into the fact join:\n${p376.take(1500)}")
+    assert(p376.contains("BroadcastNestedLoopJoin"),
+      s"q376: att/dropped must fuse as 1-row broadcasts:\n${p376.take(1500)}")
+    assert(!p376.contains("CartesianProduct"), "q376: no cartesian")
+    val iStratAgg = p376.indexOf("HashAggregate(keys=[stratum")
+    val iBnl = p376.indexOf("BroadcastNestedLoopJoin")
+    assert(iStratAgg >= 0 && iBnl >= 0 && iBnl < iStratAgg,
+      s"q376: the fusion joins must run ABOVE the stratum aggregation:\n${p376.take(2000)}")
+  }
 }

@@ -211,4 +211,36 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val big = run(2400L).map(_._1).toSet
     assert(small.subsetOf(big), "selection must be monotone in budget")
   }
+
+  test("weightedSampleTopK: partition-invariant; heavy weights dominate a planted two-weight corpus; own-weight inclusion is monotone") {
+    import spark.implicits._
+    // planted corpus: one group, ids 0..399; ids < 200 carry weight 100,
+    // the rest weight 1 — a 100:1 A-Res preference for the heavy half
+    val rows = (0L until 400L).map(i =>
+      (i, "g", if (i < 200) 100.0 else 1.0))
+    val df = rows.toDF("id", "grp", "w")
+    def sample(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Sampling.weightedSampleTopK(d, col("grp"), col("id"), col("w"), k = 50)
+        .select(col("id").as[Long], col("rank").as[Long]).collect().toSeq.sorted
+    val base = sample(df)
+    // exactly k survivors, dense ranks 1..k
+    assert(base.size == 50 && base.map(_._2).sorted == (1L to 50L))
+    // partition invariance: identical sample on any physical layout
+    assert(sample(df.repartition(7)) == base &&
+      sample(df.repartition(1)) == base,
+      "A-Res keys are pure row expressions — layout must not matter")
+    // weight proportionality: the 100:1 heavy half dominates the sample
+    val heavy = base.count(_._1 < 200L)
+    assert(heavy >= 45, s"expected the weight-100 half to dominate, got $heavy/50")
+    // own-weight monotonicity: boosting ONE excluded light row's weight
+    // (all else fixed) pulls it in — ln(u)/w rises toward 0 with w
+    val out = (200L until 400L).filterNot(i => base.exists(_._1 == i)).head
+    val boosted = rows.map { case (i, g, w) =>
+      (i, g, if (i == out) 1e6 else w) }.toDF("id", "grp", "w")
+    assert(sample(boosted).exists(_._1 == out),
+      s"row $out with weight 1e6 must enter the top-50")
+    // per-group k: a group smaller than k returns all members
+    val tiny = Seq((1L, "t", 3.0), (2L, "t", 1.0)).toDF("id", "grp", "w")
+    assert(sample(tiny).map(_._1) == Seq(1L, 2L))
+  }
 }

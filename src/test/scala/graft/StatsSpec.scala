@@ -333,4 +333,124 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r2.getAs[Double]("participation_ratio") - 2.0) < eps)
     assert(math.abs(r2.getAs[Double]("dim_fraction") - 1.0) < eps)
   }
+
+  test("mutualInformation: y=x gives MI=H(X) and NMI=1; independent grid gives MI=0; degenerate marginal gives NMI=0") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) = Stats
+      .mutualInformation(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    // perfect dependence: joint is diagonal, MI = H(X) = H(Y), NMI = 1.
+    // counts 10/20/30 → H = −Σ p·ln p with p = 1/6, 1/3, 1/2
+    val dep = run(Seq.fill(10)(("a", "a")) ++ Seq.fill(20)(("b", "b")) ++
+      Seq.fill(30)(("c", "c")))
+    val hExp = -(1.0 / 6 * math.log(1.0 / 6) + 1.0 / 3 * math.log(1.0 / 3) +
+      0.5 * math.log(0.5))
+    assert(dep.getAs[Long]("n") == 60L && dep.getAs[Long]("cells") == 3L)
+    assert(math.abs(dep.getAs[Double]("mi") - hExp) < eps, s"got $dep")
+    assert(math.abs(dep.getAs[Double]("h_x") - hExp) < eps)
+    assert(math.abs(dep.getAs[Double]("nmi") - 1.0) < eps)
+    // exact independence: every joint cell has c·n = cx·cy → each ln term
+    // is ln(1) = 0 EXACTLY (no float residue to tolerate)
+    val ind = run(for { x <- Seq("a", "b"); y <- Seq("c", "d");
+      _ <- 0 until 25 } yield (x, y))
+    assert(ind.getAs[Double]("mi") == 0.0 && ind.getAs[Double]("nmi") == 0.0,
+      s"independent grid must give exact zero: $ind")
+    assert(math.abs(ind.getAs[Double]("h_x") - math.log(2)) < eps)
+    // degenerate marginal: H(X) = 0 → NMI pinned to 0, never NaN
+    val deg = run(Seq(("only", "p"), ("only", "q")))
+    assert(deg.getAs[Double]("h_x") == 0.0 && deg.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("cochranArmitage: textbook perfect trend z = 6/sqrt(5); flat rates give T = 0") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) = Stats
+      .cochranArmitage(rows.toDF("s", "n", "k")).collect().head
+    // k = 2, 5, 8 of n = 10 at scores 0, 1, 2: p̄ = 0.5,
+    // T = 21 − 0.5·30 = 6, Var = 0.25·(50 − 900/30) = 5
+    val tr = run(Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 8L)))
+    assert(math.abs(tr.getAs[Double]("t_stat") - 6.0) < eps)
+    assert(math.abs(tr.getAs[Double]("var_t") - 5.0) < eps)
+    assert(math.abs(tr.getAs[Double]("z") - 6.0 / math.sqrt(5.0)) < eps)
+    // identical rates at every score: zero trend exactly
+    val flat = run(Seq((0L, 10L, 3L), (1L, 10L, 3L), (2L, 10L, 3L)))
+    assert(flat.getAs[Double]("t_stat") == 0.0, s"got $flat")
+  }
+
+  test("cramersV: perfect 2x2 association gives V = 1 (corrected too); exact independence gives 0") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) = Stats
+      .cramersV(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    val perfect = run(Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b")))
+    assert(perfect.getAs[Long]("n") == 20L && perfect.getAs[Long]("r") == 2L)
+    assert(math.abs(perfect.getAs[Double]("chi2") - 20.0) < eps)
+    assert(math.abs(perfect.getAs[Double]("v") - 1.0) < eps)
+    // Bergsma correction is exact-1 here: φ̃² and (k̃−1) shrink identically
+    assert(math.abs(perfect.getAs[Double]("v_corrected") - 1.0) < eps)
+    val ind = run(for { x <- Seq("a", "b"); y <- Seq("c", "d");
+      _ <- 0 until 5 } yield (x, y))
+    assert(ind.getAs[Double]("chi2") == 0.0 && ind.getAs[Double]("v") == 0.0)
+    assert(ind.getAs[Double]("v_corrected") == 0.0,
+      "max(0, ·) must clamp the negative bias-corrected φ²")
+  }
+
+  test("cohensKappa: identity = 1; independence-shaped square = 0; constant labelings give NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) = Stats
+      .cohensKappa(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    val same = run(Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z")))
+    assert(math.abs(same.getAs[Double]("kappa") - 1.0) < eps)
+    val sq = run(Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")))
+    assert(sq.getAs[Double]("p_o") == 0.5 && sq.getAs[Double]("p_e") == 0.5)
+    assert(math.abs(sq.getAs[Double]("kappa")) < eps)
+    val const = run(Seq(("x", "x"), ("x", "x")))
+    assert(const.isNullAt(const.fieldIndex("kappa")),
+      s"p_e = 1 must give NULL, never NaN: $const")
+  }
+
+  test("mcnemarTest: b=6,c=2 gives chi2_cc = 9/8; no disagreement gives NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Boolean)]) = Stats
+      .mcnemarTest(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    val r = run(Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(3)((true, true)) ++ Seq.fill(1)((false, false)))
+    assert(r.getAs[Long]("n_a_only") == 6L && r.getAs[Long]("n_b_only") == 2L)
+    assert(r.getAs[Long]("n_both") == 3L && r.getAs[Long]("n_neither") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2_cc") - 9.0 / 8.0) < eps)
+    val agree = run(Seq((true, true), (false, false)))
+    assert(agree.isNullAt(agree.fieldIndex("chi2_cc")),
+      "b + c = 0 must give NULL, never NaN")
+  }
+
+  test("brownForsythe: hand-computed two-group F = 648/202; equal spreads give tiny F") {
+    import spark.implicits._
+    // g1 = {1,2,3} (med 2 → z = 1,0,1), g2 = {10,20,30} (med 20 → z = 10,0,10)
+    // between = 54, within = 202/3, F = 4 · 54/(202/3) = 648/202
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("g", "y")
+    val r = Stats.brownForsythe(df, col("g"), col("y")).collect().head
+    assert(r.getAs[Long]("n_groups") == 2L && r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 648.0 / 202.0) < eps,
+      s"got $r")
+  }
+
+  test("sliceDriftScores: hand-computed per-slice z and the gate's global drift_z; unknown slices tallied") {
+    import spark.implicits._
+    val ref = Seq(("a", 100L, 25L), ("b", 100L, 75L)).toDF("key", "n", "k")
+    val live = Seq(("a", 4L, 1L), ("b", 4L, 4L), ("c", 2L, 2L))
+      .toDF("key", "n", "k")
+    val rows = Stats.sliceDriftScores(ref, live).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows("a").getAs[Double]("z") == 0.0, "a sits exactly on its rate")
+    assert(math.abs(rows("b").getAs[Double]("z") - 1.0 / math.sqrt(0.75)) < eps)
+    assert(rows("c").isNullAt(rows("c").fieldIndex("z")),
+      "no reference → NULL z")
+    val g = rows("a") // global columns repeat on every row
+    assert(g.getAs[Long]("n_unknown") == 1L)
+    assert(g.getAs[Double]("expected_total") == 4.0)
+    assert(g.getAs[Double]("variance_total") == 1.5)
+    assert(g.getAs[Double]("actual_total") == 5.0)
+    assert(math.abs(g.getAs[Double]("drift_z") - 1.0 / math.sqrt(1.5)) < eps,
+      "the gate's observe() formula, bit for bit")
+  }
 }

@@ -982,4 +982,56 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         s"timer close of the silent session: $rows")
     } finally q.stop()
   }
+
+  test("sliceDriftGate: pass-through monitor; observe drift == batch twin bit for bit; unknown slices counted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // reference history: slice a converts 1/4, slice b converts 3/4
+    val ref = Seq(("a", 100L, 25L), ("b", 100L, 75L)).toDF("key", "n", "k")
+    // one micro-batch: a at its reference rate (1/4), b drifted up (4/4),
+    // plus 2 rows of a slice the reference has never seen
+    val batchRows = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", true), ("b", true),
+      ("c", true), ("c", false))
+    val ms = MemoryStream[(String, Boolean)]
+    val gated = StreamOps.sliceDriftGate(
+      ms.toDF().toDF("slice", "succ"), col("slice"), col("succ"), ref)
+    val q = gated.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(batchRows)
+      q.processAllAvailable()
+      // a monitor, not a filter: every row passes with its original schema
+      val out = spark.table("drift_out")
+      assert(out.columns.toSeq == Seq("slice", "succ"),
+        s"helper columns must not leak: ${out.columns.toSeq}")
+      assert(out.count() == 10L, "all rows pass through")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("slice_drift"))).last
+      assert(m.getAs[Long]("n_rows") == 10L)
+      assert(m.getAs[Long]("n_unknown_slice") == 2L)
+      assert(m.getAs[Long]("n_success_known") == 5L)
+      // batch twin on the same rows through the same column expressions —
+      // the decimal fold makes this a bit-for-bit equality, not a tolerance
+      val twin = batchRows.toDF("slice", "succ")
+        .join(broadcast(ref.select(col("key"),
+          (col("k").cast("double") / col("n").cast("double")).as("p0"))),
+          col("slice") === col("key"), "left")
+        .agg(
+          graft.ops.Num.dsum38(coalesce(col("p0"), lit(0.0))).as("exp"),
+          graft.ops.Num.dsum38(coalesce(col("p0") * (lit(1.0) - col("p0")),
+            lit(0.0))).as("vr"),
+          count(when(col("p0").isNotNull && col("succ"), 1))
+            .cast("double").as("act"))
+        .collect().head
+      val (e, v, a) = (twin.getDouble(0), twin.getDouble(1), twin.getDouble(2))
+      assert(e == 4.0 && v == 1.5 && a == 5.0, s"hand-check: $twin")
+      assert(m.getAs[Double]("expected_success") == e)
+      assert(m.getAs[Double]("variance_success") == v)
+      assert(m.getAs[Double]("drift_z") == (a - e) / math.sqrt(v),
+        s"drift z must equal the batch formula: $m")
+    } finally q.stop()
+  }
 }

@@ -10,6 +10,7 @@ every query in <outdir>/oracle_sql.json: execute the oracle SQL in DuckDB
 columns by name, canonicalize (round doubles to 6dp, timestamps to us), sort
 rows, and hash-compare.
 """
+import glob
 import json, subprocess, sys, hashlib
 import duckdb
 import pandas as pd
@@ -59,8 +60,11 @@ def main():
             # Read engine output via pyarrow/pandas (NOT DuckDB): the driver
             # does the same, so decimal columns stay Decimal objects and a
             # decimal-vs-double mismatch against the oracle is caught here.
-            import glob as _glob
-            parts = sorted(_glob.glob(f"{outdir}/{name}/*.parquet"))
+            parts = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+            if not parts:
+                print(f"FAIL {name}: no parquet parts found in {outdir}/{name}")
+                fail += 1
+                continue
             got = pd.concat([pd.read_parquet(p) for p in parts],
                             ignore_index=True)
         except Exception as e:
