@@ -669,10 +669,16 @@ object Stats {
     * max over the ≤-criterion rows, so the rejected set is a pure
     * function of the inputs in both engines. The boundary decision
     * compares p ROUNDED TO 12DP against the (libm-free, hence
-    * bit-identical) α·i/m criterion — a 1-ulp exp() divergence between
-    * JVM and DuckDB libm can therefore never flip i* unless the true p
-    * sits within 1 ulp of an exact 12dp half-boundary (measure-zero of
-    * measure-zero; both engines round positive halves up). Null-z keys
+    * bit-identical) α·i/m criterion, which NARROWS the cross-engine
+    * divergence window rather than eliminating it: a 1-ulp exp()
+    * divergence can only flip i* when the true p sits within 1 ulp of a
+    * 12dp half-boundary, AND the two engines' 12dp roundings then have to
+    * disagree (Spark rounds the exact decimal expansion HALF_UP via
+    * BigDecimal; DuckDB rounds through a floating multiply/divide — on
+    * half-boundary doubles the two conventions CAN differ). Both
+    * conditions together have never fired across the catalog's slice
+    * frames; treat a future flip here as this documented edge, not data
+    * corruption. Null-z keys
     * (empty slices, degenerate pooled variance) carry no testable
     * hypothesis and are EXCLUDED — m counts real tests only, as BH
     * requires.
@@ -1329,6 +1335,90 @@ object Stats {
        |  END AS drift_z
        |FROM j CROSS JOIN gtot""".stripMargin
 
+  /** The QUANTILE-DRIFT arithmetic shared BY CONSTRUCTION between the
+    * streaming gate ([[graft.streaming.StreamOps.quantileDriftGate]]'s
+    * observe()) and the batch twin [[quantileDriftScores]] — one list of
+    * aggregate column expressions, so the parity is an identity, not a
+    * re-derivation. Given reference thresholds (q, thr) — typically
+    * exact or KLL-served quantiles of a reference corpus
+    * ([[QuantileIndex]]) — a no-drift batch has
+    * P(value > thr_q) = 1 − q per row, so
+    * n_above ~ Binomial(n_known, 1 − q) and
+    * z_q = (n_above − n·(1−q)) / √(n·q·(1−q)) is the per-threshold
+    * drift score. (1−q) and q·(1−q) are folded to ONE double literal
+    * each on the driver, so the oracle can interpolate the identical
+    * doubles and the z is bit-reproducible cross-engine. NULL values
+    * carry no rank: tallied in n_null, excluded from every count.
+    */
+  def quantileDriftMetrics(value: Column,
+      refQuantiles: Seq[(Double, Double)]): Seq[Column] = {
+    require(refQuantiles.nonEmpty, "need at least one reference quantile")
+    require(refQuantiles.forall { case (q, _) => q > 0.0 && q < 1.0 },
+      s"ranks must lie strictly inside (0, 1), got ${refQuantiles.map(_._1)}")
+    val v = value.cast("double")
+    val nK = count(when(v.isNotNull, 1)).cast("double")
+    Seq(
+      count(lit(1)).as("n_rows"),
+      count(when(v.isNull, 1)).as("n_null")) ++
+      refQuantiles.flatMap { case (q, thr) =>
+        val pct = math.round(q * 100)
+        require(math.abs(q * 100 - pct) < 1e-9,
+          s"rank $q has no whole-percent metric label")
+        val omq = 1.0 - q     // one driver-side double each, so the
+        val pq = q * (1.0 - q) // oracle interpolates the same literal
+        val above = count(when(v > lit(thr), 1))
+        Seq(
+          above.as(s"n_above_p$pct"),
+          when(nK * lit(pq) > 0.0,
+            (above.cast("double") - nK * lit(omq)) / sqrt(nK * lit(pq)))
+            .as(s"z_p$pct"))
+      }
+  }
+
+  /** Batch twin of the streaming quantile-drift gate: ONE aggregation row
+    * with the exact columns the gate's observe() emits (shared expression
+    * list — see [[quantileDriftMetrics]]). Output: (n_rows, n_null, and
+    * per q: n_above_pXX, z_pXX).
+    */
+  def quantileDriftScores(df: DataFrame, value: Column,
+      refQuantiles: Seq[(Double, Double)]): DataFrame = {
+    val ms = quantileDriftMetrics(value, refQuantiles)
+    df.agg(ms.head, ms.tail: _*)
+  }
+
+  /** DuckDB twin of [[quantileDriftScores]]; `liveSql` is a CTE/subquery
+    * yielding `v` (double, the gated value) and `thrSql` one yielding one
+    * row of `thr_pXX` threshold columns (usually the exact nearest-rank
+    * replay of the reference split). The (1−q) and q(1−q) literals are
+    * interpolated from the SAME Scala doubles the engine folded.
+    */
+  def duckQuantileDriftScores(liveSql: String, thrSql: String,
+      qs: Seq[Double]): String = {
+    val aboveCols = qs.map { q =>
+      val pct = math.round(q * 100)
+      s"""CAST(COUNT(CASE WHEN v > thr_p$pct THEN 1 END) AS BIGINT)
+         |      AS n_above_p$pct""".stripMargin
+    }.mkString(",\n    ")
+    val zCols = qs.map { q =>
+      val pct = math.round(q * 100)
+      val omq = 1.0 - q
+      val pq = q * (1.0 - q)
+      s"""n_above_p$pct,
+         |  CASE WHEN CAST(n_rows - n_null AS DOUBLE) * $pq > 0.0
+         |    THEN (CAST(n_above_p$pct AS DOUBLE)
+         |        - CAST(n_rows - n_null AS DOUBLE) * $omq)
+         |      / sqrt(CAST(n_rows - n_null AS DOUBLE) * $pq)
+         |  END AS z_p$pct""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT n_rows, n_null,
+       |  $zCols
+       |FROM (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+       |    $aboveCols
+       |  FROM $liveSql CROSS JOIN $thrSql)""".stripMargin
+  }
+
   /** COCHRAN–ARMITAGE TREND TEST over ordered (score, n, k) proportion
     * groups — the ORDERED alternative the q311 chi² cannot see: chi²
     * treats "rate rises monotonically with the score" and "rates jump
@@ -1565,19 +1655,25 @@ object Stats {
     * c = (A fail, B pass); continuity-corrected χ² = (|b−c|−1)²/(b+c)
     * (df 1), NULL when b + c = 0 (no disagreement — nothing to test).
     *
-    * ONE corpus aggregation producing four integers; everything else is
-    * 1-row arithmetic. Output: (n, n_both, n_a_only, n_b_only, n_neither,
-    * chi2_cc).
+    * ONE corpus aggregation producing five integers; everything else is
+    * 1-row arithmetic. Rows where either gate is NULL carry no pairing
+    * information and would otherwise fall through every when() branch
+    * silently (n above the cell sum with no signal) — they are tallied
+    * in n_null and excluded from the four cells, so
+    * n = n_null + n_both + n_a_only + n_b_only + n_neither always holds.
+    * Output: (n, n_null, n_both, n_a_only, n_b_only, n_neither, chi2_cc).
     */
   def mcnemarTest(df: DataFrame, a: Column, b: Column): DataFrame = {
     val ab = a.cast("boolean")
     val bb = b.cast("boolean")
+    val ok = ab.isNotNull && bb.isNotNull
     val agg = df.agg(
       count(lit(1)).as("n"),
-      sum(when(ab && bb, 1L).otherwise(0L)).as("n_both"),
-      sum(when(ab && !bb, 1L).otherwise(0L)).as("n_a_only"),
-      sum(when(!ab && bb, 1L).otherwise(0L)).as("n_b_only"),
-      sum(when(!ab && !bb, 1L).otherwise(0L)).as("n_neither"))
+      sum(when(!ok, 1L).otherwise(0L)).as("n_null"),
+      sum(when(ok && ab && bb, 1L).otherwise(0L)).as("n_both"),
+      sum(when(ok && ab && !bb, 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(ok && !ab && bb, 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(ok && !ab && !bb, 1L).otherwise(0L)).as("n_neither"))
     val d = (col("n_a_only") + col("n_b_only")).cast("double")
     val diff = abs(col("n_a_only") - col("n_b_only")).cast("double")
     agg.withColumn("chi2_cc",
@@ -1588,16 +1684,22 @@ object Stats {
   def duckMcnemarTest(tbl: String, aExpr: String, bExpr: String): String =
     s"""WITH agg AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(CASE WHEN ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN ($aExpr) IS NULL OR ($bExpr) IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |    CAST(SUM(CASE WHEN ($aExpr) IS NOT NULL AND ($bExpr) IS NOT NULL
+       |        AND ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_both,
-       |    CAST(SUM(CASE WHEN ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN ($aExpr) IS NOT NULL AND ($bExpr) IS NOT NULL
+       |        AND ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_a_only,
-       |    CAST(SUM(CASE WHEN NOT ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN ($aExpr) IS NOT NULL AND ($bExpr) IS NOT NULL
+       |        AND NOT ($aExpr) AND ($bExpr) THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_b_only,
-       |    CAST(SUM(CASE WHEN NOT ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN ($aExpr) IS NOT NULL AND ($bExpr) IS NOT NULL
+       |        AND NOT ($aExpr) AND NOT ($bExpr) THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_neither
        |  FROM $tbl)
-       |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       |SELECT n, n_null, n_both, n_a_only, n_b_only, n_neither,
        |  CASE WHEN n_a_only + n_b_only > 0
        |    THEN POWER(GREATEST(CAST(abs(n_a_only - n_b_only) AS DOUBLE) - 1.0,
        |        0.0), 2)
@@ -1625,7 +1727,12 @@ object Stats {
   def brownForsythe(df: DataFrame, group: Column, value: Column,
       scale: Int = 6): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // NULL values carry no spread information but would diverge cross-engine
+    // (Spark ranks NULLs FIRST under ASC, DuckDB LAST, and COUNT(*) would
+    // count them while the deviation sums ignore them) — drop them before
+    // the rank window so nj, the median and both sums agree by construction.
     val v = df.select(group.cast("string").as("g"), value.cast("double").as("y"))
+      .where(col("y").isNotNull)
     val wRank = W.partitionBy(col("g")).orderBy(col("y").asc)
     val med = v.withColumn("rn", row_number().over(wRank))
       .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("g"))))
@@ -1664,7 +1771,7 @@ object Stats {
       scale: Int = 6): String =
     s"""WITH v AS (
        |  SELECT CAST($gExpr AS VARCHAR) AS g, CAST($yExpr AS DOUBLE) AS y
-       |  FROM $tbl),
+       |  FROM $tbl WHERE CAST($yExpr AS DOUBLE) IS NOT NULL),
        |rk AS (
        |  SELECT g, y,
        |    row_number() OVER (PARTITION BY g ORDER BY y ASC) AS rn,

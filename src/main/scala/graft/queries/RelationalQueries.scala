@@ -5712,6 +5712,208 @@ object RelationalQueries {
           o, col("o_orderpriority"), col("o_totalprice"))
       },
       Some(graft.ops.Stats.duckBrownForsythe(
-        "orders", "o_orderpriority", "o_totalprice")))
+        "orders", "o_orderpriority", "o_totalprice"))),
+
+    // DURABLE KLL QUANTILE SKETCH TABLE (build + serve): per-source
+    // Datasketches KLL sketches of doc length stored as bytes, plus the
+    // cross-source __union__ rollup folded from the STORED bytes alone —
+    // the distributional member the sketch-table family was missing
+    // (beside HLL q125 distinct counts, theta q136 set ops, CMS q49
+    // frequencies, moment shards q144, sliding q150). Unlike the q260
+    // equi-width histogram there is NO frozen domain to drift out of; the
+    // guarantee is a rank tolerance. KLL compaction is randomized, so the
+    // hashed surface is the q26/q125 discipline: exact INCLUSIVE
+    // nearest-rank quantiles (value-alphabet-bounded windows, never
+    // corpus-row frames) + n_match/within_bound verdicts the oracle
+    // reproduces as exact + TRUE.
+    QueryDef(
+      "q386_kll_doclen_sketches",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tbl = graft.ops.QuantileIndex.build(
+          d, col("source"), col("n_chars"), k = 256)
+        graft.ops.QuantileIndex.report(tbl, d, col("source"), col("n_chars"),
+          qs = Seq(0.5, 0.9, 0.99), eps = 0.05, k = 256)
+      },
+      Some(graft.ops.QuantileIndex.duckReport(
+        "documents", "source", "n_chars", Seq(0.5, 0.9, 0.99)))),
+
+    // The APPEND-MAINTAINED KLL table through the identical estimate
+    // surface: two thirds of the corpus build the base table, the last
+    // third arrives as a delta shard, and the merge unions STORED BYTES
+    // per key (getN adds exactly; rank error is preserved by merge) —
+    // proving append == rebuild at the verification surface, the same
+    // contract the q255/q158 maintained tables pin. The oracle is the
+    // exact corpus replay, so a fan-out, a dropped shard, or a double
+    // count in the maintenance path flips n_match/exact_q and fails the
+    // hash.
+    QueryDef(
+      "q387_kll_table_append",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val base = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        val delta = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        val tbl = graft.ops.QuantileIndex.merge(Seq(
+          graft.ops.QuantileIndex.build(base, col("source"), col("n_chars"), k = 256),
+          graft.ops.QuantileIndex.build(delta, col("source"), col("n_chars"), k = 256)),
+          k = 256)
+        graft.ops.QuantileIndex.report(tbl, d, col("source"), col("n_chars"),
+          qs = Seq(0.5, 0.9, 0.99), eps = 0.05, k = 256)
+      },
+      Some(graft.ops.QuantileIndex.duckReport(
+        "documents", "source", "n_chars", Seq(0.5, 0.9, 0.99)))),
+
+    // BH-FDR OVER DRIFT EPOCHS — the composition q380's doc points at:
+    // the drift monitor says WHEN something moved; THIS says WHICH slices
+    // moved, with the false-discovery rate controlled. A four-epoch
+    // history table of per-(slice, epoch) counts (the shape a scheduled
+    // sliceDriftGate run would persist) rolls epochs 0–2 into the
+    // reference, epoch 3 is live; per-slice binomial drift z
+    // (sliceDriftScores q380) feeds straight into the q374 BH step-up.
+    // Two existing operators, ~15 lines of glue — the corpus is touched
+    // once by the epoch counting agg; every later frame is the ~100-slice
+    // alphabet.
+    QueryDef(
+      "q388_drift_fdr",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val base = ev.select(
+            get_json_object(col("props"), "$.k").cast("long").as("key"),
+            (col("event_type") === "purchase").as("succ"),
+            unix_micros(col("ts")).as("us"))
+          .where(col("key").isNotNull)
+          .localCheckpoint()
+        val bounds = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        val hist = base.crossJoin(broadcast(bounds))
+          .withColumn("epoch",
+            expr("least(3, ((us - mn) * 4) div (mx - mn + 1))"))
+          .groupBy(col("key"), col("epoch"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("succ"), 1L).otherwise(0L)).as("k"))
+        val ref = hist.where(col("epoch") < 3).groupBy(col("key"))
+          .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
+        val live = hist.where(col("epoch") === 3)
+          .select(col("key"), col("n"), col("k"))
+        val scores = graft.ops.Stats.sliceDriftScores(ref, live)
+        graft.ops.Stats.bhFdr(
+          scores.select(col("key"), col("n_live").as("n"),
+            col("k_live").as("k"), col("z")),
+          alpha = 0.10)
+      },
+      Some {
+        import graft.ops.Stats.{duckNormT, duckNormUpperTail}
+        s"""WITH ev AS (
+           |  SELECT CAST(props->>'k' AS BIGINT) AS key,
+           |    (event_type = 'purchase') AS succ, epoch_us(ts) AS us
+           |  FROM ${Tables.duckEvents}
+           |  WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL),
+           |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+           |hist AS (
+           |  SELECT key, LEAST(3, ((us - mn) * 4) // (mx - mn + 1)) AS epoch,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM ev CROSS JOIN b GROUP BY 1, 2),
+           |refc AS (
+           |  SELECT key, CAST(SUM(n) AS BIGINT) AS n,
+           |    CAST(SUM(k) AS BIGINT) AS k
+           |  FROM hist WHERE epoch < 3 GROUP BY 1),
+           |livec AS (SELECT key, n, k FROM hist WHERE epoch = 3),
+           |refr AS (SELECT key AS rkey,
+           |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p0 FROM refc),
+           |j AS (
+           |  SELECT l.key, r.p0, l.n, l.k
+           |  FROM livec l LEFT JOIN refr r ON l.key = r.rkey),
+           |tz AS (
+           |  SELECT key, n, k,
+           |    CASE WHEN p0 IS NOT NULL
+           |        AND CAST(n AS DOUBLE) * p0 * (1.0 - p0) > 0.0
+           |      THEN (CAST(k AS DOUBLE) - CAST(n AS DOUBLE) * p0)
+           |        / sqrt(CAST(n AS DOUBLE) * p0 * (1.0 - p0))
+           |    END AS z
+           |  FROM j),
+           |pz AS (
+           |  SELECT key, n, k, z, abs(z) AS ax, ${duckNormT("abs(z)")} AS tt
+           |  FROM tz WHERE z IS NOT NULL),
+           |pp AS (
+           |  SELECT key, n, k, z,
+           |    2.0 * ${duckNormUpperTail("ax", "tt")} AS p
+           |  FROM pz),
+           |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+           |rk AS (
+           |  SELECT key, n, k, z, p,
+           |    CAST(row_number() OVER (ORDER BY p ASC, key ASC) AS BIGINT)
+           |      AS p_rank,
+           |    m AS m_tests
+           |  FROM pp CROSS JOIN mt),
+           |rc AS (
+           |  SELECT key, n, k, z, p, p_rank, m_tests,
+           |    CAST(0.10 AS DOUBLE) * CAST(p_rank AS DOUBLE)
+           |      / CAST(m_tests AS DOUBLE) AS bh_crit
+           |  FROM rk),
+           |ist AS (
+           |  SELECT COALESCE(
+           |    MAX(CASE WHEN round(p, 12) <= bh_crit THEN p_rank END),
+           |    CAST(0 AS BIGINT)) AS istar
+           |  FROM rc)
+           |SELECT key, n, k, z, p, p_rank, m_tests, bh_crit,
+           |  p_rank <= istar AS rejected
+           |FROM rc CROSS JOIN ist""".stripMargin
+      }),
+
+    // QUANTILE-DRIFT SCORES — the batch/oracle face of
+    // StreamOps.quantileDriftGate (the gate and this twin share ONE
+    // expression list, so this hash-green entry IS the cross-engine proof
+    // of the gate's binomial arithmetic): reference = even doc_ids, live
+    // = odd; the p50/p90 thresholds are the reference split's exact
+    // INCLUSIVE nearest-rank doc lengths (computed on the value-alphabet
+    // frame, then a 2-row driver transfer — the gate's own frozen-model
+    // resolution step, k-bounded like the k-means seeds), and the live
+    // epoch's mass above each threshold scores against Binomial(n, 1−q).
+    // On this null split the honest z is ~0.
+    QueryDef(
+      "q389_quantile_drift",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val qs = Seq(0.5, 0.9)
+        val counts = d.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("n_chars").cast("double").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        val cum = counts
+          .withColumn("cum", sum(col("cnt")).over(
+            W.orderBy(col("x").asc)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(W.partitionBy()))
+        val qdf = broadcast(
+          s.createDataFrame(qs.map(Tuple1.apply)).toDF("q"))
+        val thr = cum.crossJoin(qdf).groupBy(col("q"))
+          .agg(min(when(col("cum") >=
+            ceil(col("q") * col("n").cast("double")), col("x"))).as("thr"))
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        graft.ops.Stats.quantileDriftScores(
+          d.where(pmod(col("doc_id"), lit(2)) =!= 0),
+          col("n_chars"), qs.map(q => q -> thr(q)))
+      },
+      Some(graft.ops.Stats.duckQuantileDriftScores(
+        liveSql =
+          "(SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 <> 0) live",
+        thrSql = s"""(
+           |  WITH c AS (
+           |    SELECT CAST(n_chars AS DOUBLE) AS x, COUNT(*) AS cnt
+           |    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           |  w AS (
+           |    SELECT x,
+           |      CAST(SUM(cnt) OVER (ORDER BY x ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS BIGINT) AS cum,
+           |      CAST(SUM(cnt) OVER () AS BIGINT) AS n
+           |    FROM c)
+           |  SELECT
+           |    MIN(CASE WHEN cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE))
+           |      AS BIGINT) THEN x END) AS thr_p50,
+           |    MIN(CASE WHEN cum >= CAST(CEIL(0.9 * CAST(n AS DOUBLE))
+           |      AS BIGINT) THEN x END) AS thr_p90
+           |  FROM w) t""".stripMargin,
+        qs = Seq(0.5, 0.9))))
   )
 }

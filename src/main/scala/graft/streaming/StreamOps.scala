@@ -769,9 +769,18 @@ object StreamOps {
       success: Column,
       reference: DataFrame): DataFrame = {
     import graft.ops.Num
-    val ref = broadcast(reference.select(
-      col("key").cast("string").as("__sd_key"),
-      (col("k").cast("double") / col("n").cast("double")).as("__sd_p0")))
+    // The stream-static join must stay 1:1 on key or duplicated reference
+    // rows would fan stream rows out — breaking the "rows pass through
+    // unchanged" contract and inflating every metric. A history table can
+    // legitimately hold several rows per key (per-epoch shards), so roll
+    // the counts up per key HERE rather than demanding pre-aggregated
+    // input: summing n and k before p0 = k/n is exactly the pooled rate.
+    val ref = broadcast(reference
+      .groupBy(col("key").cast("string").as("__sd_key"))
+      .agg(sum(col("n")).as("__sd_n"), sum(col("k")).as("__sd_k"))
+      .select(col("__sd_key"),
+        (col("__sd_k").cast("double") / col("__sd_n").cast("double"))
+          .as("__sd_p0")))
     val known = col("__sd_p0").isNotNull
     val expected = Num.dsum38(when(known, col("__sd_p0")).otherwise(0.0))
     val variance = Num.dsum38(
@@ -789,5 +798,33 @@ object StreamOps {
         when(variance > 0.0, (actual - expected) / sqrt(variance))
           .as("drift_z"))
       .drop("__sd_key", "__sd_p0", "__sd_k")
+  }
+
+  /** Ingest-time QUANTILE-DRIFT monitor — the DISTRIBUTIONAL member of the
+    * gate family (quality, LM perplexity, near-dup text/media, NB class,
+    * decontam, para scrub, slice drift): given reference quantile
+    * thresholds (q, thr) — exact quantiles or KLL estimates served from a
+    * stored [[graft.ops.QuantileIndex]] table, resolved ONCE on the driver
+    * at stream construction (the frozen-model discipline: the reference
+    * distribution must not shift under the monitor mid-stream) — emit per
+    * micro-batch how far the batch's mass above each threshold deviates
+    * from its no-drift binomial expectation
+    * (z_q = (n_above − n(1−q))/√(n·q(1−q))). The slice gate watches a
+    * RATE per slice; this watches the VALUE DISTRIBUTION itself — doc
+    * lengths shrinking, scores collapsing — drift no per-slice rate can
+    * see.
+    *
+    * Stateless per batch, zero joins (thresholds are literals): rows pass
+    * through unchanged, and the arithmetic is the SAME expression list as
+    * the batch twin [[graft.ops.Stats.quantileDriftScores]]
+    * (q389's hash-green run is the cross-engine proof), so
+    * observe() == batch twin bit for bit.
+    */
+  def quantileDriftGate(
+      stream: DataFrame,
+      value: Column,
+      refQuantiles: Seq[(Double, Double)]): DataFrame = {
+    val ms = graft.ops.Stats.quantileDriftMetrics(value, refQuantiles)
+    stream.observe("quantile_drift", ms.head, ms.tail: _*)
   }
 }

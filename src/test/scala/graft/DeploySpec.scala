@@ -26,7 +26,14 @@ class DeploySpec extends AnyFunSuite {
     val srcs = Seq("AppConfig", "AppMain", "ProducerMain", "Readiness")
       .map(n => s"src/main/scala/graft/streaming/$n.scala")
       .filter(p => Files.exists(Paths.get(p))).map(read).mkString("\n")
-    "\"([A-Z][A-Z0-9_]{2,})\"".r.findAllMatchIn(srcs).map(_.group(1)).toSet
+    // Anchor to actual READ SITES (env.get("K") / env.getOrElse("K", …) /
+    // sys.env.get…("K") / getenv("K")), not bare uppercase string literals —
+    // the literal form also matched log levels, SQL fragments and "UTC",
+    // letting the compose check pass vacuously on a coincidental name.
+    ("(?:\\benv|sys\\.env)\\.(?:get|getOrElse|contains|apply)\\(\\s*\"([A-Z][A-Z0-9_]{2,})\"" +
+      "|getenv\\(\\s*\"([A-Z][A-Z0-9_]{2,})\"").r
+      .findAllMatchIn(srcs)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSet
   }
 
   /** KEY=value env entries in the compose file; `commented = true` also

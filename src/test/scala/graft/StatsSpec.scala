@@ -421,6 +421,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       "b + c = 0 must give NULL, never NaN")
   }
 
+  test("mcnemarTest: NULL gate values land in n_null, and the cells still account for n") {
+    import spark.implicits._
+    val r = Stats.mcnemarTest(
+      Seq[(java.lang.Boolean, java.lang.Boolean)](
+        (true, false), (null, true), (false, null), (true, true))
+        .toDF("a", "b"), col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_null") == 2L)
+    assert(r.getAs[Long]("n_a_only") == 1L && r.getAs[Long]("n_both") == 1L)
+    assert(r.getAs[Long]("n_b_only") == 0L && r.getAs[Long]("n_neither") == 0L)
+    assert(r.getAs[Long]("n_null") + r.getAs[Long]("n_both") +
+      r.getAs[Long]("n_a_only") + r.getAs[Long]("n_b_only") +
+      r.getAs[Long]("n_neither") == r.getAs[Long]("n"),
+      s"cell decomposition must account for every row: $r")
+  }
+
   test("brownForsythe: hand-computed two-group F = 648/202; equal spreads give tiny F") {
     import spark.implicits._
     // g1 = {1,2,3} (med 2 → z = 1,0,1), g2 = {10,20,30} (med 20 → z = 10,0,10)
@@ -432,6 +447,17 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
     assert(math.abs(r.getAs[Double]("f_stat") - 648.0 / 202.0) < eps,
       s"got $r")
+    // NULL y rows are dropped BEFORE the median window (Spark would rank
+    // them first, DuckDB last, and nj would count them while the sums
+    // ignore them) — the statistic must not move
+    val withNulls = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(30.0)),
+      ("b", None)).toDF("g", "y")
+    val rn = Stats.brownForsythe(withNulls, col("g"), col("y")).collect().head
+    assert(rn.getAs[Long]("n_total") == 6L,
+      s"NULL y must not count toward nj: $rn")
+    assert(math.abs(rn.getAs[Double]("f_stat") - 648.0 / 202.0) < eps,
+      s"NULL y must not move the statistic: $rn")
   }
 
   test("sliceDriftScores: hand-computed per-slice z and the gate's global drift_z; unknown slices tallied") {

@@ -1034,4 +1034,79 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         s"drift z must equal the batch formula: $m")
     } finally q.stop()
   }
+
+  test("sliceDriftGate: a per-epoch history table (duplicate keys) pools per key — no row fan-out") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // two epochs of history for slice a: 20/100 and 30/100 → pooled p0 =
+    // 50/200 = 0.25, identical to the single-row reference above
+    val ref = Seq(("a", 100L, 20L), ("a", 100L, 30L), ("b", 100L, 75L))
+      .toDF("key", "n", "k")
+    val batchRows = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", true), ("b", true))
+    val ms = MemoryStream[(String, Boolean)]
+    val gated = StreamOps.sliceDriftGate(
+      ms.toDF().toDF("slice", "succ"), col("slice"), col("succ"), ref)
+    val q = gated.writeStream.format("memory").queryName("drift_hist_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(batchRows)
+      q.processAllAvailable()
+      assert(spark.table("drift_hist_out").count() == 8L,
+        "duplicate reference keys must NOT fan stream rows out")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("slice_drift"))).last
+      assert(m.getAs[Long]("n_rows") == 8L)
+      assert(m.getAs[Long]("n_unknown_slice") == 0L)
+      // pooled rates: a 0.25, b 0.75 → expected 4·0.25 + 4·0.75 = 4.0
+      assert(m.getAs[Double]("expected_success") == 4.0, s"pooled p0: $m")
+      assert(m.getAs[Double]("variance_success") == 1.5)
+    } finally q.stop()
+  }
+
+  test("quantileDriftGate: pass-through; observe == batch twin bit for bit; nulls tallied") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // reference p50 = 10, p90 = 18 (frozen thresholds); the batch has 10
+    // known values of which 6 > 10 (drifted up) and 1 > 18, plus 2 nulls
+    val refQ = Seq(0.5 -> 10.0, 0.9 -> 18.0)
+    val batchRows: Seq[(String, java.lang.Double)] =
+      Seq(("a", 3.0), ("b", 8.0), ("c", 9.0), ("d", 10.0), ("e", 11.0),
+        ("f", 12.0), ("g", 14.0), ("h", 15.0), ("i", 17.0), ("j", 19.0),
+        ("k", null), ("l", null))
+    val ms = MemoryStream[(String, Option[Double])]
+    val gated = StreamOps.quantileDriftGate(
+      ms.toDF().toDF("id", "len"), col("len"), refQ)
+    val q = gated.writeStream.format("memory").queryName("qdrift_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(batchRows.map { case (id, v) => (id, Option(v).map(_.doubleValue)) })
+      q.processAllAvailable()
+      val out = spark.table("qdrift_out")
+      assert(out.columns.toSeq == Seq("id", "len"), "a monitor, not a filter")
+      assert(out.count() == 12L, "all rows pass through")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("quantile_drift"))).last
+      assert(m.getAs[Long]("n_rows") == 12L)
+      assert(m.getAs[Long]("n_null") == 2L)
+      assert(m.getAs[Long]("n_above_p50") == 6L)
+      assert(m.getAs[Long]("n_above_p90") == 1L)
+      // hand-check: z50 = (6 − 10·0.5)/√(10·0.25) = 1/√2.5·1 = 0.6325…
+      assert(math.abs(m.getAs[Double]("z_p50") -
+        (6.0 - 5.0) / math.sqrt(2.5)) < 1e-12)
+      // batch twin on the same rows — SAME expression list, so equality
+      // is bitwise, not a tolerance
+      val twin = graft.ops.Stats.quantileDriftScores(
+        batchRows.toDF("id", "len"), col("len"), refQ).collect().head
+      Seq("n_rows", "n_null", "n_above_p50", "n_above_p90").foreach(c =>
+        assert(m.getAs[Long](c) == twin.getAs[Long](c), s"$c diverges"))
+      Seq("z_p50", "z_p90").foreach(c =>
+        assert(m.getAs[Double](c) == twin.getAs[Double](c),
+          s"$c must match the twin bit for bit: $m vs $twin"))
+    } finally q.stop()
+  }
 }
