@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** Streaming-drain diagnostic: run the EXACT drain loop Bench times (same
+  * datagen volume, same pipeline, fresh sink+checkpoint per run) N times in
+  * an otherwise idle JVM, printing per-run wall seconds plus post-GC heap —
+  * the isolation experiment for the round-11 sec_runs inversion
+  * ([3.11, 15.24, 34.87] in-session vs round-10's normal warmup shape).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.BenchStream [runs=5] [--fresh-session]
+  *
+  * `--fresh-session` stops and recreates the SparkSession between drains
+  * (the candidate fix if the shared-session runs degrade monotonically:
+  * state-store providers of terminated queries linger in the executor until
+  * the 60 s maintenance cycle unloads them, and each drain adds 32 more).
+  */
+object BenchStream {
+  def main(args: Array[String]): Unit = {
+    val runs = args.find(!_.startsWith("--")).map(_.toInt).getOrElse(5)
+    val freshSession = args.contains("--fresh-session")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
+
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val n = math.max(10000L, (6000000 * sf).toLong)
+    val envDir = Files.createTempDirectory("graft-bstream-env").toString
+    val outDir = Files.createTempDirectory("graft-bstream-out").toString
+    val ckptDir = Files.createTempDirectory("graft-bstream-ckpt").toString
+    graft.ops.DataGen.articles(spark, n).write.mode("overwrite").parquet(envDir)
+
+    def heapMb(): Long = {
+      System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+    }
+
+    def drain(run: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Pipelines.articlesToParquet(
+        spark, graft.streaming.StreamSource.FileEnvelopeSource(envDir),
+        s"$outDir/run$run", s"$ckptDir/run$run")
+      q.awaitTermination()
+      ((System.nanoTime() - t0) / 1e9, spark.read.parquet(s"$outDir/run$run").count())
+    }
+
+    println(s"[benchstream] rows=$n freshSession=$freshSession runs=$runs")
+    val w = drain(-1) // warm-up, same convention as Bench
+    println(f"[benchstream] warmup: ${w._1}%.2f s windows=${w._2} heapAfterGc=${heapMb()} MB")
+    (1 to runs).foreach { i =>
+      if (freshSession) { spark.stop(); spark = newSession() }
+      val (sec, windows) = drain(i)
+      println(f"[benchstream] run$i: $sec%.2f s windows=$windows heapAfterGc=${heapMb()} MB")
+    }
+    spark.stop()
+  }
+}

@@ -11,11 +11,20 @@ import graft.queries._
   */
 object SparkEntry {
 
+  /** Per-area groups in stable order — the unit of session isolation for
+    * `Bench --isolated` (fresh SparkSession per group).
+    */
+  val catalogGroups: Seq[(String, Seq[QueryDef])] = Seq(
+    "core" -> CoreQueries.defs,
+    "relational" -> RelationalQueries.defs,
+    "text" -> TextQueries.defs,
+    "dedup" -> DedupQueries.defs,
+    "similarity" -> SimilarityQueries.defs,
+    "media" -> MediaQueries.defs,
+    "pipeline" -> PipelineQueries.defs)
+
   /** Full catalog, in stable order. */
-  val catalog: Seq[QueryDef] =
-    CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ MediaQueries.defs ++
-      PipelineQueries.defs
+  val catalog: Seq[QueryDef] = catalogGroups.flatMap(_._2)
 
   /** Flagship query: the reference's own pipeline (envelope → parse → enrich
     * → windowed avg word count per author), run on seeded generated articles

@@ -99,6 +99,58 @@ class DeploySpec extends AnyFunSuite {
       s"Spark images must match the build's scala 2.13 / java 17: $images")
   }
 
+  test("compose file passes a `docker compose config`-level structural validation (YAML schema + reference closure)") {
+    // No container runtime exists offline, but the file must at least be
+    // what `docker compose config` would accept: well-formed YAML, known
+    // top-level sections, and a CLOSED reference graph (depends_on targets
+    // and volume names that resolve). These are exactly the failure modes
+    // a hand-edited runbook file develops silently.
+    import scala.jdk.CollectionConverters._
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](compose).asScala
+    assert(root.keySet.subsetOf(Set("services", "volumes", "networks")),
+      s"unknown top-level compose sections: ${root.keySet}")
+    val services = root("services").asInstanceOf[java.util.Map[String, Object]]
+      .asScala.map { case (k, v) =>
+        k -> v.asInstanceOf[java.util.Map[String, Object]].asScala
+      }.toMap
+    assert(services.nonEmpty, "compose must define services")
+    val volumeNames = root.get("volumes")
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.keySet.toSet)
+      .getOrElse(Set.empty[String])
+    services.foreach { case (name, svc) =>
+      assert(svc.contains("image"), s"service $name has no image")
+      // depends_on closure: list form or map form, every target defined
+      svc.get("depends_on").foreach { d =>
+        val targets = d match {
+          case l: java.util.List[_] => l.asScala.map(_.toString)
+          case m: java.util.Map[_, _] =>
+            m.asScala.map(_._1.toString).toSeq
+          case other => fail(s"$name: unparseable depends_on $other")
+        }
+        targets.foreach(t => assert(services.contains(t),
+          s"service $name depends_on undefined service $t"))
+      }
+      // named-volume closure: "name:/path" mounts must resolve; ./ paths
+      // are bind mounts and exempt
+      svc.get("volumes").foreach { v =>
+        v.asInstanceOf[java.util.List[_]].asScala.map(_.toString).foreach { m =>
+          val src = m.split(":").head
+          if (!src.startsWith(".") && !src.startsWith("/"))
+            assert(volumeNames.contains(src),
+              s"service $name mounts undefined named volume $src")
+        }
+      }
+      // healthcheck test must be the exec-array form (list of strings)
+      svc.get("healthcheck").foreach { h =>
+        val t = h.asInstanceOf[java.util.Map[String, Object]].asScala("test")
+        assert(t.isInstanceOf[java.util.List[_]] &&
+          t.asInstanceOf[java.util.List[_]].asScala.forall(_.isInstanceOf[String]),
+          s"service $name healthcheck.test must be an exec array: $t")
+      }
+    }
+  }
+
   test("README run instructions reference real paths and the jar name the compose mounts") {
     val readme = read("deploy/README.md")
     val jar = "(/jars/\\S+\\.jar)".r.findFirstMatchIn(compose).map(_.group(1))
