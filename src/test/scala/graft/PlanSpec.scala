@@ -775,4 +775,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(iStratAgg >= 0 && iBnl >= 0 && iBnl < iStratAgg,
       s"q376: the fusion joins must run ABOVE the stratum aggregation:\n${p376.take(2000)}")
   }
+
+  test("q386 KLL build: sketch aggregation combines map-side — only partial sketches cross the exchange") {
+    // the scale contract of the quantile sketch table: value rows reduce to
+    // #tasks x #keys KB-sized partial sketches BEFORE the shuffle (the q136
+    // theta discipline) — a plan that shuffled raw values first would move
+    // corpus rows where bytes should travel
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(docs
+      .select(col("source").as("key"), col("n_chars").cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy(col("key"))
+      .agg(graft.ops.QuantileIndex.kllSketch(col("x"), 256).as("sk")))
+    val oha = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(oha >= 2,
+      s"KLL sketch agg must have a partial (map-side) stage:\n$p")
+    val iExch = p.indexOf("Exchange hashpartitioning")
+    val iLast = p.lastIndexOf("ObjectHashAggregate")
+    assert(iExch >= 0 && iLast > iExch,
+      s"the map-side partial must sit BELOW the exchange:\n$p")
+  }
 }

@@ -408,6 +408,53 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         "(exact mode: retention is the full distinct hash set)")
   }
 
+  test("incremental KLL quantile-table maintenance: micro-batch shards fold into the table — getN exact, estimates within the rank contract") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.QuantileIndex
+
+    val all = (0 until 900).map(i => (s"src${i % 3}", (i * 37 % 211).toDouble))
+    val ms = MemoryStream[(String, Double)]
+    val stored = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = ms.toDF().toDF("s", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stored += QuantileIndex.build(batch, col("s"), col("v"), 256)
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(all.take(300)); q.processAllAvailable()
+      ms.addData(all.slice(300, 600)); q.processAllAvailable()
+      ms.addData(all.drop(600)); q.processAllAvailable()
+    } finally q.stop()
+    val merged = QuantileIndex.merge(stored.toSeq, 256)
+    val direct = QuantileIndex.build(all.toDF("s", "v"), col("s"), col("v"), 256)
+    def ns(t: org.apache.spark.sql.DataFrame) = t
+      .select(col("key"), QuantileIndex.kllN(col("sk")), col("n_rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ns(merged) == ns(direct),
+      "getN and n_rows are exact additive counters — maintenance must not lose or double rows")
+    // estimates: KLL bytes are NOT byte-comparable across build paths
+    // (randomized compaction), but every estimate must be an input value
+    // whose rank sits within the tolerance of the requested q
+    val byKey = all.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val qdf = org.apache.spark.sql.functions.broadcast(
+      spark.createDataFrame(Seq(0.5, 0.9).map(Tuple1.apply)).toDF("q"))
+    merged.crossJoin(qdf)
+      .select(col("key"), col("q"), QuantileIndex.kllQuantile(col("sk"), col("q")))
+      .collect().foreach { r =>
+        val (key, qq, est) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+        val vs = byKey(key)
+        assert(vs.contains(est), s"($key, $qq): $est is not an input value")
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        val below = vs.count(_ < est).toDouble / vs.length
+        assert(below - 0.05 <= qq && qq <= rank + 0.05,
+          s"($key, $qq): estimate $est rank [$below, $rank] outside tolerance")
+      }
+  }
+
   test("batch fallback: dedupWithinWatermark == dropDuplicates on static frames") {
     import spark.implicits._
     val df = Seq(art("x", "a", "2024-01-01T10:00:00"), art("x", "a", "2024-01-01T10:00:05"))
