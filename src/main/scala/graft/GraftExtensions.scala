@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extensions exposing the engine's native expressions to SQL users:
@@ -131,6 +131,37 @@ object GraftExtensions {
           s"count_min_sketch60 depth/width must be integer literals, got $other")
       }
       graft.plans.CountMinSketch(ch(0), d, w)
+    },
+    entry("kll_sketch", classOf[graft.plans.KllDoublesAgg]) { ch =>
+      require(ch.size == 2, "kll_sketch takes (col, k)")
+      val k = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"kll_sketch k must be an integer literal, got $other")
+      }
+      // bare AggregateFunction: the analyzer wraps it in an AggregateExpression.
+      // Cast mirrors the DataFrame API (QuantileIndex.kllSketch casts to
+      // double), so `kll_sketch(int_col, 256)` works in SQL too.
+      graft.plans.KllDoublesAgg(Cast(ch(0), DoubleType), k)
+    },
+    entry("kll_union", classOf[graft.plans.KllUnionAgg]) { ch =>
+      require(ch.size == 2, "kll_union takes (sketch_col, k)")
+      val k = ch(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"kll_union k must be an integer literal, got $other")
+      }
+      graft.plans.KllUnionAgg(ch(0), k)
+    },
+    entry("kll_quantile", classOf[graft.plans.KllQuantile]) { ch =>
+      require(ch.size == 2, "kll_quantile takes (sketch, q)")
+      // SQL numeric literals parse as decimals — cast to the DOUBLE rank
+      // the expression requires, mirroring QuantileIndex.kllQuantile.
+      graft.plans.KllQuantile(ch(0), Cast(ch(1), DoubleType))
+    },
+    entry("kll_n", classOf[graft.plans.KllN]) { ch =>
+      require(ch.size == 1, "kll_n takes exactly one sketch argument")
+      graft.plans.KllN(ch.head)
     },
     entry("hilbert_code", classOf[graft.plans.HilbertCode]) { ch =>
       require(ch.size == 3, "hilbert_code takes (x, y, bits)")

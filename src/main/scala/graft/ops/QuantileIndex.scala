@@ -53,7 +53,7 @@ object QuantileIndex {
 
   /** Exact absorbed-value count of stored sketch bytes (deterministic). */
   def kllN(sk: Column): Column =
-    ColumnBridge.column(graft.plans.KllNumRetained(ColumnBridge.expression(sk)))
+    ColumnBridge.column(graft.plans.KllN(ColumnBridge.expression(sk)))
 
   /** Sketch `value` per `key` group: (key, sk, n_rows). NULL values carry
     * no rank and are excluded from BOTH the sketch and n_rows, so
@@ -141,11 +141,15 @@ object QuantileIndex {
           least(col("n"), ceil((col("q") + lit(eps)) * nD)), col("x")))
           .as("hi"))
 
-    est.join(exact, Seq("scope", "q"))
+    // FULL outer: a stale/extra table key absent from `raw` (or a dropped
+    // shard leaving `raw` scopes the table never saw) must surface as a
+    // FALSE-verdict row, not silently vanish from the verification surface
+    // — that's the whole "a fan-out or dropped shard flips the hash" claim.
+    est.join(exact, Seq("scope", "q"), "full_outer")
       .select(col("scope"), col("q"), col("n"), col("exact_q"),
-        (col("n_sk") === col("n")).as("n_match"),
-        (col("est") >= col("lo") && col("est") <= col("hi"))
-          .as("within_bound"))
+        coalesce(col("n_sk") === col("n"), lit(false)).as("n_match"),
+        coalesce(col("est") >= col("lo") && col("est") <= col("hi"),
+          lit(false)).as("within_bound"))
   }
 
   /** DuckDB twin of [[report]]: replays the exact INCLUSIVE nearest-rank

@@ -1355,6 +1355,10 @@ object Stats {
     require(refQuantiles.nonEmpty, "need at least one reference quantile")
     require(refQuantiles.forall { case (q, _) => q > 0.0 && q < 1.0 },
       s"ranks must lie strictly inside (0, 1), got ${refQuantiles.map(_._1)}")
+    // columns are labeled by rank, so a duplicate rank would emit duplicate
+    // column names that only blow up downstream — fail loudly here instead
+    require(refQuantiles.map(_._1).distinct.size == refQuantiles.size,
+      s"duplicate reference ranks: ${refQuantiles.map(_._1)}")
     val v = value.cast("double")
     val nK = count(when(v.isNotNull, 1)).cast("double")
     Seq(

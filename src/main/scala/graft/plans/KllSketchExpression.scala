@@ -151,9 +151,14 @@ case class KllUnionAgg(
 /** Quantile estimate at rank `q` (a runtime DOUBLE, so a quantile frame can
   * cross-join the sketch table) from a stored KLL sketch — INCLUSIVE search
   * criterion: the estimate is an actual input item whose inclusive rank is
-  * ≥ q, within the sketch's rank error. NULL for an empty sketch. Reads
-  * sketch-table rows (#keys × #qs, never corpus rows) — interpreted eval
-  * is fine.
+  * ≥ q, within the sketch's rank error. NULL for an empty sketch.
+  *
+  * SKETCH-TABLE-ROW expression, not a corpus-column expression: every eval
+  * heapifies the sketch bytes, which is fine on the frames it is built for
+  * (#keys × #qs rows above an aggregate/stored table) and wrong mapped over
+  * a corpus column — aggregate first ([[KllDoublesAgg]]/[[KllUnionAgg]]),
+  * then evaluate this on the aggregate's output (PlanSpec pins q386's plan
+  * shape).
   */
 case class KllQuantile(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -182,15 +187,23 @@ case class KllQuantile(left: Expression, right: Expression)
 }
 
 /** Exact count of values absorbed by a stored KLL sketch — `getN` is a
-  * plain counter, additive under merge, so unlike the estimates it IS
+  * plain counter (NOT DataSketches' getNumRetained, the post-compaction
+  * item count), additive under merge, so unlike the estimates it IS
   * deterministic and joins the hash-checked surface directly (the n_match
   * verdict: sketch saw every row the exact side counted).
+  *
+  * Same sketch-table-row contract as [[KllQuantile]]: heapifies per eval,
+  * so it belongs above an aggregate/stored table, never mapped over a
+  * corpus column.
   */
-case class KllNumRetained(child: Expression)
+case class KllN(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "kll_n"
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  // NULL in → NULL out (nullSafeEval): a sketch column arriving through an
+  // outer join is legitimately NULL, and claiming non-null here would let
+  // Catalyst miscompile around it.
+  override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[BinaryType]) TypeCheckResult.TypeCheckSuccess
@@ -200,6 +213,6 @@ case class KllNumRetained(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     KllDoublesSketch.heapify(Memory.wrap(input.asInstanceOf[Array[Byte]])).getN
 
-  override protected def withNewChildInternal(newChild: Expression): KllNumRetained =
+  override protected def withNewChildInternal(newChild: Expression): KllN =
     copy(child = newChild)
 }

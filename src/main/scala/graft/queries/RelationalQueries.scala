@@ -5914,6 +5914,99 @@ object RelationalQueries {
            |    MIN(CASE WHEN cum >= CAST(CEIL(0.9 * CAST(n AS DOUBLE))
            |      AS BIGINT) THEN x END) AS thr_p90
            |  FROM w) t""".stripMargin,
-        qs = Seq(0.5, 0.9))))
+        qs = Seq(0.5, 0.9)))),
+
+    // KLL-SERVED DRIFT THRESHOLDS — the composition StreamOps.
+    // quantileDriftGate's doc promises ("thresholds exact or KLL-served
+    // from a stored QuantileIndex table") proved end-to-end: the reference
+    // split's per-source KLL table is built, PERSISTED and re-read (the
+    // stored-bytes path), the corpus rollup is folded from the stored
+    // bytes alone (kll_union), and p50/p90 thresholds are served by
+    // kll_quantile — a 2-row driver transfer, the gate's own frozen-model
+    // resolution step. KLL estimates are randomized, so the q386 hash
+    // discipline applies: the HASHED z columns use the exact thresholds
+    // (which the oracle replays), and each KLL-served threshold enters the
+    // surface as a thr_within_bound_pXX verdict pinned against the exact
+    // ±eps rank band — eps = 0.05 vs k=256's ε ≈ 1.33% (1σ) leaves > 3σ,
+    // so the oracle's literal TRUE is safe up to astronomically unlikely
+    // sketch failure.
+    QueryDef(
+      "q390_kll_served_drift",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val qs = Seq(0.5, 0.9)
+        val eps = 0.05
+        val ref = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-kll").toString
+        graft.ops.QuantileIndex.write(
+          graft.ops.QuantileIndex.build(ref, col("source"), col("n_chars"),
+            k = 256), tmp)
+        val tbl = graft.ops.QuantileIndex.read(s, tmp)
+        val qdf = broadcast(s.createDataFrame(qs.map(Tuple1.apply)).toDF("q"))
+        val kllThr = tbl
+          .agg(graft.ops.QuantileIndex.kllUnion(col("sk"), 256).as("sk"))
+          .crossJoin(qdf)
+          .select(col("q"),
+            graft.ops.QuantileIndex.kllQuantile(col("sk"), col("q")).as("thr"))
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        // exact thresholds + the ±eps rank band, on the value-alphabet frame
+        val counts = ref.select(col("n_chars").cast("double").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        val cum = counts
+          .withColumn("cum", sum(col("cnt")).over(
+            W.orderBy(col("x").asc)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(W.partitionBy()))
+        val nD = col("n").cast("double")
+        val bands = cum.crossJoin(qdf).groupBy(col("q"))
+          .agg(
+            min(when(col("cum") >= ceil(col("q") * nD), col("x"))).as("thr"),
+            min(when(col("cum") >=
+              greatest(lit(1L), ceil((col("q") - lit(eps)) * nD)), col("x")))
+              .as("lo"),
+            min(when(col("cum") >=
+              least(col("n"), ceil((col("q") + lit(eps)) * nD)), col("x")))
+              .as("hi"))
+          .collect()
+          .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2),
+            r.getDouble(3))).toMap
+        val verdicts = qs.map { q =>
+          val (_, lo, hi) = bands(q)
+          val t = kllThr(q)
+          lit(t >= lo && t <= hi)
+            .as(s"thr_within_bound_p${math.round(q * 100)}")
+        }
+        graft.ops.Stats.quantileDriftScores(
+          d.where(pmod(col("doc_id"), lit(2)) =!= 0),
+          col("n_chars"), qs.map(q => q -> bands(q)._1))
+          .select(col("*") +: verdicts: _*)
+      },
+      Some {
+        val inner = graft.ops.Stats.duckQuantileDriftScores(
+          liveSql =
+            "(SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 <> 0) live",
+          thrSql = s"""(
+             |  WITH c AS (
+             |    SELECT CAST(n_chars AS DOUBLE) AS x, COUNT(*) AS cnt
+             |    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |  w AS (
+             |    SELECT x,
+             |      CAST(SUM(cnt) OVER (ORDER BY x ASC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) AS cum,
+             |      CAST(SUM(cnt) OVER () AS BIGINT) AS n
+             |    FROM c)
+             |  SELECT
+             |    MIN(CASE WHEN cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE))
+             |      AS BIGINT) THEN x END) AS thr_p50,
+             |    MIN(CASE WHEN cum >= CAST(CEIL(0.9 * CAST(n AS DOUBLE))
+             |      AS BIGINT) THEN x END) AS thr_p90
+             |  FROM w) t""".stripMargin,
+          qs = Seq(0.5, 0.9))
+        s"""SELECT sub.*, TRUE AS thr_within_bound_p50,
+           |  TRUE AS thr_within_bound_p90
+           |FROM ($inner) sub""".stripMargin
+      })
   )
 }

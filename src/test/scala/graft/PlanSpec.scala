@@ -795,4 +795,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(iExch >= 0 && iLast > iExch,
       s"the map-side partial must sit BELOW the exchange:\n$p")
   }
+
+  test("q386 KLL serve: kll_quantile/kll_n evaluate ABOVE the aggregate, never over corpus rows") {
+    // KllQuantile/KllN heapify the sketch per evaluated row — correct on
+    // the #keys-row frame above the aggregate (or a stored table), wrong
+    // mapped over a corpus column. Pin the serve plan shape: the quantile
+    // expressions live in a Project ABOVE every aggregate stage (plans
+    // print top-down, so 'above' = earlier in the string).
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(docs
+      .select(col("source").as("key"), col("n_chars").cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy(col("key"))
+      .agg(graft.ops.QuantileIndex.kllSketch(col("x"), 256).as("sk"))
+      .select(col("key"),
+        graft.ops.QuantileIndex.kllQuantile(col("sk"), lit(0.5)).as("med"),
+        graft.ops.QuantileIndex.kllN(col("sk")).as("n")))
+    val iQ = p.indexOf("kll_quantile")
+    val iN = p.indexOf("kll_n")
+    val iAgg = p.indexOf("ObjectHashAggregate")
+    assert(iQ >= 0 && iN >= 0 && iAgg >= 0, s"expected markers in:\n$p")
+    assert(iQ < iAgg && iN < iAgg,
+      s"kll_quantile/kll_n must evaluate above the aggregate output:\n$p")
+  }
 }

@@ -109,4 +109,60 @@ class QuantileIndexSpec extends AnyFunSuite with SparkSpec {
     assert(med.getDouble(med.fieldIndex("exact_q")) == want,
       s"exact_q must be the ceil(q·n)-th order statistic: $med vs $want")
   }
+
+  test("report: a stale table key absent from raw surfaces as a FALSE verdict, not a dropped row") {
+    import spark.implicits._
+    val tbl = QuantileIndex.build(docs, col("source"), col("n_chars"), K)
+    // plant a stale key: a sketch row whose scope no longer exists in raw
+    val stale = QuantileIndex.build(
+      Seq(("ghost", 42L)).toDF("source", "n_chars"),
+      col("source"), col("n_chars"), K)
+    val rep = QuantileIndex.report(tbl.unionByName(stale), docs,
+      col("source"), col("n_chars"), qs = Seq(0.5), eps = 0.05, k = K)
+      .collect()
+    val ghost = rep.filter(_.getString(0) == "ghost")
+    assert(ghost.length == 1, "the stale key must stay on the surface")
+    assert(!ghost.head.getBoolean(ghost.head.fieldIndex("n_match")) &&
+      !ghost.head.getBoolean(ghost.head.fieldIndex("within_bound")),
+      s"stale key must fail verification: ${ghost.head}")
+    // ... and the ghost rows poison the __union__ n_match too (the rollup
+    // absorbed a value the exact side never counted)
+    val uni = rep.find(_.getString(0) == "__union__").get
+    assert(!uni.getBoolean(uni.fieldIndex("n_match")),
+      s"__union__ must notice the extra absorbed value: $uni")
+    // all genuine scopes still verify TRUE
+    rep.filter(r => r.getString(0) != "ghost" && r.getString(0) != "__union__")
+      .foreach(r => assert(r.getBoolean(r.fieldIndex("n_match")) &&
+        r.getBoolean(r.fieldIndex("within_bound")), s"genuine scope broke: $r"))
+  }
+
+  test("SQL registration: kll_sketch/kll_union/kll_quantile/kll_n == DataFrame API") {
+    GraftExtensions.functionEntries.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    docs.createOrReplaceTempView("kll_docs")
+    // kll_n and exact-mode estimates are deterministic, so SQL and the
+    // DataFrame API must agree exactly (same aggregate, same bytes domain)
+    val sql = spark.sql(
+      """SELECT CAST(source AS STRING) AS key,
+        |  kll_n(sk) AS n_sk, kll_quantile(sk, 0.5) AS med
+        |FROM (SELECT source, kll_sketch(n_chars, 256) AS sk
+        |      FROM kll_docs GROUP BY source)""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val api = {
+      val tbl = QuantileIndex.build(docs, col("source"), col("n_chars"), K)
+      tbl.select(col("key").cast("string"), QuantileIndex.kllN(col("sk")),
+          QuantileIndex.kllQuantile(col("sk"), lit(0.5)))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    }
+    assert(sql == api, s"SQL vs DataFrame divergence: $sql vs $api")
+    // kll_union over per-key sketch bytes == one corpus-wide sketch's getN
+    val unionN = spark.sql(
+      """SELECT kll_n(kll_union(sk, 256)) AS n
+        |FROM (SELECT source, kll_sketch(n_chars, 256) AS sk
+        |      FROM kll_docs GROUP BY source)""".stripMargin)
+      .head().getLong(0)
+    assert(unionN == docs.count(), "union must absorb every per-key count")
+  }
 }

@@ -555,6 +555,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       val rows = spark.read.parquet(out).select("author").as[String].collect()
       assert(rows.nonEmpty && rows.forall(_ == "alice"),
         "alice windows finalized through RocksDB-backed state")
+
+      // CHECKPOINT RECOVERY on the same provider: restart from the SAME
+      // checkpoint, feed one later event — the recovered RocksDB state must
+      // re-emit NOTHING already written (exactly-once across restart) and
+      // finalize the carol windows that were open state at shutdown
+      spark.createDataset(Seq(
+          env(art("r4", "dave", "2024-01-01T11:30:00")))).toDF()
+        .coalesce(1).write.mode("append").parquet(envDir)
+      val q2 = graft.streaming.Pipelines.articlesToParquet(spark,
+        graft.streaming.StreamSource.FileEnvelopeSource(envDir), out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination()
+      val after = spark.read.parquet(out).select("author").as[String].collect()
+      assert(after.count(_ == "alice") == rows.length,
+        "recovered state must not re-emit finalized alice windows")
+      assert(after.count(_ == "carol") > 0,
+        "the window open at shutdown must finalize after recovery")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -1154,6 +1171,113 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       Seq("z_p50", "z_p90").foreach(c =>
         assert(m.getAs[Double](c) == twin.getAs[Double](c),
           s"$c must match the twin bit for bit: $m vs $twin"))
+    } finally q.stop()
+  }
+
+  test("quantileDriftGate: thresholds KLL-served from a stored QuantileIndex table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.QuantileIndex
+
+    // The gate doc's "exact or KLL-served from a stored QuantileIndex
+    // table" promise, end to end: reference values 1..100 across two
+    // sources; n = 100 << k = 256 keeps every sketch in exact mode, so the
+    // served thresholds ARE the exact INCLUSIVE nearest-rank order
+    // statistics (p50 = 50, p90 = 90) — pinnable equality, no tolerance.
+    val ref = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("source", "len")
+    val dir = java.nio.file.Files.createTempDirectory("kll-gate").toString
+    QuantileIndex.write(
+      QuantileIndex.build(ref, col("source"), col("len"), 256), dir)
+    val tbl = QuantileIndex.read(spark, dir)
+    val qs = Seq(0.5, 0.9)
+    val qdf = broadcast(spark.createDataFrame(qs.map(Tuple1.apply)).toDF("q"))
+    // frozen-model resolution: corpus rollup folded from STORED bytes, then
+    // a 2-row driver transfer — exactly what a stream constructor runs once
+    val served = tbl.agg(QuantileIndex.kllUnion(col("sk"), 256).as("sk"))
+      .crossJoin(qdf)
+      .select(col("q"), QuantileIndex.kllQuantile(col("sk"), col("q")).as("thr"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(served == Map(0.5 -> 50.0, 0.9 -> 90.0),
+      s"exact-mode KLL must serve the exact nearest-rank thresholds: $served")
+    val refQ = qs.map(q => q -> served(q))
+
+    val batchRows = Seq(("x", 10.0), ("y", 55.0), ("z", 95.0), ("w", 60.0))
+    val ms = MemoryStream[(String, Double)]
+    val gated = StreamOps.quantileDriftGate(
+      ms.toDF().toDF("id", "len"), col("len"), refQ)
+    val q = gated.writeStream.format("memory").queryName("kll_gate_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(batchRows)
+      q.processAllAvailable()
+      assert(spark.table("kll_gate_out").count() == 4L, "monitor passes rows")
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("quantile_drift"))).last
+      assert(m.getAs[Long]("n_above_p50") == 3L, s"55, 60, 95 > 50: $m")
+      assert(m.getAs[Long]("n_above_p90") == 1L, s"95 > 90: $m")
+      val twin = graft.ops.Stats.quantileDriftScores(
+        batchRows.toDF("id", "len"), col("len"), refQ).collect().head
+      Seq("z_p50", "z_p90").foreach(c =>
+        assert(m.getAs[Double](c) == twin.getAs[Double](c),
+          s"$c: table-served gate must equal its batch twin bit for bit"))
+    } finally q.stop()
+  }
+
+  test("gate composition e2e: quality → near-dup → quantile drift on one stream; metrics independent, rows intact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // the "real user" shape: one streaming query, three chained gates, each
+    // with its own observe() — the funnel must read per stage and the
+    // survivors must flow through the drift monitor unchanged
+    val indexed = "we went to the store and then we came back home with " +
+      "the things that we had bought for the party that night"
+    val corpus = Seq((1L, indexed)).toDF("doc_id", "text")
+    val bands = graft.ops.MinHashIndex.bandTable(
+      graft.ops.MinHashIndex.build(corpus, col("doc_id"), col("text"), 3, 16), 4)
+
+    val good1 = "the quick brown fox and the lazy dog of a house with " +
+      "some more plain words in this line to cross twenty tokens"
+    val good2 = "she walked along the river in the morning and the light " +
+      "was soft on the water as the birds were singing there"
+    val es = "el perro de la casa que y en un con para los las del se"
+    val copy = indexed // passes quality, band-collides at the near-dup gate
+
+    val thr = good1.length.toDouble // one survivor above, one at the threshold
+    val ms = MemoryStream[String]
+    val staged = StreamOps.quantileDriftGate(
+      StreamOps.nearDupGate(
+        StreamOps.qualityGate(ms.toDF().toDF("text"), col("text"),
+          langs = Seq("en"), minQuality = 0.5),
+        "text", bands, n = 3, numHashes = 16, rowsPerBand = 4),
+      length(col("text")).cast("double"), Seq(0.5 -> thr))
+    val q = staged.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(good1, es, copy, good2))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text FROM funnel_out").collect()
+        .map(_.getString(0)).toSet
+      assert(out == Set(good1, good2),
+        s"quality drops the spanish doc, near-dup drops the copy: $out")
+      val metrics = q.recentProgress.flatMap(p =>
+        Seq("quality_gate", "neardup_gate", "quantile_drift").flatMap(n =>
+          Option(p.observedMetrics.get(n)).map(n -> _))).toMap
+      assert(metrics.keySet == Set("quality_gate", "neardup_gate", "quantile_drift"),
+        s"each stage surfaces its own metrics: ${metrics.keySet}")
+      assert(metrics("quality_gate").getAs[Long]("n_rows") == 4L)
+      assert(metrics("quality_gate").getAs[Long]("n_lang_dropped") == 1L)
+      assert(metrics("neardup_gate").getAs[Long]("n_rows") == 3L,
+        "the near-dup gate sees only quality survivors")
+      assert(metrics("neardup_gate").getAs[Long]("n_neardup_dropped") == 1L)
+      assert(metrics("quantile_drift").getAs[Long]("n_rows") == 2L,
+        "the drift monitor sees only gate survivors")
+      // good1.length is NOT > its own threshold; good2 is iff longer
+      val expectAbove = Seq(good1, good2).count(_.length.toDouble > thr)
+      assert(metrics("quantile_drift").getAs[Long]("n_above_p50") == expectAbove.toLong)
     } finally q.stop()
   }
 }
