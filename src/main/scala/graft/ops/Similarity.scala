@@ -931,12 +931,18 @@ object Similarity {
     * associative — the [[Num.dsum]] discipline) so the result is
     * bit-identical on any partitioning and in DuckDB.
     *
-    * Phase 2, d-bounded: `iters` power-iteration steps v ← C·v / ‖C·v‖ on
-    * the 64-row frames — every matvec component and the norm are
-    * ORDER-FIXED folds (sort by index, then fold), so both engines round
-    * identically at every step; the result is deterministic whether or not
-    * the iteration has converged (the oracle replays the same `iters`
-    * steps). Start vector: uniform 1/√d.
+    * Phase 2, d-bounded: `iters` power-iteration steps v ← C·v / ‖C·v‖ ON
+    * THE DRIVER. The d×d covariance is a bounded model-parameter transfer
+    * (d² doubles — 32 KB at d = 64 — the k-means-seed doctrine of the
+    * collect() sites below), and iterating it as chained Spark jobs paid
+    * ~4 scheduler round-trips per step on 64-row frames for zero
+    * distribution benefit; the driver loop replays the EXACT order-fixed
+    * arithmetic of the former distributed steps (index-ascending left
+    * folds from 0.0, one decimal→double cast per cell — [[pcaCollectCov]]),
+    * so every intermediate and the result are bit-identical, the unrolled
+    * DuckDB oracles keep matching, and the result stays deterministic
+    * whether or not the iteration has converged. Start vector: uniform
+    * 1/√d.
     *
     * Output: one row per dimension (1-based `dim`), with `mean`, `pc1`
     * (unit-norm), and the Rayleigh quotient `eigval` = vᵀCv plus
@@ -949,12 +955,15 @@ object Similarity {
       dims: Int,
       iters: Int): DataFrame = {
     val (mu, cov) = pcaCovariance(df, id, vec, dims)
-    val v = pcaPowerIterate(df.sparkSession, cov, dims, iters)
-    mu.join(v, "j")
-      .crossJoin(broadcast(pcaRayleigh(cov, v)))
-      .crossJoin(broadcast(pcaTrace(cov)))
+    val c = pcaCollectCov(cov, dims)
+    val v = pcaIterateLocal(c, dims, iters)
+    val e1 = pcaRayleighLocal(c, v, dims)
+    val tr = pcaTraceLocal(c, dims)
+    val vdf = df.sparkSession.createDataFrame(
+      (1 to dims).map(j => (j.toLong, v(j - 1)))).toDF("j", "vv")
+    mu.join(vdf, "j")
       .select(col("j").as("dim"), col("mu").as("mean"), col("vv").as("pc1"),
-        col("eigval"), (col("eigval") / col("tr")).as("explained_frac"))
+        lit(e1).as("eigval"), lit(e1 / tr).as("explained_frac"))
   }
 
   /** Top-2 PCA by DEFLATION: pc1 as in [[pcaPowerIteration]], then the same
@@ -972,26 +981,24 @@ object Similarity {
       dims: Int,
       iters: Int): DataFrame = {
     val (mu, cov) = pcaCovariance(df, id, vec, dims)
-    val v1 = pcaPowerIterate(df.sparkSession, cov, dims, iters)
-    val e1 = pcaRayleigh(cov, v1)
-    val cov2 = cov
-      .join(v1.select(col("j"), col("vv").as("v_j")), "j")
-      .join(v1.select(col("j").as("k"), col("vv").as("v_k")), "k")
-      .crossJoin(broadcast(e1))
-      .select(col("j"), col("k"),
-        (col("c") - col("eigval") * col("v_j") * col("v_k")).as("c"))
-      .localCheckpoint() // same multi-consumer role as cov
-    val v2 = pcaPowerIterate(df.sparkSession, cov2, dims, iters)
-    val e2 = pcaRayleigh(cov2, v2).select(col("eigval").as("eigval2"))
-    mu.join(v1.select(col("j"), col("vv").as("pc1")), "j")
-      .join(v2.select(col("j"), col("vv").as("pc2")), "j")
-      .crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
-      .crossJoin(broadcast(pcaTrace(cov)))
+    val c1 = pcaCollectCov(cov, dims)
+    val v1 = pcaIterateLocal(c1, dims, iters)
+    val e1 = pcaRayleighLocal(c1, v1, dims)
+    // Hotelling deflation C₂ = C − λ₁·v₁v₁ᵀ — same left-assoc products as
+    // the former Spark expression (c − (eigval·v_j)·v_k), cell for cell
+    val c2 = pcaDeflateLocal(c1, v1, e1, dims)
+    val v2 = pcaIterateLocal(c2, dims, iters)
+    val e2 = pcaRayleighLocal(c2, v2, dims)
+    val tr = pcaTraceLocal(c1, dims)
+    val vdf = df.sparkSession.createDataFrame(
+      (1 to dims).map(j => (j.toLong, v1(j - 1), v2(j - 1))))
+      .toDF("j", "pc1", "pc2")
+    mu.join(vdf, "j")
       .select(col("j").as("dim"), col("mu").as("mean"),
         col("pc1"), col("pc2"),
-        col("eigval").as("eigval1"), col("eigval2"),
-        (col("eigval") / col("tr")).as("explained_frac1"),
-        (col("eigval2") / col("tr")).as("explained_frac2"))
+        lit(e1).as("eigval1"), lit(e2).as("eigval2"),
+        lit(e1 / tr).as("explained_frac1"),
+        lit(e2 / tr).as("explained_frac2"))
   }
 
   /** Whitened 2-D embedding coordinates: every vector projected onto the
@@ -1028,16 +1035,95 @@ object Similarity {
         ((fold2(col("v"), col("p2")) - col("mp2")) / sqrt(col("e2"))).as("w2"))
   }
 
-  /** Ordered left fold of the `t` field of a sorted struct array — the
-    * double-sum discipline for the d-bounded PCA phase.
+  /** Collect the mirrored d×d covariance to a dense row-major driver array —
+    * a BOUNDED MODEL-PARAMETER TRANSFER (d² doubles, 32 KB at d = 64; the
+    * k-means-seed/collect() doctrine documented at the top of this file).
+    * Each cell takes exactly ONE decimal→double cast — the same cast the
+    * former distributed matvec/trace/deflation applied per term — so every
+    * driver-side fold below consumes the identical IEEE values the Spark
+    * expressions did, and the unrolled DuckDB oracles keep hash-matching.
     */
-  private def pcaFoldT(arr: Column): Column =
-    aggregate(transform(arr, x => x.getField("t")), lit(0.0), (a, b) => a + b)
+  private def pcaCollectCov(cov: DataFrame, dims: Int): Array[Double] = {
+    val dense = new Array[Double](dims * dims)
+    cov.select(col("j").cast("int"), col("k").cast("int"),
+        col("c").cast("double"))
+      .collect()
+      .foreach(r => dense((r.getInt(0) - 1) * dims + (r.getInt(1) - 1)) =
+        r.getDouble(2))
+    dense
+  }
 
-  private def pcaOrderedSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-      orderKey: String, term: Column): DataFrame =
-    grouped.agg(sort_array(collect_list(struct(col(orderKey), term.as("t"))))
-      .as("arr"))
+  /** y = C·v — each component the k-ascending left fold from 0.0 (the
+    * former `sort_array(collect_list) → aggregate` discipline, verbatim).
+    */
+  private def pcaMatvecLocal(
+      c: Array[Double], v: Array[Double], dims: Int): Array[Double] = {
+    val y = new Array[Double](dims)
+    var j = 0
+    while (j < dims) {
+      var acc = 0.0
+      var k = 0
+      while (k < dims) { acc = acc + c(j * dims + k) * v(k); k += 1 }
+      y(j) = acc
+      j += 1
+    }
+    y
+  }
+
+  /** `iters` power-iteration steps from the uniform 1/√d start; the norm is
+    * the j-ascending fold of y², then one sqrt — the former distributed
+    * step's exact rounding at every iteration.
+    */
+  private def pcaIterateLocal(
+      c: Array[Double], dims: Int, iters: Int): Array[Double] = {
+    require(iters >= 1, "need iters >= 1")
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val y = pcaMatvecLocal(c, v, dims)
+      var n2 = 0.0
+      var j = 0
+      while (j < dims) { n2 = n2 + y(j) * y(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      v = y.map(_ / nrm)
+    }
+    v
+  }
+
+  /** Rayleigh quotient vᵀCv (j-ascending fold over v·(C·v)). */
+  private def pcaRayleighLocal(
+      c: Array[Double], v: Array[Double], dims: Int): Double = {
+    val y = pcaMatvecLocal(c, v, dims)
+    var acc = 0.0
+    var j = 0
+    while (j < dims) { acc = acc + v(j) * y(j); j += 1 }
+    acc
+  }
+
+  /** trace(C) — j-ascending fold over the diagonal. */
+  private def pcaTraceLocal(c: Array[Double], dims: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < dims) { acc = acc + c(j * dims + j); j += 1 }
+    acc
+  }
+
+  /** Hotelling deflation C − λ·vvᵀ, cell for cell in the former Spark
+    * expression's association order: c − ((λ · v_j) · v_k).
+    */
+  private def pcaDeflateLocal(
+      c: Array[Double], v: Array[Double], e: Double, dims: Int): Array[Double] = {
+    val out = new Array[Double](dims * dims)
+    var j = 0
+    while (j < dims) {
+      var k = 0
+      while (k < dims) {
+        out(j * dims + k) = c(j * dims + k) - e * v(j) * v(k)
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
 
   /** One-pass decimal-exact covariance: (per-dim means `mu(j, mu)`,
     * mirrored covariance `cov(j, k, c)`, localCheckpoint'd for its many
@@ -1078,46 +1164,6 @@ object Similarity {
       .localCheckpoint() // consumed by every iteration + trace + Rayleigh
     (mu, cov)
   }
-
-  /** y = C·v with every component an order-fixed fold over k. */
-  private def pcaMatvec(cov: DataFrame, v: DataFrame): DataFrame =
-    pcaOrderedSum(
-      cov.join(v.select(col("j").as("k"), col("vv")), "k").groupBy(col("j")),
-      "k", col("c") * col("vv"))
-      .select(col("j"), pcaFoldT(col("arr")).as("y"))
-
-  /** `iters` power-iteration steps from the uniform 1/√d start. */
-  private def pcaPowerIterate(
-      spark: org.apache.spark.sql.SparkSession,
-      cov: DataFrame, dims: Int, iters: Int): DataFrame = {
-    require(iters >= 1, "need iters >= 1")
-    var v = spark.range(1, dims + 1)
-      .select(col("id").as("j"), lit(1.0 / math.sqrt(dims.toDouble)).as("vv"))
-    for (t <- 1 to iters) {
-      val y = pcaMatvec(cov, v)
-      val nrm = pcaOrderedSum(y.groupBy(), "j", col("y") * col("y"))
-        .select(sqrt(pcaFoldT(col("arr"))).as("nrm"))
-      v = y.crossJoin(broadcast(nrm))
-        .select(col("j"), (col("y") / col("nrm")).as("vv"))
-      // flatten the d-row lineage every few steps (each localCheckpoint is
-      // an eager tiny job — every iteration would pay 10x scheduling for
-      // nothing; never checkpointing nests 2 joins per step into one
-      // exponential-canonicalization plan)
-      if (t % 3 == 0 || t == iters) v = v.localCheckpoint()
-    }
-    v
-  }
-
-  /** Rayleigh quotient vᵀCv as a 1-row frame (order-fixed fold over j). */
-  private def pcaRayleigh(cov: DataFrame, v: DataFrame): DataFrame =
-    pcaOrderedSum(
-      v.join(pcaMatvec(cov, v), "j").groupBy(), "j", col("vv") * col("y"))
-      .select(pcaFoldT(col("arr")).as("eigval"))
-
-  /** trace(C) as a 1-row frame (order-fixed fold over the diagonal). */
-  private def pcaTrace(cov: DataFrame): DataFrame =
-    pcaOrderedSum(cov.where(col("j") === col("k")).groupBy(), "j", col("c"))
-      .select(pcaFoldT(col("arr")).as("tr"))
 
   /** Calinski-Harabasz variance-ratio index of a labeled embedding set:
     * B = Σ_k n_k·‖c_k − g‖², W = Σ_i ‖x_i − c_label(i)‖²,
