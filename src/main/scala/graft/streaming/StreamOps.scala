@@ -818,7 +818,10 @@ object StreamOps {
     * through unchanged, and the arithmetic is the SAME expression list as
     * the batch twin [[graft.ops.Stats.quantileDriftScores]]
     * (q389's hash-green run is the cross-engine proof), so
-    * observe() == batch twin bit for bit.
+    * observe() == batch twin bit for bit. The KLL-served threshold path is
+    * proved end-to-end by q390 (stored table → kll_union rollup →
+    * kll_quantile, verdict-hashed) and the StreamOpsSpec scenario wiring
+    * this gate to table-served thresholds.
     */
   def quantileDriftGate(
       stream: DataFrame,
