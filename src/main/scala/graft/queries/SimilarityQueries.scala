@@ -2265,6 +2265,82 @@ object SimilarityQueries {
            |SELECT * FROM ine2
            |UNION ALL SELECT * FROM ine4
            |UNION ALL SELECT * FROM ine8""".stripMargin
+      }),
+
+    // IVF-PQ at the PRODUCTION coarse-quantizer sizing — ~√N k-means cells
+    // (22 ≈ √500 at the correctness scale) instead of q157's 10-cell label
+    // alphabet. Cell count is THE 100 TB lever for this family: per-probe
+    // posting lists stay ~N/cells, so ADC candidate volume grows with √N,
+    // not linearly (BASELINE.md's round-13 scale-curve section measures the
+    // effect: serve 8.54 s → 4.18 s at the 10× shard, candidate volume
+    // ÷14, build-time parameter only). Same frozen-model ADC serve
+    // semantics as q157; the oracle swaps the label-centroid coarse CTEs
+    // for the unrolled 2-iteration k-means quantizer (the q68 machinery)
+    // and replays the identical residual-PQ + probe + LUT chain.
+    QueryDef(
+      "q391_ivfpq_sqrtn_serve",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+          Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"),
+            k = 22, iters = 2)))
+        val idx = graft.ops.AnnIndex.build(emb, col("vec_id"), col("embedding"),
+          coarse, dims = 64, m = 8, k = 16, iters = 1)
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some {
+        val sd = 8
+        val qlutUnion = (0 until 8).map { s =>
+          val lo = s * sd + 1
+          val hi = s * sd + sd
+          s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
+             |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
+             |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |      ")
+        val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 22, iters = 2)},
+           |$duckKmeansAssignCtes,
+           |rese AS (
+           |  SELECT e.vec_id,
+           |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
+           |  FROM e JOIN sassign USING (vec_id)
+           |  JOIN cent2 ON cent2.clabel = sassign.cluster),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+           |probes AS (
+           |  SELECT vec_id, clabel AS cluster FROM (
+           |    SELECT vec_id, clabel,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+           |    FROM sdist WHERE vec_id % 10 = 0)
+           |  WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.vec_id, p.cluster,
+           |    list_transform(range(1, 65), qri -> e.v[qri] - c.carr[qri]) AS v
+           |  FROM probes p JOIN e ON e.vec_id = p.vec_id
+           |  JOIN cent2 c ON c.clabel = p.cluster),
+           |qlut AS (
+           |  $qlutUnion),
+           |pairsubs AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      $pivots
+           |  FROM probes a
+           |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
+           |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
+           |    AND l.sub = pc.sub AND l.code = pc.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, adc, rank FROM (
+           |  SELECT query_id, neighbor_id, $score AS adc,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $score ASC, neighbor_id ASC) AS rank
+           |  FROM pairsubs)
+           |WHERE rank <= 3""".stripMargin
       })
   )
 
