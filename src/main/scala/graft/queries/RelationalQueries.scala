@@ -6007,6 +6007,38 @@ object RelationalQueries {
         s"""SELECT sub.*, TRUE AS thr_within_bound_p50,
            |  TRUE AS thr_within_bound_p90
            |FROM ($inner) sub""".stripMargin
-      })
+      }),
+
+    // ORC sink/source ROUND-TRIP with a COMPLEX-TYPE column — the
+    // columnar-format breadth q328's CSV/JSON roundtrip cannot exercise
+    // (text formats have no native arrays): a per-source aggregate carrying
+    // an array<string> column is written as ORC (bundled orc-core, the
+    // other columnar format a lakehouse ingests besides parquet), read
+    // back through schema inference, and verified against the direct
+    // computation — any loss in the array (ordering, nulls, element
+    // fidelity) breaks langs_csv against the oracle. (Avro is NOT covered:
+    // the spark-avro datasource jar is absent from the offline classpath —
+    // an environment gap, not an engine one.)
+    QueryDef(
+      "q392_orc_roundtrip",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val agg = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"),
+            sort_array(collect_set(col("lang"))).as("langs"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        agg.write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .select(col("source"), col("n"), col("chars"),
+            size(col("langs")).as("n_langs"),
+            array_join(col("langs"), ",").as("langs_csv"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs,
+           |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+           |    AS langs_csv
+           |FROM documents GROUP BY 1""".stripMargin))
   )
 }
