@@ -21,6 +21,11 @@ object AnnCellsProbe {
     require(args.length >= 2, "usage: AnnCellsProbe <sfDir> <cells> [reps=3]")
     val (sfDir, cells) = (args(0), args(1).toInt)
     val reps = if (args.length > 2) args(2).toInt else 3
+    // the summary line reports min over runs 2..reps as serve_warm_min; with
+    // reps=1 it would silently fall back to the cold run under a warm label
+    // and skew any recorded scale-curve number
+    require(reps >= 2, "AnnCellsProbe: reps must be >= 2 (run 1 is cold; " +
+      "serve_warm_min is the min over runs 2..reps)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -59,7 +64,7 @@ object AnnCellsProbe {
       s
     }
     println(f"[anncells] n=$n cells=$cells build=$buildSec%.2f " +
-      f"serve_warm_min=${times.tail.minOption.getOrElse(times.head)}%.2f")
+      f"serve_warm_min=${times.tail.min}%.2f")
     spark.stop()
   }
 }

@@ -40,19 +40,32 @@ object ScaleShard {
 
     val r = explode(sequence(lit(0), lit(reps - 1))).as("r")
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // the replica id offset must not collide with source ids — testdata ids
+    // are well under 10M, but a silent wrap here would alias replicas
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxIds = srcDocs.agg(max(col("doc_id"))).head().getLong(0)
+      .max(srcEmb.agg(max(col("vec_id"))).head().getLong(0))
+    require(maxIds < 10000000L,
+      s"ScaleShard: max source id $maxIds >= 10M replica offset — ids would collide")
+
+    val docs = srcDocs
       .select(col("*"), r)
       .select(
         (col("doc_id") + col("r").cast("long") * lit(10000000L)).as("doc_id"),
         when(col("r") === 0, col("text"))
           .otherwise(concat(lit("zz"), col("r").cast("string"), lit(" "),
             col("text"))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+        col("lang"), col("source"), col("r"), col("n_chars").as("src_n_chars"))
+      // replica 0 is the original bytes — n_chars included; only salted
+      // replicas (whose text shifted) recompute it
+      .withColumn("n_chars", when(col("r") === 0, col("src_n_chars"))
+        .otherwise(length(col("text")).cast("long")))
+      .drop("r", "src_n_chars")
     docs.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val emb = srcEmb
       .select(col("*"), r)
       .select(
         (col("vec_id") + col("r").cast("long") * lit(10000000L)).as("vec_id"),

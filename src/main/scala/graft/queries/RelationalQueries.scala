@@ -4633,7 +4633,7 @@ object RelationalQueries {
           .groupBy(col("l_returnflag").as("rf"))
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("long")).as("qty"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+        val tmp = graft.Scratch.dir("graft-rt")
         agg.write.mode("overwrite").option("header", "true").csv(tmp + "/csv")
         agg.write.mode("overwrite").json(tmp + "/json")
         val schema = "rf STRING, n BIGINT, qty BIGINT"
@@ -5929,7 +5929,11 @@ object RelationalQueries {
     // surface as a thr_within_bound_pXX verdict pinned against the exact
     // ±eps rank band — eps = 0.05 vs k=256's ε ≈ 1.33% (1σ) leaves > 3σ,
     // so the oracle's literal TRUE is safe up to astronomically unlikely
-    // sketch failure.
+    // sketch failure. FLAKE SIGNATURE: if this query ever hash-mismatches
+    // with the diff confined to a thr_within_bound_pXX column flipping to
+    // false, triage it as that >3σ sketch-variance event (re-run confirms),
+    // NOT as an engine bug — any real regression in the drift arithmetic
+    // would move the hashed z/count columns instead.
     QueryDef(
       "q390_kll_served_drift",
       (s, dir) => {
@@ -5938,7 +5942,7 @@ object RelationalQueries {
         val qs = Seq(0.5, 0.9)
         val eps = 0.05
         val ref = d.where(pmod(col("doc_id"), lit(2)) === 0)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-kll").toString
+        val tmp = graft.Scratch.dir("graft-kll")
         graft.ops.QuantileIndex.write(
           graft.ops.QuantileIndex.build(ref, col("source"), col("n_chars"),
             k = 256), tmp)
@@ -5950,7 +5954,10 @@ object RelationalQueries {
           .select(col("q"),
             graft.ops.QuantileIndex.kllQuantile(col("sk"), col("q")).as("thr"))
           .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-        // exact thresholds + the ±eps rank band, on the value-alphabet frame
+        // exact thresholds + the ±eps rank band, on the value-alphabet frame:
+        // the single-partition W.orderBy(x) cumulative window below runs on
+        // one row per DISTINCT n_chars (the value alphabet), never on corpus
+        // rows — same bounded-window note as q389's nearest-rank quantiles
         val counts = ref.select(col("n_chars").cast("double").as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
         val cum = counts
@@ -6027,7 +6034,7 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("n_chars")).as("chars"),
             sort_array(collect_set(col("lang"))).as("langs"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        val tmp = graft.Scratch.dir("graft-orc")
         agg.write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .select(col("source"), col("n"), col("chars"),
