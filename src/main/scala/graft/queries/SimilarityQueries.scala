@@ -2290,59 +2290,172 @@ object SimilarityQueries {
         graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
           idx, nprobe = 2)
       },
-      Some {
-        val sd = 8
-        val qlutUnion = (0 until 8).map { s =>
-          val lo = s * sd + 1
-          val hi = s * sd + sd
-          s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
-             |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
-             |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
-        }.mkString("\n  UNION ALL\n  ")
-        val pivots = (0 until 8).map(i =>
-          s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
-          .mkString(",\n           |      ")
-        val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
-        s"""WITH $duckEmb,
-           |${duckKmeansCtes(k = 22, iters = 2)},
+      Some(duckSqrtnServeOracle)),
+
+    // q391 at the PRODUCTION LIFECYCLE: the √N-cell quantizer, residual
+    // codebooks and cluster-partitioned posting lists are built and
+    // PERSISTED once per corpus (memoized per sfDir within the JVM — the
+    // "train once" half of a vector-search deployment), and the query
+    // itself only READS the stored tables and serves: its plan is parquet
+    // scans + the ADC chain, with ZERO k-means or encoding lineage
+    // (PlanSpec pins the scan-only shape at this sizing). This separates
+    // q391's in-plan quantizer training (~4.3 s of its warm time) from the
+    // serve path the √N sizing exists to speed up; identical output, so
+    // the oracle is q391's verbatim.
+    QueryDef(
+      "q393_ivfpq_persisted_sqrtn",
+      (s, dir) => {
+        val idx = graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir))
+        val queries = Tables.load(s, dir, "embeddings")
+          .where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle)),
+
+    // INCREMENTAL maintenance of the PERSISTED √N index (the q158
+    // append==rebuild proof re-run at the production sizing AND through the
+    // storage round trip): the index is built on the 6/7 base corpus at the
+    // k=22 k-means quantizer, written to parquet, RE-READ (so the delta
+    // encodes against the stored model bytes, not in-memory lineage), the
+    // 1/7 delta is encoded against that frozen model and appended — and the
+    // appended posting lists must equal a from-scratch re-encode of the
+    // union under the same base-trained model, which is what the oracle
+    // computes (k-means + PQ codebooks trained on base slices, every vector
+    // encoded). Hash-match proves the stored-model daily-ingest path never
+    // drifts from recomputation at the √N sizing.
+    QueryDef(
+      "q394_ivfpq_persisted_append",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        val idx = graft.ops.AnnIndex.read(s, sqrtnBaseIndexPath(s, dir))
+        val appended = graft.ops.AnnIndex.append(idx,
+          graft.ops.AnnIndex.encode(delta, col("vec_id"), col("embedding"), idx))
+        appended.codes.select(col("vid").as("vec_id"), col("cluster"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+      },
+      Some(s"""WITH $duckEmb,
+           |eb AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 7 <> 0),
+           |${duckKmeansCtes(k = 22, iters = 2, src = "eb")},
            |$duckKmeansAssignCtes,
-           |rese AS (
+           |resall AS (
            |  SELECT e.vec_id,
-           |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
+           |    list_transform(range(1, 65), rri -> e.v[rri] - c.carr[rri]) AS v
            |  FROM e JOIN sassign USING (vec_id)
-           |  JOIN cent2 ON cent2.clabel = sassign.cluster),
-           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
-           |probes AS (
-           |  SELECT vec_id, clabel AS cluster FROM (
-           |    SELECT vec_id, clabel,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
-           |    FROM sdist WHERE vec_id % 10 = 0)
-           |  WHERE rn <= 2),
-           |qres AS (
-           |  SELECT p.vec_id, p.cluster,
-           |    list_transform(range(1, 65), qri -> e.v[qri] - c.carr[qri]) AS v
-           |  FROM probes p JOIN e ON e.vec_id = p.vec_id
-           |  JOIN cent2 c ON c.clabel = p.cluster),
-           |qlut AS (
-           |  $qlutUnion),
-           |pairsubs AS (
-           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |      $pivots
-           |  FROM probes a
-           |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-           |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
-           |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
-           |    AND l.sub = pc.sub AND l.code = pc.code
-           |  GROUP BY 1, 2)
-           |SELECT query_id, neighbor_id, adc, rank FROM (
-           |  SELECT query_id, neighbor_id, $score AS adc,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY $score ASC, neighbor_id ASC) AS rank
-           |  FROM pairsubs)
-           |WHERE rank <= 3""".stripMargin
-      })
+           |  JOIN cent2 c ON c.clabel = sassign.cluster),
+           |resbase AS (SELECT * FROM resall WHERE vec_id % 7 <> 0),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64,
+                src = "resall", trainSrc = Some("resbase"))}
+           |SELECT pc.vec_id, b.cluster, pc.sub, pc.code
+           |FROM pqcodes pc JOIN sassign b USING (vec_id)""".stripMargin))
   )
+
+  /** Once-per-JVM persisted IVF-PQ index per (tag, sfDir): build + write on
+    * first access, scan-only reads afterwards — the production "train once,
+    * store, serve many" lifecycle made literal in the harness (warm bench
+    * runs of q393 measure the SERVE path; only the cold run pays training).
+    * Deterministic builds make the memoization correctness-neutral; the
+    * tables live under the [[graft.Scratch]] root (deleted at JVM exit).
+    */
+  private val persistedIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def persistedIndexPath(tag: String, dir: String)(
+      build: => graft.ops.IvfPqIndex): String =
+    persistedIdxPaths.computeIfAbsent(s"$tag|$dir", _ => {
+      val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
+      graft.ops.AnnIndex.write(build, p)
+      p
+    })
+
+  /** The q393 stored index: full corpus, √N-cell (k=22) k-means coarse
+    * quantizer — q391's exact model, persisted.
+    */
+  private def sqrtnIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedIndexPath("full", dir) {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+        Similarity.kmeansCentroidsFlat(emb, col("vec_id"), col("embedding"),
+          k = 22, iters = 2)))
+      graft.ops.AnnIndex.build(emb, col("vec_id"), col("embedding"),
+        coarse, dims = 64, m = 8, k = 16, iters = 1)
+    }
+
+  /** The q394 stored index: trained and encoded on the 6/7 base corpus only
+    * (vec_id % 7 != 0) at the same √N sizing — the frozen model the delta
+    * ingest encodes against.
+    */
+  private def sqrtnBaseIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedIndexPath("base", dir) {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+        Similarity.kmeansCentroidsFlat(base, col("vec_id"), col("embedding"),
+          k = 22, iters = 2)))
+      graft.ops.AnnIndex.build(base, col("vec_id"), col("embedding"),
+        coarse, dims = 64, m = 8, k = 16, iters = 1)
+    }
+
+  /** The shared q391/q393 oracle: unrolled k=22/2-iteration k-means coarse
+    * quantizer, residual PQ, probe + LUT + ADC chain — identical math for
+    * the in-plan build (q391) and the persisted serve (q393), because the
+    * stored tables ARE the build's outputs.
+    */
+  private def duckSqrtnServeOracle: String = {
+    val sd = 8
+    val qlutUnion = (0 until 8).map { s =>
+      val lo = s * sd + 1
+      val hi = s * sd + sd
+      s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
+         |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
+         |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val pivots = (0 until 8).map(i =>
+      s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+      .mkString(",\n           |      ")
+    val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+    s"""WITH $duckEmb,
+       |${duckKmeansCtes(k = 22, iters = 2)},
+       |$duckKmeansAssignCtes,
+       |rese AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
+       |  FROM e JOIN sassign USING (vec_id)
+       |  JOIN cent2 ON cent2.clabel = sassign.cluster),
+       |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+       |probes AS (
+       |  SELECT vec_id, clabel AS cluster FROM (
+       |    SELECT vec_id, clabel,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |    FROM sdist WHERE vec_id % 10 = 0)
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT p.vec_id, p.cluster,
+       |    list_transform(range(1, 65), qri -> e.v[qri] - c.carr[qri]) AS v
+       |  FROM probes p JOIN e ON e.vec_id = p.vec_id
+       |  JOIN cent2 c ON c.clabel = p.cluster),
+       |qlut AS (
+       |  $qlutUnion),
+       |pairsubs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      $pivots
+       |  FROM probes a
+       |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
+       |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
+       |    AND l.sub = pc.sub AND l.code = pc.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc, rank FROM (
+       |  SELECT query_id, neighbor_id, $score AS adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $score ASC, neighbor_id ASC) AS rank
+       |  FROM pairsubs)
+       |WHERE rank <= 3""".stripMargin
+  }
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227
     * funnel at `planes` hyperplanes and histogramming its recall against

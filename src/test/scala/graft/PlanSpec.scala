@@ -227,6 +227,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"only the model-side assembly and query-side LUT densify may aggregate, got $aggs:\n$p")
   }
 
+  test("q393 persisted √N serve: the catalog entry's plan is scan-only — no training or encoding lineage") {
+    // q393 serves from the memoized stored index (build+write happens at
+    // most once per JVM per sfDir); this pins that the CATALOG wiring — not
+    // just the ops-layer API the test above drives — yields the production
+    // plan shape at the √N sizing: parquet scans + ADC chain, zero k-means
+    // or encode lineage, probed-cell partition pruning intact.
+    val p = plan(SparkEntry.queries("q393_ivfpq_persisted_sqrtn")(spark, sf))
+    assert(!p.toLowerCase.contains("existingrdd"),
+      "persisted serve plan must contain no checkpointed training lineage")
+    assert(p.contains("WindowGroupLimit"),
+      "the top-k rank filter must prune map-side before the exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids/codebooks must broadcast")
+    assert(p.contains("dynamicpruning"),
+      s"the codes scan must be partition-pruned by the probed clusters:\n$p")
+  }
+
   test("round-8 plan pins: vocab caps prune map-side; q117 funnel is one aggregate over the join") {
     import graft.ops.{Select, Text}
     val docs = Tables.load(spark, sf, "documents")
