@@ -44,7 +44,7 @@ object DedupQueries {
     * the durable-minhash-table oracles that need the chain on BOTH the
     * corpus and a probe relation (q208/q210).
     */
-  private def duckMshChain(src: String, pfx: String): String = {
+  private[queries] def duckMshChain(src: String, pfx: String): String = {
     val as = (0 until 16).map(Hashing.familyA).mkString(", ")
     val bs = (0 until 16).map(Hashing.familyB).mkString(", ")
     s"""${pfx}sh AS (

@@ -2017,6 +2017,149 @@ object PipelineQueries {
            |iso AS (SELECT i, MAX(mja) AS iso_rate FROM m GROUP BY 1)
            |SELECT b.bin, b.n AS n_docs, b.pos AS n_pos,
            |  CAST(b.pos AS DOUBLE) / b.n AS pos_rate, iso.iso_rate
-           |FROM b JOIN iso ON iso.i = b.bin""".stripMargin))
+           |FROM b JOIN iso ON iso.i = b.bin""".stripMargin)),
+
+    // The COMPOSED INGEST-GATE funnel as ONE hash-checked row — the batch
+    // twin of the three-gate streaming chain StreamOpsSpec pins (quality →
+    // near-dup → quantile drift on one stream): every column below is a
+    // metric the gates' observe() emits, computed with the gates' own
+    // predicates over one batch. The reference split (even doc_ids) plays
+    // the stored corpus — its minhash band table is the near-dup gate's
+    // index and its exact nearest-rank length quantiles are the drift
+    // gate's frozen thresholds (resolved once on the driver, the gate's own
+    // model-resolution step). The incoming batch is the odd half plus
+    // planted near-copies of every 10th indexed doc (new ids, two trailing
+    // noise tokens — the q208 probe recipe), so every stage observably
+    // drops rows. Near-dup here is the EXACT band-collision form (the
+    // stored keyset itself); the streaming gate's Bloom transport of that
+    // keyset is spec-pinned separately (bloom FPs are the one divergence a
+    // relational oracle cannot replay). Stages 1+2 fold in a single
+    // aggregation; the drift row aggregates survivors only — the funnel
+    // shape (n_rows ≥ nd_n_rows ≥ qd_n_rows) is checked by the oracle's
+    // identical replay.
+    QueryDef(
+      "q395_gate_composition_funnel",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        val bands = graft.ops.MinHashIndex.bandTable(
+          graft.ops.MinHashIndex.build(ref, col("doc_id"), col("text"), 3, 16), 4)
+        val probes = ref.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        val incoming = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(probes)
+        // stage-1 flags (the qualityGate predicates), evaluated ONCE — the
+        // frame feeds the band probe and the final funnel aggregation
+        val langOk = Text.langId(col("text")) === "en"
+        val qOk = langOk && Text.qualityScore(col("text")) >= 0.5
+        val flagged = incoming.select(col("doc_id"), col("text"),
+          langOk.as("lang_ok"), qOk.as("q_ok")).localCheckpoint()
+        // stage 2: per-row band signatures (the nearDupGate transport)
+        // probed against the stored band table — exact keyset collision
+        val hits = flagged.where(col("q_ok"))
+          .select(col("doc_id"),
+            posexplode(graft.ops.MinHashIndex.rowBandSigs(col("text"), 3, 16, 4))
+              .as(Seq("band", "band_sig")))
+          .where(col("band_sig").isNotNull)
+          .join(bands.select(col("band"), col("band_sig")),
+            Seq("band", "band_sig"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("nd_hit", lit(true))
+        val probed = flagged.join(hits, Seq("doc_id"), "left")
+          .localCheckpoint() // feeds the gate agg AND the survivor drift agg
+        val gateAgg = probed.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(!col("lang_ok"), 1)).as("n_lang_dropped"),
+          count(when(col("lang_ok") && !col("q_ok"), 1)).as("n_quality_dropped"),
+          count(when(col("q_ok"), 1)).as("nd_n_rows"),
+          count(when(col("q_ok") && col("nd_hit"), 1)).as("n_neardup_dropped"))
+        // stage-3 thresholds: exact nearest-rank p50/p90 of the reference
+        // split's text length, on the value-alphabet frame (one row per
+        // distinct length — the q389/q390 bounded-window note), resolved
+        // as two driver-side doubles (the gate's frozen-model step)
+        val counts = ref.select(length(col("text")).cast("double").as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        val cum = counts
+          .withColumn("cum", sum(col("cnt")).over(
+            W.orderBy(col("x").asc)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(W.partitionBy()))
+        val nD = col("n").cast("double")
+        val thrRow = cum.groupBy().agg(
+          min(when(col("cum") >= ceil(lit(0.5) * nD), col("x"))).as("p50"),
+          min(when(col("cum") >= ceil(lit(0.9) * nD), col("x"))).as("p90"))
+          .head()
+        val drift = Stats.quantileDriftScores(
+          probed.where(col("q_ok") && col("nd_hit").isNull),
+          length(col("text")),
+          Seq(0.5 -> thrRow.getDouble(0), 0.9 -> thrRow.getDouble(1)))
+          .withColumnRenamed("n_rows", "qd_n_rows")
+        gateAgg.crossJoin(drift)
+      },
+      Some {
+        val thrSql = """(
+           |  WITH rc AS (
+           |    SELECT CAST(length(text) AS DOUBLE) AS x, COUNT(*) AS cnt
+           |    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           |  rw AS (
+           |    SELECT x,
+           |      CAST(SUM(cnt) OVER (ORDER BY x ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS BIGINT) AS cum,
+           |      CAST(SUM(cnt) OVER () AS BIGINT) AS n
+           |    FROM rc)
+           |  SELECT
+           |    MIN(CASE WHEN cum >= CAST(CEIL(0.5 * CAST(n AS DOUBLE))
+           |      AS BIGINT) THEN x END) AS thr_p50,
+           |    MIN(CASE WHEN cum >= CAST(CEIL(0.9 * CAST(n AS DOUBLE))
+           |      AS BIGINT) THEN x END) AS thr_p90
+           |  FROM rw) t""".stripMargin
+        val driftInner = Stats.duckQuantileDriftScores(
+          liveSql = "(SELECT CAST(length(text) AS DOUBLE) AS v FROM surv) live",
+          thrSql = thrSql,
+          qs = Seq(0.5, 0.9))
+        s"""WITH ref AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+           |incoming AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+           |flg AS (
+           |  SELECT doc_id, text,
+           |    (${Text.duckLangId("text")} = 'en') AS lang_ok,
+           |    (${Text.duckLangId("text")} = 'en'
+           |      AND ${Text.duckQualityScore("text")} >= 0.5) AS q_ok
+           |  FROM incoming),
+           |qual AS (SELECT doc_id, text FROM flg WHERE q_ok),
+           |${DedupQueries.duckMshChain("ref", "i")},
+           |${DedupQueries.duckMshChain("qual", "p")},
+           |hits AS (
+           |  SELECT DISTINCT p.doc_id
+           |  FROM pbands p
+           |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig),
+           |surv AS (
+           |  SELECT doc_id, text FROM qual
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+           |gate AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(CASE WHEN NOT lang_ok THEN 1 END) AS BIGINT)
+           |      AS n_lang_dropped,
+           |    CAST(COUNT(CASE WHEN lang_ok AND NOT q_ok THEN 1 END) AS BIGINT)
+           |      AS n_quality_dropped,
+           |    CAST(COUNT(CASE WHEN q_ok THEN 1 END) AS BIGINT) AS nd_n_rows,
+           |    CAST(COUNT(CASE WHEN q_ok
+           |      AND doc_id IN (SELECT doc_id FROM hits) THEN 1 END) AS BIGINT)
+           |      AS n_neardup_dropped
+           |  FROM flg),
+           |drift AS (
+           |  SELECT n_rows AS qd_n_rows, n_null,
+           |    n_above_p50, z_p50, n_above_p90, z_p90
+           |  FROM ($driftInner))
+           |SELECT gate.*, drift.* FROM gate CROSS JOIN drift""".stripMargin
+      })
   )
 }
