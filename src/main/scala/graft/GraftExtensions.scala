@@ -83,12 +83,19 @@ object GraftExtensions {
       require(ch.size == 2, "theta_intersect_estimate takes two sketch arguments")
       graft.plans.ThetaIntersectEstimate(ch(0), ch(1))
     },
-    entry("theta_union", classOf[graft.plans.ThetaUnionAgg]) { ch =>
-      require(ch.size == 2, "theta_union takes (sketch_col, lgK)")
+    // registered as theta_merge, NOT theta_union: Spark 4.1 ships a builtin
+    // scalar theta_union(sketch, sketch[, lgK]) — injecting our aggregate
+    // under that name would silently shadow the builtin with an
+    // incompatible signature for every SQL user of the extensions session
+    // (caught by the round-14 parity test; ThetaSketchSpec also pins that
+    // the builtin theta_union_agg/theta_sketch_estimate interoperate with
+    // graft-stored sketch bytes).
+    entry("theta_merge", classOf[graft.plans.ThetaUnionAgg]) { ch =>
+      require(ch.size == 2, "theta_merge takes (sketch_col, lgK)")
       val lgK = ch(1) match {
         case Literal(v: Int, IntegerType) => v
         case other => throw new IllegalArgumentException(
-          s"theta_union lgK must be an integer literal, got $other")
+          s"theta_merge lgK must be an integer literal, got $other")
       }
       graft.plans.ThetaUnionAgg(ch(0), lgK)
     },

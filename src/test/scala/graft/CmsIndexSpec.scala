@@ -97,4 +97,22 @@ class CmsIndexSpec extends AnyFunSuite with SparkSpec {
       assert(est.getOrElse(k, 0L) >= n, s"undercount at $k: ${est.get(k)} < $n")
     }
   }
+
+  test("SQL registration: count_min_sketch60 == DataFrame API, counter for counter") {
+    // the KLL/theta-precedent parity test: CMS counters are deterministic
+    // (linear sums over a fixed hash family), so the SQL-registered
+    // aggregate must produce the IDENTICAL depth×width arrays the durable
+    // CmsIndex tables store — SQL users address the same table bytes.
+    GraftExtensions.functionEntries.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    ev.createOrReplaceTempView("cms_ev")
+    val sql = spark.sql(
+      """SELECT event_type AS key, count_min_sketch60(u, 4, 256) AS sk
+        |FROM cms_ev GROUP BY event_type""".stripMargin)
+    assert(counters(sql) == counters(
+      CmsIndex.build(ev, col("event_type"), col("u"), 4, 256)),
+      "SQL aggregate must match the DataFrame-API counters exactly")
+  }
 }

@@ -77,4 +77,77 @@ class ThetaSketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ed - 40000.0) <= 3.0 * 100000.0 / math.sqrt(4096.0),
       s"difference estimate $ed outside the union-scaled 3σ bound of 40000")
   }
+
+  test("SQL registration: theta_sketch/theta_merge/theta_estimate/theta_intersect_estimate/theta_anotb_estimate == DataFrame API") {
+    // the KLL-precedent parity test (QuantileIndexSpec): theta bytes are
+    // deterministic (partition/order-independent, pinned above), so every
+    // SQL-served estimate must equal the DataFrame-API one EXACTLY — the
+    // durable theta tables are SQL-addressable with no semantic seam.
+    // (HLL needs no entry here: the durable HllIndex tables are served by
+    // Spark's own hll_sketch_agg/hll_union_agg/hll_sketch_estimate, which
+    // are already SQL functions; the moment tables are plain decimal SQL.)
+    GraftExtensions.functionEntries.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("event_type"), col("user_id").as("u"))
+    ev.createOrReplaceTempView("theta_ev")
+    // per-key estimates
+    val sql = spark.sql(
+      """SELECT event_type, theta_estimate(sk) AS est
+        |FROM (SELECT event_type, theta_sketch(u, 12) AS sk
+        |      FROM theta_ev GROUP BY event_type)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val api = ev.groupBy(col("event_type"))
+      .agg(Hashing.thetaEstimate(Hashing.thetaSketchAgg(col("u"), 12)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sql == api, s"SQL vs DataFrame divergence: $sql vs $api")
+    // stored-bytes union rollup (theta_merge, not theta_union — that name
+    // is Spark 4.1's builtin scalar two-sketch union, which must NOT be
+    // shadowed; interop with the builtins is pinned below)
+    val sqlU = spark.sql(
+      """SELECT theta_estimate(theta_merge(sk, 12)) AS est
+        |FROM (SELECT event_type, theta_sketch(u, 12) AS sk
+        |      FROM theta_ev GROUP BY event_type)""".stripMargin)
+      .head().getDouble(0)
+    val apiU = ev.groupBy(col("event_type"))
+      .agg(Hashing.thetaSketchAgg(col("u"), 12).as("sk"))
+      .agg(Hashing.thetaEstimate(Hashing.thetaUnionAgg(col("sk"), 12)))
+      .head().getDouble(0)
+    assert(sqlU == apiU, s"union rollup diverges: $sqlU vs $apiU")
+    // INTEROP: graft sketch bytes are standard Datasketches CompactSketch
+    // bytes, so Spark's OWN builtin theta functions must fold and estimate
+    // them — the durable theta tables are readable by vanilla Spark SQL
+    // with no graft extensions at all
+    val builtinU = spark.sql(
+      """SELECT theta_sketch_estimate(theta_union_agg(sk, 12)) AS est
+        |FROM (SELECT event_type, theta_sketch(u, 12) AS sk
+        |      FROM theta_ev GROUP BY event_type)""".stripMargin)
+      .head().getLong(0) // Spark's builtin estimate surfaces BIGINT
+    // sf0.001 distinct users are far below k=4096 — exact mode, so the
+    // double estimate is integral and the comparison is exact
+    assert(apiU == apiU.toLong.toDouble && builtinU == apiU.toLong,
+      s"builtin theta_union_agg over graft bytes diverges: $builtinU vs $apiU")
+    // pairwise set ops from stored bytes (two largest keys)
+    val keys = sql.keys.toSeq.sorted.take(2)
+    val Seq(k1, k2) = keys
+    val row = spark.sql(
+      s"""SELECT theta_intersect_estimate(a.sk, b.sk) AS i,
+         |  theta_anotb_estimate(a.sk, b.sk) AS d
+         |FROM (SELECT theta_sketch(u, 12) AS sk FROM theta_ev
+         |      WHERE event_type = '$k1') a,
+         |     (SELECT theta_sketch(u, 12) AS sk FROM theta_ev
+         |      WHERE event_type = '$k2') b""".stripMargin).head()
+    val apiRow = ev.where(col("event_type").isin(k1, k2))
+      .groupBy(col("event_type"))
+      .agg(Hashing.thetaSketchAgg(col("u"), 12).as("sk"))
+      .groupBy().pivot(col("event_type"), keys).agg(first(col("sk")))
+      .select(Hashing.thetaIntersectEstimate(col(k1), col(k2)),
+        Hashing.thetaAnotBEstimate(col(k1), col(k2)))
+      .head()
+    assert(row.getDouble(0) == apiRow.getDouble(0) &&
+      row.getDouble(1) == apiRow.getDouble(1),
+      s"set-op estimates diverge: $row vs $apiRow")
+  }
 }
