@@ -242,6 +242,14 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       s"README must state the true catalog size ($n queries)")
     assert(readme.contains(s"$nOracle with DuckDB oracles"),
       s"README must state the true oracle count ($nOracle)")
+    // per-group counts, derived from the same catalogGroups the harness
+    // iterates — a family gaining or losing a query without the README
+    // moving fails HERE (the check that would have caught the transient
+    // "379" total in round 13's commit 45ceaa3)
+    val perGroup = "per group: " + SparkEntry.catalogGroups
+      .map { case (g, qs) => s"$g ${qs.size}" }.mkString(", ")
+    assert(readme.contains(perGroup),
+      s"README must carry the derived per-group count line: '$perGroup'")
   }
 
   test("every query id cited in SURVEY.md exists in the catalog (no stale doc references)") {
