@@ -11,7 +11,7 @@ columns by name, canonicalize (round doubles to 6dp, timestamps to us), sort
 rows, and hash-compare.
 """
 import glob
-import json, subprocess, sys, hashlib
+import json, os, subprocess, sys, hashlib
 import duckdb
 import pandas as pd
 
@@ -41,10 +41,22 @@ def main():
                         f"runMain graft.Verify {sfdir} {outdir} {names}".strip()],
                        check=True, capture_output=True, text=True)
     con = duckdb.connect()
+    # big-shard oracles (e.g. the 10x ScaleShard correctness leg) need
+    # spill-to-disk and don't care about insertion order (canon() sorts)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
     for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; Spark-written dirs
+        # (e.g. a ScaleShard output) need the part-file glob, and a shard
+        # dir legitimately lacks the tables its queries never touch
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
