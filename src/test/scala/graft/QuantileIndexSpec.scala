@@ -164,5 +164,20 @@ class QuantileIndexSpec extends AnyFunSuite with SparkSpec {
         |      FROM kll_docs GROUP BY source)""".stripMargin)
       .head().getLong(0)
     assert(unionN == docs.count(), "union must absorb every per-key count")
+    // INTEROP (the theta precedent): graft's stored bytes are standard
+    // Datasketches KllDoublesSketch.toByteArray, so Spark's OWN builtin
+    // finalizers must read them — the durable QuantileIndex tables are
+    // servable by vanilla Spark SQL with no graft extensions. Exact-mode
+    // values make the comparison exact (both query the same retained set;
+    // the quantile convention is the library's own in both paths).
+    val viaBuiltin = spark.sql(
+      """SELECT CAST(source AS STRING) AS key,
+        |  kll_sketch_get_n_double(sk) AS n_sk,
+        |  kll_sketch_get_quantile_double(sk, 0.5) AS med
+        |FROM (SELECT source, kll_sketch(n_chars, 256) AS sk
+        |      FROM kll_docs GROUP BY source)""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBuiltin == api,
+      s"builtin KLL finalizers over graft bytes diverge: $viaBuiltin vs $api")
   }
 }
