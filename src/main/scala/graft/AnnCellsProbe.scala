@@ -48,7 +48,7 @@ object AnnCellsProbe {
       dims = 64, m = 8, k = 16, iters = 1)
     // materialize the index once — serve timing must not pay the build
     idx.productIterator.foreach {
-      case d: org.apache.spark.sql.DataFrame => d.count()
+      case d: org.apache.spark.sql.Dataset[_] => d.count()
       case _ =>
     }
     val buildSec = (System.nanoTime() - tB0) / 1e9
