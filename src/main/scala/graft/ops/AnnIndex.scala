@@ -112,6 +112,23 @@ object AnnIndex {
   def append(idx: IvfPqIndex, newCodes: DataFrame): IvfPqIndex =
     idx.copy(codes = idx.codes.unionByName(newCodes))
 
+  /** Delete vectors from the stored posting lists — the right-to-be-
+    * forgotten path of the q277/q278/q282 family applied to the ANN stack:
+    * a codes row is strictly per-vector (vid, cluster, m ints — nothing in
+    * it derives from any other vector), so deletion is an exact key filter
+    * and a subsequent [[search]] can never return a removed vector
+    * (q396 hash-proves the post-delete serve against a candidate-filtered
+    * relational replay). The MODEL tables stay FROZEN: the trained
+    * centroids/codebooks retain the deleted vectors' statistical
+    * contribution — same caveat class as [[ParaIndex]]'s election tables;
+    * removing the training influence entirely means a retrain ([[build]]).
+    * Scale shape: an id-only anti join against the posting lists (the
+    * removed-id set broadcasts in the common case).
+    */
+  def delete(idx: IvfPqIndex, removedIds: DataFrame): IvfPqIndex =
+    idx.copy(codes = idx.codes
+      .join(removedIds.select(col("vid")), Seq("vid"), "left_anti"))
+
   /** Persist the index as parquet tables. `codes` is written partitioned by
     * `cluster` — the on-disk posting-list layout: a selective serve path
     * reading `nprobe` cells touches only those partitions (partition

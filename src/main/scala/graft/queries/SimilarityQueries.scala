@@ -2348,7 +2348,33 @@ object SimilarityQueries {
            |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64,
                 src = "resall", trainSrc = Some("resbase"))}
            |SELECT pc.vec_id, b.cluster, pc.sub, pc.code
-           |FROM pqcodes pc JOIN sassign b USING (vec_id)""".stripMargin))
+           |FROM pqcodes pc JOIN sassign b USING (vec_id)""".stripMargin)),
+
+    // ANN index DELETE — the right-to-be-forgotten path closing the
+    // lifecycle matrix for the persisted IVF-PQ family (build q393, append
+    // q394, delete HERE; the q277 minhash-delete discipline): posting-list
+    // rows are strictly per-vector, so removal is an exact key filter, and
+    // a post-delete serve must never surface a removed vector — ranks
+    // re-close over the survivors exactly as if the candidates had never
+    // been in the table. The oracle replays the q391/q393 serve chain with
+    // the CANDIDATE side filtered to survivors; the coarse/PQ model stays
+    // frozen on BOTH sides (deleting a vector's rows does not untrain its
+    // statistical contribution — that is a retrain, by design and by
+    // document). Removed ids may still arrive as QUERIES (the probe side is
+    // whatever arrives); only the index side forgets.
+    QueryDef(
+      "q396_ivfpq_index_delete",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val removed = emb.where(pmod(col("vec_id"), lit(11)) === 0)
+          .select(col("vec_id").as("vid"))
+        val idx = graft.ops.AnnIndex.delete(
+          graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir)), removed)
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0")))
   )
 
   /** Once-per-JVM persisted IVF-PQ index per (tag, sfDir): build + write on
@@ -2399,12 +2425,16 @@ object SimilarityQueries {
         coarse, dims = 64, m = 8, k = 16, iters = 1)
     }
 
-  /** The shared q391/q393 oracle: unrolled k=22/2-iteration k-means coarse
-    * quantizer, residual PQ, probe + LUT + ADC chain — identical math for
-    * the in-plan build (q391) and the persisted serve (q393), because the
-    * stored tables ARE the build's outputs.
+  /** The shared q391/q393/q396 oracle: unrolled k=22/2-iteration k-means
+    * coarse quantizer, residual PQ, probe + LUT + ADC chain — identical
+    * math for the in-plan build (q391) and the persisted serve (q393),
+    * because the stored tables ARE the build's outputs. `candFilter` is an
+    * extra predicate on the candidate (posting-list) side — the delete
+    * leg's survivors-only replay (q396).
     */
-  private def duckSqrtnServeOracle: String = {
+  private def duckSqrtnServeOracle: String = duckSqrtnServeOracle("")
+
+  private def duckSqrtnServeOracle(candFilter: String): String = {
     val sd = 8
     val qlutUnion = (0 until 8).map { s =>
       val lo = s * sd + 1
@@ -2444,7 +2474,7 @@ object SimilarityQueries {
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      $pivots
        |  FROM probes a
-       |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id$candFilter
        |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
        |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
        |    AND l.sub = pc.sub AND l.code = pc.code

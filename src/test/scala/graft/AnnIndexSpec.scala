@@ -67,4 +67,26 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(searchRows(idx, emb) == inQuery,
       "the serve path must reproduce the in-query trainer's results exactly")
   }
+
+  test("delete: exact key filter on the posting lists; removed vectors never serve") {
+    val idx = buildOn(emb)
+    val removed = emb.where(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id").as("vid"))
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    assert(removedIds.nonEmpty, "test needs a nonempty delete set")
+    val kept = AnnIndex.delete(idx, removed)
+    // codes: exactly the removed vids gone, survivors byte-identical
+    assert(codeRows(kept.codes) ==
+      codeRows(idx.codes).filterNot { case (vid, _) => removedIds.contains(vid) },
+      "delete must be an exact key filter on the posting lists")
+    // model tables untouched (frozen by design — retrain = new build)
+    assert(kept.centroids eq idx.centroids)
+    assert(kept.codebooks eq idx.codebooks)
+    // a removed vector can still QUERY, but never serves as a neighbor
+    val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val rows = searchRows(kept, queries)
+    assert(rows.nonEmpty)
+    assert(!rows.exists { case (_, nb, _) => removedIds.contains(nb) },
+      "post-delete serve must never return a removed vector")
+  }
 }
