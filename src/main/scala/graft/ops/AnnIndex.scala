@@ -129,6 +129,57 @@ object AnnIndex {
     idx.copy(codes = idx.codes
       .join(removedIds.select(col("vid")), Seq("vid"), "left_anti"))
 
+  /** Per-vector PQ quantization error from the STORED tables — the DECODE
+    * direction no other query exercises (search evaluates distances in code
+    * space; this reconstructs and measures what the compression lost):
+    * err(v) = Σ_sub ‖residual_slice(v, sub) − codeword(sub, codes[sub])‖²,
+    * i.e. the squared L2 between each vector and its implied reconstruction
+    * (coarse centroid + per-subspace codewords). This is THE index-quality
+    * metric an operator trends after append cycles: a frozen model encodes
+    * drifted new vectors with growing error, and the audit says WHEN the
+    * retrain (a new [[build]]) is due — before recall falls, not after.
+    *
+    * Scale shape: one broadcast-centroid + broadcast-codebook pass over the
+    * posting lists joined to their vectors; the per-subspace errors pivot
+    * and fold in FIXED sub order (the [[search]] ADC discipline), so every
+    * err is bit-reproducible cross-engine (q397). Output: (vid, cluster,
+    * err) — one row per indexed vector.
+    */
+  def reconstructionError(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      idx: IvfPqIndex): DataFrame = {
+    val m = idx.m
+    val sd = idx.dims / m
+    val cent = broadcast(idx.centroids
+      .select(col("clabel").as("cluster"), col("carr")))
+    val cw = Similarity.pqCentArrays(idx.codebooks)
+      .select(col("sub"), col("clabel").as("code"), col("carr").as("cbarr"))
+    // same malformed-row guard as search: a short code array cannot be a
+    // meaningful reconstruction either
+    val rows = idx.codes
+      .where(size(col("codes")) === m)
+      .join(df.select(id.as("vid"), vec.as("vec")), "vid")
+      .join(cent, "cluster")
+      .select(col("vid"), col("cluster"),
+        zip_with(col("vec"), col("carr"), (x, c) => x.cast("double") - c).as("rv"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val subErr = rows.join(broadcast(cw), Seq("sub", "code"))
+      .select(col("vid"), col("cluster"), col("sub"),
+        Similarity.l2sq(
+          slice(col("rv"), col("sub") * lit(sd) + lit(1), lit(sd)),
+          col("cbarr")).as("d2"))
+    // pivot-then-ordered-add (the q157/q391 oracle's own shape): SUM is
+    // order-free because each pivot sums one real value and zeros
+    val pivots = (0 until m).map(i =>
+      sum(when(col("sub") === i, col("d2")).otherwise(lit(0.0))).as(s"d_$i"))
+    val tot = (0 until m).map(i => col(s"d_$i")).reduce(_ + _)
+    subErr.groupBy(col("vid"), col("cluster"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("vid"), col("cluster"), tot.as("err"))
+  }
+
   /** Persist the index as parquet tables. `codes` is written partitioned by
     * `cluster` — the on-disk posting-list layout: a selective serve path
     * reading `nprobe` cells touches only those partitions (partition

@@ -2374,7 +2374,53 @@ object SimilarityQueries {
         graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
           idx, nprobe = 2)
       },
-      Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0")))
+      Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0"))),
+
+    // PQ RECONSTRUCTION-ERROR audit — the DECODE direction (every other ANN
+    // query evaluates distances in code space; this measures what the
+    // compression lost, per vector, from the STORED √N-index tables alone):
+    // err = Σ_sub ‖residual slice − chosen codeword‖², the metric an index
+    // operator trends across append cycles to decide when the frozen model
+    // is due a retrain. The oracle replays the q391 training chain and
+    // reads each vector's chosen (sub, code) distance out of the SAME
+    // per-(vector, subspace, codeword) LUT the encoder argmins over —
+    // reconstruction error IS the encoder's own objective at its argmin,
+    // so the audit equals the training-time quantization loss exactly;
+    // per-vector totals fold in fixed sub order on both engines.
+    QueryDef(
+      "q397_ivfpq_reconstruction_error",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir))
+        graft.ops.AnnIndex.reconstructionError(emb, col("vec_id"),
+            col("embedding"), idx)
+          .select(col("vid").as("vec_id"), col("cluster"), col("err"))
+      },
+      Some {
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN sub = $i THEN d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |    ")
+        val tot = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |${duckKmeansCtes(k = 22, iters = 2)},
+           |$duckKmeansAssignCtes,
+           |rese AS (
+           |  SELECT e.vec_id,
+           |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
+           |  FROM e JOIN sassign USING (vec_id)
+           |  JOIN cent2 ON cent2.clabel = sassign.cluster),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+           |chosen AS (
+           |  SELECT pl.vec_id, pl.sub, pl.d2
+           |  FROM pqlut pl JOIN pqcodes pc
+           |    ON pc.vec_id = pl.vec_id AND pc.sub = pl.sub AND pc.code = pl.code),
+           |perr AS (
+           |  SELECT vec_id,
+           |    $pivots
+           |  FROM chosen GROUP BY 1)
+           |SELECT p.vec_id, s.cluster, ($tot) AS err
+           |FROM perr p JOIN sassign s ON s.vec_id = p.vec_id""".stripMargin
+      })
   )
 
   /** Once-per-JVM persisted IVF-PQ index per (tag, sfDir): build + write on
