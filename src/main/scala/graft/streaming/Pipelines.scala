@@ -98,4 +98,43 @@ object Pipelines {
       }
       .start()
   }
+
+  /** Streaming ANN-index maintenance — the daily-ingest encode+append path
+    * ([[graft.ops.AnnIndex.encode]]/[[graft.ops.AnnIndex.append]], q394) as
+    * an actual stream: each micro-batch of vectors encodes against the
+    * FROZEN stored model (per-row deterministic, zero training) and lands
+    * as posting-list rows in a codes-delta table partitioned by `batch_id`
+    * with dynamic partition overwrite — the [[articlesWithDeadLetter]]
+    * idempotence recipe, so a replayed batch overwrites itself instead of
+    * duplicating. The serving index is `stored codes ∪ delta codes`; since
+    * encode is per-row deterministic, that union equals a from-scratch
+    * re-encode (q394's hash proof; StreamOpsSpec pins the streaming
+    * transport == the batch twin row for row). The model frames ride frozen
+    * in the closure — a mid-stream retrain is structurally impossible,
+    * which is the point: retrain = new [[graft.ops.AnnIndex.build]] and a
+    * new query.
+    */
+  def annIndexMaintenance(
+      vectors: DataFrame,
+      id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column,
+      idx: graft.ops.IvfPqIndex,
+      deltaPath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.AnnIndex.encode(batch, id, vec, idx)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(deltaPath)
+        ()
+      }
+      .start()
+  }
 }

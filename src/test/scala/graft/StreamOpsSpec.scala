@@ -1280,4 +1280,63 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       assert(metrics("quantile_drift").getAs[Long]("n_above_p50") == expectAbove.toLong)
     } finally q.stop()
   }
+
+  test("streaming ANN-index maintenance: per-micro-batch frozen-model encode == the batch twin, batch_id-idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(base, col("embedding"), col("label"))))
+    val built = AnnIndex.build(base, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1)
+    val idxDir = tmpDir("ann-stream-idx")
+    AnnIndex.write(built, idxDir)
+    val idx = AnnIndex.read(spark, idxDir) // the FROZEN stored model
+    val deltaPath = tmpDir("ann-stream-delta")
+    val ckpt = tmpDir("ann-stream-ckpt")
+
+    val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(delta.length >= 4, "need enough delta vectors for two batches")
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def drain(): Unit = {
+      val q = graft.streaming.Pipelines.annIndexMaintenance(stream,
+        col("vec_id"), col("embedding"), idx, deltaPath, ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    ms.addData(b1.toSeq); drain() // batch 0
+    ms.addData(b2.toSeq); drain() // batch 1 (fresh query, same checkpoint)
+
+    def codeRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.select(col("vid").cast("long"), col("cluster").cast("int"),
+          concat_ws("-", col("codes")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    val streamed = spark.read.parquet(deltaPath)
+    assert(streamed.select("batch_id").distinct().count() == 2,
+      "two micro-batches, two batch_id partitions")
+    // the streaming transport must equal the batch twin row for row — the
+    // q394 append==rebuild proof rides on exactly this determinism
+    val batchTwin = AnnIndex.encode(
+      emb.where(pmod(col("vec_id"), lit(7)) === 0),
+      col("vec_id"), col("embedding"), idx)
+    assert(codeRows(streamed) == codeRows(batchTwin),
+      "streamed delta codes must equal the frozen-model batch encode")
+    // union with the stored base == a serving index whose search never
+    // misses the streamed vectors
+    val served = AnnIndex.append(idx,
+      streamed.select(col("vid"), col("cluster"), col("codes")))
+    assert(codeRows(served.codes) ==
+      (codeRows(idx.codes) ++ codeRows(batchTwin)))
+  }
 }
