@@ -244,6 +244,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"the codes scan must be partition-pruned by the probed clusters:\n$p")
   }
 
+  test("q397 reconstruction audit: decode path is scan-only — broadcast model, no training lineage") {
+    val p = plan(SparkEntry.queries("q397_ivfpq_reconstruction_error")(spark, sf))
+    assert(!p.toLowerCase.contains("existingrdd"),
+      "decode plan must contain no checkpointed training lineage")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroids and codebooks must broadcast into the posting-list pass")
+    // the only corpus-scale joins key on vid/cluster ints; nothing
+    // aggregates the corpus beyond the per-vector pivot fold
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian products in the decode path:\n$p")
+  }
+
   test("round-8 plan pins: vocab caps prune map-side; q117 funnel is one aggregate over the join") {
     import graft.ops.{Select, Text}
     val docs = Tables.load(spark, sf, "documents")
