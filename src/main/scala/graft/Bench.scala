@@ -120,9 +120,9 @@ object Bench {
     import org.apache.spark.sql.functions.{length => blen, col, sum}
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val n = math.max(10000L, (6000000 * sf).toLong) // ~reference total volume at sf0.1
-    val envDir = Files.createTempDirectory("graft-bench-env").toString
-    val outDir = Files.createTempDirectory("graft-bench-out").toString
-    val ckptDir = Files.createTempDirectory("graft-bench-ckpt").toString
+    val envDir = Scratch.dir("graft-bench-env")
+    val outDir = Scratch.dir("graft-bench-out")
+    val ckptDir = Scratch.dir("graft-bench-ckpt")
     val env = graft.ops.DataGen.articles(spark, n)
     env.write.mode("overwrite").parquet(envDir) // datagen excluded from timing
     val inputBytes = spark.read.parquet(envDir)

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.Files
 
 /** Streaming-drain diagnostic: run the EXACT drain loop Bench times (same
   * datagen volume, same pipeline, fresh sink+checkpoint per run) N times in
@@ -47,9 +46,9 @@ object BenchStream {
 
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val n = rowsOverride.getOrElse(math.max(10000L, (6000000 * sf).toLong))
-    val envDir = Files.createTempDirectory("graft-bstream-env").toString
-    val outDir = Files.createTempDirectory("graft-bstream-out").toString
-    val ckptDir = Files.createTempDirectory("graft-bstream-ckpt").toString
+    val envDir = Scratch.dir("graft-bstream-env")
+    val outDir = Scratch.dir("graft-bstream-out")
+    val ckptDir = Scratch.dir("graft-bstream-ckpt")
     graft.ops.DataGen.articles(spark, n).write.mode("overwrite").parquet(envDir)
     val inputMb = {
       import org.apache.spark.sql.functions.{col, length, sum}

@@ -176,7 +176,13 @@ object AnnIndex {
       sum(when(col("sub") === i, col("d2")).otherwise(lit(0.0))).as(s"d_$i"))
     val tot = (0 until m).map(i => col(s"d_$i")).reduce(_ + _)
     subErr.groupBy(col("vid"), col("cluster"))
-      .agg(pivots.head, pivots.tail: _*)
+      .agg(count(lit(1)).as("n_subs"), pivots: _*)
+      // an out-of-range code value (bad write / manual edit) joins no
+      // codebook row, and a zero-filled pivot would then UNDERREPORT the
+      // error — the inversion of the audit's purpose. Exclude the vector
+      // entirely, the same stance as search's short-array guard: a partial
+      // reconstruction error is worse than none.
+      .where(col("n_subs") === m)
       .select(col("vid"), col("cluster"), tot.as("err"))
   }
 

@@ -99,14 +99,17 @@ case class ThetaUnionAgg(
 
   require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
 
-  override def prettyName: String = "theta_union"
+  // prints as the SQL registration name (theta_merge), NOT theta_union:
+  // Spark 4.1's builtin scalar theta_union must stay unambiguous in plans
+  // and error text
+  override def prettyName: String = "theta_merge"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[BinaryType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"theta_union requires BINARY (sketch) input, got ${child.dataType.catalogString}")
+      s"theta_merge requires BINARY (sketch) input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()

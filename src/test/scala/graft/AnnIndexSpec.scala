@@ -89,4 +89,26 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!rows.exists { case (_, nb, _) => removedIds.contains(nb) },
       "post-delete serve must never return a removed vector")
   }
+
+  test("reconstructionError: an out-of-range code EXCLUDES the vector instead of underreporting") {
+    val idx = buildOn(emb)
+    val base = AnnIndex.reconstructionError(emb, col("vec_id"), col("embedding"), idx)
+    assert(base.count() == idx.codes.count(),
+      "well-formed index: one audit row per indexed vector")
+    assert(base.agg(min(col("err"))).head().getDouble(0) >= 0.0)
+    // corrupt ONE row's first code to an impossible codeword: the joinless
+    // subspace must drop the whole vector from the audit (a zero-filled
+    // pivot would report a spuriously LOW error — the inversion of the
+    // metric's purpose)
+    val badVid = idx.codes.agg(min(col("vid"))).head().getLong(0)
+    val corrupted = idx.copy(codes = idx.codes.withColumn("codes",
+      when(col("vid") === badVid,
+        concat(array(lit(999)), slice(col("codes"), 2, idx.m - 1)))
+        .otherwise(col("codes"))))
+    val audited = AnnIndex.reconstructionError(emb, col("vec_id"),
+      col("embedding"), corrupted)
+    assert(audited.count() == base.count() - 1)
+    assert(audited.where(col("vid") === badVid).isEmpty,
+      "the corrupt-coded vector must vanish from the audit, not read as near-zero error")
+  }
 }

@@ -47,6 +47,7 @@ def main():
     con.execute("SET preserve_insertion_order=false")
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
+    n_views = 0
     for t in tables:
         # driver testdata ships single-file parquet; Spark-written dirs
         # (e.g. a ScaleShard output) need the part-file glob, and a shard
@@ -57,6 +58,12 @@ def main():
         elif not os.path.exists(path):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        n_views += 1
+    if n_views == 0:
+        # a shard dir may lack SOME tables, but zero tables means a typo'd
+        # sfdir — fail fast with one clear error, not 380 per-query ones
+        print(f"FATAL: no table parquet found under {sfdir}")
+        sys.exit(2)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
