@@ -116,10 +116,15 @@ object Bench {
     * Runs on a FRESH session (see the class doc) — `spark` here must be
     * newly created by the caller.
     */
-  private def streaming(spark: SparkSession, sfDir: String): String = {
+  private def streaming(spark: SparkSession, sfDir: String,
+      rowsOverride: Option[Long] = None): String = {
     import org.apache.spark.sql.functions.{length => blen, col, sum}
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    val n = math.max(10000L, (6000000 * sf).toLong) // ~reference total volume at sf0.1
+    // --rows=N / SPARK_GRAFT_STREAM_ROWS: the streaming scale-curve knob
+    // (round-14 measured 1× vs 10× volume as a one-off BenchStream run —
+    // 190 → 634.6 MB/s; this makes that datapoint reproducible through the
+    // driver's own harness). Default unchanged: ~reference volume at sf.
+    val n = rowsOverride.getOrElse(math.max(10000L, (6000000 * sf).toLong))
     val envDir = Scratch.dir("graft-bench-env")
     val outDir = Scratch.dir("graft-bench-out")
     val ckptDir = Scratch.dir("graft-bench-ckpt")
@@ -189,6 +194,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val isolated = args.contains("--isolated") ||
       sys.env.get("SPARK_GRAFT_BENCH_ISOLATED").contains("1")
+    val streamRows = args.find(_.startsWith("--rows="))
+      .map(_.stripPrefix("--rows=").toLong)
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toLong))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -212,7 +220,7 @@ object Bench {
         }
       }
       val streamSpark = newSession(cpus)
-      val streamingJson = streaming(streamSpark, sfDir)
+      val streamingJson = streaming(streamSpark, sfDir, streamRows)
       streamSpark.stop()
       val out = perQueryJson(sfDir, results, streamingJson, mode = "isolated")
       Files.writeString(Paths.get(
@@ -229,7 +237,7 @@ object Bench {
     // streaming measurement on a FRESH session — see the class doc
     spark.stop()
     val streamSpark = newSession(cpus)
-    val streamingJson = streaming(streamSpark, sfDir)
+    val streamingJson = streaming(streamSpark, sfDir, streamRows)
 
     val okRes = results.filter(_.ok)
     val qsCold = results.map(r => Json.str(r.name) + ":" + (if (r.ok) fmt(r.cold) else "-1"))

@@ -22,14 +22,21 @@ object Scratch {
     r
   }
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val children = Files.list(p)
-      try children.forEach(c => deleteRec(c))
-      finally children.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  // best-effort per node: a racing writer (e.g. a concurrent Spark shutdown
+  // hook still flushing into a scratch dir between our list and delete) must
+  // fail only its own subtree, never abort the rest of the sweep — an
+  // exception here would kill the hook thread mid-tree and leave partial
+  // leftovers that defeat the whole point of the managed root
+  private def deleteRec(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRec(c))
+        finally children.close()
+      }
+      Files.deleteIfExists(p)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** A fresh directory under the managed root (cleaned up at JVM exit). */
   def dir(prefix: String): String =

@@ -129,6 +129,105 @@ object AnnIndex {
     idx.copy(codes = idx.codes
       .join(removedIds.select(col("vid")), Seq("vid"), "left_anti"))
 
+  /** [[delete]] made true in the STORED bytes — the right-to-be-forgotten
+    * path a view-filter cannot satisfy: [[delete]] anti-joins the in-memory
+    * frame, but the parquet under `path/codes` still holds every removed
+    * vector's rows until they are rewritten out. This rewrites ONLY the
+    * cluster partitions that actually contain a removed vector (dynamic
+    * partition overwrite — the same idempotence recipe as the streaming
+    * maintenance delta), so the I/O is bounded by the affected cells, not
+    * the corpus: at 100 TB an index with thousands of cells rewrites the
+    * handful holding the removal set and never touches the rest.
+    *
+    * Two bounded driver transfers, both capped by the coarse cell count
+    * (model-scale, the k-rows doctrine): the affected-cluster set and the
+    * survivor-cluster set. The second exists because dynamic overwrite only
+    * replaces partitions PRESENT in the write — a cell whose every vector
+    * was removed emits no rows and would silently keep its stale directory;
+    * those directories are dropped explicitly.
+    *
+    * Model tables stay frozen on disk (same caveat as [[delete]]: removing
+    * the training influence means a retrain). q398 hash-proves the re-read
+    * post-delete serve against a survivors-only relational replay;
+    * AnnIndexSpec asserts the removed vids are gone from the stored parquet
+    * itself and that unaffected partitions keep their original files.
+    */
+  def deleteStored(spark: SparkSession, path: String, removedIds: DataFrame): Unit = {
+    val codesPath = s"$path/codes"
+    val codes = spark.read.parquet(codesPath)
+    val rm = removedIds.select(col("vid"))
+    val affected = codes.join(broadcast(rm), Seq("vid"), "left_semi")
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    // survivors of ONLY the affected cells, materialized BEFORE the
+    // overwrite: Spark (correctly) refuses to overwrite a path its plan is
+    // still reading, and the checkpoint also bounds the rewrite read to the
+    // affected partitions (partition pruning on the isin filter)
+    val survivors = codes
+      .where(col("cluster").isin(affected: _*))
+      .join(broadcast(rm), Seq("vid"), "left_anti")
+      .select(col("vid"), col("codes"), col("cluster"))
+      .localCheckpoint()
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(codesPath)
+    val still = survivors.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hp = new org.apache.hadoop.fs.Path(codesPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    affected.filterNot(still).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
+    }
+  }
+
+  /** Fold a streaming-maintenance delta (batch_id-partitioned encode output,
+    * [[graft.streaming.Pipelines.annIndexMaintenance]]) into the stored
+    * cluster-partitioned posting lists, then consume the delta directory.
+    *
+    * Why this exists: the maintenance stream accretes one `batch_id`
+    * partition per micro-batch — at production cadence that is thousands of
+    * small files OUTSIDE the cluster-partitioned layout, so a serve over
+    * `stored ∪ delta` loses partition pruning on the delta side (every probe
+    * reads every batch file). Compaction restores the invariant the serve
+    * path's dynamic partition pruning rests on: one directory per cluster,
+    * no batch_id residue (q399 hash-proves the compacted serve; PlanSpec
+    * pins its DPP).
+    *
+    * Upsert semantics: a vid present in both sides takes the delta's row,
+    * so re-running compact over a replayed delta cannot duplicate posting
+    * rows. The rewrite touches only the cluster partitions that received
+    * delta rows (bounded by the cell count — the [[deleteStored]] shape).
+    * Run it between stream runs, not concurrently with one: a live stream
+    * writing new batch partitions while the delta directory is being
+    * consumed would lose them.
+    */
+  def compact(spark: SparkSession, indexPath: String, deltaPath: String): Unit = {
+    val codesPath = s"$indexPath/codes"
+    // sever lineage from the delta files before they are deleted below
+    val delta = spark.read.parquet(deltaPath)
+      .select(col("vid"), col("cluster"), col("codes"))
+      .localCheckpoint()
+    val affected = delta.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.nonEmpty) {
+      val stored = spark.read.parquet(codesPath)
+        .where(col("cluster").isin(affected: _*))
+        .select(col("vid"), col("cluster"), col("codes"))
+      val merged = stored
+        .join(delta.select(col("vid")), Seq("vid"), "left_anti")
+        .unionByName(delta)
+        .select(col("vid"), col("codes"), col("cluster"))
+        .localCheckpoint()
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(codesPath)
+    }
+    val dp = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(dp, true)
+  }
+
   /** Per-vector PQ quantization error from the STORED tables — the DECODE
     * direction no other query exercises (search evaluates distances in code
     * space; this reconstructs and measures what the compression lost):
@@ -144,6 +243,15 @@ object AnnIndex {
     * and fold in FIXED sub order (the [[search]] ADC discipline), so every
     * err is bit-reproducible cross-engine (q397). Output: (vid, cluster,
     * err) — one row per indexed vector.
+    *
+    * Coverage contract: `df` must carry DISTINCT ids. The `n_subs === m`
+    * guard that excludes corrupt-coded vectors (deliberately — a partial
+    * reconstruction UNDERREPORTS error) also drops any vid duplicated in
+    * `df` (n_subs doubles) and, via the inner join, any indexed vid absent
+    * from `df` — all silently. An operator trending this metric should
+    * therefore compare audited rows against `idx.codes` rows: shrinkage is
+    * the corruption signal (q401 surfaces exactly that as per-cohort
+    * n_indexed vs n_audited).
     */
   def reconstructionError(
       df: DataFrame,

@@ -2290,7 +2290,7 @@ object SimilarityQueries {
         graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
           idx, nprobe = 2)
       },
-      Some(duckSqrtnServeOracle)),
+      Some(duckSqrtnServeOracle())),
 
     // q391 at the PRODUCTION LIFECYCLE: the √N-cell quantizer, residual
     // codebooks and cluster-partitioned posting lists are built and
@@ -2311,7 +2311,7 @@ object SimilarityQueries {
         graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
           idx, nprobe = 2)
       },
-      Some(duckSqrtnServeOracle)),
+      Some(duckSqrtnServeOracle())),
 
     // INCREMENTAL maintenance of the PERSISTED √N index (the q158
     // append==rebuild proof re-run at the production sizing AND through the
@@ -2420,6 +2420,145 @@ object SimilarityQueries {
            |  FROM chosen GROUP BY 1)
            |SELECT p.vec_id, s.cluster, ($tot) AS err
            |FROM perr p JOIN sassign s ON s.vec_id = p.vec_id""".stripMargin
+      }),
+
+    // STORED delete — q396's semantics made true in the BYTES: q396
+    // anti-joins the in-memory codes frame (the stored parquet still holds
+    // every removed vector's rows — a right-to-be-forgotten deployment
+    // cannot stop there), this leg clones the stored index, REWRITES the
+    // affected cluster partitions via dynamic partition overwrite
+    // (AnnIndex.deleteStored — I/O bounded by the cells holding removals,
+    // never the corpus), and the query serves from a RE-READ of the
+    // rewritten tables alone: scan-only plan, ranks re-closed over the
+    // survivors. Same survivors-only oracle as q396 — identical output
+    // through a storage path that actually forgot. AnnIndexSpec additionally
+    // asserts the removed vids are absent from the re-read parquet itself
+    // and unaffected partitions keep their original files.
+    QueryDef(
+      "q398_ivfpq_stored_delete",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, deletedIndexPath(s, dir))
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0"))),
+
+    // COMPACTED serve — the streaming-maintenance follow-through: the
+    // maintenance loop accretes one batch_id partition per micro-batch
+    // OUTSIDE the cluster layout, so probes lose partition pruning on the
+    // delta side; AnnIndex.compact folds the delta into the
+    // cluster-partitioned posting lists (upsert, affected cells only,
+    // delta consumed) and the serve regains the q393 scan-only + DPP shape
+    // over the WHOLE corpus (PlanSpec pins it). Model trained on the 6/7
+    // base (q394's split); delta = the 1/7 ingest, encoded frozen, landed
+    // as two batch partitions, compacted. Oracle: the q391 serve chain with
+    // base-trained model over full candidates — identical to q400's, which
+    // is the point: compacted storage and stored∪delta must serve the same
+    // answers.
+    QueryDef(
+      "q399_ivfpq_compacted_serve",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, compactedIndexPath(s, dir))
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle(trainOnBase = true))),
+
+    // RETRAIN TRIGGER — the operational decision q397's metric exists for:
+    // under a FROZEN base-trained model (6/7 split), drifted ingest encodes
+    // with growing reconstruction error; this audits the compacted index
+    // (base + frozen-encoded delta in one stored table), splits the
+    // per-vector errors into base/delta cohorts, and emits per-cohort
+    // coverage (n_indexed vs n_audited — the audit silently EXCLUDES
+    // corrupt-coded vectors, so shrinkage is itself a signal) plus exact
+    // nearest-rank p50/p90 error quantiles (the q153 recipe per cohort) and
+    // the verdict: retrain_due ⇔ the cohort's median error exceeds the base
+    // cohort's p90 — the q390/q263 gate pattern applied to index health.
+    // Scale: the q397 decode pass + one cohort-keyed rank window over
+    // per-vector scalars; the verdict bound is a 1-row broadcast.
+    QueryDef(
+      "q401_ivfpq_retrain_trigger",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, compactedIndexPath(s, dir))
+        val cohortOf = (vid: org.apache.spark.sql.Column) =>
+          when(pmod(vid, lit(7)) === 0, lit("delta")).otherwise(lit("base"))
+        val ranked = graft.ops.AnnIndex
+          .reconstructionError(emb, col("vec_id"), col("embedding"), idx)
+          .withColumn("cohort", cohortOf(col("vid")))
+          .withColumn("rnk", row_number().over(
+            W.partitionBy(col("cohort")).orderBy(col("err").asc, col("vid").asc)))
+          .withColumn("n", count(lit(1)).over(W.partitionBy(col("cohort"))))
+        val perCohort = ranked.groupBy(col("cohort")).agg(
+          max(col("n")).as("n_audited"),
+          // nearest-rank ceil via the portable add-99 form (q153)
+          min(when(col("rnk") === expr("(50 * n + 99) div 100"), col("err")))
+            .as("p50_err"),
+          min(when(col("rnk") === expr("(90 * n + 99) div 100"), col("err")))
+            .as("p90_err"))
+        val indexed = idx.codes
+          .groupBy(cohortOf(col("vid")).as("cohort"))
+          .agg(count(lit(1)).as("n_indexed"))
+        val bound = perCohort.where(col("cohort") === "base")
+          .select(col("p90_err").as("base_p90"))
+        perCohort.join(indexed, "cohort")
+          .crossJoin(broadcast(bound))
+          .select(col("cohort"), col("n_indexed"), col("n_audited"),
+            col("p50_err"), col("p90_err"),
+            (col("p50_err") > col("base_p90")).as("retrain_due"))
+      },
+      Some {
+        val pivots = (0 until 8).map(i =>
+          s"SUM(CASE WHEN sub = $i THEN d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+          .mkString(",\n           |    ")
+        val tot = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+        s"""WITH $duckEmb,
+           |eb AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 7 <> 0),
+           |${duckKmeansCtes(k = 22, iters = 2, src = "eb")},
+           |$duckKmeansAssignCtes,
+           |rese AS (
+           |  SELECT e.vec_id,
+           |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
+           |  FROM e JOIN sassign USING (vec_id)
+           |  JOIN cent2 ON cent2.clabel = sassign.cluster),
+           |resbase AS (SELECT * FROM rese WHERE vec_id % 7 <> 0),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese",
+              trainSrc = Some("resbase"))},
+           |chosen AS (
+           |  SELECT pl.vec_id, pl.sub, pl.d2
+           |  FROM pqlut pl JOIN pqcodes pc
+           |    ON pc.vec_id = pl.vec_id AND pc.sub = pl.sub AND pc.code = pl.code),
+           |perr AS (
+           |  SELECT vec_id,
+           |    $pivots
+           |  FROM chosen GROUP BY 1),
+           |errs AS (
+           |  SELECT vec_id, ($tot) AS err,
+           |    CASE WHEN vec_id % 7 = 0 THEN 'delta' ELSE 'base' END AS cohort
+           |  FROM perr),
+           |ranked AS (
+           |  SELECT cohort, err,
+           |    row_number() OVER (PARTITION BY cohort ORDER BY err, vec_id) AS rnk,
+           |    COUNT(*) OVER (PARTITION BY cohort) AS n
+           |  FROM errs),
+           |perc AS (
+           |  SELECT cohort, CAST(MAX(n) AS BIGINT) AS n_audited,
+           |    MIN(CASE WHEN rnk = (50 * n + 99) // 100 THEN err END) AS p50_err,
+           |    MIN(CASE WHEN rnk = (90 * n + 99) // 100 THEN err END) AS p90_err
+           |  FROM ranked GROUP BY 1),
+           |idxn AS (
+           |  SELECT CASE WHEN vec_id % 7 = 0 THEN 'delta' ELSE 'base' END AS cohort,
+           |    CAST(COUNT(*) AS BIGINT) AS n_indexed
+           |  FROM errs GROUP BY 1),
+           |bb AS (SELECT p90_err AS base_p90 FROM perc WHERE cohort = 'base')
+           |SELECT perc.cohort, n_indexed, n_audited, p50_err, p90_err,
+           |  (p50_err > base_p90) AS retrain_due
+           |FROM perc JOIN idxn USING (cohort) CROSS JOIN bb""".stripMargin
       })
   )
 
@@ -2433,13 +2572,23 @@ object SimilarityQueries {
   private val persistedIdxPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def persistedIndexPath(tag: String, dir: String)(
-      build: => graft.ops.IvfPqIndex): String =
+  /** Once-per-JVM memoized scratch path per (tag, sfDir): `setup` runs on
+    * first access only (build+write an index, run a maintenance stream,
+    * compact — whatever the tag's lifecycle leg is), scan-only reads
+    * afterwards. Deterministic setups make the memoization
+    * correctness-neutral.
+    */
+  private[queries] def memoPath(tag: String, dir: String)(
+      setup: String => Unit): String =
     persistedIdxPaths.computeIfAbsent(s"$tag|$dir", _ => {
       val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
-      graft.ops.AnnIndex.write(build, p)
+      setup(p)
       p
     })
+
+  private def persistedIndexPath(tag: String, dir: String)(
+      build: => graft.ops.IvfPqIndex): String =
+    memoPath(tag, dir)(p => graft.ops.AnnIndex.write(build, p))
 
   /** The q393 stored index: full corpus, √N-cell (k=22) k-means coarse
     * quantizer — q391's exact model, persisted.
@@ -2459,7 +2608,7 @@ object SimilarityQueries {
     * (vec_id % 7 != 0) at the same √N sizing — the frozen model the delta
     * ingest encodes against.
     */
-  private def sqrtnBaseIndexPath(s: org.apache.spark.sql.SparkSession,
+  private[queries] def sqrtnBaseIndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     persistedIndexPath("base", dir) {
       val emb = Tables.load(s, dir, "embeddings")
@@ -2471,6 +2620,45 @@ object SimilarityQueries {
         coarse, dims = 64, m = 8, k = 16, iters = 1)
     }
 
+  /** The q398 stored index: a fresh clone of [[sqrtnIndexPath]]'s tables
+    * (the shared memoized index must stay intact for q393/q396/q397) with
+    * the %11 removal set REWRITTEN OUT of the cloned storage — affected
+    * cluster partitions only, via [[graft.ops.AnnIndex.deleteStored]].
+    */
+  private def deletedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("deleted", dir) { p =>
+      graft.ops.AnnIndex.write(
+        graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir)), p)
+      val removed = Tables.load(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(11)) === 0)
+        .select(col("vec_id").as("vid"))
+      graft.ops.AnnIndex.deleteStored(s, p, removed)
+    }
+
+  /** The q399/q401 stored index: a fresh clone of the q394 base index
+    * (6/7-trained frozen model; [[sqrtnBaseIndexPath]] itself must stay
+    * intact for q394), the 1/7 delta encoded frozen and landed as TWO
+    * batch_id partitions (the maintenance stream's on-disk accretion
+    * shape), then folded into the cluster layout via
+    * [[graft.ops.AnnIndex.compact]] — one directory per cluster, no
+    * batch_id residue, delta consumed.
+    */
+  private def compactedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("compacted", dir) { p =>
+      val base = graft.ops.AnnIndex.read(s, sqrtnBaseIndexPath(s, dir))
+      graft.ops.AnnIndex.write(base, p)
+      val emb = Tables.load(s, dir, "embeddings")
+      val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+      val deltaDir = graft.Scratch.dir("graft-ivfpq-delta")
+      graft.ops.AnnIndex.encode(delta, col("vec_id"), col("embedding"), base)
+        .withColumn("batch_id", pmod(col("vid"), lit(2)).cast("long"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(deltaDir)
+      graft.ops.AnnIndex.compact(s, p, deltaDir)
+    }
+
   /** The shared q391/q393/q396 oracle: unrolled k=22/2-iteration k-means
     * coarse quantizer, residual PQ, probe + LUT + ADC chain — identical
     * math for the in-plan build (q391) and the persisted serve (q393),
@@ -2478,9 +2666,8 @@ object SimilarityQueries {
     * extra predicate on the candidate (posting-list) side — the delete
     * leg's survivors-only replay (q396).
     */
-  private def duckSqrtnServeOracle: String = duckSqrtnServeOracle("")
-
-  private def duckSqrtnServeOracle(candFilter: String): String = {
+  private[queries] def duckSqrtnServeOracle(candFilter: String = "",
+      trainOnBase: Boolean = false): String = {
     val sd = 8
     val qlutUnion = (0 until 8).map { s =>
       val lo = s * sd + 1
@@ -2494,15 +2681,31 @@ object SimilarityQueries {
       s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
       .mkString(",\n           |      ")
     val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+    // trainOnBase: the frozen-model lifecycle legs (q399 compacted serve,
+    // q400 streaming union serve) train the quantizer and codebooks on the
+    // 6/7 base split ONLY (q394's recipe) while assignment/encoding/serving
+    // still cover every vector — the oracle twin of "stored base index +
+    // ingested delta".
+    val trainCtes =
+      if (trainOnBase)
+        s"""eb AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 7 <> 0),
+           |${duckKmeansCtes(k = 22, iters = 2, src = "eb")}""".stripMargin
+      else duckKmeansCtes(k = 22, iters = 2)
+    val pqCtes =
+      if (trainOnBase)
+        s"""resbase AS (SELECT * FROM rese WHERE vec_id % 7 <> 0),
+           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese",
+              trainSrc = Some("resbase"))}""".stripMargin
+      else duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")
     s"""WITH $duckEmb,
-       |${duckKmeansCtes(k = 22, iters = 2)},
+       |$trainCtes,
        |$duckKmeansAssignCtes,
        |rese AS (
        |  SELECT e.vec_id,
        |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
        |  FROM e JOIN sassign USING (vec_id)
        |  JOIN cent2 ON cent2.clabel = sassign.cluster),
-       |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")},
+       |$pqCtes,
        |probes AS (
        |  SELECT vec_id, clabel AS cluster FROM (
        |    SELECT vec_id, clabel,

@@ -113,6 +113,14 @@ object Pipelines {
     * in the closure — a mid-stream retrain is structurally impossible,
     * which is the point: retrain = new [[graft.ops.AnnIndex.build]] and a
     * new query.
+    *
+    * Operational contract: `deltaPath` and `checkpointPath` are created and
+    * cleared TOGETHER (a fresh checkpoint over a deltaPath holding other
+    * batches' partitions fails fast at batch 0 — see the in-batch guard);
+    * and the delta accretes one batch_id partition per micro-batch, so fold
+    * it into the cluster layout periodically with
+    * [[graft.ops.AnnIndex.compact]] (between stream runs) to keep the
+    * serve path's partition pruning (q399/q400).
     */
   def annIndexMaintenance(
       vectors: DataFrame,
@@ -128,6 +136,25 @@ object Pipelines {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId == 0L) {
+          // deltaPath and checkpointPath must be created/cleared TOGETHER: a
+          // fresh checkpoint (first batch ever) over a deltaPath that already
+          // holds other batches' partitions means the caller is reusing a
+          // delta dir from a previous stream — those stale partitions would
+          // silently union into the serving index. A replay of batch 0 itself
+          // is fine (dynamic overwrite replaces its own partition), so only
+          // foreign batch_id residue fails.
+          val dp = new org.apache.hadoop.fs.Path(deltaPath)
+          val fs = dp.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(dp)) {
+            val stale = fs.listStatus(dp).map(_.getPath.getName)
+              .filter(n => n.startsWith("batch_id=") && n != "batch_id=0")
+            require(stale.isEmpty,
+              s"annIndexMaintenance: fresh checkpoint (batch 0) but deltaPath $deltaPath " +
+                s"already holds ${stale.sorted.mkString(", ")} from a previous stream — " +
+                "create/clear deltaPath and checkpointPath together")
+          }
+        }
         graft.ops.AnnIndex.encode(batch, id, vec, idx)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")

@@ -90,6 +90,135 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "post-delete serve must never return a removed vector")
   }
 
+  /** Per-cluster partition directories and their (non-marker) file names
+    * under a stored codes table — the storage-truth witness the
+    * deleteStored/compact specs assert against.
+    */
+  private def clusterFiles(codesDir: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(codesDir)
+    java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cluster="))
+      .map { d =>
+        d.getFileName.toString ->
+          java.nio.file.Files.list(d).iterator().asScala
+            .map(_.getFileName.toString)
+            .filterNot(_.startsWith("_")).toSet
+      }.toMap
+  }
+
+  test("deleteStored: removed vids are gone from the stored BYTES; unaffected partitions keep their original files") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-del-stored")
+    AnnIndex.write(idx, dir)
+    val removed = emb.where(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id").as("vid"))
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    assert(removedIds.nonEmpty)
+    val affected = spark.read.parquet(s"$dir/codes")
+      .join(removed, Seq("vid"), "left_semi")
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSet
+    val before = clusterFiles(s"$dir/codes")
+    AnnIndex.deleteStored(spark, dir, removed)
+    val after = clusterFiles(s"$dir/codes")
+    // the deletion is true in storage: a raw re-read of the parquet holds
+    // no removed vid (this is what q396's view-filter delete cannot claim)
+    val reread = spark.read.parquet(s"$dir/codes")
+    assert(reread.join(removed, Seq("vid"), "left_semi").isEmpty,
+      "removed vids must be absent from the re-read stored parquet itself")
+    // survivors byte-identical to the original posting lists minus removals
+    assert(codeRows(reread.select(col("vid"), col("cluster"), col("codes"))) ==
+      codeRows(idx.codes).filterNot { case (vid, _) => removedIds.contains(vid) })
+    // the rewrite touched ONLY the affected cells — every unaffected
+    // partition keeps its original files (the bounded-I/O claim at scale)
+    for ((d, fs) <- before if !affected.contains(d.stripPrefix("cluster=").toInt))
+      assert(after.get(d).contains(fs),
+        s"unaffected partition $d must keep its original files")
+    // re-read serve == the in-memory delete's serve (q396's semantics)
+    val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    assert(searchRows(AnnIndex.read(spark, dir), queries) ==
+      searchRows(AnnIndex.delete(idx, removed), queries))
+  }
+
+  test("deleteStored: a fully-emptied cell's directory is dropped (dynamic overwrite alone would keep it stale)") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-del-empty")
+    AnnIndex.write(idx, dir)
+    // remove EVERY vector of one cell: the survivors write emits no rows for
+    // it, so only the explicit directory drop keeps storage truthful
+    val victim = idx.codes.select(col("cluster")).orderBy(col("cluster")).head().getInt(0)
+    val removed = idx.codes.where(col("cluster") === victim).select(col("vid"))
+    val nRemoved = removed.count()
+    AnnIndex.deleteStored(spark, dir, removed)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/codes/cluster=$victim")),
+      "the emptied cell's partition directory must be gone")
+    val reread = spark.read.parquet(s"$dir/codes")
+    assert(reread.where(col("cluster") === victim).isEmpty)
+    assert(reread.count() == idx.codes.count() - nRemoved)
+  }
+
+  test("compact: batch_id delta folds into the cluster layout — no residue, delta consumed, serve unchanged") {
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val idx = buildOn(base)
+    val dir = tmpDir("ann-compact")
+    AnnIndex.write(idx, dir)
+    val stored = AnnIndex.read(spark, dir)
+    val deltaDir = tmpDir("ann-compact-delta") + "/delta"
+    val deltaCodes = AnnIndex.encode(emb.where(pmod(col("vec_id"), lit(7)) === 0),
+      col("vec_id"), col("embedding"), stored).localCheckpoint()
+    deltaCodes.withColumn("batch_id", pmod(col("vid"), lit(2)).cast("long"))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir)
+    val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val unionServe = searchRows(
+      AnnIndex.append(stored, deltaCodes), queries)
+    AnnIndex.compact(spark, dir, deltaDir)
+    // the delta directory is consumed; the codes table is one directory per
+    // cluster with zero batch_id residue — the layout the serve path's
+    // partition pruning rests on
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)),
+      "compact must consume the delta directory")
+    assert(clusterFiles(s"$dir/codes").nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val residue = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(residue.isEmpty, s"no batch_id residue under codes/: $residue")
+    // content: base ∪ delta exactly once; serve identical to stored ∪ delta
+    val compacted = AnnIndex.read(spark, dir)
+    assert(codeRows(compacted.codes) ==
+      codeRows(idx.codes) ++ codeRows(deltaCodes))
+    assert(compacted.codes.count() == idx.codes.count() + deltaCodes.count())
+    assert(searchRows(compacted, queries) == unionServe,
+      "compacted storage and stored ∪ delta must serve the same answers")
+  }
+
+  test("compact: upsert — a replayed delta cannot duplicate posting rows") {
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val idx = buildOn(base)
+    val dir = tmpDir("ann-compact-replay")
+    AnnIndex.write(idx, dir)
+    val stored = AnnIndex.read(spark, dir)
+    val deltaCodes = AnnIndex.encode(emb.where(pmod(col("vec_id"), lit(7)) === 0),
+      col("vec_id"), col("embedding"), stored).localCheckpoint()
+    def writeDelta(p: String): Unit = deltaCodes
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(p)
+    val d1 = tmpDir("ann-replay-d1") + "/delta"
+    writeDelta(d1)
+    AnnIndex.compact(spark, dir, d1)
+    val once = codeRows(AnnIndex.read(spark, dir).codes)
+    // the same delta arrives again (a replayed stream / double compaction)
+    val d2 = tmpDir("ann-replay-d2") + "/delta"
+    writeDelta(d2)
+    AnnIndex.compact(spark, dir, d2)
+    val twice = AnnIndex.read(spark, dir)
+    assert(codeRows(twice.codes) == once,
+      "re-compacting a replayed delta must be a no-op on content")
+    assert(twice.codes.count() == once.size.toLong, "no duplicate posting rows")
+  }
+
   test("reconstructionError: an out-of-range code EXCLUDES the vector instead of underreporting") {
     val idx = buildOn(emb)
     val base = AnnIndex.reconstructionError(emb, col("vec_id"), col("embedding"), idx)

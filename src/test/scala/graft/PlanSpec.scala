@@ -244,6 +244,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"the codes scan must be partition-pruned by the probed clusters:\n$p")
   }
 
+  test("q398/q399 stored-lifecycle serves: scan-only plans with probed-cell partition pruning") {
+    // q398 serves a storage-rewritten (deleteStored) clone; q399 serves the
+    // compacted base+delta table. Both must keep the q393 production shape:
+    // parquet scans + ADC chain, zero training/encode lineage, and DPP on
+    // the cluster-partitioned codes — the compaction query exists precisely
+    // to RESTORE that pruning (a batch_id-partitioned delta side has none).
+    for (q <- Seq("q398_ivfpq_stored_delete", "q399_ivfpq_compacted_serve")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("existingrdd"),
+        s"$q: serve plan must contain no checkpointed training lineage")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: the top-k rank filter must prune map-side before the exchange")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: centroids/codebooks must broadcast")
+      assert(p.contains("dynamicpruning"),
+        s"$q: the codes scan must be partition-pruned by the probed clusters:\n$p")
+    }
+  }
+
   test("q397 reconstruction audit: decode path is scan-only — broadcast model, no training lineage") {
     val p = plan(SparkEntry.queries("q397_ivfpq_reconstruction_error")(spark, sf))
     assert(!p.toLowerCase.contains("existingrdd"),

@@ -1339,4 +1339,65 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(codeRows(served.codes) ==
       (codeRows(idx.codes) ++ codeRows(batchTwin)))
   }
+
+  test("annIndexMaintenance: a reused deltaPath under a FRESH checkpoint fails fast instead of serving stale batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(base, col("embedding"), col("label"))))
+    val built = AnnIndex.build(base, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1)
+    val idxDir = tmpDir("ann-guard-idx")
+    AnnIndex.write(built, idxDir)
+    val idx = AnnIndex.read(spark, idxDir)
+    val deltaPath = tmpDir("ann-guard-delta")
+
+    val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def drain(ckpt: String): Unit = {
+      val q = graft.streaming.Pipelines.annIndexMaintenance(stream,
+        col("vec_id"), col("embedding"), idx, deltaPath, ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // first stream: TWO micro-batches, so deltaPath ends up holding
+    // batch_id=0 AND batch_id=1 (residue a later batch-0 replay could not
+    // legitimately produce)
+    val ckpt1 = tmpDir("ann-guard-ckpt1")
+    ms.addData(b1.toSeq); drain(ckpt1)
+    ms.addData(b2.toSeq); drain(ckpt1)
+    assert(spark.read.parquet(deltaPath)
+      .select("batch_id").distinct().count() == 2)
+
+    // a FRESH checkpoint over the same deltaPath: those stale partitions
+    // would silently union into the serving index — must fail fast, not run
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    val stream2 = ms2.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    ms2.addData(b1.toSeq)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = graft.streaming.Pipelines.annIndexMaintenance(stream2,
+        col("vec_id"), col("embedding"), idx, deltaPath,
+        tmpDir("ann-guard-ckpt2"), trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("create/clear deltaPath and checkpointPath together") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("create/clear deltaPath and checkpointPath together")),
+      s"fresh-checkpoint guard must be the failure cause, got: ${ex.getMessage}")
+    // and the legitimate replay shape stays allowed: resuming with the
+    // ORIGINAL checkpoint (no new data) is a clean no-op
+    drain(ckpt1)
+  }
 }

@@ -11,7 +11,7 @@ columns by name, canonicalize (round doubles to 6dp, timestamps to us), sort
 rows, and hash-compare.
 """
 import glob
-import json, os, subprocess, sys, hashlib
+import json, os, subprocess, sys, hashlib, tempfile
 import duckdb
 import pandas as pd
 
@@ -42,8 +42,11 @@ def main():
                        check=True, capture_output=True, text=True)
     con = duckdb.connect()
     # big-shard oracles (e.g. the 10x ScaleShard correctness leg) need
-    # spill-to-disk and don't care about insertion order (canon() sorts)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # spill-to-disk and don't care about insertion order (canon() sorts).
+    # The spill dir is a managed tempdir (removed at interpreter exit) — a
+    # fixed /tmp path would accrete spill files across runs forever.
+    spill = tempfile.TemporaryDirectory(prefix="duckdb_spill_")
+    con.execute(f"SET temp_directory='{spill.name}'")
     con.execute("SET preserve_insertion_order=false")
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -56,6 +59,11 @@ def main():
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         elif not os.path.exists(path):
+            # a notice, not an error: a shard dir legitimately lacks tables
+            # its queries never touch, but a PARTIAL shard write should be
+            # distinguishable from that at a glance, not via 380 per-query
+            # 'table not found' failures
+            print(f"note: no {t} parquet under {sfdir} — view skipped")
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
         n_views += 1
