@@ -2559,7 +2559,80 @@ object SimilarityQueries {
            |SELECT perc.cohort, n_indexed, n_audited, p50_err, p90_err,
            |  (p50_err > base_p90) AS retrain_due
            |FROM perc JOIN idxn USING (cohort) CROSS JOIN bb""".stripMargin
-      })
+      }),
+
+    // NPROBE-RECALL audit from the STORED index — the q233 (binary-quant
+    // recall) discipline applied to the persisted √N IVF-PQ family: serve
+    // top-3 at nprobe ∈ {1, 2, 4} from the stored tables alone and score
+    // each arm against the exact-L2 top-3 truth set. This is the dial an
+    // index operator reads before fixing a serving nprobe: recall is
+    // monotone in probes (CatalogSpec asserts it on this row) while serve
+    // cost grows linearly with candidate volume, and the answer comes from
+    // the STORED model — no retraining to evaluate a config. The exact
+    // side is the quadratic truth oracle, so the row is quarantined
+    // bench=false (the q61/q147 stance); the scalable members are the
+    // serve arms themselves (q393). Engine and oracle compute the same
+    // sequential L2² folds, so hit sets match bit-exactly.
+    QueryDef(
+      "q402_ivfpq_nprobe_recall",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir))
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        val nQ = queries.count() // 1-row bounded transfer (the q395 recipe)
+        // exact-L2 top-3 truth set (self-excluded), shared by all arms
+        val exact = queries
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            transform(col("embedding"), x => x.cast("double")).as("nv")),
+            col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.l2sq(col("qv"), col("nv")).as("d2"))
+          .withColumn("rk", row_number().over(W.partitionBy(col("query_id"))
+            .orderBy(col("d2").asc, col("neighbor_id").asc)))
+          .where(col("rk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint()
+        Seq(1, 2, 4).map { np =>
+          graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"),
+              3, idx, nprobe = np)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), lit(nQ).as("n_queries"),
+              col("n_hits"),
+              (col("n_hits").cast("double") / (lit(3.0) * lit(nQ.toDouble)))
+                .as("recall"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val arms = Seq(1, 2, 4)
+          .map(np => duckServeArmCtes(np, k = 3, pfx = s"p${np}_"))
+          .mkString(",\n")
+        val recalls = Seq(1, 2, 4).map(np =>
+          s"""SELECT $np AS nprobe, (SELECT n FROM nq) AS n_queries,
+             |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+             |  CAST(COUNT(*) AS DOUBLE) / (3.0 * (SELECT n FROM nq)) AS recall
+             |FROM p${np}_topk t
+             |JOIN ex ON ex.query_id = t.query_id
+             |  AND ex.neighbor_id = t.neighbor_id""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${duckSqrtnTrainCtes(trainOnBase = false)},
+           |$arms,
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+           |          exd -> (a.v[exd] - b.v[exd]) * (a.v[exd] - b.v[exd]))),
+           |          (x, y) -> x + y) ASC, b.vec_id ASC) AS rk
+           |    FROM e a JOIN e b ON a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id)
+           |  WHERE rk <= 3),
+           |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e WHERE vec_id % 10 = 0)
+           |$recalls""".stripMargin
+      },
+      bench = false)
   )
 
   /** Once-per-JVM persisted IVF-PQ index per (tag, sfDir): build + write on
@@ -2667,25 +2740,21 @@ object SimilarityQueries {
     * leg's survivors-only replay (q396).
     */
   private[queries] def duckSqrtnServeOracle(candFilter: String = "",
-      trainOnBase: Boolean = false): String = {
-    val sd = 8
-    val qlutUnion = (0 until 8).map { s =>
-      val lo = s * sd + 1
-      val hi = s * sd + sd
-      s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
-         |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
-         |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM qres) CROSS JOIN pq${s}_cent1""".stripMargin
-    }.mkString("\n  UNION ALL\n  ")
-    val pivots = (0 until 8).map(i =>
-      s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
-      .mkString(",\n           |      ")
-    val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
-    // trainOnBase: the frozen-model lifecycle legs (q399 compacted serve,
-    // q400 streaming union serve) train the quantizer and codebooks on the
-    // 6/7 base split ONLY (q394's recipe) while assignment/encoding/serving
-    // still cover every vector — the oracle twin of "stored base index +
-    // ingested delta".
+      trainOnBase: Boolean = false): String =
+    s"""WITH ${duckSqrtnTrainCtes(trainOnBase)},
+       |${duckServeArmCtes(nprobe = 2, k = 3, pfx = "", candFilter)}
+       |SELECT query_id, neighbor_id, adc, rank FROM topk""".stripMargin
+
+  /** The shared TRAINING half of the √N serve oracles: double-cast vectors,
+    * the k=22/2-iteration k-means quantizer, assignment of EVERY vector
+    * (`sassign`/`sdist`), residuals, and the residual-PQ tables
+    * (`pqcodes`/`pqlut`/`pq<sub>_cent1`). trainOnBase: the frozen-model
+    * lifecycle legs (q399 compacted serve, q400 streaming union serve)
+    * train quantizer and codebooks on the 6/7 base split ONLY (q394's
+    * recipe) while assignment/encoding/serving still cover every vector —
+    * the oracle twin of "stored base index + ingested delta".
+    */
+  private def duckSqrtnTrainCtes(trainOnBase: Boolean): String = {
     val trainCtes =
       if (trainOnBase)
         s"""eb AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 7 <> 0),
@@ -2697,7 +2766,7 @@ object SimilarityQueries {
            |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese",
               trainSrc = Some("resbase"))}""".stripMargin
       else duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese")
-    s"""WITH $duckEmb,
+    s"""$duckEmb,
        |$trainCtes,
        |$duckKmeansAssignCtes,
        |rese AS (
@@ -2705,35 +2774,60 @@ object SimilarityQueries {
        |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
        |  FROM e JOIN sassign USING (vec_id)
        |  JOIN cent2 ON cent2.clabel = sassign.cluster),
-       |$pqCtes,
-       |probes AS (
+       |$pqCtes""".stripMargin
+  }
+
+  /** One ADC serve arm over [[duckSqrtnTrainCtes]]: probe the `nprobe`
+    * nearest cells per %10 query, build the per-(query, cell) LUT, pivot
+    * per-pair subspace distances in fixed order, cut at rank <= `k`. Every
+    * CTE name carries `pfx` so several arms coexist in ONE statement (the
+    * q402 nprobe-recall audit); ends in
+    * `${pfx}topk(query_id, neighbor_id, adc, rank)`.
+    */
+  private def duckServeArmCtes(nprobe: Int, k: Int, pfx: String,
+      candFilter: String = ""): String = {
+    val sd = 8
+    val qlutUnion = (0 until 8).map { s =>
+      val lo = s * sd + 1
+      val hi = s * sd + sd
+      s"""SELECT vec_id, cluster, $s AS sub, clabel AS code,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $sd + 1),
+         |      qld -> (sv[qld] - carr[qld]) * (sv[qld] - carr[qld]))), (x, y) -> x + y) AS d2
+         |  FROM (SELECT vec_id, cluster, v[$lo:$hi] AS sv FROM ${pfx}qres) CROSS JOIN pq${s}_cent1""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val pivots = (0 until 8).map(i =>
+      s"SUM(CASE WHEN pc.sub = $i THEN l.d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
+      .mkString(",\n           |      ")
+    val score = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
+    s"""${pfx}probes AS (
        |  SELECT vec_id, clabel AS cluster FROM (
        |    SELECT vec_id, clabel,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
        |    FROM sdist WHERE vec_id % 10 = 0)
-       |  WHERE rn <= 2),
-       |qres AS (
+       |  WHERE rn <= $nprobe),
+       |${pfx}qres AS (
        |  SELECT p.vec_id, p.cluster,
        |    list_transform(range(1, 65), qri -> e.v[qri] - c.carr[qri]) AS v
-       |  FROM probes p JOIN e ON e.vec_id = p.vec_id
+       |  FROM ${pfx}probes p JOIN e ON e.vec_id = p.vec_id
        |  JOIN cent2 c ON c.clabel = p.cluster),
-       |qlut AS (
+       |${pfx}qlut AS (
        |  $qlutUnion),
-       |pairsubs AS (
+       |${pfx}pairsubs AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      $pivots
-       |  FROM probes a
+       |  FROM ${pfx}probes a
        |  JOIN sassign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id$candFilter
        |  JOIN pqcodes pc ON pc.vec_id = b.vec_id
-       |  JOIN qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
+       |  JOIN ${pfx}qlut l ON l.vec_id = a.vec_id AND l.cluster = a.cluster
        |    AND l.sub = pc.sub AND l.code = pc.code
-       |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, adc, rank FROM (
-       |  SELECT query_id, neighbor_id, $score AS adc,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY $score ASC, neighbor_id ASC) AS rank
-       |  FROM pairsubs)
-       |WHERE rank <= 3""".stripMargin
+       |  GROUP BY 1, 2),
+       |${pfx}topk AS (
+       |  SELECT query_id, neighbor_id, adc, rank FROM (
+       |    SELECT query_id, neighbor_id, $score AS adc,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY $score ASC, neighbor_id ASC) AS rank
+       |    FROM ${pfx}pairsubs)
+       |  WHERE rank <= $k)""".stripMargin
   }
 
   /** One complete DuckDB statement (own WITH chain) replaying the q227

@@ -233,6 +233,23 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(c6 < c2, f"6 centers must cover better than 2 (cost $c6%.3f vs $c2%.3f)")
   }
 
+  test("q402: persisted-index recall is monotone in nprobe and within sane bounds") {
+    val rows = SparkEntry.queries("q402_ivfpq_nprobe_recall")(spark, TestSpark.sf0001)
+      .orderBy(org.apache.spark.sql.functions.col("nprobe"))
+      .collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    // probing MORE cells can only add candidates; the top-k over a superset
+    // never loses a true hit that survived the smaller set's ranking at the
+    // same k... it CAN displace one (ADC is approximate), so assert the
+    // dial's operational claim on the end-to-end sweep: the widest probe is
+    // at least as good as the narrowest, and every arm finds real signal
+    assert(recalls.last >= recalls.head,
+      s"nprobe=4 recall must not fall below nprobe=1: $recalls")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.head > 0.0, "even one probed cell must recall something")
+  }
+
   test("README query counts match the catalog (the counts are derived, not hand-maintained)") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
