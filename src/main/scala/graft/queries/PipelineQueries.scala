@@ -2188,7 +2188,33 @@ object PipelineQueries {
         graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
           served, nprobe = 2)
       },
-      Some(SimilarityQueries.duckSqrtnServeOracle(trainOnBase = true)))
+      Some(SimilarityQueries.duckSqrtnServeOracle(trainOnBase = true))),
+
+    // LIFECYCLE CAPSTONE — the whole operational story of a production
+    // vector index composed into ONE stored artifact and certified by ONE
+    // hash: train-once on the 6/7 base (frozen model), ingest the 1/7 delta
+    // through the ACTUAL maintenance stream (≥2 micro-batches, batch_id
+    // partitions), COMPACT the delta into the cluster layout (no batch_id
+    // residue), REWRITE the %11 right-to-be-forgotten set out of the stored
+    // bytes, and serve top-k scan-only from what remains. Each leg is
+    // individually hash-proved (q394/q400 ingest, q399 compact, q398
+    // delete, q393 serve); what this row adds is their COMPOSITION — the
+    // oracle (base-trained model, survivors-only candidates over the full
+    // corpus) would catch any interaction bug between legs: a compaction
+    // that resurrects a deleted vector, a delete that drops a streamed one,
+    // a batch partition the compact missed. The serve plan keeps the q393
+    // production shape (PlanSpec: scan-only + probed-cell DPP).
+    QueryDef(
+      "q403_ann_lifecycle_e2e",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.ops.AnnIndex.read(s, lifecycleIndexPath(s, dir))
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(SimilarityQueries.duckSqrtnServeOracle(
+        candFilter = "\n    AND b.vec_id % 11 <> 0", trainOnBase = true)))
   )
 
   /** Once-per-JVM streamed codes delta per sfDir: the 1/7 split written to a
@@ -2201,22 +2227,54 @@ object PipelineQueries {
     */
   private def streamedDeltaPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    SimilarityQueries.memoPath("streamdelta", dir) { deltaPath =>
-      val idx = graft.ops.AnnIndex.read(s,
-        SimilarityQueries.sqrtnBaseIndexPath(s, dir))
-      val srcDir = graft.Scratch.dir("graft-ann-stream-src")
-      Tables.load(s, dir, "embeddings")
-        .where(pmod(col("vec_id"), lit(7)) === 0)
-        .select(col("vec_id"), col("embedding"))
-        .repartition(2).write.mode("overwrite").parquet(srcDir)
-      val stream = s.readStream
-        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-      val q = graft.streaming.Pipelines.annIndexMaintenance(stream,
-        col("vec_id"), col("embedding"), idx, deltaPath,
-        checkpointPath = graft.Scratch.dir("graft-ann-stream-ckpt"),
-        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination()
+    SimilarityQueries.memoPath("streamdelta", dir)(streamDeltaInto(s, dir, _))
+
+  /** Run the ACTUAL maintenance stream once: the 1/7 split staged as a
+    * 2-file scratch parquet source, streamed back one file per micro-batch
+    * (AvailableNow ⇒ ≥2 real batches) through
+    * [[graft.streaming.Pipelines.annIndexMaintenance]] against the frozen
+    * q394 base model, landing batch_id-partitioned posting rows at
+    * `deltaPath`. Shared by the union-serve leg (q400, which READS the
+    * accreted delta) and the lifecycle capstone (q403, which COMPACTS it).
+    */
+  private def streamDeltaInto(s: org.apache.spark.sql.SparkSession,
+      dir: String, deltaPath: String): Unit = {
+    val idx = graft.ops.AnnIndex.read(s,
+      SimilarityQueries.sqrtnBaseIndexPath(s, dir))
+    val srcDir = graft.Scratch.dir("graft-ann-stream-src")
+    Tables.load(s, dir, "embeddings")
+      .where(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = graft.streaming.Pipelines.annIndexMaintenance(stream,
+      col("vec_id"), col("embedding"), idx, deltaPath,
+      checkpointPath = graft.Scratch.dir("graft-ann-stream-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  /** The q403 stored index: the WHOLE lifecycle composed — a fresh clone of
+    * the frozen 6/7 base model, the 1/7 delta ingested through the actual
+    * maintenance stream, the batch_id delta COMPACTED into the cluster
+    * layout, then the %11 removal set REWRITTEN out of storage. Every leg
+    * is individually hash-proved (q394/q400, q399, q398); this path is
+    * their composition, so q403's single hash certifies the interactions.
+    */
+  private def lifecycleIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("lifecycle", dir) { p =>
+      graft.ops.AnnIndex.write(
+        graft.ops.AnnIndex.read(s, SimilarityQueries.sqrtnBaseIndexPath(s, dir)), p)
+      val deltaDir = graft.Scratch.dir("graft-ann-lifecycle-delta")
+      streamDeltaInto(s, dir, deltaDir)
+      graft.ops.AnnIndex.compact(s, p, deltaDir)
+      val removed = Tables.load(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(11)) === 0)
+        .select(col("vec_id").as("vid"))
+      graft.ops.AnnIndex.deleteStored(s, p, removed)
     }
 }

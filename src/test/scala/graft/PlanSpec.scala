@@ -250,7 +250,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // parquet scans + ADC chain, zero training/encode lineage, and DPP on
     // the cluster-partitioned codes — the compaction query exists precisely
     // to RESTORE that pruning (a batch_id-partitioned delta side has none).
-    for (q <- Seq("q398_ivfpq_stored_delete", "q399_ivfpq_compacted_serve")) {
+    for (q <- Seq("q398_ivfpq_stored_delete", "q399_ivfpq_compacted_serve",
+        "q403_ann_lifecycle_e2e")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("existingrdd"),
         s"$q: serve plan must contain no checkpointed training lineage")
