@@ -155,8 +155,12 @@ object AnnIndex {
   def deleteStored(spark: SparkSession, path: String, removedIds: DataFrame): Unit = {
     val codesPath = s"$path/codes"
     val codes = spark.read.parquet(codesPath)
+    // no broadcast HINT on the removal set: a typical right-to-be-forgotten
+    // batch is small and AQE broadcasts it on its own, but a bulk purge
+    // (court order over a whole source) must degrade to a shuffled
+    // semi/anti join instead of OOMing a forced broadcast
     val rm = removedIds.select(col("vid"))
-    val affected = codes.join(broadcast(rm), Seq("vid"), "left_semi")
+    val affected = codes.join(rm, Seq("vid"), "left_semi")
       .select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (affected.isEmpty) return
@@ -166,7 +170,7 @@ object AnnIndex {
     // affected partitions (partition pruning on the isin filter)
     val survivors = codes
       .where(col("cluster").isin(affected: _*))
-      .join(broadcast(rm), Seq("vid"), "left_anti")
+      .join(rm, Seq("vid"), "left_anti")
       .select(col("vid"), col("codes"), col("cluster"))
       .localCheckpoint()
     survivors.write.mode("overwrite")
