@@ -173,13 +173,22 @@ object AnnIndex {
       .join(rm, Seq("vid"), "left_anti")
       .select(col("vid"), col("codes"), col("cluster"))
       .localCheckpoint()
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cluster").parquet(codesPath)
     val still = survivors.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSet
     val hp = new org.apache.hadoop.fs.Path(codesPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    // fail BEFORE mutating if the removal would empty the whole index: zero
+    // surviving cells means zero parquet files under codes/, which the next
+    // read rejects with an opaque schema-inference error far from the cause
+    val existing = fs.listStatus(hp).map(_.getPath.getName)
+      .filter(_.startsWith("cluster="))
+      .map(_.stripPrefix("cluster=").toInt).toSet
+    require((existing -- (affected.toSet -- still)).nonEmpty,
+      "deleteStored: the removal set covers every indexed vector — an empty " +
+        "index has no readable codes table; drop the index directory instead")
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(codesPath)
     affected.filterNot(still).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
     }
@@ -198,10 +207,14 @@ object AnnIndex {
     * no batch_id residue (q399 hash-proves the compacted serve; PlanSpec
     * pins its DPP).
     *
-    * Upsert semantics: a vid present in both sides takes the delta's row,
-    * so re-running compact over a replayed delta cannot duplicate posting
-    * rows. The rewrite touches only the cluster partitions that received
-    * delta rows (bounded by the cell count — the [[deleteStored]] shape).
+    * Upsert semantics, ACROSS cells: a vid present in both sides takes the
+    * delta's row, including when the updated embedding assigned to a
+    * different cluster (the stale old-cluster row is rewritten away), so
+    * re-running compact over a replayed delta cannot duplicate posting
+    * rows and a re-encoded vector never serves twice. The rewrite touches
+    * only the cluster partitions that received delta rows or held a stale
+    * row of a delta vid (bounded by the cell count — the [[deleteStored]]
+    * shape).
     * Run it between stream runs, not concurrently with one: a live stream
     * writing new batch partitions while the delta directory is being
     * consumed would lose them.
@@ -212,10 +225,21 @@ object AnnIndex {
     val delta = spark.read.parquet(deltaPath)
       .select(col("vid"), col("cluster"), col("codes"))
       .localCheckpoint()
-    val affected = delta.select(col("cluster")).distinct()
+    // affected = cells receiving delta rows UNION cells holding a STALE row
+    // of a delta vid. The second leg makes the upsert true across cells: a
+    // re-ingested vector whose updated embedding assigns to a DIFFERENT
+    // cluster must have its old-cluster row rewritten away, or the index
+    // would serve the same vid twice (once stale). One vid-semi-join scan
+    // over the stored codes (ints only), still bounded by the cell count.
+    val storedAll = spark.read.parquet(codesPath)
+    val affected = delta.select(col("cluster"))
+      .unionByName(storedAll
+        .join(delta.select(col("vid")), Seq("vid"), "left_semi")
+        .select(col("cluster")))
+      .distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (affected.nonEmpty) {
-      val stored = spark.read.parquet(codesPath)
+      val stored = storedAll
         .where(col("cluster").isin(affected: _*))
         .select(col("vid"), col("cluster"), col("codes"))
       val merged = stored
@@ -226,6 +250,15 @@ object AnnIndex {
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster").parquet(codesPath)
+      // a cell whose ONLY rows were stale cross-cluster residents emits no
+      // rows in the rewrite — drop its directory, the deleteStored rule
+      val still = merged.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val hp = new org.apache.hadoop.fs.Path(codesPath)
+      val cfs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      affected.filterNot(still).foreach { c =>
+        cfs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
+      }
     }
     val dp = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())

@@ -2517,18 +2517,7 @@ object SimilarityQueries {
           s"SUM(CASE WHEN sub = $i THEN d2 ELSE CAST(0.0 AS DOUBLE) END) AS d_$i")
           .mkString(",\n           |    ")
         val tot = (0 until 8).map(i => s"d_$i").reduce((a, x) => s"($a + $x)")
-        s"""WITH $duckEmb,
-           |eb AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 7 <> 0),
-           |${duckKmeansCtes(k = 22, iters = 2, src = "eb")},
-           |$duckKmeansAssignCtes,
-           |rese AS (
-           |  SELECT e.vec_id,
-           |    list_transform(range(1, 65), rri -> e.v[rri] - cent2.carr[rri]) AS v
-           |  FROM e JOIN sassign USING (vec_id)
-           |  JOIN cent2 ON cent2.clabel = sassign.cluster),
-           |resbase AS (SELECT * FROM rese WHERE vec_id % 7 <> 0),
-           |${duckPqCtes(m = 8, k = 16, iters = 1, dims = 64, src = "rese",
-              trainSrc = Some("resbase"))},
+        s"""WITH ${duckSqrtnTrainCtes(trainOnBase = true)},
            |chosen AS (
            |  SELECT pl.vec_id, pl.sub, pl.d2
            |  FROM pqlut pl JOIN pqcodes pc
@@ -2624,8 +2613,9 @@ object SimilarityQueries {
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-           |          exd -> (a.v[exd] - b.v[exd]) * (a.v[exd] - b.v[exd]))),
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(list_zip(a.v, b.v),
+           |            exp -> (exp[1] - exp[2]) * (exp[1] - exp[2]))),
            |          (x, y) -> x + y) ASC, b.vec_id ASC) AS rk
            |    FROM e a JOIN e b ON a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id)
            |  WHERE rk <= 3),
@@ -2652,12 +2642,22 @@ object SimilarityQueries {
     * correctness-neutral.
     */
   private[queries] def memoPath(tag: String, dir: String)(
-      setup: String => Unit): String =
-    persistedIdxPaths.computeIfAbsent(s"$tag|$dir", _ => {
-      val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
-      setup(p)
-      p
-    })
+      setup: String => Unit): String = {
+    val key = s"$tag|$dir"
+    val cur = persistedIdxPaths.get(key)
+    if (cur != null) return cur
+    // setup runs OUTSIDE any map lock — deliberately NOT computeIfAbsent:
+    // setups nest (deleted→full, compacted/lifecycle→base index), and
+    // ConcurrentHashMap.computeIfAbsent forbids recursive updates of the
+    // same map (IllegalStateException when the nested key lands in the
+    // in-progress bin). The harness runs queries sequentially; if two
+    // threads ever race here both setups are deterministic and valid, the
+    // loser's scratch dir is simply unused (and swept at JVM exit).
+    val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
+    setup(p)
+    val prev = persistedIdxPaths.putIfAbsent(key, p)
+    if (prev != null) prev else p
+  }
 
   private def persistedIndexPath(tag: String, dir: String)(
       build: => graft.ops.IvfPqIndex): String =

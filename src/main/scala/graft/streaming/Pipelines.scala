@@ -139,20 +139,37 @@ object Pipelines {
         if (batchId == 0L) {
           // deltaPath and checkpointPath must be created/cleared TOGETHER: a
           // fresh checkpoint (first batch ever) over a deltaPath that already
-          // holds other batches' partitions means the caller is reusing a
-          // delta dir from a previous stream — those stale partitions would
-          // silently union into the serving index. A replay of batch 0 itself
-          // is fine (dynamic overwrite replaces its own partition), so only
-          // foreign batch_id residue fails.
+          // holds a previous stream's partitions would silently union — or
+          // dynamically overwrite — that stream's un-compacted rows. A replay
+          // of THIS stream's batch 0 (crash before the commit) must still
+          // pass, and batchId alone cannot tell the two apart, so batch 0
+          // stamps an ownership marker (`_`-prefixed: invisible to parquet
+          // readers) with the checkpoint path BEFORE writing. Marker from a
+          // different checkpoint ⇒ foreign delta, fail. No marker but
+          // batch_id residue ⇒ unowned leftovers (including a lone
+          // batch_id=0 from a one-batch stream), fail.
           val dp = new org.apache.hadoop.fs.Path(deltaPath)
           val fs = dp.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-          if (fs.exists(dp)) {
-            val stale = fs.listStatus(dp).map(_.getPath.getName)
-              .filter(n => n.startsWith("batch_id=") && n != "batch_id=0")
+          val marker = new org.apache.hadoop.fs.Path(dp, "_graft_delta_owner")
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            require(owner == checkpointPath,
+              s"annIndexMaintenance: deltaPath $deltaPath is owned by checkpoint " +
+                s"'$owner' but this stream runs on '$checkpointPath' — " +
+                "create/clear deltaPath and checkpointPath together")
+          } else {
+            val stale =
+              if (fs.exists(dp)) fs.listStatus(dp).map(_.getPath.getName)
+                .filter(_.startsWith("batch_id="))
+              else Array.empty[String]
             require(stale.isEmpty,
               s"annIndexMaintenance: fresh checkpoint (batch 0) but deltaPath $deltaPath " +
-                s"already holds ${stale.sorted.mkString(", ")} from a previous stream — " +
-                "create/clear deltaPath and checkpointPath together")
+                s"already holds unowned ${stale.sorted.mkString(", ")} from a previous " +
+                "stream — create/clear deltaPath and checkpointPath together")
+            val out = fs.create(marker, true)
+            try out.write(checkpointPath.getBytes("UTF-8")) finally out.close()
           }
         }
         graft.ops.AnnIndex.encode(batch, id, vec, idx)

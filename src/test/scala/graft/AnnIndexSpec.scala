@@ -96,16 +96,17 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     */
   private def clusterFiles(codesDir: String): Map[String, Set[String]] = {
     import scala.jdk.CollectionConverters._
+    def listNames(p: java.nio.file.Path): Seq[String] = {
+      val s = java.nio.file.Files.list(p) // close explicitly — Files.list leaks an fd otherwise
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
     val root = java.nio.file.Paths.get(codesDir)
-    java.nio.file.Files.list(root).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("cluster="))
-      .map { d =>
-        d.getFileName.toString ->
-          java.nio.file.Files.list(d).iterator().asScala
-            .map(_.getFileName.toString)
-            .filterNot(_.startsWith("_")).toSet
-      }.toMap
+    listNames(root)
+      .filter(n => n.startsWith("cluster=") &&
+        java.nio.file.Files.isDirectory(root.resolve(n)))
+      .map(n => n -> listNames(root.resolve(n)).filterNot(_.startsWith("_")).toSet)
+      .toMap
   }
 
   test("deleteStored: removed vids are gone from the stored BYTES; unaffected partitions keep their original files") {
@@ -192,6 +193,46 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(compacted.codes.count() == idx.codes.count() + deltaCodes.count())
     assert(searchRows(compacted, queries) == unionServe,
       "compacted storage and stored ∪ delta must serve the same answers")
+  }
+
+  test("compact: cross-cell upsert — a re-encoded vid's stale old-cell row is rewritten away") {
+    import spark.implicits._
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-compact-xcell")
+    AnnIndex.write(idx, dir)
+    // craft a delta that MOVES one vid to a different cell (the re-ingest
+    // shape: an updated embedding assigns elsewhere under the same model)
+    val row = AnnIndex.read(spark, dir).codes.orderBy(col("vid")).head()
+    val vid = row.getLong(0)
+    val oldCluster = row.getInt(1)
+    val clusters = idx.codes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val newCluster = (clusters - oldCluster).min
+    val deltaDir = tmpDir("ann-xcell-delta") + "/delta"
+    Seq((vid, newCluster, row.getSeq[Int](2)))
+      .toDF("vid", "cluster", "codes")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir)
+    AnnIndex.compact(spark, dir, deltaDir)
+    val re = spark.read.parquet(s"$dir/codes")
+    val mine = re.where(col("vid") === vid).collect()
+    assert(mine.length == 1,
+      s"the re-encoded vid must appear exactly once, got ${mine.length} rows")
+    assert(mine.head.getAs[Int]("cluster") == newCluster,
+      "the surviving row must be the delta's (new cell), not the stale one")
+    assert(re.count() == idx.codes.count(), "total rows unchanged by a move")
+  }
+
+  test("deleteStored: a removal covering the whole index fails fast, storage untouched") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-del-all")
+    AnnIndex.write(idx, dir)
+    val all = idx.codes.select(col("vid"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.deleteStored(spark, dir, all)
+    }
+    // the refusal happened BEFORE any mutation: the table still reads whole
+    assert(AnnIndex.read(spark, dir).codes.count() == idx.codes.count())
   }
 
   test("compact: upsert — a replayed delta cannot duplicate posting rows") {

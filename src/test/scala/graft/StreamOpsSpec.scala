@@ -1380,22 +1380,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(deltaPath)
       .select("batch_id").distinct().count() == 2)
 
-    // a FRESH checkpoint over the same deltaPath: those stale partitions
-    // would silently union into the serving index — must fail fast, not run
+    def expectGuardFailure(streamDf: org.apache.spark.sql.DataFrame,
+        delta: String, ckpt: String, needle: String): Unit = {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = graft.streaming.Pipelines.annIndexMaintenance(streamDf,
+          col("vec_id"), col("embedding"), idx, delta, ckpt,
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      assert(ex.getMessage.contains(needle) ||
+        Option(ex.getCause).exists(_.getMessage.contains(needle)),
+        s"fresh-checkpoint guard must be the failure cause, got: ${ex.getMessage}")
+    }
+
+    // a FRESH checkpoint over the same deltaPath: the ownership marker
+    // (stamped by the first stream's batch 0) names ckpt1, so another
+    // checkpoint must fail fast — even a ONE-batch previous stream (only
+    // batch_id=0 residue) is caught this way, the case a bare
+    // batch_id-listing exemption would wave through
     val ms2 = MemoryStream[(Long, Seq[Float])]
     val stream2 = ms2.toDF().toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
     ms2.addData(b1.toSeq)
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = graft.streaming.Pipelines.annIndexMaintenance(stream2,
-        col("vec_id"), col("embedding"), idx, deltaPath,
-        tmpDir("ann-guard-ckpt2"), trigger = Trigger.AvailableNow())
-      q.awaitTermination()
-    }
-    assert(ex.getMessage.contains("create/clear deltaPath and checkpointPath together") ||
-      Option(ex.getCause).exists(_.getMessage
-        .contains("create/clear deltaPath and checkpointPath together")),
-      s"fresh-checkpoint guard must be the failure cause, got: ${ex.getMessage}")
+    expectGuardFailure(stream2, deltaPath, tmpDir("ann-guard-ckpt2"),
+      "owned by checkpoint")
+    // unowned residue (a pre-marker or hand-built delta dir): also fails
+    val bareDelta = tmpDir("ann-guard-bare")
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(bareDelta, "batch_id=0"))
+    expectGuardFailure(stream2, bareDelta, tmpDir("ann-guard-ckpt3"),
+      "unowned")
     // and the legitimate replay shape stays allowed: resuming with the
     // ORIGINAL checkpoint (no new data) is a clean no-op
     drain(ckpt1)
