@@ -108,9 +108,21 @@ object AnnIndex {
   /** Append freshly-encoded rows ([[encode]] output) to the stored posting
     * lists — the daily-ingest maintenance step. Model tables are untouched
     * (that is the point of a frozen index; retrain = a new [[build]]).
+    *
+    * UPSERT at read: the stored side is anti-joined by the delta's vids
+    * before the union, so a RE-ingested vector (present in both stored base
+    * and delta — possibly in a different cell after an embedding update)
+    * serves exactly once, from its delta row — [[compact]]'s upsert
+    * semantics applied at serve time, closing the window between re-ingest
+    * and the next compaction. The delta is the small side (one ingest
+    * cycle), so the anti join broadcasts under AQE; for a fresh-ids-only
+    * delta the anti join removes nothing and the result is the plain union
+    * (q394's append == re-encode hash proof is unchanged).
     */
   def append(idx: IvfPqIndex, newCodes: DataFrame): IvfPqIndex =
-    idx.copy(codes = idx.codes.unionByName(newCodes))
+    idx.copy(codes = idx.codes
+      .join(newCodes.select(col("vid")), Seq("vid"), "left_anti")
+      .unionByName(newCodes))
 
   /** Delete vectors from the stored posting lists — the right-to-be-
     * forgotten path of the q277/q278/q282 family applied to the ANN stack:
@@ -151,6 +163,15 @@ object AnnIndex {
     * post-delete serve against a survivors-only relational replay;
     * AnnIndexSpec asserts the removed vids are gone from the stored parquet
     * itself and that unaffected partitions keep their original files.
+    *
+    * Serving-concurrency contract (same stance as [[compact]]): do NOT
+    * serve from the index while the rewrite runs — a concurrent reader can
+    * fail mid-scan as affected-partition files are replaced, and between
+    * the overwrite and the explicit emptied-cell drops it can still read
+    * removed vids out of a fully-emptied cell. If the process crashes
+    * between those two steps, re-run the SAME delete: the overwrite is
+    * idempotent (survivors rewrite to identical content) and the re-run
+    * completes the directory drops.
     */
   def deleteStored(spark: SparkSession, path: String, removedIds: DataFrame): Unit = {
     val codesPath = s"$path/codes"
@@ -217,12 +238,76 @@ object AnnIndex {
     * shape).
     * Run it between stream runs, not concurrently with one: a live stream
     * writing new batch partitions while the delta directory is being
-    * consumed would lose them.
+    * consumed would lose them. That contract is MECHANICAL where the delta
+    * carries the maintenance stream's ownership marker: the marker records
+    * the owning checkpoint, and compact refuses to fold any batch_id
+    * partition the checkpoint's commit log has not recorded as committed —
+    * a stream that died mid-batch (partial partition on disk, batch not in
+    * `commits/`) fails HERE instead of being folded, deleted, and then
+    * replayed into a fresh delta by checkpoint recovery (which would serve
+    * the overlap twice until the next compact).
     */
   def compact(spark: SparkSession, indexPath: String, deltaPath: String): Unit = {
     val codesPath = s"$indexPath/codes"
-    // sever lineage from the delta files before they are deleted below
-    val delta = spark.read.parquet(deltaPath)
+    val dp = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    // fail fast with the state's NAME, not an opaque downstream read error
+    // (a raw parquet read of a missing dir says "path not found"; of a
+    // marker-only dir, "unable to infer schema" — both far from the cause)
+    require(fs.exists(dp),
+      s"compact: deltaPath $deltaPath does not exist — already consumed by a " +
+        "previous compact, or the maintenance stream never ran")
+    val batchDirs = fs.listStatus(dp).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+    if (batchDirs.isEmpty) {
+      // marker-only / empty dir: the stream stamped ownership (or a manual
+      // mkdir happened) but no batch partition ever landed — nothing to
+      // fold; consume the residue so the next stream starts clean
+      fs.delete(dp, true)
+      return
+    }
+    // clean-shutdown contract, enforced: a stream-owned delta folds only
+    // batches its checkpoint committed
+    val marker = new org.apache.hadoop.fs.Path(dp, "_graft_delta_owner")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(owner.nonEmpty,
+        s"compact: deltaPath $deltaPath carries a truncated ownership marker " +
+          "(crash during the marker write) — re-run the maintenance stream to " +
+          "restore it, or delete _graft_delta_owner to fold the delta unverified")
+      val commitsDir = new org.apache.hadoop.fs.Path(owner, "commits")
+      val committed: Set[Long] =
+        if (fs.exists(commitsDir))
+          fs.listStatus(commitsDir).map(_.getPath.getName)
+            .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+        else Set.empty
+      val uncommitted = batchDirs.map(_.stripPrefix("batch_id=").toLong)
+        .filterNot(committed).sorted
+      require(uncommitted.isEmpty,
+        s"compact: deltaPath $deltaPath holds batch partition(s) " +
+          s"${uncommitted.mkString("batch_id=", ", batch_id=", "")} not recorded " +
+          s"as committed by owning checkpoint $owner — the stream died mid-batch; " +
+          "resume it (the replay overwrites the partial partition) and re-compact " +
+          "after a clean shutdown")
+    }
+    // sever lineage from the delta files before they are deleted below.
+    // One row per vid, LATEST batch wins: a vid re-ingested across two
+    // micro-batches of one stream run occupies two batch_id partitions, and
+    // folding both would leave it serving twice (possibly from two cells) —
+    // the same-cell case a batch's self-overwrite handles, made true across
+    // batches. Ties are impossible (a batch overwrites itself, one encode
+    // row per vid per batch).
+    val deltaRaw = spark.read.parquet(deltaPath)
+    val deltaB =
+      if (deltaRaw.columns.contains("batch_id")) deltaRaw
+      else deltaRaw.withColumn("batch_id", lit(0L))
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("batch_id").desc)
+    val delta = deltaB
+      .withColumn("__rn", row_number().over(wLatest))
+      .where(col("__rn") === 1)
       .select(col("vid"), col("cluster"), col("codes"))
       .localCheckpoint()
     // affected = cells receiving delta rows UNION cells holding a STALE row
@@ -260,8 +345,6 @@ object AnnIndex {
         cfs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cluster=$c"), true)
       }
     }
-    val dp = new org.apache.hadoop.fs.Path(deltaPath)
-    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(dp, true)
   }
 
@@ -330,6 +413,28 @@ object AnnIndex {
       .where(col("n_subs") === m)
       .select(col("vid"), col("cluster"), tot.as("err"))
   }
+
+  /** Coverage contract of [[reconstructionError]], enforced by a return
+    * value instead of caller discipline: the audit silently EXCLUDES
+    * corrupt-coded vectors, vids duplicated in `df`, and indexed vids
+    * absent from `df` (each would otherwise underreport error — see the
+    * coverage note on [[reconstructionError]]), so an operator trending the
+    * metric must compare audited rows against indexed rows. This returns
+    * that comparison directly: one row
+    * (n_indexed, n_audited, n_excluded = n_indexed − n_audited);
+    * n_excluded > 0 IS the corruption signal (q401 surfaces the same
+    * quantity per cohort). Two single-row aggregates — no corpus transfer.
+    */
+  def reconstructionAudit(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      idx: IvfPqIndex): DataFrame =
+    idx.codes.agg(count(lit(1)).as("n_indexed"))
+      .crossJoin(reconstructionError(df, id, vec, idx)
+        .agg(count(lit(1)).as("n_audited")))
+      .select(col("n_indexed"), col("n_audited"),
+        (col("n_indexed") - col("n_audited")).as("n_excluded"))
 
   /** Persist the index as parquet tables. `codes` is written partitioned by
     * `cluster` — the on-disk posting-list layout: a selective serve path

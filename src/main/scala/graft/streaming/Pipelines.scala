@@ -151,13 +151,20 @@ object Pipelines {
           val dp = new org.apache.hadoop.fs.Path(deltaPath)
           val fs = dp.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
           val marker = new org.apache.hadoop.fs.Path(dp, "_graft_delta_owner")
-          if (fs.exists(marker)) {
-            val in = fs.open(marker)
-            val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          // an EMPTY marker (crash between create and close under the old
+          // non-atomic write) is treated as no marker: fall through to the
+          // residue check and re-stamp, so batch-0 replay recovers instead
+          // of failing permanently on owner != checkpointPath
+          val existingOwner =
+            if (fs.exists(marker)) {
+              val in = fs.open(marker)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-            require(owner == checkpointPath,
+            } else ""
+          if (existingOwner.nonEmpty) {
+            require(existingOwner == checkpointPath,
               s"annIndexMaintenance: deltaPath $deltaPath is owned by checkpoint " +
-                s"'$owner' but this stream runs on '$checkpointPath' — " +
+                s"'$existingOwner' but this stream runs on '$checkpointPath' — " +
                 "create/clear deltaPath and checkpointPath together")
           } else {
             val stale =
@@ -168,8 +175,15 @@ object Pipelines {
               s"annIndexMaintenance: fresh checkpoint (batch 0) but deltaPath $deltaPath " +
                 s"already holds unowned ${stale.sorted.mkString(", ")} from a previous " +
                 "stream — create/clear deltaPath and checkpointPath together")
-            val out = fs.create(marker, true)
+            // write-then-RENAME (atomic on HDFS/local): a crash mid-write
+            // leaves only a tmp file, never a truncated marker, so the
+            // legitimate batch-0 replay re-stamps cleanly
+            val tmp = new org.apache.hadoop.fs.Path(dp, "._graft_delta_owner.tmp")
+            val out = fs.create(tmp, true)
             try out.write(checkpointPath.getBytes("UTF-8")) finally out.close()
+            if (fs.exists(marker)) fs.delete(marker, false) // empty residue
+            require(fs.rename(tmp, marker),
+              s"annIndexMaintenance: could not move ownership marker into place at $marker")
           }
         }
         graft.ops.AnnIndex.encode(batch, id, vec, idx)

@@ -260,6 +260,120 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(twice.codes.count() == once.size.toLong, "no duplicate posting rows")
   }
 
+  test("append: a re-encoded vid present in stored AND delta serves once, from the delta row") {
+    import spark.implicits._
+    val idx = buildOn(emb)
+    val row = idx.codes.orderBy(col("vid")).head()
+    val vid = row.getLong(0)
+    val oldCluster = row.getInt(1)
+    val newCluster = (idx.codes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet - oldCluster).min
+    val delta = Seq((vid, newCluster, row.getSeq[Int](2)))
+      .toDF("vid", "cluster", "codes")
+    val served = AnnIndex.append(idx, delta)
+    val mine = served.codes.where(col("vid") === vid).collect()
+    assert(mine.length == 1,
+      s"a re-ingested vid must occupy exactly one union-serve row, got ${mine.length}")
+    assert(mine.head.getAs[Int]("cluster") == newCluster,
+      "the serving row must be the delta's (new cell), not the stale stored one")
+    assert(served.codes.count() == idx.codes.count(),
+      "total serve rows unchanged by a re-encode")
+  }
+
+  test("compact: a vid re-ingested across two micro-batches keeps only the LATEST batch's row") {
+    import spark.implicits._
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-compact-twobatch")
+    AnnIndex.write(idx, dir)
+    val maxVid = idx.codes.agg(max(col("vid"))).head().getLong(0)
+    val freshVid = maxVid + 1
+    val clusters = idx.codes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet.toSeq.sorted
+    val (cA, cB) = (clusters.head, clusters(1))
+    val codesArr = idx.codes.orderBy(col("vid")).head().getSeq[Int](2)
+    // batch 0 lands the vid in cell A; batch 1 re-ingests it into cell B —
+    // the one-stream-run double-ingest ADVICE scenario
+    val deltaDir = tmpDir("ann-twobatch-delta") + "/delta"
+    Seq((freshVid, cA, codesArr, 0L), (freshVid, cB, codesArr, 1L))
+      .toDF("vid", "cluster", "codes", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir)
+    AnnIndex.compact(spark, dir, deltaDir)
+    val mine = spark.read.parquet(s"$dir/codes")
+      .where(col("vid") === freshVid).collect()
+    assert(mine.length == 1,
+      s"a twice-ingested vid must survive compaction exactly once, got ${mine.length} rows")
+    assert(mine.head.getAs[Int]("cluster") == cB,
+      "the surviving row must be the LATEST batch's (cell B)")
+  }
+
+  test("compact: a batch partition the checkpoint never committed fails fast, nothing consumed") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-compact-uncommitted")
+    AnnIndex.write(idx, dir)
+    val before = codeRows(AnnIndex.read(spark, dir).codes)
+    // stage a stream-owned delta: batches 0 and 1 on disk, but the owning
+    // checkpoint's commit log only records batch 0 — the mid-batch-death shape
+    val deltaDir = tmpDir("ann-uncommitted-delta") + "/delta"
+    val ckptDir = tmpDir("ann-uncommitted-ckpt")
+    idx.codes.limit(2).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir)
+    idx.codes.limit(1).withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(deltaDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ckptDir/commits"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$ckptDir/commits/0"),
+      "v1".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$deltaDir/_graft_delta_owner"),
+      ckptDir.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, dir, deltaDir)
+    }
+    assert(e.getMessage.contains("batch_id=1"), s"the guard must NAME the uncommitted batch: ${e.getMessage}")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)),
+      "a refused compact must not consume the delta")
+    assert(codeRows(AnnIndex.read(spark, dir).codes) == before,
+      "a refused compact must not touch the stored codes")
+  }
+
+  test("compact: marker-only delta dir is consumed as an empty fold; missing dir fails with a named state") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-compact-markeronly")
+    AnnIndex.write(idx, dir)
+    val before = codeRows(AnnIndex.read(spark, dir).codes)
+    val deltaDir = tmpDir("ann-markeronly-delta") + "/delta"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(deltaDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$deltaDir/_graft_delta_owner"),
+      "/some/ckpt".getBytes("UTF-8"))
+    AnnIndex.compact(spark, dir, deltaDir) // no-op fold, not a schema-inference crash
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)),
+      "the marker-only residue must be consumed")
+    assert(codeRows(AnnIndex.read(spark, dir).codes) == before)
+    // double compact: the consumed path now fails with the state's name
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, dir, deltaDir)
+    }
+    assert(e.getMessage.contains("already consumed"), e.getMessage)
+  }
+
+  test("reconstructionAudit: coverage shrinkage is returned, not left to caller discipline") {
+    val idx = buildOn(emb)
+    val clean = AnnIndex.reconstructionAudit(emb, col("vec_id"), col("embedding"), idx)
+      .head()
+    assert(clean.getAs[Long]("n_indexed") == idx.codes.count())
+    assert(clean.getAs[Long]("n_excluded") == 0L,
+      "a well-formed index audits every indexed vector")
+    val badVid = idx.codes.agg(min(col("vid"))).head().getLong(0)
+    val corrupted = idx.copy(codes = idx.codes.withColumn("codes",
+      when(col("vid") === badVid,
+        concat(array(lit(999)), slice(col("codes"), 2, idx.m - 1)))
+        .otherwise(col("codes"))))
+    val dirty = AnnIndex.reconstructionAudit(emb, col("vec_id"), col("embedding"),
+      corrupted).head()
+    assert(dirty.getAs[Long]("n_excluded") == 1L,
+      "the corrupt-coded vector must surface as an exclusion count")
+  }
+
   test("reconstructionError: an out-of-range code EXCLUDES the vector instead of underreporting") {
     val idx = buildOn(emb)
     val base = AnnIndex.reconstructionError(emb, col("vec_id"), col("embedding"), idx)
