@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared storage-truth rewrite recipe behind every durable table's
+  * right-to-be-forgotten path — [[AnnIndex.deleteStored]]'s mechanics
+  * (affected-partition dynamic overwrite, emptied-directory drop,
+  * whole-table fail-fast) extracted so the text-side index families
+  * ([[TextIndex]], [[ParaIndex]], [[MinHashIndex]], [[SimHashIndex]],
+  * [[WinnowIndex]]) delete from their stored BYTES with the same bounded
+  * I/O shape: only the int-valued partitions actually holding removed rows
+  * are rewritten; at 100 TB an index with thousands of hash-bucket
+  * partitions rewrites the handful the removal set touches and never scans
+  * the rest back out to disk.
+  *
+  * All three entry points share one bounded driver transfer: the affected /
+  * surviving partition-value sets (capped by the table's partition fan-out
+  * — 64 for every index family here — the k-rows doctrine, never corpus
+  * rows).
+  *
+  * Serving-concurrency contract (the [[AnnIndex.deleteStored]] stance): do
+  * not serve from the table while a rewrite runs; a crash between the
+  * overwrite and the emptied-directory drops is repaired by re-running the
+  * SAME delete (the overwrite is idempotent).
+  */
+object StoredTables {
+
+  /** Rewrite the `affected` partitions of the parquet table at `path`
+    * (partitioned by int column `partCol`) to hold exactly `survivors`
+    * (which must cover ONLY those partitions), then drop the directories of
+    * partitions the rewrite emptied — dynamic partition overwrite only
+    * replaces partitions PRESENT in the write, so a fully-emptied bucket
+    * would otherwise silently keep its stale files. Fails BEFORE mutating
+    * if the rewrite would empty the whole table: a zero-file table rejects
+    * its next read with an opaque schema-inference error far from the
+    * cause; dropping the table directory is the caller's explicit decision.
+    */
+  def overwriteAffected(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      affected: Seq[Int],
+      survivors: DataFrame): Unit = {
+    if (affected.isEmpty) return
+    // materialize BEFORE the overwrite: Spark (correctly) refuses to
+    // overwrite a path its plan is still reading
+    val surv = survivors.localCheckpoint()
+    val still = surv.select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = fs.listStatus(hp).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.stripPrefix(s"$partCol=").toInt).toSet
+    require((existing -- (affected.toSet -- still)).nonEmpty,
+      s"deleteStored: the removal empties the whole table at $path — an empty " +
+        "table has no readable parquet; drop the table directory instead")
+    surv.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    affected.filterNot(still).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+    }
+  }
+
+  /** Storage-truth key-filter delete for a PER-KEY-LOCAL table (every row
+    * derives from its own `keyCol` entity alone — the locality that makes
+    * append exact makes this delete exact): semi-join finds the partitions
+    * holding removed rows, anti-join rewrites their survivors, emptied
+    * directories drop. Rows of unaffected partitions are never rewritten.
+    * No broadcast hint on the removal set (the [[AnnIndex.deleteStored]]
+    * stance): a typical right-to-be-forgotten batch broadcasts under AQE on
+    * its own; a bulk purge must degrade to a shuffled join, not OOM.
+    */
+  def deleteByKey(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      keyCol: String,
+      removedKeys: DataFrame): Unit = {
+    val tbl = spark.read.parquet(path)
+    val rm = removedKeys.select(col(keyCol))
+    val affected = tbl.join(rm, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val survivors = tbl
+      .where(col(partCol).isin(affected: _*))
+      .join(rm, Seq(keyCol), "left_anti")
+    overwriteAffected(spark, path, partCol, affected, survivors)
+  }
+
+  /** Exact count RETRACTION on a stored additive side table (the q282
+    * NB-retract precedent): `deltas` carries per-key counts to subtract
+    * (column `__dec`); affected partitions rewrite with the decremented
+    * counts, rows reaching zero drop entirely (a bucket no surviving
+    * document occupies must not exist — its presence would shift serve-path
+    * guards), and emptied partitions drop their directories. Because the
+    * side tables are ADDITIVE under append (new docs contribute new rows /
+    * increments), subtraction of the removed docs' own contributions is
+    * exact — the maintained table equals a survivors-only recompute.
+    */
+  def decrementCounts(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      keyCols: Seq[String],
+      countCol: String,
+      deltas: DataFrame): Unit = {
+    val tbl = spark.read.parquet(path)
+    val keys = deltas.select(keyCols.map(col): _*)
+    val affected = tbl.join(keys, keyCols, "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val cols = tbl.columns.toSeq
+    val survivors = tbl
+      .where(col(partCol).isin(affected: _*))
+      .join(deltas.select((keyCols.map(col) :+ col("__dec")): _*), keyCols, "left")
+      .withColumn(countCol, col(countCol) - coalesce(col("__dec"), lit(0L)))
+      .where(col(countCol) > 0)
+      .select(cols.map(col): _*)
+    overwriteAffected(spark, path, partCol, affected, survivors)
+  }
+}
