@@ -277,20 +277,36 @@ object AnnIndex {
         s"compact: deltaPath $deltaPath carries a truncated ownership marker " +
           "(crash during the marker write) — re-run the maintenance stream to " +
           "restore it, or delete _graft_delta_owner to fold the delta unverified")
-      val commitsDir = new org.apache.hadoop.fs.Path(owner, "commits")
+      // resolve the commit log on the OWNER path's filesystem, not the
+      // delta's: a delta on s3a owned by a checkpoint on hdfs/file would
+      // otherwise query the wrong store and see every batch as uncommitted
+      val commitsDir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(owner), "commits")
+      val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
       val committed: Set[Long] =
-        if (fs.exists(commitsDir))
-          fs.listStatus(commitsDir).map(_.getPath.getName)
+        if (cfs.exists(commitsDir))
+          cfs.listStatus(commitsDir).map(_.getPath.getName)
             .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
         else Set.empty
+      // Spark purges commit-log entries beyond minBatchesToRetain (default
+      // 100), so a long-accreting delta can hold batch partitions OLDER
+      // than the oldest retained commit. Those necessarily committed:
+      // batches run in order and batch b+1 cannot start before b commits,
+      // so any on-disk batch below min(retained) — i.e. below a LATER
+      // retained commit — finished cleanly. Treat ids under the purge
+      // floor as committed instead of falsely flagging a mid-batch death
+      // the stream could never repair (committed batches never replay).
+      val purgeFloor = if (committed.nonEmpty) committed.min else Long.MaxValue
       val uncommitted = batchDirs.map(_.stripPrefix("batch_id=").toLong)
+        .filter(b => b >= purgeFloor || committed.isEmpty)
         .filterNot(committed).sorted
       require(uncommitted.isEmpty,
         s"compact: deltaPath $deltaPath holds batch partition(s) " +
           s"${uncommitted.mkString("batch_id=", ", batch_id=", "")} not recorded " +
           s"as committed by owning checkpoint $owner — the stream died mid-batch; " +
           "resume it (the replay overwrites the partial partition) and re-compact " +
-          "after a clean shutdown")
+          "after a clean shutdown, or delete the delta's _graft_delta_owner " +
+          "marker to fold it unverified (last resort)")
     }
     // sever lineage from the delta files before they are deleted below.
     // One row per vid, LATEST batch wins: a vid re-ingested across two

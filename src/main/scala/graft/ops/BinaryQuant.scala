@@ -103,6 +103,147 @@ object BinaryQuant {
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
     bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))
 
+  /** Bucket-partition fan-out of the stored code index. */
+  val IndexBuckets = 64
+
+  /** Persist the frozen model + bucketed code index under `path` — the
+    * durable form of the q227 funnel's index side (the AnnIndex.write
+    * discipline applied to the 16-byte representation):
+    *
+    *  - `path/thr`: the ONE-ROW thresholds frame — the frozen model. Like
+    *    the PQ codebooks it is bounded by dimensionality, not corpus size;
+    *  - `path/index`: (vid, bucket, lo, hi) partitioned by
+    *    `bb = bucket mod IndexBuckets`, so a small probe batch's bucket
+    *    keys dynamic-partition-prune the code scan — the posting-list
+    *    layout with 28-byte rows.
+    *
+    * Raw vectors deliberately do NOT persist here: the funnel touches them
+    * for exactly `screenR` rows per query at rerank, fetched from the
+    * source table ([[serveStored]]'s `vectors` argument) — duplicating a
+    * 100 TB float column into the index would defeat the representation.
+    */
+  def write(df: DataFrame, id: Column, vec: Column, path: String,
+      numPlanes: Int, numDims: Int = Dims): Unit = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
+    val thr = thresholds(df, vec).localCheckpoint()
+    thr.write.mode("overwrite").parquet(s"$path/thr")
+    val bucketed = df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+      .select(col("vid"), Similarity.lshBucket(col("xd"), table = 0,
+        numPlanes = numPlanes, numDims = numDims).as("bucket"))
+    encode(df, id, vec, thr).join(bucketed, "vid")
+      .select(col("vid"), col("bucket"), col("lo"), col("hi"))
+      .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/index")
+  }
+
+  /** Load the stored one-row thresholds frame (scan-only lineage). */
+  def readThresholds(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/thr")
+
+  /** Load the stored code index (scan-only lineage), projected to the
+    * logical columns; [[serveStored]] reads the raw parquet itself to keep
+    * the `bb` partition column visible to pruning.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/index")
+      .select(col("vid"), col("bucket"), col("lo"), col("hi"))
+
+  /** Frozen-model delta append INTO the stored index bytes: the delta
+    * encodes per row against the STORED thresholds (re-read, never
+    * retrained — the q246/q394 frozen-model law) and its code rows land in
+    * their `bb` partitions via an append-mode write. Because the encode is
+    * strictly per-row once the model is frozen, the appended storage equals
+    * coding the union in one pass ROW FOR ROW — q411 hash-proves it through
+    * the full serve funnel. Append-only contract ([[MinHashIndex.append]]
+    * stance): re-appending an already-indexed vid duplicates it — that is
+    * the caller's bug, and the repair is [[AnnIndex]]-style delete+append.
+    */
+  def appendStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, id: Column, vec: Column,
+      numPlanes: Int, numDims: Int = Dims): Unit = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
+    // plain scan, no checkpoint: the 1-row model is read once, and writing
+    // under path/index never touches path/thr
+    val thr = readThresholds(spark, path)
+    val bucketed = delta.select(id.as("vid"), vec.cast("array<double>").as("xd"))
+      .select(col("vid"), Similarity.lshBucket(col("xd"), table = 0,
+        numPlanes = numPlanes, numDims = numDims).as("bucket"))
+    encode(delta, id, vec, thr).join(bucketed, "vid")
+      .select(col("vid"), col("bucket"), col("lo"), col("hi"))
+      .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bb").parquet(s"$path/index")
+  }
+
+  /** The [[lshHammingRerankTopK]] funnel served FROM the stored tables —
+    * the production read side: probes arrive as raw vectors, encode per row
+    * against the stored thresholds (broadcast one-row model) and bucket
+    * with the same hyperplanes; candidates and the Hamming screen read ONLY
+    * the stored 28-byte index rows (a column-pruned parquet scan whose `bb`
+    * partitions prune against the probe buckets); raw vectors are fetched
+    * from the SOURCE table `vectors` for exactly the screen survivors. The
+    * probe side broadcasts (an ingest batch / review set — the q169/q208
+    * serve stance; the q410/q411 catalog legs drive the whole corpus
+    * through it only because their oracle is the q227 all-pairs funnel).
+    */
+  def serveStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probes: DataFrame,
+      id: Column,
+      vec: Column,
+      vectors: DataFrame,
+      vecId: Column,
+      vecVec: Column,
+      k: Int,
+      screenR: Int,
+      numPlanes: Int,
+      numDims: Int = Dims): DataFrame = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
+    // plain scan, no checkpoint: a checkpointed 1-row model would plant an
+    // ExistingRDD in what must stay a scan-only serve plan (the q393
+    // PlanSpec discipline)
+    val thr = readThresholds(spark, path)
+    val pv = probes.select(id.as("query_id"), vec.cast("array<double>").as("q_v"))
+    val qside = pv
+      .select(col("query_id"), Similarity.lshBucket(col("q_v"), table = 0,
+        numPlanes = numPlanes, numDims = numDims).as("bucket"))
+      .join(encode(probes, id, vec, thr)
+        .select(col("vid").as("query_id"),
+          col("lo").as("q_lo"), col("hi").as("q_hi")), "query_id")
+      .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
+    // raw read keeps the stored bb partition column visible to pruning
+    val iside = spark.read.parquet(s"$path/index")
+      .select(col("bb"), col("bucket"), col("vid").as("neighbor_id"),
+        col("lo"), col("hi"))
+    val hWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val screened = broadcast(qside)
+      .join(iside, Seq("bb", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("q_lo"), col("q_hi"), col("lo"), col("hi")).as("hamming"))
+      .withColumn("hrank", row_number().over(hWin))
+      .where(col("hrank") <= screenR)
+    val rWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    screened
+      .join(pv, "query_id")
+      .join(vectors.select(vecId.as("neighbor_id"),
+        vecVec.cast("array<double>").as("n_v")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        aggregate(
+          zip_with(col("q_v"), col("n_v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("l2_dist"))
+      .withColumn("rank", row_number().over(rWin))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("l2_dist"), col("rank"))
+  }
+
   /** LSH-bucketed top-k with binary-code Hamming screening and exact L2
     * rerank — the three-stage serve funnel:
     *

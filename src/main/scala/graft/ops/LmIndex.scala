@@ -78,15 +78,60 @@ object LmIndex {
     LmTables(uni, big)
   }
 
-  /** Persist both tables under `path` (uni/, big/). */
-  def write(tbl: LmTables, path: String): Unit = {
-    tbl.uni.write.mode("overwrite").parquet(s"$path/uni")
-    tbl.big.write.mode("overwrite").parquet(s"$path/big")
+  /** Word-hash partition fan-out of the stored tables. */
+  val DefaultWordBuckets = 64
+
+  /** Persist both tables under `path` (uni/, big/), partitioned by the
+    * (leading-)word hash bucket so a retraction rewrites only the buckets
+    * the removed docs' vocabulary occupies ([[deleteStored]]), never the
+    * whole vocabulary-scale file set.
+    */
+  def write(tbl: LmTables, path: String,
+      wordBuckets: Int = DefaultWordBuckets): Unit = {
+    tbl.uni
+      .withColumn("wb", pmod(Hashing.hash60(col("w")), lit(wordBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/uni")
+    tbl.big
+      .withColumn("wb", pmod(Hashing.hash60(col("w1")), lit(wordBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/big")
   }
 
-  /** Load stored tables (scan-only lineage). */
+  /** Load stored tables (scan-only lineage), projected back to the logical
+    * columns so a read table composes with [[append]]/[[retract]] exactly
+    * like a built one (the `wb` partition column stays a physical-layout
+    * concern; [[deleteStored]] reads it from the raw parquet itself).
+    */
   def read(spark: SparkSession, path: String): LmTables =
-    LmTables(spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/big"))
+    LmTables(
+      spark.read.parquet(s"$path/uni").select(col("w"), col("c1")),
+      spark.read.parquet(s"$path/big").select(col("w1"), col("w2"), col("c2")))
+
+  /** [[retract]] made true in the STORED bytes: count the removed docs
+    * alone and SUBTRACT per key inside the stored parquet via
+    * [[StoredTables.decrementCounts]] — both tables are ADDITIVE (the
+    * [[append]] law run backwards), so the decremented storage equals a
+    * rebuild on the remaining corpus exactly, and every later
+    * [[score]]/[[read]] serves a model that never trained on the removed
+    * docs (q409 hash-proves it through the scoring surface). Only the `wb`
+    * buckets holding the removed docs' vocabulary rewrite; keys reaching
+    * zero drop; an over-retraction or a retraction of never-trained text
+    * fails loudly BEFORE mutating (the decrementCounts guards) — the
+    * double-submitted-batch safety an in-memory [[retract]] cannot give.
+    *
+    * Same serving-concurrency contract as [[AnnIndex.deleteStored]]. The
+    * decrement is NOT idempotent across the two tables: a crash after the
+    * uni rewrite but before big leaves a half-retracted model whose repair
+    * is re-running against `big` alone (the decrementCounts guards name the
+    * offending keys on a wrong-direction re-run).
+    */
+  def deleteStored(spark: SparkSession, path: String, removed: DataFrame,
+      id: Column, text: Column): Unit = {
+    val d = build(removed, id, text)
+    StoredTables.decrementCounts(spark, s"$path/uni", "wb", Seq("w"), "c1",
+      d.uni.withColumnRenamed("c1", "__dec"))
+    StoredTables.decrementCounts(spark, s"$path/big", "wb", Seq("w1", "w2"), "c2",
+      d.big.withColumnRenamed("c2", "__dec"))
+  }
 
   /** Score documents from the STORED tables — [[Text.bigramLmScore]]'s
     * exact arithmetic through the shared [[Text.lmScoreFromCounts]] tree;

@@ -91,6 +91,63 @@ object ParaIndex {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Storage-truth document removal for the ELECTED table — the one durable
+    * family where a bare key filter is NOT the survivors-rebuild semantics
+    * (the [[MinHashIndex.delete]] caveat made mechanical): a stored row is
+    * the corpus-wide FIRST occurrence of its paragraph, so dropping a
+    * removed winner's row would stop scrubbing a paragraph that surviving
+    * documents still carry. Deletion therefore RE-ELECTS: for exactly the
+    * hashes whose stored winner is a removed doc, the new winner is the
+    * minimal (doc_id, pos) occurrence among `survivors` — the surviving
+    * corpus, which the caller supplies because the table alone cannot know
+    * the suppressed later occurrences. Hashes no survivor carries drop
+    * entirely. The result equals a from-scratch [[build]] over `survivors`
+    * row for row (q407 hash-proves it): unaffected rows' winners are
+    * survivors, and removing docs cannot change a minimum it didn't hold.
+    *
+    * I/O shape: the stored table contributes its removed-winner rows (a
+    * doc_id semi-join) and rewrites only their `hb` partitions (the
+    * [[StoredTables.overwriteAffected]] recipe — emptied buckets drop,
+    * whole-table wipe fails first); the surviving corpus is re-hashed ONCE,
+    * filtered to the orphaned hashes BEFORE the election window, so the
+    * shuffle carries only the contested paragraphs' rows. Same
+    * serving-concurrency contract as [[AnnIndex.deleteStored]]; a crash
+    * mid-rewrite is repaired by re-running the SAME delete (the re-election
+    * is deterministic, the overwrite idempotent).
+    */
+  def deleteStored(
+      spark: SparkSession,
+      path: String,
+      removedIds: DataFrame,
+      survivors: DataFrame,
+      id: Column,
+      text: Column,
+      sep: String = "\n"): Unit = {
+    val tbl = spark.read.parquet(path)
+    val rm = removedIds.select(col("doc_id"))
+    // one row per orphaned hash (the table holds one row per h), carrying
+    // the hb its replacement must land back into — bucket-scheme-agnostic
+    val orphaned = tbl.join(rm, Seq("doc_id"), "left_semi")
+      .select(col("h"), col("hb")).localCheckpoint()
+    val affected = orphaned.select(col("hb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val contested = paraRows(survivors, id, text, sep)
+      .select(Hashing.hash60(col("para")).as("h"), col("doc_id"), col("pos"))
+      .join(orphaned.select(col("h")), Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val reElected = contested.withColumn("__pi_rn", row_number().over(w))
+      .where(col("__pi_rn") === 1)
+      .select(col("h"), col("doc_id"), col("pos"))
+      .join(orphaned.select(col("h"), col("hb")), Seq("h"))
+    val rewritten = tbl.where(col("hb").isin(affected: _*))
+      .join(rm, Seq("doc_id"), "left_anti")
+      .select(col("h"), col("doc_id"), col("pos"), col("hb"))
+      .unionByName(reElected.select(col("h"), col("doc_id"), col("pos"), col("hb")))
+    StoredTables.overwriteAffected(spark, path, "hb", affected, rewritten)
+  }
+
   /** Scrub an INGEST batch against the stored table — the serve path:
     * every batch paragraph whose hash is in the table is cut; among the
     * remaining (novel) paragraphs the batch's own first occurrence wins

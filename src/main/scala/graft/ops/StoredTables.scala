@@ -109,16 +109,47 @@ object StoredTables {
       countCol: String,
       deltas: DataFrame): Unit = {
     val tbl = spark.read.parquet(path)
-    val keys = deltas.select(keyCols.map(col): _*)
-    val affected = tbl.join(keys, keyCols, "left_semi")
+    // normalize FIRST: duplicate key rows in `deltas` (two retraction rows
+    // for one key — a union of per-batch retractions) must subtract their
+    // SUM once; joined raw they would fan out the left join, duplicating
+    // each matched stored row with each copy decremented by only its own
+    // share. Checkpointed so the two validation actions and the rewrite
+    // never recompute the caller's lineage.
+    val dec = deltas.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__dec")).as("__dec")).localCheckpoint()
+    // a retraction keyed on something the table never counted is a caller
+    // bug (retracting never-ingested docs, or a DOUBLE-submitted retraction
+    // whose first pass already dropped the key at zero) — a silent no-op
+    // would leave the caller believing the retraction landed
+    val unknown = dec
+      .join(tbl.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .limit(1).collect()
+    require(unknown.isEmpty,
+      s"decrementCounts: retraction key ${unknown.headOption.getOrElse("")} has no " +
+        s"row in the stored table at $path — retracting something never counted " +
+        "(or already retracted); refusing the whole batch")
+    val affected = tbl.join(dec, keyCols, "left_semi")
       .select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (affected.isEmpty) return
     val cols = tbl.columns.toSeq
-    val survivors = tbl
+    val decremented = tbl
       .where(col(partCol).isin(affected: _*))
-      .join(deltas.select((keyCols.map(col) :+ col("__dec")): _*), keyCols, "left")
+      .join(dec, keyCols, "left")
       .withColumn(countCol, col(countCol) - coalesce(col("__dec"), lit(0L)))
+      .localCheckpoint()
+    // over-retraction (__dec exceeding the stored count) must FAIL, not
+    // silently ride the `> 0` survivor filter into a full delete: on an
+    // additive side table that failure mode means a double-submitted
+    // retraction batch corrupts counts with no error. Keys retracting to
+    // exactly zero are the legitimate full-retraction case and drop below.
+    val over = decremented.where(col(countCol) < 0)
+      .select(keyCols.map(col): _*).limit(1).collect()
+    require(over.isEmpty,
+      s"decrementCounts: retraction of key ${over.headOption.getOrElse("")} exceeds " +
+        s"its stored count at $path (double-submitted retraction batch?); " +
+        "refusing the whole batch before mutating")
+    val survivors = decremented
       .where(col(countCol) > 0)
       .select(cols.map(col): _*)
     overwriteAffected(spark, path, partCol, affected, survivors)

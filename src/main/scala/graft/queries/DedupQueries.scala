@@ -1881,8 +1881,251 @@ object DedupQueries {
            |    AS DOUBLE) / SUM(cnt) AS match_rate,
            |  CAST(SUM(CASE WHEN master = name THEN cnt ELSE 0 END)
            |    AS DOUBLE) / SUM(cnt) AS accuracy
-           |FROM linked GROUP BY 1""".stripMargin))
+           |FROM linked GROUP BY 1""".stripMargin)),
+
+    // Winnow-index STORED delete — q169/q174's serve with the %11 removal
+    // set REWRITTEN OUT of the stored bytes (the q398 discipline applied to
+    // the text side): the fingerprint table deletes by exact key filter,
+    // the df side table retracts by exact subtraction
+    // (WinnowIndex.deleteStored — both via the shared StoredTables recipe,
+    // affected hb buckets only), and the serve reads the REWRITTEN tables
+    // alone: stored-df cap included, every statistic is survivors-only.
+    // Oracle: the q169 chain over the kept corpus — hash-match proves the
+    // decremented storage is indistinguishable from an index that never saw
+    // the removed docs. StoredTablesSpec pins the byte-level properties
+    // (removed rows absent, unaffected partitions' files untouched,
+    // over-retraction fails loudly).
+    QueryDef(
+      "q404_winnow_stored_delete",
+      (s, dir) => {
+        val p = winnowDeletedPath(s, dir)
+        val fp = graft.ops.WinnowIndex.read(s, s"$p/fp")
+        val stats = graft.ops.WinnowIndex.readDfTable(s, s"$p/df")
+        val docs = Tables.load(s, dir, "documents")
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
+        graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100),
+          storedDf = Some(stats))
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 30), ' ') AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckWinnowCtes("kept", "i")},
+           |${duckWinnowCtes("probes", "p")},
+           |ifp0 AS (SELECT DISTINCT doc_id, h FROM iwfp),
+           |ifp AS (
+           |  SELECT doc_id, h FROM ifp0
+           |  WHERE h IN (SELECT h FROM ifp0 GROUP BY h HAVING COUNT(*) <= 100)),
+           |isz AS (SELECT doc_id, COUNT(*) AS nfp_doc FROM ifp GROUP BY 1),
+           |pfp AS (SELECT DISTINCT doc_id AS probe_id, h FROM pwfp),
+           |psz AS (SELECT probe_id, COUNT(*) AS nfp_probe FROM pfp GROUP BY 1),
+           |inter AS (
+           |  SELECT p.probe_id, i.doc_id, COUNT(*) AS inter
+           |  FROM pfp p JOIN ifp i ON p.h = i.h
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, doc_id, inter, psz.nfp_probe, isz.nfp_doc,
+           |  CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) AS overlap
+           |FROM inter
+           |JOIN psz USING (probe_id)
+           |JOIN isz USING (doc_id)
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin)),
+
+    // Minhash-index STORED delete — q277's semantics made true in the
+    // BYTES: q277 anti-joins in-memory frames (the stored parquet still
+    // holds every removed doc's rows), this leg rewrites all THREE stored
+    // tables (sigs by db bucket, bands by sb bucket, bucket-df by exact
+    // decrement — MinHashIndex.deleteStored) and serves the q208 probe set
+    // from a RE-READ of the rewritten tables, mega-bucket guard fed from
+    // the DECREMENTED stored side table. Same survivors-only oracle as
+    // q277 — identical output through a storage path that actually forgot,
+    // guard statistics included.
+    QueryDef(
+      "q405_minhash_stored_delete",
+      (s, dir) => {
+        val p = minhashDeletedPath(s, dir)
+        val sigs = graft.ops.MinHashIndex.readSigs(s, p)
+        val bands = graft.ops.MinHashIndex.readBands(s, p)
+        val bdf = graft.ops.MinHashIndex.readBucketDf(s, p)
+        val docs = Tables.load(s, dir, "documents")
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.MinHashIndex.matches(bands, sigs, probes,
+          col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4,
+          minEstimate = 0.75, maxBucket = Some(100),
+          storedBucketDf = Some(bdf))
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckMshChain("kept", "i")},
+           |${duckMshChain("probes", "p")},
+           |ok AS (
+           |  SELECT band, band_sig FROM ibands GROUP BY 1, 2
+           |  HAVING COUNT(*) <= 100),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS doc_id
+           |  FROM pbands p
+           |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig
+           |  JOIN ok ON ok.band = p.band AND ok.band_sig = p.band_sig)
+           |SELECT cand.probe_id, cand.doc_id,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  COUNT(*) AS n_hashes,
+           |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+           |FROM cand
+           |JOIN pmh pm ON pm.doc_id = cand.probe_id
+           |JOIN imh im ON im.doc_id = cand.doc_id AND im.seed = pm.seed
+           |GROUP BY 1, 2
+           |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin)),
+
+    // Simhash-index STORED delete: the pigeonhole key table is strictly
+    // per-document, so SimHashIndex.deleteStored is an exact key filter
+    // rewritten into the stored kb buckets; the q213 probe set served from
+    // the re-read table must equal the quadratic Hamming join against the
+    // KEPT corpus alone (blocking recall stays exact — deletion cannot
+    // break the pigeonhole argument, it only shrinks the key table).
+    QueryDef(
+      "q406_simhash_stored_delete",
+      (s, dir) => {
+        val p = simhashDeletedPath(s, dir)
+        val keys = graft.ops.SimHashIndex.readKeys(s, p)
+        val docs = Tables.load(s, dir, "documents")
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text"))
+        graft.ops.SimHashIndex.matches(keys, probes, col("doc_id"), col("text"),
+          maxHamming = 3, numBlocks = 6)
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckSimhashChain("kept", "c")},
+           |${duckSimhashChain("probes", "p")}
+           |SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+           |  bit_count(xor(p.simhash, c.simhash)) AS hamming
+           |FROM psh p JOIN csh c
+           |  ON bit_count(xor(p.simhash, c.simhash)) <= 3""".stripMargin)),
+
+    // Para-index STORED delete — the RE-ELECTION family, the one durable
+    // table where a bare key filter is NOT survivors semantics: a stored
+    // row is the corpus-wide FIRST occurrence of its paragraph, so removing
+    // a winner must re-elect the minimal surviving occurrence (or drop the
+    // hash if no survivor carries it — ParaIndex.deleteStored). The corpus
+    // is the q190 planted construction (every 10th doc carries its
+    // neighbor's text as a second paragraph), so removed %11 winners
+    // genuinely orphan paragraphs that surviving docs still hold. The query
+    // output is the REWRITTEN TABLE ITSELF; the oracle is a from-scratch
+    // first-occurrence election over the surviving corpus — hash-match
+    // proves re-election == rebuild ROW FOR ROW, the strongest form of the
+    // delete contract.
+    QueryDef(
+      "q407_para_stored_delete",
+      (s, dir) => {
+        val p = paraDeletedPath(s, dir)
+        graft.ops.ParaIndex.read(s, p)
+          .select(col("h"), col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+           |         THEN d.text || chr(10) || n.text ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+           |  WHERE d.doc_id % 11 <> 0),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM base)),
+           |paras AS (
+           |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           |    t[CAST(p AS INTEGER)] AS para
+           |  FROM px),
+           |ph AS (
+           |  SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, pos, md5(para) AS m FROM paras)),
+           |sel AS (
+           |  SELECT h, doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |  FROM ph)
+           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin))
   )
+
+  // ---------------------------------------------------------------------
+  // Memoized stored-index setups for the storage-truth delete legs
+  // (q404–q407): build the full index ONCE per (tag, sfdir) into a scratch
+  // path, rewrite the %11 removal set out of the stored bytes, serve
+  // scan-only afterwards — the SimilarityQueries.memoPath discipline
+  // (deterministic setups make the memoization correctness-neutral).
+  // ---------------------------------------------------------------------
+
+  private def winnowDeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("winnowdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val fp = graft.ops.WinnowIndex.build(docs, col("doc_id"), col("text"),
+        k = 3, w = 4)
+      graft.ops.WinnowIndex.write(fp, s"$p/fp")
+      graft.ops.WinnowIndex.writeDfTable(
+        graft.ops.WinnowIndex.dfTable(fp), s"$p/df")
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      graft.ops.WinnowIndex.deleteStored(s, s"$p/fp", removed,
+        dfPath = Some(s"$p/df"))
+    }
+
+  private def minhashDeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("minhashdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val sigs = graft.ops.MinHashIndex.build(docs, col("doc_id"), col("text"),
+        3, 16)
+      graft.ops.MinHashIndex.write(sigs, p, rowsPerBand = 4)
+      graft.ops.MinHashIndex.writeBucketDf(
+        graft.ops.MinHashIndex.bandTable(sigs, 4), p)
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      graft.ops.MinHashIndex.deleteStored(s, p, removed)
+    }
+
+  private def simhashDeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("simhashdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.SimHashIndex.write(
+        graft.ops.SimHashIndex.build(docs, col("doc_id"), col("text")),
+        p, maxHamming = 3, numBlocks = 6)
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      graft.ops.SimHashIndex.deleteStored(s, p, removed)
+    }
+
+  private def paraDeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("paradel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("next_text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("next_text").isNotNull,
+            concat(col("text"), lit("\n"), col("next_text")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.ParaIndex.write(
+        graft.ops.ParaIndex.build(corpus, col("doc_id"), col("text")), p)
+      val removed = corpus.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      val survivors = corpus.where(pmod(col("doc_id"), lit(11)) =!= 0)
+      graft.ops.ParaIndex.deleteStored(s, p, removed, survivors,
+        col("doc_id"), col("text"))
+    }
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`
     * (n = 5): tokenization `toks`, window hashes, corpus-duplicated marks,

@@ -1776,35 +1776,7 @@ object SimilarityQueries {
         graft.ops.BinaryQuant.lshHammingRerankTopK(emb, col("vec_id"),
           col("embedding"), k = 5, screenR = 20, numPlanes = 8, numDims = 64)
       },
-      Some(s"""WITH $duckBqCtes,
-           |b AS (SELECT vec_id, v, ${duckBucketExpr(0, 8)} AS bucket FROM e),
-           |cand AS (
-           |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
-           |    CAST(bit_count(xor(qc.lo, nc.lo))
-           |      + bit_count(xor(qc.hi, nc.hi)) AS INTEGER) AS hamming
-           |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
-           |  JOIN bqc qc ON qc.vec_id = a.vec_id
-           |  JOIN bqc nc ON nc.vec_id = nb.vec_id),
-           |scr AS (
-           |  SELECT query_id, neighbor_id, hamming,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY hamming ASC, neighbor_id ASC) AS hrank
-           |  FROM cand),
-           |rr AS (
-           |  SELECT s.query_id, s.neighbor_id, s.hamming,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-           |      bqi -> (qv.v[bqi] - nv.v[bqi]) * (qv.v[bqi] - nv.v[bqi]))),
-           |      (x, y) -> x + y) AS l2_dist
-           |  FROM scr s
-           |  JOIN e qv ON qv.vec_id = s.query_id
-           |  JOIN e nv ON nv.vec_id = s.neighbor_id
-           |  WHERE s.hrank <= 20)
-           |SELECT query_id, neighbor_id, hamming, l2_dist, rank FROM (
-           |  SELECT query_id, neighbor_id, hamming, l2_dist,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
-           |  FROM rr)
-           |WHERE rank <= 5""".stripMargin)),
+      Some(duckBqFunnelOracle())),
 
     // Recall audit of the q227 funnel against the EXACT L2 top-5 (the q185
     // discipline applied to the binary-quantized path), run at BOTH ends
@@ -1860,6 +1832,46 @@ object SimilarityQueries {
       Some(s"""WITH ${duckBqCtesFrom(
              "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb")}
            |SELECT vec_id, lo, hi FROM bqc""".stripMargin)),
+
+    // PERSISTED binary-quant index, serve leg — q227's funnel with the
+    // model + code tables institutionalized as storage (the q393 discipline
+    // applied to the 16-byte representation): thresholds stored as the
+    // one-row frozen model, (vid, bucket, lo, hi) stored partitioned by the
+    // bucket hash so probe batches prune the 28-byte/row code scan;
+    // candidates and the Hamming screen read the STORED rows only, raw
+    // vectors fetched from the source table for exactly the screen
+    // survivors. Same oracle as q227 — where the tables live must not
+    // change what serves.
+    QueryDef(
+      "q410_bq_persisted_serve",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.ops.BinaryQuant.serveStored(s, bqIndexPath(s, dir),
+          emb, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"),
+          k = 5, screenR = 20, numPlanes = 8)
+      },
+      Some(duckBqFunnelOracle())),
+
+    // PERSISTED binary-quant index, frozen-model append leg — q246's
+    // append==rebuild law proved THROUGH STORAGE and the full serve funnel
+    // (the q394 discipline): thresholds train on the 6/7 base and persist
+    // frozen; the 1/7 delta encodes per row against the RE-READ stored
+    // model and its code rows land in their bucket partitions via
+    // append-mode write; the funnel over the appended bytes must equal the
+    // oracle's one-pass base-trained coding of the union — including every
+    // Hamming screen and rerank decision downstream of the codes.
+    QueryDef(
+      "q411_bq_persisted_append_serve",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.ops.BinaryQuant.serveStored(s, bqAppendedIndexPath(s, dir),
+          emb, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"),
+          k = 5, screenR = 20, numPlanes = 8)
+      },
+      Some(duckBqFunnelOracle(
+        "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb"))),
 
     // DAVIES-BOULDIN cluster-quality index over the given labels — the
     // centroid-based partner of q265's silhouette: per cluster, the mean
@@ -2663,6 +2675,31 @@ object SimilarityQueries {
       build: => graft.ops.IvfPqIndex): String =
     memoPath(tag, dir)(p => graft.ops.AnnIndex.write(build, p))
 
+  /** The q410 stored BQ index: full-corpus thresholds + codes at q227's
+    * sizing (numPlanes = 8), persisted.
+    */
+  private def bqIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("bqfull", dir) { p =>
+      graft.ops.BinaryQuant.write(Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), p, numPlanes = 8)
+    }
+
+  /** The q411 stored BQ index: thresholds trained on the 6/7 base and
+    * frozen; the 1/7 delta encoded against the RE-READ stored model and
+    * appended into the stored bucket partitions.
+    */
+  private def bqAppendedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("bqappend", dir) { p =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.BinaryQuant.write(emb.where(pmod(col("vec_id"), lit(7)) =!= 0),
+        col("vec_id"), col("embedding"), p, numPlanes = 8)
+      graft.ops.BinaryQuant.appendStored(s, p,
+        emb.where(pmod(col("vec_id"), lit(7)) === 0),
+        col("vec_id"), col("embedding"), numPlanes = 8)
+    }
+
   /** The q393 stored index: full corpus, √N-cell (k=22) k-means coarse
     * quantizer — q391's exact model, persisted.
     */
@@ -2889,6 +2926,44 @@ object SimilarityQueries {
     * `BinaryQuant.encode`.
     */
   private def duckBqCtes: String = duckBqCtesFrom("embeddings")
+
+  /** The complete three-stage BQ funnel oracle (LSH candidates → Hamming
+    * screen top-20 → exact-L2 rerank top-5), thresholds trained on
+    * `musSrc` — ONE chain serving q227 (in-plan, full-corpus model), q410
+    * (the same model persisted and served from storage — where the tables
+    * live must not change what serves) and q411 (frozen base-trained model,
+    * delta appended into the stored bytes).
+    */
+  private def duckBqFunnelOracle(musSrc: String = "embeddings"): String =
+    s"""WITH ${duckBqCtesFrom(musSrc)},
+       |b AS (SELECT vec_id, v, ${duckBucketExpr(0, 8)} AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(qc.lo, nc.lo))
+       |      + bit_count(xor(qc.hi, nc.hi)) AS INTEGER) AS hamming
+       |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
+       |  JOIN bqc qc ON qc.vec_id = a.vec_id
+       |  JOIN bqc nc ON nc.vec_id = nb.vec_id),
+       |scr AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+       |  FROM cand),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id, s.hamming,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+       |      bqi -> (qv.v[bqi] - nv.v[bqi]) * (qv.v[bqi] - nv.v[bqi]))),
+       |      (x, y) -> x + y) AS l2_dist
+       |  FROM scr s
+       |  JOIN e qv ON qv.vec_id = s.query_id
+       |  JOIN e nv ON nv.vec_id = s.neighbor_id
+       |  WHERE s.hrank <= 20)
+       |SELECT query_id, neighbor_id, hamming, l2_dist, rank FROM (
+       |  SELECT query_id, neighbor_id, hamming, l2_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+       |  FROM rr)
+       |WHERE rank <= 5""".stripMargin
 
   /** Same chain with the mean thresholds trained on `musSrc` only — the
     * frozen-model variant (q246 trains on the id-prefix, codes everything).

@@ -175,17 +175,17 @@ object TextQueries {
     * to DOUBLE so DuckDB's decimal literals can't shift the arithmetic).
     * Also defines `toks` (doc_id, tok), reused by q92's embedding CTEs.
     */
-  private def duckBm25Ctes(terms: Seq[String]): String = {
+  private def duckBm25Ctes(terms: Seq[String], src: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val cs = terms.zipWithIndex.map { case (t, i) =>
       s"SUM(CASE WHEN tok = '$t' THEN contrib ELSE CAST(0.0 AS DOUBLE) END) AS c$i"
     }.mkString(", ")
     val scoreExpr = terms.indices.map(i => s"c$i").reduce((a, x) => s"($a + $x)")
     s"""toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM $src),
        |dl AS (
        |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM $src),
        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
        |tf AS (
        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
@@ -2290,8 +2290,79 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         Text.yuleK(docs, col("source"), col("text"))
       },
-      Some(Text.duckYuleK("documents", "source", "text")))
+      Some(Text.duckYuleK("documents", "source", "text"))),
+
+    // BM25-index STORED delete — the right-to-be-forgotten path a
+    // view-level filter cannot satisfy: both stored tables (postings by
+    // token hash-bucket, doclens by doc-id bucket) are strictly
+    // per-document, so TextIndex.deleteStored rewrites the %11 removal set
+    // out of the stored bytes by exact key filter (the shared StoredTables
+    // recipe), and this serve reads the REWRITTEN tables alone. Serve-time
+    // corpus statistics (N, total_dl, per-term df) all derive from the
+    // stored tables, so the oracle is the q175/q91 chain over the KEPT
+    // corpus — hash-match proves the post-delete index scores exactly as
+    // one that never indexed the removed docs, statistics included.
+    QueryDef(
+      "q408_bm25_stored_delete",
+      (s, dir) => {
+        val p = bm25DeletedPath(s, dir)
+        val idx = graft.ops.TextIndex.read(s, p)
+        graft.ops.TextIndex.searchBM25(idx, HybridTerms, k = 20)
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |${duckBm25Ctes(HybridTerms, "kept")}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
+
+    // LM count-table STORED delete — q278's retraction made true in the
+    // BYTES: the removed docs are counted alone and SUBTRACTED per key
+    // inside the stored parquet (LmIndex.deleteStored via
+    // StoredTables.decrementCounts — affected wb buckets only, zeroed keys
+    // drop, over-retraction and never-trained-text retraction fail loudly
+    // BEFORE mutating). Scoring every document from the re-read tables
+    // must equal a model trained on the filtered split — q278's oracle
+    // verbatim, through a storage path that actually forgot.
+    QueryDef(
+      "q409_lm_stored_delete",
+      (s, dir) => {
+        val p = lmDeletedPath(s, dir)
+        val tbl = graft.ops.LmIndex.read(s, p)
+        val docs = Tables.load(s, dir, "documents")
+        graft.ops.LmIndex.score(tbl, docs, col("doc_id"), col("text"))
+      },
+      Some(s"""WITH ${duckLmScoreCtes(" AND doc_id % 11 <> 0")}
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin))
   )
+
+  // ---------------------------------------------------------------------
+  // Memoized stored-index setups for the storage-truth delete legs
+  // (q408/q409): build the full index ONCE per (tag, sfdir) into a scratch
+  // path, rewrite the %11 removal set out of the stored bytes, serve
+  // scan-only afterwards (the SimilarityQueries.memoPath discipline).
+  // ---------------------------------------------------------------------
+
+  private def bm25DeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("bm25del", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.TextIndex.write(
+        graft.ops.TextIndex.build(docs, col("doc_id"), col("text")), p)
+      graft.ops.TextIndex.deleteStored(s, p,
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")))
+    }
+
+  private def lmDeletedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("lmdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.where(pmod(Hashing.hash60(
+        concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+      graft.ops.LmIndex.write(
+        graft.ops.LmIndex.build(train, col("doc_id"), col("text")), p)
+      val removed = train.where(pmod(col("doc_id"), lit(11)) === 0)
+      graft.ops.LmIndex.deleteStored(s, p, removed,
+        col("doc_id"), col("text"))
+    }
 
   // -------------------------------------------------------------------------
   // CJK planted fixtures (q159/q160): palette-built deterministic texts —

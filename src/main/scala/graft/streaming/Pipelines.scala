@@ -136,25 +136,33 @@ object Pipelines {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId == 0L) {
-          // deltaPath and checkpointPath must be created/cleared TOGETHER: a
-          // fresh checkpoint (first batch ever) over a deltaPath that already
-          // holds a previous stream's partitions would silently union — or
-          // dynamically overwrite — that stream's un-compacted rows. A replay
-          // of THIS stream's batch 0 (crash before the commit) must still
-          // pass, and batchId alone cannot tell the two apart, so batch 0
-          // stamps an ownership marker (`_`-prefixed: invisible to parquet
-          // readers) with the checkpoint path BEFORE writing. Marker from a
-          // different checkpoint ⇒ foreign delta, fail. No marker but
-          // batch_id residue ⇒ unowned leftovers (including a lone
-          // batch_id=0 from a one-batch stream), fail.
+        // The ownership marker is maintained on EVERY batch, not only batch
+        // 0: compact consumes the delta directory WITH its marker, so when
+        // the stream resumes after a compaction (batchId > 0) the rebuilt
+        // delta would otherwise carry no ownership and compact's commit-log
+        // verification — the guard against folding a mid-batch death's
+        // partial partition — would silently never apply again after the
+        // first compact cycle. Any batch that finds the marker absent (or
+        // empty: crash between create and close under the old non-atomic
+        // write) re-stamps it.
+        //
+        // deltaPath and checkpointPath must still be created/cleared
+        // TOGETHER: a fresh checkpoint (first batch ever) over a deltaPath
+        // that already holds a previous stream's partitions would silently
+        // union — or dynamically overwrite — that stream's un-compacted
+        // rows. A replay of THIS stream's batch 0 (crash before the commit)
+        // must still pass, and batchId alone cannot tell the two apart, so
+        // the marker (`_`-prefixed: invisible to parquet readers) records
+        // the checkpoint path. Marker from a different checkpoint ⇒ foreign
+        // delta, fail (any batch). No marker but batch_id residue at batch
+        // 0 ⇒ unowned leftovers (including a lone batch_id=0 from a
+        // one-batch stream), fail; at batch > 0 residue is THIS stream's
+        // own accretion (or a post-compact rebuild), so only the re-stamp
+        // applies.
+        {
           val dp = new org.apache.hadoop.fs.Path(deltaPath)
           val fs = dp.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
           val marker = new org.apache.hadoop.fs.Path(dp, "_graft_delta_owner")
-          // an EMPTY marker (crash between create and close under the old
-          // non-atomic write) is treated as no marker: fall through to the
-          // residue check and re-stamp, so batch-0 replay recovers instead
-          // of failing permanently on owner != checkpointPath
           val existingOwner =
             if (fs.exists(marker)) {
               val in = fs.open(marker)
@@ -167,14 +175,17 @@ object Pipelines {
                 s"'$existingOwner' but this stream runs on '$checkpointPath' — " +
                 "create/clear deltaPath and checkpointPath together")
           } else {
-            val stale =
-              if (fs.exists(dp)) fs.listStatus(dp).map(_.getPath.getName)
-                .filter(_.startsWith("batch_id="))
-              else Array.empty[String]
-            require(stale.isEmpty,
-              s"annIndexMaintenance: fresh checkpoint (batch 0) but deltaPath $deltaPath " +
-                s"already holds unowned ${stale.sorted.mkString(", ")} from a previous " +
-                "stream — create/clear deltaPath and checkpointPath together")
+            if (batchId == 0L) {
+              val stale =
+                if (fs.exists(dp)) fs.listStatus(dp).map(_.getPath.getName)
+                  .filter(_.startsWith("batch_id="))
+                else Array.empty[String]
+              require(stale.isEmpty,
+                s"annIndexMaintenance: fresh checkpoint (batch 0) but deltaPath $deltaPath " +
+                  s"already holds unowned ${stale.sorted.mkString(", ")} from a previous " +
+                  "stream — create/clear deltaPath and checkpointPath together")
+            }
+            if (!fs.exists(dp)) fs.mkdirs(dp)
             // write-then-RENAME (atomic on HDFS/local): a crash mid-write
             // leaves only a tmp file, never a truncated marker, so the
             // legitimate batch-0 replay re-stamps cleanly

@@ -395,4 +395,55 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(audited.where(col("vid") === badVid).isEmpty,
       "the corrupt-coded vector must vanish from the audit, not read as near-zero error")
   }
+
+  test("compact: batch ids below the commit-log purge floor count as committed (minBatchesToRetain)") {
+    val idx = buildOn(emb)
+    val dir = tmpDir("ann-compact-purged")
+    AnnIndex.write(idx, dir)
+    val rows = idx.codes.limit(4).collect().toSeq
+    // delta holds batches 0..3, but the checkpoint's commits/ was purged
+    // down to {2, 3} (Spark retains only minBatchesToRetain entries):
+    // batches 0 and 1 are BELOW the retained floor and necessarily
+    // committed (batch 2 could not have run otherwise) — compact must fold,
+    // not falsely flag a mid-batch death the stream can never repair
+    val deltaDir = tmpDir("ann-purged-delta") + "/delta"
+    val ckptDir = tmpDir("ann-purged-ckpt")
+    rows.indices.foreach { i =>
+      idx.codes.where(col("vid") === rows(i).getLong(0))
+        .withColumn("batch_id", lit(i.toLong))
+        .write.mode("append").partitionBy("batch_id").parquet(deltaDir)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ckptDir/commits"))
+    Seq("2", "3").foreach { b =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$ckptDir/commits/$b"),
+        "v1".getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$deltaDir/_graft_delta_owner"),
+      ckptDir.getBytes("UTF-8"))
+    AnnIndex.compact(spark, dir, deltaDir) // must not throw
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deltaDir)),
+      "the verified delta must be consumed")
+    // while a batch ABOVE the floor that is genuinely missing still fails
+    val delta2 = tmpDir("ann-purged-delta2") + "/delta"
+    val ckpt2 = tmpDir("ann-purged-ckpt2")
+    idx.codes.limit(1).withColumn("batch_id", lit(2L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(delta2)
+    idx.codes.limit(1).withColumn("batch_id", lit(4L))
+      .write.mode("append").partitionBy("batch_id").parquet(delta2)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$ckpt2/commits"))
+    Seq("2", "3").foreach { b =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$ckpt2/commits/$b"),
+        "v1".getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$delta2/_graft_delta_owner"),
+      ckpt2.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, dir, delta2)
+    }
+    assert(e.getMessage.contains("batch_id=4"), e.getMessage)
+    assert(e.getMessage.contains("_graft_delta_owner"),
+      s"the error must name the marker-deletion escape hatch: ${e.getMessage}")
+  }
 }

@@ -122,4 +122,48 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
       s"encode must not shuffle:\n$plan")
   }
+
+  test("write + serveStored == the in-plan funnel row for row; index layout is bucket-partitioned") {
+    val dir = tmpDir("bqidx")
+    BinaryQuant.write(emb, col("vec_id"), col("embedding"), dir, numPlanes = 8)
+    val live = BinaryQuant.lshHammingRerankTopK(emb, col("vec_id"),
+      col("embedding"), k = 5, screenR = 20, numPlanes = 8, numDims = 64)
+    val served = BinaryQuant.serveStored(spark, dir,
+      emb, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"),
+      k = 5, screenR = 20, numPlanes = 8)
+    assert(served.count() > 0)
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty,
+      "stored funnel must equal the in-plan funnel")
+    // physical layout: bb=<bucket mod 64> partition directories, 1-row model
+    val dirs = new java.io.File(s"$dir/index").listFiles()
+      .map(_.getName).filter(_.startsWith("bb="))
+    assert(dirs.nonEmpty, "index must be bucket-partitioned on disk")
+    assert(BinaryQuant.readThresholds(spark, dir).count() == 1L)
+  }
+
+  test("appendStored: frozen-model delta append == one-pass base-trained coding of the union") {
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+    // appended storage
+    val dirA = tmpDir("bqappend")
+    BinaryQuant.write(base, col("vec_id"), col("embedding"), dirA, numPlanes = 8)
+    val thrBefore = BinaryQuant.readThresholds(spark, dirA).collect()
+    BinaryQuant.appendStored(spark, dirA, delta, col("vec_id"),
+      col("embedding"), numPlanes = 8)
+    // one-pass union coding under the SAME frozen (base-trained) model:
+    // encode everything against the stored base thresholds
+    val thrB = BinaryQuant.readThresholds(spark, dirA).localCheckpoint()
+    val onePass = BinaryQuant.encode(emb, col("vec_id"), col("embedding"), thrB)
+    val appended = BinaryQuant.readIndex(spark, dirA)
+      .select(col("vid"), col("lo"), col("hi"))
+    assert(appended.count() == emb.count(),
+      "every vector must serve exactly once after the append")
+    assert(appended.exceptAll(onePass).isEmpty
+        && onePass.exceptAll(appended).isEmpty,
+      "appended code rows must equal the one-pass frozen-model coding")
+    // the append must not have retrained the stored model
+    assert(BinaryQuant.readThresholds(spark, dirA).collect()
+      .sameElements(thrBefore), "append must never touch the frozen model")
+  }
 }

@@ -264,6 +264,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q410/q411 stored BQ serves: scan-only funnels — no threshold-training lineage, map-side top-k") {
+    // the persisted binary-quant lifecycle legs must keep the q393 serve
+    // discipline: the thresholds model and the 28-byte code index enter the
+    // plan as parquet scans (zero checkpointed training lineage), the probe
+    // side broadcasts into the bucket join, and both rank filters
+    // (Hamming screen, L2 rerank) prune map-side as WindowGroupLimit.
+    for (q <- Seq("q410_bq_persisted_serve", "q411_bq_persisted_append_serve")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("existingrdd"),
+        s"$q: stored serve plan must contain no checkpointed training lineage")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: screen/rerank rank filters must prune map-side")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the probe side and the 1-row model must broadcast")
+      assert(!p.toLowerCase.contains("cartesianproduct"),
+        s"$q: no cartesian products in the funnel:\n$p")
+    }
+  }
+
   test("q397 reconstruction audit: decode path is scan-only — broadcast model, no training lineage") {
     val p = plan(SparkEntry.queries("q397_ivfpq_reconstruction_error")(spark, sf))
     assert(!p.toLowerCase.contains("existingrdd"),

@@ -1414,4 +1414,62 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     // ORIGINAL checkpoint (no new data) is a clean no-op
     drain(ckpt1)
   }
+
+  test("annIndexMaintenance: the ownership marker is RE-STAMPED after a compact consumes it (batchId > 0)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val coarse = Similarity.materializeCentroids(Similarity.centroidArrays(
+      Similarity.labelCentroidsFlat(base, col("embedding"), col("label"))))
+    val built = AnnIndex.build(base, col("vec_id"), col("embedding"),
+      coarse, dims = 64, m = 8, k = 16, iters = 1)
+    val idxDir = tmpDir("ann-restamp-idx")
+    AnnIndex.write(built, idxDir)
+    val idx = AnnIndex.read(spark, idxDir)
+    val deltaPath = tmpDir("ann-restamp-delta")
+    val ckpt = tmpDir("ann-restamp-ckpt")
+
+    val delta = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def drain(): Unit = {
+      val q = graft.streaming.Pipelines.annIndexMaintenance(stream,
+        col("vec_id"), col("embedding"), idx, deltaPath, ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val marker = java.nio.file.Paths.get(deltaPath, "_graft_delta_owner")
+
+    ms.addData(b1.toSeq); drain() // batch 0 stamps ownership
+    assert(java.nio.file.Files.exists(marker))
+    // compact consumes the delta directory AND its marker
+    AnnIndex.compact(spark, idxDir, deltaPath)
+    assert(!java.nio.file.Files.exists(marker))
+    // the stream resumes on the SAME checkpoint: batch 1 rebuilds the delta
+    // and must RE-STAMP the marker, or compact's commit-log verification —
+    // the mid-batch-death guard — would silently never apply again after
+    // the first compact cycle
+    ms.addData(b2.toSeq); drain() // batch 1
+    assert(java.nio.file.Files.exists(marker),
+      "a post-compact batch must re-stamp the ownership marker")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == ckpt,
+      "the re-stamped marker must name the owning checkpoint")
+    // and the restored ownership is LOAD-BEARING: with the marker present,
+    // a second compact verifies batch 1 against the commit log and folds
+    AnnIndex.compact(spark, idxDir, deltaPath)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deltaPath)),
+      "the verified post-resume delta must be consumed")
+    val served = spark.read.parquet(s"$idxDir/codes")
+    assert(served.count() == emb.count(),
+      "after two ingest/compact cycles every vector serves exactly once")
+  }
 }
