@@ -75,4 +75,27 @@ class ParaIndexSpec extends AnyFunSuite with SparkSpec {
     assert(splits <= 2, // batch paragraphs + batch n_paras projection only
       s"table side must be scan-only; found $splits split() calls:\n$plan")
   }
+
+  test("deleteStored: re-election == survivors rebuild row for row; survivor-less hashes drop") {
+    import spark.implicits._
+    val dir = tmpDir("para-del")
+    ParaIndex.write(ParaIndex.build(corpus, col("id"), col("text")), dir)
+    // remove docs 1 and 3: doc 1 WON "alpha one" (doc 4 still carries it)
+    // and "shared footer" (doc 2 still carries it) — both must re-elect;
+    // doc 3's "gamma three" has no surviving carrier — its hash must drop
+    val removed = Seq(1L, 3L).toDF("doc_id")
+    val survivors = corpus.where(!col("id").isin(1L, 3L))
+    ParaIndex.deleteStored(spark, dir, removed, survivors, col("id"), col("text"))
+    val stored = ParaIndex.read(spark, dir)
+    assert(stored.where(col("doc_id").isin(1L, 3L)).count() == 0L,
+      "removed winners must leave the stored bytes")
+    assert(rows(stored)
+        == rows(ParaIndex.firstOccurrences(survivors, col("id"), col("text"))),
+      "re-elected table must equal a from-scratch election over the survivors")
+    // the re-elections landed where the fixture predicts
+    val byDoc = stored.select(col("doc_id").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDoc.contains((4L, 0L)), "'alpha one' must re-elect to doc 4")
+    assert(byDoc.contains((2L, 1L)), "'shared footer' must re-elect to doc 2 pos 1")
+  }
 }

@@ -84,4 +84,29 @@ class WinnowIndexSpec extends AnyFunSuite with SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans >= 2, s"table-side consumers must read stored parquet, got $scans scans:\n$plan")
   }
+
+  test("deleteStored: fingerprint bytes AND the stored df table equal a survivors-only recompute") {
+    val fp = WinnowIndex.build(docs, col("doc_id"), col("text"), k = 3, w = 4)
+    val fpDir = tmpDir("winnow-del-fp")
+    val dfDir = tmpDir("winnow-del-df")
+    WinnowIndex.write(fp, fpDir)
+    WinnowIndex.writeDfTable(WinnowIndex.dfTable(fp), dfDir)
+    val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id"))
+    WinnowIndex.deleteStored(spark, fpDir, removed, dfPath = Some(dfDir))
+    val survivors = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    val fpSurv = Dedup.winnowFingerprints(survivors, col("doc_id"), col("text"),
+      k = 3, w = 4)
+    // fingerprint table: the re-read BYTES are exactly the survivors' rows
+    assert(fpRows(WinnowIndex.read(spark, fpDir)) == fpRows(fpSurv),
+      "stored fingerprints after delete must equal the never-saw-them rebuild")
+    // df side table: the exact decrement equals a from-scratch recompute,
+    // with zero-reaching hashes DROPPED (not kept at 0)
+    def dfRows(t: DataFrame): Set[(Long, Long)] =
+      t.select(col("h"), col("df").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfRows(WinnowIndex.readDfTable(spark, dfDir))
+        == dfRows(WinnowIndex.dfTable(fpSurv)),
+      "decremented df table must equal the survivors-only recompute")
+  }
 }
