@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-manifest storage for the durable index tables — the mechanical
+  * fix for the one contract every storage-truth rewrite in this repo
+  * carries as DOCUMENTATION ONLY ([[AnnIndex.deleteStored]],
+  * [[StoredTables]]: "do not serve while the rewrite runs"). An in-place
+  * dynamic partition overwrite deletes the files a concurrent reader's plan
+  * may already hold, so serving during maintenance is a race; here a
+  * rewrite never deletes anything a published generation references:
+  *
+  *  - data files live in the ordinary `part=<v>/` directories (one shared
+  *    pool; files are immutable once written);
+  *  - `path/_manifests/gen-%06d.json` lists, per partition value, exactly
+  *    the file names that generation serves;
+  *  - `path/_generation` is a one-line pointer to the current generation,
+  *    written via write-then-RENAME (atomic on HDFS/local — the
+  *    [[graft.streaming.Pipelines]] ownership-marker pattern).
+  *
+  * A rewrite appends NEW files for the affected partitions only (bounded
+  * I/O — the [[StoredTables.overwriteAffected]] shape, without the
+  * delete), then publishes a new manifest that references the new files
+  * for affected partitions and the PRIOR generation's files everywhere
+  * else. Readers resolved before the flip keep serving the old
+  * generation's (still present) files; readers resolved after see the new
+  * ones; the flip itself is one atomic rename. Unreferenced files are
+  * reclaimed later by [[expire]] — an explicitly separate step, so space
+  * reclamation (which DOES invalidate old readers) is an operator
+  * decision with its own timing, exactly the Iceberg/Delta
+  * snapshot-expiry contract re-derived on plain parquet + JSON.
+  *
+  * Single-writer contract (unchanged from the in-place recipe): one
+  * maintenance job mutates a table at a time — generations serialize
+  * writes' VISIBILITY, they do not arbitrate concurrent writers. Manifest
+  * JSON is written with the repo's own minimal [[graft.Json]] escapes; no
+  * external formats.
+  *
+  * Scale shape: a manifest holds one entry per (partition, file) — for the
+  * 64-bucket index families that is tens of entries, KBs of JSON; at
+  * thousands of partitions it is still MBs read once per serve session.
+  * The resolved DataFrame is a plain parquet scan over an explicit file
+  * list with `basePath` set, so partition-column pruning and column
+  * pruning behave exactly as on a directory scan.
+  */
+object SnapTables {
+
+  private val PointerName = "_generation"
+  private val ManifestDir = "_manifests"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def genName(gen: Int): String = f"gen-$gen%06d.json"
+
+  /** Atomic pointer write: tmp + rename (rename onto an existing path
+    * replaces it atomically on local/HDFS).
+    */
+  private def writePointer(hfs: FileSystem, root: Path, gen: Int): Unit = {
+    val tmp = new Path(root, s".$PointerName.tmp")
+    val out = hfs.create(tmp, true)
+    out.write(gen.toString.getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(root, PointerName)
+    if (hfs.exists(dst)) hfs.delete(dst, false)
+    require(hfs.rename(tmp, dst),
+      s"SnapTables: atomic pointer rename failed at $dst")
+  }
+
+  /** Current generation number, or None for an unpublished path. An empty
+    * or torn pointer (crash between create and close under a non-atomic
+    * writer) is rejected loudly — with rename-based publication it cannot
+    * occur, so its presence means a foreign writer touched the table.
+    */
+  def currentGeneration(spark: SparkSession, path: String): Option[Int] = {
+    val hfs = fs(spark, path)
+    val p = new Path(path, PointerName)
+    if (!hfs.exists(p)) return None
+    val in = hfs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    require(raw.nonEmpty && raw.forall(_.isDigit),
+      s"SnapTables: corrupt generation pointer '$raw' at $p")
+    Some(raw.toInt)
+  }
+
+  /** The (partition value → file names) listing of one generation. */
+  private def readManifest(hfs: FileSystem, root: Path,
+      gen: Int): Map[Int, Seq[String]] = {
+    val p = new Path(new Path(root, ManifestDir), genName(gen))
+    require(hfs.exists(p), s"SnapTables: missing manifest $p")
+    val in = hfs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    // format: one "partValue TAB file TAB file..." line per partition —
+    // written by writeManifest below; no nested JSON to parse
+    raw.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val cols = line.split("\t")
+      cols.head.toInt -> cols.tail.toSeq
+    }.toMap
+  }
+
+  private def writeManifest(hfs: FileSystem, root: Path, gen: Int,
+      entries: Map[Int, Seq[String]]): Unit = {
+    val dir = new Path(root, ManifestDir)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val tmp = new Path(dir, s".${genName(gen)}.tmp")
+    val out = hfs.create(tmp, true)
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (v, files) => (v.toString +: files.sorted).mkString("\t") }
+      .mkString("\n")
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    require(hfs.rename(tmp, new Path(dir, genName(gen))),
+      s"SnapTables: manifest rename failed for gen $gen")
+  }
+
+  /** Data-file names currently on disk per partition value. */
+  private def listPartitionFiles(hfs: FileSystem, root: Path,
+      partCol: String): Map[Int, Seq[String]] = {
+    if (!hfs.exists(root)) return Map.empty
+    hfs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map { d =>
+        val v = d.getPath.getName.stripPrefix(s"$partCol=").toInt
+        v -> hfs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+          .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+      }.toMap
+  }
+
+  /** First publication: write `df` partitioned by `partCol` into `path`,
+    * record every written file in manifest gen-0, flip the pointer.
+    */
+  def publishInitial(spark: SparkSession, path: String, partCol: String,
+      df: DataFrame): Unit = {
+    val root = new Path(path)
+    val hfs = fs(spark, path)
+    require(currentGeneration(spark, path).isEmpty,
+      s"SnapTables: $path is already published — use rewritePartitions")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    writeManifest(hfs, root, 0, listPartitionFiles(hfs, root, partCol))
+    writePointer(hfs, root, 0)
+  }
+
+  /** The table as the CURRENT generation serves it: a plain parquet scan
+    * over exactly the manifest's files (`basePath` keeps the partition
+    * column). Files a later rewrite adds are invisible to this frame, and
+    * files it supersedes stay on disk until [[expire]] — so a plan
+    * resolved here keeps returning this generation's rows even while a
+    * rewrite publishes the next one. Junk files in the partition
+    * directories (a crashed writer's orphans) are equally invisible:
+    * readers trust manifests, never directory listings.
+    */
+  def resolve(spark: SparkSession, path: String, partCol: String): DataFrame = {
+    val gen = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    resolveAt(spark, path, partCol, gen)
+  }
+
+  /** Time-travel read of a specific retained generation. */
+  def resolveAt(spark: SparkSession, path: String, partCol: String,
+      gen: Int): DataFrame = {
+    val hfs = fs(spark, path)
+    val files = readManifest(hfs, new Path(path), gen).toSeq
+      .flatMap { case (v, names) => names.map(n => s"$path/$partCol=$v/$n") }
+    require(files.nonEmpty, s"SnapTables: generation $gen of $path is empty")
+    spark.read.option("basePath", path).parquet(files: _*)
+  }
+
+  /** Bounded-I/O partition rewrite with snapshot-isolated publication: the
+    * `affected` partitions' content becomes `survivors` (which must cover
+    * ONLY those partitions) in generation N+1, every other partition
+    * carries generation N's file list forward untouched. New files are
+    * APPENDED into the affected partition directories (parquet task files
+    * have unique UUID names, so nothing collides and nothing is deleted);
+    * the diff of before/after directory listings identifies them — sound
+    * under the single-writer contract. Partitions whose survivors are
+    * empty simply vanish from the new manifest (the emptied-directory-drop
+    * semantics without the drop). A crash ANYWHERE before the final
+    * pointer rename leaves the current generation fully intact — the
+    * orphaned new files are invisible to manifest readers and reclaimed by
+    * [[expire]]. Returns the published generation number.
+    */
+  def rewritePartitions(spark: SparkSession, path: String, partCol: String,
+      affected: Seq[Int], survivors: DataFrame): Int = {
+    val root = new Path(path)
+    val hfs = fs(spark, path)
+    val gen = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    val cur = readManifest(hfs, root, gen)
+    // materialize FIRST: the emptiness probe and the append below must not
+    // recompute the caller's lineage, and the survivors plan reads the very
+    // files the append writes next to (same directories)
+    val surv = survivors.localCheckpoint()
+    require((cur.keySet -- affected).nonEmpty || !surv.isEmpty,
+      s"SnapTables: the rewrite empties the whole table at $path — an empty " +
+        "generation has no readable parquet; drop the table instead")
+    val before = listPartitionFiles(hfs, root, partCol)
+    surv.write.mode("append").partitionBy(partCol).parquet(path)
+    val after = listPartitionFiles(hfs, root, partCol)
+    val newFiles: Map[Int, Seq[String]] = affected.map { v =>
+      v -> after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil))
+    }.toMap
+    val next = (cur -- affected) ++ newFiles.filter(_._2.nonEmpty)
+    require(next.nonEmpty,
+      s"SnapTables: refusing to publish an empty generation at $path")
+    writeManifest(hfs, root, gen + 1, next)
+    writePointer(hfs, root, gen + 1)
+    gen + 1
+  }
+
+  /** [[StoredTables.deleteByKey]] with snapshot publication instead of the
+    * in-place overwrite: the same bounded I/O shape (one semi-join to find
+    * affected partitions, one anti-join rewrite of exactly those), but a
+    * concurrent reader of the current generation is never invalidated —
+    * the serving-concurrency contract every in-place rewrite carries as
+    * documentation becomes a mechanical guarantee here. Returns the
+    * generation now serving (unchanged when no stored row matched).
+    */
+  def deleteByKey(spark: SparkSession, path: String, partCol: String,
+      keyCol: String, removedKeys: DataFrame): Int = {
+    val tbl = resolve(spark, path, partCol)
+    val rm = removedKeys.select(col(keyCol))
+    val affected = tbl.join(rm, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val gen = currentGeneration(spark, path).get
+    if (affected.isEmpty) return gen
+    val survivors = tbl
+      .where(col(partCol).isin(affected: _*))
+      .join(rm, Seq(keyCol), "left_anti")
+    rewritePartitions(spark, path, partCol, affected, survivors)
+  }
+
+  /** Reclaim space: delete every data file not referenced by the newest
+    * `keepGens` manifests, drop older manifests, and remove emptied
+    * partition directories. This is the step that invalidates readers of
+    * expired generations — run it when in-flight plans against them have
+    * drained (the operator timing decision snapshot expiry exists to
+    * isolate).
+    */
+  def expire(spark: SparkSession, path: String, partCol: String,
+      keepGens: Int = 2): Unit = {
+    require(keepGens >= 1, "SnapTables: must keep at least the current generation")
+    val root = new Path(path)
+    val hfs = fs(spark, path)
+    val gen = currentGeneration(spark, path).getOrElse(return)
+    val keep = ((gen - keepGens + 1) max 0) to gen
+    val referenced: Set[(Int, String)] = keep.flatMap { g =>
+      readManifest(hfs, root, g).toSeq.flatMap { case (v, names) =>
+        names.map(v -> _)
+      }
+    }.toSet
+    listPartitionFiles(hfs, root, partCol).foreach { case (v, names) =>
+      names.filterNot(n => referenced.contains(v -> n)).foreach { n =>
+        hfs.delete(new Path(root, s"$partCol=$v/$n"), false)
+      }
+      val dir = new Path(root, s"$partCol=$v")
+      if (hfs.listStatus(dir).forall(s => s.getPath.getName.startsWith(".")))
+        hfs.delete(dir, true)
+    }
+    val mdir = new Path(root, ManifestDir)
+    hfs.listStatus(mdir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("gen-") && n.endsWith(".json")
+          && !keep.map(genName).contains(n))
+        hfs.delete(s.getPath, false)
+    }
+  }
+}

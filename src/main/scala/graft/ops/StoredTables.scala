@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * Serving-concurrency contract (the [[AnnIndex.deleteStored]] stance): do
   * not serve from the table while a rewrite runs; a crash between the
   * overwrite and the emptied-directory drops is repaired by re-running the
-  * SAME delete (the overwrite is idempotent).
+  * SAME delete (the overwrite is idempotent). Where concurrent serving
+  * during maintenance is required, use the [[SnapTables]] manifest layer —
+  * the same bounded-I/O rewrite published as an immutable generation
+  * behind an atomic pointer flip (q412), which removes the contract
+  * instead of documenting it.
   */
 object StoredTables {
 

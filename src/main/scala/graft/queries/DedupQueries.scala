@@ -2054,7 +2054,56 @@ object DedupQueries {
            |  SELECT h, doc_id, pos,
            |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
            |  FROM ph)
-           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin))
+           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin)),
+
+    // SNAPSHOT-ISOLATED delete — q404's storage rewrite under the
+    // SnapTables manifest layer, the mechanical fix for the one contract
+    // every in-place rewrite carries as documentation ("do not serve
+    // during the rewrite"): the delete appends survivor files for the
+    // affected hb buckets only and atomically flips a generation pointer;
+    // the superseded files stay on disk, so a reader resolved BEFORE the
+    // flip keeps serving the old generation (SnapTablesSpec pins that, the
+    // crash-orphan invisibility, and expiry). This query serves the q169
+    // probe set from the POST-FLIP generation; the oracle is the same
+    // survivors-only chain as q404 (df cap in-plan over the resolved
+    // table) — snapshot publication must be invisible in the answers.
+    QueryDef(
+      "q412_winnow_snapshot_delete",
+      (s, dir) => {
+        val p = winnowSnapshotPath(s, dir)
+        val fp = graft.ops.SnapTables.resolve(s, p, "hb")
+        val docs = Tables.load(s, dir, "documents")
+        val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
+        graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+      },
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |probes AS (
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 30), ' ') AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${duckWinnowCtes("kept", "i")},
+           |${duckWinnowCtes("probes", "p")},
+           |ifp0 AS (SELECT DISTINCT doc_id, h FROM iwfp),
+           |ifp AS (
+           |  SELECT doc_id, h FROM ifp0
+           |  WHERE h IN (SELECT h FROM ifp0 GROUP BY h HAVING COUNT(*) <= 100)),
+           |isz AS (SELECT doc_id, COUNT(*) AS nfp_doc FROM ifp GROUP BY 1),
+           |pfp AS (SELECT DISTINCT doc_id AS probe_id, h FROM pwfp),
+           |psz AS (SELECT probe_id, COUNT(*) AS nfp_probe FROM pfp GROUP BY 1),
+           |inter AS (
+           |  SELECT p.probe_id, i.doc_id, COUNT(*) AS inter
+           |  FROM pfp p JOIN ifp i ON p.h = i.h
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, doc_id, inter, psz.nfp_probe, isz.nfp_doc,
+           |  CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) AS overlap
+           |FROM inter
+           |JOIN psz USING (probe_id)
+           |JOIN isz USING (doc_id)
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin))
   )
 
   // ---------------------------------------------------------------------
@@ -2104,6 +2153,20 @@ object DedupQueries {
       val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
         .select(col("doc_id"))
       graft.ops.SimHashIndex.deleteStored(s, p, removed)
+    }
+
+  private def winnowSnapshotPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("winnowsnap", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val fp = graft.ops.WinnowIndex.build(docs, col("doc_id"), col("text"),
+        k = 3, w = 4)
+      graft.ops.SnapTables.publishInitial(s, p, "hb",
+        fp.withColumn("hb", pmod(col("h"),
+          lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")))
+      graft.ops.SnapTables.deleteByKey(s, p, "hb", "doc_id",
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")))
+      ()
     }
 
   private def paraDeletedPath(s: org.apache.spark.sql.SparkSession,
