@@ -2457,6 +2457,33 @@ object SimilarityQueries {
       },
       Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0"))),
 
+    // SNAPSHOT-isolated ANN delete — q398's storage rewrite under the
+    // SnapTables manifest layer, carrying the FLAGSHIP family's posting
+    // lists into the serve-during-rewrite guarantee: the delete appends
+    // survivor files for the affected cluster partitions only and
+    // atomically flips the generation pointer, so a serve resolved before
+    // the maintenance window keeps its answer set while this query serves
+    // the post-flip generation (SnapTablesSpec pins the isolation; the
+    // model tables — centroids/codebooks — are immutable and need no
+    // generations). Same survivors-only oracle as q396/q398: WHERE the
+    // rewrite publishes must be invisible in WHAT serves.
+    QueryDef(
+      "q413_ivfpq_snapshot_delete",
+      (s, dir) => {
+        val p = snapshotIndexPath(s, dir)
+        val idx = graft.ops.IvfPqIndex(
+          centroids = s.read.parquet(s"$p/centroids"),
+          codebooks = s.read.parquet(s"$p/codebooks"),
+          codes = graft.ops.SnapTables.resolve(s, s"$p/codes", "cluster")
+            .select(col("vid"), col("cluster"), col("codes")),
+          dims = 64, m = 8, codewords = 16)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0"))),
+
     // COMPACTED serve — the streaming-maintenance follow-through: the
     // maintenance loop accretes one batch_id partition per micro-batch
     // OUTSIDE the cluster layout, so probes lose partition pruning on the
@@ -2744,6 +2771,25 @@ object SimilarityQueries {
         .where(pmod(col("vec_id"), lit(11)) === 0)
         .select(col("vec_id").as("vid"))
       graft.ops.AnnIndex.deleteStored(s, p, removed)
+    }
+
+  /** The q413 snapshot index: the q391 model tables copied as-is (immutable
+    * under delete), the codes table PUBLISHED through the [[graft.ops.SnapTables]]
+    * manifest layer, and the %11 removal rewritten as a snapshot-isolated
+    * generation flip instead of an in-place overwrite.
+    */
+  private def snapshotIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("annsnap", dir) { p =>
+      val idx = graft.ops.AnnIndex.read(s, sqrtnIndexPath(s, dir))
+      idx.centroids.write.mode("overwrite").parquet(s"$p/centroids")
+      idx.codebooks.write.mode("overwrite").parquet(s"$p/codebooks")
+      graft.ops.SnapTables.publishInitial(s, s"$p/codes", "cluster", idx.codes)
+      graft.ops.SnapTables.deleteByKey(s, s"$p/codes", "cluster", "vid",
+        Tables.load(s, dir, "embeddings")
+          .where(pmod(col("vec_id"), lit(11)) === 0)
+          .select(col("vec_id").as("vid")))
+      ()
     }
 
   /** The q399/q401 stored index: a fresh clone of the q394 base index

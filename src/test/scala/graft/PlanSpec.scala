@@ -251,7 +251,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the cluster-partitioned codes — the compaction query exists precisely
     // to RESTORE that pruning (a batch_id-partitioned delta side has none).
     for (q <- Seq("q398_ivfpq_stored_delete", "q399_ivfpq_compacted_serve",
-        "q403_ann_lifecycle_e2e")) {
+        "q403_ann_lifecycle_e2e",
+        // the snapshot-published codes table (explicit manifest file list +
+        // basePath) must keep the SAME production shape — generations are a
+        // publication mechanism, not a plan change
+        "q413_ivfpq_snapshot_delete")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("existingrdd"),
         s"$q: serve plan must contain no checkpointed training lineage")
