@@ -234,6 +234,48 @@ object SnapTables {
     rewritePartitions(spark, path, partCol, affected, survivors)
   }
 
+  /** [[StoredTables.decrementCounts]] with snapshot publication: the same
+    * exact-subtraction semantics and guards (duplicate-key deltas
+    * pre-aggregate; unknown-key and over-retraction batches fail loudly
+    * BEFORE any file is written), but the decremented partitions publish
+    * as a new generation instead of overwriting in place — concurrent
+    * readers of the additive side table (serve-path df caps, bucket
+    * guards) keep their statistics until they re-resolve. Returns the
+    * generation now serving.
+    */
+  def decrementCounts(spark: SparkSession, path: String, partCol: String,
+      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int = {
+    val tbl = resolve(spark, path, partCol)
+    val dec = deltas.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__dec")).as("__dec")).localCheckpoint()
+    val unknown = dec
+      .join(tbl.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .limit(1).collect()
+    require(unknown.isEmpty,
+      s"SnapTables.decrementCounts: retraction key ${unknown.headOption.getOrElse("")} " +
+        s"has no row in generation ${currentGeneration(spark, path).get} of $path — " +
+        "retracting something never counted (or already retracted); refusing the batch")
+    val affected = tbl.join(dec, keyCols, "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val gen = currentGeneration(spark, path).get
+    if (affected.isEmpty) return gen
+    val cols = tbl.columns.toSeq
+    val decremented = tbl
+      .where(col(partCol).isin(affected: _*))
+      .join(dec, keyCols, "left")
+      .withColumn(countCol, col(countCol) - coalesce(col("__dec"), lit(0L)))
+      .localCheckpoint()
+    val over = decremented.where(col(countCol) < 0)
+      .select(keyCols.map(col): _*).limit(1).collect()
+    require(over.isEmpty,
+      s"SnapTables.decrementCounts: retraction of key ${over.headOption.getOrElse("")} " +
+        s"exceeds its stored count at $path (double-submitted batch?); refusing " +
+        "before publishing")
+    rewritePartitions(spark, path, partCol, affected,
+      decremented.where(col(countCol) > 0).select(cols.map(col): _*))
+  }
+
   /** Reclaim space: delete every data file not referenced by the newest
     * `keepGens` manifests, drop older manifests, and remove emptied
     * partition directories. This is the step that invalidates readers of

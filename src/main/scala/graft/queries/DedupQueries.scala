@@ -2063,21 +2063,29 @@ object DedupQueries {
     // affected hb buckets only and atomically flips a generation pointer;
     // the superseded files stay on disk, so a reader resolved BEFORE the
     // flip keeps serving the old generation (SnapTablesSpec pins that, the
-    // crash-orphan invisibility, and expiry). This query serves the q169
-    // probe set from the POST-FLIP generation; the oracle is the same
-    // survivors-only chain as q404 (df cap in-plan over the resolved
-    // table) — snapshot publication must be invisible in the answers.
+    // crash-orphan invisibility, and expiry). BOTH winnow tables ride the
+    // layer: the fingerprint table deletes by snapshot key-filter and the
+    // additive df side table retracts by snapshot decrement
+    // (SnapTables.decrementCounts — same pre-aggregation/unknown-key/
+    // over-retraction guards as the in-place recipe, published as a
+    // generation). This query serves the q169 probe set from the
+    // POST-FLIP generations, df cap fed from the decremented side table;
+    // the oracle is the same survivors-only chain as q404 — snapshot
+    // publication must be invisible in the answers.
     QueryDef(
       "q412_winnow_snapshot_delete",
       (s, dir) => {
         val p = winnowSnapshotPath(s, dir)
-        val fp = graft.ops.SnapTables.resolve(s, p, "hb")
+        val fp = graft.ops.SnapTables.resolve(s, s"$p/fp", "hb")
+        val stats = graft.ops.SnapTables.resolve(s, s"$p/df", "hb")
+          .select(col("h"), col("df"))
         val docs = Tables.load(s, dir, "documents")
         val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
           .select((col("doc_id") + lit(10000000L)).as("doc_id"),
             concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
         graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
-          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+          k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100),
+          storedDf = Some(stats))
       },
       Some(s"""WITH kept AS (
            |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
@@ -2159,13 +2167,24 @@ object DedupQueries {
       dir: String): String =
     SimilarityQueries.memoPath("winnowsnap", dir) { p =>
       val docs = Tables.load(s, dir, "documents")
+      val hbOf = (c: org.apache.spark.sql.Column) => pmod(c,
+        lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")
       val fp = graft.ops.WinnowIndex.build(docs, col("doc_id"), col("text"),
         k = 3, w = 4)
-      graft.ops.SnapTables.publishInitial(s, p, "hb",
-        fp.withColumn("hb", pmod(col("h"),
-          lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")))
-      graft.ops.SnapTables.deleteByKey(s, p, "hb", "doc_id",
-        docs.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")))
+      graft.ops.SnapTables.publishInitial(s, s"$p/fp", "hb",
+        fp.withColumn("hb", hbOf(col("h"))))
+      graft.ops.SnapTables.publishInitial(s, s"$p/df", "hb",
+        graft.ops.WinnowIndex.dfTable(fp).withColumn("hb", hbOf(col("h"))))
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      // decrement derives from the PRE-DELETE fp generation (the removed
+      // docs' own distinct-(doc, h) contributions), then both tables flip
+      val dec = graft.ops.SnapTables.resolve(s, s"$p/fp", "hb")
+        .join(removed, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("__dec"))
+      graft.ops.SnapTables.decrementCounts(s, s"$p/df", "hb", Seq("h"), "df", dec)
+      graft.ops.SnapTables.deleteByKey(s, s"$p/fp", "hb", "doc_id", removed)
       ()
     }
 

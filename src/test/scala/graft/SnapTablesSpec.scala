@@ -97,6 +97,44 @@ class SnapTablesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows)
   }
 
+  test("decrementCounts: snapshot-published subtraction; pre-flip reader keeps the old statistics") {
+    import spark.implicits._
+    val dir = tmpDir("snap-dec")
+    // additive side table: (key, n, pb) with n = 10 everywhere
+    val counts = (1L to 12L).map(k => (k, 10L, (k % 3).toInt)).toDF("key", "n", "pb")
+    SnapTables.publishInitial(spark, dir, "pb", counts)
+    val inFlight = SnapTables.resolve(spark, dir, "pb")
+    // retract 4 from keys 1..3, all 10 from key 4 (legitimate full retraction)
+    val deltas = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L)).toDF("key", "__dec")
+    val gen = SnapTables.decrementCounts(spark, dir, "pb", Seq("key"), "n", deltas)
+    assert(gen == 1)
+    def counted(df: DataFrame): Map[Long, Long] =
+      df.select(col("key"), col("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val now = counted(SnapTables.resolve(spark, dir, "pb"))
+    assert(now(1L) == 6L && now(2L) == 6L && now(3L) == 6L)
+    assert(!now.contains(4L), "a key retracted to zero must drop")
+    assert((5L to 12L).forall(k => now(k) == 10L))
+    // the pre-flip reader still serves the UN-decremented statistics
+    assert(counted(inFlight) == (1L to 12L).map(_ -> 10L).toMap,
+      "a reader resolved before the decrement must keep its generation's counts")
+    // the in-place recipe's guards carry over: over-retraction refuses
+    val over = intercept[IllegalArgumentException] {
+      SnapTables.decrementCounts(spark, dir, "pb", Seq("key"), "n",
+        Seq((5L, 11L)).toDF("key", "__dec"))
+    }
+    assert(over.getMessage.contains("exceeds"))
+    // unknown key (the already-dropped key 4) refuses — a silent no-op
+    // would read as a landed retraction
+    val unk = intercept[IllegalArgumentException] {
+      SnapTables.decrementCounts(spark, dir, "pb", Seq("key"), "n",
+        Seq((4L, 1L)).toDF("key", "__dec"))
+    }
+    assert(unk.getMessage.contains("never counted"))
+    assert(SnapTables.currentGeneration(spark, dir).contains(1),
+      "refused batches must not advance the generation")
+  }
+
   test("a rewrite that would empty the table fails before publishing") {
     import spark.implicits._
     val dir = tmpDir("snap-empty")
