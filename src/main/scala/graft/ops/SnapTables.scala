@@ -139,7 +139,13 @@ object SnapTables {
     val hfs = fs(spark, path)
     require(currentGeneration(spark, path).isEmpty,
       s"SnapTables: $path is already published — use rewritePartitions")
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // one shuffle keyed on the partition column bounds the file count at
+    // ~one per partition (AQE coalesces small ones): resolve() plans over
+    // an EXPLICIT path list, so a 32-task × 64-partition fan-out write
+    // would hand every later serve thousands of paths to plan (measured
+    // +2.5 s warm on the winnow serve) and bloat every manifest
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
     writeManifest(hfs, root, 0, listPartitionFiles(hfs, root, partCol))
     writePointer(hfs, root, 0)
   }
@@ -198,7 +204,9 @@ object SnapTables {
       s"SnapTables: the rewrite empties the whole table at $path — an empty " +
         "generation has no readable parquet; drop the table instead")
     val before = listPartitionFiles(hfs, root, partCol)
-    surv.write.mode("append").partitionBy(partCol).parquet(path)
+    // keyed repartition for the same file-count bound as publishInitial
+    surv.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(path)
     val after = listPartitionFiles(hfs, root, partCol)
     val newFiles: Map[Int, Seq[String]] = affected.map { v =>
       v -> after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil))
