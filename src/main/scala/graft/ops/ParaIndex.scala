@@ -122,8 +122,50 @@ object ParaIndex {
       survivors: DataFrame,
       id: Column,
       text: Column,
-      sep: String = "\n"): Unit = {
-    val tbl = spark.read.parquet(path)
+      sep: String = "\n"): Unit =
+    reElect(spark.read.parquet(path), removedIds, survivors, id, text, sep)
+      .foreach { case (affected, rewritten) =>
+        StoredTables.overwriteAffected(spark, path, "hb", affected, rewritten)
+      }
+
+  /** [[deleteStored]] under the [[SnapTables]] snapshot layer: the same
+    * re-election over the surviving corpus, published as a generation flip
+    * instead of an in-place overwrite — q414 hash-proves it equals the
+    * survivors rebuild through the snapshot path, and readers resolved
+    * before the flip keep the pre-delete winners (the one elected-table
+    * case where that isolation is SEMANTICALLY visible: the old generation
+    * still scrubs the removed winners' paragraphs). Completes the verb
+    * matrix on snapshots: key-filter ([[SnapTables.deleteByKey]]),
+    * decrement ([[SnapTables.decrementCounts]]), re-election (here).
+    */
+  def deleteSnapshot(
+      spark: SparkSession,
+      path: String,
+      removedIds: DataFrame,
+      survivors: DataFrame,
+      id: Column,
+      text: Column,
+      sep: String = "\n"): Int = {
+    val gen = SnapTables.currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"ParaIndex: $path has no published generation"))
+    reElect(SnapTables.resolve(spark, path, "hb"), removedIds, survivors,
+        id, text, sep)
+      .map { case (affected, rewritten) =>
+        SnapTables.rewritePartitions(spark, path, "hb", affected, rewritten)
+      }.getOrElse(gen)
+  }
+
+  /** The shared re-election core: None when no stored winner is removed,
+    * otherwise the affected `hb` set and those partitions' replacement rows
+    * (surviving old winners ∪ re-elected minima over `survivors`).
+    */
+  private def reElect(
+      tbl: DataFrame,
+      removedIds: DataFrame,
+      survivors: DataFrame,
+      id: Column,
+      text: Column,
+      sep: String): Option[(Seq[Int], DataFrame)] = {
     val rm = removedIds.select(col("doc_id"))
     // one row per orphaned hash (the table holds one row per h), carrying
     // the hb its replacement must land back into — bucket-scheme-agnostic
@@ -131,7 +173,7 @@ object ParaIndex {
       .select(col("h"), col("hb")).localCheckpoint()
     val affected = orphaned.select(col("hb")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty) return
+    if (affected.isEmpty) return None
     val contested = paraRows(survivors, id, text, sep)
       .select(Hashing.hash60(col("para")).as("h"), col("doc_id"), col("pos"))
       .join(orphaned.select(col("h")), Seq("h"), "left_semi")
@@ -145,7 +187,7 @@ object ParaIndex {
       .join(rm, Seq("doc_id"), "left_anti")
       .select(col("h"), col("doc_id"), col("pos"), col("hb"))
       .unionByName(reElected.select(col("h"), col("doc_id"), col("pos"), col("hb")))
-    StoredTables.overwriteAffected(spark, path, "hb", affected, rewritten)
+    Some((affected, rewritten))
   }
 
   /** Scrub an INGEST batch against the stored table — the serve path:

@@ -2111,7 +2111,46 @@ object DedupQueries {
            |FROM inter
            |JOIN psz USING (probe_id)
            |JOIN isz USING (doc_id)
-           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin))
+           |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin)),
+
+    // SNAPSHOT re-election — the third and last rewrite verb on the
+    // snapshot layer (q412 proved key-filter, its df side decrement; this
+    // proves the ELECTED-table delete): the q407 planted corpus publishes
+    // through SnapTables, ParaIndex.deleteSnapshot re-elects the removed
+    // winners' paragraphs over the survivors and publishes the result as a
+    // generation flip. Output is the POST-FLIP table itself; the oracle is
+    // q407's from-scratch survivors election VERBATIM — in-place overwrite
+    // and snapshot publication must produce byte-identical logical tables.
+    // The isolation here is semantically visible: a gen-0 reader still
+    // scrubs the removed winners' paragraphs until it re-resolves.
+    QueryDef(
+      "q414_para_snapshot_delete",
+      (s, dir) => {
+        val p = paraSnapshotPath(s, dir)
+        graft.ops.SnapTables.resolve(s, p, "hb")
+          .select(col("h"), col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH base AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+           |         THEN d.text || chr(10) || n.text ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+           |  WHERE d.doc_id % 11 <> 0),
+           |px AS (
+           |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM base)),
+           |paras AS (
+           |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           |    t[CAST(p AS INTEGER)] AS para
+           |  FROM px),
+           |ph AS (
+           |  SELECT doc_id, pos, ${Hashing.duckFoldHexCol("m")} AS h
+           |  FROM (SELECT doc_id, pos, md5(para) AS m FROM paras)),
+           |sel AS (
+           |  SELECT h, doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |  FROM ph)
+           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin))
   )
 
   // ---------------------------------------------------------------------
@@ -2185,6 +2224,29 @@ object DedupQueries {
         .groupBy(col("h")).agg(count(lit(1)).as("__dec"))
       graft.ops.SnapTables.decrementCounts(s, s"$p/df", "hb", Seq("h"), "df", dec)
       graft.ops.SnapTables.deleteByKey(s, s"$p/fp", "hb", "doc_id", removed)
+      ()
+    }
+
+  private def paraSnapshotPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("parasnap", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("next_text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("next_text").isNotNull,
+            concat(col("text"), lit("\n"), col("next_text")))
+            .otherwise(col("text")).as("text"))
+      val tbl = graft.ops.ParaIndex.build(corpus, col("doc_id"), col("text"))
+      graft.ops.SnapTables.publishInitial(s, p, "hb",
+        tbl.withColumn("hb", pmod(col("h"),
+          lit(graft.ops.ParaIndex.DefaultHashBuckets.toLong)).cast("int")))
+      graft.ops.ParaIndex.deleteSnapshot(s, p,
+        corpus.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")),
+        corpus.where(pmod(col("doc_id"), lit(11)) =!= 0),
+        col("doc_id"), col("text"))
       ()
     }
 

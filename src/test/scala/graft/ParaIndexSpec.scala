@@ -98,4 +98,34 @@ class ParaIndexSpec extends AnyFunSuite with SparkSpec {
     assert(byDoc.contains((4L, 0L)), "'alpha one' must re-elect to doc 4")
     assert(byDoc.contains((2L, 1L)), "'shared footer' must re-elect to doc 2 pos 1")
   }
+
+  test("deleteSnapshot: re-election publishes as a generation; a pre-flip scrubber keeps the old winners") {
+    import spark.implicits._
+    import graft.ops.SnapTables
+    val dir = tmpDir("para-snap-del")
+    SnapTables.publishInitial(spark, dir, "hb",
+      ParaIndex.build(corpus, col("id"), col("text"))
+        .withColumn("hb", pmod(col("h"),
+          lit(ParaIndex.DefaultHashBuckets.toLong)).cast("int")))
+    // a scrubber resolved BEFORE the delete — its electorate is gen 0
+    val preFlip = SnapTables.resolve(spark, dir, "hb")
+    val removed = Seq(1L, 3L).toDF("doc_id")
+    val survivors = corpus.where(!col("id").isin(1L, 3L))
+    val gen = ParaIndex.deleteSnapshot(spark, dir, removed, survivors,
+      col("id"), col("text"))
+    assert(gen == 1)
+    // post-flip: equals the from-scratch survivors election, like deleteStored
+    assert(rows(SnapTables.resolve(spark, dir, "hb"))
+        == rows(ParaIndex.firstOccurrences(survivors, col("id"), col("text"))))
+    // the isolation is SEMANTICALLY visible on an elected table: the
+    // pre-flip electorate still cuts doc 3's now-dropped paragraph
+    val probe = Seq((100L, "gamma three\nbrand new line")).toDF("id", "text")
+    def kept(tbl: org.apache.spark.sql.DataFrame): Long =
+      ParaIndex.scrub(tbl, probe, col("id"), col("text"))
+        .select(col("n_kept")).head().getLong(0)
+    assert(kept(preFlip) == 1L,
+      "gen-0 scrubber must still cut 'gamma three' (its hash was a gen-0 winner)")
+    assert(kept(SnapTables.resolve(spark, dir, "hb")) == 2L,
+      "gen-1 scrubber must keep it (no survivor carries that paragraph)")
+  }
 }
