@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   *  - data files live in the ordinary `part=<v>/` directories (one shared
   *    pool; files are immutable once written);
-  *  - `path/_manifests/gen-%06d.json` lists, per partition value, exactly
+  *  - `path/_manifests/gen-%06d.tsv` lists, per partition value, exactly
   *    the file names that generation serves;
   *  - `path/_generation` is a one-line pointer to the current generation,
   *    written via write-then-RENAME (atomic on HDFS/local — the
@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *
   * Single-writer contract (unchanged from the in-place recipe): one
   * maintenance job mutates a table at a time — generations serialize
-  * writes' VISIBILITY, they do not arbitrate concurrent writers. Manifest
-  * JSON is written with the repo's own minimal [[graft.Json]] escapes; no
-  * external formats.
+  * writes' VISIBILITY, they do not arbitrate concurrent writers. Manifests
+  * are plain tab-separated lines (`partValue TAB file TAB file…`) — parquet
+  * task-file names contain no tabs or newlines, so no quoting layer is
+  * needed and `hfs.open` + split is the whole parser; no external formats.
   *
   * Scale shape: a manifest holds one entry per (partition, file) — for the
   * 64-bucket index families that is tens of entries, KBs of JSON; at
@@ -53,7 +54,7 @@ object SnapTables {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def genName(gen: Int): String = f"gen-$gen%06d.json"
+  private def genName(gen: Int): String = f"gen-$gen%06d.tsv"
 
   /** Atomic pointer write: tmp + rename (rename onto an existing path
     * replaces it atomically on local/HDFS).
@@ -95,25 +96,55 @@ object SnapTables {
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     // format: one "partValue TAB file TAB file..." line per partition —
-    // written by writeManifest below; no nested JSON to parse
-    raw.split("\n").iterator.filter(_.nonEmpty).map { line =>
+    // written by writeManifest below; '#'-prefixed header lines carry
+    // generation metadata (the [[appendBatch]] batch id)
+    raw.split("\n").iterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val cols = line.split("\t")
       cols.head.toInt -> cols.tail.toSeq
     }.toMap
   }
 
+  /** The highest [[appendBatch]] batch id published at or before `gen` —
+    * the replay-detection record, stored in the manifest itself so the
+    * exactly-once decision and the file list it protects are one atomic
+    * artifact. Every publish verb CARRIES the header forward (a compaction
+    * or delete between an unacknowledged streaming batch and its replay
+    * must not amnesia the high-water mark — that would re-open the
+    * duplication window the header closes).
+    */
+  def lastAppendBatch(spark: SparkSession, path: String, gen: Int): Option[Long] =
+    batchHeader(fs(spark, path), new Path(path), gen)
+
+  private def batchHeader(hfs: FileSystem, root: Path, gen: Int): Option[Long] = {
+    val p = new Path(new Path(root, ManifestDir), genName(gen))
+    require(hfs.exists(p), s"SnapTables: missing manifest $p")
+    val in = hfs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    raw.split("\n").iterator.filter(_.startsWith("#batch\t"))
+      .map(_.stripPrefix("#batch\t").trim.toLong).toSeq.headOption
+  }
+
   private def writeManifest(hfs: FileSystem, root: Path, gen: Int,
-      entries: Map[Int, Seq[String]]): Unit = {
+      entries: Map[Int, Seq[String]], batchId: Option[Long] = None): Unit = {
     val dir = new Path(root, ManifestDir)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
     val tmp = new Path(dir, s".${genName(gen)}.tmp")
     val out = hfs.create(tmp, true)
-    val body = entries.toSeq.sortBy(_._1)
-      .map { case (v, files) => (v.toString +: files.sorted).mkString("\t") }
+    val body = (batchId.map(b => s"#batch\t$b").toSeq ++
+      entries.toSeq.sortBy(_._1)
+        .map { case (v, files) => (v.toString +: files.sorted).mkString("\t") })
       .mkString("\n")
     out.write(body.getBytes("UTF-8"))
     out.close()
-    require(hfs.rename(tmp, new Path(dir, genName(gen))),
+    // a destination manifest can already exist after a crash BETWEEN a prior
+    // attempt's manifest write and its pointer flip — that manifest was never
+    // served (the pointer still names gen-1), so replacing it is safe, and
+    // HDFS/local rename does NOT overwrite an existing destination: without
+    // this delete the retried publish would die on an opaque rename failure
+    val dst = new Path(dir, genName(gen))
+    if (hfs.exists(dst)) hfs.delete(dst, false)
+    require(hfs.rename(tmp, dst),
       s"SnapTables: manifest rename failed for gen $gen")
   }
 
@@ -203,6 +234,17 @@ object SnapTables {
     require((cur.keySet -- affected).nonEmpty || !surv.isEmpty,
       s"SnapTables: the rewrite empties the whole table at $path — an empty " +
         "generation has no readable parquet; drop the table instead")
+    // enforce, don't document, the survivors-cover-only-affected contract: a
+    // survivor row in an UNAFFECTED partition would append a file the new
+    // manifest never references — the row looks written but no generation
+    // ever serves it, and expire() reclaims it silently. Bounded transfer:
+    // distinct partition values, capped by the table's fan-out.
+    val stray = surv.select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).filterNot(affected.toSet)
+    require(stray.isEmpty,
+      s"SnapTables: survivors hold rows for partition(s) ${stray.sorted.mkString(",")} " +
+        s"outside the affected set at $path — those rows would be written but " +
+        "never referenced by any generation; fix the caller's affected list")
     val before = listPartitionFiles(hfs, root, partCol)
     // keyed repartition for the same file-count bound as publishInitial
     surv.repartition(col(partCol))
@@ -214,7 +256,8 @@ object SnapTables {
     val next = (cur -- affected) ++ newFiles.filter(_._2.nonEmpty)
     require(next.nonEmpty,
       s"SnapTables: refusing to publish an empty generation at $path")
-    writeManifest(hfs, root, gen + 1, next)
+    // rewrites never change ingest history — carry the high-water mark
+    writeManifest(hfs, root, gen + 1, next, batchHeader(hfs, root, gen))
     writePointer(hfs, root, gen + 1)
     gen + 1
   }
@@ -284,6 +327,124 @@ object SnapTables {
       decremented.where(col(countCol) > 0).select(cols.map(col): _*))
   }
 
+  /** The (partition value → file names) listing a generation serves — the
+    * audit surface behind [[compactPartitions]]'s economics and the spec
+    * hook for file-count invariants. Driver-bounded by construction: one
+    * entry per (partition, file), never row-scale.
+    */
+  def manifestEntries(spark: SparkSession, path: String,
+      gen: Int): Map[Int, Seq[String]] =
+    readManifest(fs(spark, path), new Path(path), gen)
+
+  /** Ingest APPEND as a generation — the verb that makes the layer a full
+    * lifecycle rather than a delete facility: `delta`'s rows land as new
+    * files in their partition directories and generation N+1's manifest
+    * references the union (generation N's files PLUS the new ones) for the
+    * touched partitions, everything else carried forward untouched. Nothing
+    * is rewritten — an append's I/O is the delta alone, however large the
+    * table (the micro-batch commit shape: a streaming ingest flipping one
+    * generation per batch gets atomic, replayable publication on plain
+    * parquet). Readers resolved at N never see the new rows (ingest
+    * isolation); a crash before the pointer flip leaves orphan files that
+    * manifests never reference and [[expire]] reclaims. Each touched
+    * partition gains ~one file per append — the accretion
+    * [[compactPartitions]] exists to fold. Append-only contract on keys
+    * (the [[MinHashIndex.append]] stance): re-appending an existing key
+    * duplicates it; the repair is [[deleteByKey]] + append, each its own
+    * generation. Returns the published generation (unchanged on an empty
+    * delta).
+    */
+  def appendPartitions(spark: SparkSession, path: String, partCol: String,
+      delta: DataFrame): Int =
+    appendCore(spark, path, partCol, delta, batchId = None)
+
+  /** [[appendPartitions]] driven from a streaming `foreachBatch` — the
+    * exactly-once micro-batch commit: the publishing manifest records
+    * `batchId` (a `#batch` header line), so when Spark replays a batch whose
+    * publication already flipped (crash between the pointer rename and the
+    * checkpoint's own commit log), the replay is recognized and publishes
+    * NOTHING — the one duplication window a bare [[appendPartitions]] in
+    * `foreachBatch` would leave. Every other crash point replays into a
+    * clean re-publish: files appended without a flip are manifest-orphans
+    * ([[expire]] reclaims), an unflipped leftover manifest is replaced
+    * (never served). A batch id BELOW the recorded one means the stream's
+    * checkpoint was reset or swapped while the table lived on — data loss
+    * waiting to happen (that stream's later batches would all no-op) —
+    * refused loudly, the [[graft.streaming.Pipelines]] ownership-marker
+    * stance. Returns the serving generation either way.
+    */
+  def appendBatch(spark: SparkSession, path: String, partCol: String,
+      delta: DataFrame, batchId: Long): Int = {
+    val gen = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    val last = lastAppendBatch(spark, path, gen)
+    require(last.forall(_ <= batchId),
+      s"SnapTables.appendBatch: batch $batchId arrived but generation $gen of " +
+        s"$path was published by batch ${last.get} — the stream's checkpoint was " +
+        "reset or belongs to a different stream; create/clear the table and the " +
+        "checkpoint together")
+    if (last.contains(batchId)) return gen // replayed, already-published batch
+    appendCore(spark, path, partCol, delta, batchId = Some(batchId))
+  }
+
+  private def appendCore(spark: SparkSession, path: String, partCol: String,
+      delta: DataFrame, batchId: Option[Long]): Int = {
+    val root = new Path(path)
+    val hfs = fs(spark, path)
+    val gen = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    // materialize first: the emptiness/touched probes and the write must not
+    // recompute the caller's lineage (it may read this very table's current
+    // generation — the self-referential append)
+    val d = delta.localCheckpoint()
+    val touched = d.select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return gen
+    val cur = readManifest(hfs, root, gen)
+    val before = listPartitionFiles(hfs, root, partCol)
+    d.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol).parquet(path)
+    val after = listPartitionFiles(hfs, root, partCol)
+    val next = cur ++ touched.map { v =>
+      v -> (cur.getOrElse(v, Nil) ++
+        after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil)))
+    }.toMap
+    writeManifest(hfs, root, gen + 1, next,
+      batchId.orElse(batchHeader(hfs, root, gen)))
+    writePointer(hfs, root, gen + 1)
+    gen + 1
+  }
+
+  /** Small-file compaction as a content-invariant generation — the
+    * maintenance verb an append-only generation store NEEDS at scale: every
+    * [[rewritePartitions]] appends ~one new file per affected partition, so
+    * a partition touched by many successive rewrites accretes a file chain
+    * whose per-file open cost eventually dominates its scan (the classic
+    * small-file problem; Iceberg's `rewrite_data_files` re-derived on plain
+    * parquet). Partitions whose CURRENT manifest references at least
+    * `minFiles` files are rewritten into ~one file each and published as
+    * generation N+1 with byte-identical logical content; partitions already
+    * at a single file carry their manifest entries forward untouched (zero
+    * I/O). Readers of generation N keep serving its files (nothing is
+    * deleted until [[expire]]); a crash anywhere leaves generation N
+    * serving. Returns the published generation (unchanged when nothing
+    * needed compaction).
+    */
+  def compactPartitions(spark: SparkSession, path: String, partCol: String,
+      minFiles: Int = 2): Int = {
+    require(minFiles >= 2,
+      s"SnapTables: minFiles=$minFiles would rewrite single-file partitions for nothing")
+    val gen = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    val cur = readManifest(fs(spark, path), new Path(path), gen)
+    val affected = cur.collect { case (v, files) if files.size >= minFiles => v }
+      .toSeq.sorted
+    if (affected.isEmpty) return gen
+    val survivors = resolveAt(spark, path, partCol, gen)
+      .where(col(partCol).isin(affected: _*))
+    rewritePartitions(spark, path, partCol, affected, survivors)
+  }
+
   /** Reclaim space: delete every data file not referenced by the newest
     * `keepGens` manifests, drop older manifests, and remove emptied
     * partition directories. This is the step that invalidates readers of
@@ -298,8 +459,15 @@ object SnapTables {
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(return)
     val keep = ((gen - keepGens + 1) max 0) to gen
+    val mdir0 = new Path(root, ManifestDir)
+    // a generation inside the keep window may already be GONE — a prior
+    // expire with a tighter keepGens dropped it; that is not corruption
+    // (nothing can resurrect it), so reference only the manifests that
+    // still exist. The CURRENT generation's manifest is never optional:
+    // its absence means the table cannot serve, fail loudly via readManifest.
     val referenced: Set[(Int, String)] = keep.flatMap { g =>
-      readManifest(hfs, root, g).toSeq.flatMap { case (v, names) =>
+      if (g != gen && !hfs.exists(new Path(mdir0, genName(g)))) Nil
+      else readManifest(hfs, root, g).toSeq.flatMap { case (v, names) =>
         names.map(v -> _)
       }
     }.toSet
@@ -314,7 +482,7 @@ object SnapTables {
     val mdir = new Path(root, ManifestDir)
     hfs.listStatus(mdir).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith("gen-") && n.endsWith(".json")
+      if (n.startsWith("gen-") && n.endsWith(".tsv")
           && !keep.map(genName).contains(n))
         hfs.delete(s.getPath, false)
     }

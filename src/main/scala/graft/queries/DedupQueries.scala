@@ -2150,7 +2150,107 @@ object DedupQueries {
            |  SELECT h, doc_id, pos,
            |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
            |  FROM ph)
-           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin))
+           |SELECT h, doc_id, pos FROM sel WHERE rn = 1""".stripMargin)),
+
+    // SNAPSHOT APPEND — the ingest verb that makes the manifest layer a
+    // full lifecycle (q412/q413/q414 proved the three DELETE verbs): the
+    // winnow table publishes a 6/7 base corpus as gen 0, the remaining 1/7
+    // appends as gen 1 — delta-only I/O (new files union into the manifest;
+    // nothing rewrites, however large the base), readers at gen 0 never see
+    // the delta, and the fingerprints' per-document locality makes the
+    // appended storage equal a full-corpus rebuild ROW FOR ROW. This leg
+    // serves the q412 probe set from generation 1 EXPLICITLY (resolveAt —
+    // stable however many generations later maintenance publishes); the
+    // oracle is the full-corpus chain: append == rebuild through the
+    // snapshot layer.
+    QueryDef(
+      "q415_winnow_snapshot_append",
+      (s, dir) => {
+        val p = winnowLifecyclePath(s, dir)
+        winnowSnapServe(s, dir,
+          graft.ops.SnapTables.resolveAt(s, p, "hb", 1))
+      },
+      Some(winnowSnapOracle(""))),
+
+    // SNAPSHOT COMPACTION — the maintenance verb the append verb makes
+    // necessary: each append accretes ~one file per touched partition, so
+    // the lifecycle path folds its accreted partitions into ~one file each
+    // (SnapTables.compactPartitions), published as gen 2 with byte-identical
+    // logical content — single-file partitions carry their manifest entries
+    // forward with ZERO I/O, gen-1 readers keep serving their files, and a
+    // crash leaves gen 1 serving (SnapTablesSpec pins the file-count fold
+    // and carry-forward). This leg serves the CURRENT generation after the
+    // fold; the oracle is q415's verbatim — compaction must be invisible in
+    // the answers.
+    QueryDef(
+      "q416_winnow_snapshot_compact",
+      (s, dir) => {
+        val p = winnowLifecyclePath(s, dir)
+        winnowSnapServe(s, dir,
+          graft.ops.SnapTables.resolve(s, p, "hb"))
+      },
+      Some(winnowSnapOracle(""))),
+
+    // SNAPSHOT TIME TRAVEL — the read-side guarantee the generation chain
+    // buys: generation 0 (the pre-append base corpus) stays serveable
+    // until an explicit expire, so an audit can re-run any screen against
+    // the exact index state a past decision used (the Iceberg
+    // VERSION AS OF contract re-derived on plain parquet). This leg serves
+    // the q412 probe set from resolveAt(gen 0) of the SAME stored path the
+    // append and compaction later mutated; the oracle is the base-corpus
+    // chain — two later generations must be invisible backwards.
+    QueryDef(
+      "q417_winnow_snapshot_timetravel",
+      (s, dir) => {
+        val p = winnowLifecyclePath(s, dir)
+        winnowSnapServe(s, dir,
+          graft.ops.SnapTables.resolveAt(s, p, "hb", 0))
+      },
+      Some(winnowSnapOracle("WHERE doc_id % 7 <> 3"))),
+
+    // STREAMING ingest through the snapshot layer — the q415 append driven
+    // by an ACTUAL stream (file source, one file per micro-batch,
+    // AvailableNow ⇒ ≥2 real batches) via Pipelines.snapshotIngest: each
+    // batch fingerprints its documents INSIDE foreachBatch (winnowing
+    // windows over each doc's own k-grams — per-document, so per-batch
+    // build == global build) and publishes one atomic generation
+    // (SnapTables.appendBatch), with the manifest's #batch high-water mark
+    // closing the one duplication window the checkpoint alone cannot
+    // (SnapTablesSpec pins replay-no-op, reset refusal, and
+    // restart-re-emits-nothing on a live stream). Readers never see a
+    // half-written batch — they hold generation N until N+1's pointer
+    // flips. Oracle: the full-corpus chain — streamed, generation-flipped
+    // ingest must equal the one-shot rebuild.
+    QueryDef(
+      "q418_winnow_snapshot_stream_ingest",
+      (s, dir) => {
+        val p = winnowStreamSnapPath(s, dir)
+        winnowSnapServe(s, dir,
+          graft.ops.SnapTables.resolve(s, p, "hb"))
+      },
+      Some(winnowSnapOracle(""))),
+
+    // SNAPSHOT LIFECYCLE CAPSTONE — every generation verb composed on ONE
+    // table, the q403 discipline applied to the snapshot layer: publish the
+    // 6/7 base, ingest the 1/7 remainder through the ACTUAL stream (two
+    // generations via appendBatch's exactly-once commit), DELETE the %11
+    // removal set (key-filter rewrite as a generation), COMPACT the
+    // accreted partitions (content-invariant fold), then EXPIRE down to the
+    // current generation — the step that reclaims every superseded byte and
+    // proves the final manifest references no file the maintenance chain
+    // lost. Each verb is individually hash-proved (q418/q412/q416); this
+    // single hash certifies their INTERACTIONS (append surviving a delete,
+    // compaction folding post-delete survivors, expiry not orphaning the
+    // serve set). Oracle: the %11-survivors chain over the FULL corpus —
+    // five generations of lifecycle must be invisible in the answers.
+    QueryDef(
+      "q419_winnow_snapshot_lifecycle",
+      (s, dir) => {
+        val p = winnowLifecycleE2ePath(s, dir)
+        winnowSnapServe(s, dir,
+          graft.ops.SnapTables.resolve(s, p, "hb"))
+      },
+      Some(winnowSnapOracle("WHERE doc_id % 11 <> 0")))
   )
 
   // ---------------------------------------------------------------------
@@ -2270,6 +2370,137 @@ object DedupQueries {
       graft.ops.ParaIndex.deleteStored(s, p, removed, survivors,
         col("doc_id"), col("text"))
     }
+
+  /** The q415/q416/q417 lifecycle table: winnow fingerprints of the 6/7
+    * base corpus published as gen 0, the 1/7 remainder APPENDED as gen 1
+    * ([[graft.ops.SnapTables.appendPartitions]] — delta-only I/O), the
+    * accreted partitions folded by [[graft.ops.SnapTables.compactPartitions]]
+    * as gen 2. One deterministic setup, three serveable generations.
+    */
+  private def winnowLifecyclePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("winnowlife", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val hbOf = (c: org.apache.spark.sql.Column) => pmod(c,
+        lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")
+      def fpOf(src: org.apache.spark.sql.DataFrame) =
+        graft.ops.WinnowIndex.build(src, col("doc_id"), col("text"),
+          k = 3, w = 4).withColumn("hb", hbOf(col("h")))
+      graft.ops.SnapTables.publishInitial(s, p, "hb",
+        fpOf(docs.where(pmod(col("doc_id"), lit(7)) =!= 3)))
+      graft.ops.SnapTables.appendPartitions(s, p, "hb",
+        fpOf(docs.where(pmod(col("doc_id"), lit(7)) === 3)))
+      graft.ops.SnapTables.compactPartitions(s, p, "hb")
+      ()
+    }
+
+  /** The q418 table: the same 6/7 base published as gen 0, the 1/7 delta
+    * ingested through a REAL stream (2 source files → 2 micro-batches),
+    * each batch fingerprinted in `foreachBatch` and published as one
+    * generation by [[graft.streaming.Pipelines.snapshotIngest]].
+    */
+  private def winnowStreamSnapPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("winnowstreamsnap", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val hbOf = (c: org.apache.spark.sql.Column) => pmod(c,
+        lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")
+      def fpOf(src: org.apache.spark.sql.DataFrame) =
+        graft.ops.WinnowIndex.build(src, col("doc_id"), col("text"),
+          k = 3, w = 4).withColumn("hb", hbOf(col("h")))
+      graft.ops.SnapTables.publishInitial(s, p, "hb",
+        fpOf(docs.where(pmod(col("doc_id"), lit(7)) =!= 3)))
+      val srcDir = graft.Scratch.dir("graft-winnow-snap-src")
+      docs.where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"), col("text"))
+        .repartition(2).write.mode("overwrite").parquet(srcDir)
+      val q = graft.streaming.Pipelines.snapshotIngest(
+        s.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        p, "hb",
+        checkpointPath = graft.Scratch.dir("graft-winnow-snap-ckpt"),
+        xform = fpOf)
+      q.awaitTermination()
+    }
+
+  /** The q419 table: every snapshot verb composed in lifecycle order —
+    * publish (gen 0) → streamed ingest (gens 1..2, real micro-batches) →
+    * key-filter delete of the %11 set (gen 3) → compaction (gen 4) →
+    * expire to the current generation alone. Deterministic end to end, so
+    * the memoization is correctness-neutral.
+    */
+  private def winnowLifecycleE2ePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("winnowlifee2e", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val hbOf = (c: org.apache.spark.sql.Column) => pmod(c,
+        lit(graft.ops.WinnowIndex.DefaultHashBuckets.toLong)).cast("int")
+      def fpOf(src: org.apache.spark.sql.DataFrame) =
+        graft.ops.WinnowIndex.build(src, col("doc_id"), col("text"),
+          k = 3, w = 4).withColumn("hb", hbOf(col("h")))
+      graft.ops.SnapTables.publishInitial(s, p, "hb",
+        fpOf(docs.where(pmod(col("doc_id"), lit(7)) =!= 3)))
+      val srcDir = graft.Scratch.dir("graft-winnow-life-src")
+      docs.where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"), col("text"))
+        .repartition(2).write.mode("overwrite").parquet(srcDir)
+      graft.streaming.Pipelines.snapshotIngest(
+        s.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        p, "hb",
+        checkpointPath = graft.Scratch.dir("graft-winnow-life-ckpt"),
+        xform = fpOf).awaitTermination()
+      graft.ops.SnapTables.deleteByKey(s, p, "hb", "doc_id",
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")))
+      graft.ops.SnapTables.compactPartitions(s, p, "hb")
+      graft.ops.SnapTables.expire(s, p, "hb", keepGens = 1)
+      ()
+    }
+
+  /** The shared q415/q416/q417 serve: the q412 probe set matched against
+    * one resolved generation of the lifecycle table (in-plan df cap — the
+    * side-table variant is q412's subject).
+    */
+  private def winnowSnapServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, fp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 30)).as("text"))
+    graft.ops.WinnowIndex.matches(fp, probes, col("doc_id"), col("text"),
+      k = 3, w = 4, threshold = 0.4, maxFpDf = Some(100))
+  }
+
+  /** The q415/q416/q417 oracle: the full winnow match chain with the index
+    * corpus restricted by `keptWhere` ("" = all documents) — q412's tail
+    * with an in-oracle df cap.
+    */
+  private def winnowSnapOracle(keptWhere: String): String =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text FROM documents $keptWhere),
+       |probes AS (
+       |  SELECT doc_id + 10000000 AS doc_id,
+       |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 30), ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |${duckWinnowCtes("kept", "i")},
+       |${duckWinnowCtes("probes", "p")},
+       |ifp0 AS (SELECT DISTINCT doc_id, h FROM iwfp),
+       |ifp AS (
+       |  SELECT doc_id, h FROM ifp0
+       |  WHERE h IN (SELECT h FROM ifp0 GROUP BY h HAVING COUNT(*) <= 100)),
+       |isz AS (SELECT doc_id, COUNT(*) AS nfp_doc FROM ifp GROUP BY 1),
+       |pfp AS (SELECT DISTINCT doc_id AS probe_id, h FROM pwfp),
+       |psz AS (SELECT probe_id, COUNT(*) AS nfp_probe FROM pfp GROUP BY 1),
+       |inter AS (
+       |  SELECT p.probe_id, i.doc_id, COUNT(*) AS inter
+       |  FROM pfp p JOIN ifp i ON p.h = i.h
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, doc_id, inter, psz.nfp_probe, isz.nfp_doc,
+       |  CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) AS overlap
+       |FROM inter
+       |JOIN psz USING (probe_id)
+       |JOIN isz USING (doc_id)
+       |WHERE CAST(inter AS DOUBLE) / least(psz.nfp_probe, isz.nfp_doc) >= 0.4""".stripMargin
 
   /** DuckDB CTE chain for duplicated-span detection over `documents`
     * (n = 5): tokenization `toks`, window hashes, corpus-duplicated marks,

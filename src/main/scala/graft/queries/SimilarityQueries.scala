@@ -2484,6 +2484,37 @@ object SimilarityQueries {
       },
       Some(duckSqrtnServeOracle("\n    AND b.vec_id % 11 <> 0"))),
 
+    // SNAPSHOT STREAMED INGEST for the flagship family — the architectural
+    // alternative to the batch_id-delta + compact loop (q400/q399): each
+    // micro-batch's frozen-model encode publishes DIRECTLY into the
+    // cluster-partitioned codes snapshot as one atomic generation
+    // (Pipelines.snapshotIngest → SnapTables.appendBatch), so the serve is
+    // always ONE resolve() over the cluster layout — no stored∪delta
+    // union, no partition-pruning loss on the delta side, no compaction
+    // PREREQUISITE for a correct serve (SnapTables.compactPartitions folds
+    // the per-batch file accretion afterwards as a content-invariant
+    // generation), and a reader holds its generation through every batch.
+    // Exactly-once rides the manifest's #batch high-water mark
+    // (SnapTablesSpec). Oracle: q399's base-trained full-candidate chain —
+    // streamed snapshot ingest must equal the batch rebuild through the
+    // whole probe + LUT + ADC funnel.
+    QueryDef(
+      "q420_ann_snapshot_stream_ingest",
+      (s, dir) => {
+        val p = annStreamSnapPath(s, dir)
+        val idx = graft.ops.IvfPqIndex(
+          centroids = s.read.parquet(s"$p/centroids"),
+          codebooks = s.read.parquet(s"$p/codebooks"),
+          codes = graft.ops.SnapTables.resolve(s, s"$p/codes", "cluster")
+            .select(col("vid"), col("cluster"), col("codes")),
+          dims = 64, m = 8, codewords = 16)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        graft.ops.AnnIndex.search(queries, col("vec_id"), col("embedding"), 3,
+          idx, nprobe = 2)
+      },
+      Some(duckSqrtnServeOracle(trainOnBase = true))),
+
     // COMPACTED serve — the streaming-maintenance follow-through: the
     // maintenance loop accretes one batch_id partition per micro-batch
     // OUTSIDE the cluster layout, so probes lose partition pruning on the
@@ -2789,6 +2820,42 @@ object SimilarityQueries {
         Tables.load(s, dir, "embeddings")
           .where(pmod(col("vec_id"), lit(11)) === 0)
           .select(col("vec_id").as("vid")))
+      ()
+    }
+
+  /** The q420 snapshot index: the FROZEN 6/7-trained model tables cloned
+    * as-is, the base codes published as gen 0 of a cluster-partitioned
+    * snapshot, the 1/7 delta streamed through
+    * [[graft.streaming.Pipelines.snapshotIngest]] (2 source files → 2 real
+    * micro-batches, each encoded frozen inside `foreachBatch` and published
+    * as one generation), then the per-batch file accretion folded by
+    * [[graft.ops.SnapTables.compactPartitions]].
+    */
+  private def annStreamSnapPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("annstreamsnap", dir) { p =>
+      val base = graft.ops.AnnIndex.read(s, sqrtnBaseIndexPath(s, dir))
+      base.centroids.write.mode("overwrite").parquet(s"$p/centroids")
+      base.codebooks.write.mode("overwrite").parquet(s"$p/codebooks")
+      graft.ops.SnapTables.publishInitial(s, s"$p/codes", "cluster", base.codes)
+      val srcDir = graft.Scratch.dir("graft-ann-snap-src")
+      Tables.load(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(2).write.mode("overwrite").parquet(srcDir)
+      // the model rides FROZEN in the foreachBatch closure (the
+      // annIndexMaintenance stance — a mid-stream retrain is structurally
+      // impossible); codes=null: encode never touches them
+      val frozen = base.copy(codes = null)
+      graft.streaming.Pipelines.snapshotIngest(
+        s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        s"$p/codes", "cluster",
+        checkpointPath = graft.Scratch.dir("graft-ann-snap-ckpt"),
+        xform = b => graft.ops.AnnIndex.encode(b, col("vec_id"),
+          col("embedding"), frozen))
+        .awaitTermination()
+      graft.ops.SnapTables.compactPartitions(s, s"$p/codes", "cluster")
       ()
     }
 

@@ -206,4 +206,42 @@ object Pipelines {
       }
       .start()
   }
+
+  /** Streaming ingest INTO a [[graft.ops.SnapTables]] snapshot table — each
+    * micro-batch publishes as one atomic generation flip
+    * ([[graft.ops.SnapTables.appendBatch]]), so downstream readers never see
+    * a half-written batch: they serve generation N until N+1's pointer
+    * rename lands, and a reader mid-plan keeps its own generation (the
+    * serve-during-ingest guarantee [[annIndexMaintenance]]'s batch_id-delta
+    * layout only gets after a compact). Exactly-once comes from the
+    * manifest's `#batch` high-water mark: the one crash window the
+    * checkpoint alone cannot close (publication flipped, checkpoint commit
+    * log not yet written) replays into a recognized no-op.
+    *
+    * `xform` runs INSIDE `foreachBatch` on the materialized batch — full
+    * batch API (windows, aggregations, joins), for per-batch derivations a
+    * streaming frame cannot express (e.g. winnow fingerprinting, which
+    * windows over each document's own k-grams). Exactly-once holds for any
+    * deterministic per-batch `xform`; it must emit `partCol`. The table must
+    * already be published ([[graft.ops.SnapTables.publishInitial]] — an
+    * empty base frame bootstraps a from-stream table); single writer per
+    * table, as everywhere in the layer.
+    */
+  def snapshotIngest(
+      rows: DataFrame,
+      path: String,
+      partCol: String,
+      checkpointPath: String,
+      xform: DataFrame => DataFrame = identity,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SnapTables.appendBatch(batch.sparkSession, path, partCol,
+          xform(batch.toDF()), batchId)
+        ()
+      }
+      .start()
 }

@@ -135,6 +135,170 @@ class SnapTablesSpec extends AnyFunSuite with SparkSpec {
       "refused batches must not advance the generation")
   }
 
+  test("a crash between manifest write and pointer flip is repaired by re-running the publish") {
+    import spark.implicits._
+    val dir = tmpDir("snap-crash")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    // simulate the torn publish: a prior attempt wrote gen-1's manifest and
+    // died BEFORE the pointer rename — the manifest exists, the pointer
+    // still names gen 0, and gen 1 was never served. HDFS/local rename does
+    // not overwrite, so without the delete-before-rename the retry dies.
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leftover = new org.apache.hadoop.fs.Path(dir, "_manifests/gen-000001.tsv")
+    val out = hfs.create(leftover, true)
+    out.write("0\tno-such-file.parquet".getBytes("UTF-8"))
+    out.close()
+    assert(SnapTables.currentGeneration(spark, dir).contains(0))
+    // the retried maintenance must REPLACE the unserved leftover and publish
+    val gen = SnapTables.deleteByKey(spark, dir, "pb", "key",
+      (1L to 12L).filter(_ % 4 == 0).toDF("key"))
+    assert(gen == 1)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == survRows,
+      "the re-published gen 1 must serve the survivors, not the crashed leftover")
+  }
+
+  test("rewritePartitions refuses survivor rows outside the affected set") {
+    import spark.implicits._
+    val dir = tmpDir("snap-stray")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    // survivors claim partition 1 rows while declaring only partition 0
+    // affected — those rows would be written but never manifest-referenced
+    val ex = intercept[IllegalArgumentException] {
+      SnapTables.rewritePartitions(spark, dir, "pb", Seq(0),
+        table.where(col("pb") === 1))
+    }
+    assert(ex.getMessage.contains("outside the affected set"))
+    assert(SnapTables.currentGeneration(spark, dir).contains(0),
+      "the refused rewrite must not advance the generation")
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows)
+  }
+
+  test("expire tolerates generations a tighter prior expire already dropped") {
+    import spark.implicits._
+    val dir = tmpDir("snap-reexpire")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(4L).toDF("key"))
+    SnapTables.expire(spark, dir, "pb", keepGens = 1) // drops gen 0's manifest
+    SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(8L).toDF("key"))
+    // keep window [0, 2] includes the already-dropped gen 0 — not corruption
+    SnapTables.expire(spark, dir, "pb", keepGens = 3)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) ==
+      allRows.filterNot { case (k, _) => k == 4L || k == 8L })
+  }
+
+  test("appendPartitions: delta-only I/O, union manifest, pre-flip reader keeps the base") {
+    import spark.implicits._
+    val dir = tmpDir("snap-append")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    val inFlight = SnapTables.resolve(spark, dir, "pb")
+    // pb=1 exists (accretes a file), pb=3 is a brand-new partition value
+    val gen = SnapTables.appendPartitions(spark, dir, "pb",
+      Seq((13L, "v13", 1), (14L, "v14", 3)).toDF("key", "payload", "pb"))
+    assert(gen == 1)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) ==
+      allRows + ((13L, "v13")) + ((14L, "v14")))
+    assert(rows(inFlight) == allRows,
+      "a reader resolved before the append must not see the delta")
+    val m0 = SnapTables.manifestEntries(spark, dir, 0)
+    val m1 = SnapTables.manifestEntries(spark, dir, 1)
+    assert(m1(0) == m0(0) && m1(2) == m0(2),
+      "untouched partitions must carry their generation-N entries forward verbatim")
+    assert(m0(1).toSet.subsetOf(m1(1).toSet) && m1(1).size > m0(1).size,
+      "a touched partition must reference the union of old and new files")
+    assert(m1(3).nonEmpty, "a new partition value must enter the manifest")
+    // empty delta publishes nothing
+    assert(SnapTables.appendPartitions(spark, dir, "pb",
+      Seq.empty[(Long, String, Int)].toDF("key", "payload", "pb")) == 1)
+  }
+
+  test("compactPartitions folds accreted files into ~one per partition, content-invariant") {
+    import spark.implicits._
+    val dir = tmpDir("snap-compact")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    SnapTables.appendPartitions(spark, dir, "pb",
+      Seq((13L, "v13", 1)).toDF("key", "payload", "pb"))
+    SnapTables.appendPartitions(spark, dir, "pb",
+      Seq((14L, "v14", 1)).toDF("key", "payload", "pb"))
+    assert(SnapTables.manifestEntries(spark, dir, 2)(1).size == 3,
+      "two appends must have accreted pb=1 to three referenced files")
+    val expect = rows(SnapTables.resolve(spark, dir, "pb"))
+    val preCompact = SnapTables.resolve(spark, dir, "pb")
+    val gen = SnapTables.compactPartitions(spark, dir, "pb")
+    assert(gen == 3)
+    val m = SnapTables.manifestEntries(spark, dir, 3)
+    assert(m(1).size == 1, "the accreted partition must fold to one file")
+    assert(m(0) == SnapTables.manifestEntries(spark, dir, 2)(0),
+      "single-file partitions must carry forward with zero I/O")
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == expect,
+      "compaction must be invisible in the rows")
+    assert(rows(preCompact) == expect,
+      "a reader resolved before the compaction keeps serving its files")
+    // nothing left to fold: the verb is a no-op at the same generation
+    assert(SnapTables.compactPartitions(spark, dir, "pb") == 3)
+  }
+
+  test("appendBatch: replay no-ops, checkpoint reset refused, rewrites carry the high-water mark") {
+    import spark.implicits._
+    val dir = tmpDir("snap-batch")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    val d0 = Seq((13L, "v13", 1)).toDF("key", "payload", "pb")
+    assert(SnapTables.appendBatch(spark, dir, "pb", d0, batchId = 0L) == 1)
+    assert(SnapTables.lastAppendBatch(spark, dir, 1).contains(0L))
+    // the crash window the checkpoint cannot close: publication flipped,
+    // commit log unwritten, batch 0 replays — recognized, publishes nothing
+    assert(SnapTables.appendBatch(spark, dir, "pb", d0, batchId = 0L) == 1)
+    assert(SnapTables.resolve(spark, dir, "pb")
+      .where(col("key") === 13L).count() == 1,
+      "a replayed batch must not duplicate its rows")
+    // a maintenance rewrite between batches must not amnesia the mark —
+    // and a delete of an appended row must survive the append's replay
+    assert(SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(13L).toDF("key")) == 2)
+    assert(SnapTables.lastAppendBatch(spark, dir, 2).contains(0L),
+      "rewrites must carry the batch high-water mark forward")
+    assert(SnapTables.appendBatch(spark, dir, "pb", d0, batchId = 0L) == 2)
+    assert(SnapTables.resolve(spark, dir, "pb")
+      .where(col("key") === 13L).count() == 0,
+      "a replayed append must not resurrect a deleted row")
+    // the next real batch advances; a batch BELOW the mark is a reset
+    // checkpoint over a live table — refused before any write
+    assert(SnapTables.appendBatch(spark, dir, "pb",
+      Seq((14L, "v14", 2)).toDF("key", "payload", "pb"), batchId = 1L) == 3)
+    val ex = intercept[IllegalArgumentException] {
+      SnapTables.appendBatch(spark, dir, "pb", d0, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("reset"))
+  }
+
+  test("snapshotIngest: one generation per micro-batch; restart on the same checkpoint re-emits nothing") {
+    import spark.implicits._
+    val dir = tmpDir("snap-ingest")
+    val src = tmpDir("snap-ingest-src")
+    val ckpt = tmpDir("snap-ingest-ckpt")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    Seq((13L, "v13"), (14L, "v14"), (15L, "v15"), (16L, "v16"))
+      .toDF("key", "payload")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    def drain(): Unit = {
+      val q = graft.streaming.Pipelines.snapshotIngest(
+        spark.readStream.schema("key BIGINT, payload STRING")
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        dir, "pb", ckpt,
+        xform = b => b.withColumn("pb", pmod(col("key"), lit(3)).cast("int")))
+      q.awaitTermination()
+    }
+    drain()
+    val expect = allRows ++ (13L to 16L).map(k => (k, s"v$k"))
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == expect)
+    val gen = SnapTables.currentGeneration(spark, dir).get
+    assert(gen >= 2, "two non-empty micro-batches must publish two generations")
+    // restart on the same checkpoint: the drained source replays nothing
+    drain()
+    assert(SnapTables.currentGeneration(spark, dir).contains(gen),
+      "a restart with no new data must publish no generation")
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == expect)
+  }
+
   test("a rewrite that would empty the table fails before publishing") {
     import spark.implicits._
     val dir = tmpDir("snap-empty")
