@@ -255,7 +255,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         // the snapshot-published codes table (explicit manifest file list +
         // basePath) must keep the SAME production shape — generations are a
         // publication mechanism, not a plan change
-        "q413_ivfpq_snapshot_delete")) {
+        "q413_ivfpq_snapshot_delete",
+        // streamed-ingest generations (appendBatch per micro-batch, then
+        // compactPartitions) must serve exactly like a batch-built table:
+        // the stream leaves no lineage, only files behind a manifest
+        "q420_ann_snapshot_stream_ingest")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("existingrdd"),
         s"$q: serve plan must contain no checkpointed training lineage")
