@@ -177,6 +177,12 @@ object ParaIndex {
     val contested = paraRows(survivors, id, text, sep)
       .select(Hashing.hash60(col("para")).as("h"), col("doc_id"), col("pos"))
       .join(orphaned.select(col("h")), Seq("h"), "left_semi")
+      // robustness, not semantics: `survivors` must not contain the removed
+      // docs, but if a caller passes the full corpus (the natural slip), an
+      // election won by a REMOVED doc would resurrect the very row the
+      // delete exists to purge — exclude them from candidacy outright, so
+      // the result equals the correct survivors rebuild either way
+      .join(rm, Seq("doc_id"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val reElected = contested.withColumn("__pi_rn", row_number().over(w))

@@ -40,11 +40,15 @@ import org.apache.spark.sql.functions._
   * needed and `hfs.open` + split is the whole parser; no external formats.
   *
   * Scale shape: a manifest holds one entry per (partition, file) — for the
-  * 64-bucket index families that is tens of entries, KBs of JSON; at
+  * 64-bucket index families that is tens of entries, KBs of text; at
   * thousands of partitions it is still MBs read once per serve session.
   * The resolved DataFrame is a plain parquet scan over an explicit file
   * list with `basePath` set, so partition-column pruning and column
   * pruning behave exactly as on a directory scan.
+  *
+  * Partition columns are INT-valued (every durable table here partitions
+  * by an int hash bucket / cluster id); a non-int partition column fails
+  * at the first `getInt` rather than corrupting a manifest.
   */
 object SnapTables {
 

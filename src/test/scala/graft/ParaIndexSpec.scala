@@ -99,6 +99,23 @@ class ParaIndexSpec extends AnyFunSuite with SparkSpec {
     assert(byDoc.contains((2L, 1L)), "'shared footer' must re-elect to doc 2 pos 1")
   }
 
+  test("deleteStored: a survivors frame that still contains the removed docs cannot re-elect them") {
+    import spark.implicits._
+    val dir = tmpDir("para-del-guard")
+    ParaIndex.write(ParaIndex.build(corpus, col("id"), col("text")), dir)
+    val removed = Seq(1L, 3L).toDF("doc_id")
+    // the natural caller slip: passing the FULL corpus as survivors — a
+    // removed doc would win back its own orphaned hashes (doc 1 is the
+    // minimal occurrence of 'alpha one'), resurrecting the purged rows
+    ParaIndex.deleteStored(spark, dir, removed, corpus, col("id"), col("text"))
+    val stored = ParaIndex.read(spark, dir)
+    assert(stored.where(col("doc_id").isin(1L, 3L)).count() == 0L,
+      "removed docs must be excluded from re-election candidacy outright")
+    assert(rows(stored) == rows(ParaIndex.firstOccurrences(
+        corpus.where(!col("id").isin(1L, 3L)), col("id"), col("text"))),
+      "the result must equal the correct survivors rebuild despite the caller slip")
+  }
+
   test("deleteSnapshot: re-election publishes as a generation; a pre-flip scrubber keeps the old winners") {
     import spark.implicits._
     import graft.ops.SnapTables
