@@ -119,10 +119,14 @@ object LmIndex {
     * double-submitted-batch safety an in-memory [[retract]] cannot give.
     *
     * Same serving-concurrency contract as [[AnnIndex.deleteStored]]. The
-    * decrement is NOT idempotent across the two tables: a crash after the
-    * uni rewrite but before big leaves a half-retracted model whose repair
-    * is re-running against `big` alone (the decrementCounts guards name the
-    * offending keys on a wrong-direction re-run).
+    * decrement is NOT idempotent across the two tables, and for words
+    * shared with surviving documents a re-applied decrement lands SILENTLY
+    * (the guards catch only full-retraction and over-retraction shapes) —
+    * so a crash after the uni rewrite but before big is repaired by
+    * applying the BIG-side decrement alone ([[StoredTables.decrementCounts]]
+    * on `path/big` with the removed docs' re-counted bigram deltas — the
+    * building blocks are public and this scaladoc is the recipe); never by
+    * re-running the full delete, which would subtract uni twice.
     */
   def deleteStored(spark: SparkSession, path: String, removed: DataFrame,
       id: Column, text: Column): Unit = {

@@ -110,6 +110,17 @@ object MinHashIndex {
     spark.read.parquet(s"$path/bucketdf")
       .select(col("band"), col("band_sig"), col("df"))
 
+  /** Rebuild the stored bucket-size table from the stored BANDS — the
+    * crash-recovery verb for [[deleteStored]]: the bucket-df table is a
+    * pure function of the band table, so recomputing it from the surviving
+    * stored rows is always correct, index-bounded, and idempotent — unlike
+    * a re-applied decrement.
+    */
+  def rebuildBucketDf(spark: SparkSession, path: String,
+      sigBuckets: Int = DefaultSigBuckets): Unit =
+    writeBucketDf(readBands(spark, path)
+      .select(col("doc_id"), col("band"), col("band_sig")), path, sigBuckets)
+
   /** [[delete]] made true in the STORED bytes — the right-to-be-forgotten
     * path for this index's three tables, all via the shared
     * [[StoredTables]] recipe (affected-partition dynamic overwrite,
@@ -131,12 +142,14 @@ object MinHashIndex {
     *
     * Same serving-concurrency contract as [[AnnIndex.deleteStored]]: do not
     * serve while the rewrite runs. Each per-table rewrite is idempotent,
-    * but the df DECREMENT is not (a re-run would subtract the removed
-    * docs' contribution twice — [[StoredTables.decrementCounts]]'s guards
-    * catch the full-retraction and over-retraction shapes loudly): a crash
-    * AFTER the decrement but before the key deletes is repaired by
-    * re-running with `maintainBucketDf = false`, which finishes only the
-    * idempotent key-filter rewrites.
+    * but the df DECREMENT is not — and for buckets shared with survivors a
+    * re-applied decrement lands SILENTLY (the decrementCounts guards catch
+    * only full-retraction and over-retraction shapes). A crash AFTER the
+    * decrement but before the key deletes is repaired by (1) re-running
+    * with `maintainBucketDf = false` to finish the idempotent key-filter
+    * rewrites, then (2) [[rebuildBucketDf]] if any doubt remains about the
+    * df bytes — recomputing the side table from the surviving bands is
+    * idempotent and index-bounded; never re-run the full delete.
     */
   def deleteStored(spark: SparkSession, path: String,
       removedIds: DataFrame, maintainBucketDf: Boolean = true): Unit = {

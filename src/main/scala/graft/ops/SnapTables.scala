@@ -60,18 +60,22 @@ object SnapTables {
 
   private def genName(gen: Int): String = f"gen-$gen%06d.tsv"
 
-  /** Atomic pointer write: tmp + rename (rename onto an existing path
-    * replaces it atomically on local/HDFS).
+  /** Atomic pointer write: tmp + OVERWRITE-rename via [[FileContext]] — the
+    * Hadoop API whose rename atomically REPLACES an existing destination
+    * (local and HDFS), so a concurrent reader always observes either the
+    * old pointer or the new one. A `FileSystem.rename` would refuse an
+    * existing destination, and delete-then-rename would open exactly the
+    * window this layer exists to close: a resolve() between the delete and
+    * the rename would find no pointer at all and throw mid-serve.
     */
   private def writePointer(hfs: FileSystem, root: Path, gen: Int): Unit = {
-    val tmp = new Path(root, s".$PointerName.tmp")
+    val tmp = hfs.makeQualified(new Path(root, s".$PointerName.tmp"))
     val out = hfs.create(tmp, true)
     out.write(gen.toString.getBytes("UTF-8"))
     out.close()
-    val dst = new Path(root, PointerName)
-    if (hfs.exists(dst)) hfs.delete(dst, false)
-    require(hfs.rename(tmp, dst),
-      s"SnapTables: atomic pointer rename failed at $dst")
+    val dst = hfs.makeQualified(new Path(root, PointerName))
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hfs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Current generation number, or None for an unpublished path. An empty
@@ -91,9 +95,16 @@ object SnapTables {
     Some(raw.toInt)
   }
 
-  /** The (partition value → file names) listing of one generation. */
-  private def readManifest(hfs: FileSystem, root: Path,
-      gen: Int): Map[Int, Seq[String]] = {
+  /** One parsed manifest: the file listing plus the two '#'-header records
+    * ([[appendBatch]]'s batch high-water mark and the publishing stream's
+    * checkpoint identity). Parsed in ONE read — every publish consults both
+    * the entries and the headers, and the ingest hot path runs once per
+    * micro-batch.
+    */
+  private case class Manifest(entries: Map[Int, Seq[String]],
+      batchId: Option[Long], streamId: Option[String])
+
+  private def readManifestFull(hfs: FileSystem, root: Path, gen: Int): Manifest = {
     val p = new Path(new Path(root, ManifestDir), genName(gen))
     require(hfs.exists(p), s"SnapTables: missing manifest $p")
     val in = hfs.open(p)
@@ -101,12 +112,23 @@ object SnapTables {
     finally in.close()
     // format: one "partValue TAB file TAB file..." line per partition —
     // written by writeManifest below; '#'-prefixed header lines carry
-    // generation metadata (the [[appendBatch]] batch id)
-    raw.split("\n").iterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-      val cols = line.split("\t")
-      cols.head.toInt -> cols.tail.toSeq
-    }.toMap
+    // generation metadata
+    val lines = raw.split("\n").iterator.filter(_.nonEmpty).toSeq
+    Manifest(
+      entries = lines.filterNot(_.startsWith("#")).map { line =>
+        val cols = line.split("\t")
+        cols.head.toInt -> cols.tail.toSeq
+      }.toMap,
+      batchId = lines.find(_.startsWith("#batch\t"))
+        .map(_.stripPrefix("#batch\t").trim.toLong),
+      streamId = lines.find(_.startsWith("#stream\t"))
+        .map(_.stripPrefix("#stream\t").trim).filter(_.nonEmpty))
   }
+
+  /** The (partition value → file names) listing of one generation. */
+  private def readManifest(hfs: FileSystem, root: Path,
+      gen: Int): Map[Int, Seq[String]] =
+    readManifestFull(hfs, root, gen).entries
 
   /** The highest [[appendBatch]] batch id published at or before `gen` —
     * the replay-detection record, stored in the manifest itself so the
@@ -117,25 +139,17 @@ object SnapTables {
     * duplication window the header closes).
     */
   def lastAppendBatch(spark: SparkSession, path: String, gen: Int): Option[Long] =
-    batchHeader(fs(spark, path), new Path(path), gen)
-
-  private def batchHeader(hfs: FileSystem, root: Path, gen: Int): Option[Long] = {
-    val p = new Path(new Path(root, ManifestDir), genName(gen))
-    require(hfs.exists(p), s"SnapTables: missing manifest $p")
-    val in = hfs.open(p)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    raw.split("\n").iterator.filter(_.startsWith("#batch\t"))
-      .map(_.stripPrefix("#batch\t").trim.toLong).toSeq.headOption
-  }
+    readManifestFull(fs(spark, path), new Path(path), gen).batchId
 
   private def writeManifest(hfs: FileSystem, root: Path, gen: Int,
-      entries: Map[Int, Seq[String]], batchId: Option[Long] = None): Unit = {
+      entries: Map[Int, Seq[String]], batchId: Option[Long] = None,
+      streamId: Option[String] = None): Unit = {
     val dir = new Path(root, ManifestDir)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
     val tmp = new Path(dir, s".${genName(gen)}.tmp")
     val out = hfs.create(tmp, true)
     val body = (batchId.map(b => s"#batch\t$b").toSeq ++
+      streamId.map(sid => s"#stream\t$sid").toSeq ++
       entries.toSeq.sortBy(_._1)
         .map { case (v, files) => (v.toString +: files.sorted).mkString("\t") })
       .mkString("\n")
@@ -152,15 +166,21 @@ object SnapTables {
       s"SnapTables: manifest rename failed for gen $gen")
   }
 
-  /** Data-file names currently on disk per partition value. */
+  /** Data-file names currently on disk per partition value. `only` scopes
+    * the sweep to the named partition values — a rewrite/append can only
+    * change its affected/touched partitions, so its before/after diff has
+    * no business statting every directory of a thousands-partition table
+    * (the ingest hot path runs this twice per micro-batch).
+    */
   private def listPartitionFiles(hfs: FileSystem, root: Path,
-      partCol: String): Map[Int, Seq[String]] = {
+      partCol: String, only: Option[Set[Int]] = None): Map[Int, Seq[String]] = {
     if (!hfs.exists(root)) return Map.empty
     hfs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-      .map { d =>
-        val v = d.getPath.getName.stripPrefix(s"$partCol=").toInt
-        v -> hfs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+      .map(d => d.getPath.getName.stripPrefix(s"$partCol=").toInt -> d.getPath)
+      .filter { case (v, _) => only.forall(_.contains(v)) }
+      .map { case (v, p) =>
+        v -> hfs.listStatus(p).toSeq.map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !n.startsWith("_"))
       }.toMap
   }
@@ -230,7 +250,8 @@ object SnapTables {
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(
       throw new IllegalStateException(s"SnapTables: $path has no published generation"))
-    val cur = readManifest(hfs, root, gen)
+    val m = readManifestFull(hfs, root, gen)
+    val cur = m.entries
     // materialize FIRST: the emptiness probe and the append below must not
     // recompute the caller's lineage, and the survivors plan reads the very
     // files the append writes next to (same directories)
@@ -249,19 +270,20 @@ object SnapTables {
       s"SnapTables: survivors hold rows for partition(s) ${stray.sorted.mkString(",")} " +
         s"outside the affected set at $path — those rows would be written but " +
         "never referenced by any generation; fix the caller's affected list")
-    val before = listPartitionFiles(hfs, root, partCol)
+    val scope = Some(affected.toSet)
+    val before = listPartitionFiles(hfs, root, partCol, scope)
     // keyed repartition for the same file-count bound as publishInitial
     surv.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
-    val after = listPartitionFiles(hfs, root, partCol)
+    val after = listPartitionFiles(hfs, root, partCol, scope)
     val newFiles: Map[Int, Seq[String]] = affected.map { v =>
       v -> after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil))
     }.toMap
     val next = (cur -- affected) ++ newFiles.filter(_._2.nonEmpty)
     require(next.nonEmpty,
       s"SnapTables: refusing to publish an empty generation at $path")
-    // rewrites never change ingest history — carry the high-water mark
-    writeManifest(hfs, root, gen + 1, next, batchHeader(hfs, root, gen))
+    // rewrites never change ingest history — carry both headers forward
+    writeManifest(hfs, root, gen + 1, next, m.batchId, m.streamId)
     writePointer(hfs, root, gen + 1)
     gen + 1
   }
@@ -275,19 +297,15 @@ object SnapTables {
     * generation now serving (unchanged when no stored row matched).
     */
   def deleteByKey(spark: SparkSession, path: String, partCol: String,
-      keyCol: String, removedKeys: DataFrame): Int = {
-    val tbl = resolve(spark, path, partCol)
-    val rm = removedKeys.select(col(keyCol))
-    val affected = tbl.join(rm, Seq(keyCol), "left_semi")
-      .select(col(partCol)).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val gen = currentGeneration(spark, path).get
-    if (affected.isEmpty) return gen
-    val survivors = tbl
-      .where(col(partCol).isin(affected: _*))
-      .join(rm, Seq(keyCol), "left_anti")
-    rewritePartitions(spark, path, partCol, affected, survivors)
-  }
+      keyCol: String, removedKeys: DataFrame): Int =
+    // the PLAN is [[StoredTables.deleteByKeyPlan]] verbatim — in-place and
+    // snapshot deletes may differ only in how they publish
+    StoredTables.deleteByKeyPlan(resolve(spark, path, partCol), partCol,
+        keyCol, removedKeys)
+      .map { case (affected, survivors) =>
+        rewritePartitions(spark, path, partCol, affected, survivors)
+      }
+      .getOrElse(currentGeneration(spark, path).get)
 
   /** [[StoredTables.decrementCounts]] with snapshot publication: the same
     * exact-subtraction semantics and guards (duplicate-key deltas
@@ -299,37 +317,18 @@ object SnapTables {
     * generation now serving.
     */
   def decrementCounts(spark: SparkSession, path: String, partCol: String,
-      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int = {
-    val tbl = resolve(spark, path, partCol)
-    val dec = deltas.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__dec")).as("__dec")).localCheckpoint()
-    val unknown = dec
-      .join(tbl.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .limit(1).collect()
-    require(unknown.isEmpty,
-      s"SnapTables.decrementCounts: retraction key ${unknown.headOption.getOrElse("")} " +
-        s"has no row in generation ${currentGeneration(spark, path).get} of $path — " +
-        "retracting something never counted (or already retracted); refusing the batch")
-    val affected = tbl.join(dec, keyCols, "left_semi")
-      .select(col(partCol)).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val gen = currentGeneration(spark, path).get
-    if (affected.isEmpty) return gen
-    val cols = tbl.columns.toSeq
-    val decremented = tbl
-      .where(col(partCol).isin(affected: _*))
-      .join(dec, keyCols, "left")
-      .withColumn(countCol, col(countCol) - coalesce(col("__dec"), lit(0L)))
-      .localCheckpoint()
-    val over = decremented.where(col(countCol) < 0)
-      .select(keyCols.map(col): _*).limit(1).collect()
-    require(over.isEmpty,
-      s"SnapTables.decrementCounts: retraction of key ${over.headOption.getOrElse("")} " +
-        s"exceeds its stored count at $path (double-submitted batch?); refusing " +
-        "before publishing")
-    rewritePartitions(spark, path, partCol, affected,
-      decremented.where(col(countCol) > 0).select(cols.map(col): _*))
-  }
+      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int =
+    // the PLAN (pre-aggregation, unknown-key and over-retraction guards) is
+    // [[StoredTables.decrementPlan]] verbatim — a guard fixed there is
+    // fixed for both publication paths; refused batches throw BEFORE any
+    // file is written, so the generation never advances
+    StoredTables.decrementPlan(resolve(spark, path, partCol), partCol,
+        keyCols, countCol, deltas,
+        at = s"$path (generation ${currentGeneration(spark, path).getOrElse(-1)})")
+      .map { case (affected, survivors) =>
+        rewritePartitions(spark, path, partCol, affected, survivors)
+      }
+      .getOrElse(currentGeneration(spark, path).get)
 
   /** The (partition value → file names) listing a generation serves — the
     * audit surface behind [[compactPartitions]]'s economics and the spec
@@ -360,7 +359,7 @@ object SnapTables {
     */
   def appendPartitions(spark: SparkSession, path: String, partCol: String,
       delta: DataFrame): Int =
-    appendCore(spark, path, partCol, delta, batchId = None)
+    appendCore(spark, path, partCol, delta, batchId = None, streamId = None)
 
   /** [[appendPartitions]] driven from a streaming `foreachBatch` — the
     * exactly-once micro-batch commit: the publishing manifest records
@@ -371,28 +370,45 @@ object SnapTables {
     * `foreachBatch` would leave. Every other crash point replays into a
     * clean re-publish: files appended without a flip are manifest-orphans
     * ([[expire]] reclaims), an unflipped leftover manifest is replaced
-    * (never served). A batch id BELOW the recorded one means the stream's
-    * checkpoint was reset or swapped while the table lived on — data loss
-    * waiting to happen (that stream's later batches would all no-op) —
-    * refused loudly, the [[graft.streaming.Pipelines]] ownership-marker
-    * stance. Returns the serving generation either way.
+    * (never served).
+    *
+    * `streamId` (the checkpoint path — [[graft.streaming.Pipelines.snapshotIngest]]
+    * passes it) is recorded as a `#stream` header and checked on every
+    * batch: a DIFFERENT stream feeding a table whose mark another stream
+    * set is refused outright — batch ids from two checkpoints are
+    * incomparable, so id-only logic would misread the new stream's batch 0
+    * as a replay (silent data loss) or as a reset. A batch id BELOW the
+    * recorded mark from the SAME stream means its checkpoint was rolled
+    * back — also refused (later batches would silently no-op). Without a
+    * `streamId` the check degrades to id-only, which cannot tell a swapped
+    * checkpoint's equal id from a true replay — pass it whenever the
+    * caller has one. Returns the serving generation either way.
     */
   def appendBatch(spark: SparkSession, path: String, partCol: String,
-      delta: DataFrame, batchId: Long): Int = {
+      delta: DataFrame, batchId: Long, streamId: Option[String] = None): Int = {
+    val root = new Path(path)
+    val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(
       throw new IllegalStateException(s"SnapTables: $path has no published generation"))
-    val last = lastAppendBatch(spark, path, gen)
-    require(last.forall(_ <= batchId),
+    val m = readManifestFull(hfs, root, gen)
+    for (sid <- streamId; prev <- m.streamId)
+      require(prev == sid,
+        s"SnapTables.appendBatch: $path was being fed by the stream at checkpoint " +
+          s"'$prev' but this batch comes from '$sid' — batch ids across checkpoints " +
+          "are incomparable, so replay detection would silently lose or duplicate " +
+          "batches; create/clear the table and its checkpoint together")
+    require(m.batchId.forall(_ <= batchId),
       s"SnapTables.appendBatch: batch $batchId arrived but generation $gen of " +
-        s"$path was published by batch ${last.get} — the stream's checkpoint was " +
-        "reset or belongs to a different stream; create/clear the table and the " +
+        s"$path was published by batch ${m.batchId.get} — the stream's checkpoint " +
+        "was reset while the table lived on; create/clear the table and the " +
         "checkpoint together")
-    if (last.contains(batchId)) return gen // replayed, already-published batch
-    appendCore(spark, path, partCol, delta, batchId = Some(batchId))
+    if (m.batchId.contains(batchId)) return gen // replayed, already-published batch
+    appendCore(spark, path, partCol, delta, batchId = Some(batchId),
+      streamId = streamId)
   }
 
   private def appendCore(spark: SparkSession, path: String, partCol: String,
-      delta: DataFrame, batchId: Option[Long]): Int = {
+      delta: DataFrame, batchId: Option[Long], streamId: Option[String]): Int = {
     val root = new Path(path)
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(
@@ -404,17 +420,19 @@ object SnapTables {
     val touched = d.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return gen
-    val cur = readManifest(hfs, root, gen)
-    val before = listPartitionFiles(hfs, root, partCol)
+    val m = readManifestFull(hfs, root, gen)
+    val cur = m.entries
+    val scope = Some(touched.toSet)
+    val before = listPartitionFiles(hfs, root, partCol, scope)
     d.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
-    val after = listPartitionFiles(hfs, root, partCol)
+    val after = listPartitionFiles(hfs, root, partCol, scope)
     val next = cur ++ touched.map { v =>
       v -> (cur.getOrElse(v, Nil) ++
         after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil)))
     }.toMap
     writeManifest(hfs, root, gen + 1, next,
-      batchId.orElse(batchHeader(hfs, root, gen)))
+      batchId.orElse(m.batchId), streamId.orElse(m.streamId))
     writePointer(hfs, root, gen + 1)
     gen + 1
   }

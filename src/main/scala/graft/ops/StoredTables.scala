@@ -82,17 +82,33 @@ object StoredTables {
       path: String,
       partCol: String,
       keyCol: String,
-      removedKeys: DataFrame): Unit = {
-    val tbl = spark.read.parquet(path)
+      removedKeys: DataFrame): Unit =
+    deleteByKeyPlan(spark.read.parquet(path), partCol, keyCol, removedKeys)
+      .foreach { case (affected, survivors) =>
+        overwriteAffected(spark, path, partCol, affected, survivors)
+      }
+
+  /** The key-filter delete PLAN, shared verbatim by the in-place recipe
+    * ([[deleteByKey]]) and the snapshot layer ([[SnapTables.deleteByKey]]) —
+    * one semi-join to find the affected partitions, one anti-join for their
+    * survivors; publication is the only thing the two paths may differ on.
+    * None when no stored row matches (the no-op case). The bounded driver
+    * transfer is the affected partition-value set, capped by the table's
+    * fan-out.
+    */
+  private[ops] def deleteByKeyPlan(
+      tbl: DataFrame,
+      partCol: String,
+      keyCol: String,
+      removedKeys: DataFrame): Option[(Seq[Int], DataFrame)] = {
     val rm = removedKeys.select(col(keyCol))
     val affected = tbl.join(rm, Seq(keyCol), "left_semi")
       .select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty) return
-    val survivors = tbl
-      .where(col(partCol).isin(affected: _*))
-      .join(rm, Seq(keyCol), "left_anti")
-    overwriteAffected(spark, path, partCol, affected, survivors)
+    if (affected.isEmpty) return None
+    Some((affected,
+      tbl.where(col(partCol).isin(affected: _*))
+        .join(rm, Seq(keyCol), "left_anti")))
   }
 
   /** Exact count RETRACTION on a stored additive side table (the q282
@@ -111,8 +127,26 @@ object StoredTables {
       partCol: String,
       keyCols: Seq[String],
       countCol: String,
-      deltas: DataFrame): Unit = {
-    val tbl = spark.read.parquet(path)
+      deltas: DataFrame): Unit =
+    decrementPlan(spark.read.parquet(path), partCol, keyCols, countCol,
+        deltas, at = path)
+      .foreach { case (affected, survivors) =>
+        overwriteAffected(spark, path, partCol, affected, survivors)
+      }
+
+  /** The exact-subtraction PLAN with all three guards, shared verbatim by
+    * the in-place recipe ([[decrementCounts]]) and the snapshot layer
+    * ([[SnapTables.decrementCounts]]) — a guard fixed here is fixed for
+    * both publication paths. None when no stored key matches after the
+    * guards pass (the no-op case); `at` names the table in guard messages.
+    */
+  private[ops] def decrementPlan(
+      tbl: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      countCol: String,
+      deltas: DataFrame,
+      at: String): Option[(Seq[Int], DataFrame)] = {
     // normalize FIRST: duplicate key rows in `deltas` (two retraction rows
     // for one key — a union of per-batch retractions) must subtract their
     // SUM once; joined raw they would fan out the left join, duplicating
@@ -130,12 +164,12 @@ object StoredTables {
       .limit(1).collect()
     require(unknown.isEmpty,
       s"decrementCounts: retraction key ${unknown.headOption.getOrElse("")} has no " +
-        s"row in the stored table at $path — retracting something never counted " +
+        s"row in the stored table at $at — retracting something never counted " +
         "(or already retracted); refusing the whole batch")
     val affected = tbl.join(dec, keyCols, "left_semi")
       .select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty) return
+    if (affected.isEmpty) return None
     val cols = tbl.columns.toSeq
     val decremented = tbl
       .where(col(partCol).isin(affected: _*))
@@ -151,11 +185,9 @@ object StoredTables {
       .select(keyCols.map(col): _*).limit(1).collect()
     require(over.isEmpty,
       s"decrementCounts: retraction of key ${over.headOption.getOrElse("")} exceeds " +
-        s"its stored count at $path (double-submitted retraction batch?); " +
+        s"its stored count at $at (double-submitted retraction batch?); " +
         "refusing the whole batch before mutating")
-    val survivors = decremented
-      .where(col(countCol) > 0)
-      .select(cols.map(col): _*)
-    overwriteAffected(spark, path, partCol, affected, survivors)
+    Some((affected,
+      decremented.where(col(countCol) > 0).select(cols.map(col): _*)))
   }
 }

@@ -84,6 +84,17 @@ object WinnowIndex {
   def readDfTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("h"), col("df"))
 
+  /** Rebuild the stored df side table from the stored FINGERPRINTS — the
+    * crash-recovery verb for [[deleteStored]] (and the general repair for
+    * any df-table doubt): the df table is a pure function of the
+    * fingerprint table, so recomputing it from the surviving stored rows is
+    * always correct, costs one pass over the INDEX (never the corpus), and
+    * is idempotent — unlike a re-applied decrement.
+    */
+  def rebuildDfTable(spark: SparkSession, fpPath: String, dfPath: String,
+      hashBuckets: Int = DefaultHashBuckets): Unit =
+    writeDfTable(dfTable(read(spark, fpPath)), dfPath, hashBuckets)
+
   /** Storage-truth document removal for the fingerprint table and
     * (optionally) its stored df side table, via the shared
     * [[StoredTables]] recipe:
@@ -100,11 +111,15 @@ object WinnowIndex {
     *    Hashes decrementing to zero drop, so the serve cap sees exactly
     *    survivors-only occupancy (q404 hash-proves the served matches).
     *
-    * Same serving-concurrency contract as [[AnnIndex.deleteStored]]; a
-    * crash between the two rewrites is repaired by re-running the SAME
-    * delete (the df decrement fails loudly on a re-run that would
-    * double-subtract — see [[StoredTables.decrementCounts]]'s unknown-key
-    * guard — so recovery order is: finish with a fingerprint-only delete).
+    * Same serving-concurrency contract as [[AnnIndex.deleteStored]]. The
+    * df decrement is NOT idempotent, and the decrementCounts guards can
+    * only catch a re-run that fully retracts a key or over-retracts —
+    * for hashes shared with survivors a second subtraction lands
+    * SILENTLY. A crash between the decrement and the key deletes is
+    * therefore repaired by (1) finishing the key deletes with
+    * `dfPath = None`, then (2) [[rebuildDfTable]] — recompute the df table
+    * from the surviving fingerprints, which is idempotent and index-
+    * bounded; never by re-running the full delete.
     */
   def deleteStored(spark: SparkSession, fpPath: String,
       removedIds: DataFrame, dfPath: Option[String] = None): Unit = {

@@ -239,8 +239,12 @@ object Pipelines {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // checkpointPath doubles as the stream identity: the manifest
+        // records it, so a swapped/reset checkpoint is refused instead of
+        // its batch ids being misread against another stream's high-water
+        // mark (the ownership-marker stance, in-manifest)
         graft.ops.SnapTables.appendBatch(batch.sparkSession, path, partCol,
-          xform(batch.toDF()), batchId)
+          xform(batch.toDF()), batchId, streamId = Some(checkpointPath))
         ()
       }
       .start()

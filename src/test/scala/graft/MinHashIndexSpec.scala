@@ -162,5 +162,11 @@ class MinHashIndexSpec extends AnyFunSuite with SparkSpec {
     assert(sigRows(MinHashIndex.readSigs(spark, dir)) == sigRows(sigsSurv))
     assert(dfRows(MinHashIndex.readBucketDf(spark, dir))
         == dfRows(MinHashIndex.bucketDfTable(bandsSurv)))
+    // the crash-recovery verb: a doubted df table rebuilds from the stored
+    // bands — idempotent, equal to the survivors recompute either way
+    MinHashIndex.rebuildBucketDf(spark, dir)
+    assert(dfRows(MinHashIndex.readBucketDf(spark, dir))
+        == dfRows(MinHashIndex.bucketDfTable(bandsSurv)),
+      "rebuilt bucket-df must equal the survivors-only recompute")
   }
 }

@@ -270,6 +270,38 @@ class SnapTablesSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("reset"))
   }
 
+  test("appendBatch: a different stream's checkpoint is refused even at an equal batch id") {
+    import spark.implicits._
+    val dir = tmpDir("snap-stream-id")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    assert(SnapTables.appendBatch(spark, dir, "pb",
+      Seq((13L, "v13", 1)).toDF("key", "payload", "pb"),
+      batchId = 0L, streamId = Some("/ckpt/A")) == 1)
+    // the hole id-only logic cannot see: a RESET/SWAPPED checkpoint whose
+    // first batch id EQUALS the recorded mark — id-only would classify it
+    // as a replay and silently drop the new stream's batch 0
+    val ex = intercept[IllegalArgumentException] {
+      SnapTables.appendBatch(spark, dir, "pb",
+        Seq((99L, "v99", 0)).toDF("key", "payload", "pb"),
+        batchId = 0L, streamId = Some("/ckpt/B"))
+    }
+    assert(ex.getMessage.contains("/ckpt/A") && ex.getMessage.contains("/ckpt/B"),
+      "the refusal must name both checkpoints")
+    // a maintenance rewrite carries the stream identity forward with the mark
+    SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(13L).toDF("key"))
+    val ex2 = intercept[IllegalArgumentException] {
+      SnapTables.appendBatch(spark, dir, "pb",
+        Seq((99L, "v99", 0)).toDF("key", "payload", "pb"),
+        batchId = 5L, streamId = Some("/ckpt/B"))
+    }
+    assert(ex2.getMessage.contains("/ckpt/A"),
+      "rewrites must not amnesia the stream identity")
+    // the SAME stream's true replay is still a recognized no-op
+    assert(SnapTables.appendBatch(spark, dir, "pb",
+      Seq((13L, "v13", 1)).toDF("key", "payload", "pb"),
+      batchId = 0L, streamId = Some("/ckpt/A")) == 2)
+  }
+
   test("snapshotIngest: one generation per micro-batch; restart on the same checkpoint re-emits nothing") {
     import spark.implicits._
     val dir = tmpDir("snap-ingest")

@@ -109,4 +109,32 @@ class WinnowIndexSpec extends AnyFunSuite with SparkSpec {
         == dfRows(WinnowIndex.dfTable(fpSurv)),
       "decremented df table must equal the survivors-only recompute")
   }
+
+  test("rebuildDfTable: the crash-recovery verb recomputes the df bytes from the stored fingerprints") {
+    val fp = WinnowIndex.build(docs, col("doc_id"), col("text"), k = 3, w = 4)
+    val fpDir = tmpDir("winnow-rec-fp")
+    val dfDir = tmpDir("winnow-rec-df")
+    WinnowIndex.write(fp, fpDir)
+    WinnowIndex.writeDfTable(WinnowIndex.dfTable(fp), dfDir)
+    val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id"))
+    // the documented crash repair: the df decrement's fate is UNKNOWN (here:
+    // it never ran), so finish the idempotent key deletes WITHOUT the df leg…
+    WinnowIndex.deleteStored(spark, fpDir, removed, dfPath = None)
+    // …then rebuild the side table from the surviving stored fingerprints
+    WinnowIndex.rebuildDfTable(spark, fpDir, dfDir)
+    val fpSurv = Dedup.winnowFingerprints(
+      docs.where(pmod(col("doc_id"), lit(11)) =!= 0),
+      col("doc_id"), col("text"), k = 3, w = 4)
+    def dfRows(t: DataFrame): Set[(Long, Long)] =
+      t.select(col("h"), col("df").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfRows(WinnowIndex.readDfTable(spark, dfDir))
+        == dfRows(WinnowIndex.dfTable(fpSurv)),
+      "rebuilt df table must equal the survivors-only recompute")
+    // and the verb is idempotent — a doubted repair can simply run again
+    WinnowIndex.rebuildDfTable(spark, fpDir, dfDir)
+    assert(dfRows(WinnowIndex.readDfTable(spark, dfDir))
+        == dfRows(WinnowIndex.dfTable(fpSurv)))
+  }
 }
