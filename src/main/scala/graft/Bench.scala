@@ -255,6 +255,20 @@ object Bench {
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_OUT", "bench_warm.json")),
       perQueryJson(sfDir, results, streamingJson, mode = "session") + "\n")
+    // Round-18 fix for the driver's "parsed": null (VERDICT r17 #1c): the
+    // driver keeps only the LAST 2000 chars of stdout, and the full JSON
+    // line above is ~25 KB — its head (the "{"metric":... opener) is always
+    // clipped, so no round's BENCH artifact ever parsed. Emit a COMPACT
+    // line LAST: same headline fields, per-family cold totals instead of
+    // the 394-entry per-query maps (those live complete in bench_out.json/
+    // bench_warm.json). Bounded at ~7 family entries ≈ well inside the tail
+    // window even with sbt's "[success]" trailer after it.
+    val famCold = results.filter(_.ok)
+      .groupBy(r => byName.getOrElse(r.name, "?")).toSeq.sortBy(_._1)
+      .map { case (f, rs) => Json.str(f) + ":" + fmt(rs.map(_.cold).sum) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(okRes.map(_.cold).sum)},"unit":"sec","queries":$famCold,"total_warm":${fmt(okRes.map(_.warm).sum)},"n_ok":${okRes.size},"n_failed":${results.size - okRes.size},"failed":$failed,"streaming":$streamingJson,"sf":${Json.str(sfDir)},"per_query_file":"bench_out.json"}""")
     streamSpark.stop()
   }
 }

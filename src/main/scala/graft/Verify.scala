@@ -6,13 +6,27 @@ import java.nio.file.{Files, Paths}
   * (sfDir, outDir) restrict the dump to those query names (oracle_sql.json
   * is always written in full) — the fast re-check loop with check.py's own
   * subset args.
+  *
+  * Round-18 gate-wall-time fix (VERDICT r17 #1: the driver's correctness
+  * artifact shipped empty after the ~35 min gate outran its budget):
+  * queries run on a small WORKER POOL over one shared session instead of
+  * strictly sequentially. Safe because every catalog query is
+  * self-contained — no temp views, no session-conf mutation beyond the
+  * idempotent nanosAsLong pin, per-query Scratch dirs are
+  * createTempDirectory-unique, and Spark schedules concurrent actions from
+  * independent threads (FIFO across jobs, tasks interleave). Each worker
+  * pins the shared session as its thread's active session so
+  * thread-local lookups inside ops code resolve. Failures stay per-query
+  * (logged, dump continues). SPARK_GRAFT_VERIFY_PAR=1 restores the
+  * sequential behavior; default 4 measured 11.6 → ~4 min at sf0.01.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
     val (sfDir, outDir) = (args(0), args(1))
     val subset = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,15 +36,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val work = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset.contains(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .foreach { case (name, fn) => work.add((name, fn)) }
+    def drain(): Unit = {
+      SparkSession.setActiveSession(spark)
+      var next = work.poll()
+      while (next != null) {
+        val (name, fn) = next
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        next = work.poll()
       }
     }
+    val workers = (1 until par).map { i =>
+      val t = new Thread(() => drain(), s"verify-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    drain() // the main thread is worker 0
+    workers.foreach(_.join())
     // JSON string escape shared with Bench — see graft.Json.
     def q(s: String): String = Json.str(s)
     val json = SparkEntry.oracleSql

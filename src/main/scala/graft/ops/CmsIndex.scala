@@ -66,6 +66,70 @@ object CmsIndex {
   def write(sk: DataFrame, path: String): Unit =
     sk.write.mode("overwrite").parquet(path)
 
+  /** Key-hash partition fan-out for the SNAPSHOT-published sketch table:
+    * small (the table is #keys rows), but [[SnapTables]] verbs rewrite and
+    * prune at partition grain, so even a modest fan-out bounds a
+    * retraction's I/O to the removed keys' buckets.
+    */
+  val DefaultKeyBuckets = 8
+
+  private def kbOf(keyBuckets: Int): Column =
+    pmod(Hashing.hash60(col("key")), lit(keyBuckets.toLong)).cast("int")
+
+  /** Publish the sketch table under the [[SnapTables]] generation layer —
+    * the serve-during-maintenance guarantee for the one register family
+    * that CAN maintain exactly (CMS counters are linear; HLL/theta
+    * max-folds cannot unabsorb and stay rebuild-only by design).
+    */
+  def publishSnapshot(spark: SparkSession, path: String, sk: DataFrame,
+      keyBuckets: Int = DefaultKeyBuckets): Unit =
+    SnapTables.publishInitial(spark, path, "kb",
+      sk.withColumn("kb", kbOf(keyBuckets)))
+
+  /** The current generation's sketch table (logical columns only). */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    SnapTables.resolve(spark, path, "kb").select(col("key"), col("sk"))
+
+  /** [[retract]] published as a generation: sketch the removed rows alone,
+    * subtract counters elementwise inside the removed keys' `kb` buckets
+    * only, and flip the pointer — readers of the current generation keep
+    * their counters until they re-resolve (the [[SnapTables]] contract).
+    * All-zero keys drop. Returns the generation now serving.
+    */
+  def retractSnapshot(spark: SparkSession, path: String, removedSk: DataFrame,
+      keyBuckets: Int = DefaultKeyBuckets): Int = {
+    val rm = removedSk.localCheckpoint()
+    val affected = rm.select(kbOf(keyBuckets).as("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty)
+      return SnapTables.currentGeneration(spark, path).getOrElse(
+        throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
+    val cur = SnapTables.resolve(spark, path, "kb")
+      .where(col("kb").isin(affected: _*)).select(col("key"), col("sk"))
+    SnapTables.rewritePartitions(spark, path, "kb", affected,
+      retract(cur, rm).withColumn("kb", kbOf(keyBuckets)))
+  }
+
+  /** [[merge]] published as a generation — the ingest verb: the delta
+    * sketch's keys rewrite their buckets as (current + delta) elementwise
+    * sums (brand-new keys simply appear), everything else carries forward
+    * manifest-only. Linearity makes the published table equal a rebuild on
+    * the unioned rows. Returns the generation now serving.
+    */
+  def mergeSnapshot(spark: SparkSession, path: String, deltaSk: DataFrame,
+      keyBuckets: Int = DefaultKeyBuckets): Int = {
+    val d = deltaSk.localCheckpoint()
+    val affected = d.select(kbOf(keyBuckets).as("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty)
+      return SnapTables.currentGeneration(spark, path).getOrElse(
+        throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
+    val cur = SnapTables.resolve(spark, path, "kb")
+      .where(col("kb").isin(affected: _*)).select(col("key"), col("sk"))
+    SnapTables.rewritePartitions(spark, path, "kb", affected,
+      merge(cur, d).withColumn("kb", kbOf(keyBuckets)))
+  }
+
   /** Load a stored sketch table (scan-only lineage). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

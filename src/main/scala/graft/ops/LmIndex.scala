@@ -122,17 +122,37 @@ object LmIndex {
     * decrement is NOT idempotent across the two tables, and for words
     * shared with surviving documents a re-applied decrement lands SILENTLY
     * (the guards catch only full-retraction and over-retraction shapes) —
-    * so a crash after the uni rewrite but before big is repaired by
-    * applying the BIG-side decrement alone ([[StoredTables.decrementCounts]]
-    * on `path/big` with the removed docs' re-counted bigram deltas — the
-    * building blocks are public and this scaladoc is the recipe); never by
-    * re-running the full delete, which would subtract uni twice.
+    * so a crash after the uni rewrite but before big is repaired by ONE
+    * guarded call to [[repairBig]] (which applies the BIG-side decrement
+    * alone); never by re-running the full delete, which would subtract uni
+    * twice.
     */
   def deleteStored(spark: SparkSession, path: String, removed: DataFrame,
       id: Column, text: Column): Unit = {
     val d = build(removed, id, text)
     StoredTables.decrementCounts(spark, s"$path/uni", "wb", Seq("w"), "c1",
       d.uni.withColumnRenamed("c1", "__dec"))
+    StoredTables.decrementCounts(spark, s"$path/big", "wb", Seq("w1", "w2"), "c2",
+      d.big.withColumnRenamed("c2", "__dec"))
+  }
+
+  /** Crash repair for [[deleteStored]]'s one partial state: the uni
+    * rewrite landed, the process died before the big rewrite. Recounts the
+    * removed docs' BIGRAM deltas and applies that half alone — the same
+    * idempotent-rebuild role [[WinnowIndex.rebuildDfTable]] and
+    * [[MinHashIndex.rebuildBucketDf]] play for their families, so the
+    * trickiest half-retracted repair is a guarded call, not a prose
+    * recipe. The [[StoredTables.decrementCounts]] guards still apply: if
+    * the big side was ALREADY decremented (i.e. the delete actually
+    * completed) the repair fails loudly on the first fully-retracted
+    * bigram key ("never counted") rather than silently double-subtracting
+    * — only bigrams every one of whose occurrences survives elsewhere in
+    * the corpus could slip that guard, the exact residual risk the
+    * deleteStored scaladoc documents for re-running ANY decrement.
+    */
+  def repairBig(spark: SparkSession, path: String, removed: DataFrame,
+      id: Column, text: Column): Unit = {
+    val d = build(removed, id, text)
     StoredTables.decrementCounts(spark, s"$path/big", "wb", Seq("w1", "w2"), "c2",
       d.big.withColumnRenamed("c2", "__dec"))
   }

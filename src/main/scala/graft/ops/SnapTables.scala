@@ -32,12 +32,33 @@ import org.apache.spark.sql.functions._
   * decision with its own timing, exactly the Iceberg/Delta
   * snapshot-expiry contract re-derived on plain parquet + JSON.
   *
-  * Single-writer contract (unchanged from the in-place recipe): one
-  * maintenance job mutates a table at a time — generations serialize
-  * writes' VISIBILITY, they do not arbitrate concurrent writers. Manifests
-  * are plain tab-separated lines (`partValue TAB file TAB file…`) — parquet
-  * task-file names contain no tabs or newlines, so no quoting layer is
-  * needed and `hfs.open` + split is the whole parser; no external formats.
+  * Single-writer ENFORCEMENT (round 18 — before this it was a documented
+  * contract, and a lost race was silent: both writers read generation N,
+  * both published N+1, and the loser's publication was orphaned with zero
+  * error): every publish verb first CLAIMS its target generation via a
+  * create-exclusive lock marker (`_manifests/.publish-%06d.lock`) and then
+  * re-checks the pointer is still at its base — the second writer of a
+  * race fails loudly at the claim (or at the base re-check in the claim/
+  * flip window), never silently. The marker is released in `finally`, so
+  * only a PROCESS CRASH mid-publication leaves one behind; a later writer
+  * then fails with instructions to run [[reclaimStale]] (the operator
+  * verb that deletes markers above the pointer once the crashed writer is
+  * known dead). [[appendBatch]] writes its stream identity + batch id into
+  * the marker, so ITS crash-replay recognizes its own leftover claim and
+  * proceeds — the streamed ingest path stays self-healing with no manual
+  * step. Markers at or below the pointer are dead by construction (every
+  * future claim targets pointer+1) and are swept by [[expire]].
+  *
+  * Manifests are plain tab-separated lines (`partValue TAB file TAB
+  * file…`) — parquet task-file names contain no tabs or newlines, so no
+  * quoting layer is needed and `hfs.open` + split is the whole parser; no
+  * external formats. FORMAT HISTORY: manifests were `gen-%06d.json` before
+  * round 17 and are `.tsv` since, with no read fallback — the change is
+  * BREAKING for a table published by pre-r17 code (resolve fails with
+  * "missing manifest …tsv", and expire never reclaims stale `.json`
+  * files). Acceptable here because snapshot tables have only ever lived in
+  * per-JVM [[graft.Scratch]] dirs; a durably persisted pre-r17 table must
+  * be republished ([[publishInitial]] on the resolved old frame).
   *
   * Scale shape: a manifest holds one entry per (partition, file) — for the
   * 64-bucket index families that is tens of entries, KBs of text; at
@@ -59,6 +80,70 @@ object SnapTables {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def genName(gen: Int): String = f"gen-$gen%06d.tsv"
+
+  private def markerPath(root: Path, gen: Int): Path =
+    new Path(new Path(root, ManifestDir), f".publish-$gen%06d.lock")
+
+  /** Create-exclusive claim of the target generation — the single-writer
+    * ENFORCEMENT point (object doc). `identity` is written into the marker;
+    * a claim that finds an existing marker with the SAME identity is a
+    * crash-replay of the same logical publication (appendBatch's streamId +
+    * batchId) and keeps the claim. Any other existing marker throws: either
+    * a concurrent writer is mid-publication, or a crashed one left its
+    * marker — the caller cannot tell from here, the OPERATOR can (the
+    * crashed writer's process is gone), hence [[reclaimStale]].
+    */
+  private def claimGeneration(hfs: FileSystem, root: Path, gen: Int,
+      identity: String): Unit = {
+    val dir = new Path(root, ManifestDir)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val mp = markerPath(root, gen)
+    try {
+      val out = hfs.create(mp, false) // overwrite=false: create-exclusive
+      out.write(identity.getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val existing = try {
+          val in = hfs.open(mp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        if (existing.nonEmpty && existing == identity) () // our own replay
+        else throw new IllegalStateException(
+          s"SnapTables: generation $gen of $root is claimed by another writer " +
+            s"('$existing') — either a concurrent publish is in flight (wait for " +
+            "it; this table advanced past your read) or a crashed writer left " +
+            "its claim (verify it is dead, then SnapTables.reclaimStale(path))",
+          e)
+    }
+  }
+
+  private def releaseGeneration(hfs: FileSystem, root: Path, gen: Int): Unit = {
+    hfs.delete(markerPath(root, gen), false)
+    ()
+  }
+
+  /** Operator recovery verb: delete publication claims ABOVE the pointer —
+    * these belong to writers that crashed mid-publication (a live writer
+    * would still be holding one, so run this only when no maintenance job
+    * is in flight on the table). Claims at or below the pointer are dead
+    * regardless (no future claim can target them) and are swept by
+    * [[expire]]. Returns the generations whose claims were removed.
+    */
+  def reclaimStale(spark: SparkSession, path: String): Seq[Int] = {
+    val root = new Path(path)
+    val hfs = fs(spark, path)
+    val cur = currentGeneration(spark, path).getOrElse(-1)
+    val dir = new Path(root, ManifestDir)
+    if (!hfs.exists(dir)) return Nil
+    hfs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".publish-"))
+      .flatMap { p =>
+        val g = p.getName.stripPrefix(".publish-").stripSuffix(".lock").toInt
+        if (g > cur) { hfs.delete(p, false); Some(g) } else None
+      }.sorted
+  }
 
   /** Atomic pointer write: tmp + OVERWRITE-rename via [[FileContext]] — the
     * Hadoop API whose rename atomically REPLACES an existing destination
@@ -82,11 +167,25 @@ object SnapTables {
     * or torn pointer (crash between create and close under a non-atomic
     * writer) is rejected loudly — with rename-based publication it cannot
     * occur, so its presence means a foreign writer touched the table.
+    *
+    * Missing-pointer handling: on HDFS the OVERWRITE-rename in
+    * [[writePointer]] is atomic, so a published table's pointer is never
+    * absent. On the LOCAL filesystem, however, `FileContext.rename(…,
+    * OVERWRITE)` bottoms out in delete-then-rename
+    * (RawLocalFs → FileSystem#rename default), leaving a microscopic
+    * no-pointer window during a flip — so a miss is retried ONCE after a
+    * short pause before concluding the table is unpublished. The retry
+    * costs one 20 ms pause only on genuinely unpublished paths (each
+    * publishInitial pays it once); a mid-flip reader on local FS sees the
+    * new pointer on the second look instead of throwing mid-serve.
     */
   def currentGeneration(spark: SparkSession, path: String): Option[Int] = {
     val hfs = fs(spark, path)
     val p = new Path(path, PointerName)
-    if (!hfs.exists(p)) return None
+    if (!hfs.exists(p)) {
+      Thread.sleep(20)
+      if (!hfs.exists(p)) return None
+    }
     val in = hfs.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
@@ -194,15 +293,29 @@ object SnapTables {
     val hfs = fs(spark, path)
     require(currentGeneration(spark, path).isEmpty,
       s"SnapTables: $path is already published — use rewritePartitions")
-    // one shuffle keyed on the partition column bounds the file count at
-    // ~one per partition (AQE coalesces small ones): resolve() plans over
-    // an EXPLICIT path list, so a 32-task × 64-partition fan-out write
-    // would hand every later serve thousands of paths to plan (measured
-    // +2.5 s warm on the winnow serve) and bloat every manifest
-    df.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(path)
-    writeManifest(hfs, root, 0, listPartitionFiles(hfs, root, partCol))
-    writePointer(hfs, root, 0)
+    claimGeneration(hfs, root, 0, java.util.UUID.randomUUID().toString)
+    try {
+      require(currentGeneration(spark, path).isEmpty,
+        s"SnapTables: $path was published concurrently during the claim")
+      // append into a REQUIRED-empty directory, not mode(overwrite): the
+      // overwrite would delete the whole root including the claim marker
+      // just taken, re-opening the two-initial-publishers race mid-write.
+      // On an empty root the two modes write identical files; a non-empty
+      // one is refused (a crashed pre-publication writer's leftovers are
+      // indistinguishable from data — the operator clears the directory).
+      require(listPartitionFiles(hfs, root, partCol).isEmpty,
+        s"SnapTables: $path already holds partition directories but no " +
+          "generation pointer — clear the directory before publishInitial")
+      // one shuffle keyed on the partition column bounds the file count at
+      // ~one per partition (AQE coalesces small ones): resolve() plans over
+      // an EXPLICIT path list, so a 32-task × 64-partition fan-out write
+      // would hand every later serve thousands of paths to plan (measured
+      // +2.5 s warm on the winnow serve) and bloat every manifest
+      df.repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(path)
+      writeManifest(hfs, root, 0, listPartitionFiles(hfs, root, partCol))
+      writePointer(hfs, root, 0)
+    } finally releaseGeneration(hfs, root, 0)
   }
 
   /** The table as the CURRENT generation serves it: a plain parquet scan
@@ -250,6 +363,15 @@ object SnapTables {
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(
       throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    claimGeneration(hfs, root, gen + 1, java.util.UUID.randomUUID().toString)
+    try {
+    // the claim/re-check pair closes the read-claim window: once the claim
+    // is held nobody else can advance to gen+1, and a pointer that moved
+    // BEFORE the claim landed is caught here — the caller's survivors were
+    // computed against a generation that is no longer current
+    require(currentGeneration(spark, path).contains(gen),
+      s"SnapTables: $path advanced past generation $gen during the claim — " +
+        "re-resolve and retry the rewrite")
     val m = readManifestFull(hfs, root, gen)
     val cur = m.entries
     // materialize FIRST: the emptiness probe and the append below must not
@@ -286,6 +408,7 @@ object SnapTables {
     writeManifest(hfs, root, gen + 1, next, m.batchId, m.streamId)
     writePointer(hfs, root, gen + 1)
     gen + 1
+    } finally releaseGeneration(hfs, root, gen + 1)
   }
 
   /** [[StoredTables.deleteByKey]] with snapshot publication instead of the
@@ -330,6 +453,53 @@ object SnapTables {
       }
       .getOrElse(currentGeneration(spark, path).get)
 
+  /** Exact count INCREMENT on a snapshot-published additive side table —
+    * [[decrementCounts]]'s append-side twin, and the verb that lets a
+    * count-keyed table (LM uni/big, the MinHash bucket-df) ride the
+    * snapshot layer through INGEST, not just retraction: a bare
+    * [[appendPartitions]] would duplicate keys the table already counts
+    * (two rows for one key double-serves every guard that reads it), so
+    * the touched partitions rewrite as (current ∪ delta) summed per key —
+    * additive merge == rebuild on the unioned corpus, the
+    * [[LmIndex.append]] law published as a generation.
+    *
+    * `deltas` must CARRY the partition column (computed with the SAME
+    * bucketing the publisher used): an increment may introduce brand-new
+    * keys, whose partition cannot be derived from the stored side. A delta
+    * key already stored MUST land in its stored partition — a mismatch
+    * means the caller bucketed differently than the publisher and would
+    * split one logical key across two partitions (every serve-path groupBy
+    * would double-count it); checked against the stored table and refused
+    * loudly BEFORE any file is written. I/O stays bounded by the delta's
+    * partition fan-out: untouched partitions carry forward manifest-only.
+    * Returns the generation now serving.
+    */
+  def mergeCounts(spark: SparkSession, path: String, partCol: String,
+      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int = {
+    val cols = (partCol +: keyCols :+ countCol).map(col)
+    // normalize duplicate delta keys FIRST (the decrementPlan discipline):
+    // two increment rows for one key must add their SUM once
+    val inc = deltas.groupBy((partCol +: keyCols).map(col): _*)
+      .agg(sum(col(countCol)).as(countCol)).select(cols: _*).localCheckpoint()
+    val affected = inc.select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    val stored = resolve(spark, path, partCol)
+    val mismatched = stored.select((col(partCol).as("__sp") +: keyCols.map(col)): _*)
+      .join(inc.select((col(partCol).as("__dp") +: keyCols.map(col)): _*), keyCols)
+      .where(col("__sp") =!= col("__dp")).limit(1).collect()
+    require(mismatched.isEmpty,
+      s"SnapTables.mergeCounts: delta key ${mismatched.headOption.getOrElse("")} is " +
+        s"stored under a different $partCol at $path — the caller's bucketing " +
+        "disagrees with the publisher's and would split the key across partitions")
+    val survivors = stored.where(col(partCol).isin(affected: _*))
+      .select(cols: _*).unionByName(inc)
+      .groupBy((partCol +: keyCols).map(col): _*)
+      .agg(sum(col(countCol)).as(countCol))
+    rewritePartitions(spark, path, partCol, affected, survivors)
+  }
+
   /** The (partition value → file names) listing a generation serves — the
     * audit surface behind [[compactPartitions]]'s economics and the spec
     * hook for file-count invariants. Driver-bounded by construction: one
@@ -359,7 +529,8 @@ object SnapTables {
     */
   def appendPartitions(spark: SparkSession, path: String, partCol: String,
       delta: DataFrame): Int =
-    appendCore(spark, path, partCol, delta, batchId = None, streamId = None)
+    appendCore(spark, path, partCol, delta, batchId = None, streamId = None,
+      pre = None, identity = java.util.UUID.randomUUID().toString)
 
   /** [[appendPartitions]] driven from a streaming `foreachBatch` — the
     * exactly-once micro-batch commit: the publishing manifest records
@@ -403,16 +574,25 @@ object SnapTables {
         "was reset while the table lived on; create/clear the table and the " +
         "checkpoint together")
     if (m.batchId.contains(batchId)) return gen // replayed, already-published batch
+    // identity = stream + batch: a crash-replay of THIS batch recognizes
+    // its own leftover claim and proceeds (self-healing ingest); any other
+    // writer fails the claim loudly
+    val identity = streamId.map(sid => s"stream:$sid:batch:$batchId")
+      .getOrElse(s"batch:$batchId")
     appendCore(spark, path, partCol, delta, batchId = Some(batchId),
-      streamId = streamId)
+      streamId = streamId, pre = Some((gen, m)), identity = identity)
   }
 
   private def appendCore(spark: SparkSession, path: String, partCol: String,
-      delta: DataFrame, batchId: Option[Long], streamId: Option[String]): Int = {
+      delta: DataFrame, batchId: Option[Long], streamId: Option[String],
+      pre: Option[(Int, Manifest)], identity: String): Int = {
     val root = new Path(path)
     val hfs = fs(spark, path)
-    val gen = currentGeneration(spark, path).getOrElse(
-      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    // `pre` threads appendBatch's already-read (generation, manifest)
+    // through — the ingest hot path reads each manifest ONCE per
+    // micro-batch, not once for the guards and again here
+    val gen = pre.map(_._1).getOrElse(currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation")))
     // materialize first: the emptiness/touched probes and the write must not
     // recompute the caller's lineage (it may read this very table's current
     // generation — the self-referential append)
@@ -420,21 +600,27 @@ object SnapTables {
     val touched = d.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return gen
-    val m = readManifestFull(hfs, root, gen)
-    val cur = m.entries
-    val scope = Some(touched.toSet)
-    val before = listPartitionFiles(hfs, root, partCol, scope)
-    d.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(path)
-    val after = listPartitionFiles(hfs, root, partCol, scope)
-    val next = cur ++ touched.map { v =>
-      v -> (cur.getOrElse(v, Nil) ++
-        after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil)))
-    }.toMap
-    writeManifest(hfs, root, gen + 1, next,
-      batchId.orElse(m.batchId), streamId.orElse(m.streamId))
-    writePointer(hfs, root, gen + 1)
-    gen + 1
+    claimGeneration(hfs, root, gen + 1, identity)
+    try {
+      require(currentGeneration(spark, path).contains(gen),
+        s"SnapTables: $path advanced past generation $gen during the claim — " +
+          "re-resolve and retry the append")
+      val m = pre.map(_._2).getOrElse(readManifestFull(hfs, root, gen))
+      val cur = m.entries
+      val scope = Some(touched.toSet)
+      val before = listPartitionFiles(hfs, root, partCol, scope)
+      d.repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(path)
+      val after = listPartitionFiles(hfs, root, partCol, scope)
+      val next = cur ++ touched.map { v =>
+        v -> (cur.getOrElse(v, Nil) ++
+          after.getOrElse(v, Nil).diff(before.getOrElse(v, Nil)))
+      }.toMap
+      writeManifest(hfs, root, gen + 1, next,
+        batchId.orElse(m.batchId), streamId.orElse(m.streamId))
+      writePointer(hfs, root, gen + 1)
+      gen + 1
+    } finally releaseGeneration(hfs, root, gen + 1)
   }
 
   /** Small-file compaction as a content-invariant generation — the
@@ -453,14 +639,28 @@ object SnapTables {
     * needed compaction).
     */
   def compactPartitions(spark: SparkSession, path: String, partCol: String,
-      minFiles: Int = 2): Int = {
+      minFiles: Int = 2, targetBytes: Long = Long.MaxValue): Int = {
     require(minFiles >= 2,
       s"SnapTables: minFiles=$minFiles would rewrite single-file partitions for nothing")
+    require(targetBytes > 0, s"SnapTables: targetBytes=$targetBytes")
     val gen = currentGeneration(spark, path).getOrElse(
       throw new IllegalStateException(s"SnapTables: $path has no published generation"))
-    val cur = readManifest(fs(spark, path), new Path(path), gen)
-    val affected = cur.collect { case (v, files) if files.size >= minFiles => v }
-      .toSeq.sorted
+    val hfs = fs(spark, path)
+    val cur = readManifest(hfs, new Path(path), gen)
+    // binpack criterion (Iceberg rewrite_data_files semantics): rewrite a
+    // partition only when at least two of its files are BELOW targetBytes —
+    // those would actually fold together. A partition holding minFiles
+    // already-target-sized files gains nothing from a rewrite and is
+    // skipped; the default targetBytes=MaxValue makes every file "small"
+    // and preserves the historical count-only behavior. Size lookups are
+    // manifest-bounded (one getFileStatus per candidate file, driver-side).
+    val affected = cur.collect {
+      case (v, files) if files.size >= minFiles &&
+        files.count { n =>
+          val p = new Path(new Path(path), s"$partCol=$v/$n")
+          targetBytes == Long.MaxValue || hfs.getFileStatus(p).getLen < targetBytes
+        } >= 2 => v
+    }.toSeq.sorted
     if (affected.isEmpty) return gen
     val survivors = resolveAt(spark, path, partCol, gen)
       .where(col(partCol).isin(affected: _*))
@@ -473,15 +673,35 @@ object SnapTables {
     * expired generations — run it when in-flight plans against them have
     * drained (the operator timing decision snapshot expiry exists to
     * isolate).
+    *
+    * `minAgeMs` is the AGE floor (Iceberg's `older_than` alongside
+    * retain-last-N, re-derived): a generation whose manifest mtime is
+    * younger than `minAgeMs` survives even outside the `keepGens` window.
+    * Without it, a fast maintenance loop — streamed ingest flips a
+    * generation per micro-batch — expires a generation SECONDS after it
+    * stops being current, while a long-running reader's resolved plan
+    * still holds its file list; count-based retention alone cannot bound
+    * reader lifetime. Default 0 keeps the historical count-only behavior
+    * (specs that pin exact reclamation set it explicitly or rely on the
+    * default).
     */
   def expire(spark: SparkSession, path: String, partCol: String,
-      keepGens: Int = 2): Unit = {
+      keepGens: Int = 2, minAgeMs: Long = 0L): Unit = {
     require(keepGens >= 1, "SnapTables: must keep at least the current generation")
     val root = new Path(path)
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(return)
-    val keep = ((gen - keepGens + 1) max 0) to gen
     val mdir0 = new Path(root, ManifestDir)
+    val youngFloor = System.currentTimeMillis() - minAgeMs
+    val young: Seq[Int] =
+      if (minAgeMs <= 0 || !hfs.exists(mdir0)) Nil
+      else hfs.listStatus(mdir0).toSeq
+        .filter(s => s.getPath.getName.startsWith("gen-")
+          && s.getPath.getName.endsWith(".tsv")
+          && s.getModificationTime >= youngFloor)
+        .map(_.getPath.getName.stripPrefix("gen-").stripSuffix(".tsv").toInt)
+    val keep = ((((gen - keepGens + 1) max 0) min
+      (if (young.isEmpty) Int.MaxValue else young.min)) to gen)
     // a generation inside the keep window may already be GONE — a prior
     // expire with a tighter keepGens dropped it; that is not corruption
     // (nothing can resurrect it), so reference only the manifests that
@@ -506,6 +726,12 @@ object SnapTables {
       val n = s.getPath.getName
       if (n.startsWith("gen-") && n.endsWith(".tsv")
           && !keep.map(genName).contains(n))
+        hfs.delete(s.getPath, false)
+      // dead publication claims: a marker at or below the pointer can never
+      // conflict again (every future claim targets pointer+1) — it is the
+      // leftover of a crash between the pointer flip and the marker release
+      if (n.startsWith(".publish-") && n.endsWith(".lock")
+          && n.stripPrefix(".publish-").stripSuffix(".lock").toInt <= gen)
         hfs.delete(s.getPath, false)
     }
   }

@@ -2250,8 +2250,218 @@ object DedupQueries {
         winnowSnapServe(s, dir,
           graft.ops.SnapTables.resolve(s, p, "hb"))
       },
-      Some(winnowSnapOracle("WHERE doc_id % 11 <> 0")))
+      Some(winnowSnapOracle("WHERE doc_id % 11 <> 0"))),
+
+    // MINHASH family on the SNAPSHOT layer (round 18 — q405's in-place
+    // rewrite carried the serve-during-rewrite caveat SnapTables exists to
+    // remove): all THREE stored tables ride the generation layer — sigs
+    // (db buckets) and bands (sb buckets) delete by snapshot key-filter,
+    // the additive bucket-df side table retracts by snapshot decrement —
+    // and the q405 probe set serves from the post-flip generations, guard
+    // fed from the decremented side table. Oracle: q405's survivors chain
+    // verbatim — generation publication must be invisible in the answers.
+    QueryDef(
+      "q421_minhash_snapshot_delete",
+      (s, dir) => minhashSnapServe(s, dir, minhashSnapDelPath(s, dir)),
+      Some(minhashSnapOracle(" WHERE doc_id % 11 <> 0"))),
+
+    // MINHASH snapshot APPEND — the ingest half: the 6/7 base publishes as
+    // gen 0 of each table, the 1/7 remainder lands as delta-only appends
+    // (sigs/bands: new files per touched bucket, nothing rewrites) and the
+    // bucket-df side table merges by SnapTables.mergeCounts (union + sum
+    // per key inside the touched buckets — the additive-merge law
+    // published as a generation; a bare append would double-serve every
+    // bucket the delta shares with the base). Per-doc locality makes the
+    // appended storage equal a full-corpus rebuild; oracle: the full-corpus
+    // chain.
+    QueryDef(
+      "q422_minhash_snapshot_append",
+      (s, dir) => minhashSnapServe(s, dir, minhashSnapAddPath(s, dir)),
+      Some(minhashSnapOracle(""))),
+
+    // SIMHASH key table on the snapshot layer: the pigeonhole combo-key
+    // table is strictly per-document, so the snapshot delete is an exact
+    // key-filter published as a generation (q406's semantics with the
+    // concurrency caveat removed); the q406 probe set served from the
+    // post-flip generation must equal the quadratic Hamming join on the
+    // kept corpus.
+    QueryDef(
+      "q423_simhash_snapshot_delete",
+      (s, dir) => simhashSnapServe(s, dir, simhashSnapDelPath(s, dir)),
+      Some(simhashSnapOracle(" WHERE doc_id % 11 <> 0"))),
+
+    // SIMHASH snapshot APPEND: 6/7 base publishes, the remainder's combo
+    // keys land delta-only in their blk_val buckets; append == rebuild by
+    // per-doc locality, through generation publication. Full-corpus oracle.
+    QueryDef(
+      "q424_simhash_snapshot_append",
+      (s, dir) => simhashSnapServe(s, dir, simhashSnapAddPath(s, dir)),
+      Some(simhashSnapOracle("")))
   )
+
+  // ---------------------------------------------------------------------
+  // Snapshot-layer migrations for the minhash/simhash families (q421–q424):
+  // the same memoized-setup discipline as the stored-delete legs, with
+  // SnapTables generations replacing the in-place overwrite.
+  // ---------------------------------------------------------------------
+
+  private val SigB = graft.ops.MinHashIndex.DefaultSigBuckets
+
+  private def mshDb = pmod(col("doc_id"), lit(SigB.toLong)).cast("int")
+  private def mshSb = pmod(col("band_sig"), lit(SigB.toLong)).cast("int")
+
+  private def publishMinhashSnap(s: org.apache.spark.sql.SparkSession,
+      p: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+    val sigs = graft.ops.MinHashIndex.build(corpus, col("doc_id"), col("text"),
+      3, 16)
+    val bands = graft.ops.MinHashIndex.bandTable(sigs, 4).localCheckpoint()
+    graft.ops.SnapTables.publishInitial(s, s"$p/sigs", "db",
+      sigs.withColumn("db", mshDb))
+    graft.ops.SnapTables.publishInitial(s, s"$p/bands", "sb",
+      bands.withColumn("sb", mshSb))
+    graft.ops.SnapTables.publishInitial(s, s"$p/bucketdf", "sb",
+      graft.ops.MinHashIndex.bucketDfTable(bands).withColumn("sb", mshSb))
+  }
+
+  private def minhashSnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("minhashsnapdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      publishMinhashSnap(s, p, docs)
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      // the decrement derives from the PRE-DELETE bands generation (every
+      // band row is its doc's alone), then all three tables flip
+      val dec = graft.ops.SnapTables.resolve(s, s"$p/bands", "sb")
+        .join(removed, Seq("doc_id"), "left_semi")
+        .groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("__dec"))
+      graft.ops.SnapTables.decrementCounts(s, s"$p/bucketdf", "sb",
+        Seq("band", "band_sig"), "df", dec)
+      graft.ops.SnapTables.deleteByKey(s, s"$p/bands", "sb", "doc_id", removed)
+      graft.ops.SnapTables.deleteByKey(s, s"$p/sigs", "db", "doc_id", removed)
+      ()
+    }
+
+  private def minhashSnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("minhashsnapadd", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      publishMinhashSnap(s, p, docs.where(pmod(col("doc_id"), lit(7)) =!= 3))
+      val delta = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+      val dsigs = graft.ops.MinHashIndex.build(delta, col("doc_id"),
+        col("text"), 3, 16)
+      val dbands = graft.ops.MinHashIndex.bandTable(dsigs, 4).localCheckpoint()
+      graft.ops.SnapTables.appendPartitions(s, s"$p/sigs", "db",
+        dsigs.withColumn("db", mshDb))
+      graft.ops.SnapTables.appendPartitions(s, s"$p/bands", "sb",
+        dbands.withColumn("sb", mshSb))
+      graft.ops.SnapTables.mergeCounts(s, s"$p/bucketdf", "sb",
+        Seq("band", "band_sig"), "df",
+        graft.ops.MinHashIndex.bucketDfTable(dbands).withColumn("sb", mshSb))
+      ()
+    }
+
+  private def minhashSnapServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, p: String): org.apache.spark.sql.DataFrame = {
+    val sigs = graft.ops.SnapTables.resolve(s, s"$p/sigs", "db")
+    val bands = graft.ops.SnapTables.resolve(s, s"$p/bands", "sb")
+    val bdf = graft.ops.SnapTables.resolve(s, s"$p/bucketdf", "sb")
+      .select(col("band"), col("band_sig"), col("df"))
+    val docs = Tables.load(s, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    graft.ops.MinHashIndex.matches(bands, sigs, probes,
+      col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4,
+      minEstimate = 0.75, maxBucket = Some(100),
+      storedBucketDf = Some(bdf))
+  }
+
+  private def minhashSnapOracle(keptFilter: String): String =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text FROM documents$keptFilter),
+       |probes AS (
+       |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |${duckMshChain("kept", "i")},
+       |${duckMshChain("probes", "p")},
+       |ok AS (
+       |  SELECT band, band_sig FROM ibands GROUP BY 1, 2
+       |  HAVING COUNT(*) <= 100),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS doc_id
+       |  FROM pbands p
+       |  JOIN ibands i ON i.band = p.band AND i.band_sig = p.band_sig
+       |  JOIN ok ON ok.band = p.band AND ok.band_sig = p.band_sig)
+       |SELECT cand.probe_id, cand.doc_id,
+       |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  COUNT(*) AS n_hashes,
+       |  CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS est_jaccard
+       |FROM cand
+       |JOIN pmh pm ON pm.doc_id = cand.probe_id
+       |JOIN imh im ON im.doc_id = cand.doc_id AND im.seed = pm.seed
+       |GROUP BY 1, 2
+       |HAVING CAST(SUM(CASE WHEN pm.mh = im.mh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.75""".stripMargin
+
+  private val KeyB = graft.ops.SimHashIndex.DefaultKeyBuckets
+
+  private def simhashKb = pmod(col("blk_val"), lit(KeyB.toLong)).cast("int")
+
+  private def simhashSnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("simhashsnapdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.SnapTables.publishInitial(s, s"$p/keys", "kb",
+        graft.ops.SimHashIndex.keyTable(
+          graft.ops.SimHashIndex.build(docs, col("doc_id"), col("text")),
+          maxHamming = 3, numBlocks = 6).withColumn("kb", simhashKb))
+      graft.ops.SnapTables.deleteByKey(s, s"$p/keys", "kb", "doc_id",
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")))
+      ()
+    }
+
+  private def simhashSnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("simhashsnapadd", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.SnapTables.publishInitial(s, s"$p/keys", "kb",
+        graft.ops.SimHashIndex.keyTable(
+          graft.ops.SimHashIndex.build(
+            docs.where(pmod(col("doc_id"), lit(7)) =!= 3),
+            col("doc_id"), col("text")),
+          maxHamming = 3, numBlocks = 6).withColumn("kb", simhashKb))
+      graft.ops.SnapTables.appendPartitions(s, s"$p/keys", "kb",
+        graft.ops.SimHashIndex.keyTable(
+          graft.ops.SimHashIndex.build(
+            docs.where(pmod(col("doc_id"), lit(7)) === 3),
+            col("doc_id"), col("text")),
+          maxHamming = 3, numBlocks = 6).withColumn("kb", simhashKb))
+      ()
+    }
+
+  private def simhashSnapServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, p: String): org.apache.spark.sql.DataFrame = {
+    val keys = graft.ops.SnapTables.resolve(s, s"$p/keys", "kb")
+    val docs = Tables.load(s, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    graft.ops.SimHashIndex.matches(keys, probes, col("doc_id"), col("text"),
+      maxHamming = 3, numBlocks = 6)
+  }
+
+  private def simhashSnapOracle(keptFilter: String): String =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text FROM documents$keptFilter),
+       |probes AS (
+       |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |${duckSimhashChain("kept", "c")},
+       |${duckSimhashChain("probes", "p")}
+       |SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+       |  bit_count(xor(p.simhash, c.simhash)) AS hamming
+       |FROM psh p JOIN csh c
+       |  ON bit_count(xor(p.simhash, c.simhash)) <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
   // Memoized stored-index setups for the storage-truth delete legs

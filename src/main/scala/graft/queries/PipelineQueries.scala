@@ -2214,8 +2214,165 @@ object PipelineQueries {
           idx, nprobe = 2)
       },
       Some(SimilarityQueries.duckSqrtnServeOracle(
-        candFilter = "\n    AND b.vec_id % 11 <> 0", trainOnBase = true)))
+        candFilter = "\n    AND b.vec_id % 11 <> 0", trainOnBase = true))),
+
+    // CURATION CAPSTONE ON THE SNAPSHOT LAYER (round 18, VERDICT #8): the
+    // full composed ingest funnel — mojibake repair → PII scrub → quality
+    // gate → Bloom decontamination → Bloom near-dup gate
+    // (StreamOps.curationIngest, gate order load-bearing) — driven over an
+    // ACTUAL stream (2 micro-batches) into a SnapTables corpus table via
+    // Pipelines.snapshotIngest: each batch's survivors publish as one
+    // atomic exactly-once generation on top of the pre-seeded reference
+    // corpus (gen 0). The incoming half plants every hazard the funnel
+    // exists to catch: PII spans (%9==2), mojibake artifacts (%9==5), and
+    // near-copies of indexed documents (the q208 probe recipe) — so every
+    // stage observably drops or mutates rows. The query output is the
+    // SERVED TABLE ITSELF (membership AND curated text), and the oracle
+    // replays the entire funnel relationally — including BOTH Bloom
+    // filters bit for bit (hash60 positions are plain arithmetic, so the
+    // oracle reproduces even the false-positive drops exactly; the one
+    // divergence q395 had to sidestep is closed here). Hash-match proves:
+    // gate order, planted-hazard handling, Bloom transport, exactly-once
+    // streamed publication, and the serve — one certificate for the whole
+    // training-data front door.
+    QueryDef(
+      "q431_curation_snapshot_capstone",
+      (s, dir) => {
+        val p = curationSnapPath(s, dir)
+        graft.ops.SnapTables.resolve(s, p, "pb")
+          .select(col("doc_id"), col("text"))
+      },
+      Some(curationSnapOracle))
   )
+
+  /** Planted-hazard strings for the q431 capstone (shared by the Spark
+    * setup and the DuckDB oracle via [[graft.ops.Text.duckChr]]).
+    */
+  private lazy val PiiPlant = " contact bob@example.com from 10.1.2.3"
+  // mojibake'd "café naïve" — all escapes, no raw supplement chars in
+  // source (the NfcExpressionSpec round-8 lesson)
+  private lazy val MojiPlant = " caf\u00c3\u00a9 na\u00c3\u00afve"
+
+  /** Once-per-JVM q431 table: seed the reference corpus as generation 0,
+    * then stream the planted incoming half through the full curation
+    * funnel into generations 1..2 (one per micro-batch, exactly-once).
+    * Deterministic end to end (planted hazards, hash-based gates, seeded
+    * band table), so the memoization is correctness-neutral.
+    */
+  private def curationSnapPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("curasnap", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val bands = graft.ops.MinHashIndex.bandTable(
+        graft.ops.MinHashIndex.build(ref, col("doc_id"), col("text"), 3, 16), 4)
+        .localCheckpoint()
+      val incoming = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(9)) === 2,
+            concat(col("text"), lit(PiiPlant)))
+          .when(pmod(col("doc_id"), lit(9)) === 5,
+            concat(col("text"), lit(MojiPlant)))
+          .otherwise(col("text")).as("text"))
+        .unionByName(ref.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2")).as("text")))
+      def pbOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text"))
+          .withColumn("pb", pmod(col("doc_id"), lit(16)).cast("int"))
+      graft.ops.SnapTables.publishInitial(s, p, "pb", pbOf(ref))
+      val srcDir = graft.Scratch.dir("graft-curation-snap-src")
+      incoming.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val q = graft.streaming.Pipelines.snapshotIngest(
+        graft.streaming.StreamOps.curationIngest(
+          s.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(srcDir),
+          "text", langs = Seq("en"), minQuality = 0.5,
+          evalSet = Some(evalSet), evalN = 3, evalMinShared = 4,
+          neardupBands = Some(bands),
+          mhShingle = 3, mhHashes = 16, mhRowsPerBand = 4),
+        p, "pb",
+        checkpointPath = graft.Scratch.dir("graft-curation-snap-ckpt"),
+        xform = pbOf)
+      q.awaitTermination()
+    }
+
+  /** The q431 oracle: the funnel replayed relationally, Bloom filters
+    * included — `evbits`/`refbits` are the exact bit sets the gates'
+    * broadcast arrays hold (hash60 of 'bf<j>-<key>' mod 2^18), and a
+    * probe hits only when ALL three of its positions are set, so the
+    * oracle drops exactly the rows the engine drops, false positives and
+    * all.
+    */
+  private lazy val curationSnapOracle: String = {
+    val bits = 1 << 18
+    def duckBfPos(key: String) =
+      Hashing.duckHash60(s"('bf' || CAST(j AS VARCHAR) || '-' || $key)") + s" % $bits"
+    s"""WITH js(j) AS (VALUES (0), (1), (2)),
+       |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |incoming AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 2 THEN text || ${Text.duckChr(PiiPlant)}
+       |         WHEN doc_id % 9 = 5 THEN text || ${Text.duckChr(MojiPlant)}
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 2 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, text || ' zq1 zq2' AS text
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+       |cured AS (
+       |  SELECT doc_id, ${Text.duckRedactPii(Text.duckFixMojibake("text"))} AS text
+       |  FROM incoming),
+       |qual AS (
+       |  SELECT doc_id, text FROM cured
+       |  WHERE ${Text.duckLangId("text")} = 'en'
+       |    AND ${Text.duckQualityScore("text")} >= 0.5),
+       |evsh AS (SELECT DISTINCT unnest(${Text.duckShingles("text", 3)}) AS sh FROM ev),
+       |evbits AS (
+       |  SELECT DISTINCT j, ${duckBfPos("sh")} AS h FROM evsh CROSS JOIN js),
+       |qsh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${Text.duckShingles("text", 3)}) AS sh FROM qual)),
+       |qpos AS (
+       |  SELECT doc_id, sh, j, ${duckBfPos("sh")} AS h FROM qsh CROSS JOIN js),
+       |qmiss AS (
+       |  SELECT DISTINCT q.doc_id, q.sh FROM qpos q
+       |  WHERE NOT EXISTS (SELECT 1 FROM evbits b WHERE b.j = q.j AND b.h = q.h)),
+       |qhits AS (
+       |  SELECT doc_id, COUNT(*) AS nh FROM qsh s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM qmiss m WHERE m.doc_id = s.doc_id AND m.sh = s.sh)
+       |  GROUP BY 1),
+       |decon AS (
+       |  SELECT q.doc_id, q.text FROM qual q
+       |  LEFT JOIN qhits USING (doc_id) WHERE COALESCE(nh, 0) < 4),
+       |${DedupQueries.duckMshChain("ref", "i")},
+       |refkeys AS (
+       |  SELECT DISTINCT CAST(band AS VARCHAR) || ':' || CAST(band_sig AS VARCHAR) AS k
+       |  FROM ibands),
+       |refbits AS (
+       |  SELECT DISTINCT j, ${duckBfPos("k")} AS h FROM refkeys CROSS JOIN js),
+       |${DedupQueries.duckMshChain("decon", "p")},
+       |pkeys AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(band AS VARCHAR) || ':' || CAST(band_sig AS VARCHAR) AS k
+       |  FROM pbands),
+       |pmiss AS (
+       |  SELECT DISTINCT pp.doc_id, pp.k FROM (
+       |    SELECT doc_id, k, j, ${duckBfPos("k")} AS h FROM pkeys CROSS JOIN js) pp
+       |  WHERE NOT EXISTS (SELECT 1 FROM refbits b WHERE b.j = pp.j AND b.h = pp.h)),
+       |phit AS (
+       |  SELECT DISTINCT pk.doc_id FROM pkeys pk
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM pmiss m WHERE m.doc_id = pk.doc_id AND m.k = pk.k))
+       |SELECT doc_id, text FROM ref
+       |UNION ALL
+       |SELECT d.doc_id, d.text FROM decon d
+       |WHERE NOT EXISTS (SELECT 1 FROM phit h WHERE h.doc_id = d.doc_id)""".stripMargin
+  }
 
   /** Once-per-JVM streamed codes delta per sfDir: the 1/7 split written to a
     * scratch parquet dir (2 files), streamed back one file per micro-batch

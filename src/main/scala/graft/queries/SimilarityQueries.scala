@@ -2705,6 +2705,14 @@ object SimilarityQueries {
   private val persistedIdxPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // per-key setup locks: a parallel harness (Verify's round-18 worker
+  // pool) must not run the SAME expensive setup twice concurrently.
+  // Nested setups (deleted→full, lifecycle→base) always nest onto a
+  // DIFFERENT key and the nesting relation is a DAG, so per-key monitors
+  // cannot deadlock; same-key recursion does not occur by construction.
+  private val setupLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Once-per-JVM memoized scratch path per (tag, sfDir): `setup` runs on
     * first access only (build+write an index, run a maintenance stream,
     * compact — whatever the tag's lifecycle leg is), scan-only reads
@@ -2716,17 +2724,21 @@ object SimilarityQueries {
     val key = s"$tag|$dir"
     val cur = persistedIdxPaths.get(key)
     if (cur != null) return cur
-    // setup runs OUTSIDE any map lock — deliberately NOT computeIfAbsent:
+    // setup runs under a PER-KEY monitor, NOT map-level computeIfAbsent:
     // setups nest (deleted→full, compacted/lifecycle→base index), and
     // ConcurrentHashMap.computeIfAbsent forbids recursive updates of the
     // same map (IllegalStateException when the nested key lands in the
-    // in-progress bin). The harness runs queries sequentially; if two
-    // threads ever race here both setups are deterministic and valid, the
-    // loser's scratch dir is simply unused (and swept at JVM exit).
-    val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
-    setup(p)
-    val prev = persistedIdxPaths.putIfAbsent(key, p)
-    if (prev != null) prev else p
+    // in-progress bin). The per-key lock keeps Verify's parallel workers
+    // from running one expensive setup twice; the second-check inside the
+    // monitor makes the loser reuse the winner's path.
+    setupLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = persistedIdxPaths.get(key)
+      if (again != null) return again
+      val p = graft.Scratch.dir(s"graft-ivfpq-$tag")
+      setup(p)
+      persistedIdxPaths.put(key, p)
+      p
+    }
   }
 
   private def persistedIndexPath(tag: String, dir: String)(

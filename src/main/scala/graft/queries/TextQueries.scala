@@ -84,10 +84,10 @@ object TextQueries {
     * estimate surfaces are the SAME relational per-cell replay over the
     * full events table.
     */
-  private val duckCmsOracle: String = {
+  private def duckCmsOracle(evFilter: String = ""): String = {
     val cellHash = Hashing.duckHash60("('cm' || CAST(r AS VARCHAR) || '-' || u)")
     val probeHash = Hashing.duckHash60("('cm' || CAST(rr.r AS VARCHAR) || '-' || p.probe_u)")
-    s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+    s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events$evFilter),
        |probes(probe_u) AS (VALUES ('1'), ('5'), ('17'), ('42'), ('99')),
        |rows_r(r) AS (VALUES (0), (1), (2), (3)),
        |cells AS (
@@ -659,7 +659,7 @@ object TextQueries {
             coalesce(col("exact"), lit(0L)).as("exact"),
             (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
       },
-      Some(duckCmsOracle)),
+      Some(duckCmsOracle())),
 
     // Mergeable HLL sketch TABLE: per-source Datasketches sketches of the
     // 3-gram shingle sets, plus the cross-source union folded from the
@@ -1542,7 +1542,7 @@ object TextQueries {
             coalesce(col("exact"), lit(0L)).as("exact"),
             (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
       },
-      Some(duckCmsOracle)),
+      Some(duckCmsOracle())),
 
     // HYBRID retrieval served ENTIRELY from durable tables: BM25 from the
     // stored postings+doclens (q175) fused with cosine over a stored
@@ -2331,8 +2331,260 @@ object TextQueries {
         graft.ops.LmIndex.score(tbl, docs, col("doc_id"), col("text"))
       },
       Some(s"""WITH ${duckLmScoreCtes(" AND doc_id % 11 <> 0")}
-           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin))
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
+    // BM25 index on the SNAPSHOT layer (round 18 — q408's in-place rewrite
+    // carried the serve-during-rewrite caveat SnapTables removes): postings
+    // (tb buckets) and doclens (db buckets) both ride the generation layer;
+    // the %11 removal deletes by snapshot key-filter in each, and the serve
+    // reads the post-flip generations — corpus statistics (N, total_dl,
+    // per-term df) derive from the resolved tables, so the post-delete
+    // index scores exactly as one that never indexed the removed docs.
+    // Oracle: q408's survivors chain verbatim.
+    QueryDef(
+      "q425_bm25_snapshot_delete",
+      (s, dir) => graft.ops.TextIndex.searchBM25(
+        bm25SnapIndex(s, bm25SnapDelPath(s, dir)), HybridTerms, k = 20),
+      Some(s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+           |${duckBm25Ctes(HybridTerms, "kept")}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
+
+    // BM25 snapshot APPEND — the ingest half: 6/7 base publishes as gen 0
+    // of both tables, the remainder lands as delta-only appends (new docs
+    // → new posting/doclen rows; per-doc locality makes append == rebuild).
+    // Serve-time statistics re-derive from the appended generations, so the
+    // oracle is the full-corpus q175 chain.
+    QueryDef(
+      "q426_bm25_snapshot_append",
+      (s, dir) => graft.ops.TextIndex.searchBM25(
+        bm25SnapIndex(s, bm25SnapAddPath(s, dir)), HybridTerms, k = 20),
+      Some(s"""WITH ${duckBm25Ctes(HybridTerms)}
+           |SELECT doc_id, score, rank FROM bmranked WHERE rank <= 20""".stripMargin)),
+
+    // LM count tables on the snapshot layer: the %11 retraction subtracts
+    // the removed docs' own uni/bigram counts inside their wb buckets via
+    // SnapTables.decrementCounts (same pre-aggregation/unknown-key/
+    // over-retraction guards as the in-place q409, published as
+    // generations) — scoring from the post-flip tables equals a model
+    // trained on the filtered split. Oracle: q409's verbatim.
+    QueryDef(
+      "q427_lm_snapshot_delete",
+      (s, dir) => {
+        val tbl = lmSnapTables(s, lmSnapDelPath(s, dir))
+        graft.ops.LmIndex.score(tbl, Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"))
+      },
+      Some(s"""WITH ${duckLmScoreCtes(" AND doc_id % 11 <> 0")}
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
+    // LM snapshot APPEND — counts are ADDITIVE, so the ingest verb is
+    // SnapTables.mergeCounts (union + sum per key inside the delta's wb
+    // buckets; a bare file append would duplicate shared keys and corrupt
+    // every later score): base 6/7 of the train split publishes, the
+    // remainder merges, and scoring equals a model trained on the full
+    // split — the LmIndex.append law through generation publication.
+    QueryDef(
+      "q428_lm_snapshot_append",
+      (s, dir) => {
+        val tbl = lmSnapTables(s, lmSnapAddPath(s, dir))
+        graft.ops.LmIndex.score(tbl, Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"))
+      },
+      Some(s"""WITH ${duckLmScoreCtes("")}
+           |SELECT doc_id, n_bigrams, nll, backoff_frac FROM lmscores""".stripMargin)),
+
+    // CMS sketch table on the snapshot layer — the one register family
+    // that can maintain EXACTLY (linear counters; HLL/theta max-folds stay
+    // rebuild-only by design): the %11 retraction sketches the removed
+    // events alone and subtracts elementwise inside the removed keys' kb
+    // buckets (CmsIndex.retractSnapshot), and the q103 estimate surface
+    // from the post-flip generation equals a sketch that never absorbed
+    // them. Oracle: the full relational per-cell replay over the kept
+    // events.
+    QueryDef(
+      "q429_cms_snapshot_delete",
+      (s, dir) => {
+        val p = cmsSnapDelPath(s, dir)
+        cmsSnapServe(s, dir, p, " AND event_id % 11 <> 0")
+      },
+      Some(duckCmsOracle(" WHERE event_id % 11 <> 0"))),
+
+    // CMS snapshot APPEND: the q216 half-split merge (elementwise counter
+    // sum per key — linearity makes merge == rebuild with no ordering
+    // contract) published as a generation via CmsIndex.mergeSnapshot.
+    // Oracle: q216's full replay verbatim.
+    QueryDef(
+      "q430_cms_snapshot_append",
+      (s, dir) => {
+        val p = cmsSnapAddPath(s, dir)
+        cmsSnapServe(s, dir, p, "")
+      },
+      Some(duckCmsOracle()))
   )
+
+  // ---------------------------------------------------------------------
+  // Snapshot-layer migrations for the BM25 / LM / CMS families
+  // (q425–q430): memoized setups, SnapTables generations replacing the
+  // in-place overwrite.
+  // ---------------------------------------------------------------------
+
+  private val TokB = graft.ops.TextIndex.DefaultTokenBuckets
+
+  private def bm25Tb = pmod(Hashing.hash60(col("tok")), lit(TokB.toLong)).cast("int")
+  private def bm25Db = pmod(col("doc_id"), lit(TokB.toLong)).cast("int")
+
+  private def publishBm25Snap(s: org.apache.spark.sql.SparkSession,
+      p: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+    val idx = graft.ops.TextIndex.build(corpus, col("doc_id"), col("text"))
+    graft.ops.SnapTables.publishInitial(s, s"$p/postings", "tb",
+      idx.postings.withColumn("tb", bm25Tb))
+    graft.ops.SnapTables.publishInitial(s, s"$p/doclens", "db",
+      idx.doclens.withColumn("db", bm25Db))
+  }
+
+  private def bm25SnapIndex(s: org.apache.spark.sql.SparkSession,
+      p: String): graft.ops.Bm25Index =
+    graft.ops.Bm25Index(
+      postings = graft.ops.SnapTables.resolve(s, s"$p/postings", "tb")
+        .select(col("tok"), col("doc_id"), col("tf")),
+      doclens = graft.ops.SnapTables.resolve(s, s"$p/doclens", "db")
+        .select(col("doc_id"), col("dl")))
+
+  private def bm25SnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("bm25snapdel", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      publishBm25Snap(s, p, docs)
+      val removed = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      graft.ops.SnapTables.deleteByKey(s, s"$p/postings", "tb", "doc_id", removed)
+      graft.ops.SnapTables.deleteByKey(s, s"$p/doclens", "db", "doc_id", removed)
+      ()
+    }
+
+  private def bm25SnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("bm25snapadd", dir) { p =>
+      val docs = Tables.load(s, dir, "documents")
+      publishBm25Snap(s, p, docs.where(pmod(col("doc_id"), lit(7)) =!= 3))
+      val d = graft.ops.TextIndex.build(
+        docs.where(pmod(col("doc_id"), lit(7)) === 3),
+        col("doc_id"), col("text"))
+      graft.ops.SnapTables.appendPartitions(s, s"$p/postings", "tb",
+        d.postings.withColumn("tb", bm25Tb))
+      graft.ops.SnapTables.appendPartitions(s, s"$p/doclens", "db",
+        d.doclens.withColumn("db", bm25Db))
+      ()
+    }
+
+  private val WordB = graft.ops.LmIndex.DefaultWordBuckets
+
+  private def lmWb(w: String) =
+    pmod(Hashing.hash60(col(w)), lit(WordB.toLong)).cast("int")
+
+  private def lmTrain(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents").where(pmod(Hashing.hash60(
+      concat(lit("lm-"), col("doc_id").cast("string"))), lit(2L)) === 0)
+
+  private def publishLmSnap(s: org.apache.spark.sql.SparkSession,
+      p: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+    val tbl = graft.ops.LmIndex.build(corpus, col("doc_id"), col("text"))
+    graft.ops.SnapTables.publishInitial(s, s"$p/uni", "wb",
+      tbl.uni.withColumn("wb", lmWb("w")))
+    graft.ops.SnapTables.publishInitial(s, s"$p/big", "wb",
+      tbl.big.withColumn("wb", lmWb("w1")))
+  }
+
+  private def lmSnapTables(s: org.apache.spark.sql.SparkSession,
+      p: String): graft.ops.LmIndex.LmTables =
+    graft.ops.LmIndex.LmTables(
+      uni = graft.ops.SnapTables.resolve(s, s"$p/uni", "wb")
+        .select(col("w"), col("c1")),
+      big = graft.ops.SnapTables.resolve(s, s"$p/big", "wb")
+        .select(col("w1"), col("w2"), col("c2")))
+
+  private def lmSnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("lmsnapdel", dir) { p =>
+      val train = lmTrain(s, dir)
+      publishLmSnap(s, p, train)
+      val d = graft.ops.LmIndex.build(
+        train.where(pmod(col("doc_id"), lit(11)) === 0),
+        col("doc_id"), col("text"))
+      graft.ops.SnapTables.decrementCounts(s, s"$p/uni", "wb", Seq("w"), "c1",
+        d.uni.withColumnRenamed("c1", "__dec"))
+      graft.ops.SnapTables.decrementCounts(s, s"$p/big", "wb",
+        Seq("w1", "w2"), "c2", d.big.withColumnRenamed("c2", "__dec"))
+      ()
+    }
+
+  private def lmSnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("lmsnapadd", dir) { p =>
+      val train = lmTrain(s, dir)
+      publishLmSnap(s, p, train.where(pmod(col("doc_id"), lit(7)) =!= 3))
+      val d = graft.ops.LmIndex.build(
+        train.where(pmod(col("doc_id"), lit(7)) === 3),
+        col("doc_id"), col("text"))
+      graft.ops.SnapTables.mergeCounts(s, s"$p/uni", "wb", Seq("w"), "c1",
+        d.uni.withColumn("wb", lmWb("w")))
+      graft.ops.SnapTables.mergeCounts(s, s"$p/big", "wb",
+        Seq("w1", "w2"), "c2", d.big.withColumn("wb", lmWb("w1")))
+      ()
+    }
+
+  private def cmsEvents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("u"),
+        col("event_id"))
+
+  private def cmsSnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("cmssnapdel", dir) { p =>
+      val ev = cmsEvents(s, dir)
+      graft.ops.CmsIndex.publishSnapshot(s, p,
+        graft.ops.CmsIndex.build(ev, col("event_type"), col("u"), 4, 256))
+      graft.ops.CmsIndex.retractSnapshot(s, p,
+        graft.ops.CmsIndex.build(ev.where(pmod(col("event_id"), lit(11)) === 0),
+          col("event_type"), col("u"), 4, 256))
+      ()
+    }
+
+  private def cmsSnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SimilarityQueries.memoPath("cmssnapadd", dir) { p =>
+      val ev = cmsEvents(s, dir)
+      graft.ops.CmsIndex.publishSnapshot(s, p,
+        graft.ops.CmsIndex.build(ev.where(pmod(col("event_id"), lit(2)) === 0),
+          col("event_type"), col("u"), 4, 256))
+      graft.ops.CmsIndex.mergeSnapshot(s, p,
+        graft.ops.CmsIndex.build(ev.where(pmod(col("event_id"), lit(2)) =!= 0),
+          col("event_type"), col("u"), 4, 256))
+      ()
+    }
+
+  /** The q216 estimate-vs-exact surface served from a snapshot generation;
+    * `exactFilter` restricts the exact-count side to the surviving events
+    * (the delete leg's semantics).
+    */
+  private def cmsSnapServe(s: org.apache.spark.sql.SparkSession, dir: String,
+      p: String, exactFilter: String): org.apache.spark.sql.DataFrame = {
+    val probeSeq = Seq("1", "5", "17", "42", "99")
+    val est = graft.ops.CmsIndex.estimates(
+      graft.ops.CmsIndex.readSnapshot(s, p), probeSeq, 4, 256)
+      .withColumnRenamed("key", "event_type")
+      .withColumnRenamed("probe", "probe_u")
+    val ev = cmsEvents(s, dir)
+      .where(expr(s"true$exactFilter"))
+    val exact = ev.where(col("u").isin(probeSeq: _*))
+      .groupBy(col("event_type"), col("u").as("probe_u"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("event_type", "probe_u"), "left_outer")
+      .select(col("event_type"), col("probe_u"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
+  }
 
   // ---------------------------------------------------------------------
   // Memoized stored-index setups for the storage-truth delete legs

@@ -894,4 +894,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(iQ < iAgg && iN < iAgg,
       s"kll_quantile/kll_n must evaluate above the aggregate output:\n$p")
   }
+
+  test("q421-q430 snapshot-family serves: index side is manifest-listed parquet scans, never cartesian") {
+    // the round-18 snapshot migrations (minhash/simhash/bm25/lm/cms): each
+    // serve must read its index through SnapTables.resolve — plain parquet
+    // scans over the manifest's file list — and join probe-vs-index through
+    // keyed joins only. The corpus text appears ONLY on the probe side
+    // (minhash/simhash re-fingerprint probes; bm25/lm/cms have none).
+    for (q <- Seq(
+        "q421_minhash_snapshot_delete", "q422_minhash_snapshot_append",
+        "q423_simhash_snapshot_delete", "q424_simhash_snapshot_append",
+        "q425_bm25_snapshot_delete", "q426_bm25_snapshot_append",
+        "q427_lm_snapshot_delete", "q428_lm_snapshot_append",
+        "q429_cms_snapshot_delete", "q430_cms_snapshot_append")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("Scan parquet"),
+        s"$q: the index must enter the plan as parquet scans:\n$p")
+      assert(!p.toLowerCase.contains("cartesianproduct"),
+        s"$q: no cartesian products in a snapshot serve:\n$p")
+    }
+    // the table-only serves additionally carry ZERO checkpointed lineage
+    // (bm25/lm scoring is pure scans+joins; minhash/simhash legitimately
+    // checkpoint their probe-side fingerprints)
+    for (q <- Seq("q425_bm25_snapshot_delete", "q426_bm25_snapshot_append",
+        "q427_lm_snapshot_delete", "q428_lm_snapshot_append")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("existingrdd"),
+        s"$q: stored-table serve must have no checkpointed lineage:\n$p")
+    }
+  }
 }

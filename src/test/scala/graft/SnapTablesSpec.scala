@@ -331,6 +331,127 @@ class SnapTablesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(SnapTables.resolve(spark, dir, "pb")) == expect)
   }
 
+  private def lockPath(dir: String, gen: Int) =
+    new org.apache.hadoop.fs.Path(dir, f"_manifests/.publish-$gen%06d.lock")
+
+  private def writeLock(dir: String, gen: Int, identity: String): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = hfs.create(lockPath(dir, gen), true)
+    out.write(identity.getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("single-writer ENFORCED: a held claim makes the second writer fail loudly; reclaimStale recovers") {
+    import spark.implicits._
+    val dir = tmpDir("snap-race")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    // writer A holds the gen-1 claim (equivalently: crashed holding it) —
+    // the deterministic stand-in for the timing-dependent two-writer race;
+    // both writers read gen 0, A claimed first, B must NOT silently orphan
+    writeLock(dir, 1, "writer-A")
+    val ex = intercept[IllegalStateException] {
+      SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(4L).toDF("key"))
+    }
+    assert(ex.getMessage.contains("claimed by another writer"))
+    assert(SnapTables.currentGeneration(spark, dir).contains(0),
+      "the refused writer must not advance the generation")
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows,
+      "the table must keep serving a consistent generation")
+    // operator recovery: A is known dead → reclaim, retry succeeds
+    assert(SnapTables.reclaimStale(spark, dir) == Seq(1))
+    assert(SnapTables.deleteByKey(spark, dir, "pb", "key",
+      Seq(4L).toDF("key")) == 1)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows - ((4L, "v4")))
+  }
+
+  test("appendBatch's crash-replay recognizes its OWN leftover claim and self-heals") {
+    import spark.implicits._
+    val dir = tmpDir("snap-selfheal")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    val d = Seq((13L, "v13", 1)).toDF("key", "payload", "pb")
+    // the prior attempt of THIS batch crashed after claiming gen 1: the
+    // marker carries its stream+batch identity, so the replay keeps the
+    // claim and completes the publication with no operator step
+    writeLock(dir, 1, "stream:ckA:batch:7")
+    assert(SnapTables.appendBatch(spark, dir, "pb", d, batchId = 7L,
+      streamId = Some("ckA")) == 1)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows + ((13L, "v13")))
+    // …while a DIFFERENT batch hitting a foreign claim still fails loudly
+    writeLock(dir, 2, "stream:ckA:batch:9")
+    val ex = intercept[IllegalStateException] {
+      SnapTables.appendBatch(spark, dir, "pb",
+        Seq((14L, "v14", 1)).toDF("key", "payload", "pb"),
+        batchId = 8L, streamId = Some("ckA"))
+    }
+    assert(ex.getMessage.contains("claimed by another writer"))
+  }
+
+  test("expire minAgeMs: a young generation outside keepGens survives; age 0 reclaims it") {
+    import spark.implicits._
+    val dir = tmpDir("snap-age")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(4L).toDF("key"))
+    SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(8L).toDF("key"))
+    // gen 0 and 1 are outside keepGens=1 but seconds old — a long-running
+    // reader may still hold their file lists; the age floor keeps them
+    SnapTables.expire(spark, dir, "pb", keepGens = 1, minAgeMs = 3600L * 1000)
+    assert(rows(SnapTables.resolveAt(spark, dir, "pb", 0)) == allRows,
+      "a young expired-by-count generation must stay readable")
+    assert(rows(SnapTables.resolveAt(spark, dir, "pb", 1)) == allRows - ((4L, "v4")))
+    // operator decision: readers drained → count-only retention reclaims
+    SnapTables.expire(spark, dir, "pb", keepGens = 1)
+    intercept[IllegalArgumentException] {
+      SnapTables.resolveAt(spark, dir, "pb", 0)
+    }
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) ==
+      allRows -- Set((4L, "v4"), (8L, "v8")))
+  }
+
+  test("compactPartitions targetBytes binpack: partitions of already-large files are left alone") {
+    import spark.implicits._
+    val dir = tmpDir("snap-binpack")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    SnapTables.appendPartitions(spark, dir, "pb",
+      Seq((13L, "v13", 1)).toDF("key", "payload", "pb"))
+    assert(SnapTables.manifestEntries(spark, dir, 1)(1).size == 2)
+    // every parquet file here is >1 byte → none is "small" under
+    // targetBytes=1 → nothing would fold → no-op at the same generation
+    assert(SnapTables.compactPartitions(spark, dir, "pb", minFiles = 2,
+      targetBytes = 1L) == 1)
+    // with an honest target the two small files fold; content-invariant
+    val expect = rows(SnapTables.resolve(spark, dir, "pb"))
+    assert(SnapTables.compactPartitions(spark, dir, "pb", minFiles = 2,
+      targetBytes = 64L * 1024 * 1024) == 2)
+    assert(SnapTables.manifestEntries(spark, dir, 2)(1).size == 1)
+    assert(rows(SnapTables.resolve(spark, dir, "pb")) == expect)
+  }
+
+  test("mergeCounts: additive increment as a generation; bucketing mismatch refused before publishing") {
+    import spark.implicits._
+    val dir = tmpDir("snap-merge")
+    // counted table: key k → count 10k, partition k % 3
+    SnapTables.publishInitial(spark, dir, "pb",
+      (1L to 6L).map(k => (k, k * 10, (k % 3).toInt)).toDF("key", "n", "pb"))
+    // delta: existing key 1 (+5, split over two rows — must pre-aggregate),
+    // brand-new key 7 in its correct partition 1, new partition value 3
+    val gen = SnapTables.mergeCounts(spark, dir, "pb", Seq("key"), "n",
+      Seq((1L, 2L, 1), (1L, 3L, 1), (7L, 70L, 1), (9L, 90L, 3))
+        .toDF("key", "n", "pb"))
+    assert(gen == 1)
+    val got = SnapTables.resolve(spark, dir, "pb")
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("n")).toMap
+    assert(got == Map(1L -> 15L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+      5L -> 50L, 6L -> 60L, 7L -> 70L, 9L -> 90L))
+    // a delta that re-buckets an existing key must fail loudly pre-publish
+    val ex = intercept[IllegalArgumentException] {
+      SnapTables.mergeCounts(spark, dir, "pb", Seq("key"), "n",
+        Seq((2L, 1L, 0)).toDF("key", "n", "pb")) // key 2 lives in pb=2
+    }
+    assert(ex.getMessage.contains("different pb"))
+    assert(SnapTables.currentGeneration(spark, dir).contains(1))
+  }
+
   test("a rewrite that would empty the table fails before publishing") {
     import spark.implicits._
     val dir = tmpDir("snap-empty")

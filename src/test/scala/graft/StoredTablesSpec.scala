@@ -125,4 +125,33 @@ class StoredTablesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("never counted"), e.getMessage)
   }
+
+  test("LmIndex.repairBig completes a half-crashed deleteStored: uni landed, big repaired alone") {
+    import spark.implicits._
+    import graft.ops.LmIndex
+    val dir = tmpDir("st-lmrepair") + "/lm"
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a bird flew over the rug")).toDF("id", "body")
+    LmIndex.write(LmIndex.build(docs, col("id"), col("body")), dir)
+    val removed = docs.where(col("id") === 2L)
+    // simulate the crash: deleteStored's FIRST half (the uni decrement)
+    // landed, the process died before the big decrement
+    val d = LmIndex.build(removed, col("id"), col("body"))
+    StoredTables.decrementCounts(spark, s"$dir/uni", "wb", Seq("w"), "c1",
+      d.uni.withColumnRenamed("c1", "__dec"))
+    // the documented one-call repair
+    LmIndex.repairBig(spark, dir, removed, col("id"), col("body"))
+    // stored tables now equal a from-scratch build on the survivors
+    val expect = LmIndex.build(docs.where(col("id") =!= 2L),
+      col("id"), col("body"))
+    val got = LmIndex.read(spark, dir)
+    def uniSet(t: LmIndex.LmTables) = t.uni.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def bigSet(t: LmIndex.LmTables) = t.big.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(uniSet(got) == uniSet(expect))
+    assert(bigSet(got) == bigSet(expect))
+  }
 }
