@@ -57,6 +57,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietBoundedWindowWarnings()
     s
   }
 

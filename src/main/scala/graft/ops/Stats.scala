@@ -694,7 +694,16 @@ object Stats {
     val withP = tests.where(col("z").isNotNull)
       .withColumn("p", lit(2.0) * normUpperTail(abs(col("z"))))
     val m = withP.agg(count(lit(1)).as("m"))
-    val w = W.orderBy(col("p").asc, col("key").asc)
+    // Rank on ROUNDED p (12dp, the same epsilon the i* boundary decision
+    // already uses below): the raw two-sided p is a five-term Horner
+    // polynomial whose engine-vs-DuckDB evaluation can differ in the last
+    // ulp, and two z's 1-2 ulps apart can collapse to equal p in one
+    // engine but not the other — ranking raw doubles then flips near-tied
+    // ranks between engines (bit us at sf0.001: keys 27/43). Rounding
+    // collapses near-ties into the deterministic key tie-break in BOTH
+    // engines; rank-12dp cannot misorder p's that differ by more than the
+    // shared epsilon.
+    val w = W.orderBy(round(col("p"), 12).asc, col("key").asc)
     val ranked0 = withP.crossJoin(broadcast(m))
       .withColumn("p_rank", row_number().over(w).cast("long"))
       .withColumn("bh_crit",

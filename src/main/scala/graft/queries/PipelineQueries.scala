@@ -2305,7 +2305,14 @@ object PipelineQueries {
     * broadcast arrays hold (hash60 of 'bf<j>-<key>' mod 2^18), and a
     * probe hits only when ALL three of its positions are set, so the
     * oracle drops exactly the rows the engine drops, false positives and
-    * all.
+    * all. The bit sets are FLAT (one DISTINCT h column, the per-key hash
+    * index j folded away): the engine's filter is a single bit array
+    * shared by all numHashes hash functions, so a probe's j=0 position is
+    * satisfied by a bit ANY key's ANY hash set — keeping (j, h) pairs
+    * under-replays exactly the cross-index collisions that appear once the
+    * eval set is dense enough (caught at sf0.1: doc 4527's 4th decontam
+    * hit was a j=0 probe landing on a bit set by some eval shingle's j=2
+    * hash).
     */
   private lazy val curationSnapOracle: String = {
     val bits = 1 << 18
@@ -2332,7 +2339,7 @@ object PipelineQueries {
        |    AND ${Text.duckQualityScore("text")} >= 0.5),
        |evsh AS (SELECT DISTINCT unnest(${Text.duckShingles("text", 3)}) AS sh FROM ev),
        |evbits AS (
-       |  SELECT DISTINCT j, ${duckBfPos("sh")} AS h FROM evsh CROSS JOIN js),
+       |  SELECT DISTINCT ${duckBfPos("sh")} AS h FROM evsh CROSS JOIN js),
        |qsh AS (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(${Text.duckShingles("text", 3)}) AS sh FROM qual)),
@@ -2340,7 +2347,7 @@ object PipelineQueries {
        |  SELECT doc_id, sh, j, ${duckBfPos("sh")} AS h FROM qsh CROSS JOIN js),
        |qmiss AS (
        |  SELECT DISTINCT q.doc_id, q.sh FROM qpos q
-       |  WHERE NOT EXISTS (SELECT 1 FROM evbits b WHERE b.j = q.j AND b.h = q.h)),
+       |  WHERE NOT EXISTS (SELECT 1 FROM evbits b WHERE b.h = q.h)),
        |qhits AS (
        |  SELECT doc_id, COUNT(*) AS nh FROM qsh s
        |  WHERE NOT EXISTS (
@@ -2354,7 +2361,7 @@ object PipelineQueries {
        |  SELECT DISTINCT CAST(band AS VARCHAR) || ':' || CAST(band_sig AS VARCHAR) AS k
        |  FROM ibands),
        |refbits AS (
-       |  SELECT DISTINCT j, ${duckBfPos("k")} AS h FROM refkeys CROSS JOIN js),
+       |  SELECT DISTINCT ${duckBfPos("k")} AS h FROM refkeys CROSS JOIN js),
        |${DedupQueries.duckMshChain("decon", "p")},
        |pkeys AS (
        |  SELECT DISTINCT doc_id,
@@ -2363,7 +2370,7 @@ object PipelineQueries {
        |pmiss AS (
        |  SELECT DISTINCT pp.doc_id, pp.k FROM (
        |    SELECT doc_id, k, j, ${duckBfPos("k")} AS h FROM pkeys CROSS JOIN js) pp
-       |  WHERE NOT EXISTS (SELECT 1 FROM refbits b WHERE b.j = pp.j AND b.h = pp.h)),
+       |  WHERE NOT EXISTS (SELECT 1 FROM refbits b WHERE b.h = pp.h)),
        |phit AS (
        |  SELECT DISTINCT pk.doc_id FROM pkeys pk
        |  WHERE NOT EXISTS (

@@ -5434,7 +5434,7 @@ object RelationalQueries {
            |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
            |rk AS (
            |  SELECT key, n, k, z, p,
-           |    CAST(row_number() OVER (ORDER BY p ASC, key ASC) AS BIGINT)
+           |    CAST(row_number() OVER (ORDER BY round(p, 12) ASC, key ASC) AS BIGINT)
            |      AS p_rank,
            |    m AS m_tests
            |  FROM pp CROSS JOIN mt),
@@ -5841,7 +5841,7 @@ object RelationalQueries {
            |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
            |rk AS (
            |  SELECT key, n, k, z, p,
-           |    CAST(row_number() OVER (ORDER BY p ASC, key ASC) AS BIGINT)
+           |    CAST(row_number() OVER (ORDER BY round(p, 12) ASC, key ASC) AS BIGINT)
            |      AS p_rank,
            |    m AS m_tests
            |  FROM pp CROSS JOIN mt),
