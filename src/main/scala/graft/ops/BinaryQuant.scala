@@ -127,13 +127,24 @@ object BinaryQuant {
     require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
     val thr = thresholds(df, vec).localCheckpoint()
     thr.write.mode("overwrite").parquet(s"$path/thr")
+    indexRows(df, id, vec, thr, numPlanes, numDims)
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/index")
+  }
+
+  /** The stored-index row shape — (vid, bucket, lo, hi, bb) against a
+    * (frozen) thresholds frame. One definition shared by [[write]],
+    * [[appendStored]] and the snapshot publishers (q432/q433), so the
+    * code/bucket arithmetic cannot drift between publication paths.
+    */
+  def indexRows(df: DataFrame, id: Column, vec: Column, thr: DataFrame,
+      numPlanes: Int, numDims: Int = Dims): DataFrame = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
     val bucketed = df.select(id.as("vid"), vec.cast("array<double>").as("xd"))
       .select(col("vid"), Similarity.lshBucket(col("xd"), table = 0,
         numPlanes = numPlanes, numDims = numDims).as("bucket"))
     encode(df, id, vec, thr).join(bucketed, "vid")
       .select(col("vid"), col("bucket"), col("lo"), col("hi"))
       .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/index")
   }
 
   /** Load the stored one-row thresholds frame (scan-only lineage). */
@@ -167,12 +178,7 @@ object BinaryQuant {
     // plain scan, no checkpoint: the 1-row model is read once, and writing
     // under path/index never touches path/thr
     val thr = readThresholds(spark, path)
-    val bucketed = delta.select(id.as("vid"), vec.cast("array<double>").as("xd"))
-      .select(col("vid"), Similarity.lshBucket(col("xd"), table = 0,
-        numPlanes = numPlanes, numDims = numDims).as("bucket"))
-    encode(delta, id, vec, thr).join(bucketed, "vid")
-      .select(col("vid"), col("bucket"), col("lo"), col("hi"))
-      .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
+    indexRows(delta, id, vec, thr, numPlanes, numDims)
       .write.mode("append").partitionBy("bb").parquet(s"$path/index")
   }
 
@@ -200,11 +206,37 @@ object BinaryQuant {
       screenR: Int,
       numPlanes: Int,
       numDims: Int = Dims): DataFrame = {
-    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
     // plain scan, no checkpoint: a checkpointed 1-row model would plant an
     // ExistingRDD in what must stay a scan-only serve plan (the q393
-    // PlanSpec discipline)
-    val thr = readThresholds(spark, path)
+    // PlanSpec discipline); the raw index read keeps the stored bb
+    // partition column visible to pruning
+    serveFrames(spark, readThresholds(spark, path),
+      spark.read.parquet(s"$path/index"),
+      probes, id, vec, vectors, vecId, vecVec, k, screenR, numPlanes, numDims)
+  }
+
+  /** [[serveStored]] over ALREADY-RESOLVED frames — the seam the snapshot
+    * legs (q432/q433) serve through: `index` is any (vid, bucket, lo, hi,
+    * bb) frame (a raw directory read, or a [[SnapTables.resolve]]d
+    * manifest file list, which keeps `bb` because resolve sets basePath),
+    * `thr` the one-row frozen model. Same funnel, same plan shape —
+    * where the rows come from must not change what serves.
+    */
+  def serveFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      thr: DataFrame,
+      index: DataFrame,
+      probes: DataFrame,
+      id: Column,
+      vec: Column,
+      vectors: DataFrame,
+      vecId: Column,
+      vecVec: Column,
+      k: Int,
+      screenR: Int,
+      numPlanes: Int,
+      numDims: Int = Dims): DataFrame = {
+    require(numDims == Dims, s"packer is $Dims-dim, got $numDims")
     val pv = probes.select(id.as("query_id"), vec.cast("array<double>").as("q_v"))
     val qside = pv
       .select(col("query_id"), Similarity.lshBucket(col("q_v"), table = 0,
@@ -213,8 +245,7 @@ object BinaryQuant {
         .select(col("vid").as("query_id"),
           col("lo").as("q_lo"), col("hi").as("q_hi")), "query_id")
       .withColumn("bb", pmod(col("bucket"), lit(IndexBuckets.toLong)).cast("int"))
-    // raw read keeps the stored bb partition column visible to pruning
-    val iside = spark.read.parquet(s"$path/index")
+    val iside = index
       .select(col("bb"), col("bucket"), col("vid").as("neighbor_id"),
         col("lo"), col("hi"))
     val hWin = org.apache.spark.sql.expressions.Window

@@ -1873,6 +1873,52 @@ object SimilarityQueries {
       Some(duckBqFunnelOracle(
         "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb"))),
 
+    // BINARY-QUANT index on the SNAPSHOT layer, delete leg (round 18 —
+    // completing the family sweep q421–q430 started: q410's persisted
+    // index was the last durable table publishing in-place): the code
+    // table (vid, bucket, lo, hi) is strictly per-vector, so the %11
+    // removal is a snapshot key-filter on the bb buckets; the frozen
+    // one-row thresholds model is NOT snapshotted (it never mutates —
+    // deletion must not retrain, the q398 stance). The full-corpus probe
+    // set serves through the post-flip generation: no removed vector may
+    // appear as a neighbor, and every Hamming/rerank decision must equal
+    // the oracle funnel whose index side excludes the removal set.
+    QueryDef(
+      "q432_bq_snapshot_delete",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = bqSnapDelPath(s, dir)
+        graft.ops.BinaryQuant.serveFrames(s,
+          graft.ops.BinaryQuant.readThresholds(s, p),
+          graft.ops.SnapTables.resolve(s, s"$p/index", "bb"),
+          emb, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"),
+          k = 5, screenR = 20, numPlanes = 8)
+      },
+      Some(duckBqFunnelOracle(nbFilter = " WHERE vec_id % 11 <> 0"))),
+
+    // BINARY-QUANT snapshot APPEND — q411's frozen-model append published
+    // as a generation: thresholds train on the 6/7 base and persist; the
+    // delta encodes per row against the RE-READ stored model and lands
+    // delta-only in its bb buckets via SnapTables.appendPartitions. The
+    // funnel over the appended generation must equal the oracle's one-pass
+    // base-trained coding of the union (q246's law, third publication
+    // path).
+    QueryDef(
+      "q433_bq_snapshot_append",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = bqSnapAddPath(s, dir)
+        graft.ops.BinaryQuant.serveFrames(s,
+          graft.ops.BinaryQuant.readThresholds(s, p),
+          graft.ops.SnapTables.resolve(s, s"$p/index", "bb"),
+          emb, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"),
+          k = 5, screenR = 20, numPlanes = 8)
+      },
+      Some(duckBqFunnelOracle(
+        "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0) bqb"))),
+
     // DAVIES-BOULDIN cluster-quality index over the given labels — the
     // centroid-based partner of q265's silhouette: per cluster, the mean
     // member→centroid distance s_i (cohesion); per cluster pair, the ratio
@@ -2770,6 +2816,48 @@ object SimilarityQueries {
         col("vec_id"), col("embedding"), numPlanes = 8)
     }
 
+  /** q432: full-corpus BQ index published through SnapTables, %11 removal
+    * as a snapshot key-filter; the frozen thresholds stay plain parquet
+    * (never mutated — deletion must not retrain).
+    */
+  private def bqSnapDelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("bqsnapdel", dir) { p =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val thr = graft.ops.BinaryQuant.thresholds(emb, col("embedding"))
+        .localCheckpoint()
+      thr.write.mode("overwrite").parquet(s"$p/thr")
+      graft.ops.SnapTables.publishInitial(s, s"$p/index", "bb",
+        graft.ops.BinaryQuant.indexRows(emb, col("vec_id"), col("embedding"),
+          thr, numPlanes = 8))
+      graft.ops.SnapTables.deleteByKey(s, s"$p/index", "bb", "vid",
+        emb.where(pmod(col("vec_id"), lit(11)) === 0)
+          .select(col("vec_id").as("vid")))
+      ()
+    }
+
+  /** q433: base-trained frozen model, base index published as gen 0, the
+    * delta encoded against the RE-READ stored model and appended as gen 1.
+    */
+  private def bqSnapAddPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    memoPath("bqsnapadd", dir) { p =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.where(pmod(col("vec_id"), lit(7)) =!= 0)
+      val thr = graft.ops.BinaryQuant.thresholds(base, col("embedding"))
+        .localCheckpoint()
+      thr.write.mode("overwrite").parquet(s"$p/thr")
+      graft.ops.SnapTables.publishInitial(s, s"$p/index", "bb",
+        graft.ops.BinaryQuant.indexRows(base, col("vec_id"), col("embedding"),
+          thr, numPlanes = 8))
+      graft.ops.SnapTables.appendPartitions(s, s"$p/index", "bb",
+        graft.ops.BinaryQuant.indexRows(
+          emb.where(pmod(col("vec_id"), lit(7)) === 0),
+          col("vec_id"), col("embedding"),
+          graft.ops.BinaryQuant.readThresholds(s, p), numPlanes = 8))
+      ()
+    }
+
   /** The q393 stored index: full corpus, √N-cell (k=22) k-means coarse
     * quantizer — q391's exact model, persisted.
     */
@@ -3059,14 +3147,21 @@ object SimilarityQueries {
     * live must not change what serves) and q411 (frozen base-trained model,
     * delta appended into the stored bytes).
     */
-  private def duckBqFunnelOracle(musSrc: String = "embeddings"): String =
+  /** `nbFilter` restricts the INDEX side of the funnel (candidates and
+    * codes) while probes stay the full corpus — the snapshot-delete leg's
+    * semantics (q432: the %11 removal left the stored index, so no removed
+    * vector may ever appear as a neighbor).
+    */
+  private def duckBqFunnelOracle(musSrc: String = "embeddings",
+      nbFilter: String = ""): String =
     s"""WITH ${duckBqCtesFrom(musSrc)},
        |b AS (SELECT vec_id, v, ${duckBucketExpr(0, 8)} AS bucket FROM e),
+       |nbs AS (SELECT * FROM b$nbFilter),
        |cand AS (
        |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
        |    CAST(bit_count(xor(qc.lo, nc.lo))
        |      + bit_count(xor(qc.hi, nc.hi)) AS INTEGER) AS hamming
-       |  FROM b a JOIN b nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
+       |  FROM b a JOIN nbs nb ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id
        |  JOIN bqc qc ON qc.vec_id = a.vec_id
        |  JOIN bqc nc ON nc.vec_id = nb.vec_id),
        |scr AS (

@@ -278,7 +278,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // plan as parquet scans (zero checkpointed training lineage), the probe
     // side broadcasts into the bucket join, and both rank filters
     // (Hamming screen, L2 rerank) prune map-side as WindowGroupLimit.
-    for (q <- Seq("q410_bq_persisted_serve", "q411_bq_persisted_append_serve")) {
+    // q432/q433 serve the SAME funnel through SnapTables-resolved frames —
+    // generations are publication mechanics, not a plan change (the q413
+    // precedent, applied to the BQ family)
+    for (q <- Seq("q410_bq_persisted_serve", "q411_bq_persisted_append_serve",
+        "q432_bq_snapshot_delete", "q433_bq_snapshot_append")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.toLowerCase.contains("existingrdd"),
         s"$q: stored serve plan must contain no checkpointed training lineage")
