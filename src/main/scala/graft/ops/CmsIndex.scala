@@ -99,15 +99,16 @@ object CmsIndex {
   def retractSnapshot(spark: SparkSession, path: String, removedSk: DataFrame,
       keyBuckets: Int = DefaultKeyBuckets): Int = {
     val rm = removedSk.localCheckpoint()
+    val base = SnapTables.currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
     val affected = rm.select(kbOf(keyBuckets).as("kb")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty)
-      return SnapTables.currentGeneration(spark, path).getOrElse(
-        throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
-    val cur = SnapTables.resolve(spark, path, "kb")
+    if (affected.isEmpty) return base
+    val cur = SnapTables.resolveAt(spark, path, "kb", base)
       .where(col("kb").isin(affected: _*)).select(col("key"), col("sk"))
     SnapTables.rewritePartitions(spark, path, "kb", affected,
-      retract(cur, rm).withColumn("kb", kbOf(keyBuckets)))
+      retract(cur, rm).withColumn("kb", kbOf(keyBuckets)),
+      plannedBase = Some(base))
   }
 
   /** [[merge]] published as a generation — the ingest verb: the delta
@@ -119,15 +120,16 @@ object CmsIndex {
   def mergeSnapshot(spark: SparkSession, path: String, deltaSk: DataFrame,
       keyBuckets: Int = DefaultKeyBuckets): Int = {
     val d = deltaSk.localCheckpoint()
+    val base = SnapTables.currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
     val affected = d.select(kbOf(keyBuckets).as("kb")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty)
-      return SnapTables.currentGeneration(spark, path).getOrElse(
-        throw new IllegalStateException(s"CmsIndex: $path has no published generation"))
-    val cur = SnapTables.resolve(spark, path, "kb")
+    if (affected.isEmpty) return base
+    val cur = SnapTables.resolveAt(spark, path, "kb", base)
       .where(col("kb").isin(affected: _*)).select(col("key"), col("sk"))
     SnapTables.rewritePartitions(spark, path, "kb", affected,
-      merge(cur, d).withColumn("kb", kbOf(keyBuckets)))
+      merge(cur, d).withColumn("kb", kbOf(keyBuckets)),
+      plannedBase = Some(base))
   }
 
   /** Load a stored sketch table (scan-only lineage). */

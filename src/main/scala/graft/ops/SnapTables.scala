@@ -84,6 +84,31 @@ object SnapTables {
   private def markerPath(root: Path, gen: Int): Path =
     new Path(new Path(root, ManifestDir), f".publish-$gen%06d.lock")
 
+  /** Create `p` with `body` atomically-exclusively. Hadoop's
+    * `FileSystem.create(p, overwrite=false)` is genuinely atomic on HDFS
+    * but CHECK-THEN-ACT on RawLocalFileSystem (exists() + create), so two
+    * local racers can both pass — the two-concurrent-writers spec caught
+    * exactly that (both published gen 1; one writer's manifest tmp
+    * vanished under the other). On a file:// scheme we drop to
+    * java.nio `CREATE_NEW` (O_CREAT|O_EXCL — kernel-atomic); everywhere
+    * else the Hadoop exclusive create is the real thing.
+    */
+  private def createExclusive(hfs: FileSystem, p: Path,
+      body: Array[Byte]): Unit = {
+    if (hfs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      val ch = java.nio.file.Files.newByteChannel(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { ch.write(java.nio.ByteBuffer.wrap(body)); () }
+      finally ch.close()
+    } else {
+      val out = hfs.create(p, false)
+      out.write(body)
+      out.close()
+    }
+  }
+
   /** Create-exclusive claim of the target generation — the single-writer
     * ENFORCEMENT point (object doc). `identity` is written into the marker;
     * a claim that finds an existing marker with the SAME identity is a
@@ -99,9 +124,7 @@ object SnapTables {
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
     val mp = markerPath(root, gen)
     try {
-      val out = hfs.create(mp, false) // overwrite=false: create-exclusive
-      out.write(identity.getBytes("UTF-8"))
-      out.close()
+      createExclusive(hfs, mp, identity.getBytes("UTF-8"))
     } catch {
       case e: java.io.IOException =>
         val existing = try {
@@ -358,11 +381,24 @@ object SnapTables {
     * [[expire]]. Returns the published generation number.
     */
   def rewritePartitions(spark: SparkSession, path: String, partCol: String,
-      affected: Seq[Int], survivors: DataFrame): Int = {
+      affected: Seq[Int], survivors: DataFrame,
+      plannedBase: Option[Int] = None): Int = {
     val root = new Path(path)
     val hfs = fs(spark, path)
     val gen = currentGeneration(spark, path).getOrElse(
       throw new IllegalStateException(s"SnapTables: $path has no published generation"))
+    // `plannedBase` closes the STALE-PLAN lost update the claim alone
+    // cannot (the two-concurrent-writers spec's second failure mode): a
+    // verb that resolved generation N, computed survivors against N, then
+    // arrived here AFTER another writer published N+1 would re-read gen =
+    // N+1, claim N+2 cleanly, and publish survivors that silently UNDO the
+    // other writer's changes. Callers that derive survivors from the
+    // current generation pass the generation they planned against; a
+    // mismatch fails loudly with a re-resolve instruction.
+    for (pb <- plannedBase) require(pb == gen,
+      s"SnapTables: $path advanced from generation $pb to $gen since the " +
+        "caller's plan was derived — its survivors no longer describe the " +
+        "current state; re-resolve and retry")
     claimGeneration(hfs, root, gen + 1, java.util.UUID.randomUUID().toString)
     try {
     // the claim/re-check pair closes the read-claim window: once the claim
@@ -420,15 +456,22 @@ object SnapTables {
     * generation now serving (unchanged when no stored row matched).
     */
   def deleteByKey(spark: SparkSession, path: String, partCol: String,
-      keyCol: String, removedKeys: DataFrame): Int =
+      keyCol: String, removedKeys: DataFrame): Int = {
+    // capture the PLANNED base first: the plan below derives survivors from
+    // this generation, and rewritePartitions refuses to publish them onto
+    // any other (the stale-plan guard)
+    val base = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
     // the PLAN is [[StoredTables.deleteByKeyPlan]] verbatim — in-place and
     // snapshot deletes may differ only in how they publish
-    StoredTables.deleteByKeyPlan(resolve(spark, path, partCol), partCol,
-        keyCol, removedKeys)
+    StoredTables.deleteByKeyPlan(resolveAt(spark, path, partCol, base),
+        partCol, keyCol, removedKeys)
       .map { case (affected, survivors) =>
-        rewritePartitions(spark, path, partCol, affected, survivors)
+        rewritePartitions(spark, path, partCol, affected, survivors,
+          plannedBase = Some(base))
       }
-      .getOrElse(currentGeneration(spark, path).get)
+      .getOrElse(base)
+  }
 
   /** [[StoredTables.decrementCounts]] with snapshot publication: the same
     * exact-subtraction semantics and guards (duplicate-key deltas
@@ -440,18 +483,21 @@ object SnapTables {
     * generation now serving.
     */
   def decrementCounts(spark: SparkSession, path: String, partCol: String,
-      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int =
+      keyCols: Seq[String], countCol: String, deltas: DataFrame): Int = {
+    val base = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
     // the PLAN (pre-aggregation, unknown-key and over-retraction guards) is
     // [[StoredTables.decrementPlan]] verbatim — a guard fixed there is
     // fixed for both publication paths; refused batches throw BEFORE any
     // file is written, so the generation never advances
-    StoredTables.decrementPlan(resolve(spark, path, partCol), partCol,
-        keyCols, countCol, deltas,
-        at = s"$path (generation ${currentGeneration(spark, path).getOrElse(-1)})")
+    StoredTables.decrementPlan(resolveAt(spark, path, partCol, base), partCol,
+        keyCols, countCol, deltas, at = s"$path (generation $base)")
       .map { case (affected, survivors) =>
-        rewritePartitions(spark, path, partCol, affected, survivors)
+        rewritePartitions(spark, path, partCol, affected, survivors,
+          plannedBase = Some(base))
       }
-      .getOrElse(currentGeneration(spark, path).get)
+      .getOrElse(base)
+  }
 
   /** Exact count INCREMENT on a snapshot-published additive side table —
     * [[decrementCounts]]'s append-side twin, and the verb that lets a
@@ -481,11 +527,12 @@ object SnapTables {
     // two increment rows for one key must add their SUM once
     val inc = deltas.groupBy((partCol +: keyCols).map(col): _*)
       .agg(sum(col(countCol)).as(countCol)).select(cols: _*).localCheckpoint()
+    val base = currentGeneration(spark, path).getOrElse(
+      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
     val affected = inc.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty) return currentGeneration(spark, path).getOrElse(
-      throw new IllegalStateException(s"SnapTables: $path has no published generation"))
-    val stored = resolve(spark, path, partCol)
+    if (affected.isEmpty) return base
+    val stored = resolveAt(spark, path, partCol, base)
     val mismatched = stored.select((col(partCol).as("__sp") +: keyCols.map(col)): _*)
       .join(inc.select((col(partCol).as("__dp") +: keyCols.map(col)): _*), keyCols)
       .where(col("__sp") =!= col("__dp")).limit(1).collect()
@@ -497,7 +544,8 @@ object SnapTables {
       .select(cols: _*).unionByName(inc)
       .groupBy((partCol +: keyCols).map(col): _*)
       .agg(sum(col(countCol)).as(countCol))
-    rewritePartitions(spark, path, partCol, affected, survivors)
+    rewritePartitions(spark, path, partCol, affected, survivors,
+      plannedBase = Some(base))
   }
 
   /** The (partition value → file names) listing a generation serves — the
@@ -664,7 +712,8 @@ object SnapTables {
     if (affected.isEmpty) return gen
     val survivors = resolveAt(spark, path, partCol, gen)
       .where(col(partCol).isin(affected: _*))
-    rewritePartitions(spark, path, partCol, affected, survivors)
+    rewritePartitions(spark, path, partCol, affected, survivors,
+      plannedBase = Some(gen))
   }
 
   /** Reclaim space: delete every data file not referenced by the newest

@@ -365,6 +365,47 @@ class SnapTablesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(SnapTables.resolve(spark, dir, "pb")) == allRows - ((4L, "v4")))
   }
 
+  test("two real concurrent writers: exactly one publishes, the loser throws, the table stays consistent") {
+    import spark.implicits._
+    val dir = tmpDir("snap-race2")
+    SnapTables.publishInitial(spark, dir, "pb", table)
+    // both writers race deleteByKey from the same base generation; the
+    // interleaving is nondeterministic but the OUTCOME is not: whichever
+    // thread claims gen 1 first publishes, the other fails either at the
+    // claim (marker held) or at the post-claim base re-check (pointer
+    // already advanced) — never a silent orphan
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val ts = Seq("A" -> 4L, "B" -> 8L).map { case (name, key) =>
+      val t = new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        barrier.await()
+        try {
+          SnapTables.deleteByKey(spark, dir, "pb", "key", Seq(key).toDF("key"))
+          ()
+        } catch { case e: Throwable => results.put(name, e); () }
+      }, s"racer-$name")
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    assert(results.size == 1,
+      s"exactly one writer must lose (got ${results.size} failures: " +
+        s"${results.keySet()})")
+    val loser = results.values.iterator.next()
+    assert(loser.isInstanceOf[IllegalStateException] ||
+      loser.isInstanceOf[IllegalArgumentException],
+      s"the loser must fail loudly with the claim/recheck error, got: $loser")
+    assert(loser.getMessage.contains("claimed by another writer") ||
+      loser.getMessage.contains("advanced past"),
+      s"unexpected loser error: ${loser.getMessage}")
+    // the winner's publication is fully consistent
+    assert(SnapTables.currentGeneration(spark, dir).contains(1))
+    val got = rows(SnapTables.resolve(spark, dir, "pb"))
+    val winnerKey = if (results.containsKey("A")) 8L else 4L
+    assert(got == allRows.filterNot(_._1 == winnerKey),
+      s"the table must serve exactly the winner's delete, got ${got.size} rows")
+  }
+
   test("appendBatch's crash-replay recognizes its OWN leftover claim and self-heals") {
     import spark.implicits._
     val dir = tmpDir("snap-selfheal")
